@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session config for the engine. Kept in one place so Verify,
+  * Bench, and tests run identical semantics:
+  *  - UTC session timezone (oracle parity),
+  *  - AQE on (runtime re-plan, skew-join splitting at scale),
+  *  - shuffle partitions sized to local cores (not the 200 default),
+  *  - nanosAsLong: the driver's `events` table carries TIMESTAMP(NANOS)
+  *    which Spark's vectorized reader refuses; read as Long and normalize
+  *    in Tables.events (truncate to micros, same as the oracle's cast).
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,13 +1,406 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is one operator from SURVEY §2 (or a north-star
+  * extension) re-expressed Spark-first; `oracleSql` is the equivalent ANSI
+  * SQL the driver runs in DuckDB over the same parquet tables. Column
+  * names and types are aligned on both sides; doubles that aggregate
+  * across rows are rounded identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    OrderWide.orderWideEnriched(spark, "/root/testdata/sf0.001")
+
+  // Shared literal parameters (must match the oracle SQL below).
+  private val Item = "small ring"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // —— DAU pipeline (J5 dedup, F1/F2, A1/A2, F11) ——
+    "q01_dau_total"        -> ((s, d) => Dau.dauTotal(s, d)),
+    "q02_dau_by_hour"      -> ((s, d) => Dau.dauByHour(s, d)),
+    "q03_dau_day_over_day" -> ((s, d) => Dau.dauDayOverDay(s, d)),
+    // —— Order wide table (J1–J4, T9, F3) ——
+    "q04_order_wide"          -> ((s, d) => OrderWide.orderWide(s, d)),
+    "q05_customer_enriched"   -> ((s, d) => OrderWide.customerEnriched(s, d)),
+    "q06_order_wide_enriched" -> ((s, d) => OrderWide.orderWideEnriched(s, d)),
+    // —— Routing / CDC / JSON (T1, T5–T7, F5) ——
+    "q07_route_counts"    -> ((s, d) => Demux.routeCounts(s, d)),
+    "q08_cdc_normalize"   -> ((s, d) => Demux.cdcNormalize(s, d)),
+    "q09_route_by_config" -> ((s, d) => Demux.routeByConfig(s, d)),
+    "q10_json_props"      -> ((s, d) => Demux.jsonProps(s, d)),
+    // —— Serving layer (A3–A6, F8–F10) ——
+    "q11_stats_by_item"   -> ((s, d) => Serving.statsByItem(s, d, Item, "p_brand")),
+    "q12_detail_page"     -> ((s, d) => Serving.detailByItem(s, d, Item, 2, 20)),
+    "q13_highlight"       -> ((s, d) => Serving.highlight(s, d, Item)),
+    "q14_status_recode"   -> ((s, d) => Serving.statusRecode(s, d)),
+    "q15_acctbal_buckets" -> ((s, d) => Serving.acctbalBuckets(s, d)),
+    // —— Dedup family (extensions) ——
+    "q16_dedup_exact"       -> ((s, d) => Dedup.exact(s, d)),
+    "q17_token_frequency"   -> ((s, d) => TextAnalysis.tokenFrequency(s, d)),
+    "q22_jaccard_pairs"     -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "q23_minhash_sigs"      -> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "q24_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q25_simhash"           -> ((s, d) => Dedup.simhashSignatures(s, d)),
+    // —— Text analysis (extensions) ——
+    "q18_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "q19_lang_id"      -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q20_quality"      -> ((s, d) => TextAnalysis.quality(s, d)),
+    "q21_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    // —— Similarity search (extensions) ——
+    "q26_ann_topk"        -> ((s, d) => Similarity.topK(s, d)),
+    "q27_blocked_neardup" -> ((s, d) => Similarity.blockedNearDup(s, d)),
+    "q28_lsh_buckets"     -> ((s, d) => Similarity.lshBuckets(s, d)),
+    "q29_lsh_neardup"     -> ((s, d) => Similarity.lshNearDup(s, d)),
+  )
+
+  // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
+  // sides; sums of integers are CAST to BIGINT (DuckDB widens to HUGEINT);
+  // all cross-row double aggregates are round()ed identically on both
+  // sides; list folds mirror Spark's sequential `aggregate` so doubles
+  // are bitwise-identical. q28/q29 are omitted (libm cos() across engines
+  // is not bitwise-stable → rows-only check).
+  def oracleSql: Map[String, String] = Map(
+    "q01_dau_total" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau
+         FROM events GROUP BY 1 ORDER BY dt""",
+    "q02_dau_by_hour" ->
+      """WITH e AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt,
+                  strftime(ts, '%H') AS hr, ts, event_id
+           FROM events),
+         f AS (
+           SELECT dt, hr, row_number() OVER (
+             PARTITION BY dt, user_id
+             ORDER BY ts::TIMESTAMP, event_id) AS rn
+           FROM e)
+         SELECT dt, hr, count(*) AS cnt FROM f WHERE rn = 1
+         GROUP BY dt, hr ORDER BY dt, hr""",
+    "q03_dau_day_over_day" ->
+      """WITH d AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS dt,
+                  count(DISTINCT user_id) AS dau
+           FROM events GROUP BY 1)
+         SELECT dt, dau, coalesce(lag(dau) OVER (ORDER BY dt), 0) AS dau_yd
+         FROM d ORDER BY dt""",
+    "q04_order_wide" ->
+      """SELECT o_orderkey AS order_id, l_linenumber AS detail_id,
+                o_custkey AS user_id, o_orderstatus AS order_status,
+                strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+                strftime(o_orderdate, '%H') AS create_hour,
+                l_partkey AS sku_id, l_quantity AS sku_num,
+                l_extendedprice AS order_price,
+                l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                  AS split_total_amount,
+                o_totalprice AS total_amount
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         ORDER BY order_id, detail_id""",
+    "q05_customer_enriched" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+                n_name AS nation_name, r_name AS region_name
+         FROM customer
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+    "q06_order_wide_enriched" ->
+      """WITH wide AS (
+           SELECT o_orderkey AS order_id, l_linenumber AS detail_id,
+                  o_custkey AS user_id, o_orderstatus AS order_status,
+                  strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+                  strftime(o_orderdate, '%H') AS create_hour,
+                  l_partkey AS sku_id, l_quantity AS sku_num,
+                  l_extendedprice AS order_price,
+                  l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                    AS split_total_amount,
+                  o_totalprice AS total_amount
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         dims AS (
+           SELECT c_custkey, c_mktsegment,
+                  n_name AS nation_name, r_name AS region_name
+           FROM customer
+           LEFT JOIN nation ON c_nationkey = n_nationkey
+           LEFT JOIN region ON n_regionkey = r_regionkey)
+         SELECT wide.*, dims.c_mktsegment, dims.nation_name, dims.region_name
+         FROM wide LEFT JOIN dims ON wide.user_id = dims.c_custkey
+         ORDER BY order_id, detail_id""",
+    "q07_route_counts" ->
+      """SELECT 'DWD_' || upper(event_type) AS topic, count(*) AS cnt,
+                round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1 ORDER BY topic""",
+    "q08_cdc_normalize" ->
+      """SELECT op, count(*) AS cnt FROM (
+           SELECT CASE WHEN event_type = 'signup' THEN 'insert'
+                       WHEN event_type = 'purchase' THEN 'insert'
+                       WHEN event_type = 'click' THEN 'update'
+                       WHEN event_type = 'view' THEN 'update'
+                  END AS op
+           FROM events)
+         WHERE op IS NOT NULL GROUP BY op ORDER BY op""",
+    "q09_route_by_config" ->
+      """WITH config(event_type, route) AS (VALUES
+           ('purchase','FACT'), ('signup','FACT'), ('click','FACT'),
+           ('view','FACT'), ('error','DIM'))
+         SELECT route, event_type, count(*) AS cnt
+         FROM events JOIN config USING (event_type)
+         GROUP BY route, event_type ORDER BY route, event_type""",
+    "q10_json_props" ->
+      """SELECT event_type, count(*) AS cnt,
+                CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q11_stats_by_item" ->
+      """SELECT p_brand AS name,
+                round(sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2)
+                  AS value
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_name LIKE '%small%' AND p_name LIKE '%ring%'
+         GROUP BY 1 ORDER BY name""",
+    "q12_detail_page" ->
+      """SELECT l_orderkey, l_linenumber, p_name AS sku_name,
+                l_quantity AS sku_num, l_extendedprice AS order_price,
+                l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                  AS total_amount,
+                p_brand, p_type
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_name LIKE '%small%' AND p_name LIKE '%ring%'
+         ORDER BY l_orderkey, l_linenumber LIMIT 20 OFFSET 20""",
+    "q13_highlight" ->
+      """SELECT p_partkey,
+                regexp_replace(p_name, '(small|ring)', '<em>\1</em>', 'g')
+                  AS sku_name_hl
+         FROM part
+         WHERE p_name LIKE '%small%' AND p_name LIKE '%ring%'
+         ORDER BY p_partkey""",
+    "q14_status_recode" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' THEN 'filled'
+                     WHEN o_orderstatus = 'O' THEN 'open'
+                     ELSE 'partial' END AS status_name,
+                count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1 ORDER BY status_name""",
+    "q15_acctbal_buckets" ->
+      """SELECT CASE WHEN c_acctbal <= 1000.0 THEN 'low'
+                     WHEN c_acctbal <= 5000.0 THEN 'mid'
+                     ELSE 'high' END AS bucket,
+                count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+         FROM customer GROUP BY 1 ORDER BY bucket""",
+    "q16_dedup_exact" ->
+      """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dupes FROM (
+           SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents)
+         GROUP BY fp ORDER BY keep_id""",
+    "q17_token_frequency" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                     t -> len(t) > 0)) AS token
+           FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
+    "q18_token_counts" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+         FROM (SELECT doc_id, text,
+                      list_filter(regexp_split_to_array(text, '\s+'),
+                                  t -> len(t) > 0) AS toks
+               FROM documents)
+         ORDER BY doc_id""",
+    "q19_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents)
+         SELECT doc_id, lang,
+                CASE WHEN (CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE CAST(len(list_filter(toks, s -> list_contains(
+                       ['the','a','an','and','of','to','in','is','it','on','for'],
+                       s))) AS DOUBLE) / len(toks) END) >= 0.05
+                     THEN 'en' ELSE 'unknown' END AS pred_lang
+         FROM t ORDER BY doc_id""",
+    "q20_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(toks) AS n,
+                  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+                       ELSE CAST(len(list_filter(toks, s -> list_contains(
+                         ['the','a','an','and','of','to','in','is','it','on','for'],
+                         s))) AS DOUBLE) / len(toks) END AS stop_raw,
+                  CASE WHEN len(regexp_replace(text, '\s+', '', 'g')) = 0
+                       THEN CAST(0.0 AS DOUBLE)
+                       ELSE CAST(len(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                            AS DOUBLE) / len(regexp_replace(text, '\s+', '', 'g'))
+                  END AS punct_raw,
+                  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+                       ELSE CAST(list_aggregate(list_transform(toks, s -> len(s)),
+                            'sum') AS DOUBLE) / len(toks) END AS mean_raw
+           FROM t)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                round(stop_raw, 4) AS stop_ratio,
+                round(punct_raw, 4) AS punct_ratio,
+                round(mean_raw, 4) AS mean_tok_len,
+                round((CASE WHEN n BETWEEN 20 AND 1000 THEN CAST(0.5 AS DOUBLE)
+                            WHEN n >= 5 THEN CAST(0.25 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END)
+                      + (CASE WHEN stop_raw >= 0.05 THEN CAST(0.3 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END)
+                      + CAST(0.2 AS DOUBLE)
+                      + (CASE WHEN punct_raw > 0.2 THEN CAST(-0.2 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END), 2) AS quality
+         FROM m ORDER BY doc_id""",
+    "q21_fingerprints" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q22_jaccard_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                      s -> len(s) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END) AS shingles
+           FROM t),
+         tok AS (SELECT doc_id, unnest(shingles) AS token FROM sh),
+         sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS cnt_inter
+           FROM tok a JOIN tok b
+             ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id1, id2,
+                round(CAST(cnt_inter AS DOUBLE)
+                      / (s1.n_tok + s2.n_tok - cnt_inter), 4) AS jaccard
+         FROM inter
+         JOIN sz s1 ON id1 = s1.doc_id
+         JOIN sz s2 ON id2 = s2.doc_id
+         WHERE round(CAST(cnt_inter AS DOUBLE)
+                     / (s1.n_tok + s2.n_tok - cnt_inter), 4) >= 0.1
+         ORDER BY id1, id2""",
+    "q23_minhash_sigs" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                      s -> len(s) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END) AS shingles
+           FROM t),
+         ex AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT
+                    % 2147483647 AS base
+           FROM sh),
+         h AS (
+           SELECT doc_id, j.range AS hash_idx,
+                  ((j.range * 2 + 1) * base + j.range * 98765) % 2147483647 AS hv
+           FROM ex, range(16) j)
+         SELECT doc_id, CAST(hash_idx AS BIGINT) AS hash_idx,
+                CAST(min(hv) AS BIGINT) AS hash_val
+         FROM h GROUP BY doc_id, hash_idx ORDER BY doc_id, hash_idx""",
+    "q24_minhash_lsh_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                      s -> len(s) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END) AS shingles
+           FROM t),
+         ex AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT
+                    % 2147483647 AS base
+           FROM sh),
+         h AS (
+           SELECT doc_id, j.range AS hash_idx,
+                  ((j.range * 2 + 1) * base + j.range * 98765) % 2147483647 AS hv
+           FROM ex, range(16) j),
+         sig AS (
+           SELECT doc_id, hash_idx, min(hv) AS hash_val
+           FROM h GROUP BY doc_id, hash_idx),
+         bk AS (
+           SELECT doc_id, hash_idx // 2 AS band,
+                  md5(array_to_string(list(hash_val ORDER BY hash_idx), ','))
+                    AS band_key
+           FROM sig GROUP BY doc_id, band),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id),
+         sc AS (
+           SELECT id1, id2,
+                  CAST(sum(CASE WHEN s1.hash_val = s2.hash_val THEN 1 ELSE 0 END)
+                    AS DOUBLE) / 16 AS est_sim
+           FROM cand
+           JOIN sig s1 ON id1 = s1.doc_id
+           JOIN sig s2 ON id2 = s2.doc_id AND s1.hash_idx = s2.hash_idx
+           GROUP BY id1, id2)
+         SELECT id1, id2, round(est_sim, 4) AS est_sim
+         FROM sc WHERE est_sim >= 0.5 ORDER BY id1, id2""",
+    "q25_simhash" ->
+      """WITH t AS (
+           SELECT doc_id, list_transform(
+             list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+                                       s -> len(s) > 0)),
+             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+           FROM documents),
+         b AS (
+           SELECT doc_id, i.range AS i,
+                  CASE WHEN 2 * len(list_filter(hs,
+                         h -> (h & CAST(pow(2, i.range) AS BIGINT)) <> 0))
+                         > len(hs)
+                       THEN CAST(pow(2, i.range) AS BIGINT) ELSE 0 END AS bit
+           FROM t, range(32) i)
+         SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+         FROM b GROUP BY doc_id ORDER BY doc_id""",
+    "q26_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         s AS (
+           SELECT vec_id,
+                  list_reduce(list_transform(list_zip(embedding, qe),
+                    p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_transform(embedding,
+                       v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_transform(qe,
+                         v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y)))
+                    AS score_raw
+           FROM embeddings, q WHERE vec_id <> 0)
+         SELECT vec_id, round(score_raw, 6) AS score
+         FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+    "q27_blocked_neardup" ->
+      """WITH s AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+                  round(
+                    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+                    / (sqrt(list_reduce(list_transform(a.embedding,
+                         v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
+                       * sqrt(list_reduce(list_transform(b.embedding,
+                           v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))), 6)
+                    AS score
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT id1, id2, score FROM s WHERE score >= 0.3
+         ORDER BY id1, id2""",
+  )
 }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline operators
+  * (tokenize / language-ID / quality / fingerprint). All built from
+  * codegen'd `org.apache.spark.sql.functions` — no UDFs — so they inline
+  * into whole-stage codegen and push work to the scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty tokens filtered). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: alpha runs, digit runs, or single symbols —
+    * a cheap proxy for tokenizer load when budgeting 100 TB of text. */
+  def subTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Tiny deterministic English stopword list for langid/quality. */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Fraction of tokens that are English stopwords (0 for empty docs). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isin(enStopwords: _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** n-gram-heuristic language ID: stopword-ratio thresholding — the
+    * classic cheap filter before a real classifier in data pipelines. */
+  def langGuess(text: Column): Column =
+    when(stopwordRatio(text) >= 0.05, "en").otherwise("unknown")
+
+  /** Punctuation-character ratio over non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s+", ""))
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(nonSpace === 0, lit(0.0))
+      .otherwise(punct.cast("double") / nonSpace.cast("double"))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double")
+          / size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: token-count band + stopword presence
+    * − punctuation penalty. Deterministic, SQL-replicable. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lenScore = when(n >= 20 && n <= 1000, lit(0.5))
+      .when(n >= 5, lit(0.25)).otherwise(lit(0.0))
+    val stopScore = when(stopwordRatio(text) >= 0.05, lit(0.3)).otherwise(lit(0.0))
+    val punctPenalty = when(punctRatio(text) > 0.2, lit(-0.2)).otherwise(lit(0.0))
+    round(lenScore + stopScore + lit(0.2) + punctPenalty, 2)
+  }
+
+  /** Canonical-form document fingerprint: md5 of lowercased,
+    * whitespace-collapsed text — exact-dedup key that survives trivial
+    * formatting differences. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** First 60 bits of md5(s) as a non-negative Long — the shared
+    * deterministic string→int hash for minhash/simhash (15 hex chars keeps
+    * it inside a signed 64-bit int; replicable in any SQL engine). */
+  def md5Long(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Word k-shingles of the token stream (for minhash over shingles). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Mersenne prime 2^31−1: the affine-rehash modulus for minhash. */
+  val MinHashP: Long = 2147483647L
+
+  /** MinHash signature as ONE fold: digest each distinct shingle once
+    * (md5 mod P), then fold the base hashes through an array of numHashes
+    * running minimums, where permutation j applies the affine rehash
+    * h_j(x) = ((2j+1)·x + 98765j) mod P — the standard cheap-rehash
+    * scheme, pure integer math any SQL engine reproduces exactly.
+    *
+    * Shape matters: a naive transform(seq(j), min(transform(bases, …)))
+    * re-evaluates the bases subtree (and so the md5s) once per
+    * permutation — Catalyst does no CSE inside an expression tree, and
+    * CollapseProject folds a separate bases projection right back in.
+    * The single `aggregate` below references the digest subtree exactly
+    * once, so each shingle is hashed exactly once per row regardless of
+    * numHashes. Returns array<long>. */
+  def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
+    aggregate(
+      transform(array_distinct(shingles(text, k)), s => md5Long(s) % MinHashP),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, j) => least(m, ((j * 2 + 1) * h + j * lit(98765L)) % MinHashP)))
+
+  /** 32-bit SimHash over distinct tokens: bit i of the signature is 1 iff
+    * the majority of token hashes have bit i set (ties → 0).
+    * Bit masks are built with pow(2, i) — exact in a double for i < 53 and
+    * replicable verbatim in the SQL oracle. */
+  def simHash(text: Column, bits: Int = 32): Column = {
+    val hashes = transform(tokenSet(text), t => md5Long(t))
+    val n = size(hashes)
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, i) => {
+        val mask = pow(lit(2.0), i).cast("long")
+        val ones = size(filter(hashes, h => h.bitwiseAND(mask) =!= 0L))
+        acc + when(ones * 2 > n, mask).otherwise(lit(0L))
+      })
+  }
+}

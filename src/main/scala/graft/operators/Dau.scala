@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Daily-active-user pipeline — the batch re-expression of the reference's
+  * `dwd_DauApp` (see /root/reference SparkSreaming_realtime .../app/dwd_DauApp.scala:40-204):
+  * per-day distinct on a device/user key (J5), date/hour derivation (F1/F2),
+  * then the serving aggregations A1 (total) and A2 (by-hour) that the
+  * reference delegated to Elasticsearch.
+  *
+  * Scale notes: the dedup is a single hash-aggregate shuffle on
+  * (user_id, dt) — Spark does map-side partial distinct first, so the
+  * shuffle carries at most one row per (user, day, partition). The by-hour
+  * variant uses a window only to pick the *first* event per (user, day)
+  * (reference keeps the first occurrence's attributes); partitioned by the
+  * same key it rides the same shuffle. No driver-side state, no collect.
+  */
+object Dau {
+
+  /** Events with derived dt/hr columns (F1/F2: epoch → 'yyyy-MM-dd', 'HH'). */
+  def withDay(events: DataFrame): DataFrame =
+    events
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("hr", date_format(col("ts"), "HH"))
+
+  /** A1: distinct active users per day. */
+  def dauTotal(spark: SparkSession, dir: String): DataFrame = {
+    val e = withDay(Tables.events(spark, dir))
+    e.select("dt", "user_id")
+      .dropDuplicates("dt", "user_id") // J5: per-day distinct
+      .groupBy("dt")
+      .agg(count(lit(1)).as("dau"))
+      .orderBy("dt")
+  }
+
+  /** A2: first-visit hour per user per day, counted by (dt, hr).
+    * The reference keeps the FIRST occurrence of a mid per day
+    * (Redis SADD returns 1 only once, dwd_DauApp.scala:101-108); the
+    * deterministic order here is (ts, event_id).
+    */
+  def dauByHour(spark: SparkSession, dir: String): DataFrame = {
+    val e = withDay(Tables.events(spark, dir))
+    val w = Window.partitionBy("dt", "user_id").orderBy(col("ts"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy("dt", "hr")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("dt", "hr")
+  }
+
+  /** F11 + A2 composition (`/dauRealtime` day-over-day): daily DAU with the
+    * previous day's value alongside — lag window over the daily aggregate.
+    */
+  def dauDayOverDay(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dauTotal(spark, dir)
+    val w = Window.orderBy("dt")
+    daily
+      .withColumn("dau_yd", coalesce(lag("dau", 1).over(w), lit(0L)))
+      .orderBy("dt")
+  }
+}

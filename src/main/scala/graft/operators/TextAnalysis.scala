@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents` (north-star extension):
+  * token statistics, language-ID, quality scoring, fingerprinting, and the
+  * exploded token frequency table (T4 array-explode parity).
+  *
+  * Everything is a map-only pass (columnar scan → codegen'd expressions)
+  * except the token frequency rollup, which shuffles once on the token —
+  * exactly the word-count shape that scales linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** T4 parity: explode tokens, global frequency table, top 100. */
+  def tokenFrequency(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+      .limit(100)
+
+  /** Per-document token accounting: whitespace tokens, BPE-ish sub-tokens,
+    * distinct tokens — the budgeting pass of a training-data pipeline. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        subTokenCount(col("text")).cast("long").as("n_subtokens"),
+        size(tokenSet(col("text"))).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic + agreement with the labeled `lang` column. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        langGuess(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  /** Per-document quality metrics and composite score. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        round(punctRatio(col("text")), 4).as("punct_ratio"),
+        round(meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Canonical fingerprints (exact-dedup keys). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+}

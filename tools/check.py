@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare each
+Verify-dumped parquet against its DuckDB oracle SQL over the same tables.
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fails = 0
+for qdir in sorted(glob.glob(f"{outdir}/q*")):
+    name = os.path.basename(qdir)
+    files = glob.glob(f"{qdir}/*.parquet")
+    if not files:
+        print(f"{name}: NO OUTPUT"); fails += 1; continue
+    got = pq.read_table(files[0]).to_pandas()
+    if name not in oracle:
+        print(f"{name}: rows-only ({len(got)} rows)"); continue
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR {str(e).splitlines()[0][:150]}")
+        fails += 1; continue
+    g, e = norm(got.copy()), norm(exp.copy())
+    if list(g.columns) != list(e.columns):
+        print(f"{name}: COLUMN MISMATCH spark={list(g.columns)} duck={list(e.columns)}")
+        fails += 1; continue
+    if len(g) != len(e):
+        print(f"{name}: ROWCOUNT spark={len(g)} duck={len(e)}"); fails += 1; continue
+    bad = []
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        try:
+            if gv.dtype != object and ev.dtype != object:
+                eq = (gv.astype("float64").fillna(-1e308) == ev.astype("float64").fillna(-1e308))
+            else:
+                eq = gv.astype(str) == ev.astype(str)
+            if not eq.all():
+                i = int((~eq).idxmax())
+                bad.append((c, str(gv.dtype), str(ev.dtype), i, gv[i], ev[i]))
+        except Exception as ex:
+            bad.append((c, str(gv.dtype), str(ev.dtype), -1, "cmp-error", str(ex)[:80]))
+    # dtype check (schema-ish)
+    dt = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+          if str(g[c].dtype) != str(e[c].dtype)]
+    if bad:
+        print(f"{name}: VALUE MISMATCH {bad[:3]}"); fails += 1
+    elif dt:
+        print(f"{name}: ok-values DTYPE-DIFF {dt}")
+    else:
+        print(f"{name}: OK ({len(g)} rows)")
+print("FAILS:", fails)
+sys.exit(1 if fails else 0)
