@@ -65,6 +65,14 @@ object SparkEntry {
   // sides; list folds mirror Spark's sequential `aggregate` so doubles
   // are bitwise-identical. q28/q29 are omitted (libm cos() across engines
   // is not bitwise-stable → rows-only check).
+  // MinHash affine constants (j, a_j, b_j) as a SQL VALUES list — the
+  // same md5-derived constants the Spark side embeds as array literals.
+  private val MhConstsSql: String = {
+    import graft.functions.TextFunctions.{minHashA, minHashB}
+    val (a, b) = (minHashA(16), minHashB(16))
+    (0 until 16).map(j => s"($j, ${a(j)}, ${b(j)})").mkString(", ")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_dau_total" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau
@@ -290,7 +298,7 @@ object SparkEntry {
                      / (s1.n_tok + s2.n_tok - cnt_inter), 4) >= 0.1
          ORDER BY id1, id2""",
     "q23_minhash_sigs" ->
-      """WITH t AS (
+      raw"""WITH t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
                                       s -> len(s) > 0) AS toks
            FROM documents),
@@ -306,15 +314,16 @@ object SparkEntry {
                   ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT
                     % 2147483647 AS base
            FROM sh),
+         consts(j, a, b) AS (VALUES $MhConstsSql),
          h AS (
-           SELECT doc_id, j.range AS hash_idx,
-                  ((j.range * 2 + 1) * base + j.range * 98765) % 2147483647 AS hv
-           FROM ex, range(16) j)
+           SELECT doc_id, c.j AS hash_idx,
+                  (c.a::BIGINT * base + c.b::BIGINT) % 2147483647 AS hv
+           FROM ex CROSS JOIN consts c)
          SELECT doc_id, CAST(hash_idx AS BIGINT) AS hash_idx,
                 CAST(min(hv) AS BIGINT) AS hash_val
          FROM h GROUP BY doc_id, hash_idx ORDER BY doc_id, hash_idx""",
     "q24_minhash_lsh_pairs" ->
-      """WITH t AS (
+      raw"""WITH t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
                                       s -> len(s) > 0) AS toks
            FROM documents),
@@ -330,10 +339,11 @@ object SparkEntry {
                   ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT
                     % 2147483647 AS base
            FROM sh),
+         consts(j, a, b) AS (VALUES $MhConstsSql),
          h AS (
-           SELECT doc_id, j.range AS hash_idx,
-                  ((j.range * 2 + 1) * base + j.range * 98765) % 2147483647 AS hv
-           FROM ex, range(16) j),
+           SELECT doc_id, c.j AS hash_idx,
+                  (c.a::BIGINT * base + c.b::BIGINT) % 2147483647 AS hv
+           FROM ex CROSS JOIN consts c),
          sig AS (
            SELECT doc_id, hash_idx, min(hv) AS hash_val
            FROM h GROUP BY doc_id, hash_idx),

@@ -96,6 +96,26 @@ object TextFunctions {
   /** Mersenne prime 2^31−1: the affine-rehash modulus for minhash. */
   val MinHashP: Long = 2147483647L
 
+  /** First 60 bits of md5(s) as a Long — Scala-side twin of [[md5Long]]
+    * for deriving plan-time constants. */
+  def md5LongScala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+  }
+
+  /** Per-permutation affine constants h_j(x) = (a_j·x + b_j) mod P.
+    * a_j, b_j are md5-derived (deterministic, reproducible in any engine
+    * as literals). They MUST be independent large randoms: a correlated
+    * family like a_j = 2j+1 is not min-wise independent — small base
+    * hashes never wrap mod P, every permutation picks the same argmin,
+    * and unrelated docs collide with high estimated similarity. */
+  def minHashA(numHashes: Int): IndexedSeq[Long] =
+    (0 until numHashes).map(j => md5LongScala(s"minhash-a:$j") % (MinHashP - 1) + 1)
+  def minHashB(numHashes: Int): IndexedSeq[Long] =
+    (0 until numHashes).map(j => md5LongScala(s"minhash-b:$j") % MinHashP)
+
   /** MinHash signature as ONE fold: digest each distinct shingle once
     * (md5 mod P), then fold the base hashes through an array of numHashes
     * running minimums, where permutation j applies the affine rehash
@@ -109,12 +129,16 @@ object TextFunctions {
     * The single `aggregate` below references the digest subtree exactly
     * once, so each shingle is hashed exactly once per row regardless of
     * numHashes. Returns array<long>. */
-  def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
+  def minHashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val aArr = array(minHashA(numHashes).map(lit): _*)
+    val bArr = array(minHashB(numHashes).map(lit): _*)
     aggregate(
       transform(array_distinct(shingles(text, k)), s => md5Long(s) % MinHashP),
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (m, j) => least(m, ((j * 2 + 1) * h + j * lit(98765L)) % MinHashP)))
+        (m, j) => least(m,
+          (element_at(aArr, j + 1) * h + element_at(bArr, j + 1)) % MinHashP)))
+  }
 
   /** 32-bit SimHash over distinct tokens: bit i of the signature is 1 iff
     * the majority of token hashes have bit i set (ties → 0).

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the dedup + similarity operators on sf0.001. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("exact dedup partitions all docs") {
+    val total = Dedup.exact(spark, sf)
+      .agg(sum("n_dupes")).collect()(0).getLong(0)
+    assert(total == graft.Tables.documents(spark, sf).count())
+  }
+
+  test("jaccard pairs are within (0,1] and id-ordered") {
+    val rows = Dedup.ngramJaccardPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.1 && j <= 1.0)
+    }
+  }
+
+  test("minhash est_sim tracks true jaccard for LSH pairs") {
+    val lsh = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty)
+    val exact = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every high-confidence LSH pair should be a genuinely similar pair
+    lsh.filter(_._2 >= 0.75).keys.foreach { k =>
+      assert(exact.getOrElse(k, 0.0) >= 0.3,
+        s"LSH pair $k est>=0.75 but true jaccard ${exact.get(k)}")
+    }
+  }
+
+  test("simhash signatures: near-dup docs have small hamming distance") {
+    val sig = Dedup.simhashSignatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // strongest true near-dup pair from the jaccard operator
+    val top = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.5).collect()
+    top.foreach { r =>
+      val h = java.lang.Long.bitCount(sig(r.getLong(0)) ^ sig(r.getLong(1)))
+      assert(h <= 10, s"pair (${r.getLong(0)},${r.getLong(1)}) hamming=$h")
+    }
+  }
+
+  test("ann topK: scores sorted desc, in [-1,1], query excluded") {
+    val rows = Similarity.topK(spark, sf, queryId = 0L, k = 10).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(0) != 0L))
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(scores.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("lsh buckets: every vector bucketed; neardup pairs share bucket") {
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(Similarity.lshBuckets(spark, sf).count() == n)
+    val pairs = Similarity.lshNearDup(spark, sf).collect()
+    pairs.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+}
