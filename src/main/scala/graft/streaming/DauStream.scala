@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming DAU pipeline — Structured Streaming re-expression of the
+  * reference's `dwd_DauApp` (/root/reference SparkSreaming_realtime
+  * .../app/dwd_DauApp.scala:40-204):
+  *
+  *  - session-entry filter (T8, :74-76)           → `filter`
+  *  - per-day distinct on mid via Redis SADD (J5, :86-111)
+  *       → `withWatermark(..).dropDuplicates(keys incl. dt)`
+  *  - dim enrichment via Redis GET (J1/J2, :115-180)
+  *       → stream-static broadcast joins
+  *  - daily ES index, doc id = mid (K2, :186-204)
+  *       → dt-partitioned parquet append; within-batch rows are already
+  *         unique by (dt, mid) so the append is idempotent per epoch
+  *  - `revertState` ES read-back (S4, :209-233) → obsolete: the dedup
+  *    state lives in the checkpoint and survives restart.
+  *
+  * State sizing at scale: dropDuplicates keys (dt, key) — state is one
+  * compact row per active user per day; the 25 h watermark (> the 24 h
+  * reference TTL) lets Spark evict a finished day's state wholesale.
+  */
+object DauStream {
+
+  /** First event per (day, key): the streaming per-day distinct. Input
+    * must carry an event-time column `ts` (TimestampType). */
+  def firstVisits(events: DataFrame, key: String = "user_id",
+      entryFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val filtered = entryFilter.map(events.where).getOrElse(events)
+    filtered
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("hr", date_format(col("ts"), "HH"))
+      .withWatermark("ts", "25 hours")
+      .dropDuplicates(key, "dt")
+  }
+
+  /** Stream-static dim enrichment (J1/J2): left-join the (small) dim
+    * table, broadcast so the stream never shuffles. */
+  def enrich(firstVisits: DataFrame, dims: DataFrame,
+      joinKey: String): DataFrame =
+    firstVisits.join(broadcast(dims), Seq(joinKey), "left")
+
+  /** K2-equivalent sink for foreachBatch: dt-partitioned append. */
+  def sinkEachBatch(outDir: String)(batch: DataFrame, epochId: Long): Unit =
+    batch.write.mode("append").partitionBy("dt").parquet(outDir)
+}
