@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -57,6 +58,25 @@ object SparkEntry {
     "q27_blocked_neardup" -> ((s, d) => Similarity.blockedNearDup(s, d)),
     "q28_lsh_buckets"     -> ((s, d) => Similarity.lshBuckets(s, d)),
     "q29_lsh_neardup"     -> ((s, d) => Similarity.lshNearDup(s, d)),
+    // —— Serving API compositions (§2.7 endpoints) ——
+    "q30_dau_realtime"  -> ((s, d) => Api.dauRealtime(s, d, "2024-01-15")),
+    "q31_stats_by_type" -> ((s, d) => Api.statsByItem(s, d, Item, "segment")),
+    "q32_detail_api"    -> ((s, d) => Api.detailByItem(s, d, Item, 2, 20)),
+    // —— Multimodal columns (extension; decode is a documented stub) ——
+    "q33_media_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q34_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.mediaTable(s, d))
+        .select(col("doc_id"), col("media_type"), col("frame_no").cast("long").as("frame_no"),
+          length(col("frame")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_no")),
+    "q35_media_features" -> ((s, d) => {
+      val ds = Multimodal.decodeFeatures(s, d)
+      ds.toDF()
+        .select(col("doc_id"), col("media_type"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        .orderBy("doc_id")
+    }),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -412,5 +432,83 @@ object SparkEntry {
              ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT id1, id2, score FROM s WHERE score >= 0.3
          ORDER BY id1, id2""",
+    "q30_dau_realtime" ->
+      """WITH e AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt,
+                  strftime(ts, '%H') AS hr, ts, event_id
+           FROM events),
+         f AS (
+           SELECT dt, hr, row_number() OVER (
+             PARTITION BY dt, user_id
+             ORDER BY ts::TIMESTAMP, event_id) AS rn
+           FROM e),
+         c AS (SELECT dt, hr, count(*) AS cnt FROM f WHERE rn = 1
+               GROUP BY dt, hr),
+         td AS (SELECT hr, cnt AS dau_td FROM c WHERE dt = '2024-01-15'),
+         yd AS (SELECT hr, cnt AS dau_yd FROM c WHERE dt = '2024-01-14')
+         SELECT coalesce(td.hr, yd.hr) AS hr,
+                coalesce(dau_td, 0) AS dau_td,
+                coalesce(dau_yd, 0) AS dau_yd
+         FROM td FULL OUTER JOIN yd ON td.hr = yd.hr ORDER BY hr""",
+    "q31_stats_by_type" ->
+      """SELECT c_mktsegment AS name,
+                round(sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2)
+                  AS value
+         FROM orders
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN part ON l_partkey = p_partkey
+         LEFT JOIN customer ON o_custkey = c_custkey
+         WHERE p_name LIKE '%small%' AND p_name LIKE '%ring%'
+         GROUP BY 1 ORDER BY name""",
+    "q32_detail_api" ->
+      """WITH m AS (
+           SELECT l_orderkey, l_linenumber, p_name, l_quantity,
+                  l_extendedprice, l_discount, p_brand, p_type
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE '%small%' AND p_name LIKE '%ring%')
+         SELECT l_orderkey, l_linenumber,
+                regexp_replace(p_name, '(small|ring)', '<em>\1</em>', 'g')
+                  AS sku_name,
+                l_quantity AS sku_num, l_extendedprice AS order_price,
+                l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                  AS total_amount,
+                p_brand, p_type,
+                (SELECT count(*) FROM m) AS total
+         FROM m ORDER BY l_orderkey, l_linenumber LIMIT 20 OFFSET 20""",
+    "q33_media_meta" ->
+      """SELECT doc_id,
+                (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+                  AS media_type,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                CAST(n_chars % 640 + 1 AS INT) AS width,
+                CAST(n_chars % 480 + 1 AS INT) AS height
+         FROM documents ORDER BY doc_id""",
+    "q34_frame_sample" ->
+      """SELECT doc_id,
+                (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+                  AS media_type,
+                f.range AS frame_no,
+                CAST(length(substring(text, CAST(f.range * 16 + 1 AS INT), 16))
+                  AS BIGINT) AS frame_len
+         FROM documents, range(4) f
+         WHERE length(substring(text, CAST(f.range * 16 + 1 AS INT), 16)) > 0
+         ORDER BY doc_id, frame_no""",
+    "q35_media_features" ->
+      """WITH p AS (
+           SELECT doc_id, text, k.range AS k
+           FROM documents, range(128) k
+           WHERE k.range * 8 < length(text)),
+         f AS (
+           SELECT doc_id,
+                  sum(ord(substring(text, CAST(k * 8 + 1 AS INT), 1)) / 255.0)
+                    AS f0_raw
+           FROM p GROUP BY doc_id)
+         SELECT d.doc_id,
+                (['image','audio','video'])[CAST(d.doc_id % 3 + 1 AS INT)]
+                  AS media_type,
+                CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+                round(CAST(CAST(f.f0_raw AS REAL) AS DOUBLE), 4) AS f0
+         FROM documents d JOIN f ON d.doc_id = f.doc_id
+         ORDER BY d.doc_id""",
   )
 }

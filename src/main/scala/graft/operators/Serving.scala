@@ -65,6 +65,11 @@ object Serving {
       .offset((pageNo - 1) * pageSize)
       .limit(pageSize)
 
+  /** A4's `total`: count of all lines matching the item filter. */
+  def matchedLineCount(spark: SparkSession, dir: String,
+      itemName: String): DataFrame =
+    matchedLines(spark, dir, itemName).agg(count(lit(1)).as("total"))
+
   /** A5: highlight — wrap each query token occurrence in <em> tags. */
   def highlight(spark: SparkSession, dir: String, itemName: String): DataFrame = {
     val toks = itemName.trim.split("\\s+").map(java.util.regex.Pattern.quote)
