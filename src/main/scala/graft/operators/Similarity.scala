@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
+import org.apache.spark.sql.graft.VectorExpressions.cosineNative
 
 /** Similarity search over the `embeddings` table (north-star extension):
   * brute-force cosine top-k as the correctness baseline, and a blocked /
@@ -33,7 +34,7 @@ object Similarity {
     emb.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("q_embedding")), 6).as("score"))
+        round(cosineNative(col("embedding"), col("q_embedding")), 6).as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
   }
@@ -48,7 +49,7 @@ object Similarity {
     a.join(b, col("a.label") === col("b.label") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("score"))
+        round(cosineNative(col("a.embedding"), col("b.embedding")), 6).as("score"))
       .where(col("score") >= threshold)
       .orderBy("id1", "id2")
   }
@@ -81,7 +82,7 @@ object Similarity {
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("score"))
+        round(cosineNative(col("a.embedding"), col("b.embedding")), 6).as("score"))
       .where(col("score") >= threshold)
       .orderBy("id1", "id2")
   }

@@ -55,6 +55,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(scores.forall(s => s >= -1.0 && s <= 1.0))
   }
 
+  test("native cosine expression is bitwise-identical to the composed form") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.graft.VectorExpressions
+    val emb = graft.Tables.embeddings(spark, sf).limit(50)
+    val q = graft.Tables.embeddings(spark, sf)
+      .where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val both = emb.crossJoin(q).select(
+      VectorFunctions.cosine(col("embedding"), col("qe")).as("composed"),
+      VectorExpressions.cosineNative(col("embedding"), col("qe")).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("lsh buckets: every vector bucketed; neardup pairs share bucket") {
     val n = graft.Tables.embeddings(spark, sf).count()
     assert(Similarity.lshBuckets(spark, sf).count() == n)
