@@ -69,6 +69,9 @@ object SparkEntry {
         .select(col("doc_id"), col("media_type"), col("frame_no").cast("long").as("frame_no"),
           length(col("frame")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_no")),
+    // —— Windowed / ranked aggregations ——
+    "q36_hourly_stats"  -> ((s, d) => EventRates.hourlyStats(s, d)),
+    "q37_top_tokens"    -> ((s, d) => EventRates.topTokensPerLang(s, d)),
     "q35_media_features" -> ((s, d) => {
       val ds = Multimodal.decodeFeatures(s, d)
       ds.toDF()
@@ -510,5 +513,25 @@ object SparkEntry {
                 round(CAST(CAST(f.f0_raw AS REAL) AS DOUBLE), 4) AS f0
          FROM documents d JOIN f ON d.doc_id = f.doc_id
          ORDER BY d.doc_id""",
+    "q36_hourly_stats" ->
+      """SELECT strftime(date_trunc('hour', ts::TIMESTAMP),
+                         '%Y-%m-%d %H:%M:%S') AS wstart,
+                event_type, count(*) AS cnt,
+                round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "q37_top_tokens" ->
+      """WITH c AS (
+           SELECT lang, token, count(*) AS cnt FROM (
+             SELECT lang,
+                    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                       t -> len(t) > 0)) AS token
+             FROM documents)
+           GROUP BY lang, token),
+         r AS (
+           SELECT lang, token, cnt, row_number() OVER (
+             PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+           FROM c)
+         SELECT lang, token, cnt, rank FROM r WHERE rank <= 3
+         ORDER BY lang, rank""",
   )
 }

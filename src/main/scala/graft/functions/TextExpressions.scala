@@ -1,0 +1,102 @@
+// Lives under org.apache.spark.sql so it can use private[sql] APIs —
+// same pattern as VectorExpressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared text-shingling kernel for the native expressions.
+  *
+  * Semantics are EXACTLY the composed-column form in
+  * `graft.functions.TextFunctions` (whitespace tokens, k-word shingles,
+  * whole-text fallback for short docs, first-occurrence distinct,
+  * first-60-bits-of-md5 hashing) — asserted bitwise by the spec — so the
+  * same DuckDB oracle verifies both implementations.
+  */
+private[graft] object TextKernel {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def distinctShingles(text: String, k: Int): Array[String] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val shingles: Iterator[String] =
+      if (toks.length < k) Iterator(toks.mkString(" "))
+      else toks.sliding(k).map(_.mkString(" "))
+    val seen = new java.util.LinkedHashSet[String]()
+    shingles.foreach(seen.add)
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** First 60 bits of md5(s): the twin of TextFunctions.md5Long. */
+  def md5Long60(s: String): Long = {
+    val d = digest.get(); d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** Native k-word distinct shingle set: array<string>. Replaces the
+  * interpreted transform/slice/array_distinct chain on hot paths
+  * (inverted-index build for Jaccard near-dup). */
+case class ShingleSet(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val sh = TextKernel.distinctShingles(text, k)
+    new GenericArrayData(sh.map(UTF8String.fromString(_)))
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleSet =
+    copy(child = c)
+}
+
+/** Native MinHash signature: one md5 per distinct shingle, `numHashes`
+  * affine permutations, all in a tight loop — replaces the interpreted
+  * aggregate/zip_with fold (~6× on the signature build at bench scale). */
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  import graft.functions.TextFunctions.{MinHashP, minHashA, minHashB}
+  private lazy val as: Array[Long] = minHashA(numHashes).toArray
+  private lazy val bs: Array[Long] = minHashB(numHashes).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val shingles = TextKernel.distinctShingles(text, k)
+    var s = 0
+    while (s < shingles.length) {
+      val base = TextKernel.md5Long60(shingles(s)) % MinHashP
+      var j = 0
+      while (j < numHashes) {
+        val h = (as(j) * base + bs(j)) % MinHashP
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+object TextExpressions {
+  def shingleSet(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(text), k))
+  def minHashSig(text: Column, k: Int, numHashes: Int): Column =
+    ExpressionUtils.column(
+      MinHashSig(ExpressionUtils.expression(text), k, numHashes))
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.graft.TextExpressions
 
 /** Deduplication family for the training-data pipeline (north-star
   * extensions, SURVEY §7.2 step 8): exact, near-dup via n-gram Jaccard,
@@ -45,7 +46,7 @@ object Dedup {
     * a 400M-row join at sf0.1). */
   private def shingleIndex(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
-      explode(array_distinct(shingles(col("text"), k))).as("token"))
+      explode(TextExpressions.shingleSet(col("text"), k)).as("token"))
 
   /** Near-dup pairs by exact 3-gram-shingle-set Jaccard ≥ `threshold`,
     * generated via inverted-index self-join (no cross product). Output:
@@ -54,7 +55,7 @@ object Dedup {
       threshold: Double = 0.1, shingleK: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sizes = docs.select(col("doc_id"),
-      size(array_distinct(shingles(col("text"), shingleK)))
+      size(TextExpressions.shingleSet(col("text"), shingleK))
         .cast("long").as("n_tok"))
     val idx = shingleIndex(docs, shingleK)
     val a = idx.as("a"); val b = idx.as("b")
@@ -81,7 +82,7 @@ object Dedup {
       shingleK: Int, numHashes: Int): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        minHashSignature(col("text"), shingleK, numHashes).as("sig"))
+        TextExpressions.minHashSig(col("text"), shingleK, numHashes).as("sig"))
 
   /** MinHash signatures (word-shingle k=3, `numHashes` permutations) —
     * one row per (doc_id, hash_idx, hash_val) for SQL-oracle parity. */

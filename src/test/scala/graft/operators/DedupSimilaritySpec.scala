@@ -71,6 +71,22 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native shingle/minhash expressions match the composed forms bitwise") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.graft.TextExpressions
+    val docs = graft.Tables.documents(spark, sf).limit(100)
+    val cmp = docs.select(
+      array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh_composed"),
+      TextExpressions.shingleSet(col("text"), 3).as("sh_native"),
+      TextFunctions.minHashSignature(col("text"), 3, 16).as("mh_composed"),
+      TextExpressions.minHashSig(col("text"), 3, 16).as("mh_native"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
   test("lsh buckets: every vector bucketed; neardup pairs share bucket") {
     val n = graft.Tables.embeddings(spark, sf).count()
     assert(Similarity.lshBuckets(spark, sf).count() == n)
