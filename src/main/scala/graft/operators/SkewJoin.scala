@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for equi-joins: salting.
+  *
+  * AQE splits skewed shuffle partitions for batch sort-merge joins, but
+  * not every join can rely on it (stream-static joins, pre-AQE plans,
+  * aggregation-free shuffles). The classic remedy: spread each hot key
+  * over `buckets` sub-keys on the skewed side and replicate the other
+  * side once per bucket, turning one oversized task into `buckets`
+  * even-sized ones at the cost of a `buckets`× blow-up of the (small)
+  * replicated side.
+  */
+object SkewJoin {
+
+  private val SaltCol = "__graft_salt"
+
+  /** `skewed ⋈ other` on `key`, with the skewed side salted into
+    * `buckets` sub-keys (deterministic hash of the whole row) and the
+    * other side replicated per bucket. Result equals the plain join. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+      buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salted = skewed.withColumn(SaltCol,
+      pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+    val replicated = other.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, SaltCol), joinType).drop(SaltCol)
+  }
+}
