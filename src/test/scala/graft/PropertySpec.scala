@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Generator-driven invariants over the core kernels (FIXTURES.md test
+  * strategy: property tests for dedup/join invariants). Uses ScalaCheck
+  * generators with fixed seeds (deterministic, no scalatestplus bridge
+  * needed) and drives the SQL surface so the native expressions are
+  * what's tested.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val textGen = Gen.listOfN(30, wordGen).map(_.mkString(" "))
+
+  test("fingerprint is invariant under whitespace noise and case") {
+    val rows = samples(textGen.flatMap(t =>
+      Gen.chooseNum(2, 5).map(p => (t, t.replace(" ", " " * p).toUpperCase))), 25)
+    val bad = rows.toDF("a", "b").select(
+      graft.functions.TextFunctions.fingerprint(col("a")).as("fa"),
+      graft.functions.TextFunctions.fingerprint(col("b")).as("fb"))
+      .where(col("fa") =!= col("fb")).count()
+    assert(bad == 0)
+  }
+
+  test("minhash signature is invariant under doc repetition (set semantics)") {
+    // duplicating the token stream leaves the k=1 shingle SET unchanged
+    val rows = samples(textGen, 25).map(t => (t, t + " " + t))
+    val bad = rows.toDF("a", "b")
+      .selectExpr("minhash_sig(a, 1, 8) AS sa", "minhash_sig(b, 1, 8) AS sb")
+      .where(col("sa") =!= col("sb")).count()
+    assert(bad == 0)
+  }
+
+  test("cosine similarity is symmetric; self-similarity is 1") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 10.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    val rows = samples(Gen.zip(vecGen, vecGen), 25)
+    val r = rows.toDF("a", "b").selectExpr(
+      "cosine_similarity(a, b) AS ab", "cosine_similarity(b, a) AS ba",
+      "cosine_similarity(a, a) AS aa").collect()
+    r.foreach { row =>
+      assert(java.lang.Double.compare(row.getDouble(0), row.getDouble(1)) == 0)
+      assert(math.abs(row.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("salted join equals plain join on random key distributions") {
+    val cases = samples(Gen.zip(
+      Gen.listOfN(200, Gen.chooseNum(1L, 10L)), Gen.chooseNum(1, 7)), 5)
+    val right = (1L to 10L).map(i => (i, i * 2)).toDF("k", "v")
+    cases.foreach { case (keys, buckets) =>
+      val left = keys.toDF("k")
+      val plain = left.join(right, Seq("k")).groupBy("k")
+        .agg(count(lit(1)), sum("v")).collect().map(_.toSeq).toSet
+      val salted = graft.operators.SkewJoin
+        .saltedJoin(left, right, "k", buckets).groupBy("k")
+        .agg(count(lit(1)), sum("v")).collect().map(_.toSeq).toSet
+      assert(salted == plain, s"buckets=$buckets")
+    }
+  }
+}
