@@ -69,6 +69,11 @@ object SparkEntry {
         .select(col("doc_id"), col("media_type"), col("frame_no").cast("long").as("frame_no"),
           length(col("frame")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_no")),
+    // rows-only (fp-order in centroid training → not value-hashed)
+    "q38_ivf_search" -> ((s, d) => {
+      val centroids = IvfIndex.train(s, d, cells = 8, iters = 2)
+      IvfIndex.search(s, d, centroids, queryId = 0L, k = 10, nprobe = 3)
+    }),
     // —— Windowed / ranked aggregations ——
     "q36_hourly_stats"  -> ((s, d) => EventRates.hourlyStats(s, d)),
     "q37_top_tokens"    -> ((s, d) => EventRates.topTokensPerLang(s, d)),
