@@ -42,7 +42,37 @@ object DauStream {
       joinKey: String): DataFrame =
     firstVisits.join(broadcast(dims), Seq(joinKey), "left")
 
-  /** K2-equivalent sink for foreachBatch: dt-partitioned append. */
+  /** K2-equivalent sink for foreachBatch: dt-partitioned append.
+    * NOTE: append alone is only exactly-once while epochs never replay;
+    * use [[idempotentSinkEachBatch]] for the reference's doc-id
+    * idempotence under foreachBatch retry. */
   def sinkEachBatch(outDir: String)(batch: DataFrame, epochId: Long): Unit =
     batch.write.mode("append").partitionBy("dt").parquet(outDir)
+
+  /** K2 idempotent sink: last-wins upsert keyed on `keys` — the Spark-
+    * native form of the reference's "ES doc id = mid" dedup-on-write
+    * (util/MyEsUtils.scala:45-48). A replayed epoch overwrites the same
+    * keys instead of duplicating them. (A Delta/Iceberg MERGE at scale;
+    * read + anti-join + atomic directory swap without one.) */
+  def idempotentSinkEachBatch(outDir: String, keys: Seq[String])(
+      batch: DataFrame, epochId: Long): Unit = {
+    val spark = batch.sparkSession
+    val target = new java.io.File(outDir)
+    val merged =
+      if (target.exists() && target.list() != null && target.list().nonEmpty) {
+        val cur = spark.read.parquet(outDir)
+        cur.join(batch.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(batch, allowMissingColumns = true)
+      } else batch
+    val tmp = s"$outDir.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if (target.exists()) deleteRecursively(target)
+    new java.io.File(tmp).renameTo(target)
+    ()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 }

@@ -98,6 +98,58 @@ class StreamingSpec extends SparkSpec {
       (1L, "2024-01-02", "07")))
   }
 
+  test("DauStream: entry filter, broadcast dim enrichment, idempotent sink") {
+    val out = tmpDir("dau_enr") + "/table"
+    val dims = Seq((1L, "CN", "north"), (2L, "US", "west"))
+      .toDF("user_id", "country", "zone")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("user_id", "page", "ts")
+    val pipeline = DauStream.enrich(
+      DauStream.firstVisits(df, entryFilter = Some(col("page") === "home")),
+      dims, "user_id")
+    val q = pipeline.writeStream
+      .foreachBatch(DauStream.idempotentSinkEachBatch(out,
+        Seq("user_id", "dt")) _)
+      .option("checkpointLocation", s"$out/../_cp")
+      .outputMode("update").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (1L, "home", t("2024-01-01 08:00:00")),
+      (1L, "detail", t("2024-01-01 08:30:00")), // not an entry page → dropped
+      (3L, "home", t("2024-01-01 09:00:00")))   // no dim row → left join null
+    q.processAllAvailable()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.read.parquet(out)
+      .select("user_id", "country").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1L, Some("CN")), (3L, None)),
+      s"got $rows") // u1 entry only, u3 null-enriched
+
+    // simulate an epoch REPLAY: the same keyed row hits the sink again
+    // (fresh values) — idempotent upsert must replace, not duplicate
+    val replay = Seq((1L, "home", t("2024-01-01 08:00:00"), "2024-01-01",
+        "08", "CN2", "north2"))
+      .toDF("user_id", "page", "ts", "dt", "hr", "country", "zone")
+    DauStream.idempotentSinkEachBatch(out, Seq("user_id", "dt"))(replay, 99L)
+    val after = spark.read.parquet(out)
+      .select("user_id", "country").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(after == Set((1L, Some("CN2")), (3L, None)), s"got $after")
+  }
+
+  test("observed metrics surface per-batch row counts (K4 parity)") {
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("v")
+      .observe("counter", count(lit(1)).as("rows"))
+      .writeStream.format("memory").queryName("obs_sink").start()
+    mem.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    val observed = q.lastProgress.observedMetrics.get("counter")
+    q.stop()
+    assert(observed != null && observed.getAs[Long]("rows") == 3L)
+  }
+
   test("OrderJoinStream completes joins across batches with 1:N fan-out") {
     val info = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
     val detail = MemoryStream[(Long, Long, Long, Double, Long, java.sql.Timestamp)]
