@@ -19,11 +19,21 @@ object Api {
     * (F11), from the first-visit-per-day relation (J5/A2). One output
     * row per hour 00–23 present in either day. */
   def dauRealtime(spark: SparkSession, dir: String, td: String): DataFrame = {
-    val yd = Dau.dauByHour(spark, dir) // (dt, hr, cnt)
-    val tdDf = yd.where(col("dt") === td)
+    import org.apache.spark.sql.expressions.Window
+    val ydStr = date_format(date_sub(to_date(lit(td)), 1), "yyyy-MM-dd")
+    // restrict to the two days BEFORE the first-visit window: on a
+    // dt-partitioned table this is partition pruning — the window ranks
+    // within (dt, user), so dropping other days cannot change it
+    val e = Dau.withDay(graft.Tables.events(spark, dir))
+      .where(col("dt") === td || col("dt") === ydStr)
+    val w = Window.partitionBy("dt", "user_id").orderBy(col("ts"), col("event_id"))
+    val counts = e.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy("dt", "hr")
+      .agg(count(lit(1)).as("cnt"))
+    val tdDf = counts.where(col("dt") === td)
       .select(col("hr"), col("cnt").as("dau_td"))
-    val ydDf = yd.where(col("dt") === date_format(date_sub(to_date(lit(td)), 1),
-        "yyyy-MM-dd"))
+    val ydDf = counts.where(col("dt") === ydStr)
       .select(col("hr"), col("cnt").as("dau_yd"))
     tdDf.join(ydDf, Seq("hr"), "full_outer")
       .select(col("hr"),
