@@ -40,6 +40,8 @@ object SparkEntry {
     "q12_detail_page"     -> ((s, d) => Serving.detailByItem(s, d, Item, 2, 20)),
     "q13_highlight"       -> ((s, d) => Serving.highlight(s, d, Item)),
     "q14_status_recode"   -> ((s, d) => Serving.statusRecode(s, d)),
+    "q39_stats_token_match" -> ((s, d) =>
+      Serving.statsByItemTokenMatch(s, d, Item, "p_brand")),
     "q15_acctbal_buckets" -> ((s, d) => Serving.acctbalBuckets(s, d)),
     // —— Dedup family (extensions) ——
     "q16_dedup_exact"       -> ((s, d) => Dedup.exact(s, d)),
@@ -518,6 +520,14 @@ object SparkEntry {
                 round(CAST(CAST(f.f0_raw AS REAL) AS DOUBLE), 4) AS f0
          FROM documents d JOIN f ON d.doc_id = f.doc_id
          ORDER BY d.doc_id""",
+    "q39_stats_token_match" ->
+      """SELECT p_brand AS name,
+                round(sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2)
+                  AS value
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE list_contains(string_split(p_name, ' '), 'small')
+           AND list_contains(string_split(p_name, ' '), 'ring')
+         GROUP BY 1 ORDER BY name""",
     "q36_hourly_stats" ->
       """SELECT strftime(date_trunc('hour', ts::TIMESTAMP),
                          '%Y-%m-%d %H:%M:%S') AS wstart,

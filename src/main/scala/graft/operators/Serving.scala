@@ -24,10 +24,32 @@ import graft.Tables
 object Serving {
 
   /** ES `match(field, text, operator=AND)` ≈ every whitespace token of the
-    * query appears in the field (SURVEY §2.6 A3). */
+    * query appears in the field (SURVEY §2.6 A3). Substring containment —
+    * the SURVEY-documented approximation ("ring" also hits "boring"). */
   def matchAll(field: Column, itemName: String): Column =
     itemName.trim.split("\\s+").map(tok => field.contains(tok))
       .reduce(_ && _)
+
+  /** Lucene-faithful variant: token-EXACT match — every query token must
+    * equal a whitespace token of the field, which is what a standard-
+    * analyzer ES `match` actually does ("ring" does NOT hit "boring"). */
+  def matchAllTokens(field: Column, itemName: String): Column =
+    itemName.trim.split("\\s+")
+      .map(tok => array_contains(split(field, " "), tok))
+      .reduce(_ && _)
+
+  /** A3 under token-exact match semantics. */
+  def statsByItemTokenMatch(spark: SparkSession, dir: String,
+      itemName: String, groupField: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .where(matchAllTokens(col("p_name"), itemName))
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col(groupField).as("name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("value"))
+      .orderBy("name")
+  }
 
   /** Lines joined to their part, filtered by match-AND on p_name — the
     * shared scan for A3/A4/A5. */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -134,6 +134,26 @@ object LogDemux {
         col("start.open_ad_ms").as("open_ad_ms"),
         col("start.open_ad_skip_ms").as("open_ad_skip_ms"),
         col("ts")): _*)
+
+  /** Typed views (SURVEY §7.1: the bean case classes as Dataset element
+    * types). Column order in the underlying selects matches the bean
+    * field order, so `.as[T]` binds by name with full coverage. */
+  def pagesTyped(parsed: DataFrame): Dataset[graft.model.PageLog] = {
+    val enc = Encoders.product[graft.model.PageLog]
+    pages(parsed).as(enc)
+  }
+  def startsTyped(parsed: DataFrame): Dataset[graft.model.StartLog] = {
+    val enc = Encoders.product[graft.model.StartLog]
+    starts(parsed).as(enc)
+  }
+  def displaysTyped(parsed: DataFrame): Dataset[graft.model.PageDisplayLog] = {
+    val enc = Encoders.product[graft.model.PageDisplayLog]
+    displays(parsed).as(enc)
+  }
+  def actionsTyped(parsed: DataFrame): Dataset[graft.model.PageActionLog] = {
+    val enc = Encoders.product[graft.model.PageActionLog]
+    actions(parsed).as(enc)
+  }
 
   /** All five branches keyed by sink/topic name (F5 naming). */
   def branches(parsed: DataFrame): Map[String, DataFrame] = Map(

@@ -73,6 +73,22 @@ class StreamingSpec extends SparkSpec {
     assert(d.forall(r => r.getString(0) == "m1" && r.getString(1) == "good_detail"))
   }
 
+  test("typed demux branches bind the bean case classes") {
+    val raw = Seq(
+      pageLog("m1", "good_detail", "home", nDisplays = 2, nActions = 1, ts = 1000L),
+      startLog("m2", 2000L)).toDF("value")
+    val parsed = LogDemux.parse(raw)
+    val p = LogDemux.pagesTyped(parsed).collect()
+    assert(p.length == 1 && p(0).mid == "m1" && p(0).page_id == "good_detail"
+      && p(0).last_page_id == "home" && p(0).ts == 1000L)
+    val st = LogDemux.startsTyped(parsed).collect()
+    assert(st.length == 1 && st(0).mid == "m2" && st(0).entry == "icon")
+    val d = LogDemux.displaysTyped(parsed).collect()
+    assert(d.length == 2 && d.forall(_.page_id == "good_detail"))
+    val a = LogDemux.actionsTyped(parsed).collect()
+    assert(a.length == 1 && a(0).action_id == "cart_add")
+  }
+
   test("DauStream dedups per (user, day) across micro-batches") {
     val out = tmpDir("dau")
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
