@@ -31,14 +31,12 @@ object Api {
       .where(col("rn") === 1)
       .groupBy("dt", "hr")
       .agg(count(lit(1)).as("cnt"))
-    val tdDf = counts.where(col("dt") === td)
-      .select(col("hr"), col("cnt").as("dau_td"))
-    val ydDf = counts.where(col("dt") === ydStr)
-      .select(col("hr"), col("cnt").as("dau_yd"))
-    tdDf.join(ydDf, Seq("hr"), "full_outer")
-      .select(col("hr"),
-        coalesce(col("dau_td"), lit(0L)).as("dau_td"),
-        coalesce(col("dau_yd"), lit(0L)).as("dau_yd"))
+    // conditional aggregation instead of a td/yd self-join: one pass over
+    // the (already tiny) counts relation, no duplicated subtree
+    counts.groupBy("hr")
+      .agg(
+        coalesce(sum(when(col("dt") === td, col("cnt"))), lit(0L)).as("dau_td"),
+        coalesce(sum(when(col("dt") === ydStr, col("cnt"))), lit(0L)).as("dau_yd"))
       .orderBy("hr")
   }
 

@@ -58,26 +58,30 @@ object Similarity {
     * product with a deterministic pseudo-hyperplane whose i-th component
     * is cos(j * dim + i) — reproducible without a stored model. Returns
     * (vec_id, bucket) for the bucket-join ANN path. */
-  def lshBuckets(spark: SparkSession, dir: String, planes: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val dim = 64
-    val sig = (0 until planes).map { j =>
+  /** The bucket column expression over an `embedding` column. */
+  private[operators] def bucketSignature(planes: Int, dim: Int = 64) =
+    (0 until planes).map { j =>
       val d = aggregate(
         zip_with(col("embedding"), sequence(lit(0), lit(dim - 1)),
           (x, i) => x.cast("double") * cos(lit(j.toDouble) * dim + i.cast("double"))),
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, pow(lit(2.0), lit(j)).cast("long")).otherwise(0L)
     }.reduce((a, b) => a + b)
-    emb.select(col("vec_id"), sig.as("bucket")).orderBy("vec_id")
-  }
+
+  def lshBuckets(spark: SparkSession, dir: String, planes: Int = 8): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), bucketSignature(planes).as("bucket"))
+      .orderBy("vec_id")
 
   /** ANN via LSH buckets: score only same-bucket pairs (the scale path —
     * candidate generation is an equi-join on bucket). */
   def lshNearDup(spark: SparkSession, dir: String, planes: Int = 8,
       threshold: Double = 0.3): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val buckets = lshBuckets(spark, dir, planes)
-    val withB = emb.join(buckets, "vec_id")
+    // bucket computed inline (it derives from the same row) — joining
+    // back to lshBuckets would shuffle the whole table twice for nothing
+    val withB = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        bucketSignature(planes).as("bucket"))
     val a = withB.as("a"); val b = withB.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
