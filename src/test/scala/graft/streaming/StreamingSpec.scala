@@ -154,6 +154,40 @@ class StreamingSpec extends SparkSpec {
     assert(after == Set((1L, Some("CN2")), (3L, None)), s"got $after")
   }
 
+  test("end-to-end chain: raw logs → demux → DAU table (full dwd path)") {
+    // the reference's full pipeline: ods_BaseLogApp demux feeding
+    // dwd_DauApp — here one streaming demux whose page branch feeds the
+    // first-visit dedup, landing in a keyed DAU table
+    val base = tmpDir("e2e")
+    val mem = MemoryStream[String]
+    val parsed = LogDemux.parse(mem.toDF().toDF("value"))
+    val pages = LogDemux.pages(parsed)
+      .withColumn("ts_t", timestamp_millis(col("ts")))
+      .drop("ts").withColumnRenamed("ts_t", "ts")
+    val dau = DauStream.firstVisits(pages, key = "mid",
+      entryFilter = Some(col("last_page_id").isNull))
+    val q = dau.writeStream
+      .foreachBatch(DauStream.idempotentSinkEachBatch(s"$base/dau",
+        Seq("mid", "dt")) _)
+      .option("checkpointLocation", s"$base/_cp")
+      .outputMode("update").start()
+    val day1 = 1704100000000L // 2024-01-01 (UTC)
+    mem.addData(
+      pageLog("m1", "home", null, 0, 0, day1),          // entry → kept
+      pageLog("m1", "detail", "home", 0, 0, day1 + 1000), // not entry
+      pageLog("m2", "home", null, 2, 1, day1 + 2000),   // entry → kept
+      startLog("m9", day1 + 3000),                      // not a page row
+      errLog("m8", day1 + 4000))                        // error branch
+    q.processAllAvailable()
+    mem.addData(pageLog("m1", "home", null, 0, 0, day1 + 60000)) // same-day dup
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.read.parquet(s"$base/dau")
+      .select("mid", "dt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("m1", "2024-01-01"), ("m2", "2024-01-01")), s"got $rows")
+  }
+
   test("observed metrics surface per-batch row counts (K4 parity)") {
     val mem = MemoryStream[Long]
     val q = mem.toDF().toDF("v")
