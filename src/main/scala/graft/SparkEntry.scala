@@ -79,6 +79,7 @@ object SparkEntry {
     // —— Windowed / ranked aggregations ——
     "q36_hourly_stats"  -> ((s, d) => EventRates.hourlyStats(s, d)),
     "q37_top_tokens"    -> ((s, d) => EventRates.topTokensPerLang(s, d)),
+    "q40_sessionize"    -> ((s, d) => Sessionize.sessions(s, d)),
     "q35_media_features" -> ((s, d) => {
       val ds = Multimodal.decodeFeatures(s, d)
       ds.toDF()
@@ -528,6 +529,31 @@ object SparkEntry {
          WHERE list_contains(string_split(p_name, ' '), 'small')
            AND list_contains(string_split(p_name, ' '), 'ring')
          GROUP BY 1 ORDER BY name""",
+    "q40_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+                  lag(ts::TIMESTAMP) OVER (
+                    PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+                    AS prev_ts
+           FROM events),
+         f AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN prev_ts IS NULL
+                         OR ts > prev_ts + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         g AS (
+           SELECT user_id, ts,
+                  CAST(sum(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+           FROM f)
+         SELECT user_id, session_no,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                count(*) AS n_events
+         FROM g GROUP BY user_id, session_no
+         ORDER BY user_id, session_no""",
     "q36_hourly_stats" ->
       """SELECT strftime(date_trunc('hour', ts::TIMESTAMP),
                          '%Y-%m-%d %H:%M:%S') AS wstart,

@@ -229,6 +229,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_.getString(9) == "2024-01-01"))
   }
 
+  test("streaming sessionization closes sessions across batches on gap") {
+    import graft.operators.{SessEvent, Sessionize}
+    val mem = MemoryStream[SessEvent]
+    val q = Sessionize.sessionsStream(
+        Sessionize.withSessionWatermark(mem.toDS()), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      SessEvent(1L, t("2024-01-01 10:00:00")),
+      SessEvent(1L, t("2024-01-01 10:10:00")),
+      SessEvent(2L, t("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0) // all sessions still open
+    // u1 returns after a >30min gap → gap-closes u1's first session; the
+    // advancing watermark (12:00 − 10min) passes u2's timer (10:35) → u2's
+    // session closes by EVENT-TIME timeout
+    mem.addData(SessEvent(1L, t("2024-01-01 12:00:00")))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(rows == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L),
+      (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L)))
+  }
+
   test("CdcRouter normalizes ops, routes facts per-topic, upserts dims last-wins") {
     val fact = tmpDir("cdc_fact"); val dim = tmpDir("cdc_dim")
     val config = Seq(("order_info", "FACT"), ("user_info", "DIM"))
