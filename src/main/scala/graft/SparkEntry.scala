@@ -71,6 +71,7 @@ object SparkEntry {
         .select(col("doc_id"), col("media_type"), col("frame_no").cast("long").as("frame_no"),
           length(col("frame")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_no")),
+    "q41_topk_per_label" -> ((s, d) => Similarity.topKPerLabel(s, d)),
     // rows-only (fp-order in centroid training → not value-hashed)
     "q38_ivf_search" -> ((s, d) => {
       val centroids = IvfIndex.train(s, d, cells = 8, iters = 2)
@@ -529,6 +530,25 @@ object SparkEntry {
          WHERE list_contains(string_split(p_name, ' '), 'small')
            AND list_contains(string_split(p_name, ' '), 'ring')
          GROUP BY 1 ORDER BY name""",
+    "q41_topk_per_label" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         s AS (
+           SELECT label, vec_id,
+                  round(
+                    list_reduce(list_transform(list_zip(embedding, qe),
+                      p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+                    / (sqrt(list_reduce(list_transform(embedding,
+                         v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
+                       * sqrt(list_reduce(list_transform(qe,
+                           v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))), 6)
+                    AS score
+           FROM embeddings, q WHERE vec_id <> 0),
+         r AS (
+           SELECT label, vec_id, score, row_number() OVER (
+             PARTITION BY label ORDER BY score DESC, vec_id) AS rank
+           FROM s)
+         SELECT label, rank, vec_id, score FROM r WHERE rank <= 3
+         ORDER BY label, rank""",
     "q40_sessionize" ->
       """WITH e AS (
            SELECT user_id, ts::TIMESTAMP AS ts, event_id,

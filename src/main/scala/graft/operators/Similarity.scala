@@ -58,6 +58,33 @@ object Similarity {
     * product with a deterministic pseudo-hyperplane whose i-th component
     * is cos(j * dim + i) — reproducible without a stored model. Returns
     * (vec_id, bucket) for the bucket-join ANN path. */
+  /** Per-label nearest neighbors of a query vector via the typed TopK
+    * Aggregator: the buffer carries at most k pairs per group through
+    * the shuffle (map-side partial agg), vs a whole-group sort under the
+    * window-function formulation. Output: (label, rank, vec_id, score). */
+  def topKPerLabel(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    val scored = emb.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("label"),
+        round(cosineNative(col("embedding"), col("q_embedding")), 6).as("score"),
+        col("vec_id"))
+      .as[(Int, Double, Long)]
+    val agg = new graft.functions.TopKAggregator(k)
+    scored.groupByKey(_._1)
+      .mapValues { case (_, score, id) => (score, id) }
+      .agg(agg.toColumn.name("top"))
+      .toDF("label", "top")
+      .select(col("label"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rank"),
+        col("pair._2").as("vec_id"), col("pair._1").as("score"))
+      .orderBy("label", "rank")
+  }
+
   /** The bucket column expression over an `embedding` column. */
   private[operators] def bucketSignature(planes: Int, dim: Int = 64) =
     (0 until planes).map { j =>
