@@ -30,6 +30,7 @@ object SparkEntry {
     "q04_order_wide"          -> ((s, d) => OrderWide.orderWide(s, d)),
     "q05_customer_enriched"   -> ((s, d) => OrderWide.customerEnriched(s, d)),
     "q06_order_wide_enriched" -> ((s, d) => OrderWide.orderWideEnriched(s, d)),
+    "q42_supplier_stats"      -> ((s, d) => OrderWide.supplierStats(s, d)),
     // —— Routing / CDC / JSON (T1, T5–T7, F5) ——
     "q07_route_counts"    -> ((s, d) => Demux.routeCounts(s, d)),
     "q08_cdc_normalize"   -> ((s, d) => Demux.cdcNormalize(s, d)),
@@ -168,6 +169,14 @@ object SparkEntry {
          SELECT wide.*, dims.c_mktsegment, dims.nation_name, dims.region_name
          FROM wide LEFT JOIN dims ON wide.user_id = dims.c_custkey
          ORDER BY order_id, detail_id""",
+    "q42_supplier_stats" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+                count(*) AS n_suppliers,
+                round(sum(s_acctbal), 2) AS total_bal
+         FROM supplier
+         LEFT JOIN nation ON s_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY region_name, nation_name""",
     "q07_route_counts" ->
       """SELECT 'DWD_' || upper(event_type) AS topic, count(*) AS cnt,
                 round(sum(value), 2) AS total_value

@@ -63,6 +63,20 @@ object OrderWide {
       .orderBy("c_custkey")
   }
 
+  /** Supplier dim enrichment (same J1/J2 chain over the supplier side)
+    * with per-nation account rollup. */
+  def supplierStats(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"))
+      .orderBy("region_name", "nation_name")
+  }
+
   /** Full enrichment: wide fact joined to broadcast dims — the complete
     * dwd_OrderApp shape (facts shuffled once on orderkey; dims broadcast).
     */
