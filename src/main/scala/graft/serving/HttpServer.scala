@@ -1,0 +1,81 @@
+package graft.serving
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer => JdkServer}
+import java.net.InetSocketAddress
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Api
+
+/** Thin REST wrapper over the Api query programs — the reference's
+  * InsightAnalytics surface (/root/reference InsightAnalytics
+  * .../controller/PublisherController.java:21-51) without Spring: the
+  * JDK built-in HTTP server (zero extra dependencies) dispatching to
+  * the same three endpoints and returning JSON rows.
+  *
+  *   GET /dauRealtime?td=2024-01-15
+  *   GET /statsByItem?itemName=small+ring&date=...&t=segment
+  *   GET /detailByItem?date=...&itemName=small+ring&pageNo=1&pageSize=20
+  *
+  * The Spark driver hosts the server; each request compiles to a
+  * DataFrame program that Catalyst plans and the cluster executes —
+  * query serving is the engine itself, not a copy of the data.
+  */
+class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
+
+  private val server = JdkServer.create(new InetSocketAddress(port), 0)
+
+  /** Actual bound port (useful with port=0 → ephemeral). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def asJson(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private def handler(fn: Map[String, String] => DataFrame): HttpHandler =
+    (ex: HttpExchange) =>
+      try respond(ex, 200, asJson(fn(params(ex))))
+      catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      }
+
+  def start(): HttpServer = {
+    server.createContext("/dauRealtime", handler { p =>
+      Api.dauRealtime(spark, dataDir, p.getOrElse("td",
+        throw new IllegalArgumentException("td required")))
+    })
+    server.createContext("/statsByItem", handler { p =>
+      Api.statsByItem(spark, dataDir,
+        p.getOrElse("itemName",
+          throw new IllegalArgumentException("itemName required")),
+        p.getOrElse("t", "segment"))
+    })
+    server.createContext("/detailByItem", handler { p =>
+      Api.detailByItem(spark, dataDir,
+        p.getOrElse("itemName",
+          throw new IllegalArgumentException("itemName required")),
+        p.getOrElse("pageNo", "1").toInt,
+        p.getOrElse("pageSize", "20").toInt)
+    })
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+}

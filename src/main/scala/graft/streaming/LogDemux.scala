@@ -164,14 +164,16 @@ object LogDemux {
     "DWD_PAGE_ACTION_LOG"  -> actions(parsed))
 
   /** One-pass fan-out for `foreachBatch`: persist the parsed batch, write
-    * every branch under `outDir/<topic>` (K1-equivalent sink; in prod the
-    * writer targets Kafka with a per-row topic column). The epoch commit
-    * after this function returns is the at-least-once "flush then commit
-    * offsets" of the reference (:177-180). */
+    * every branch under `outDir/<topic>/epoch=<id>` (K1-equivalent sink;
+    * in prod the writer targets Kafka with a per-row topic column).
+    * Epoch-keyed OVERWRITE makes the sink idempotent under foreachBatch
+    * replay — a retried epoch rewrites its own directory instead of
+    * appending duplicates; the epoch commit after this function returns
+    * is the "flush then commit offsets" of the reference (:177-180). */
   def demuxEachBatch(outDir: String)(batch: DataFrame, epochId: Long): Unit = {
     val parsed = parse(batch).persist()
     try branches(parsed).foreach { case (topic, df) =>
-      df.write.mode("append").parquet(s"$outDir/$topic")
+      df.write.mode("overwrite").parquet(s"$outDir/$topic/epoch=$epochId")
     } finally parsed.unpersist()
   }
 }

@@ -1,0 +1,45 @@
+package graft.serving
+
+import graft.SparkSpec
+import java.net.{HttpURLConnection, URL}
+import scala.io.Source
+
+/** Drive the REST surface over a real socket — the reference's three
+  * endpoints answered by the engine. */
+class HttpServerSpec extends SparkSpec {
+
+  private def get(url: String): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = Source.fromInputStream(stream, "UTF-8").mkString
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("the three endpoints answer over HTTP with engine results") {
+    val srv = new HttpServer(spark, sf).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      val (c1, dau) = get(s"$base/dauRealtime?td=2024-01-15")
+      assert(c1 == 200 && dau.startsWith("[") && dau.contains("\"dau_td\""))
+
+      val (c2, stats) = get(s"$base/statsByItem?itemName=small+ring&t=segment")
+      assert(c2 == 200 && stats.contains("\"name\"") && stats.contains("\"value\""))
+
+      val (c3, detail) =
+        get(s"$base/detailByItem?itemName=small+ring&pageNo=1&pageSize=3")
+      assert(c3 == 200 && detail.contains("<em>") && detail.contains("\"total\""))
+      assert(detail.split("\\},\\{").length <= 3)
+
+      // F10 semantics: unknown t → 400, not a stack trace
+      val (c4, err) = get(s"$base/statsByItem?itemName=x&t=age-ish")
+      assert(c4 == 400 && err.contains("unknown stats type"))
+
+      // missing required param → 400
+      val (c5, _) = get(s"$base/dauRealtime")
+      assert(c5 == 400)
+    } finally srv.stop()
+  }
+}

@@ -71,6 +71,12 @@ class StreamingSpec extends SparkSpec {
     val d = spark.read.parquet(s"$out/DWD_PAGE_DISPLAY_LOG")
       .select("mid", "page_id", "display_item").collect()
     assert(d.forall(r => r.getString(0) == "m1" && r.getString(1) == "good_detail"))
+
+    // epoch REPLAY: re-running the same epoch must overwrite, not append
+    val replayBatch = Seq(pageLog("m2", "home", null, 0, 0, 2000L)).toDF("value")
+    LogDemux.demuxEachBatch(out)(replayBatch, 0L)
+    LogDemux.demuxEachBatch(out)(replayBatch, 0L)
+    assert(cnt("DWD_PAGE_LOG") == 1, "replayed epoch must not duplicate")
   }
 
   test("typed demux branches bind the bean case classes") {
