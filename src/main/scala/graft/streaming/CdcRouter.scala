@@ -38,6 +38,18 @@ object CdcRouter {
       .where(col("op").isNotNull)
       .drop("type")
 
+  /** Typed payload parse for one routed table: the `data` JSON decoded
+    * with that table's schema into a typed Dataset — the reference's
+    * `JSON.parseObject(value, classOf[OrderInfo])` step downstream of
+    * routing (app/dwd_OrderApp.scala:78-93). */
+  def parseTable[T <: Product : org.apache.spark.sql.Encoder](
+      normalized: DataFrame, table: String,
+      schema: StructType): org.apache.spark.sql.Dataset[T] =
+    normalized.where(col("table") === table)
+      .select(from_json(col("data"), schema).as("d"))
+      .select("d.*")
+      .as[T]
+
   /** T7 + F5: attach routing (FACT topic name / DIM) from a config
     * relation (table_name, route). Facts get their per-table/per-op
     * topic `DWD_<TABLE>_<OP>`; unknown tables are dropped. */

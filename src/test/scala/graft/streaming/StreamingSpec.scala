@@ -262,6 +262,50 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L)))
   }
 
+  test("CdcRouter typed payload parse binds a fact table's bean") {
+    import org.apache.spark.sql.types._
+    implicit val enc: org.apache.spark.sql.Encoder[OrderInfoCdc] =
+      org.apache.spark.sql.Encoders.product[OrderInfoCdc]
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("order_status", StringType),
+      StructField("total_amount", DoubleType)))
+    val raw = Seq(
+      """{"database":"gmall","table":"order_info","type":"insert","ts":1,"data":"{\"id\": 7, \"order_status\": \"1001\", \"total_amount\": 99.5}"}""",
+      """{"database":"gmall","table":"other","type":"insert","ts":2,"data":"{\"id\": 8}"}""")
+      .toDF("value")
+    val typed = CdcRouter.parseTable[OrderInfoCdc](
+      CdcRouter.normalizeOps(CdcRouter.parse(raw)), "order_info", schema)
+      .collect()
+    assert(typed.toSeq == Seq(OrderInfoCdc(7L, "1001", 99.5)))
+  }
+
+  test("full dwd_OrderApp composition: stream join + dim enrichment + sink") {
+    val out = tmpDir("orderwide_e2e")
+    val dims = Seq((7L, "east")).toDF("user_id", "zone")
+    val info = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+    val detail = MemoryStream[(Long, Long, Long, Double, Long, java.sql.Timestamp)]
+    val wide = OrderJoinStream.toWide(OrderJoinStream.join(
+      info.toDF().toDF("order_id", "user_id", "order_status", "total_amount", "ts"),
+      detail.toDF().toDF("detail_id", "detail_order_id", "sku_id",
+        "order_price", "sku_num", "ts")))
+    val enriched = wide.join(broadcast(dims), Seq("user_id"), "left")
+    val q = enriched.writeStream
+      .foreachBatch(DauStream.idempotentSinkEachBatch(s"$out/t",
+        Seq("order_id", "detail_id")) _)
+      .option("checkpointLocation", s"$out/_cp")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    info.addData((100L, 7L, "OK", 50.0, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    detail.addData((2L, 100L, 6L, 5.0, 2L, t("2024-01-01 10:05:00")))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(s"$out/t")
+      .select("order_id", "detail_id", "zone", "split_total_amount").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 100L && rows(0).getLong(1) == 2L)
+    assert(rows(0).getString(2) == "east" && rows(0).getDouble(3) == 10.0)
+  }
+
   test("CdcRouter normalizes ops, routes facts per-topic, upserts dims last-wins") {
     val fact = tmpDir("cdc_fact"); val dim = tmpDir("cdc_dim")
     val config = Seq(("order_info", "FACT"), ("user_info", "DIM"))
@@ -293,3 +337,6 @@ class StreamingSpec extends SparkSpec {
     assert(dimRows(0).getAs[String]("data").contains("alice2"))
   }
 }
+
+/** Top-level so Encoders.product can derive a TypeTag. */
+case class OrderInfoCdc(id: Long, order_status: String, total_amount: Double)
