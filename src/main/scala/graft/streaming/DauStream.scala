@@ -36,6 +36,25 @@ object DauStream {
       .dropDuplicates(key, "dt")
   }
 
+  /** State-EVICTING variant: `dropDuplicates(key, dt)` never frees its
+    * store (the event-time column is not part of the key), so state
+    * accretes one row per (user, day) forever — fine for a test, fatal
+    * at 100 TB. `dropDuplicatesWithinWatermark` dedups rows whose event
+    * times fall within the watermark delay of the first arrival and
+    * EVICTS expired keys. With a 25 h delay and a day-keyed composite
+    * key this matches the reference's per-day distinct (same-day rows
+    * are always < 24 h apart); an extremely late same-day duplicate
+    * (> 25 h) would re-emit — absorbed by the keyed idempotent sink. */
+  def firstVisitsEvicting(events: DataFrame, key: String = "user_id",
+      entryFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val filtered = entryFilter.map(events.where).getOrElse(events)
+    filtered
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("hr", date_format(col("ts"), "HH"))
+      .withWatermark("ts", "25 hours")
+      .dropDuplicatesWithinWatermark(key, "dt")
+  }
+
   /** Stream-static dim enrichment (J1/J2): left-join the (small) dim
     * table, broadcast so the stream never shuffles. */
   def enrich(firstVisits: DataFrame, dims: DataFrame,

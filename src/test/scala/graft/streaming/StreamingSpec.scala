@@ -77,6 +77,16 @@ class StreamingSpec extends SparkSpec {
     LogDemux.demuxEachBatch(out)(replayBatch, 0L)
     LogDemux.demuxEachBatch(out)(replayBatch, 0L)
     assert(cnt("DWD_PAGE_LOG") == 1, "replayed epoch must not duplicate")
+
+    // second epoch, then compaction: same rows, epoch dirs collapsed
+    LogDemux.demuxEachBatch(out)(replayBatch, 1L)
+    assert(cnt("DWD_PAGE_LOG") == 2)
+    graft.operators.Compact.compactEpochs(spark, s"$out/DWD_PAGE_LOG")
+    val compacted = spark.read.parquet(s"$out/DWD_PAGE_LOG")
+    assert(compacted.count() == 2)
+    assert(!compacted.columns.contains("epoch"))
+    assert(!new java.io.File(s"$out/DWD_PAGE_LOG").listFiles()
+      .exists(_.getName.startsWith("epoch=")))
   }
 
   test("typed demux branches bind the bean case classes") {
@@ -192,6 +202,31 @@ class StreamingSpec extends SparkSpec {
       .select("mid", "dt").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(rows == Set(("m1", "2024-01-01"), ("m2", "2024-01-01")), s"got $rows")
+  }
+
+  test("dedup state is EVICTED once the watermark passes the day (25h)") {
+    // the scale claim behind J5: state is one row per (user, day) and a
+    // finished day's rows leave the store — without eviction a 100 TB
+    // stream accretes state forever
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val q = DauStream.firstVisitsEvicting(df).writeStream
+      .format("memory").queryName("evict_sink")
+      .outputMode("update").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((1L, t("2024-01-01 08:00:00")), (2L, t("2024-01-01 09:00:00")))
+    q.processAllAvailable()
+    val before = q.lastProgress.stateOperators(0).numRowsTotal
+    // jump event time 3 days ahead → watermark (25h delay) passes day 1
+    mem.addData((3L, t("2024-01-04 08:00:00")))
+    q.processAllAvailable()
+    mem.addData((4L, t("2024-01-04 09:00:00"))) // one more batch to purge
+    q.processAllAvailable()
+    val after = q.lastProgress.stateOperators(0).numRowsTotal
+    q.stop()
+    assert(before == 2L, s"expected 2 state rows for day 1, got $before")
+    assert(after < before + 2,
+      s"day-1 state not evicted: before=$before after=$after")
   }
 
   test("observed metrics surface per-batch row counts (K4 parity)") {
