@@ -43,6 +43,8 @@ object SparkEntry {
     "q14_status_recode"   -> ((s, d) => Serving.statusRecode(s, d)),
     "q39_stats_token_match" -> ((s, d) =>
       Serving.statsByItemTokenMatch(s, d, Item, "p_brand")),
+    "q43_age_pinned" -> ((s, d) =>
+      Serving.ageDistribution(s, d, "2024-06-15")),
     "q15_acctbal_buckets" -> ((s, d) => Serving.acctbalBuckets(s, d)),
     // —— Dedup family (extensions) ——
     "q16_dedup_exact"       -> ((s, d) => Dedup.exact(s, d)),
@@ -583,6 +585,19 @@ object SparkEntry {
                 count(*) AS n_events
          FROM g GROUP BY user_id, session_no
          ORDER BY user_id, session_no""",
+    "q43_age_pinned" ->
+      """SELECT age, count(*) AS cnt FROM (
+           SELECT CAST(date_part('year', DATE '2024-06-15')
+                    - date_part('year', o_orderdate)
+                    - CASE WHEN date_part('month', DATE '2024-06-15')
+                             < date_part('month', o_orderdate)
+                           OR (date_part('month', DATE '2024-06-15')
+                                 = date_part('month', o_orderdate)
+                               AND date_part('day', DATE '2024-06-15')
+                                 < date_part('day', o_orderdate))
+                           THEN 1 ELSE 0 END AS BIGINT) AS age
+           FROM orders)
+         GROUP BY age ORDER BY age""",
     "q36_hourly_stats" ->
       """SELECT strftime(date_trunc('hour', ts::TIMESTAMP),
                          '%Y-%m-%d %H:%M:%S') AS wstart,

@@ -105,6 +105,27 @@ object Serving {
       .orderBy("p_partkey")
   }
 
+  /** F4: whole-year age relative to a PINNED date (SURVEY §7.4 risk 3:
+    * the reference used wall-clock `LocalDate.now()`, which is
+    * untestable — the pinned parameter is the deterministic policy).
+    * Integer year arithmetic (year delta minus one if the anniversary
+    * hasn't passed) — exact in any engine, no fractional-month
+    * ambiguity. Demonstrated on order dates as the "birthday". */
+  def ageDistribution(spark: SparkSession, dir: String,
+      pinnedToday: String): DataFrame = {
+    val p = to_date(lit(pinnedToday))
+    val d = col("o_orderdate")
+    val age = (year(p) - year(d) -
+      when(month(p) < month(d) ||
+        (month(p) === month(d) && dayofmonth(p) < dayofmonth(d)), 1)
+        .otherwise(0)).cast("long")
+    Tables.orders(spark, dir)
+      .select(age.as("age"))
+      .groupBy("age")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("age")
+  }
+
   /** F8 analog: categorical recode at the serving layer
     * (reference: gender F→女 / M→男). */
   def statusRecode(spark: SparkSession, dir: String): DataFrame =
