@@ -506,33 +506,41 @@ object SparkEntry {
                 CAST(n_chars % 640 + 1 AS INT) AS width,
                 CAST(n_chars % 480 + 1 AS INT) AS height
          FROM documents ORDER BY doc_id""",
+    // q34/q35 oracles are BYTE-based (hex of the UTF-8 payload) and drive
+    // their stride count off octet_length — exact for non-ASCII text and
+    // any payload size, matching the Spark side's binary semantics.
     "q34_frame_sample" ->
       """SELECT doc_id,
                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
                   AS media_type,
                 f.range AS frame_no,
-                CAST(length(substring(text, CAST(f.range * 16 + 1 AS INT), 16))
-                  AS BIGINT) AS frame_len
+                CAST(LEAST(16, octet_length(encode(text))
+                             - CAST(f.range * 16 AS INT)) AS BIGINT)
+                  AS frame_len
          FROM documents, range(4) f
-         WHERE length(substring(text, CAST(f.range * 16 + 1 AS INT), 16)) > 0
+         WHERE octet_length(encode(text)) - f.range * 16 > 0
          ORDER BY doc_id, frame_no""",
     "q35_media_features" ->
-      """WITH p AS (
-           SELECT doc_id, text, k.range AS k
-           FROM documents, range(128) k
-           WHERE k.range * 8 < length(text)),
+      """WITH h AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS nb
+           FROM documents),
          f AS (
-           SELECT doc_id,
-                  sum(ord(substring(text, CAST(k * 8 + 1 AS INT), 1)) / 255.0)
-                    AS f0_raw
-           FROM p GROUP BY doc_id)
-         SELECT d.doc_id,
-                (['image','audio','video'])[CAST(d.doc_id % 3 + 1 AS INT)]
+           SELECT doc_id, nb,
+                  CASE WHEN nb = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+                    list_reduce(
+                      list_transform(range(CAST((nb + 7) // 8 AS BIGINT)),
+                        k -> ('0x' || substr(hx, CAST(k * 16 + 1 AS INT), 2))
+                               ::BIGINT / CAST(255.0 AS DOUBLE)),
+                      (x, y) -> x + y)
+                  END AS f0_raw
+           FROM h)
+         SELECT doc_id,
+                (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
                   AS media_type,
-                CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-                round(CAST(CAST(f.f0_raw AS REAL) AS DOUBLE), 4) AS f0
-         FROM documents d JOIN f ON d.doc_id = f.doc_id
-         ORDER BY d.doc_id""",
+                CAST(nb AS BIGINT) AS n_bytes,
+                round(CAST(CAST(f0_raw AS REAL) AS DOUBLE), 4) AS f0
+         FROM f ORDER BY doc_id""",
     "q39_stats_token_match" ->
       """SELECT p_brand AS name,
                 round(sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2)

@@ -18,20 +18,13 @@ object Compact {
 
   def compactEpochs(spark: SparkSession, dir: String,
       targetPartitions: Int = 1): Unit = {
+    graft.AtomicSwap.recover(dir)
     val df = spark.read.parquet(dir)
     val cleaned =
       if (df.columns.contains("epoch")) df.drop("epoch") else df
     val tmp = s"$dir.compact.tmp"
     cleaned.repartition(targetPartitions).write
       .mode("overwrite").parquet(tmp)
-    val target = new java.io.File(dir)
-    deleteRecursively(target)
-    new java.io.File(tmp).renameTo(target)
-    ()
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
+    graft.AtomicSwap.publish(tmp, dir)
   }
 }

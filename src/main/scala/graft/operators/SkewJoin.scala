@@ -18,13 +18,21 @@ object SkewJoin {
   private val SaltCol = "__graft_salt"
 
   /** `skewed ⋈ other` on `key`, with the skewed side salted into
-    * `buckets` sub-keys (deterministic hash of the whole row) and the
-    * other side replicated per bucket. Result equals the plain join. */
+    * `buckets` sub-keys and the other side replicated per bucket. Result
+    * equals the plain join.
+    *
+    * The salt MUST be independent of row content: the canonical skew case
+    * is millions of *identical* rows on one hot key, and any content hash
+    * assigns them all the same salt — the hot partition never splits.
+    * `monotonically_increasing_id` gives each physical row a distinct
+    * value regardless of content ((partitionId << 33) + row index, so
+    * consecutive rows land in consecutive buckets — an even spread within
+    * every scan partition). */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val salted = skewed.withColumn(SaltCol,
-      pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val replicated = other.withColumn(SaltCol,
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, SaltCol), joinType).drop(SaltCol)

@@ -45,14 +45,31 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   private def asJson(df: DataFrame): String =
     df.toJSON.collect().mkString("[", ",", "]")
 
+  /** JSON string escaping for error bodies: quotes, backslashes, and
+    * control chars — a NumberFormatException message contains quotes and
+    * would otherwise yield malformed JSON. */
+  private def jsonEscape(s: String): String =
+    Option(s).getOrElse("").flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case '\n'          => "\\n"
+      case '\r'          => "\\r"
+      case '\t'          => "\\t"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   private def handler(fn: Map[String, String] => DataFrame): HttpHandler =
     (ex: HttpExchange) =>
       try respond(ex, 200, asJson(fn(params(ex))))
       catch {
+        // NumberFormatException (malformed pageNo/pageSize) is an
+        // IllegalArgumentException: both are the caller's fault → 400
         case e: IllegalArgumentException =>
-          respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+          respond(ex, 400, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
         case e: Throwable =>
-          respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          respond(ex, 500,
+            s"""{"error":"${jsonEscape(e.getClass.getSimpleName)}"}""")
       }
 
   def start(): HttpServer = {

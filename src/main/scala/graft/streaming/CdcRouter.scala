@@ -62,11 +62,17 @@ object CdcRouter {
           concat(lit("DWD_"), upper(col("table")), lit("_"), upper(col("op"))))
           .otherwise(lit(null).cast(StringType)))
 
-  /** foreachBatch fan-out: facts append under their topic dir (K1), dims
-    * upsert into `dimDir/<table>` keyed by data.id — last write wins
-    * (K3: the reference's `SET DIM:$TABLE:$id`, :109-115). The dim
-    * upsert reads current state and overwrites: the Spark-native
-    * equivalent of a KV SET without an external store. */
+  /** foreachBatch fan-out: facts land under `factDir/<topic>/epoch=<id>`
+    * with OVERWRITE (K1) — a replayed epoch rewrites its own directory
+    * instead of appending duplicates, the same idempotence contract as
+    * `LogDemux.demuxEachBatch`. Dims upsert into `dimDir/<table>` keyed
+    * by data.id — last write wins (K3: the reference's
+    * `SET DIM:$TABLE:$id`, :109-115), published via the crash-safe
+    * [[graft.AtomicSwap]] so a committed copy exists at every instant.
+    *
+    * Dim replay caveat: the upsert is idempotent per key (a replayed
+    * epoch re-applies the same last-wins SETs), which matches the
+    * reference's Redis SET semantics exactly. */
   def routeEachBatch(factDir: String, dimDir: String, config: DataFrame)(
       batch: DataFrame, epochId: Long): Unit = {
     val routed = route(normalizeOps(parse(batch)), config).persist()
@@ -75,7 +81,7 @@ object CdcRouter {
         .select("topic").distinct().collect().map(_.getString(0))
       topics.foreach { t =>
         routed.where(col("topic") === t).drop("topic", "route")
-          .write.mode("append").parquet(s"$factDir/$t")
+          .write.mode("overwrite").parquet(s"$factDir/$t/epoch=$epochId")
       }
       val spark = batch.sparkSession
       val dims = routed.where(col("route") === "DIM")
@@ -85,6 +91,7 @@ object CdcRouter {
         val incoming = dims.where(col("table") === t)
           .select("id", "data", "ts")
         val target = s"$dimDir/$t"
+        graft.AtomicSwap.recover(target)
         val merged = if (new java.io.File(target).exists()) {
           val cur = spark.read.parquet(target)
           // last-wins upsert: incoming rows shadow current rows by id
@@ -93,15 +100,8 @@ object CdcRouter {
         } else incoming
         val tmp = s"$target.tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val fs = new java.io.File(target)
-        if (fs.exists()) deleteRecursively(fs)
-        new java.io.File(tmp).renameTo(fs)
+        graft.AtomicSwap.publish(tmp, target)
       }
     } finally routed.unpersist()
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
   }
 }

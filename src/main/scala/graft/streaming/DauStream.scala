@@ -72,9 +72,11 @@ object DauStream {
     * native form of the reference's "ES doc id = mid" dedup-on-write
     * (util/MyEsUtils.scala:45-48). A replayed epoch overwrites the same
     * keys instead of duplicating them. (A Delta/Iceberg MERGE at scale;
-    * read + anti-join + atomic directory swap without one.) */
+    * read + anti-join + crash-safe [[graft.AtomicSwap]] without one: a
+    * committed copy of the table exists on disk at every instant.) */
   def idempotentSinkEachBatch(outDir: String, keys: Seq[String])(
       batch: DataFrame, epochId: Long): Unit = {
+    graft.AtomicSwap.recover(outDir)
     val spark = batch.sparkSession
     val target = new java.io.File(outDir)
     val merged =
@@ -85,13 +87,6 @@ object DauStream {
       } else batch
     val tmp = s"$outDir.tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    if (target.exists()) deleteRecursively(target)
-    new java.io.File(tmp).renameTo(target)
-    ()
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
+    graft.AtomicSwap.publish(tmp, outDir)
   }
 }
