@@ -98,8 +98,7 @@ object SparkEntry {
   // sides; sums of integers are CAST to BIGINT (DuckDB widens to HUGEINT);
   // all cross-row double aggregates are round()ed identically on both
   // sides; list folds mirror Spark's sequential `aggregate` so doubles
-  // are bitwise-identical. q28/q29 are omitted (libm cos() across engines
-  // is not bitwise-stable → rows-only check).
+  // are bitwise-identical.
   // MinHash affine constants (j, a_j, b_j) as a SQL VALUES list — the
   // same md5-derived constants the Spark side embeds as array literals.
   private val MhConstsSql: String = {
@@ -107,6 +106,29 @@ object SparkEntry {
     val (a, b) = (minHashA(16), minHashB(16))
     (0 until 16).map(j => s"($j, ${a(j)}, ${b(j)})").mkString(", ")
   }
+
+  // LSH bucket signature as a DuckDB expression over `embedding`: the
+  // same md5-derived integer hyperplane weights the Spark side embeds as
+  // literals (Similarity.planeWeights). Integer weights + identical
+  // ascending-index fold order ⇒ the dot-product sign (and so the
+  // bucket) is bit-for-bit reproducible across engines.
+  private def lshBucketSql: String =
+    graft.operators.Similarity.planeWeights(8).zipWithIndex.map { case (w, j) =>
+      val lst = w.map(v => s"$v.0").mkString("[", ", ", "]")
+      s"""(CASE WHEN list_reduce(list_transform(list_zip(embedding, $lst),
+            p -> p[1]::DOUBLE * p[2]), (x, y) -> x + y) >= 0
+           THEN ${1L << j} ELSE 0 END)"""
+    }.mkString(" + ")
+
+  // Cosine similarity as a DuckDB expression (ascending-index folds —
+  // bitwise-identical to the native CosineSimilarity expression).
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+          p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE),
+             (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE),
+               (x, y) -> x + y)))"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_dau_total" ->
@@ -453,6 +475,20 @@ object SparkEntry {
                     AS score
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT id1, id2, score FROM s WHERE score >= 0.3
+         ORDER BY id1, id2""",
+    "q28_lsh_buckets" ->
+      s"""SELECT vec_id, CAST($lshBucketSql AS BIGINT) AS bucket
+         FROM embeddings ORDER BY vec_id""",
+    "q29_lsh_neardup" ->
+      s"""WITH b AS (
+           SELECT vec_id, embedding, $lshBucketSql AS bucket
+           FROM embeddings),
+         s AS (
+           SELECT a.vec_id AS id1, b2.vec_id AS id2,
+                  round(${cosSql("a.embedding", "b2.embedding")}, 6) AS score
+           FROM b a JOIN b b2
+             ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          SELECT id1, id2, score FROM s WHERE score >= 0.3
          ORDER BY id1, id2""",
     "q30_dau_realtime" ->

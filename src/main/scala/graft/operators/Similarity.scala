@@ -19,9 +19,9 @@ import org.apache.spark.sql.graft.VectorExpressions.cosineNative
   *    coarse block key (here the `label` cluster id; in an IVF layout the
   *    centroid id), so the cross-product never materializes globally —
   *    each block is a local O(b²) handled inside one shuffle partition.
-  *  - hyperplane LSH: sign-bit bucketing on deterministic pseudo-random
-  *    hyperplanes built from the dimension index — signatures are
-  *    map-only, candidates come from a bucket equi-join.
+  *  - hyperplane LSH: sign-bit bucketing on deterministic hyperplanes
+  *    with md5-derived integer components — signatures are map-only,
+  *    candidates come from a bucket equi-join.
   */
 object Similarity {
 
@@ -54,10 +54,6 @@ object Similarity {
       .orderBy("id1", "id2")
   }
 
-  /** Random-hyperplane LSH bucket signature: bit j = sign of the dot
-    * product with a deterministic pseudo-hyperplane whose i-th component
-    * is cos(j * dim + i) — reproducible without a stored model. Returns
-    * (vec_id, bucket) for the bucket-join ANN path. */
   /** Per-label nearest neighbors of a query vector via the typed TopK
     * Aggregator: the buffer carries at most k pairs per group through
     * the shuffle (map-side partial agg), vs a whole-group sort under the
@@ -85,14 +81,28 @@ object Similarity {
       .orderBy("label", "rank")
   }
 
-  /** The bucket column expression over an `embedding` column. */
+  /** Hyperplane components for plane `j`: md5-derived small integers in
+    * [-8, 8]. Integers (not libm cos/sin pseudo-randoms) because the
+    * oracle must reproduce the SIGN of the dot product bit-for-bit:
+    * float→double widening is exact, double×small-int products round
+    * identically under IEEE 754 in any engine, and the ascending-index
+    * fold order below matches DuckDB's `list_reduce` — so the signature
+    * is engine-independent. Random-hyperplane LSH only needs the
+    * components i.i.d.-ish and sign-balanced; a 17-way md5 residue is as
+    * good a source as a float gaussian for bucketing purposes. */
+  private[graft] def planeWeights(planes: Int, dim: Int = 64): IndexedSeq[IndexedSeq[Long]] =
+    (0 until planes).map(j => (0 until dim).map(i =>
+      graft.functions.TextFunctions.md5LongScala(s"lsh-plane:$j:$i") % 17 - 8))
+
+  /** The bucket column expression over an `embedding` column: bit j =
+    * sign of the dot product with plane j's weight vector. */
   private[operators] def bucketSignature(planes: Int, dim: Int = 64) =
-    (0 until planes).map { j =>
+    planeWeights(planes, dim).zipWithIndex.map { case (w, j) =>
+      val warr = array(w.map(v => lit(v.toDouble)): _*)
       val d = aggregate(
-        zip_with(col("embedding"), sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * cos(lit(j.toDouble) * dim + i.cast("double"))),
+        zip_with(col("embedding"), warr, (x, wi) => x.cast("double") * wi),
         lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, pow(lit(2.0), lit(j)).cast("long")).otherwise(0L)
+      when(d >= 0, lit(1L << j)).otherwise(0L)
     }.reduce((a, b) => a + b)
 
   def lshBuckets(spark: SparkSession, dir: String, planes: Int = 8): DataFrame =
