@@ -75,10 +75,11 @@ object SparkEntry {
           length(col("frame")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_no")),
     "q41_topk_per_label" -> ((s, d) => Similarity.topKPerLabel(s, d)),
-    // rows-only (fp-order in centroid training → not value-hashed)
+    // integer-exact Lloyd training (sum of floor(v*1e6) longs) makes the
+    // whole train→assign→search pipeline oracle-expressible
     "q38_ivf_search" -> ((s, d) => {
-      val centroids = IvfIndex.train(s, d, cells = 8, iters = 2)
-      IvfIndex.search(s, d, centroids, queryId = 0L, k = 10, nprobe = 3)
+      val cents = IvfIndex.train(s, d, cells = 8, iters = 2)
+      IvfIndex.search(s, d, cents, queryId = 0L, k = 10, nprobe = 3)
     }),
     // —— Windowed / ranked aggregations ——
     "q36_hourly_stats"  -> ((s, d) => EventRates.hourlyStats(s, d)),
@@ -130,7 +131,71 @@ object SparkEntry {
            * sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE),
                (x, y) -> x + y)))"""
 
+  // q38's oracle: the IVF pipeline unrolled — init centroids from the C
+  // lowest vec_ids, `iters` Lloyd iterations (assign = argmax cosine with
+  // ties toward the smaller cell; update = integer-exact component
+  // averages sum(floor(v*1e6))/(n*1e6)), then probe-and-score. Every
+  // aggregation is over longs or a single IEEE op, so DuckDB reproduces
+  // the Spark result bit-for-bit.
+  private def ivfSearchSql(cells: Int, iters: Int, nprobe: Int, k: Int,
+      queryId: Long): String = {
+    val init =
+      s"""e AS (SELECT vec_id, embedding FROM embeddings),
+         c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+                       list_transform(embedding, v -> v::DOUBLE) AS centroid
+                FROM e WHERE vec_id < $cells)"""
+    val iterCtes = (0 until iters).map { i =>
+      s"""a$i AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC,
+                               c.cell) AS rn
+             FROM e CROSS JOIN c$i c) t
+           WHERE rn = 1),
+         x$i AS (
+           SELECT a$i.cell,
+                  unnest(range(len(e.embedding))) AS pos,
+                  unnest(e.embedding) AS v
+           FROM a$i JOIN e USING (vec_id)),
+         s$i AS (
+           SELECT cell, pos,
+                  CAST(sum(CAST(floor(v::DOUBLE * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS sv,
+                  count(*) AS n
+           FROM x$i GROUP BY cell, pos),
+         c${i + 1} AS (
+           SELECT cell,
+                  list(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                       ORDER BY pos) AS centroid
+           FROM s$i GROUP BY cell)"""
+    }
+    val fin =
+      s"""q AS (SELECT embedding AS qe FROM e WHERE vec_id = $queryId),
+         probe AS (
+           SELECT cell FROM (
+             SELECT c.cell, row_number() OVER (
+               ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, c.cell) AS rn
+             FROM c$iters c CROSS JOIN q) t
+           WHERE rn <= $nprobe),
+         af AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC,
+                               c.cell) AS rn
+             FROM e CROSS JOIN c$iters c) t
+           WHERE rn = 1)
+         SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+         FROM e JOIN af USING (vec_id) JOIN probe USING (cell) CROSS JOIN q
+         WHERE e.vec_id <> $queryId
+         ORDER BY score DESC, e.vec_id LIMIT $k"""
+    "WITH " + (init +: iterCtes :+ fin).mkString(",\n")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q38_ivf_search" ->
+      ivfSearchSql(cells = 8, iters = 2, nprobe = 3, k = 10, queryId = 0L),
     "q01_dau_total" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau
          FROM events GROUP BY 1 ORDER BY dt""",

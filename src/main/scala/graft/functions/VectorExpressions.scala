@@ -10,7 +10,9 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
-/** Native Catalyst expression for cosine similarity over `array<float>`.
+/** Native Catalyst expression for cosine similarity over `array<float>`
+  * or `array<double>` (each side independently — IVF compares float
+  * embeddings against exact-double centroids).
   *
   * The composed form (`aggregate(zip_with(..))` in [[VectorFunctions]])
   * is correct but interpreted: every element goes through a lambda-bound
@@ -23,25 +25,33 @@ import org.apache.spark.sql.types._
   * Accumulation is ascending-index double adds, EXACTLY the same fold
   * order as the composed form and the DuckDB oracle's list_reduce —
   * results are bitwise identical, so both implementations verify against
-  * the same oracle.
+  * the same oracle. (float→double widening is exact, so a float array
+  * and its double widening produce identical results.)
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -54,12 +64,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      def get(arr: String, idx: String, dbl: Boolean): String =
+        if (dbl) s"$arr.getDouble($idx)" else s"(double) $arr.getFloat($idx)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = ${get(a, i, isDouble(left))};
+         |  double $yi = ${get(b, i, isDouble(right))};
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

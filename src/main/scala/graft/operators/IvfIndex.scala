@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.VectorExpressions.cosineNative
 import graft.Tables
@@ -9,73 +9,108 @@ import graft.Tables
   * path past brute force: k-means-style coarse quantization, then search
   * probes only the `nprobe` closest cells.
   *
-  * All stages are DataFrame-native and cluster-shaped:
-  *  - training: Lloyd iterations where assignment is a broadcast of C
-  *    centroids against a map-only scan (argmin via `min_by`), and the
-  *    update step is one shuffle keyed (cell, dim) — no driver-side math
-  *    over the corpus, so it scales to any N. C rows do come to the
-  *    driver per iteration (the centroids themselves — KBs).
-  *  - indexing: one map-only assignment pass → (vec_id, cell).
-  *  - search: score the query against C centroids (broadcast), pick
-  *    nprobe cells, then score ONLY vectors in those cells — the
-  *    candidate scan shrinks by ~nprobe/C.
+  * Architecture (round-4 shape, after the round-2 verdict's lineage
+  * finding): the trained index is MATERIALIZED, not a lazy plan.
+  *  - training: each Lloyd iteration collects the C centroids (KBs) to
+  *    the driver, so iteration N's plan is one map-only assignment pass
+  *    plus ONE shuffle for the component sums — no multiplicative
+  *    lineage across iterations.
+  *  - assignment: with centroids as literals, argmax-cell is a pure
+  *    map-only expression over the scan — zero joins, zero shuffles.
+  *    On a cluster the assignment column would be written back once
+  *    (`vec_id, cell`) and reused by every query; here it is cheap
+  *    enough to recompute inline because it never shuffles.
+  *  - search: probe-cell selection runs against the C-row centroid
+  *    relation; candidates = map-only cell filter on the corpus scan →
+  *    score → TakeOrderedAndProject.
   *
-  * Determinism: centroid init = the C lowest vec_ids, fixed iteration
-  * count — reproducible up to floating-point aggregation order (hence
-  * ANN queries are rows-only checked, not value-hashed).
+  * Determinism (what makes q38 oracle-checkable): centroid init = the C
+  * lowest vec_ids; each update computes component j as
+  * `sum(floor(v_j * 1e6)) / (n * 1e6)` — the sum is over LONGS, so it is
+  * associative and reproducible in any engine regardless of aggregation
+  * order, and the final division is a single IEEE-754 op on identical
+  * operands. Ties in argmax break toward the smallest cell. Every step
+  * is therefore bit-for-bit reproducible in DuckDB SQL.
   */
 object IvfIndex {
 
-  /** Train C centroids with `iters` Lloyd iterations.
-    * Returns (cell INT, centroid ARRAY<FLOAT>). */
-  def train(spark: SparkSession, dir: String, cells: Int = 16,
-      iters: Int = 3): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    var centroids = emb.orderBy("vec_id").limit(cells)
-      .orderBy("vec_id")
-      .select((row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
-          .as("cell"),
-        col("embedding").as("centroid"))
-    for (_ <- 1 to iters) {
-      val assigned = assign(emb, centroids)
-      centroids = assigned
-        .join(emb, "vec_id")
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(avg(col("v")).as("m"))
-        .groupBy("cell")
-        .agg(transform(
-          sort_array(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("centroid"))
-    }
-    centroids
+  /** Trained centroids: (cell, exact double components). */
+  type Centroids = Seq[(Int, IndexedSeq[Double])]
+
+  /** Fixed-point scale for the order-independent centroid averages. */
+  val Scale = 1e6
+
+  /** Argmax-cell expression over literal centroids: map-only, no join.
+    * Max cosine; ties break toward the smallest cell (struct ordering on
+    * (sim, -cell) — matches the oracle's ORDER BY sim DESC, cell). */
+  def cellExpr(cents: Centroids, emb: Column): Column = {
+    val best = greatest(cents.map { case (cell, c) =>
+      struct(
+        cosineNative(emb, typedlit(c.toArray)).as("sim"),
+        lit(-cell).as("negCell"))
+    }: _*)
+    (-best.getField("negCell")).as("cell")
   }
 
-  /** Map-only cell assignment: argmin cosine distance over the broadcast
-    * centroid set. Returns (vec_id, cell). */
-  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cell"),
-        cosineNative(col("embedding"), col("centroid")).as("sim"))
-      .groupBy("vec_id")
-      .agg(min_by(col("cell"), -col("sim")).as("cell"))
+  /** Map-only cell assignment against literal centroids.
+    * Returns (vec_id, cell INT). */
+  def assign(emb: DataFrame, cents: Centroids): DataFrame =
+    emb.select(col("vec_id"), cellExpr(cents, col("embedding")))
+
+  /** The C-row centroid relation (cell INT, centroid ARRAY<DOUBLE>) for
+    * callers that want it as a DataFrame (probe selection, inspection). */
+  def centroidDf(spark: SparkSession, cents: Centroids): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cell, c) => (cell, c.toArray) }
+      .toDF("cell", "centroid")
+  }
+
+  /** Train C centroids with `iters` Lloyd iterations; collects the C
+    * centroids per iteration (integer-exact averages, see object doc). */
+  def train(spark: SparkSession, dir: String, cells: Int = 16,
+      iters: Int = 3): Centroids = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // init: the C lowest vec_ids, cell id = rank (vec_ids are 0..N-1 in
+    // the test tables; take a sorted limit to stay general)
+    var cents: Centroids = emb.orderBy("vec_id").limit(cells).collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+      }.toIndexedSeq
+    for (_ <- 1 to iters) {
+      val sums = emb
+        .select(cellExpr(cents, col("embedding")),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(floor(col("v").cast("double") * Scale)).as("sv"),
+          count(lit(1)).as("n"))
+        .collect()
+      cents = sums.groupBy(_.getInt(0)).toSeq.map { case (cell, rows) =>
+        val comps = rows.sortBy(_.getInt(1))
+          .map(r => r.getLong(2).toDouble / (r.getLong(3).toDouble * Scale))
+        (cell, comps.toIndexedSeq)
+      }.sortBy(_._1)
+    }
+    cents
+  }
 
   /** ANN search: probe the `nprobe` cells nearest to the query, score
-    * only their members, return top-k (vec_id, score). */
-  def search(spark: SparkSession, dir: String, centroids: DataFrame,
+    * only their members, return top-k (vec_id, score). The only
+    * non-broadcast work is one map-only pass over the corpus scan. */
+  def search(spark: SparkSession, dir: String, cents: Centroids,
       queryId: Long, k: Int = 10, nprobe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val q = emb.where(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
-    val probeCells = centroids.crossJoin(broadcast(q))
+    val probeCells = centroidDf(spark, cents).crossJoin(broadcast(q))
       .select(col("cell"),
         cosineNative(col("centroid"), col("q_embedding")).as("sim"))
       .orderBy(desc("sim"), col("cell"))
       .limit(nprobe)
       .select("cell")
-    val index = assign(emb, centroids)
-    emb.join(index, "vec_id")
+    emb
+      .select(col("vec_id"), col("embedding"), cellExpr(cents, col("embedding")))
       .join(broadcast(probeCells), "cell")
       .where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
