@@ -400,8 +400,8 @@ object SparkEntry {
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
     "q22_jaccard_pairs" ->
-      """WITH t AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+      s"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
                                       s -> len(s) > 0) AS toks
            FROM documents),
          sh AS (
@@ -411,7 +411,10 @@ object SparkEntry {
                     i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
              END) AS shingles
            FROM t),
-         tok AS (SELECT doc_id, unnest(shingles) AS token FROM sh),
+         tok0 AS (SELECT doc_id, unnest(shingles) AS token FROM sh),
+         hot AS (SELECT token FROM tok0 GROUP BY token
+                 HAVING count(*) > ${graft.operators.Dedup.DefaultMaxDf}),
+         tok AS (SELECT * FROM tok0 WHERE token NOT IN (SELECT token FROM hot)),
          sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
          inter AS (
            SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS cnt_inter

@@ -27,6 +27,10 @@ import org.apache.spark.sql.graft.TextExpressions
   */
 object Dedup {
 
+  /** Default document-frequency cap for [[ngramJaccardPairs]] — shared
+    * with the oracle SQL builder so both sides always agree. */
+  val DefaultMaxDf = 1000
+
   /** Exact dedup: canonical fingerprint → keeper id + duplicate count.
     * Only groups with at least one row are emitted (every doc belongs to
     * exactly one group; singletons included so the output is a full
@@ -50,14 +54,33 @@ object Dedup {
 
   /** Near-dup pairs by exact 3-gram-shingle-set Jaccard ≥ `threshold`,
     * generated via inverted-index self-join (no cross product). Output:
-    * (id1, id2, jaccard) with id1 < id2. */
+    * (id1, id2, jaccard) with id1 < id2.
+    *
+    * `maxDf` is the hot-shingle guard: shingles present in more than
+    * `maxDf` documents are dropped from the shingle universe (index AND
+    * set sizes — i.e. Jaccard is computed over the capped universe,
+    * exactly like stopword removal). Without it, one ubiquitous shingle
+    * (boilerplate headers, licence text — guaranteed at 100 TB) re-creates
+    * the O(n²) join this operator exists to avoid. The hot set is tiny by
+    * construction (few shingles can exceed maxDf docs), so the drop is a
+    * broadcast anti-join — no extra shuffle on the index. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.1, shingleK: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sizes = docs.select(col("doc_id"),
-      size(TextExpressions.shingleSet(col("text"), shingleK))
-        .cast("long").as("n_tok"))
+      threshold: Double = 0.1, shingleK: Int = 3,
+      maxDf: Int = DefaultMaxDf): DataFrame =
+    ngramJaccardPairsOn(Tables.documents(spark, dir), threshold, shingleK,
+      maxDf)
+
+  /** [[ngramJaccardPairs]] over an explicit `documents` relation
+    * (doc_id, text). */
+  def ngramJaccardPairsOn(docs: DataFrame, threshold: Double = 0.1,
+      shingleK: Int = 3, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val hot = shingleIndex(docs, shingleK)
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .select("token")
     val idx = shingleIndex(docs, shingleK)
+      .join(broadcast(hot), Seq("token"), "left_anti")
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
     val a = idx.as("a"); val b = idx.as("b")
     val inter = a.join(b,
         col("a.token") === col("b.token") &&

@@ -22,6 +22,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hot-shingle df cap keeps the candidate count bounded") {
+    import spark.implicits._
+    // one shingle ("x y z") is in EVERY doc; the rest are unique per doc.
+    // Uncapped, the hot shingle alone creates C(20,2)=190 candidate pairs;
+    // capped, the docs share nothing → no pairs at all.
+    val docs = (0 until 20)
+      .map(i => (i.toLong, s"x y z u$i v$i w$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairsOn(docs, threshold = 0.0, maxDf = 5)
+    assert(capped.count() == 0)
+    val uncapped =
+      Dedup.ngramJaccardPairsOn(docs, threshold = 0.0, maxDf = 1000)
+    assert(uncapped.count() == 190)
+    // the cap also removes hot shingles from the set sizes: a surviving
+    // pair's jaccard is computed over the capped universe
+    val twoShared = docs.union(Seq((100L, "x y z u0 v0 q")).toDF())
+    val pair = Dedup.ngramJaccardPairsOn(twoShared, threshold = 0.0, maxDf = 5)
+      .where(col("id1") === 0L && col("id2") === 100L).collect()
+    // doc0 kept-shingles: {"y z u0","z u0 v0","u0 v0 w0"}; doc100 kept:
+    // {"y z u0","z u0 v0","u0 v0 q"}; inter=2, union=4 → 0.5
+    assert(pair.length == 1 && pair(0).getDouble(2) == 0.5)
+  }
+
   test("minhash est_sim tracks true jaccard for LSH pairs") {
     val lsh = Dedup.minhashLshPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
