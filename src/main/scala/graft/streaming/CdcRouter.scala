@@ -65,16 +65,18 @@ object CdcRouter {
   /** foreachBatch fan-out: facts land under `factDir/<topic>/epoch=<id>`
     * with OVERWRITE (K1) — a replayed epoch rewrites its own directory
     * instead of appending duplicates, the same idempotence contract as
-    * `LogDemux.demuxEachBatch`. Dims upsert into `dimDir/<table>` keyed
-    * by data.id — last write wins (K3: the reference's
-    * `SET DIM:$TABLE:$id`, :109-115), published via the crash-safe
-    * [[graft.AtomicSwap]] so a committed copy exists at every instant.
+    * `LogDemux.demuxEachBatch`. Dims upsert into
+    * `dimDir/<table>/bucket=<crc32(id) % numBuckets>` keyed by data.id —
+    * last write wins (K3: the reference's `SET DIM:$TABLE:$id`,
+    * :109-115). The upsert is PARTITION-SCOPED ([[PartitionedUpsert]]):
+    * only the hash buckets whose keys appear in the batch are rewritten,
+    * so a small CDC epoch touches a few buckets, not the whole dim table.
     *
     * Dim replay caveat: the upsert is idempotent per key (a replayed
     * epoch re-applies the same last-wins SETs), which matches the
     * reference's Redis SET semantics exactly. */
-  def routeEachBatch(factDir: String, dimDir: String, config: DataFrame)(
-      batch: DataFrame, epochId: Long): Unit = {
+  def routeEachBatch(factDir: String, dimDir: String, config: DataFrame,
+      numBuckets: Int = 16)(batch: DataFrame, epochId: Long): Unit = {
     val routed = route(normalizeOps(parse(batch)), config).persist()
     try {
       val topics = routed.where(col("route") === "FACT")
@@ -83,24 +85,14 @@ object CdcRouter {
         routed.where(col("topic") === t).drop("topic", "route")
           .write.mode("overwrite").parquet(s"$factDir/$t/epoch=$epochId")
       }
-      val spark = batch.sparkSession
       val dims = routed.where(col("route") === "DIM")
         .withColumn("id", get_json_object(col("data"), "$.id"))
       val tables = dims.select("table").distinct().collect().map(_.getString(0))
       tables.foreach { t =>
         val incoming = dims.where(col("table") === t)
           .select("id", "data", "ts")
-        val target = s"$dimDir/$t"
-        graft.AtomicSwap.recover(target)
-        val merged = if (new java.io.File(target).exists()) {
-          val cur = spark.read.parquet(target)
-          // last-wins upsert: incoming rows shadow current rows by id
-          cur.join(incoming.select("id"), Seq("id"), "left_anti")
-            .unionByName(incoming)
-        } else incoming
-        val tmp = s"$target.tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        graft.AtomicSwap.publish(tmp, target)
+          .withColumn("bucket", pmod(crc32(col("id")), lit(numBuckets)))
+        PartitionedUpsert.upsert(incoming, s"$dimDir/$t", "bucket", Seq("id"))
       }
     } finally routed.unpersist()
   }

@@ -71,22 +71,21 @@ object DauStream {
   /** K2 idempotent sink: last-wins upsert keyed on `keys` — the Spark-
     * native form of the reference's "ES doc id = mid" dedup-on-write
     * (util/MyEsUtils.scala:45-48). A replayed epoch overwrites the same
-    * keys instead of duplicating them. (A Delta/Iceberg MERGE at scale;
-    * read + anti-join + crash-safe [[graft.AtomicSwap]] without one: a
-    * committed copy of the table exists on disk at every instant.) */
-  def idempotentSinkEachBatch(outDir: String, keys: Seq[String])(
-      batch: DataFrame, epochId: Long): Unit = {
-    graft.AtomicSwap.recover(outDir)
-    val spark = batch.sparkSession
-    val target = new java.io.File(outDir)
-    val merged =
-      if (target.exists() && target.list() != null && target.list().nonEmpty) {
-        val cur = spark.read.parquet(outDir)
-        cur.join(batch.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(batch, allowMissingColumns = true)
-      } else batch
-    val tmp = s"$outDir.tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    graft.AtomicSwap.publish(tmp, outDir)
-  }
+    * keys instead of duplicating them.
+    *
+    * PARTITION-SCOPED (see [[PartitionedUpsert]]): only the partitions
+    * present in the batch are rewritten — `dt` directories when the
+    * batch carries a `dt` column (one day's slice per epoch), else
+    * `numBuckets` crc32 hash buckets of the key columns. Untouched
+    * partitions are not even read. */
+  def idempotentSinkEachBatch(outDir: String, keys: Seq[String],
+      numBuckets: Int = 16)(batch: DataFrame, epochId: Long): Unit =
+    if (batch.columns.contains("dt"))
+      PartitionedUpsert.upsert(batch, outDir, "dt", keys.filterNot(_ == "dt"))
+    else
+      PartitionedUpsert.upsert(
+        batch.withColumn("bucket",
+          pmod(crc32(concat_ws("\u0001",
+            keys.map(k => col(k).cast("string")): _*)), lit(numBuckets))),
+        outDir, "bucket", keys)
 }

@@ -170,6 +170,45 @@ class StreamingSpec extends SparkSpec {
     assert(after == Set((1L, Some("CN2")), (3L, None)), s"got $after")
   }
 
+  test("partition-scoped upsert leaves untouched dt partitions byte-identical") {
+    val out = tmpDir("scoped") + "/t"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val epoch1 = Seq(
+      (1L, t("2024-01-01 08:00:00"), "2024-01-01", "08"),
+      (2L, t("2024-01-01 09:00:00"), "2024-01-01", "09"),
+      (3L, t("2024-01-02 07:00:00"), "2024-01-02", "07"))
+      .toDF("user_id", "ts", "dt", "hr")
+    DauStream.idempotentSinkEachBatch(out, Seq("user_id", "dt"))(epoch1, 0L)
+
+    def snapshot(dir: String): Map[String, Long] = {
+      val d = new java.io.File(dir)
+      d.listFiles().map(f => f.getName -> (f.lastModified() ^ f.length())).toMap
+    }
+    val day1Before = snapshot(s"$out/dt=2024-01-01")
+
+    // epoch 2 touches ONLY 2024-01-02 → day-1 files must not be rewritten
+    val epoch2 = Seq((4L, t("2024-01-02 08:00:00"), "2024-01-02", "08"))
+      .toDF("user_id", "ts", "dt", "hr")
+    DauStream.idempotentSinkEachBatch(out, Seq("user_id", "dt"))(epoch2, 1L)
+
+    assert(snapshot(s"$out/dt=2024-01-01") == day1Before,
+      "untouched partition was rewritten")
+    val all = spark.read.parquet(out)
+      .select(col("user_id"), col("dt")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all == Set((1L, "2024-01-01"), (2L, "2024-01-01"),
+      (3L, "2024-01-02"), (4L, "2024-01-02")))
+
+    // upsert within the touched partition still replaces by key
+    val epoch3 = Seq((3L, t("2024-01-02 07:30:00"), "2024-01-02", "99"))
+      .toDF("user_id", "ts", "dt", "hr")
+    DauStream.idempotentSinkEachBatch(out, Seq("user_id", "dt"))(epoch3, 2L)
+    val hr3 = spark.read.parquet(out)
+      .where(col("user_id") === 3L).select("hr").collect()
+    assert(hr3.length == 1 && hr3(0).getString(0) == "99")
+    assert(snapshot(s"$out/dt=2024-01-01") == day1Before)
+  }
+
   test("end-to-end chain: raw logs → demux → DAU table (full dwd path)") {
     // the reference's full pipeline: ods_BaseLogApp demux feeding
     // dwd_DauApp — here one streaming demux whose page branch feeds the
