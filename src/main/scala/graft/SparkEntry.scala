@@ -43,6 +43,10 @@ object SparkEntry {
     "q14_status_recode"   -> ((s, d) => Serving.statusRecode(s, d)),
     "q39_stats_token_match" -> ((s, d) =>
       Serving.statsByItemTokenMatch(s, d, Item, "p_brand")),
+    // deliberately mixed-case + punctuated query: the analyzer must
+    // normalize it to ["small","ring"] before matching
+    "q44_stats_analyzed" -> ((s, d) =>
+      Serving.statsByItemAnalyzed(s, d, "SMALL, Ring.", "p_brand")),
     "q43_age_pinned" -> ((s, d) =>
       Serving.ageDistribution(s, d, "2024-06-15")),
     "q15_acctbal_buckets" -> ((s, d) => Serving.acctbalBuckets(s, d)),
@@ -645,6 +649,18 @@ object SparkEntry {
                 CAST(nb AS BIGINT) AS n_bytes,
                 round(CAST(CAST(f0_raw AS REAL) AS DOUBLE), 4) AS f0
          FROM f ORDER BY doc_id""",
+    "q44_stats_analyzed" ->
+      """SELECT p_brand AS name,
+                round(sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2)
+                  AS value
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE list_contains(list_filter(
+                 regexp_split_to_array(lower(p_name), '[^a-z0-9]+'),
+                 t -> len(t) > 0), 'small')
+           AND list_contains(list_filter(
+                 regexp_split_to_array(lower(p_name), '[^a-z0-9]+'),
+                 t -> len(t) > 0), 'ring')
+         GROUP BY 1 ORDER BY name""",
     "q39_stats_token_match" ->
       """SELECT p_brand AS name,
                 round(sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2)

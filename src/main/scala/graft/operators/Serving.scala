@@ -38,6 +38,33 @@ object Serving {
       .map(tok => array_contains(split(field, " "), tok))
       .reduce(_ && _)
 
+  /** Lucene STANDARD-ANALYZER-faithful match (PublisherMapperImpl
+    * .java:71-74): ES lowercases and strips punctuation on both sides
+    * before matching, so "SMALL, Ring." matches "small polished ring".
+    * Both the query string and the field are lowercased and tokenized on
+    * non-alphanumerics; every query token must appear among the field's
+    * tokens. [[matchAllTokens]] (single-space split, case-sensitive) is
+    * the stricter non-analyzed variant. */
+  def matchAllTokensAnalyzed(field: Column, itemName: String): Column = {
+    val fieldToks = array_remove(split(lower(field), "[^a-z0-9]+"), "")
+    val queryToks = itemName.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(queryToks.nonEmpty, s"no analyzable tokens in '$itemName'")
+    queryToks.map(tok => array_contains(fieldToks, tok)).reduce(_ && _)
+  }
+
+  /** A3 under analyzed-match semantics. */
+  def statsByItemAnalyzed(spark: SparkSession, dir: String,
+      itemName: String, groupField: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .where(matchAllTokensAnalyzed(col("p_name"), itemName))
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col(groupField).as("name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("value"))
+      .orderBy("name")
+  }
+
   /** A3 under token-exact match semantics. */
   def statsByItemTokenMatch(spark: SparkSession, dir: String,
       itemName: String, groupField: String): DataFrame = {
