@@ -118,7 +118,8 @@ object SparkEntry {
   // ascending-index fold order ⇒ the dot-product sign (and so the
   // bucket) is bit-for-bit reproducible across engines.
   private def lshBucketSql: String =
-    graft.operators.Similarity.planeWeights(8).zipWithIndex.map { case (w, j) =>
+    graft.operators.Similarity.planeWeights(graft.operators.Similarity.LshPlanes)
+      .zipWithIndex.map { case (w, j) =>
       val lst = w.map(v => s"$v.0").mkString("[", ", ", "]")
       s"""(CASE WHEN list_reduce(list_transform(list_zip(embedding, $lst),
             p -> p[1]::DOUBLE * p[2]), (x, y) -> x + y) >= 0

@@ -9,6 +9,10 @@ object Verify {
     // optional extra args: restrict to these query names (dev iteration);
     // the driver always passes exactly two args → full run
     val only = args.drop(2).toSet
+    // a typo'd name would silently filter everything and "succeed" empty
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,6 +25,10 @@ import org.apache.spark.sql.graft.VectorExpressions.cosineNative
   */
 object Similarity {
 
+  /** Default hyperplane count — shared with the oracle SQL builder
+    * (SparkEntry.lshBucketSql) so both sides always agree. */
+  val LshPlanes = 8
+
   /** Brute-force cosine top-k against the embedding of `queryId`. */
   def topK(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 10): DataFrame = {
@@ -95,24 +99,32 @@ object Similarity {
       graft.functions.TextFunctions.md5LongScala(s"lsh-plane:$j:$i") % 17 - 8))
 
   /** The bucket column expression over an `embedding` column: bit j =
-    * sign of the dot product with plane j's weight vector. */
-  private[operators] def bucketSignature(planes: Int, dim: Int = 64) =
-    planeWeights(planes, dim).zipWithIndex.map { case (w, j) =>
+    * sign of the dot product with plane j's weight vector. Guarded: an
+    * embedding whose width differs from `dim` raises instead of silently
+    * zeroing bucket bits (zip_with would pad with nulls). */
+  private[operators] def bucketSignature(planes: Int, dim: Int = 64) = {
+    val sig = planeWeights(planes, dim).zipWithIndex.map { case (w, j) =>
       val warr = array(w.map(v => lit(v.toDouble)): _*)
       val d = aggregate(
         zip_with(col("embedding"), warr, (x, wi) => x.cast("double") * wi),
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1L << j)).otherwise(0L)
     }.reduce((a, b) => a + b)
+    when(size(col("embedding")) === dim, sig)
+      .otherwise(raise_error(concat(
+        lit(s"bucketSignature: embedding dim != $dim, got "),
+        size(col("embedding")).cast("string"))))
+  }
 
-  def lshBuckets(spark: SparkSession, dir: String, planes: Int = 8): DataFrame =
+  def lshBuckets(spark: SparkSession, dir: String,
+      planes: Int = LshPlanes): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), bucketSignature(planes).as("bucket"))
       .orderBy("vec_id")
 
   /** ANN via LSH buckets: score only same-bucket pairs (the scale path —
     * candidate generation is an equi-join on bucket). */
-  def lshNearDup(spark: SparkSession, dir: String, planes: Int = 8,
+  def lshNearDup(spark: SparkSession, dir: String, planes: Int = LshPlanes,
       threshold: Double = 0.3): DataFrame = {
     // bucket computed inline (it derives from the same row) — joining
     // back to lshBuckets would shuffle the whole table twice for nothing

@@ -42,8 +42,15 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     ex.close()
   }
 
+  /** Serving responses are driver-side by design (the reference returned
+    * ES hits through Spring the same way), but every endpoint is already
+    * bounded (24 hour rows / group count / pageSize) — the defensive
+    * limit turns "someone adds an unbounded endpoint" into a truncated
+    * response instead of a driver OOM. */
+  private val MaxRows = 10000
+
   private def asJson(df: DataFrame): String =
-    df.toJSON.collect().mkString("[", ",", "]")
+    df.limit(MaxRows).toJSON.collect().mkString("[", ",", "]")
 
   /** JSON string escaping for error bodies: quotes, backslashes, and
     * control chars — a NumberFormatException message contains quotes and

@@ -30,18 +30,24 @@ object KafkaIO {
       .load()
       .select(col("value").cast("string").as("value"))
 
+  /** The exact option map [[writeTopic]] applies — a pure function so
+    * the producer contract is unit-testable without a broker. */
+  def writerOptions(bootstrap: String, checkpoint: String,
+      defaultTopic: Option[String] = None): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "kafka.acks" -> "all",
+      "kafka.enable.idempotence" -> "true",
+      "kafka.batch.size" -> "16384",
+      "kafka.linger.ms" -> "1",
+      "checkpointLocation" -> checkpoint) ++
+      defaultTopic.map("topic" -> _)
+
   /** K1: produce `value` (and optional per-row `topic` column for the
     * demux fan-out — ONE writer, five topics) with the reference's
     * durability/batching knobs. */
   def writeTopic(df: DataFrame, bootstrap: String, checkpoint: String,
-      defaultTopic: Option[String] = None): DataStreamWriter[Row] = {
-    val w = df.writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("kafka.acks", "all")
-      .option("kafka.enable.idempotence", "true")
-      .option("kafka.batch.size", "16384")
-      .option("kafka.linger.ms", "1")
-      .option("checkpointLocation", checkpoint)
-    defaultTopic.fold(w)(t => w.option("topic", t))
-  }
+      defaultTopic: Option[String] = None): DataStreamWriter[Row] =
+    df.writeStream.format("kafka")
+      .options(writerOptions(bootstrap, checkpoint, defaultTopic))
 }

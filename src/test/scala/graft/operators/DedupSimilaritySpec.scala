@@ -110,6 +110,18 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bucketSignature raises on dim mismatch instead of silently zeroing") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, 1f, 2f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      df.select(Similarity.bucketSignature(8)).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("embedding dim")), chain(e).mkString("|"))
+  }
+
   test("lsh buckets: every vector bucketed; neardup pairs share bucket") {
     val n = graft.Tables.embeddings(spark, sf).count()
     assert(Similarity.lshBuckets(spark, sf).count() == n)
