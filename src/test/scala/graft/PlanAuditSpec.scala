@@ -1,0 +1,61 @@
+package graft
+
+/** Plan-shape regression gate: every SparkEntry query's physical plan is
+  * audited for (a) no CartesianProduct ever, (b) BroadcastNestedLoopJoin
+  * only where a deliberate 1-row query-vector broadcast makes it benign,
+  * (c) shuffle (Exchange) count at or under its recorded baseline.
+  *
+  * The point (round-2 verdict item 7): a regression like q38's 13-shuffle
+  * lineage explosion gets caught by `sbt test`, not discovered in the
+  * bench numbers a round later. Baselines are the audited plan shapes —
+  * lowering one is fine (update the map); raising one should hurt.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * a broadcast crossJoin against a 1-row (query-vector) relation. */
+  private val bnljAllowed = Set(
+    "q26_ann_topk", "q32_detail_api", "q38_ivf_search", "q41_topk_per_label")
+
+  /** Max Exchange nodes allowed per query (recorded from the audited
+    * plans at sf0.001 — see `runMain graft.Explain --scan`). */
+  private val shuffleBaseline = Map(
+    "q01_dau_total" -> 3, "q02_dau_by_hour" -> 3, "q03_dau_day_over_day" -> 3,
+    "q04_order_wide" -> 1, "q05_customer_enriched" -> 1,
+    "q06_order_wide_enriched" -> 1, "q07_route_counts" -> 2,
+    "q08_cdc_normalize" -> 2, "q09_route_by_config" -> 2,
+    "q10_json_props" -> 2, "q11_stats_by_item" -> 2, "q12_detail_page" -> 0,
+    "q13_highlight" -> 1, "q14_status_recode" -> 2,
+    "q15_acctbal_buckets" -> 2, "q16_dedup_exact" -> 2,
+    "q17_token_frequency" -> 1, "q18_token_counts" -> 1, "q19_lang_id" -> 1,
+    "q20_quality" -> 1, "q21_fingerprints" -> 1, "q22_jaccard_pairs" -> 8,
+    "q23_minhash_sigs" -> 1, "q24_minhash_lsh_pairs" -> 2, "q25_simhash" -> 1,
+    "q26_ann_topk" -> 0, "q27_blocked_neardup" -> 1, "q28_lsh_buckets" -> 1,
+    "q29_lsh_neardup" -> 1, "q30_dau_realtime" -> 4, "q31_stats_by_type" -> 2,
+    "q32_detail_api" -> 0, "q33_media_meta" -> 1, "q34_frame_sample" -> 1,
+    "q35_media_features" -> 1, "q36_hourly_stats" -> 2,
+    "q37_top_tokens" -> 3, "q38_ivf_search" -> 0, "q39_stats_token_match" -> 2,
+    "q40_sessionize" -> 2, "q41_topk_per_label" -> 2,
+    "q42_supplier_stats" -> 2, "q43_age_pinned" -> 2,
+    "q44_stats_analyzed" -> 2)
+
+  test("every query has a shuffle baseline (keep the map in sync)") {
+    val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet
+    assert(missing.isEmpty, s"no baseline for: $missing")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name plan: no cartesian, no stray NLJ, shuffles within baseline") {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains CartesianProduct")
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plan contains an unexpected BroadcastNestedLoopJoin")
+      val n = "Exchange (?:hash|range)partitioning".r.findAllIn(plan).length
+      val limit = shuffleBaseline.getOrElse(name, 0)
+      assert(n <= limit,
+        s"$name shuffles regressed: $n > baseline $limit")
+    }
+  }
+}
