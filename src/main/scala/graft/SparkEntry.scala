@@ -85,6 +85,11 @@ object SparkEntry {
       val cents = IvfIndex.train(s, d, cells = 8, iters = 2)
       IvfIndex.search(s, d, cents, queryId = 0L, k = 10, nprobe = 3)
     }),
+    // —— SimHash banded near-dup, as-of join, deterministic sampling ——
+    "q45_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "q46_asof_join"       -> ((s, d) => AsofJoin.eventsWithLastOrder(s, d)),
+    "q47_hash_sample"     -> ((s, d) => Sampling.hashSample(s, d)),
+    "q48_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // —— Windowed / ranked aggregations ——
     "q36_hourly_stats"  -> ((s, d) => EventRates.hourlyStats(s, d)),
     "q37_top_tokens"    -> ((s, d) => EventRates.topTokensPerLang(s, d)),
@@ -564,6 +569,61 @@ object SparkEntry {
              ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          SELECT id1, id2, score FROM s WHERE score >= 0.3
          ORDER BY id1, id2""",
+    "q45_simhash_neardup" ->
+      """WITH t AS (
+           SELECT doc_id, list_transform(
+             list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+                                       s -> len(s) > 0)),
+             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+           FROM documents),
+         b AS (
+           SELECT doc_id, i.range AS i,
+                  CASE WHEN 2 * len(list_filter(hs,
+                         h -> (h & CAST(pow(2, i.range) AS BIGINT)) <> 0))
+                         > len(hs)
+                       THEN CAST(pow(2, i.range) AS BIGINT) ELSE 0 END AS bit
+           FROM t, range(32) i),
+         s AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+               FROM b GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, simhash, k.range AS band,
+                  (simhash // CAST(pow(2, k.range * 8) AS BIGINT)) % 256 AS bval
+           FROM s, range(4) k),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+         SELECT id1, id2,
+                CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+         FROM cand
+         JOIN s s1 ON id1 = s1.doc_id
+         JOIN s s2 ON id2 = s2.doc_id
+         WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+         ORDER BY id1, id2""",
+    "q46_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+         o AS (SELECT o_custkey AS user_id, o_orderdate::TIMESTAMP AS ots,
+                      max(o_orderkey) AS last_order_key
+               FROM orders GROUP BY 1, 2)
+         SELECT e.user_id, e.event_id,
+                strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                o.last_order_key
+         FROM e ASOF LEFT JOIN o
+           ON e.user_id = o.user_id AND e.ts >= o.ots
+         ORDER BY e.user_id, e.event_id""",
+    "q47_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT
+                 % 100 < 10
+         ORDER BY doc_id""",
+    "q48_stratified_sample" ->
+      """WITH r AS (
+           SELECT lang, doc_id, row_number() OVER (
+             PARTITION BY lang
+             ORDER BY ('0x' || substr(md5('strat:' || doc_id), 1, 15))::BIGINT,
+                      doc_id) AS rk
+           FROM documents)
+         SELECT lang, doc_id, rk FROM r WHERE rk <= 20 ORDER BY lang, rk""",
     "q30_dau_realtime" ->
       """WITH e AS (
            SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt,

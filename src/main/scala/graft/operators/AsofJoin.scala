@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** As-of (point-in-time) join — the temporal lookup every feature /
+  * training-data pipeline needs: for each left row, the latest right row
+  * whose timestamp is ≤ the left row's, per key.
+  *
+  * Scale shape: NOT a θ-join (key = key AND r.ts <= l.ts would fan out
+  * to every earlier right row and re-aggregate — O(|L|·|R|/keys) work).
+  * Instead the two sides are tagged and UNIONED, and one running
+  * `last(value, ignoreNulls)` window per key carries the most recent
+  * right values forward onto subsequent left rows: exactly one shuffle
+  * on the key, linear work, no fan-out — the same shape a stream-table
+  * temporal join compiles to. Right rows sort before left rows at equal
+  * timestamps, so a right row taking effect AT t is visible to a left
+  * row at t (inclusive as-of, matching DuckDB's `ASOF JOIN ... ON l.ts
+  * >= r.ts` which is the oracle).
+  */
+object AsofJoin {
+
+  /** For each row of `left`, attach `valueCols` from the latest `right`
+    * row with `right.ts <= left.ts` on the same `key` (null if none).
+    * `right` must be unique per (key, ts) — pre-aggregate if not (the
+    * window's ordering is only total under that contract); `valueCols`
+    * must not collide with `left` columns. */
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valueCols: Seq[String]): DataFrame = {
+    val collisions = valueCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"valueCols collide with left: $collisions")
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
+      .withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(u) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .where(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Demonstration query: each event joined to the user's most recent
+    * order at-or-before the event time (orders deduped to one row per
+    * (customer, order date) — max orderkey wins, deterministically). */
+  def eventsWithLastOrder(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_id", "ts")
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+      .agg(max("o_orderkey").as("last_order_key"))
+    asof(e, o, "user_id", "ts", Seq("last_order_key"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("last_order_key"))
+      .orderBy("user_id", "event_id")
+  }
+}

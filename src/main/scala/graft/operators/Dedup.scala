@@ -161,4 +161,44 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"), simHash(col("text")).as("simhash"))
       .orderBy("doc_id")
+
+  /** SimHash near-dup pairs by banded Hamming join (the non-degenerate
+    * variant of exact-signature bucketing): the `bits`-bit signature
+    * splits into `bands` equal bit-bands, and by pigeonhole any two
+    * signatures within Hamming distance `bands - 1` agree on at least
+    * one whole band — so candidates come from an equi-join on
+    * (band, band-bits), never an all-pairs scan, and are then verified
+    * with an exact popcount of the XOR. Requires maxHamming < bands for
+    * losslessness (asserted). Output: (id1, id2, hamming), id1 < id2. */
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      bands: Int = 4, bits: Int = 32): DataFrame = {
+    require(maxHamming < bands,
+      s"banded Hamming join is only lossless for maxHamming < bands " +
+        s"(got $maxHamming >= $bands)")
+    require(bits % bands == 0, s"bands must divide bits")
+    val w = bits / bands
+    // cache: referenced three times (banding + both verify sides)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), simHash(col("text")).as("simhash")).cache()
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * w)
+          .bitwiseAND(lit((1L << w) - 1)).as("bval"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"), col("bv.bval").as("bval"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("id1"), col("simhash").as("s1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("simhash").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("id1", "id2")
+  }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.md5Long
+
+/** Deterministic sampling for training-data pipelines. Both variants are
+  * content-addressed (salted md5 of the key), NOT rng-based: the sample
+  * is reproducible across engines, runs, partitionings and scale-ups —
+  * re-running the pipeline on the grown corpus keeps every previously
+  * selected doc selected (critical for incremental dataset builds), and
+  * the oracle can replay the exact choice in SQL.
+  *
+  * Both are map-only filters / one-window rankings — no extra shuffles
+  * beyond the stratified variant's per-stratum ranking.
+  */
+object Sampling {
+
+  /** Salted-hash residue of a key column in [0, 100). */
+  private def pctHash(key: org.apache.spark.sql.Column, salt: String) =
+    md5Long(concat(lit(s"$salt:"), key.cast("string"))) % 100
+
+  /** Keep ~`pct`% of documents: rows whose salted md5 residue mod 100
+    * falls under the rate. Map-only — the filter rides the scan. */
+  def hashSample(spark: SparkSession, dir: String, pct: Int = 10,
+      salt: String = "sample"): DataFrame =
+    Tables.documents(spark, dir)
+      .where(pctHash(col("doc_id"), salt) < pct)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  /** Stratified quota sample: exactly min(k, |stratum|) docs per `lang`
+    * stratum, chosen by deterministic hash rank — the data-mixing
+    * primitive (equalize language representation regardless of raw
+    * corpus skew). One shuffle on the stratum key. */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20,
+      salt: String = "strat"): DataFrame = {
+    val rk = row_number().over(Window.partitionBy("lang")
+      .orderBy(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+        col("doc_id")))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), rk.cast("long").as("rk"))
+      .where(col("rk") <= k)
+      .orderBy("lang", "rk")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics + deterministic-sampling contracts. */
+class AsofSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof join picks the latest right row at-or-before, null if none") {
+    val left = Seq(
+      (1L, 10L, t("2024-01-05 00:00:00")), // after two right rows → latest
+      (1L, 11L, t("2024-01-02 00:00:00")), // exactly AT a right ts → inclusive
+      (1L, 12L, t("2024-01-01 00:00:00")), // before all right rows → null
+      (2L, 20L, t("2024-01-05 00:00:00"))) // key with no right rows → null
+      .toDF("k", "ev", "ts")
+    val right = Seq(
+      (1L, t("2024-01-02 00:00:00"), "A"),
+      (1L, t("2024-01-04 00:00:00"), "B"))
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asof(left, right, "k", "ts", Seq("v"))
+      .select("ev", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(10L -> Some("B"), 11L -> Some("A"),
+      12L -> None, 20L -> None))
+  }
+
+  test("asof join rejects colliding value columns") {
+    val df = Seq((1L, t("2024-01-01 00:00:00"), "x")).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(df, df, "k", "ts", Seq("v"))
+    }
+  }
+
+  test("banded simhash near-dup equals brute force within the bound") {
+    val sigs = Dedup.simhashSignatures(spark, sf)
+      .select(col("doc_id"), col("simhash"))
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.simhashNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty)
+  }
+
+  test("simhashNearDup rejects a bound the banding cannot guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(spark, sf, maxHamming = 4, bands = 4)
+    }
+  }
+
+  test("hash sample is deterministic and rate-plausible") {
+    val s1 = Sampling.hashSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.hashSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2)
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(s1.nonEmpty && s1.length < total / 2)
+    // a different salt draws a different (deterministic) sample
+    val other = Sampling.hashSample(spark, sf, salt = "other")
+      .collect().map(_.getLong(0)).toSeq
+    assert(other != s1)
+  }
+
+  test("stratified sample returns min(k, stratum size) rows per stratum") {
+    val k = 20
+    val got = Sampling.stratifiedSample(spark, sf, k = k)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = graft.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == full.keySet)
+    got.foreach { case (lang, n) =>
+      assert(n == math.min(k.toLong, full(lang)), s"$lang: $n")
+    }
+  }
+}
