@@ -582,23 +582,28 @@ object SparkEntry {
                          h -> (h & CAST(pow(2, i.range) AS BIGINT)) <> 0))
                          > len(hs)
                        THEN CAST(pow(2, i.range) AS BIGINT) ELSE 0 END AS bit
-           FROM t, range(32) i),
+           FROM t, range(48) i),
          s AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
                FROM b GROUP BY doc_id),
+         cl AS (SELECT simhash, min(doc_id) AS keep_id,
+                       count(*) AS n_members
+                FROM s GROUP BY simhash),
          bands AS (
-           SELECT doc_id, simhash, k.range AS band,
-                  (simhash // CAST(pow(2, k.range * 8) AS BIGINT)) % 256 AS bval
-           FROM s, range(4) k),
+           SELECT simhash, keep_id, n_members, k.range AS band,
+                  (simhash // CAST(pow(2, k.range * 12) AS BIGINT)) % 4096
+                    AS bval
+           FROM cl, range(4) k),
          cand AS (
-           SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+           SELECT DISTINCT x.keep_id AS id1, y.keep_id AS id2,
+                  x.simhash AS s1, y.simhash AS s2,
+                  x.n_members AS n1, y.n_members AS n2
            FROM bands x JOIN bands y
-             ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+             ON x.band = y.band AND x.bval = y.bval
+            AND x.keep_id < y.keep_id)
          SELECT id1, id2,
-                CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+                CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming, n1, n2
          FROM cand
-         JOIN s s1 ON id1 = s1.doc_id
-         JOIN s s2 ON id2 = s2.doc_id
-         WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+         WHERE bit_count(xor(s1, s2)) <= 3
          ORDER BY id1, id2""",
     "q46_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),

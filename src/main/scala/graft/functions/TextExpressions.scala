@@ -93,10 +93,53 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     copy(child = c)
 }
 
+/** Native SimHash signature: one md5 per distinct token, popcount
+  * tallies in a tight loop — replaces the interpreted aggregate over
+  * sequence(bits) whose per-bit filter() re-walks the token hashes
+  * (O(bits·tokens) boxed lambda evals per row; the difference between
+  * 0.3 s and 15 s on the sf0.1 near-dup build). Bit i = 1 iff the
+  * majority of distinct-token hashes have bit i set (ties → 0) —
+  * bitwise-identical to TextFunctions.simHash and the DuckDB oracle. */
+case class SimHashSig(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits > 0 && bits <= 60, s"simhash bits must be in (0,60]: $bits")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val seen = new java.util.LinkedHashSet[String]()
+    toks.foreach(seen.add)
+    val counts = new Array[Int](bits)
+    var n = 0
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val h = TextKernel.md5Long60(it.next())
+      var i = 0
+      while (i < bits) {
+        if (((h >>> i) & 1L) != 0L) counts(i) += 1
+        i += 1
+      }
+      n += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      if (2 * counts(i) > n) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): SimHashSig =
+    copy(child = c)
+}
+
 object TextExpressions {
   def shingleSet(text: Column, k: Int): Column =
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(text), k))
   def minHashSig(text: Column, k: Int, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSig(ExpressionUtils.expression(text), k, numHashes))
+  def simHashSig(text: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHashSig(ExpressionUtils.expression(text), bits))
 }

@@ -37,7 +37,7 @@ class PlanAuditSpec extends SparkSpec {
     "q37_top_tokens" -> 3, "q38_ivf_search" -> 0, "q39_stats_token_match" -> 2,
     "q40_sessionize" -> 2, "q41_topk_per_label" -> 2,
     "q42_supplier_stats" -> 2, "q43_age_pinned" -> 2,
-    "q44_stats_analyzed" -> 2, "q45_simhash_neardup" -> 2,
+    "q44_stats_analyzed" -> 2, "q45_simhash_neardup" -> 5,
     "q46_asof_join" -> 3, "q47_hash_sample" -> 1,
     "q48_stratified_sample" -> 2)
 

@@ -35,11 +35,10 @@ class AsofSamplingSpec extends SparkSpec {
   }
 
   test("banded simhash near-dup equals brute force within the bound") {
-    val sigs = Dedup.simhashSignatures(spark, sf)
-      .select(col("doc_id"), col("simhash"))
-    val brute = sigs.as("a").join(sigs.as("b"),
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+    val clusters = Dedup.simhashClusters(spark, sf)
+    val brute = clusters.as("a").join(clusters.as("b"),
+        col("a.keep_id") < col("b.keep_id"))
+      .select(col("a.keep_id").as("id1"), col("b.keep_id").as("id2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("long").as("hamming"))
       .where(col("hamming") <= 3)
@@ -48,6 +47,15 @@ class AsofSamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
     assert(brute.nonEmpty)
+  }
+
+  test("simhash clusters partition all docs; near-dup edges are h>=1") {
+    val total = Dedup.simhashClusters(spark, sf)
+      .agg(sum("n_members")).collect()(0).getLong(0)
+    assert(total == graft.Tables.documents(spark, sf).count())
+    val hs = Dedup.simhashNearDup(spark, sf)
+      .select("hamming").collect().map(_.getLong(0))
+    assert(hs.forall(h => h >= 1 && h <= 3))
   }
 
   test("simhashNearDup rejects a bound the banding cannot guarantee") {

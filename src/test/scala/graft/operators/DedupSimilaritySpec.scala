@@ -110,6 +110,17 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native simhash expression matches the composed form bitwise") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.graft.TextExpressions
+    val docs = graft.Tables.documents(spark, sf).limit(100)
+    val cmp = docs.select(
+      TextFunctions.simHash(col("text"), 48).as("composed"),
+      TextExpressions.simHashSig(col("text"), 48).as("native"))
+      .collect()
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("bucketSignature raises on dim mismatch instead of silently zeroing") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, 1f, 2f))).toDF("vec_id", "embedding")
