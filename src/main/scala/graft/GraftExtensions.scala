@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSig, ShingleSet}
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSig, ShingleSet, SimHashSig}
 
 /** SQL surface for the engine's native expressions, registered through
   * the standard `SparkSessionExtensions` mechanism so `spark.sql(...)`
@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args(0),
         intArg(args(1), "minhash_sig"), intArg(args(2), "minhash_sig"))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (args: Seq[Expression]) =>
+        SimHashSig(args(0), intArg(args(1), "simhash_sig"))))
   }
 }

@@ -33,6 +33,9 @@ class SkewExtensionsSpec extends SparkSpec {
     val mh = spark.sql("SELECT minhash_sig('a b c d', 3, 16)")
       .collect()(0).getSeq[Long](0)
     assert(mh.length == 16)
+    val sim = spark.sql("SELECT simhash_sig('a b c d', 48)")
+      .collect()(0).getLong(0)
+    assert(sim >= 0L && sim < (1L << 48))
   }
 
   test("windowed streaming aggregation emits closed windows") {
