@@ -62,6 +62,7 @@ object SparkEntry {
     "q19_lang_id"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "q20_quality"      -> ((s, d) => TextAnalysis.quality(s, d)),
     "q21_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q49_length_stats" -> ((s, d) => TextAnalysis.lengthStats(s, d)),
     // —— Similarity search (extensions) ——
     "q26_ann_topk"        -> ((s, d) => Similarity.topK(s, d)),
     "q27_blocked_neardup" -> ((s, d) => Similarity.blockedNearDup(s, d)),
@@ -616,6 +617,14 @@ object SparkEntry {
          FROM e ASOF LEFT JOIN o
            ON e.user_id = o.user_id AND e.ts >= o.ots
          ORDER BY e.user_id, e.event_id""",
+    "q49_length_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                round(avg(n_chars), 2) AS avg_chars,
+                quantile_cont(n_chars, 0.25) AS p25,
+                quantile_cont(n_chars, 0.5) AS p50,
+                quantile_cont(n_chars, 0.75) AS p75
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q47_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT

@@ -57,4 +57,23 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** Corpus QA: per-language length-distribution summary — the sanity
+    * dashboard a 100 TB ingest runs before training (count, min/max,
+    * mean, exact quartiles of n_chars). `percentile` is the EXACT
+    * sort-based aggregate (not approx_percentile): linear-interpolated
+    * rank, the same definition as DuckDB's quantile_cont, so the result
+    * hash-verifies. One shuffle on the stratum key. */
+  def lengthStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        percentile(col("n_chars"), lit(0.25)).as("p25"),
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.75)).as("p75"))
+      .orderBy("lang")
 }

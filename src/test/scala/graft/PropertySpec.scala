@@ -51,6 +51,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asof join equals the naive theta-join + argmax on random data") {
+    val tsGen = Gen.chooseNum(0L, 50L)
+    val caseGen = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.chooseNum(1L, 5L), tsGen)),       // left
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 5L), tsGen)))       // right
+    samples(caseGen, 5).foreach { case (lraw, rraw) =>
+      val left = lraw.zipWithIndex
+        .map { case ((k, t), i) => (k, i.toLong, new java.sql.Timestamp(t * 1000)) }
+        .toDF("k", "ev", "ts")
+      // unique per (k, ts): the asof contract — keep max payload
+      val right = rraw.groupBy(identity).keys.toSeq
+        .map { case (k, t) => (k, new java.sql.Timestamp(t * 1000), k * 100 + t) }
+        .toDF("k", "ts", "v")
+      val naive = left.as("l").join(right.as("r"),
+          col("l.k") === col("r.k") && col("l.ts") >= col("r.ts"), "left")
+        .groupBy(col("l.ev").as("ev"))
+        .agg(max(struct(col("r.ts"), col("r.v"))).getField("v").as("v"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val asof = graft.operators.AsofJoin
+        .asof(left, right, "k", "ts", Seq("v"))
+        .select("ev", "v")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(asof == naive)
+    }
+  }
+
   test("salted join equals plain join on random key distributions") {
     val cases = samples(Gen.zip(
       Gen.listOfN(200, Gen.chooseNum(1L, 10L)), Gen.chooseNum(1, 7)), 5)
