@@ -63,6 +63,7 @@ object SparkEntry {
     "q20_quality"      -> ((s, d) => TextAnalysis.quality(s, d)),
     "q21_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q49_length_stats" -> ((s, d) => TextAnalysis.lengthStats(s, d)),
+    "q50_curation" -> ((s, d) => Curation.curate(s, d)),
     // —— Similarity search (extensions) ——
     "q26_ann_topk"        -> ((s, d) => Similarity.topK(s, d)),
     "q27_blocked_neardup" -> ((s, d) => Similarity.blockedNearDup(s, d)),
@@ -617,6 +618,55 @@ object SparkEntry {
          FROM e ASOF LEFT JOIN o
            ON e.user_id = o.user_id AND e.ts >= o.ots
          ORDER BY e.user_id, e.event_id""",
+    "q50_curation" ->
+      """WITH fpd AS (
+           SELECT doc_id, lang, text,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         keep AS (
+           SELECT doc_id, lang, text FROM (
+             SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+               AS rn
+             FROM fpd) t
+           WHERE rn = 1),
+         m AS (
+           SELECT doc_id, lang, text,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM keep),
+         q AS (
+           SELECT doc_id, lang,
+                  round((CASE WHEN len(toks) BETWEEN 20 AND 1000
+                              THEN CAST(0.5 AS DOUBLE)
+                              WHEN len(toks) >= 5 THEN CAST(0.25 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END)
+                        + (CASE WHEN (CASE WHEN len(toks) = 0
+                                 THEN CAST(0.0 AS DOUBLE)
+                                 ELSE CAST(len(list_filter(toks,
+                                   s -> list_contains(['the','a','an','and','of',
+                                     'to','in','is','it','on','for'], s)))
+                                   AS DOUBLE) / len(toks) END) >= 0.05
+                                THEN CAST(0.3 AS DOUBLE)
+                                ELSE CAST(0.0 AS DOUBLE) END)
+                        + CAST(0.2 AS DOUBLE)
+                        + (CASE WHEN (CASE WHEN len(regexp_replace(text,
+                                 '\s+', '', 'g')) = 0 THEN CAST(0.0 AS DOUBLE)
+                                 ELSE CAST(len(regexp_replace(text,
+                                   '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                                   / len(regexp_replace(text, '\s+', '', 'g'))
+                                 END) > 0.2
+                                THEN CAST(-0.2 AS DOUBLE)
+                                ELSE CAST(0.0 AS DOUBLE) END), 2) AS quality
+           FROM m),
+         f AS (SELECT * FROM q WHERE quality >= 0.5),
+         r AS (
+           SELECT doc_id, lang, quality, row_number() OVER (
+             PARTITION BY lang
+             ORDER BY ('0x' || substr(md5('curate:' || doc_id), 1, 15))::BIGINT,
+                      doc_id) AS rk
+           FROM f)
+         SELECT doc_id, lang, quality, rk FROM r WHERE rk <= 100
+         ORDER BY doc_id""",
     "q49_length_stats" ->
       """SELECT lang, count(*) AS n_docs,
                 min(n_chars) AS min_chars, max(n_chars) AS max_chars,

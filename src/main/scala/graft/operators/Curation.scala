@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** The composed training-data curation pass — the pipeline the individual
+  * operators exist for, as one declarative plan Catalyst optimizes
+  * end-to-end:
+  *
+  *   1. exact dedup: keep the lowest doc_id per canonical fingerprint
+  *      (window rank on the fp — one shuffle);
+  *   2. quality gate: composite quality score ≥ `minQuality` (map-only,
+  *      rides the same stage);
+  *   3. per-language quota: deterministic hash-rank ≤ `quotaPerLang`
+  *      (data mixing — one shuffle on the stratum key).
+  *
+  * Each stage's semantics is individually oracle-verified (q16, q20,
+  * q48); this composition is itself hash-verified as q50. At 100 TB the
+  * same plan holds: two shuffles total, everything else rides the scan.
+  */
+object Curation {
+
+  def curate(spark: SparkSession, dir: String, minQuality: Double = 0.5,
+      quotaPerLang: Int = 100, salt: String = "curate"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        fingerprint(col("text")).as("fp"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("rn") === 1)
+    keepers
+      .withColumn("quality", qualityScore(col("text")))
+      .where(col("quality") >= minQuality)
+      .withColumn("rk", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+              col("doc_id")))
+        .cast("long"))
+      .where(col("rk") <= quotaPerLang)
+      .select("doc_id", "lang", "quality", "rk")
+      .orderBy("doc_id")
+  }
+}
