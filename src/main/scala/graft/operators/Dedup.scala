@@ -74,16 +74,23 @@ object Dedup {
     * (doc_id, text). */
   def ngramJaccardPairsOn(docs: DataFrame, threshold: Double = 0.1,
       shingleK: Int = 3, maxDf: Int = DefaultMaxDf): DataFrame = {
-    // cache: the exploded index feeds the df-count, the set sizes, and
-    // both self-join sides — uncached, each re-scans the docs and
-    // re-shingles (the dominant cost of this operator)
+    // cache: the exploded index feeds the df-count and both self-join
+    // sides — uncached, each re-scans the docs and re-shingles (the
+    // dominant cost of this operator)
     val idx0 = shingleIndex(docs, shingleK).cache()
     val hot = idx0
       .groupBy("token").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
       .select("token")
     val idx = idx0.join(broadcast(hot), Seq("token"), "left_anti")
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    // capped set sizes WITHOUT an aggregation pass: the hot set is tiny
+    // (few shingles can exceed maxDf docs), so collect it into a 1-row
+    // broadcast and subtract per doc map-side
+    val hotArr = hot.agg(collect_list("token").as("hot_toks"))
+    val sizes = docs.crossJoin(broadcast(hotArr))
+      .select(col("doc_id"),
+        size(array_except(TextExpressions.shingleSet(col("text"), shingleK),
+          col("hot_toks"))).cast("long").as("n_tok"))
     val a = idx.as("a"); val b = idx.as("b")
     val inter = a.join(b,
         col("a.token") === col("b.token") &&

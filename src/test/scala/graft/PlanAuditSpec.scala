@@ -13,9 +13,11 @@ package graft
 class PlanAuditSpec extends SparkSpec {
 
   /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
-    * a broadcast crossJoin against a 1-row (query-vector) relation. */
+    * a broadcast crossJoin against a 1-row relation (query vector, total
+    * count, or q22's collected hot-shingle set). */
   private val bnljAllowed = Set(
-    "q26_ann_topk", "q32_detail_api", "q38_ivf_search", "q41_topk_per_label")
+    "q22_jaccard_pairs", "q26_ann_topk", "q32_detail_api", "q38_ivf_search",
+    "q41_topk_per_label")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
