@@ -209,6 +209,41 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot(s"$out/dt=2024-01-01") == day1Before)
   }
 
+  test("PartitionedUpsert heals crashed per-partition swaps before writing") {
+    val out = tmpDir("crash") + "/t"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val epoch1 = Seq(
+      (1L, t("2024-01-01 08:00:00"), "2024-01-01", "08"),
+      (3L, t("2024-01-02 07:00:00"), "2024-01-02", "07"))
+      .toDF("user_id", "ts", "dt", "hr")
+    DauStream.idempotentSinkEachBatch(out, Seq("user_id", "dt"))(epoch1, 0L)
+
+    // simulate the two crash states mid-loop:
+    // (a) an unpublished tmp left behind for day 1 — must be discarded,
+    //     or a later read would see `dt=2024-01-01.tmp` as a partition
+    val orphanTmp = new java.io.File(s"$out/dt=2024-01-01.tmp")
+    orphanTmp.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/dt=2024-01-01.tmp/junk.txt"), "junk")
+    // (b) day 2 moved aside but never re-published — must be restored
+    assert(new java.io.File(s"$out/dt=2024-01-02")
+      .renameTo(new java.io.File(s"$out/dt=2024-01-02.old")))
+
+    // the next epoch (touching a third day) must first heal both states
+    val epoch2 = Seq((4L, t("2024-01-03 09:00:00"), "2024-01-03", "09"))
+      .toDF("user_id", "ts", "dt", "hr")
+    DauStream.idempotentSinkEachBatch(out, Seq("user_id", "dt"))(epoch2, 1L)
+
+    val names = new java.io.File(out).list().toSet
+    assert(!names.exists(n => n.endsWith(".tmp") || n.endsWith(".old")),
+      s"crash residue not healed: $names")
+    val rows = spark.read.parquet(out)
+      .select(col("user_id"), col("dt")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "2024-01-01"), (3L, "2024-01-02"),
+      (4L, "2024-01-03")), s"got $rows")
+  }
+
   test("end-to-end chain: raw logs → demux → DAU table (full dwd path)") {
     // the reference's full pipeline: ods_BaseLogApp demux feeding
     // dwd_DauApp — here one streaming demux whose page branch feeds the
