@@ -21,6 +21,10 @@ object SparkEntry {
   // Shared literal parameters (must match the oracle SQL below).
   private val Item = "small ring"
 
+  /** Mixing recipe for q51: per-language keep percentage. */
+  private val MixRecipe: Seq[(String, Int)] =
+    Seq("en" -> 50, "de" -> 25, "fr" -> 10)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // —— DAU pipeline (J5 dedup, F1/F2, A1/A2, F11) ——
     "q01_dau_total"        -> ((s, d) => Dau.dauTotal(s, d)),
@@ -64,6 +68,9 @@ object SparkEntry {
     "q21_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q49_length_stats" -> ((s, d) => TextAnalysis.lengthStats(s, d)),
     "q50_curation" -> ((s, d) => Curation.curate(s, d)),
+    "q51_weighted_sample" -> ((s, d) =>
+      Sampling.sampleByWeights(s, d, MixRecipe)),
+    "q52_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // —— Similarity search (extensions) ——
     "q26_ann_topk"        -> ((s, d) => Similarity.topK(s, d)),
     "q27_blocked_neardup" -> ((s, d) => Similarity.blockedNearDup(s, d)),
@@ -667,6 +674,24 @@ object SparkEntry {
            FROM f)
          SELECT doc_id, lang, quality, rk FROM r WHERE rk <= 100
          ORDER BY doc_id""",
+    "q51_weighted_sample" -> {
+      val vals = MixRecipe.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+      s"""WITH w(lang, pct) AS (VALUES $vals)
+         SELECT doc_id, lang FROM documents JOIN w USING (lang)
+         WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT
+                 % 100 < pct
+         ORDER BY doc_id"""
+    },
+    "q52_label_centroids" ->
+      """SELECT label, pos, count(*) AS n_vectors,
+                CAST(CAST(sum(CAST(floor(v::DOUBLE * 1000000.0) AS BIGINT))
+                     AS BIGINT) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean
+         FROM (SELECT label,
+                      unnest(range(len(embedding))) AS pos,
+                      unnest(embedding) AS v
+               FROM embeddings)
+         GROUP BY label, pos ORDER BY label, pos""",
     "q49_length_stats" ->
       """SELECT lang, count(*) AS n_docs,
                 min(n_chars) AS min_chars, max(n_chars) AS max_chars,

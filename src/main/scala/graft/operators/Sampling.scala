@@ -45,4 +45,20 @@ object Sampling {
       .where(col("rk") <= k)
       .orderBy("lang", "rk")
   }
+
+  /** Weighted mixture sample: per-stratum keep RATE (percent) from a
+    * weights relation — the "dataset mixing recipe" form (e.g. upsample
+    * low-resource languages, downsample boilerplate sources). Strata
+    * absent from the recipe keep nothing. Broadcast join + map-only
+    * filter — no shuffle of the corpus. */
+  def sampleByWeights(spark: SparkSession, dir: String,
+      weights: Seq[(String, Int)], salt: String = "mix"): DataFrame = {
+    import spark.implicits._
+    val w = weights.toDF("lang", "pct")
+    Tables.documents(spark, dir)
+      .join(broadcast(w), Seq("lang"))
+      .where(pctHash(col("doc_id"), salt) < col("pct"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
 }

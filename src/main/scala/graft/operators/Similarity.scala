@@ -85,6 +85,24 @@ object Similarity {
       .orderBy("label", "rank")
   }
 
+  /** Per-label mean embedding ("label centroids") with the same
+    * integer-exact aggregation as IVF training: component sums over
+    * floor(v·1e6) longs are aggregation-order-independent, so the means
+    * are bit-for-bit reproducible cross-engine. One shuffle keyed
+    * (label, pos); output (label, pos, n_vectors, mean) rows — the
+    * cluster-feature table a training pipeline joins back onto docs. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("v").cast("double") * 1e6)).as("sv"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("n_vectors"),
+        (col("sv").cast("double") /
+          (col("n_vectors").cast("double") * 1e6)).as("mean"))
+      .orderBy("label", "pos")
+
   /** Hyperplane components for plane `j`: md5-derived small integers in
     * [-8, 8]. Integers (not libm cos/sin pseudo-randoms) because the
     * oracle must reproduce the SIGN of the dot product bit-for-bit:

@@ -42,7 +42,10 @@ object PartitionedUpsert {
       val parts = incoming.select(partCol).distinct().collect().map(_.get(0))
       parts.foreach { v =>
         val dir = s"$outDir/$partCol=$v"
-        val slice = incoming.where(col(partCol) === lit(v)).drop(partCol)
+        // null-safe comparison: a null partition value (e.g. dt derived
+        // from a null timestamp) must route to its `<partCol>=null` dir,
+        // not silently produce an empty slice
+        val slice = incoming.where(col(partCol) <=> lit(v)).drop(partCol)
         val cur = new File(dir)
         val merged =
           if (cur.exists() && Option(cur.list()).exists(_.nonEmpty))

@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     "q44_stats_analyzed" -> 2, "q45_simhash_neardup" -> 5,
     "q46_asof_join" -> 3, "q47_hash_sample" -> 1,
     "q48_stratified_sample" -> 2, "q49_length_stats" -> 2,
-    "q50_curation" -> 3)
+    "q50_curation" -> 3, "q51_weighted_sample" -> 1,
+    "q52_label_centroids" -> 2)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

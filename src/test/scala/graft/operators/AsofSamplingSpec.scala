@@ -76,6 +76,21 @@ class AsofSamplingSpec extends SparkSpec {
     assert(other != s1)
   }
 
+  test("weighted sample respects per-stratum rates; absent strata drop") {
+    val got = Sampling.sampleByWeights(spark, sf,
+        Seq("en" -> 100, "de" -> 0, "fr" -> 30))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = graft.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("en") == full("en"))            // 100% keeps everything
+    assert(!got.contains("de"))                // 0% keeps nothing
+    assert(!got.contains("zh") && !got.contains("es")) // absent strata drop
+    val frRate = got.getOrElse("fr", 0L).toDouble / full("fr")
+    assert(frRate > 0.1 && frRate < 0.6, s"fr rate $frRate far from 30%")
+  }
+
   test("stratified sample returns min(k, stratum size) rows per stratum") {
     val k = 20
     val got = Sampling.stratifiedSample(spark, sf, k = k)
