@@ -371,6 +371,33 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L)))
   }
 
+  test("DocStream curates a document stream: quality gate + cross-batch dedup") {
+    val out = tmpDir("docstream") + "/t"
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val alsoGood = "a completely different story about the sea and the wind"
+    val junk = "xyzzy" // 1 token, no stopwords → quality 0.2 < 0.5
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocStream.curate(mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream
+      .foreachBatch(DauStream.idempotentSinkEachBatch(out, Seq("fp", "dt")) _)
+      .option("checkpointLocation", s"$out/../_cp")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (1L, good, t("2024-01-01 08:00:00")),
+      (2L, good + " ", t("2024-01-01 09:00:00")),  // same fp (ws noise) → dup
+      (3L, junk, t("2024-01-01 10:00:00")))        // quality-gated
+    q.processAllAvailable()
+    mem.addData(
+      (4L, good, t("2024-01-01 11:00:00")),        // cross-batch dup → dropped
+      (5L, alsoGood, t("2024-01-01 12:00:00")))    // new → kept
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 5L), s"got $rows")
+  }
+
   test("CdcRouter typed payload parse binds a fact table's bean") {
     import org.apache.spark.sql.types._
     implicit val enc: org.apache.spark.sql.Encoder[OrderInfoCdc] =
