@@ -30,11 +30,19 @@ object AtomicSwap {
   /** Replace `target` with fully-written `tmp`, never leaving a moment
     * without a committed copy. Call [[recover]] before reading `target`
     * in the same job if a previous run may have crashed mid-swap. */
-  def publish(tmp: String, target: String): Unit = {
+  def publish(tmp: String, target: String): Unit =
+    publish(tmp, target, target + ".old")
+
+  /** [[publish]] with an explicit aside path — used by partition-scoped
+    * sinks that must keep swap artifacts OUT of the readable table root
+    * (a dot-prefixed sibling is invisible to Spark's file listing, so a
+    * crash can never surface `part.tmp`/`part.old` as bogus partition
+    * values to a concurrent reader). */
+  def publish(tmp: String, target: String, aside: String): Unit = {
     val tmpF = new File(tmp)
     require(tmpF.exists(), s"tmp dir $tmp does not exist — nothing to publish")
     val targetF = new File(target)
-    val oldF = new File(target + ".old")
+    val oldF = new File(aside)
     if (oldF.exists()) deleteRecursively(oldF)
     if (targetF.exists() && !targetF.renameTo(oldF))
       sys.error(s"atomic swap: failed to move $target aside to $oldF")
@@ -49,11 +57,15 @@ object AtomicSwap {
   /** Heal a crashed swap: discard an unpublished tmp, restore an aside
     * copy if the publish never happened. Idempotent; call on startup or
     * before the first read of `target`. */
-  def recover(target: String): Unit = {
+  def recover(target: String): Unit =
+    recover(target, Seq(target + ".tmp", target + ".compact.tmp"),
+      target + ".old")
+
+  /** [[recover]] with explicit artifact paths (see 3-arg [[publish]]). */
+  def recover(target: String, tmps: Seq[String], aside: String): Unit = {
     val targetF = new File(target)
-    val oldF = new File(target + ".old")
-    Seq(target + ".tmp", target + ".compact.tmp").map(new File(_))
-      .filter(_.exists()).foreach(deleteRecursively)
+    val oldF = new File(aside)
+    tmps.map(new File(_)).filter(_.exists()).foreach(deleteRecursively)
     if (!targetF.exists() && oldF.exists() && !oldF.renameTo(targetF))
       sys.error(s"atomic swap recovery: failed to restore $oldF as $target")
     if (targetF.exists() && oldF.exists()) deleteRecursively(oldF)

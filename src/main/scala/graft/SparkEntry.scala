@@ -160,9 +160,11 @@ object SparkEntry {
       queryId: Long): String = {
     val init =
       s"""e AS (SELECT vec_id, embedding FROM embeddings),
-         c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                         AS cell,
                        list_transform(embedding, v -> v::DOUBLE) AS centroid
-                FROM e WHERE vec_id < $cells)"""
+                FROM (SELECT vec_id, embedding FROM e
+                      ORDER BY vec_id LIMIT $cells) seed)"""
     val iterCtes = (0 until iters).map { i =>
       s"""a$i AS (
            SELECT vec_id, cell FROM (

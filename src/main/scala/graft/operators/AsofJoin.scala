@@ -32,17 +32,26 @@ object AsofJoin {
     val collisions = valueCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"valueCols collide with left: $collisions")
     val l = left.withColumn("__side", lit(1))
-    val r = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
-      .withColumn("__side", lit(0))
+    // the values ride in ONE struct that is non-null exactly on right
+    // rows: last(ignoreNulls) then tracks the latest right ROW, so a
+    // legitimately-null value in that row stays null instead of being
+    // resurrected from an older row (and multi-column values can never
+    // mix rows)
+    val r = right.select(
+      col(key), col(ts),
+      struct(valueCols.map(col): _*).as("__vals"),
+      lit(0).as("__side"))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(u) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = u.withColumn("__vals",
+      last(col("__vals"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(filled) { (df, c) =>
+        df.withColumn(c, col(s"__vals.$c"))
       }
       .where(col("__side") === 1)
-      .drop("__side")
+      .drop("__side", "__vals")
   }
 
   /** Demonstration query: each event joined to the user's most recent

@@ -35,11 +35,7 @@ object Curation {
     keepers
       .withColumn("quality", qualityScore(col("text")))
       .where(col("quality") >= minQuality)
-      .withColumn("rk", row_number().over(
-          Window.partitionBy("lang")
-            .orderBy(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
-              col("doc_id")))
-        .cast("long"))
+      .withColumn("rk", Sampling.hashRank("lang", salt))
       .where(col("rk") <= quotaPerLang)
       .select("doc_id", "lang", "quality", "rk")
       .orderBy("doc_id")

@@ -78,10 +78,14 @@ object Dedup {
     // sides — uncached, each re-scans the docs and re-shingles (the
     // dominant cost of this operator)
     val idx0 = shingleIndex(docs, shingleK).cache()
+    // cache: consumed by both the anti-join broadcast and the hotArr
+    // collect below — different plan shapes, so without it the full
+    // index aggregation would run twice
     val hot = idx0
       .groupBy("token").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
       .select("token")
+      .cache()
     val idx = idx0.join(broadcast(hot), Seq("token"), "left_anti")
     // capped set sizes WITHOUT an aggregation pass: the hot set is tiny
     // (few shingles can exceed maxDf docs), so collect it into a 1-row

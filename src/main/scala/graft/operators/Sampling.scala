@@ -22,6 +22,15 @@ object Sampling {
   private def pctHash(key: org.apache.spark.sql.Column, salt: String) =
     md5Long(concat(lit(s"$salt:"), key.cast("string"))) % 100
 
+  /** Deterministic hash rank of `doc_id` within each stratum — the ONE
+    * ranking shared by stratified sampling and the curation quota (so
+    * their semantics, and oracles, can never drift apart). */
+  private[operators] def hashRank(strataCol: String, salt: String) =
+    row_number().over(Window.partitionBy(strataCol)
+      .orderBy(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+        col("doc_id")))
+      .cast("long")
+
   /** Keep ~`pct`% of documents: rows whose salted md5 residue mod 100
     * falls under the rate. Map-only — the filter rides the scan. */
   def hashSample(spark: SparkSession, dir: String, pct: Int = 10,
@@ -36,15 +45,11 @@ object Sampling {
     * primitive (equalize language representation regardless of raw
     * corpus skew). One shuffle on the stratum key. */
   def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20,
-      salt: String = "strat"): DataFrame = {
-    val rk = row_number().over(Window.partitionBy("lang")
-      .orderBy(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
-        col("doc_id")))
+      salt: String = "strat"): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"), rk.cast("long").as("rk"))
+      .select(col("lang"), col("doc_id"), hashRank("lang", salt).as("rk"))
       .where(col("rk") <= k)
       .orderBy("lang", "rk")
-  }
 
   /** Weighted mixture sample: per-stratum keep RATE (percent) from a
     * weights relation — the "dataset mixing recipe" form (e.g. upsample

@@ -119,7 +119,9 @@ object Similarity {
   /** The bucket column expression over an `embedding` column: bit j =
     * sign of the dot product with plane j's weight vector. Guarded: an
     * embedding whose width differs from `dim` raises instead of silently
-    * zeroing bucket bits (zip_with would pad with nulls). */
+    * zeroing bucket bits (zip_with would pad with nulls); a NULL
+    * embedding yields a NULL bucket (drops out of joins) rather than
+    * crashing the job for one bad row. */
   private[operators] def bucketSignature(planes: Int, dim: Int = 64) = {
     val sig = planeWeights(planes, dim).zipWithIndex.map { case (w, j) =>
       val warr = array(w.map(v => lit(v.toDouble)): _*)
@@ -128,7 +130,8 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1L << j)).otherwise(0L)
     }.reduce((a, b) => a + b)
-    when(size(col("embedding")) === dim, sig)
+    when(col("embedding").isNull, lit(null).cast("long"))
+      .when(size(col("embedding")) === dim, sig)
       .otherwise(raise_error(concat(
         lit(s"bucketSignature: embedding dim != $dim, got "),
         size(col("embedding")).cast("string"))))

@@ -16,9 +16,13 @@ import graft.functions.TextFunctions._
   *     compact row per distinct fingerprint inside the watermark horizon
   *     and EVICTS beyond it. Unbounded `dropDuplicates` state on a
   *     100 TB/day ingest is the classic OOM; the watermark bound is the
-  *     standard continuous-ingestion contract (re-ingesting a document
-  *     after the horizon re-emits it — absorbed by the keyed idempotent
-  *     sink downstream);
+  *     standard continuous-ingestion contract. A document re-ingested
+  *     AFTER the horizon re-emits: a dt-partitioned sink then stores it
+  *     under the new day (duplicate across days), so when cross-horizon
+  *     exactness matters, sink keyed on `fp` alone (the hash-bucket
+  *     layout of [[DauStream.idempotentSinkEachBatch]] — drop `dt`
+  *     before the sink) for global last-wins per fingerprint, or run
+  *     the batch `operators.Curation` pass as periodic compaction;
   *  3. dt column for the partition-scoped sink
   *     ([[DauStream.idempotentSinkEachBatch]] / [[PartitionedUpsert]]).
   *

@@ -18,9 +18,13 @@ import graft.AtomicSwap
   * Each partition keeps the [[AtomicSwap]] crash-safety contract
   * individually: a committed copy of every partition exists on disk at
   * every instant, and a crash mid-loop is healed by replaying the epoch
-  * (the upsert is idempotent per key). `recoverAll` additionally sweeps
-  * orphaned `*.tmp`/`*.old` siblings at sink start so a crash on one
-  * partition can never surface a bogus partition value to readers.
+  * (the upsert is idempotent per key). Swap artifacts are DOT-PREFIXED
+  * siblings (`.part.tmp` / `.part.old`) — invisible to Spark's file
+  * listing, so neither an in-flight swap nor a crash can ever surface a
+  * bogus partition value to a concurrent reader. (A reader racing the
+  * two renames of a swap can briefly see that one partition absent —
+  * the same window the whole-table AtomicSwap has; `recoverAll` at the
+  * next sink start restores it if the writer died in between.)
   *
   * At cluster scale this is exactly a MERGE INTO with dynamic partition
   * pruning under Delta/Iceberg; the directory protocol is the no-table-
@@ -41,7 +45,8 @@ object PartitionedUpsert {
     try {
       val parts = incoming.select(partCol).distinct().collect().map(_.get(0))
       parts.foreach { v =>
-        val dir = s"$outDir/$partCol=$v"
+        val part = s"$partCol=$v"
+        val dir = s"$outDir/$part"
         // null-safe comparison: a null partition value (e.g. dt derived
         // from a null timestamp) must route to its `<partCol>=null` dir,
         // not silently produce an empty slice
@@ -53,19 +58,24 @@ object PartitionedUpsert {
               .join(slice.select(mergeKeys.map(col): _*), mergeKeys, "left_anti")
               .unionByName(slice, allowMissingColumns = true)
           else slice
-        merged.write.mode("overwrite").parquet(s"$dir.tmp")
-        AtomicSwap.publish(s"$dir.tmp", dir)
+        merged.write.mode("overwrite").parquet(s"$outDir/.$part.tmp")
+        AtomicSwap.publish(s"$outDir/.$part.tmp", dir, s"$outDir/.$part.old")
       }
     } finally incoming.unpersist()
   }
 
   /** Heal every crashed per-partition swap under `outDir` (orphaned
-    * `*.tmp` discarded, unpublished `*.old` restored). */
+    * hidden `.part.tmp` discarded, unpublished `.part.old` restored). */
   def recoverAll(outDir: String): Unit =
     Option(new File(outDir).list()).foreach { names =>
       names.collect {
-        case n if n.endsWith(".tmp") => n.stripSuffix(".tmp")
-        case n if n.endsWith(".old") => n.stripSuffix(".old")
-      }.distinct.foreach(n => AtomicSwap.recover(s"$outDir/$n"))
+        case n if n.startsWith(".") && n.endsWith(".tmp") =>
+          n.stripPrefix(".").stripSuffix(".tmp")
+        case n if n.startsWith(".") && n.endsWith(".old") =>
+          n.stripPrefix(".").stripSuffix(".old")
+      }.distinct.foreach { part =>
+        AtomicSwap.recover(s"$outDir/$part",
+          Seq(s"$outDir/.$part.tmp"), s"$outDir/.$part.old")
+      }
     }
 }

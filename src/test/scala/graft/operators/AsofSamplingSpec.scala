@@ -27,6 +27,19 @@ class AsofSamplingSpec extends SparkSpec {
       12L -> None, 20L -> None))
   }
 
+  test("asof join: a null value in the latest right row stays null") {
+    // the latest right row wins as a ROW — its null value must not be
+    // back-filled from an older right row
+    val left = Seq((1L, 10L, t("2024-01-05 00:00:00"))).toDF("k", "ev", "ts")
+    val right = Seq(
+      (1L, t("2024-01-02 00:00:00"), Some("A")),
+      (1L, t("2024-01-04 00:00:00"), None: Option[String]))
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asof(left, right, "k", "ts", Seq("v"))
+      .select("v").collect()
+    assert(got.length == 1 && got(0).isNullAt(0))
+  }
+
   test("asof join rejects colliding value columns") {
     val df = Seq((1L, t("2024-01-01 00:00:00"), "x")).toDF("k", "ts", "v")
     intercept[IllegalArgumentException] {

@@ -218,16 +218,22 @@ class StreamingSpec extends SparkSpec {
       .toDF("user_id", "ts", "dt", "hr")
     DauStream.idempotentSinkEachBatch(out, Seq("user_id", "dt"))(epoch1, 0L)
 
-    // simulate the two crash states mid-loop:
-    // (a) an unpublished tmp left behind for day 1 — must be discarded,
-    //     or a later read would see `dt=2024-01-01.tmp` as a partition
-    val orphanTmp = new java.io.File(s"$out/dt=2024-01-01.tmp")
+    // simulate the two crash states mid-loop (artifacts are dot-prefixed
+    // siblings, so even BEFORE healing a reader never sees them):
+    // (a) an unpublished hidden tmp left behind for day 1 — must be
+    //     discarded
+    val orphanTmp = new java.io.File(s"$out/.dt=2024-01-01.tmp")
     orphanTmp.mkdirs()
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$out/dt=2024-01-01.tmp/junk.txt"), "junk")
+      java.nio.file.Paths.get(s"$out/.dt=2024-01-01.tmp/junk.txt"), "junk")
     // (b) day 2 moved aside but never re-published — must be restored
     assert(new java.io.File(s"$out/dt=2024-01-02")
-      .renameTo(new java.io.File(s"$out/dt=2024-01-02.old")))
+      .renameTo(new java.io.File(s"$out/.dt=2024-01-02.old")))
+
+    // crash residue is invisible to partition discovery even pre-heal
+    val visible = spark.read.parquet(out)
+      .select(col("dt")).distinct().collect().map(_.getString(0)).toSet
+    assert(visible == Set("2024-01-01"), s"reader saw crash residue: $visible")
 
     // the next epoch (touching a third day) must first heal both states
     val epoch2 = Seq((4L, t("2024-01-03 09:00:00"), "2024-01-03", "09"))
