@@ -95,6 +95,56 @@ object IvfIndex {
     cents
   }
 
+  /** Materialize the INVERTED FILE: the corpus rewritten cell-partitioned
+    * (`cell=<c>/` directories). This is the real IVF storage layout — at
+    * 100 TB, [[searchInvertedFile]] then reads ~nprobe/C of the data FROM
+    * DISK via partition pruning, instead of scanning everything and
+    * filtering. One shuffle-free pass: assignment is a map-only literal-
+    * centroid expression, and partitionBy splits the write. */
+  def buildInvertedFile(spark: SparkSession, dir: String, cents: Centroids,
+      outPath: String): Unit =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        cellExpr(cents, col("embedding")))
+      .write.mode("overwrite").partitionBy("cell").parquet(outPath)
+
+  /** Top-nprobe cells for a query vector, computed over the C-row
+    * centroid set (driver-side, exact same cosine fold as the engines). */
+  def probeCells(cents: Centroids, queryVec: Array[Float],
+      nprobe: Int): Seq[Int] = {
+    def cos(c: IndexedSeq[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(c.length, queryVec.length)
+      while (i < n) {
+        val xi = c(i); val yi = queryVec(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    cents.map { case (cell, c) => (cell, cos(c)) }
+      .sortBy { case (cell, s) => (-s, cell) }
+      .take(nprobe).map(_._1)
+  }
+
+  /** ANN search against a materialized inverted file: the `cell isin
+    * probes` filter prunes whole partition directories at the scan, so
+    * only the probed cells' files are read. `queryVec` arrives from the
+    * caller (the ANN-service shape: the query vector is request data,
+    * not a corpus row). */
+  def searchInvertedFile(spark: SparkSession, indexPath: String,
+      cents: Centroids, queryVec: Array[Float], excludeId: Option[Long],
+      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val probes = probeCells(cents, queryVec, nprobe)
+    val base = spark.read.parquet(indexPath)
+      .where(col("cell").isin(probes: _*))
+    excludeId.fold(base)(id => base.where(col("vec_id") =!= id))
+      .select(col("vec_id"),
+        round(cosineNative(col("embedding"), typedlit(queryVec)), 6)
+          .as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN search: probe the `nprobe` cells nearest to the query, score
     * only their members, return top-k (vec_id, score). The only
     * non-broadcast work is one map-only pass over the corpus scan. */

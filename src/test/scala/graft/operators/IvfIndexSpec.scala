@@ -37,6 +37,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("inverted file: search reads only probed cell partitions from disk") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    IvfIndex.buildInvertedFile(spark, sf, cents, idx)
+    // layout: one directory per cell
+    val cellDirs = new java.io.File(idx).list().filter(_.startsWith("cell="))
+    assert(cellDirs.length == 8, cellDirs.mkString(","))
+
+    val qVec = graft.Tables.embeddings(spark, sf)
+      .where(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val search = IvfIndex.searchInvertedFile(spark, idx, cents, qVec,
+      excludeId = Some(0L), k = 10, nprobe = 3)
+    // the probe filter must prune partitions at the scan
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning in plan:\n$plan")
+
+    // full probe over the file == the inline full-probe search == brute force
+    val full = IvfIndex.searchInvertedFile(spark, idx, cents, qVec,
+      excludeId = Some(0L), k = 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.topK(spark, sf, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+    // partial probe agrees with the inline search on the same probes
+    val inline = IvfIndex.search(spark, sf, cents, queryId = 0L,
+      k = 10, nprobe = 3).collect().map(_.getLong(0)).toSeq
+    assert(search.collect().map(_.getLong(0)).toSeq == inline)
+  }
+
   test("partial probe keeps useful recall at a fraction of the scan") {
     val ivf = IvfIndex.search(spark, sf, cents, queryId = 0L,
       k = 10, nprobe = 3).collect().map(_.getLong(0)).toSet
