@@ -14,6 +14,7 @@ import graft.operators.Api
   *   GET /dauRealtime?td=2024-01-15
   *   GET /statsByItem?itemName=small+ring&date=...&t=segment
   *   GET /detailByItem?date=...&itemName=small+ring&pageNo=1&pageSize=20
+  *   GET /annSearch?vecId=0&k=10&nprobe=3   (extension: IVF ANN service)
   *
   * The Spark driver hosts the server; each request compiles to a
   * DataFrame program that Catalyst plans and the cluster executes —
@@ -97,9 +98,23 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
         p.getOrElse("pageNo", "1").toInt,
         p.getOrElse("pageSize", "20").toInt)
     })
+    server.createContext("/annSearch", handler { p =>
+      import graft.operators.IvfIndex
+      val vecId = p.getOrElse("vecId",
+        throw new IllegalArgumentException("vecId required")).toLong
+      IvfIndex.search(spark, dataDir, annCentroids, vecId,
+        k = p.getOrElse("k", "10").toInt,
+        nprobe = p.getOrElse("nprobe", "3").toInt)
+    })
     server.start()
     this
   }
+
+  /** The ANN endpoint's IVF centroids: trained once, on first use (the
+    * index-build step of an ANN service; queries then pay only the
+    * probe-and-score path). */
+  private lazy val annCentroids: graft.operators.IvfIndex.Centroids =
+    graft.operators.IvfIndex.train(spark, dataDir, cells = 8, iters = 2)
 
   def stop(): Unit = server.stop(0)
 }

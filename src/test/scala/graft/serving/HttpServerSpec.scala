@@ -40,6 +40,13 @@ class HttpServerSpec extends SparkSpec {
       // missing required param → 400
       val (c5, _) = get(s"$base/dauRealtime")
       assert(c5 == 400)
+
+      // ANN service endpoint: IVF-probed top-k for a corpus vector
+      val (c6, ann) = get(s"$base/annSearch?vecId=0&k=5&nprobe=3")
+      assert(c6 == 200 && ann.contains("\"score\""), ann.take(200))
+      assert(ann.split("\\},\\{").length == 5)
+      val (c7, _) = get(s"$base/annSearch") // missing vecId → 400
+      assert(c7 == 400)
     } finally srv.stop()
   }
 }
