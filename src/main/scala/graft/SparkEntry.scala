@@ -61,6 +61,8 @@ object SparkEntry {
     "q23_minhash_sigs"      -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q24_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q25_simhash"           -> ((s, d) => Dedup.simhashSignatures(s, d)),
+    "q53_neardup_components" -> ((s, d) =>
+      Dedup.connectedComponents(Dedup.minhashLshPairs(s, d))),
     // —— Text analysis (extensions) ——
     "q18_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q19_lang_id"      -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -125,6 +127,53 @@ object SparkEntry {
     val (a, b) = (minHashA(16), minHashB(16))
     (0 until 16).map(j => s"($j, ${a(j)}, ${b(j)})").mkString(", ")
   }
+
+  // Shared CTE chain for the MinHash-LSH pipeline (q24 pairs, q53
+  // components): shingle → minhash → banded buckets → candidate pairs →
+  // est_sim scoring. `sc` is the scored-pairs relation.
+  private def minhashLshCtes: String =
+    raw"""t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                      s -> len(s) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END) AS shingles
+           FROM t),
+         ex AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT
+                    % 2147483647 AS base
+           FROM sh),
+         consts(j, a, b) AS (VALUES $MhConstsSql),
+         h AS (
+           SELECT doc_id, c.j AS hash_idx,
+                  (c.a::BIGINT * base + c.b::BIGINT) % 2147483647 AS hv
+           FROM ex CROSS JOIN consts c),
+         sig AS (
+           SELECT doc_id, hash_idx, min(hv) AS hash_val
+           FROM h GROUP BY doc_id, hash_idx),
+         bk AS (
+           SELECT doc_id, hash_idx // 2 AS band,
+                  md5(array_to_string(list(hash_val ORDER BY hash_idx), ','))
+                    AS band_key
+           FROM sig GROUP BY doc_id, band),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id),
+         sc AS (
+           SELECT id1, id2,
+                  CAST(sum(CASE WHEN s1.hash_val = s2.hash_val THEN 1 ELSE 0 END)
+                    AS DOUBLE) / 16 AS est_sim
+           FROM cand
+           JOIN sig s1 ON id1 = s1.doc_id
+           JOIN sig s2 ON id2 = s2.doc_id AND s1.hash_idx = s2.hash_idx
+           GROUP BY id1, id2)"""
 
   // LSH bucket signature as a DuckDB expression over `embedding`: the
   // same md5-derived integer hyperplane weights the Spark side embeds as
@@ -477,50 +526,25 @@ object SparkEntry {
                 CAST(min(hv) AS BIGINT) AS hash_val
          FROM h GROUP BY doc_id, hash_idx ORDER BY doc_id, hash_idx""",
     "q24_minhash_lsh_pairs" ->
-      raw"""WITH t AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
-                                      s -> len(s) > 0) AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(len(toks) - 2),
-                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-             END) AS shingles
-           FROM t),
-         ex AS (
-           SELECT doc_id,
-                  ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT
-                    % 2147483647 AS base
-           FROM sh),
-         consts(j, a, b) AS (VALUES $MhConstsSql),
-         h AS (
-           SELECT doc_id, c.j AS hash_idx,
-                  (c.a::BIGINT * base + c.b::BIGINT) % 2147483647 AS hv
-           FROM ex CROSS JOIN consts c),
-         sig AS (
-           SELECT doc_id, hash_idx, min(hv) AS hash_val
-           FROM h GROUP BY doc_id, hash_idx),
-         bk AS (
-           SELECT doc_id, hash_idx // 2 AS band,
-                  md5(array_to_string(list(hash_val ORDER BY hash_idx), ','))
-                    AS band_key
-           FROM sig GROUP BY doc_id, band),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-           FROM bk x JOIN bk y
-             ON x.band = y.band AND x.band_key = y.band_key
-            AND x.doc_id < y.doc_id),
-         sc AS (
-           SELECT id1, id2,
-                  CAST(sum(CASE WHEN s1.hash_val = s2.hash_val THEN 1 ELSE 0 END)
-                    AS DOUBLE) / 16 AS est_sim
-           FROM cand
-           JOIN sig s1 ON id1 = s1.doc_id
-           JOIN sig s2 ON id2 = s2.doc_id AND s1.hash_idx = s2.hash_idx
-           GROUP BY id1, id2)
+      s"""WITH $minhashLshCtes
          SELECT id1, id2, round(est_sim, 4) AS est_sim
          FROM sc WHERE est_sim >= 0.5 ORDER BY id1, id2""",
+    // components of the LSH near-dup graph: DuckDB computes min-reachable
+    // id via a recursive CTE; the engine's label propagation converges to
+    // the same fixpoint
+    "q53_neardup_components" ->
+      s"""WITH RECURSIVE $minhashLshCtes,
+         pairs AS (SELECT id1, id2 FROM sc WHERE est_sim >= 0.5),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL
+                 SELECT id2 AS src, id1 AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM sym),
+         reach(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON r.id = s.src)
+         SELECT id AS doc_id, min(comp) AS comp
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "q25_simhash" ->
       """WITH t AS (
            SELECT doc_id, list_transform(

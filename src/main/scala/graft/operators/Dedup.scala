@@ -176,6 +176,42 @@ object Dedup {
       .select(col("doc_id"), simHash(col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Connected components over a near-dup edge list (id1, id2) — the
+    * dedup DECISION step: pairwise edges become groups, each labeled by
+    * its minimum member id (the keeper). Iterative min-label
+    * propagation: each round, every node adopts the smallest label in
+    * its neighborhood; converges in O(component diameter) rounds —
+    * near-dup clusters are dense and shallow, so a handful. Each round
+    * is one join + one agg (shuffles on the node id), and the label
+    * frame is `localCheckpoint`ed so lineage doesn't stack across
+    * rounds (the standard iterative-algorithm discipline on Spark; a
+    * 100 TB run would checkpoint to reliable storage instead).
+    * Termination is by fixpoint (a count per round), bounded by
+    * `maxIters`. Output: (doc_id, comp). */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = sym
+        .join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("comp").as("ncomp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .where(col("comp") =!= col("prev")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+  }
+
   /** Identical-signature clusters: one row per distinct `bits`-bit
     * simhash with its keeper (min doc_id) and member count — the h=0
     * mass of near-dup detection, reported LINEARLY (one hash-agg) the

@@ -46,7 +46,10 @@ class PlanAuditSpec extends SparkSpec {
     "q46_asof_join" -> 3, "q47_hash_sample" -> 1,
     "q48_stratified_sample" -> 2, "q49_length_stats" -> 2,
     "q50_curation" -> 3, "q51_weighted_sample" -> 1,
-    "q52_label_centroids" -> 2)
+    "q52_label_centroids" -> 2,
+    // q53 is iterative: the audited plan is the post-checkpoint tail
+    // (per-round shuffles run during construction, bounded by diameter)
+    "q53_neardup_components" -> 1)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

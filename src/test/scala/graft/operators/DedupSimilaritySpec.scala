@@ -121,6 +121,18 @@ class DedupSimilaritySpec extends SparkSpec {
     cmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("connected components label each group by its minimum member") {
+    import spark.implicits._
+    // two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (10L, 11L), (21L, 20L),
+        (21L, 22L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("bucketSignature raises on dim mismatch instead of silently zeroing") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, 1f, 2f))).toDF("vec_id", "embedding")
