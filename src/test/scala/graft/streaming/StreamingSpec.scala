@@ -448,6 +448,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getString(2) == "east" && rows(0).getDouble(3) == 10.0)
   }
 
+  test("facts enriched per-epoch see CDC dim updates applied between epochs") {
+    // the reference's Redis-GET dim lookup always read CURRENT dim state;
+    // the parquet equivalent is a fresh readDim inside foreachBatch
+    val dim = tmpDir("dimfresh"); val outDir = tmpDir("dimfresh_out") + "/t"
+    val config = Seq(("user_info", "DIM")).toDF("table_name", "route")
+    def env(tpe: String, id: Long, name: String, ts: Long) =
+      s"""{"database":"g","table":"user_info","type":"$tpe","ts":$ts,"data":"{\\"id\\": $id, \\"name\\": \\"$name\\"}"}"""
+    def applyCdc(rows: String*): Unit =
+      CdcRouter.routeEachBatch(tmpDir("dimfresh_f"), dim, config)(
+        rows.toDF("value"), 0L)
+
+    applyCdc(env("insert", 10, "alice", 1))
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("event_id", "user_id", "ts").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val d = CdcRouter.readDim(spark, dim, "user_info")
+          .select(get_json_object(col("data"), "$.id").cast("long").as("user_id"),
+            get_json_object(col("data"), "$.name").as("name"))
+        batch.join(broadcast(d), Seq("user_id"), "left")
+          .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("append").partitionBy("dt").parquet(outDir): Unit
+      }
+      .option("checkpointLocation", s"$outDir/../_cp")
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((1L, 10L, t("2024-01-01 08:00:00")))
+    q.processAllAvailable()
+    // dim updated BETWEEN epochs — the swap replaces the partition files
+    applyCdc(env("update", 10, "alice2", 2))
+    mem.addData((2L, 10L, t("2024-01-01 09:00:00")))
+    q.processAllAvailable(); q.stop()
+
+    val byEvent = spark.read.parquet(outDir)
+      .select("event_id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byEvent == Map(1L -> "alice", 2L -> "alice2"), s"got $byEvent")
+  }
+
   test("CdcRouter normalizes ops, routes facts per-topic, upserts dims last-wins") {
     val fact = tmpDir("cdc_fact"); val dim = tmpDir("cdc_dim")
     val config = Seq(("order_info", "FACT"), ("user_info", "DIM"))
