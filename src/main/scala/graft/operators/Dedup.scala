@@ -189,8 +189,13 @@ object Dedup {
     * Termination is by fixpoint (a count per round), bounded by
     * `maxIters`. Output: (doc_id, comp). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: `sym` is referenced by every
+    // round's join, and without truncation each round would re-execute
+    // the whole upstream pipeline that produced the edges (e.g. the
+    // full MinHash-LSH build per iteration)
     val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
     var converged = false
