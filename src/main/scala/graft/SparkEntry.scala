@@ -62,7 +62,8 @@ object SparkEntry {
     "q24_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q25_simhash"           -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "q53_neardup_components" -> ((s, d) =>
-      Dedup.connectedComponents(Dedup.minhashLshPairs(s, d))),
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(s, d, ordered = false))),
     // —— Text analysis (extensions) ——
     "q18_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q19_lang_id"      -> ((s, d) => TextAnalysis.langId(s, d)),

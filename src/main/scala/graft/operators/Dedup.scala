@@ -139,7 +139,7 @@ object Dedup {
     * the only exploded relation is the (doc, band) bucket table. */
   def minhashLshPairs(spark: SparkSession, dir: String,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, ordered: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     // cache: referenced three times below (banding + both verify sides);
     // without it each reference re-scans documents and re-hashes shingles
@@ -159,7 +159,7 @@ object Dedup {
       .distinct()
     // verify: est_sim = matching-minhash fraction, via array zip (no
     // per-hash join fan-out)
-    cand
+    val scored = cand
       .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
       .withColumn("est_sim",
@@ -167,7 +167,9 @@ object Dedup {
           b => b)).cast("double") / numHashes)
       .where(col("est_sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("est_sim"), 4).as("est_sim"))
-      .orderBy("id1", "id2")
+    // `ordered = false` for consumers that discard ordering (the
+    // components build) — skips a global range-partition sort
+    if (ordered) scored.orderBy("id1", "id2") else scored
   }
 
   /** SimHash signatures per document (32-bit). */
@@ -188,13 +190,15 @@ object Dedup {
     * 100 TB run would checkpoint to reliable storage instead).
     * Termination is by fixpoint (a count per round), bounded by
     * `maxIters`. Output: (doc_id, comp). */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    // materialize the edge list ONCE: `sym` is referenced by every
-    // round's join, and without truncation each round would re-execute
-    // the whole upstream pipeline that produced the edges (e.g. the
-    // full MinHash-LSH build per iteration)
-    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    // materialize the edge list ONCE, symmetrized map-side in the same
+    // pass (a union of two selects would execute the upstream pipeline —
+    // e.g. the full MinHash-LSH build — twice): `sym` is referenced by
+    // every round's join
+    val sym = edges.select(explode(array(
+        struct(col("id1").as("src"), col("id2").as("dst")),
+        struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -211,9 +215,17 @@ object Dedup {
         .localCheckpoint()
       converged = updated.join(labels.withColumnRenamed("comp", "prev"), "id")
         .where(col("comp") =!= col("prev")).isEmpty
+      // superseded round's checkpointed blocks are no longer referenced
+      if (i > 0) labels.unpersist()
       labels = updated
       i += 1
     }
+    // wrong-but-silent is the one unacceptable outcome: a component
+    // wider than the round budget must fail loudly, not split
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "raise maxIters (component diameter exceeds the budget)")
+    sym.unpersist()
     labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
   }
 

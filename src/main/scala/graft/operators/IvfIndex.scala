@@ -112,6 +112,9 @@ object IvfIndex {
     * centroid set (driver-side, exact same cosine fold as the engines). */
   def probeCells(cents: Centroids, queryVec: Array[Float],
       nprobe: Int): Seq[Int] = {
+    // a zero-norm query makes every cosine 0/0 = NaN — probe ranking and
+    // scores would be silently arbitrary; reject request data up front
+    require(queryVec.exists(_ != 0.0f), "query vector must be non-zero")
     def cos(c: IndexedSeq[Double]): Double = {
       var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
       val n = math.min(c.length, queryVec.length)

@@ -102,19 +102,36 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       import graft.operators.IvfIndex
       val vecId = p.getOrElse("vecId",
         throw new IllegalArgumentException("vecId required")).toLong
-      IvfIndex.search(spark, dataDir, annCentroids, vecId,
-        k = p.getOrElse("k", "10").toInt,
-        nprobe = p.getOrElse("nprobe", "3").toInt)
+      val k = p.getOrElse("k", "10").toInt
+      val nprobe = p.getOrElse("nprobe", "3").toInt
+      if (k <= 0 || nprobe <= 0)
+        throw new IllegalArgumentException("k and nprobe must be positive")
+      val qRows = org.apache.spark.sql.functions.col("vec_id")
+      val q = spark.read.parquet(annIndexPath)
+        .where(qRows === vecId).select("embedding").collect()
+      if (q.isEmpty)
+        throw new IllegalArgumentException(s"unknown vecId $vecId")
+      IvfIndex.searchInvertedFile(spark, annIndexPath, annCentroids,
+        q(0).getSeq[Float](0).toArray, excludeId = Some(vecId),
+        k = k, nprobe = nprobe)
     })
     server.start()
     this
   }
 
-  /** The ANN endpoint's IVF centroids: trained once, on first use (the
-    * index-build step of an ANN service; queries then pay only the
-    * probe-and-score path). */
+  /** The ANN endpoint's index, built once on first use (the index-build
+    * step of an ANN service): trained centroids + the cell-partitioned
+    * inverted file, so each request reads only the probed cells'
+    * partitions instead of scanning and re-assigning the corpus. */
   private lazy val annCentroids: graft.operators.IvfIndex.Centroids =
     graft.operators.IvfIndex.train(spark, dataDir, cells = 8, iters = 2)
+  private lazy val annIndexPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("ann-index")
+      .resolve("index").toString
+    graft.operators.IvfIndex.buildInvertedFile(spark, dataDir,
+      annCentroids, p)
+    p
+  }
 
   def stop(): Unit = server.stop(0)
 }

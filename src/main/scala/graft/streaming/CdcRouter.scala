@@ -75,15 +75,6 @@ object CdcRouter {
     * Dim replay caveat: the upsert is idempotent per key (a replayed
     * epoch re-applies the same last-wins SETs), which matches the
     * reference's Redis SET semantics exactly. */
-  /** Read a dim table back (bucket layout column dropped). Call INSIDE
-    * foreachBatch for stream enrichment: a fresh read per epoch re-lists
-    * the swapped partition dirs, so updates applied by [[routeEachBatch]]
-    * between epochs are visible — a DataFrame captured once at stream
-    * start would pin the initial file listing. */
-  def readDim(spark: org.apache.spark.sql.SparkSession, dimDir: String,
-      table: String): DataFrame =
-    spark.read.parquet(s"$dimDir/$table").drop("bucket")
-
   def routeEachBatch(factDir: String, dimDir: String, config: DataFrame,
       numBuckets: Int = 16)(batch: DataFrame, epochId: Long): Unit = {
     val routed = route(normalizeOps(parse(batch)), config).persist()
@@ -105,4 +96,13 @@ object CdcRouter {
       }
     } finally routed.unpersist()
   }
+
+  /** Read a dim table back (bucket layout column dropped). Call INSIDE
+    * foreachBatch for stream enrichment: a fresh read per epoch re-lists
+    * the swapped partition dirs, so updates applied by [[routeEachBatch]]
+    * between epochs are visible — a DataFrame captured once at stream
+    * start would pin the initial file listing. */
+  def readDim(spark: org.apache.spark.sql.SparkSession, dimDir: String,
+      table: String): DataFrame =
+    spark.read.parquet(s"$dimDir/$table").drop("bucket")
 }

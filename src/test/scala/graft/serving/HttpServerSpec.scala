@@ -47,6 +47,10 @@ class HttpServerSpec extends SparkSpec {
       assert(ann.split("\\},\\{").length == 5)
       val (c7, _) = get(s"$base/annSearch") // missing vecId → 400
       assert(c7 == 400)
+      val (c8, _) = get(s"$base/annSearch?vecId=0&k=-1") // bad k → 400
+      assert(c8 == 400)
+      val (c9, _) = get(s"$base/annSearch?vecId=999999999") // unknown → 400
+      assert(c9 == 400)
     } finally srv.stop()
   }
 }
