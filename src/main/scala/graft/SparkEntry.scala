@@ -74,6 +74,8 @@ object SparkEntry {
     "q51_weighted_sample" -> ((s, d) =>
       Sampling.sampleByWeights(s, d, MixRecipe)),
     "q52_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "q54_knn_join" -> ((s, d) =>
+      Similarity.knnJoin(s, d, queryIds = Seq(0L, 1L, 2L, 3L), k = 5)),
     // —— Similarity search (extensions) ——
     "q26_ann_topk"        -> ((s, d) => Similarity.topK(s, d)),
     "q27_blocked_neardup" -> ((s, d) => Similarity.blockedNearDup(s, d)),
@@ -865,6 +867,19 @@ object SparkEntry {
            FROM s)
          SELECT label, rank, vec_id, score FROM r WHERE rank <= 3
          ORDER BY label, rank""",
+    "q54_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                     FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+         s AS (
+           SELECT q.query_id, e.vec_id,
+                  round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, vec_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+           FROM s)
+         SELECT query_id, rank, vec_id, score FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
     "q40_sessionize" ->
       """WITH e AS (
            SELECT user_id, ts::TIMESTAMP AS ts, event_id,

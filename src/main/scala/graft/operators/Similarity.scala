@@ -85,6 +85,38 @@ object Similarity {
       .orderBy("label", "rank")
   }
 
+  /** Batch k-NN join: top-k neighbors for EVERY query vector in a set
+    * (the batch ANN-serving shape — embed a query batch, join against
+    * the corpus). The query side is broadcast (Q rows), scoring is
+    * map-only over the corpus scan, and the typed TopK aggregator keeps
+    * at most k (score, id) pairs per query through the one shuffle —
+    * never the full Q×N score matrix. Output:
+    * (query_id, rank, vec_id, score). */
+  def knnJoin(spark: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        round(cosineNative(col("embedding"), col("q_embedding")), 6)
+          .as("score"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+    val agg = new graft.functions.TopKAggregator(k)
+    scored.groupByKey(_._1)
+      .mapValues { case (_, score, id) => (score, id) }
+      .agg(agg.toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("pair._2").as("vec_id"), col("pair._1").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label mean embedding ("label centroids") with the same
     * integer-exact aggregation as IVF training: component sums over
     * floor(v·1e6) longs are aggregation-order-independent, so the means

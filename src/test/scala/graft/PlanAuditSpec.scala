@@ -17,7 +17,7 @@ class PlanAuditSpec extends SparkSpec {
     * count, or q22's collected hot-shingle set). */
   private val bnljAllowed = Set(
     "q22_jaccard_pairs", "q26_ann_topk", "q32_detail_api", "q38_ivf_search",
-    "q41_topk_per_label")
+    "q41_topk_per_label", "q54_knn_join")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -49,7 +49,7 @@ class PlanAuditSpec extends SparkSpec {
     "q52_label_centroids" -> 2,
     // q53 is iterative: the audited plan is the post-checkpoint tail
     // (per-round shuffles run during construction, bounded by diameter)
-    "q53_neardup_components" -> 1)
+    "q53_neardup_components" -> 1, "q54_knn_join" -> 2)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

@@ -77,6 +77,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components equal brute-force transitive closure") {
+    val edgeGen = Gen.listOfN(25, Gen.zip(
+      Gen.chooseNum(1L, 15L), Gen.chooseNum(1L, 15L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    samples(edgeGen, 5).foreach { es =>
+      val edges = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("id1", "id2")
+      // brute force: repeated min-label relaxation over an adjacency map
+      val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      var comp = adj.keys.map(k => k -> k).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        adj.foreach { case (n, nbrs) =>
+          val m = (nbrs.map(comp) + comp(n)).min
+          if (m < comp(n)) { comp += n -> m; changed = true }
+        }
+      }
+      val got = graft.operators.Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == comp)
+    }
+  }
+
   test("salted join equals plain join on random key distributions") {
     val cases = samples(Gen.zip(
       Gen.listOfN(200, Gen.chooseNum(1L, 10L)), Gen.chooseNum(1, 7)), 5)
