@@ -77,6 +77,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("partition-scoped upsert equals an in-memory last-wins fold") {
+    val dayGen = Gen.oneOf("2024-01-01", "2024-01-02", "2024-01-03")
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 6L), dayGen, Gen.chooseNum(0, 99))
+    val epochsGen = Gen.listOfN(4, Gen.listOfN(6, rowGen)).suchThat(_.nonEmpty)
+    samples(epochsGen, 3).zipWithIndex.foreach { case (epochs, ci) =>
+      val out = java.nio.file.Files
+        .createTempDirectory(s"upsert_prop$ci").toString + "/t"
+      var expected = Map.empty[(Long, String), Int]
+      epochs.zipWithIndex.foreach { case (rows, ei) =>
+        // within an epoch, last occurrence of a key wins on both sides —
+        // dedup the batch the way a keyed micro-batch arrives deduped
+        val deduped = rows.groupBy(r => (r._1, r._2))
+          .map { case (_, vs) => vs.last }.toSeq
+        graft.streaming.DauStream.idempotentSinkEachBatch(
+          out, Seq("user_id", "dt"))(
+          deduped.toDF("user_id", "dt", "v"), ei.toLong)
+        expected ++= deduped.map(r => (r._1, r._2) -> r._3)
+      }
+      val got = spark.read.parquet(out)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("dt"))
+          -> r.getAs[Int]("v")).toMap
+      assert(got == expected, s"case $ci")
+    }
+  }
+
   test("connected components equal brute-force transitive closure") {
     val edgeGen = Gen.listOfN(25, Gen.zip(
       Gen.chooseNum(1L, 15L), Gen.chooseNum(1L, 15L)))
