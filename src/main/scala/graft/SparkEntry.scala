@@ -102,6 +102,10 @@ object SparkEntry {
     // —— SimHash banded near-dup, as-of join, deterministic sampling ——
     "q45_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q46_asof_join"       -> ((s, d) => AsofJoin.eventsWithLastOrder(s, d)),
+    // tolerance chosen to split the corpus (order→event gaps run
+    // ~8200–8800 days): roughly half the matches survive the bound
+    "q55_asof_tolerance"  -> ((s, d) =>
+      AsofJoin.eventsWithRecentOrder(s, d, toleranceDays = 8400)),
     "q47_hash_sample"     -> ((s, d) => Sampling.hashSample(s, d)),
     "q48_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // —— Windowed / ranked aggregations ——
@@ -729,6 +733,19 @@ object SparkEntry {
                 quantile_cont(n_chars, 0.5) AS p50,
                 quantile_cont(n_chars, 0.75) AS p75
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q55_asof_tolerance" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+         o AS (SELECT o_custkey AS user_id, o_orderdate::TIMESTAMP AS ots,
+                      max(o_orderkey) AS last_order_key
+               FROM orders GROUP BY 1, 2)
+         SELECT e.user_id, e.event_id,
+                strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                CASE WHEN o.ots IS NOT NULL
+                      AND date_diff('second', o.ots, e.ts) <= 725760000
+                     THEN o.last_order_key END AS last_order_key
+         FROM e ASOF LEFT JOIN o
+           ON e.user_id = o.user_id AND e.ts >= o.ots
+         ORDER BY e.user_id, e.event_id""",
     "q47_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT

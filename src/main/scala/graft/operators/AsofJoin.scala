@@ -28,18 +28,43 @@ object AsofJoin {
     * window's ordering is only total under that contract); `valueCols`
     * must not collide with `left` columns. */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-      valueCols: Seq[String]): DataFrame = {
-    val collisions = valueCols.toSet.intersect(left.columns.toSet)
+      valueCols: Seq[String]): DataFrame =
+    asofKeepTs(left, right, key, ts, valueCols).drop("__rts")
+
+  /** [[asof]] with a TOLERANCE: the match only counts if the right row
+    * is within `toleranceSeconds` before the left row (the feature-store
+    * contract "most recent reading, but not staler than X"). The matched
+    * right timestamp rides in the carrier struct, so staleness is
+    * decided per left row after the fill — same single-shuffle plan. */
+  def asofTolerance(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCols: Seq[String],
+      toleranceSeconds: Long): DataFrame = {
+    val withTs = asofKeepTs(left, right, key, ts, valueCols)
+    // interval arithmetic (not epoch casts): works for TIMESTAMP and
+    // TIMESTAMP_NTZ alike
+    val stale = col("__rts").isNull ||
+      col("__rts") < col(ts) - expr(s"INTERVAL $toleranceSeconds SECOND")
+    valueCols.foldLeft(withTs) { (df, c) =>
+        df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+      }
+      .drop("__rts")
+  }
+
+  /** Core: as-of fill that also surfaces the matched right timestamp as
+    * `__rts` (null if none) — the hook for tolerance filtering. The
+    * values ride in ONE struct that is non-null exactly on right rows:
+    * last(ignoreNulls) then tracks the latest right ROW, so a
+    * legitimately-null value in that row stays null instead of being
+    * resurrected from an older row (and multi-column values can never
+    * mix rows). */
+  private def asofKeepTs(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCols: Seq[String]): DataFrame = {
+    val collisions = (valueCols.toSet + "__rts").intersect(left.columns.toSet)
     require(collisions.isEmpty, s"valueCols collide with left: $collisions")
     val l = left.withColumn("__side", lit(1))
-    // the values ride in ONE struct that is non-null exactly on right
-    // rows: last(ignoreNulls) then tracks the latest right ROW, so a
-    // legitimately-null value in that row stays null instead of being
-    // resurrected from an older row (and multi-column values can never
-    // mix rows)
     val r = right.select(
       col(key), col(ts),
-      struct(valueCols.map(col): _*).as("__vals"),
+      struct((col(ts).as("__rts") +: valueCols.map(col)): _*).as("__vals"),
       lit(0).as("__side"))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
@@ -47,7 +72,7 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = u.withColumn("__vals",
       last(col("__vals"), ignoreNulls = true).over(w))
-    valueCols.foldLeft(filled) { (df, c) =>
+    ("__rts" +: valueCols).foldLeft(filled) { (df, c) =>
         df.withColumn(c, col(s"__vals.$c"))
       }
       .where(col("__side") === 1)
@@ -63,6 +88,22 @@ object AsofJoin {
       .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
       .agg(max("o_orderkey").as("last_order_key"))
     asof(e, o, "user_id", "ts", Seq("last_order_key"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("last_order_key"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** [[eventsWithLastOrder]] under a staleness bound: orders more than
+    * `toleranceDays` before the event don't count. */
+  def eventsWithRecentOrder(spark: SparkSession, dir: String,
+      toleranceDays: Int = 30): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_id", "ts")
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+      .agg(max("o_orderkey").as("last_order_key"))
+    asofTolerance(e, o, "user_id", "ts", Seq("last_order_key"),
+        toleranceSeconds = toleranceDays.toLong * 86400)
       .select(col("user_id"), col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("last_order_key"))

@@ -49,7 +49,8 @@ class PlanAuditSpec extends SparkSpec {
     "q52_label_centroids" -> 2,
     // q53 is iterative: the audited plan is the post-checkpoint tail
     // (per-round shuffles run during construction, bounded by diameter)
-    "q53_neardup_components" -> 1, "q54_knn_join" -> 2)
+    "q53_neardup_components" -> 1, "q54_knn_join" -> 2,
+    "q55_asof_tolerance" -> 3)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

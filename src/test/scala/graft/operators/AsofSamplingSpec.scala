@@ -40,6 +40,19 @@ class AsofSamplingSpec extends SparkSpec {
     assert(got.length == 1 && got(0).isNullAt(0))
   }
 
+  test("asof tolerance nulls matches staler than the bound") {
+    val left = Seq(
+      (1L, 10L, t("2024-01-05 00:00:00")),  // 1 day after B → within 2d
+      (1L, 11L, t("2024-01-09 00:00:00")))  // 5 days after B → staled
+      .toDF("k", "ev", "ts")
+    val right = Seq((1L, t("2024-01-04 00:00:00"), "B")).toDF("k", "ts", "v")
+    val got = AsofJoin.asofTolerance(left, right, "k", "ts", Seq("v"),
+        toleranceSeconds = 2L * 86400)
+      .select("ev", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(10L -> Some("B"), 11L -> None))
+  }
+
   test("asof join rejects colliding value columns") {
     val df = Seq((1L, t("2024-01-01 00:00:00"), "x")).toDF("k", "ts", "v")
     intercept[IllegalArgumentException] {
