@@ -741,7 +741,7 @@ object SparkEntry {
          SELECT e.user_id, e.event_id,
                 strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
                 CASE WHEN o.ots IS NOT NULL
-                      AND date_diff('second', o.ots, e.ts) <= 725760000
+                      AND o.ots >= e.ts - INTERVAL 725760000 SECOND
                      THEN o.last_order_key END AS last_order_key
          FROM e ASOF LEFT JOIN o
            ON e.user_id = o.user_id AND e.ts >= o.ots

@@ -29,7 +29,7 @@ object AsofJoin {
     * must not collide with `left` columns. */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
       valueCols: Seq[String]): DataFrame =
-    asofKeepTs(left, right, key, ts, valueCols).drop("__rts")
+    asofCore(left, right, key, ts, valueCols, keepTs = false)
 
   /** [[asof]] with a TOLERANCE: the match only counts if the right row
     * is within `toleranceSeconds` before the left row (the feature-store
@@ -39,7 +39,7 @@ object AsofJoin {
   def asofTolerance(left: DataFrame, right: DataFrame, key: String,
       ts: String, valueCols: Seq[String],
       toleranceSeconds: Long): DataFrame = {
-    val withTs = asofKeepTs(left, right, key, ts, valueCols)
+    val withTs = asofCore(left, right, key, ts, valueCols, keepTs = true)
     // interval arithmetic (not epoch casts): works for TIMESTAMP and
     // TIMESTAMP_NTZ alike
     val stale = col("__rts").isNull ||
@@ -50,21 +50,26 @@ object AsofJoin {
       .drop("__rts")
   }
 
-  /** Core: as-of fill that also surfaces the matched right timestamp as
-    * `__rts` (null if none) — the hook for tolerance filtering. The
-    * values ride in ONE struct that is non-null exactly on right rows:
-    * last(ignoreNulls) then tracks the latest right ROW, so a
-    * legitimately-null value in that row stays null instead of being
-    * resurrected from an older row (and multi-column values can never
-    * mix rows). */
-  private def asofKeepTs(left: DataFrame, right: DataFrame, key: String,
-      ts: String, valueCols: Seq[String]): DataFrame = {
-    val collisions = (valueCols.toSet + "__rts").intersect(left.columns.toSet)
+  /** Core: as-of fill; with `keepTs` the matched right timestamp is also
+    * surfaced as `__rts` (null if none) — the hook for tolerance
+    * filtering (the plain path skips it so the shuffle doesn't carry a
+    * dead timestamp copy). The values ride in ONE struct that is
+    * non-null exactly on right rows: last(ignoreNulls) then tracks the
+    * latest right ROW, so a legitimately-null value in that row stays
+    * null instead of being resurrected from an older row (and
+    * multi-column values can never mix rows). */
+  private def asofCore(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCols: Seq[String], keepTs: Boolean): DataFrame = {
+    val outCols = if (keepTs) "__rts" +: valueCols else valueCols
+    val collisions = outCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"valueCols collide with left: $collisions")
+    val structFields =
+      if (keepTs) col(ts).as("__rts") +: valueCols.map(col)
+      else valueCols.map(col)
     val l = left.withColumn("__side", lit(1))
     val r = right.select(
       col(key), col(ts),
-      struct((col(ts).as("__rts") +: valueCols.map(col)): _*).as("__vals"),
+      struct(structFields: _*).as("__vals"),
       lit(0).as("__side"))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
@@ -72,7 +77,7 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = u.withColumn("__vals",
       last(col("__vals"), ignoreNulls = true).over(w))
-    ("__rts" +: valueCols).foldLeft(filled) { (df, c) =>
+    outCols.foldLeft(filled) { (df, c) =>
         df.withColumn(c, col(s"__vals.$c"))
       }
       .where(col("__side") === 1)
@@ -82,28 +87,26 @@ object AsofJoin {
   /** Demonstration query: each event joined to the user's most recent
     * order at-or-before the event time (orders deduped to one row per
     * (customer, order date) — max orderkey wins, deterministically). */
-  def eventsWithLastOrder(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).select("user_id", "event_id", "ts")
-    val o = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
-      .agg(max("o_orderkey").as("last_order_key"))
-    asof(e, o, "user_id", "ts", Seq("last_order_key"))
-      .select(col("user_id"), col("event_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
-        col("last_order_key"))
-      .orderBy("user_id", "event_id")
-  }
+  def eventsWithLastOrder(spark: SparkSession, dir: String): DataFrame =
+    eventsOrdersDemo(spark, dir, asof(_, _, "user_id", "ts",
+      Seq("last_order_key")))
 
   /** [[eventsWithLastOrder]] under a staleness bound: orders more than
     * `toleranceDays` before the event don't count. */
   def eventsWithRecentOrder(spark: SparkSession, dir: String,
-      toleranceDays: Int = 30): DataFrame = {
+      toleranceDays: Int = 30): DataFrame =
+    eventsOrdersDemo(spark, dir, asofTolerance(_, _, "user_id", "ts",
+      Seq("last_order_key"), toleranceSeconds = toleranceDays.toLong * 86400))
+
+  /** Shared demo-query scaffolding: events as-of-joined to orders deduped
+    * per (customer, order date) — max orderkey wins, deterministically. */
+  private def eventsOrdersDemo(spark: SparkSession, dir: String,
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val e = Tables.events(spark, dir).select("user_id", "event_id", "ts")
     val o = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
       .agg(max("o_orderkey").as("last_order_key"))
-    asofTolerance(e, o, "user_id", "ts", Seq("last_order_key"),
-        toleranceSeconds = toleranceDays.toLong * 86400)
+    join(e, o)
       .select(col("user_id"), col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
         col("last_order_key"))

@@ -70,19 +70,32 @@ object Similarity {
       .select(col("embedding").as("q_embedding"))
     val scored = emb.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col("label"),
+      .select(col("label").cast("long"),
         round(cosineNative(col("embedding"), col("q_embedding")), 6).as("score"),
         col("vec_id"))
-      .as[(Int, Double, Long)]
+      .as[(Long, Double, Long)]
+    topKExplode(scored, k, "label")
+      .select(col("label").cast("int").as("label"), col("rank"),
+        col("vec_id"), col("score"))
+      .orderBy("label", "rank")
+  }
+
+  /** Shared top-k-per-group shape: group the (key, score, id) relation,
+    * fold through the k-bounded [[graft.functions.TopKAggregator]]
+    * (ties: score desc, id asc — matching the oracles' ORDER BY), then
+    * explode the per-group buffer to (key, rank, vec_id, score) rows. */
+  private def topKExplode(
+      scored: org.apache.spark.sql.Dataset[(Long, Double, Long)], k: Int,
+      keyName: String): DataFrame = {
+    import scored.sparkSession.implicits._
     val agg = new graft.functions.TopKAggregator(k)
     scored.groupByKey(_._1)
       .mapValues { case (_, score, id) => (score, id) }
       .agg(agg.toColumn.name("top"))
-      .toDF("label", "top")
-      .select(col("label"), posexplode(col("top")).as(Seq("pos", "pair")))
-      .select(col("label"), (col("pos") + 1).cast("long").as("rank"),
+      .toDF(keyName, "top")
+      .select(col(keyName), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col(keyName), (col("pos") + 1).cast("long").as("rank"),
         col("pair._2").as("vec_id"), col("pair._1").as("score"))
-      .orderBy("label", "rank")
   }
 
   /** Batch k-NN join: top-k neighbors for EVERY query vector in a set
@@ -106,14 +119,7 @@ object Similarity {
           .as("score"),
         col("vec_id"))
       .as[(Long, Double, Long)]
-    val agg = new graft.functions.TopKAggregator(k)
-    scored.groupByKey(_._1)
-      .mapValues { case (_, score, id) => (score, id) }
-      .agg(agg.toColumn.name("top"))
-      .toDF("query_id", "top")
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("pair._2").as("vec_id"), col("pair._1").as("score"))
+    topKExplode(scored, k, "query_id")
       .orderBy("query_id", "rank")
   }
 

@@ -13,8 +13,9 @@ package graft
 class PlanAuditSpec extends SparkSpec {
 
   /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
-    * a broadcast crossJoin against a 1-row relation (query vector, total
-    * count, or q22's collected hot-shingle set). */
+    * a broadcast crossJoin against a tiny bounded relation — a 1-row
+    * query vector / total count / collected hot-shingle set, or q54's
+    * Q-row query batch. */
   private val bnljAllowed = Set(
     "q22_jaccard_pairs", "q26_ann_topk", "q32_detail_api", "q38_ivf_search",
     "q41_topk_per_label", "q54_knn_join")
