@@ -99,6 +99,22 @@ object SparkEntry {
       val cents = IvfIndex.train(s, d, cells = 8, iters = 2)
       IvfIndex.search(s, d, cents, queryId = 0L, k = 10, nprobe = 3)
     }),
+    // the 100 TB search path, oracle-gated: assignments MATERIALIZED as a
+    // cell-partitioned inverted file, so the probe filter prunes whole
+    // partition directories at the scan (PartitionFilters — asserted by
+    // IvfIndexSpec/PlanAuditSpec) instead of re-assigning the corpus per
+    // query. Same trained centroids / probes / scoring as q38, so the
+    // same unrolled-Lloyd DuckDB oracle applies verbatim.
+    "q56_ivf_file_search" -> ((s, d) => {
+      val cents = IvfIndex.train(s, d, cells = 8, iters = 2)
+      val idx = java.nio.file.Files.createTempDirectory("ivf-file")
+        .resolve("index").toString
+      IvfIndex.buildInvertedFile(s, d, cents, idx)
+      val qv = Tables.embeddings(s, d).where(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.searchInvertedFile(s, idx, cents, qv, excludeId = Some(0L),
+        k = 10, nprobe = 3)
+    }),
     // —— SimHash banded near-dup, as-of join, deterministic sampling ——
     "q45_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q46_asof_join"       -> ((s, d) => AsofJoin.eventsWithLastOrder(s, d)),
@@ -272,6 +288,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q38_ivf_search" ->
+      ivfSearchSql(cells = 8, iters = 2, nprobe = 3, k = 10, queryId = 0L),
+    // q56 materializes the same assignment to disk before searching — the
+    // result (and so the oracle) is identical to the in-flight q38 path
+    "q56_ivf_file_search" ->
       ivfSearchSql(cells = 8, iters = 2, nprobe = 3, k = 10, queryId = 0L),
     "q01_dau_total" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau

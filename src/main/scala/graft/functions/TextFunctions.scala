@@ -61,15 +61,44 @@ object TextFunctions {
   }
 
   /** Composite quality score in [0,1]: token-count band + stopword presence
-    * − punctuation penalty. Deterministic, SQL-replicable. */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text)
-    val lenScore = when(n >= 20 && n <= 1000, lit(0.5))
-      .when(n >= 5, lit(0.25)).otherwise(lit(0.0))
-    val stopScore = when(stopwordRatio(text) >= 0.05, lit(0.3)).otherwise(lit(0.0))
-    val punctPenalty = when(punctRatio(text) > 0.2, lit(-0.2)).otherwise(lit(0.0))
-    round(lenScore + stopScore + lit(0.2) + punctPenalty, 2)
-  }
+    * − punctuation penalty. Deterministic, SQL-replicable.
+    *
+    * Shape matters (same trap as [[minHashSignature]]): composing
+    * `tokenCount + stopwordRatio + punctRatio` as separate Columns inlines
+    * the tokenization subtree ~6 times — Catalyst does no CSE inside an
+    * expression tree. Here everything rides ONE `aggregate` fold: the
+    * token array is the fold input (split runs once), the two char-level
+    * regex counts ride in the zero struct (each runs once), and the finish
+    * lambda derives the score from the accumulator — lambda-variable
+    * references are bound values, not re-executed subtrees. Net: one
+    * tokenization + two regex passes per doc, period. */
+  def qualityScore(text: Column): Column =
+    aggregate(
+      tokens(text),
+      struct(lit(0L).as("n"), lit(0L).as("nstop"),
+        length(regexp_replace(text, "\\s+", "")).cast("long").as("nonspace"),
+        length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("long").as("npunct")),
+      (acc, t) => struct(
+        (acc.getField("n") + lit(1L)).as("n"),
+        (acc.getField("nstop") +
+          when(t.isin(enStopwords: _*), lit(1L)).otherwise(lit(0L))).as("nstop"),
+        acc.getField("nonspace").as("nonspace"),
+        acc.getField("npunct").as("npunct")),
+      acc => {
+        val n = acc.getField("n")
+        // identical arithmetic (operand values AND order) to the split-out
+        // stopwordRatio/punctRatio forms, so q20/q50 oracles stay bitwise
+        val stopRaw = when(n === 0, lit(0.0))
+          .otherwise(acc.getField("nstop").cast("double") / n.cast("double"))
+        val punctRaw = when(acc.getField("nonspace") === 0, lit(0.0))
+          .otherwise(acc.getField("npunct").cast("double") /
+            acc.getField("nonspace").cast("double"))
+        val lenScore = when(n >= 20 && n <= 1000, lit(0.5))
+          .when(n >= 5, lit(0.25)).otherwise(lit(0.0))
+        val stopScore = when(stopRaw >= 0.05, lit(0.3)).otherwise(lit(0.0))
+        val punctPenalty = when(punctRaw > 0.2, lit(-0.2)).otherwise(lit(0.0))
+        round(lenScore + stopScore + lit(0.2) + punctPenalty, 2)
+      })
 
   /** Canonical-form document fingerprint: md5 of lowercased,
     * whitespace-collapsed text — exact-dedup key that survives trivial

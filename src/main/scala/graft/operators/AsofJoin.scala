@@ -77,8 +77,13 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = u.withColumn("__vals",
       last(col("__vals"), ignoreNulls = true).over(w))
+    // null keys never match: the window partitions null keys together, so
+    // without the guard a null-key left row would be "filled" from a
+    // null-key right row — SQL join semantics (and the DuckDB ASOF
+    // oracle) say a null key matches nothing
     outCols.foldLeft(filled) { (df, c) =>
-        df.withColumn(c, col(s"__vals.$c"))
+        df.withColumn(c,
+          when(col(key).isNull, lit(null)).otherwise(col(s"__vals.$c")))
       }
       .where(col("__side") === 1)
       .drop("__side", "__vals")

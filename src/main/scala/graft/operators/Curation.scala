@@ -26,14 +26,24 @@ object Curation {
   def curate(spark: SparkSession, dir: String, minQuality: Double = 0.5,
       quotaPerLang: Int = 100, salt: String = "curate"): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // fp AND quality in the scan-side projection, then `text` is DROPPED:
+    // the fp-window shuffle carries only (doc_id, lang, fp, quality) —
+    // ~50 B/row instead of the document body, which at 100 TB is the
+    // difference between shuffling the corpus and shuffling a key table.
+    // quality is a single-fold expression (see TextFunctions.qualityScore)
+    // evaluated exactly once per doc here; downstream filters reference
+    // the materialized column, and the quality predicate cannot be pushed
+    // below the window (not a partition key), so it is never re-derived
+    // from text. Semantics unchanged: dedup picks keepers by (fp, doc_id)
+    // alone, THEN the quality gate applies to keepers.
     val keepers = docs
-      .select(col("doc_id"), col("lang"), col("text"),
-        fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("lang"),
+        fingerprint(col("text")).as("fp"),
+        qualityScore(col("text")).as("quality"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("fp").orderBy("doc_id")))
       .where(col("rn") === 1)
     keepers
-      .withColumn("quality", qualityScore(col("text")))
       .where(col("quality") >= minQuality)
       .withColumn("rk", Sampling.hashRank("lang", salt))
       .where(col("rk") <= quotaPerLang)

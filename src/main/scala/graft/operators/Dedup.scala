@@ -77,15 +77,15 @@ object Dedup {
     // cache: the exploded index feeds the df-count and both self-join
     // sides — uncached, each re-scans the docs and re-shingles (the
     // dominant cost of this operator)
-    val idx0 = shingleIndex(docs, shingleK).cache()
+    val idx0 = graft.Caches.register(shingleIndex(docs, shingleK).cache())
     // cache: consumed by both the anti-join broadcast and the hotArr
     // collect below — different plan shapes, so without it the full
     // index aggregation would run twice
-    val hot = idx0
+    val hot = graft.Caches.register(idx0
       .groupBy("token").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
       .select("token")
-      .cache()
+      .cache())
     val idx = idx0.join(broadcast(hot), Seq("token"), "left_anti")
     // capped set sizes WITHOUT an aggregation pass: the hot set is tiny
     // (few shingles can exceed maxDf docs), so collect it into a 1-row
@@ -143,7 +143,8 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // cache: referenced three times below (banding + both verify sides);
     // without it each reference re-scans documents and re-hashes shingles
-    val sigs = signatureArrays(spark, dir, shingleK, numHashes).cache()
+    val sigs = graft.Caches.register(
+      signatureArrays(spark, dir, shingleK, numHashes).cache())
     // band key = md5 of the ordered hash values inside the band
     val bandKeys = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -180,16 +181,25 @@ object Dedup {
 
   /** Connected components over a near-dup edge list (id1, id2) — the
     * dedup DECISION step: pairwise edges become groups, each labeled by
-    * its minimum member id (the keeper). Iterative min-label
-    * propagation: each round, every node adopts the smallest label in
-    * its neighborhood; converges in O(component diameter) rounds —
-    * near-dup clusters are dense and shallow, so a handful. Each round
-    * is one join + one agg (shuffles on the node id), and the label
-    * frame is `localCheckpoint`ed so lineage doesn't stack across
-    * rounds (the standard iterative-algorithm discipline on Spark; a
-    * 100 TB run would checkpoint to reliable storage instead).
-    * Termination is by fixpoint (a count per round), bounded by
-    * `maxIters`. Output: (doc_id, comp). */
+    * its minimum member id (the keeper). Iterative min-label propagation
+    * WITH SHORTCUTTING: each round every node adopts
+    * min(own label, smallest neighbor label, its label's own label) —
+    * the pointer-jumping term halves the remaining label-chain length
+    * each round, so convergence is O(log diameter) rounds instead of
+    * O(diameter) (a 100-node path converges in ~7 rounds, not 100; the
+    * path-graph property test pins this). The invariant both steps keep
+    * is "comp(v) is the id of some node in v's component", and labels
+    * only decrease, so the fixpoint is the component minimum.
+    *
+    * Per round: ONE materializing action (the eager localCheckpoint) —
+    * the convergence signal is a `changed` column computed in the same
+    * projection and read back with a filter scan over the materialized
+    * blocks, NOT a separate join against the previous labels (the
+    * round-4 finding: the extra convergence join tripled per-round job
+    * cost). Lineage is truncated every round by the checkpoint (a 100 TB
+    * run would checkpoint to reliable storage instead). Termination is
+    * bounded by `maxIters` and non-convergence fails loudly.
+    * Output: (doc_id, comp). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     // materialize the edge list ONCE, symmetrized map-side in the same
     // pass (a union of two selects would execute the upstream pipeline —
@@ -200,8 +210,12 @@ object Dedup {
         struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    // checkpoint the seed labels too: each round references `labels`
+    // twice (neighbor join + pointer-jump join) — materialized blocks
+    // make the second reference a block read, not a recompute
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -209,14 +223,20 @@ object Dedup {
         .join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id"))
         .agg(min("comp").as("ncomp"))
+      val jump = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
       val updated = labels.join(neighborMin, Seq("id"), "left")
+        .join(jump, col("comp") === col("jid"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp")),
+            coalesce(col("jcomp"), col("comp"))).as("next"),
+          col("comp").as("prev"))
+        .select(col("id"), col("next").as("comp"),
+          (col("next") =!= col("prev")).as("changed"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .where(col("comp") =!= col("prev")).isEmpty
-      // superseded round's checkpointed blocks are no longer referenced
-      if (i > 0) labels.unpersist()
+      // fused convergence read: a filter over the blocks just written —
+      // no join, no recomputation
+      converged = updated.where(col("changed")).isEmpty
+      labels.unpersist()
       labels = updated
       i += 1
     }
@@ -268,7 +288,7 @@ object Dedup {
     require(bits % bands == 0, s"bands must divide bits")
     val w = bits / bands
     // cache: both sides of the band self-join derive from it
-    val clusters = simhashClusters(spark, dir, bits).cache()
+    val clusters = graft.Caches.register(simhashClusters(spark, dir, bits).cache())
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * w)
@@ -279,16 +299,24 @@ object Dedup {
         explode(array(bandCols: _*)).as("bv"))
       .select(col("simhash"), col("keep_id"), col("n_members"),
         col("bv.band").as("band"), col("bv.bval").as("bval"))
+    // hamming BEFORE distinct: the popcount filter is a few cycles per
+    // pair while distinct is a shuffle — filtering first means the dedup
+    // exchange carries only the pairs that survive (at sf0.1 that is the
+    // difference between shuffling ~800k band collisions and the handful
+    // of true near-dups; at 100 TB it is the plan's scale cost). The
+    // filter references both join sides, so Catalyst folds it into the
+    // join condition — rejected pairs die inside the join task.
+    // (id1, id2) functionally determines hamming/n1/n2 (keep_id is unique
+    // per cluster), so distinct over the five columns IS pair-dedup.
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col("x.keep_id") < col("y.keep_id"))
       .select(col("x.keep_id").as("id1"), col("y.keep_id").as("id2"),
-        col("x.simhash").as("s1"), col("y.simhash").as("s2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"),
         col("x.n_members").as("n1"), col("y.n_members").as("n2"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
       .select("id1", "id2", "hamming", "n1", "n2")
       .orderBy("id1", "id2")
   }

@@ -69,7 +69,9 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
 
   private def handler(fn: Map[String, String] => DataFrame): HttpHandler =
     (ex: HttpExchange) =>
-      try respond(ex, 200, asJson(fn(params(ex))))
+      // release operator-internal cached carriers once the response is
+      // materialized — a long-lived server must not accrete query caches
+      try { respond(ex, 200, asJson(fn(params(ex)))); graft.Caches.releaseAll() }
       catch {
         // NumberFormatException (malformed pageNo/pageSize) is an
         // IllegalArgumentException: both are the caller's fault → 400
@@ -106,9 +108,14 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       val nprobe = p.getOrElse("nprobe", "3").toInt
       if (k <= 0 || nprobe <= 0)
         throw new IllegalArgumentException("k and nprobe must be positive")
-      val qRows = org.apache.spark.sql.functions.col("vec_id")
-      val q = spark.read.parquet(annIndexPath)
-        .where(qRows === vecId).select("embedding").collect()
+      // the query embedding comes from the SOURCE table, not the inverted
+      // file: vec_id is not the index's partition key, so a lookup there
+      // would scan every cell partition before the pruned search even
+      // starts — against the source parquet the pushed vec_id filter
+      // row-group-skips and reads two columns
+      val q = graft.Tables.embeddings(spark, dataDir)
+        .where(org.apache.spark.sql.functions.col("vec_id") === vecId)
+        .select("embedding").collect()
       if (q.isEmpty)
         throw new IllegalArgumentException(s"unknown vecId $vecId")
       IvfIndex.searchInvertedFile(spark, annIndexPath, annCentroids,

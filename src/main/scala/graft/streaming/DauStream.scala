@@ -74,13 +74,16 @@ object DauStream {
     * keys instead of duplicating them.
     *
     * PARTITION-SCOPED (see [[PartitionedUpsert]]): only the partitions
-    * present in the batch are rewritten — `dt` directories when the
-    * batch carries a `dt` column (one day's slice per epoch), else
-    * `numBuckets` crc32 hash buckets of the key columns. Untouched
-    * partitions are not even read. */
+    * present in the batch are rewritten — `dt` directories when `dt` is
+    * one of the merge KEYS (one day's slice per epoch), else `numBuckets`
+    * crc32 hash buckets of the key columns. Untouched partitions are not
+    * even read. The branch is decided by `keys`, not by what columns the
+    * batch happens to carry: dt-scoped merging is only last-wins-correct
+    * when dt is part of the logical key (otherwise the same key under two
+    * dates would silently yield two rows). */
   def idempotentSinkEachBatch(outDir: String, keys: Seq[String],
       numBuckets: Int = 16)(batch: DataFrame, epochId: Long): Unit =
-    if (batch.columns.contains("dt"))
+    if (keys.contains("dt"))
       PartitionedUpsert.upsert(batch, outDir, "dt", keys.filterNot(_ == "dt"))
     else
       PartitionedUpsert.upsert(

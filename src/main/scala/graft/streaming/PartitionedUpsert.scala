@@ -53,11 +53,20 @@ object PartitionedUpsert {
         val slice = incoming.where(col(partCol) <=> lit(v)).drop(partCol)
         val cur = new File(dir)
         val merged =
-          if (cur.exists() && Option(cur.list()).exists(_.nonEmpty))
-            spark.read.parquet(dir)
-              .join(slice.select(mergeKeys.map(col): _*), mergeKeys, "left_anti")
+          if (cur.exists() && Option(cur.list()).exists(_.nonEmpty)) {
+            // null-safe anti-join per merge key: a plain equality join
+            // never matches null keys, so a stored null-key row would
+            // survive every epoch and each replay would append another
+            // copy — silently breaking last-wins idempotence for exactly
+            // the malformed rows (e.g. CDC payloads missing the id field)
+            // most likely to be replayed
+            val existing = spark.read.parquet(dir)
+            val incKeys = slice.select(mergeKeys.map(col): _*)
+            val sameKey = mergeKeys.map(k => existing(k) <=> incKeys(k))
+              .reduce(_ && _)
+            existing.join(incKeys, sameKey, "left_anti")
               .unionByName(slice, allowMissingColumns = true)
-          else slice
+          } else slice
         merged.write.mode("overwrite").parquet(s"$outDir/.$part.tmp")
         AtomicSwap.publish(s"$outDir/.$part.tmp", dir, s"$outDir/.$part.old")
       }

@@ -51,7 +51,11 @@ class PlanAuditSpec extends SparkSpec {
     // q53 is iterative: the audited plan is the post-checkpoint tail
     // (per-round shuffles run during construction, bounded by diameter)
     "q53_neardup_components" -> 1, "q54_knn_join" -> 2,
-    "q55_asof_tolerance" -> 3)
+    "q55_asof_tolerance" -> 3,
+    // q56: scan of the materialized inverted file → map-only scoring →
+    // TakeOrderedAndProject; the index build/train run before the audited
+    // plan exists
+    "q56_ivf_file_search" -> 0)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

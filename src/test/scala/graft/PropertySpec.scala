@@ -128,6 +128,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components converge on a 100-node path in O(log n) rounds") {
+    // worst-case diameter: a path graph. Plain min-label propagation needs
+    // ~n rounds (would blow any sane maxIters); the pointer-jumping term
+    // in each round halves the remaining label-chain, so 10 rounds must
+    // suffice for n=100 (2^9 > 100)
+    val n = 100L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = graft.operators.Dedup.connectedComponents(edges, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n.toInt)
+    assert(got.forall(_._2 == 1L))
+  }
+
   test("salted join equals plain join on random key distributions") {
     val cases = samples(Gen.zip(
       Gen.listOfN(200, Gen.chooseNum(1L, 10L)), Gen.chooseNum(1, 7)), 5)
