@@ -62,6 +62,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(missing.isEmpty, s"no baseline for: $missing")
   }
 
+  test("q50 shuffles carry curation keys, never the document body") {
+    // the round-4 scale-killer: the fp-dedup exchange used to ship the
+    // full `text` column. Assert at the attribute level that no shuffle
+    // in the curation plan outputs it (AQE off so ShuffleExchangeExec
+    // nodes are directly collectable from the executed plan).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Curation.curate(spark, sf)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected the fp/lang rank shuffles")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"shuffle carries the corpus body: ${e.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name plan: no cartesian, no stray NLJ, shuffles within baseline") {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString()

@@ -27,6 +27,24 @@ class AsofSamplingSpec extends SparkSpec {
       12L -> None, 20L -> None))
   }
 
+  test("asof join: null keys never match (SQL join semantics)") {
+    // the window partitions null keys together, but a null key matches
+    // nothing in SQL (and in the DuckDB ASOF oracle) — a null-key left
+    // row must come back unfilled even when a null-key right row exists
+    val left = Seq(
+      (Option(1L), 10L, t("2024-01-05 00:00:00")),
+      (Option.empty[Long], 11L, t("2024-01-05 00:00:00")))
+      .toDF("k", "ev", "ts")
+    val right = Seq(
+      (Option(1L), t("2024-01-02 00:00:00"), "A"),
+      (Option.empty[Long], t("2024-01-02 00:00:00"), "X"))
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asof(left, right, "k", "ts", Seq("v"))
+      .select("ev", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(10L -> Some("A"), 11L -> None), s"got $got")
+  }
+
   test("asof join: a null value in the latest right row stays null") {
     // the latest right row wins as a ROW — its null value must not be
     // back-filled from an older right row

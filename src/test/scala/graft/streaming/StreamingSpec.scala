@@ -209,6 +209,40 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot(s"$out/dt=2024-01-01") == day1Before)
   }
 
+  test("PartitionedUpsert replay does not duplicate null-merge-key rows") {
+    // a row whose merge-key value is null (e.g. a CDC payload missing the
+    // id field) must still be shadowed by a replayed epoch: the anti-join
+    // is null-safe per key, so last-wins idempotence holds for malformed
+    // rows too
+    val out = tmpDir("nullkey") + "/t"
+    val batch = Seq((Option(1L), "2024-01-01", "a"),
+        (Option.empty[Long], "2024-01-01", "b"))
+      .toDF("k", "dt", "v")
+    PartitionedUpsert.upsert(batch, out, "dt", Seq("k"))
+    PartitionedUpsert.upsert(batch, out, "dt", Seq("k")) // replayed epoch
+    val rows = spark.read.parquet(out)
+      .select("k", "v").collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(rows == Set((Some(1L), "a"), (None, "b")),
+      s"replay duplicated or dropped rows: $rows")
+  }
+
+  test("idempotentSinkEachBatch keys the branch on `keys`, not batch columns") {
+    // batch carries a dt column but dt is NOT a merge key: the same key
+    // under two dates must collapse to ONE row (global last-wins via the
+    // bucket branch), not two dt-scoped rows
+    val out = tmpDir("dtnotkey") + "/t"
+    DauStream.idempotentSinkEachBatch(out, Seq("user_id"))(
+      Seq((1L, "2024-01-01", "a")).toDF("user_id", "dt", "v"), 0L)
+    DauStream.idempotentSinkEachBatch(out, Seq("user_id"))(
+      Seq((1L, "2024-01-02", "b")).toDF("user_id", "dt", "v"), 1L)
+    val rows = spark.read.parquet(out)
+      .select("user_id", "dt", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "2024-01-02", "b")),
+      s"dt-scoped merge leaked through for a non-dt key: $rows")
+  }
+
   test("PartitionedUpsert heals crashed per-partition swaps before writing") {
     val out = tmpDir("crash") + "/t"
     def t(s: String) = java.sql.Timestamp.valueOf(s)
