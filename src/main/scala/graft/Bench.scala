@@ -14,7 +14,7 @@ object Bench {
     // the plan, not JIT/first-scan noise (round-4 shared-query drift was
     // mostly this). Caches are released between runs so every timing is a
     // cold-data / warm-JVM measurement, not a warm-cache one.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -107,8 +107,10 @@ object SparkEntry {
     // same unrolled-Lloyd DuckDB oracle applies verbatim.
     "q56_ivf_file_search" -> ((s, d) => {
       val cents = IvfIndex.train(s, d, cells = 8, iters = 2)
-      val idx = java.nio.file.Files.createTempDirectory("ivf-file")
-        .resolve("index").toString
+      // ONE deterministic scratch path, overwritten per invocation —
+      // a fresh createTempDirectory per call would accrete a full copy
+      // of the embeddings table on every bench/verify/plan-audit run
+      val idx = sys.props("java.io.tmpdir") + "/graft-q56-index"
       IvfIndex.buildInvertedFile(s, d, cents, idx)
       val qv = Tables.embeddings(s, d).where(col("vec_id") === 0L)
         .select("embedding").head.getSeq[Float](0).toArray

@@ -73,7 +73,10 @@ object TextFunctions {
     * references are bound values, not re-executed subtrees. Net: one
     * tokenization + two regex passes per doc, period. */
   def qualityScore(text: Column): Column =
-    aggregate(
+    // null text: the fold would null-propagate, but the pre-fold form
+    // fell through every `when` to its otherwise and scored
+    // 0.0 + 0.0 + 0.2 + 0.0 — keep that contract (and the [0,1] range)
+    when(text.isNull, lit(0.2)).otherwise(aggregate(
       tokens(text),
       struct(lit(0L).as("n"), lit(0L).as("nstop"),
         length(regexp_replace(text, "\\s+", "")).cast("long").as("nonspace"),
@@ -98,7 +101,7 @@ object TextFunctions {
         val stopScore = when(stopRaw >= 0.05, lit(0.3)).otherwise(lit(0.0))
         val punctPenalty = when(punctRaw > 0.2, lit(-0.2)).otherwise(lit(0.0))
         round(lenScore + stopScore + lit(0.2) + punctPenalty, 2)
-      })
+      }))
 
   /** Canonical-form document fingerprint: md5 of lowercased,
     * whitespace-collapsed text — exact-dedup key that survives trivial

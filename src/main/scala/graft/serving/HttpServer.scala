@@ -69,9 +69,7 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
 
   private def handler(fn: Map[String, String] => DataFrame): HttpHandler =
     (ex: HttpExchange) =>
-      // release operator-internal cached carriers once the response is
-      // materialized — a long-lived server must not accrete query caches
-      try { respond(ex, 200, asJson(fn(params(ex)))); graft.Caches.releaseAll() }
+      try respond(ex, 200, asJson(fn(params(ex))))
       catch {
         // NumberFormatException (malformed pageNo/pageSize) is an
         // IllegalArgumentException: both are the caller's fault → 400
@@ -81,6 +79,11 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
           respond(ex, 500,
             s"""{"error":"${jsonEscape(e.getClass.getSimpleName)}"}""")
       }
+      // release operator-internal cached carriers whether the request
+      // succeeded or failed — a long-lived server must not accrete query
+      // caches (failing requests register carriers too). Try: a release
+      // failure must not re-touch the already-closed exchange.
+      finally scala.util.Try(graft.Caches.releaseAll())
 
   def start(): HttpServer = {
     server.createContext("/dauRealtime", handler { p =>

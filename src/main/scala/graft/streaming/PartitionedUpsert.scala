@@ -53,7 +53,12 @@ object PartitionedUpsert {
         val slice = incoming.where(col(partCol) <=> lit(v)).drop(partCol)
         val cur = new File(dir)
         val merged =
-          if (cur.exists() && Option(cur.list()).exists(_.nonEmpty)) {
+          if (mergeKeys.isEmpty)
+            // partition-key-only upsert: the partition IS the key — the
+            // incoming slice replaces the stored partition wholesale
+            // (also keeps an empty-reduce from killing the stream)
+            slice
+          else if (cur.exists() && Option(cur.list()).exists(_.nonEmpty)) {
             // null-safe anti-join per merge key: a plain equality join
             // never matches null keys, so a stored null-key row would
             // survive every epoch and each replay would append another

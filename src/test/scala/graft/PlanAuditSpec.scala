@@ -67,6 +67,7 @@ class PlanAuditSpec extends SparkSpec {
     // full `text` column. Assert at the attribute level that no shuffle
     // in the curation plan outputs it (AQE off so ShuffleExchangeExec
     // nodes are directly collectable from the executed plan).
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = graft.operators.Curation.curate(spark, sf)
@@ -79,7 +80,7 @@ class PlanAuditSpec extends SparkSpec {
         assert(!e.output.exists(_.name == "text"),
           s"shuffle carries the corpus body: ${e.output.map(_.name)}")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>

@@ -17,6 +17,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r == Seq("the", "quick", "fox"))
   }
 
+  test("qualityScore: single-fold form scores a known doc and null text") {
+    // 25 tokens incl. stopwords, no punctuation: 0.5 + 0.3 + 0.2 = 1.0
+    val good = ("the quick fox jumps over the lazy dog and then it runs " +
+      "to the barn where it sleeps for a while on a warm pile of hay")
+    val df = Seq(Option(good), Option.empty[String]).toDF("t")
+      .select(qualityScore(col("t")).as("q")).collect()
+    assert(df(0).getDouble(0) == 1.0)
+    // null text keeps the pre-fold contract: every component falls
+    // through to its otherwise → 0.0 + 0.0 + 0.2 + 0.0
+    assert(!df(1).isNullAt(0) && df(1).getDouble(0) == 0.2)
+  }
+
   test("tokenCount and subTokenCount") {
     val df = Seq("ab12 cd, ef!").toDF("t")
     assert(df.select(tokenCount(col("t"))).collect()(0).getInt(0) == 3)

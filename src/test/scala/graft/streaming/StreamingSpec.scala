@@ -243,6 +243,21 @@ class StreamingSpec extends SparkSpec {
       s"dt-scoped merge leaked through for a non-dt key: $rows")
   }
 
+  test("idempotentSinkEachBatch with dt as the ONLY key replaces the day slice") {
+    // partition-key-only upsert: mergeKeys is empty after dt is peeled
+    // off — the incoming slice must replace the stored partition (and
+    // must not die on an empty-condition reduce)
+    val out = tmpDir("dtonly") + "/t"
+    DauStream.idempotentSinkEachBatch(out, Seq("dt"))(
+      Seq(("2024-01-01", 5L), ("2024-01-02", 3L)).toDF("dt", "dau"), 0L)
+    // refreshed aggregate for day 1 only → replaced, day 2 untouched
+    DauStream.idempotentSinkEachBatch(out, Seq("dt"))(
+      Seq(("2024-01-01", 7L)).toDF("dt", "dau"), 1L)
+    val rows = spark.read.parquet(out).select("dt", "dau").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("2024-01-01", 7L), ("2024-01-02", 3L)), s"got $rows")
+  }
+
   test("PartitionedUpsert heals crashed per-partition swaps before writing") {
     val out = tmpDir("crash") + "/t"
     def t(s: String) = java.sql.Timestamp.valueOf(s)
