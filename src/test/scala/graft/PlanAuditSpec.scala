@@ -43,7 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     "q37_top_tokens" -> 3, "q38_ivf_search" -> 0, "q39_stats_token_match" -> 2,
     "q40_sessionize" -> 2, "q41_topk_per_label" -> 2,
     "q42_supplier_stats" -> 2, "q43_age_pinned" -> 2,
-    "q44_stats_analyzed" -> 2, "q45_simhash_neardup" -> 5,
+    "q44_stats_analyzed" -> 2, "q45_simhash_neardup" -> 4,
     "q46_asof_join" -> 3, "q47_hash_sample" -> 1,
     "q48_stratified_sample" -> 2, "q49_length_stats" -> 2,
     "q50_curation" -> 3, "q51_weighted_sample" -> 1,
@@ -80,6 +80,26 @@ class PlanAuditSpec extends SparkSpec {
         assert(!e.output.exists(_.name == "text"),
           s"shuffle carries the corpus body: ${e.output.map(_.name)}")
       }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("NO query shuffles the document body or media payload") {
+    // the generalized q50 lesson: `text` / `content` / `frame` are the
+    // wide columns that turn a key shuffle into a corpus shuffle at
+    // 100 TB. Derived values (tokens, shingles, fingerprints, lengths)
+    // may shuffle; the raw payload columns never should.
+    val forbidden = Set("text", "content", "frame")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bad = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+        fn(spark, sf).queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.output.exists(a => forbidden(a.name)) =>
+            s"$name shuffles [${e.output.map(_.name).mkString(", ")}]"
+        }
+      }
+      assert(bad.isEmpty, s"wide columns ride a shuffle:\n${bad.mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
