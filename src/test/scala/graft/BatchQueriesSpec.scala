@@ -19,6 +19,17 @@ class BatchQueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("Caches.releaseAll unpersists registered carriers") {
+    import org.apache.spark.storage.StorageLevel
+    val df = Caches.register(spark.range(10).toDF("id").cache())
+    df.count()
+    assert(df.storageLevel != StorageLevel.NONE, "carrier was not cached")
+    Caches.releaseAll()
+    assert(df.storageLevel == StorageLevel.NONE,
+      "releaseAll left the carrier persisted")
+    Caches.releaseAll() // idempotent on an empty registry
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows") {
       val df = fn(spark, sf)
