@@ -91,10 +91,15 @@ object Dedup {
     // (few shingles can exceed maxDf docs), so collect it into a 1-row
     // broadcast and subtract per doc map-side
     val hotArr = hot.agg(collect_list("token").as("hot_toks"))
-    val sizes = docs.crossJoin(broadcast(hotArr))
+    // cache: sizes feeds BOTH sides of the s1/s2 join below — uncached,
+    // each broadcast would re-scan the corpus and re-shingle it (two
+    // extra full tokenization passes on a (doc_id, long) relation that
+    // is tiny once computed)
+    val sizes = graft.Caches.register(docs.crossJoin(broadcast(hotArr))
       .select(col("doc_id"),
         size(array_except(TextExpressions.shingleSet(col("text"), shingleK),
           col("hot_toks"))).cast("long").as("n_tok"))
+      .cache())
     val a = idx.as("a"); val b = idx.as("b")
     val inter = a.join(b,
         col("a.token") === col("b.token") &&
