@@ -70,12 +70,11 @@ object Api {
   def detailByItem(spark: SparkSession, dir: String, itemName: String,
       pageNo: Int = 1, pageSize: Int = 20): DataFrame = {
     val page = Serving.detailByItem(spark, dir, itemName, pageNo, pageSize)
-    val toks = itemName.trim.split("\\s+").map(java.util.regex.Pattern.quote)
-    val pattern = "(" + toks.mkString("|") + ")"
     val total = Serving.matchedLineCount(spark, dir, itemName)
     page
       .withColumn("sku_name",
-        regexp_replace(col("sku_name"), pattern, "<em>$1</em>"))
+        regexp_replace(col("sku_name"), Serving.highlightPattern(itemName),
+          "<em>$1</em>"))
       .crossJoin(broadcast(total))
   }
 }

@@ -67,7 +67,12 @@ object AsofJoin {
       if (keepTs) col(ts).as("__rts") +: valueCols.map(col)
       else valueCols.map(col)
     val l = left.withColumn("__side", lit(1))
-    val r = right.select(
+    // a null right timestamp would sort FIRST in the window (asc = nulls
+    // first) and fill every subsequent left row; SQL/DuckDB ASOF
+    // semantics never match on a null timestamp — drop such rows. (A
+    // null LEFT timestamp also sorts first, sees no fill, and comes back
+    // unmatched — already the oracle's answer.)
+    val r = right.where(col(ts).isNotNull).select(
       col(key), col(ts),
       struct(structFields: _*).as("__vals"),
       lit(0).as("__side"))

@@ -205,6 +205,16 @@ object Dedup {
     * run would checkpoint to reliable storage instead). Termination is
     * bounded by `maxIters` and non-convergence fails loudly.
     * Output: (doc_id, comp). */
+  /** Release the storage behind a localCheckpoint'd frame.
+    * `Dataset.unpersist` only clears CacheManager entries — the blocks
+    * of a local checkpoint belong to the underlying RDD, reachable via
+    * the plan's LogicalRDD leaf. Only safe when the frame is never
+    * referenced again (a released local checkpoint cannot recompute). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     // materialize the edge list ONCE, symmetrized map-side in the same
     // pass (a union of two selects would execute the upstream pipeline —
@@ -241,7 +251,7 @@ object Dedup {
       // fused convergence read: a filter over the blocks just written —
       // no join, no recomputation
       converged = updated.where(col("changed")).isEmpty
-      labels.unpersist()
+      releaseCheckpoint(labels)
       labels = updated
       i += 1
     }
@@ -250,7 +260,9 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — " +
         "raise maxIters (component diameter exceeds the budget)")
-    sym.unpersist()
+    releaseCheckpoint(sym)
+    // the FINAL labels checkpoint stays persisted — the returned frame
+    // reads from it; its one node-sized table is LRU-evictable
     labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
   }
 

@@ -23,18 +23,28 @@ import graft.Tables
   */
 object Serving {
 
+  /** Whitespace tokens of the query string. An empty/blank query is a
+    * caller error and fails loudly ("".split yields [""], and
+    * contains("") is always true — the predicate would silently become
+    * match-everything and a serving endpoint would scan the world). */
+  private def queryTokens(itemName: String): Array[String] = {
+    val toks = itemName.trim.split("\\s+").filter(_.nonEmpty)
+    require(toks.nonEmpty, s"no query tokens in '$itemName'")
+    toks
+  }
+
   /** ES `match(field, text, operator=AND)` ≈ every whitespace token of the
     * query appears in the field (SURVEY §2.6 A3). Substring containment —
     * the SURVEY-documented approximation ("ring" also hits "boring"). */
   def matchAll(field: Column, itemName: String): Column =
-    itemName.trim.split("\\s+").map(tok => field.contains(tok))
+    queryTokens(itemName).map(tok => field.contains(tok))
       .reduce(_ && _)
 
   /** Lucene-faithful variant: token-EXACT match — every query token must
     * equal a whitespace token of the field, which is what a standard-
     * analyzer ES `match` actually does ("ring" does NOT hit "boring"). */
   def matchAllTokens(field: Column, itemName: String): Column =
-    itemName.trim.split("\\s+")
+    queryTokens(itemName)
       .map(tok => array_contains(split(field, " "), tok))
       .reduce(_ && _)
 
@@ -52,11 +62,13 @@ object Serving {
     queryToks.map(tok => array_contains(fieldToks, tok)).reduce(_ && _)
   }
 
-  /** A3 under analyzed-match semantics. */
-  def statsByItemAnalyzed(spark: SparkSession, dir: String,
-      itemName: String, groupField: String): DataFrame = {
-    val p = Tables.part(spark, dir)
-      .where(matchAllTokensAnalyzed(col("p_name"), itemName))
+  /** Shared A3 body: the three match variants differ ONLY in the p_name
+    * predicate — broadcast the filtered part dim into lineitem, group by
+    * a caller-chosen field, SUM the split amount. One body, so the
+    * amount formula / rounding can never drift between variants. */
+  private def statsWithMatcher(spark: SparkSession, dir: String,
+      matcher: Column => Column, groupField: String): DataFrame = {
+    val p = Tables.part(spark, dir).where(matcher(col("p_name")))
     val li = Tables.lineitem(spark, dir)
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col(groupField).as("name"))
@@ -65,18 +77,15 @@ object Serving {
       .orderBy("name")
   }
 
+  /** A3 under analyzed-match semantics. */
+  def statsByItemAnalyzed(spark: SparkSession, dir: String,
+      itemName: String, groupField: String): DataFrame =
+    statsWithMatcher(spark, dir, matchAllTokensAnalyzed(_, itemName), groupField)
+
   /** A3 under token-exact match semantics. */
   def statsByItemTokenMatch(spark: SparkSession, dir: String,
-      itemName: String, groupField: String): DataFrame = {
-    val p = Tables.part(spark, dir)
-      .where(matchAllTokens(col("p_name"), itemName))
-    val li = Tables.lineitem(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .groupBy(col(groupField).as("name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("value"))
-      .orderBy("name")
-  }
+      itemName: String, groupField: String): DataFrame =
+    statsWithMatcher(spark, dir, matchAllTokens(_, itemName), groupField)
 
   /** Lines joined to their part, filtered by match-AND on p_name — the
     * shared scan for A3/A4/A5. */
@@ -91,11 +100,7 @@ object Serving {
     * dimension (F10 `t`→field mapping), SUM the split amount. */
   def statsByItem(spark: SparkSession, dir: String, itemName: String,
       groupField: String): DataFrame =
-    matchedLines(spark, dir, itemName)
-      .groupBy(col(groupField).as("name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("value"))
-      .orderBy("name")
+    statsWithMatcher(spark, dir, matchAll(_, itemName), groupField)
 
   /** A4: paged detail scan — 8-column projection, total + page.
     * ES "relevance" order is unspecified, so we pin a deterministic sort
@@ -119,18 +124,22 @@ object Serving {
       itemName: String): DataFrame =
     matchedLines(spark, dir, itemName).agg(count(lit(1)).as("total"))
 
+  /** Regex alternation of the quoted query tokens — shared by the A5
+    * highlight query and the /detailByItem endpoint so their highlight
+    * semantics can never drift. */
+  def highlightPattern(itemName: String): String =
+    "(" + queryTokens(itemName).map(java.util.regex.Pattern.quote)
+      .mkString("|") + ")"
+
   /** A5: highlight — wrap each query token occurrence in <em> tags. */
-  def highlight(spark: SparkSession, dir: String, itemName: String): DataFrame = {
-    val toks = itemName.trim.split("\\s+").map(java.util.regex.Pattern.quote)
-    val pattern = "(" + toks.mkString("|") + ")"
+  def highlight(spark: SparkSession, dir: String, itemName: String): DataFrame =
     Tables.part(spark, dir)
       .where(matchAll(col("p_name"), itemName))
       .select(
         col("p_partkey"),
-        regexp_replace(col("p_name"), pattern, "<em>$1</em>")
+        regexp_replace(col("p_name"), highlightPattern(itemName), "<em>$1</em>")
           .as("sku_name_hl"))
       .orderBy("p_partkey")
-  }
 
   /** F4: whole-year age relative to a PINNED date (SURVEY §7.4 risk 3:
     * the reference used wall-clock `LocalDate.now()`, which is

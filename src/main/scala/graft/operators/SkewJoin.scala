@@ -31,6 +31,13 @@ object SkewJoin {
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // replication is only sound when unmatched OTHER-side rows are never
+    // emitted: under right/full outer they would surface once per salt
+    // bucket — `buckets` duplicates instead of one null-padded row
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(jt),
+      s"saltedJoin cannot preserve '$joinType' semantics: " +
+        "unmatched rows of the replicated side would duplicate per bucket")
     val salted = skewed.withColumn(SaltCol,
       pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val replicated = other.withColumn(SaltCol,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -89,8 +90,20 @@ object CdcRouter {
         .withColumn("id", get_json_object(col("data"), "$.id"))
       val tables = dims.select("table").distinct().collect().map(_.getString(0))
       tables.foreach { t =>
+        // within-batch last-wins BEFORE the upsert (PartitionedUpsert's
+        // contract is one row per key per batch): an epoch carrying
+        // insert+update for the same id must land as ONE row, like
+        // consecutive Redis SETs — keep the row with the highest CDC ts,
+        // ties broken by arrival order (monotonically_increasing_id
+        // preserves within-partition order, which is Maxwell's per-key
+        // publish order)
+        val seqW = Window.partitionBy("id")
+          .orderBy(col("ts").desc, col("__seq").desc)
         val incoming = dims.where(col("table") === t)
           .select("id", "data", "ts")
+          .withColumn("__seq", monotonically_increasing_id())
+          .withColumn("__rn", row_number().over(seqW))
+          .where(col("__rn") === 1).drop("__rn", "__seq")
           .withColumn("bucket", pmod(crc32(col("id")), lit(numBuckets)))
         PartitionedUpsert.upsert(incoming, s"$dimDir/$t", "bucket", Seq("id"))
       }

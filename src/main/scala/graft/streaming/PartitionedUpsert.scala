@@ -35,7 +35,13 @@ object PartitionedUpsert {
   /** Upsert `incoming` (which must carry `partCol`) into
     * `outDir/<partCol>=<v>` directories, last-wins on `mergeKeys` within
     * each partition. `partCol` is dropped from the stored files and
-    * restored by partition discovery on read. */
+    * restored by partition discovery on read.
+    *
+    * CONTRACT: `incoming` must be unique per `mergeKeys` WITHIN the
+    * batch (micro-batches arrive keyed — DauStream dedups upstream,
+    * CdcRouter collapses to the last CDC op per id); the last-wins
+    * merge is stored-vs-incoming, it does not order rows inside one
+    * batch. */
   def upsert(incoming: DataFrame, outDir: String, partCol: String,
       mergeKeys: Seq[String]): Unit = {
     val spark = incoming.sparkSession
@@ -45,11 +51,14 @@ object PartitionedUpsert {
     try {
       val parts = incoming.select(partCol).distinct().collect().map(_.get(0))
       parts.foreach { v =>
-        val part = s"$partCol=$v"
+        // null partition value (e.g. dt derived from a null timestamp):
+        // use Spark's own default-partition dir name so partition
+        // discovery reads the value BACK as SQL NULL — a literal
+        // `dt=null` dir would resurface as the string "null"
+        val part = s"$partCol=" +
+          Option(v).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")
         val dir = s"$outDir/$part"
-        // null-safe comparison: a null partition value (e.g. dt derived
-        // from a null timestamp) must route to its `<partCol>=null` dir,
-        // not silently produce an empty slice
+        // null-safe comparison so the null slice is non-empty
         val slice = incoming.where(col(partCol) <=> lit(v)).drop(partCol)
         val cur = new File(dir)
         val merged =

@@ -141,6 +141,21 @@ class PropertySpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("connected components release superseded round checkpoints") {
+    // Dataset.unpersist is a no-op for localCheckpoint blocks (they
+    // belong to the RDD, not the CacheManager) — the builder must
+    // release them via the LogicalRDD leaf or every round's label
+    // snapshot stays pinned for the life of the session
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+    graft.operators.Dedup.connectedComponents(edges, maxIters = 10).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the FINAL labels checkpoint (which the result reads) may
+    // remain — per-round snapshots and the edge list must be gone
+    assert(after <= before + 1,
+      s"superseded checkpoints still pinned: $before -> $after")
+  }
+
   test("salted join equals plain join on random key distributions") {
     val cases = samples(Gen.zip(
       Gen.listOfN(200, Gen.chooseNum(1L, 10L)), Gen.chooseNum(1, 7)), 5)

@@ -45,6 +45,18 @@ class AsofSamplingSpec extends SparkSpec {
     assert(got == Map(10L -> Some("A"), 11L -> None), s"got $got")
   }
 
+  test("asof join: a null right timestamp matches nothing") {
+    // null ts sorts first under asc ordering (nulls first) and would
+    // otherwise fill every later left row; ASOF semantics (and the
+    // DuckDB oracle) never match on a null timestamp
+    val left = Seq((1L, 10L, t("2024-01-05 00:00:00"))).toDF("k", "ev", "ts")
+    val right = Seq((1L, Option.empty[java.sql.Timestamp], "X"))
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asof(left, right, "k", "ts", Seq("v")).select("v").collect()
+    assert(got.length == 1 && got(0).isNullAt(0),
+      "null-timestamp right row filled a left row")
+  }
+
   test("asof join: a null value in the latest right row stays null") {
     // the latest right row wins as a ROW — its null value must not be
     // back-filled from an older right row

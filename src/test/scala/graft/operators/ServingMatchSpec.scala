@@ -30,6 +30,20 @@ class ServingMatchSpec extends SparkSpec {
       Set(1L, 2L, 4L, 5L))
   }
 
+  test("all match variants reject an empty/blank query loudly") {
+    // ''.split yields [''] and contains('') is always true — unguarded,
+    // an empty itemName would silently become match-everything and a
+    // serving endpoint would aggregate the whole fact table
+    for (bad <- Seq("", "   ")) {
+      intercept[IllegalArgumentException](Serving.matchAll(col("name"), bad))
+      intercept[IllegalArgumentException](
+        Serving.matchAllTokens(col("name"), bad))
+      intercept[IllegalArgumentException](Serving.highlightPattern(bad))
+    }
+    intercept[IllegalArgumentException](
+      Serving.matchAllTokensAnalyzed(col("name"), " ,. "))
+  }
+
   test("token-exact (non-analyzed) match misses punctuated/cased variants") {
     // "Small ring." tokenizes to ["Small","ring."] — neither equals the
     // lowercase query tokens, and "SMALL RING" is case-mismatched

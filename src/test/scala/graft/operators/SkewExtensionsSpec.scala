@@ -21,6 +21,23 @@ class SkewExtensionsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin preserves left_outer; rejects join types salting breaks") {
+    val skewed = Seq(1L, 1L, 99L).toDF("k") // 99 has no dim match
+    val dim = Seq((1L, "one")).toDF("k", "name")
+    val lo = SkewJoin.saltedJoin(skewed, dim, "k", buckets = 4, "left_outer")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // unmatched LEFT row appears exactly once (left side is not replicated)
+    assert(lo == Map((1L, Some("one")) -> 2, (99L, None) -> 1), s"got $lo")
+    // right/full outer would emit unmatched DIM rows once per bucket
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(skewed, dim, "k", buckets = 4, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(skewed, dim, "k", buckets = 4, "full_outer")
+    }
+  }
+
   test("native functions are callable from SQL via GraftExtensions") {
     val cos = spark.sql(
       "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +

@@ -565,6 +565,44 @@ class StreamingSpec extends SparkSpec {
     assert(dimRows.length == 1)
     assert(dimRows(0).getAs[String]("data").contains("alice2"))
   }
+
+  test("CdcRouter collapses insert+update for one id WITHIN a batch") {
+    // one epoch carrying the full lifecycle of a dim row must land as
+    // ONE row holding the op with the highest CDC ts — like consecutive
+    // Redis SETs, not two parquet rows fanning out every enrichment join
+    val fact = tmpDir("cdc_wb_fact"); val dim = tmpDir("cdc_wb_dim")
+    val config = Seq(("user_info", "DIM")).toDF("table_name", "route")
+    def env(tpe: String, id: Long, payload: String, ts: Long) =
+      s"""{"database":"gmall","table":"user_info","type":"$tpe","ts":$ts,"data":"{\\"id\\": $id, \\"v\\": \\"$payload\\"}"}"""
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("value").writeStream
+      .foreachBatch(CdcRouter.routeEachBatch(fact, dim, config) _)
+      .option("checkpointLocation", s"$fact/_cp")
+      .start()
+    mem.addData(
+      env("insert", 7, "v1", 1000),
+      env("update", 7, "v2", 1001),
+      env("insert", 8, "w1", 1000))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(s"$dim/user_info").collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("data")).toMap
+    assert(rows.size == 2, s"within-batch duplicate survived: $rows")
+    assert(rows("7").contains("v2") && rows("8").contains("w1"))
+  }
+
+  test("PartitionedUpsert round-trips a NULL partition value as SQL null") {
+    val out = tmpDir("nullpart") + "/t"
+    val batch = Seq((Option("2024-01-01"), 1L, "a"), (None, 2L, "b"))
+      .toDF("dt", "k", "v")
+    PartitionedUpsert.upsert(batch, out, "dt", Seq("k"))
+    val back = spark.read.parquet(out)
+    // the null-dt row must come back with dt IS NULL, not dt = 'null'
+    assert(back.where(col("dt").isNull).count() == 1)
+    assert(back.where(col("dt") === "null").count() == 0)
+    // and a replay still merges it (null-safe keys + stable dir name)
+    PartitionedUpsert.upsert(batch, out, "dt", Seq("k"))
+    assert(spark.read.parquet(out).count() == 2)
+  }
 }
 
 /** Top-level so Encoders.product can derive a TypeTag. */
