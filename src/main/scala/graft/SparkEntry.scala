@@ -70,6 +70,7 @@ object SparkEntry {
     "q20_quality"      -> ((s, d) => TextAnalysis.quality(s, d)),
     "q21_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q49_length_stats" -> ((s, d) => TextAnalysis.lengthStats(s, d)),
+    "q57_repetition"   -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q50_curation" -> ((s, d) => Curation.curate(s, d)),
     "q51_weighted_sample" -> ((s, d) =>
       Sampling.sampleByWeights(s, d, MixRecipe)),
@@ -498,6 +499,30 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+    // within-doc k-gram repetition: total grams from the token count
+    // (floored at the 1 whole-text shingle short docs collapse to),
+    // distinct grams via the same shingle definition as q22/q23
+    "q57_repetition" ->
+      raw"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                      s -> len(s) > 0) AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) - 2 > 1 THEN len(toks) - 2 ELSE 1 END
+                    AS n_grams,
+                  len(list_distinct(
+                    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                         ELSE list_transform(range(len(toks) - 2),
+                           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                    END)) AS n_distinct
+           FROM t)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(n_distinct AS BIGINT) AS n_distinct,
+                round(CAST(1.0 AS DOUBLE)
+                      - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
+                  AS rep_ratio
+         FROM g ORDER BY doc_id""",
     "q22_jaccard_pairs" ->
       s"""WITH t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),

@@ -52,6 +52,27 @@ object TextAnalysis {
         qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Within-document repetition signal (the Gopher-rules style filter):
+    * fraction of word k-grams that are duplicates of an earlier k-gram
+    * in the same document — high repetition flags boilerplate/spam/
+    * degenerate text that per-corpus dedup cannot see. Map-only: the
+    * total k-gram count derives from the token count (n − k + 1,
+    * floored at the single whole-text shingle short docs collapse to),
+    * and the distinct count reuses the native ShingleSet kernel — one
+    * tokenization plus one shingle pass per doc, no shuffle except the
+    * output sort. */
+  def repetition(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        greatest(tokenCount(col("text")) - (k - 1), lit(1))
+          .cast("long").as("n_grams"),
+        size(org.apache.spark.sql.graft.TextExpressions
+          .shingleSet(col("text"), k)).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_grams").cast("double"), 4))
+      .orderBy("doc_id")
+
   /** Canonical fingerprints (exact-dedup keys). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

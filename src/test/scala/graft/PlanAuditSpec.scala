@@ -55,7 +55,9 @@ class PlanAuditSpec extends SparkSpec {
     // q56: scan of the materialized inverted file → map-only scoring →
     // TakeOrderedAndProject; the index build/train run before the audited
     // plan exists
-    "q56_ivf_file_search" -> 0)
+    "q56_ivf_file_search" -> 0,
+    // q57: map-only repetition stats; the one exchange is the output sort
+    "q57_repetition" -> 1)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet
