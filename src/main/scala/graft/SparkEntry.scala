@@ -71,6 +71,7 @@ object SparkEntry {
     "q21_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q49_length_stats" -> ((s, d) => TextAnalysis.lengthStats(s, d)),
     "q57_repetition"   -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "q58_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q50_curation" -> ((s, d) => Curation.curate(s, d)),
     "q51_weighted_sample" -> ((s, d) =>
       Sampling.sampleByWeights(s, d, MixRecipe)),
@@ -523,6 +524,34 @@ object SparkEntry {
                       - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
                   AS rep_ratio
          FROM g ORDER BY doc_id""",
+    // decontamination: distinct shingles shared with the salted-hash
+    // "benchmark" sample (>= 1), per non-benchmark doc
+    "q58_decontaminate" ->
+      raw"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                      s -> len(s) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END) AS shingles
+           FROM t),
+         b AS (
+           SELECT doc_id FROM documents
+           WHERE ('0x' || substr(md5('bench:' || doc_id), 1, 15))::BIGINT
+                   % 100 < 10),
+         bs AS (
+           SELECT DISTINCT unnest(shingles) AS token FROM sh
+           WHERE doc_id IN (SELECT doc_id FROM b)),
+         ci AS (
+           SELECT doc_id, unnest(shingles) AS token FROM sh
+           WHERE doc_id NOT IN (SELECT doc_id FROM b))
+         SELECT doc_id, count(*) AS n_shared
+         FROM ci WHERE token IN (SELECT token FROM bs)
+         GROUP BY doc_id HAVING count(*) >= 1
+         ORDER BY doc_id""",
     "q22_jaccard_pairs" ->
       s"""WITH t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),

@@ -117,6 +117,40 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Decontamination: flag corpus documents sharing at least `minShared`
+    * distinct k-gram shingles with a benchmark/eval set — the standard
+    * pre-training hygiene pass (eval answers leaking into training data).
+    * The benchmark here is the deterministic salted-hash sample of the
+    * corpus (stand-in for an eval suite relation); `n_shared` counts the
+    * distinct shingles each non-benchmark doc shares with ANY benchmark
+    * doc.
+    *
+    * Scale shape: the benchmark side is tiny (an eval suite), so its
+    * distinct shingle set BROADCASTS into the corpus shingle index — the
+    * corpus never shuffles on content; the only corpus-sized exchange is
+    * the per-doc overlap count on doc_id. Output: (doc_id, n_shared). */
+  def decontaminate(spark: SparkSession, dir: String, pct: Int = 10,
+      shingleK: Int = 3, minShared: Int = 1,
+      salt: String = "bench"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench =
+      md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 100 < pct
+    val benchShingles = docs.where(isBench)
+      .select(explode(TextExpressions.shingleSet(col("text"), shingleK))
+        .as("token"))
+      .distinct()
+    docs.where(!isBench)
+      .select(col("doc_id"),
+        explode(TextExpressions.shingleSet(col("text"), shingleK)).as("token"))
+      // shingleSet is distinct per doc, so each (doc_id, token) row is
+      // unique and the post-join count IS the distinct-shared count
+      .join(broadcast(benchShingles), Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
   /** One row per doc with its full minhash signature array — the compact
     * carrier used by the LSH join (16 longs ≈ 128 B/row instead of 16
     * shuffled rows per doc). */

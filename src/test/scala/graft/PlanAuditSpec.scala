@@ -57,7 +57,10 @@ class PlanAuditSpec extends SparkSpec {
     // plan exists
     "q56_ivf_file_search" -> 0,
     // q57: map-only repetition stats; the one exchange is the output sort
-    "q57_repetition" -> 1)
+    "q57_repetition" -> 1,
+    // q58: bench-shingle distinct + per-doc overlap count + output sort —
+    // the corpus-sized side only shuffles on doc_id
+    "q58_decontaminate" -> 3)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet
