@@ -117,38 +117,76 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  /** Decontamination: flag corpus documents sharing at least `minShared`
-    * distinct k-gram shingles with a benchmark/eval set — the standard
-    * pre-training hygiene pass (eval answers leaking into training data).
-    * The benchmark here is the deterministic salted-hash sample of the
-    * corpus (stand-in for an eval suite relation); `n_shared` counts the
-    * distinct shingles each non-benchmark doc shares with ANY benchmark
-    * doc.
+  /** Ceiling on DISTINCT benchmark shingles [[decontaminateAgainst]] will
+    * broadcast. An eval suite is thousands of documents — a few hundred
+    * thousand shingles, kilobytes-to-megabytes broadcast. Anything bigger
+    * is not an eval suite, and at 100 TB an unguarded broadcast of it is
+    * a silent driver OOM; above the cap the join falls back to a shuffled
+    * hash join with a loud warning. */
+  val MaxBroadcastShingles = 2000000L
+
+  /** Decontamination against an EXTERNAL benchmark/eval relation — the
+    * standard pre-training hygiene pass (eval answers leaking into
+    * training data). Flags corpus documents sharing at least `minShared`
+    * distinct k-gram shingles with ANY benchmark document.
     *
-    * Scale shape: the benchmark side is tiny (an eval suite), so its
-    * distinct shingle set BROADCASTS into the corpus shingle index — the
-    * corpus never shuffles on content; the only corpus-sized exchange is
-    * the per-doc overlap count on doc_id. Output: (doc_id, n_shared). */
+    * `corpus` needs (doc_id, text); `benchmark` needs (text) — any other
+    * columns are ignored, so eval-suite tables plug in directly.
+    *
+    * Scale shape: the benchmark's distinct shingle set BROADCASTS into
+    * the corpus shingle index — the corpus never shuffles on content; the
+    * only corpus-sized exchange is the per-doc overlap count on doc_id.
+    * The broadcast is GUARDED by measurement (not assumption): the
+    * distinct-shingle count is computed first (the set is cached, so the
+    * count pre-materializes exactly what the join consumes), and above
+    * `maxBroadcastShingles` the plan degrades to a shuffled hash join —
+    * slower, but incapable of killing the driver. Output:
+    * (doc_id, n_shared). */
+  def decontaminateAgainst(corpus: DataFrame, benchmark: DataFrame,
+      shingleK: Int = 3, minShared: Int = 1,
+      maxBroadcastShingles: Long = MaxBroadcastShingles): DataFrame = {
+    val benchShingles = graft.Caches.register(
+      benchmark
+        .select(explode(TextExpressions.shingleSet(col("text"), shingleK))
+          .as("token"))
+        .distinct()
+        .cache())
+    val nShingles = benchShingles.count()
+    val benchSide =
+      if (nShingles <= maxBroadcastShingles) broadcast(benchShingles)
+      else {
+        System.err.println(
+          s"[graft] decontaminate: benchmark side has $nShingles distinct " +
+            s"shingles (> cap $maxBroadcastShingles) — this is not an " +
+            "eval-suite-sized relation; falling back to a shuffled join " +
+            "instead of broadcasting (driver-OOM guard)")
+        // shuffled HASH join (not merge): the corpus side never sorts
+        benchShingles.hint("shuffle_hash")
+      }
+    corpus
+      .select(col("doc_id"),
+        explode(TextExpressions.shingleSet(col("text"), shingleK)).as("token"))
+      // shingleSet is distinct per doc, so each (doc_id, token) row is
+      // unique and the post-join count IS the distinct-shared count
+      .join(benchSide, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
+  /** [[decontaminateAgainst]] with the benchmark derived as a
+    * deterministic salted-hash sample of the corpus itself — the
+    * self-contained stand-in used by the q58 gate (no external eval
+    * relation ships with the test data). */
   def decontaminate(spark: SparkSession, dir: String, pct: Int = 10,
       shingleK: Int = 3, minShared: Int = 1,
       salt: String = "bench"): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isBench =
       md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 100 < pct
-    val benchShingles = docs.where(isBench)
-      .select(explode(TextExpressions.shingleSet(col("text"), shingleK))
-        .as("token"))
-      .distinct()
-    docs.where(!isBench)
-      .select(col("doc_id"),
-        explode(TextExpressions.shingleSet(col("text"), shingleK)).as("token"))
-      // shingleSet is distinct per doc, so each (doc_id, token) row is
-      // unique and the post-join count IS the distinct-shared count
-      .join(broadcast(benchShingles), Seq("token"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
-      .orderBy("doc_id")
+    decontaminateAgainst(docs.where(!isBench), docs.where(isBench),
+      shingleK, minShared)
   }
 
   /** One row per doc with its full minhash signature array — the compact

@@ -132,16 +132,14 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   /** The ANN endpoint's index, built once on first use (the index-build
     * step of an ANN service): trained centroids + the cell-partitioned
     * inverted file, so each request reads only the probed cells'
-    * partitions instead of scanning and re-assigning the corpus. */
-  private lazy val annCentroids: graft.operators.IvfIndex.Centroids =
-    graft.operators.IvfIndex.train(spark, dataDir, cells = 8, iters = 2)
-  private lazy val annIndexPath: String = {
-    val p = java.nio.file.Files.createTempDirectory("ann-index")
-      .resolve("index").toString
-    graft.operators.IvfIndex.buildInvertedFile(spark, dataDir,
-      annCentroids, p)
-    p
-  }
+    * partitions instead of scanning and re-assigning the corpus. Shares
+    * the per-JVM memo with q38/q56 — a Bench/Verify host that already
+    * built this dir's index serves requests with zero build cost. */
+  private lazy val annBuilt: (String, graft.operators.IvfIndex.Centroids) =
+    graft.operators.IvfIndex.invertedFileCached(spark, dataDir,
+      cells = 8, iters = 2)
+  private def annIndexPath: String = annBuilt._1
+  private def annCentroids: graft.operators.IvfIndex.Centroids = annBuilt._2
 
   def stop(): Unit = server.stop(0)
 }

@@ -151,4 +151,52 @@ class DedupSimilaritySpec extends SparkSpec {
     val pairs = Similarity.lshNearDup(spark, sf).collect()
     pairs.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
+
+  test("decontaminate: external benchmark relation flags exactly the overlap") {
+    val docs = graft.Tables.documents(spark, sf)
+    // benchmark = the text of every 10th doc, via a DIFFERENT relation
+    // (renamed id column) — the external-eval-suite shape
+    val bench = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val flagged = Dedup.decontaminateAgainst(corpus, bench)
+    graft.Caches.releaseAll()
+    // every flagged doc is from the corpus side and shares >= 1 shingle
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = flagged.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(corpusIds.contains(r.getLong(0)))
+      assert(r.getLong(1) >= 1)
+    }
+    // spot-check one flagged doc REALLY shares a shingle with the bench set
+    val someId = rows.head.getLong(0)
+    val shingle = org.apache.spark.sql.graft.TextExpressions
+      .shingleSet(col("text"), 3)
+    val docShingles = corpus.where(col("doc_id") === someId)
+      .select(explode(shingle).as("t")).collect().map(_.getString(0)).toSet
+    val benchShingles = bench.select(explode(shingle).as("t"))
+      .collect().map(_.getString(0)).toSet
+    assert((docShingles & benchShingles).nonEmpty)
+  }
+
+  test("decontaminate guard: oversized benchmark side takes the shuffle path") {
+    val docs = graft.Tables.documents(spark, sf)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val guarded =
+      Dedup.decontaminateAgainst(corpus, bench, maxBroadcastShingles = 1L)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"guard did not fall back to a shuffled hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"guard still broadcasts:\n$plan")
+    // same answer on both paths
+    val viaShuffle = guarded.collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caches.releaseAll()
+    val viaBroadcast = Dedup.decontaminateAgainst(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caches.releaseAll()
+    assert(viaShuffle.toSeq == viaBroadcast.toSeq)
+  }
 }

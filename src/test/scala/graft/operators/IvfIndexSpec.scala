@@ -67,6 +67,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(search.collect().map(_.getLong(0)).toSeq == inline)
   }
 
+  test("train/build memo: one training, one index write per (dir,cells,iters)") {
+    IvfIndex.clearMemos()
+    val c1 = IvfIndex.trainCached(spark, sf, cells = 8, iters = 2)
+    val c2 = IvfIndex.trainCached(spark, sf, cells = 8, iters = 2)
+    assert(c1 eq c2, "second trainCached must return the memoized object")
+    assert(c1 == cents, "memoized training must equal direct training")
+    val (p1, _) = IvfIndex.invertedFileCached(spark, sf, cells = 8, iters = 2)
+    val mtimes1 = new java.io.File(p1).listFiles().map(_.lastModified).toSeq
+    val (p2, _) = IvfIndex.invertedFileCached(spark, sf, cells = 8, iters = 2)
+    assert(p1 == p2)
+    val mtimes2 = new java.io.File(p2).listFiles().map(_.lastModified).toSeq
+    assert(mtimes1 == mtimes2, "second call must not rewrite the index")
+    // different hyper-parameters must not alias the same index
+    val (p3, c3) = IvfIndex.invertedFileCached(spark, sf, cells = 4, iters = 1)
+    assert(p3 != p1 && c3.length == 4)
+    IvfIndex.clearMemos()
+  }
+
   test("partial probe keeps useful recall at a fraction of the scan") {
     val ivf = IvfIndex.search(spark, sf, cents, queryId = 0L,
       k = 10, nprobe = 3).collect().map(_.getLong(0)).toSet
