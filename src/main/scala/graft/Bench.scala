@@ -15,23 +15,37 @@ object Bench {
     // mostly this). Caches are released between runs so every timing is a
     // cold-data / warm-JVM measurement, not a warm-cache one.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // SUB-2s queries wobble up to ~2× from session-environmental noise
+    // (GC pressure accumulated by earlier queries, scheduling) that
+    // min-of-2 back-to-back samples share — the round-5 q41/q42/q43
+    // "drift". Two dampers: a full GC before each query's timing loop so
+    // every query starts from the same heap state, and extra samples
+    // (min-of-`fastRuns`) for queries whose best time is under the
+    // cutoff — cheap exactly because those queries are fast.
+    val fastRuns =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_RUNS", "5").toInt.max(runs)
+    val fastCutoff = 2.0
     // a failed query must read as a FAILURE (-1), not as its
     // time-to-exception — a regression that throws would otherwise
     // masquerade as a performance win in the gate
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+      System.gc()
+      var times = List.empty[Double]
+      var failed = false
+      def wantMore: Boolean = !failed && (times.size < runs ||
+        (times.min < fastCutoff && times.size < fastRuns))
+      while (wantMore) {
         val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed = true
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         Caches.releaseAll()
-        if (ok) Some(dt) else None
+        if (!failed) times ::= dt
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> (if (failed || times.isEmpty) -1.0 else times.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -24,4 +24,25 @@ object GraftSession {
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+
+  /** Fully-qualified class name of Spark's RocksDB state store provider
+    * (ships with Spark ≥3.2; rocksdbjni is on the classpath). */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** [[builder]] with streaming state kept in RocksDB instead of the
+    * default in-heap HDFSBackedStateStore. The deployment answer once
+    * stateful-streaming state (the ±24 h stream-stream join buffer, the
+    * per-day dedup set, sessionization timers) outgrows executor heap:
+    * RocksDB spills to local SSD and checkpoints changelogs, so state
+    * size is bounded by disk, not memory. Changelog checkpointing keeps
+    * commits O(delta) rather than O(state). Batch-only hosts (Verify,
+    * Bench) stay on [[builder]] — the provider only matters to streaming
+    * queries. */
+  def builderWithRocksDB(cpus: String): SparkSession.Builder =
+    builder(cpus)
+      .config("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
 }

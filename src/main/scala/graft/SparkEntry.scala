@@ -318,8 +318,10 @@ object SparkEntry {
            SELECT strftime(ts, '%Y-%m-%d') AS dt,
                   count(DISTINCT user_id) AS dau
            FROM events GROUP BY 1)
-         SELECT dt, dau, coalesce(lag(dau) OVER (ORDER BY dt), 0) AS dau_yd
-         FROM d ORDER BY dt""",
+         SELECT d.dt, d.dau, coalesce(y.dau, 0) AS dau_yd
+         FROM d LEFT JOIN d AS y
+           ON d.dt = strftime(y.dt::DATE + INTERVAL 1 DAY, '%Y-%m-%d')
+         ORDER BY d.dt""",
     "q04_order_wide" ->
       """SELECT o_orderkey AS order_id, l_linenumber AS detail_id,
                 o_custkey AS user_id, o_orderstatus AS order_status,

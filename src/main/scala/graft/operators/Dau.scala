@@ -52,13 +52,23 @@ object Dau {
   }
 
   /** F11 + A2 composition (`/dauRealtime` day-over-day): daily DAU with the
-    * previous day's value alongside — lag window over the daily aggregate.
+    * previous CALENDAR day's value alongside (0 when there was none) — the
+    * reference compares today vs yesterday by date, not by previous row.
+    *
+    * Expressed as a self-join on date rather than an unpartitioned
+    * `lag()` window: the latter funnels every row through ONE partition
+    * (WindowExec warns). The daily aggregate is cached — one row per day
+    * even at 100 TB, so the events scan runs once and the join side
+    * broadcasts.
     */
   def dauDayOverDay(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dauTotal(spark, dir)
-    val w = Window.orderBy("dt")
-    daily
-      .withColumn("dau_yd", coalesce(lag("dau", 1).over(w), lit(0L)))
+    val daily = graft.Caches.register(dauTotal(spark, dir).cache())
+    val yd = daily.select(
+      date_format(date_add(to_date(col("dt")), 1), "yyyy-MM-dd").as("dt"),
+      col("dau").as("dau_yd"))
+    daily.join(broadcast(yd), Seq("dt"), "left")
+      .select(col("dt"), col("dau"),
+        coalesce(col("dau_yd"), lit(0L)).as("dau_yd"))
       .orderBy("dt")
   }
 }

@@ -23,11 +23,18 @@ class DauSpec extends SparkSpec {
     assert(total == users)
   }
 
-  test("dauDayOverDay lag matches previous day's dau") {
-    val rows = Dau.dauDayOverDay(spark, sf).collect()
-    rows.sliding(2).foreach { case Array(prev, cur) =>
-      assert(cur.getLong(2) == prev.getLong(1),
-        s"dau_yd of ${cur.getString(0)} != dau of ${prev.getString(0)}")
+  test("dauDayOverDay joins previous calendar day's dau (0 when absent)") {
+    val df = Dau.dauDayOverDay(spark, sf)
+    // the point of the self-join shape: no single-partition WindowExec
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "dauDayOverDay must not use a window operator")
+    val rows = df.collect()
+    graft.Caches.releaseAll()
+    val byDt = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val prev = java.time.LocalDate.parse(r.getString(0)).minusDays(1).toString
+      assert(r.getLong(2) == byDt.getOrElse(prev, 0L),
+        s"dau_yd of ${r.getString(0)} != dau of $prev")
     }
     assert(rows.head.getLong(2) == 0L)
   }
