@@ -26,15 +26,20 @@ object Dau {
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("hr", date_format(col("ts"), "HH"))
 
-  /** A1: distinct active users per day. */
-  def dauTotal(spark: SparkSession, dir: String): DataFrame = {
+  /** Unsorted (dt, dau) aggregate shared by [[dauTotal]] and
+    * [[dauDayOverDay]] — the latter must not inherit the output sort
+    * (EliminateSorts does not reach through the explode it sits under). */
+  private def dailyCounts(spark: SparkSession, dir: String): DataFrame = {
     val e = withDay(Tables.events(spark, dir))
     e.select("dt", "user_id")
       .dropDuplicates("dt", "user_id") // J5: per-day distinct
       .groupBy("dt")
       .agg(count(lit(1)).as("dau"))
-      .orderBy("dt")
   }
+
+  /** A1: distinct active users per day. */
+  def dauTotal(spark: SparkSession, dir: String): DataFrame =
+    dailyCounts(spark, dir).orderBy("dt")
 
   /** A2: first-visit hour per user per day, counted by (dt, hr).
     * The reference keeps the FIRST occurrence of a mid per day
@@ -55,20 +60,30 @@ object Dau {
     * previous CALENDAR day's value alongside (0 when there was none) — the
     * reference compares today vs yesterday by date, not by previous row.
     *
-    * Expressed as a self-join on date rather than an unpartitioned
-    * `lag()` window: the latter funnels every row through ONE partition
-    * (WindowExec warns). The daily aggregate is cached — one row per day
-    * even at 100 TB, so the events scan runs once and the join side
-    * broadcasts.
+    * Single-pass shape: each day's aggregate row emits itself
+    * `(dt, dau, 0)` plus a next-calendar-day shadow `(dt+1, 0, dau)`;
+    * re-aggregating by dt folds the shadow into the following day's row,
+    * and a day that exists only as a shadow (the day after the last
+    * active day) drops out via `dau > 0` (a real day always has dau ≥ 1).
+    * This scans events ONCE with no cache, no self-join, and no window —
+    * the retired `lag()` window funneled every row through one partition,
+    * and the round-6 cached self-join re-paid the aggregate's lineage in
+    * both join branches. The explode + re-agg run on the post-aggregate
+    * relation: one row per calendar day, tiny at any corpus scale.
     */
   def dauDayOverDay(spark: SparkSession, dir: String): DataFrame = {
-    val daily = graft.Caches.register(dauTotal(spark, dir).cache())
-    val yd = daily.select(
-      date_format(date_add(to_date(col("dt")), 1), "yyyy-MM-dd").as("dt"),
-      col("dau").as("dau_yd"))
-    daily.join(broadcast(yd), Seq("dt"), "left")
-      .select(col("dt"), col("dau"),
-        coalesce(col("dau_yd"), lit(0L)).as("dau_yd"))
+    val daily = dailyCounts(spark, dir)
+    daily
+      .select(explode(array(
+        struct(col("dt").as("dt"), col("dau").as("dau"),
+          lit(0L).as("dau_yd")),
+        struct(
+          date_format(date_add(to_date(col("dt")), 1), "yyyy-MM-dd").as("dt"),
+          lit(0L).as("dau"), col("dau").as("dau_yd")))).as("r"))
+      .select("r.*")
+      .groupBy("dt")
+      .agg(max("dau").as("dau"), max("dau_yd").as("dau_yd"))
+      .where(col("dau") > 0)
       .orderBy("dt")
   }
 }
