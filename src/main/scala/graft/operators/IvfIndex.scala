@@ -101,31 +101,57 @@ object IvfIndex {
   // many searches against it; re-paying training + a full corpus rewrite
   // per query (as q56 did through round 5) hides the number that matters
   // at 100 TB — per-request search latency over the existing index. The
-  // memos are keyed on (dir, cells, iters) so different datasets or
-  // hyper-parameters never alias, and live for the JVM session (Verify,
-  // Bench, HttpServer are all one-session hosts). Caches.releaseAll does
-  // NOT clear these: the index is durable state, not a per-query carrier.
-  private val trainMemo = TrieMap.empty[(String, Int, Int), Centroids]
-  private val indexMemo = TrieMap.empty[(String, Int, Int), String]
+  // memos are keyed on (dir, cells, iters, dataFingerprint): the
+  // fingerprint folds in every embedding file's (name, mtime, size), so
+  // an in-place rewrite of the source parquet (CDC refresh, compaction)
+  // changes the key and forces a fresh train + build instead of silently
+  // serving a stale index from a warm JVM. The memos live for the JVM
+  // session (Verify, Bench, HttpServer are all one-session hosts).
+  // Caches.releaseAll does NOT clear these: the index is durable state,
+  // not a per-query carrier.
+  private val trainMemo = TrieMap.empty[(String, Int, Int, Long), Centroids]
+  private val indexMemo = TrieMap.empty[(String, Int, Int, Long), String]
 
-  /** [[train]], memoized per (dir, cells, iters) for the JVM lifetime. */
+  /** Cheap change detector for the embeddings under `dir`: a hash over
+    * each data file's (name, mtime, size) — one driver-side directory
+    * listing, no data read. The same signal object stores and streaming
+    * file sources key on; content hashing would cost a corpus scan. */
+  def dataFingerprint(dir: String): Long = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(s"$dir/embeddings.parquet"))
+      .filterNot(_.getName.startsWith("."))
+      .foldLeft(17L) { (h, f) =>
+        var x = h
+        for (v <- Seq(f.getName.hashCode.toLong, f.lastModified, f.length))
+          x = x * 1000003L + v
+        x
+      }
+  }
+
+  /** [[train]], memoized per (dir, cells, iters, data fingerprint) for
+    * the JVM lifetime. */
   def trainCached(spark: SparkSession, dir: String, cells: Int = 16,
       iters: Int = 3): Centroids =
-    trainMemo.getOrElseUpdate((dir, cells, iters),
+    trainMemo.getOrElseUpdate((dir, cells, iters, dataFingerprint(dir)),
       train(spark, dir, cells, iters))
 
   /** The materialized inverted file for (dir, cells, iters): trained and
-    * written on first request, reused afterwards. Returns (indexPath,
-    * centroids) — everything [[searchInvertedFile]] needs. */
+    * written on first request, reused afterwards — until the source data
+    * changes (fingerprint key). Returns (indexPath, centroids) —
+    * everything [[searchInvertedFile]] needs. */
   def invertedFileCached(spark: SparkSession, dir: String, cells: Int = 16,
       iters: Int = 3): (String, Centroids) = {
     val cents = trainCached(spark, dir, cells, iters)
-    val path = indexMemo.getOrElseUpdate((dir, cells, iters), {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val p = sys.props("java.io.tmpdir") + s"/graft-ivf-$tag-c$cells-i$iters"
-      buildInvertedFile(spark, dir, cents, p)
-      p
-    })
+    val path = indexMemo.getOrElseUpdate(
+      (dir, cells, iters, dataFingerprint(dir)), {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = sys.props("java.io.tmpdir") + s"/graft-ivf-$tag-c$cells-i$iters"
+        buildInvertedFile(spark, dir, cents, p)
+        p
+      })
     (path, cents)
   }
 

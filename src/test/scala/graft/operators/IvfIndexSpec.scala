@@ -85,6 +85,31 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.clearMemos()
   }
 
+  test("memo invalidates when the embeddings data is rewritten in place") {
+    // a warm JVM must not serve a stale index after a CDC refresh or
+    // compaction rewrites the source parquet under the same path — the
+    // memo key folds in each file's (name, mtime, size)
+    val dir = java.nio.file.Files.createTempDirectory("ivfdata").toString
+    graft.Tables.embeddings(spark, sf)
+      .write.parquet(s"$dir/embeddings.parquet")
+    IvfIndex.clearMemos()
+    val c1 = IvfIndex.trainCached(spark, dir, cells = 4, iters = 1)
+    assert(c1 eq IvfIndex.trainCached(spark, dir, cells = 4, iters = 1),
+      "unchanged data must keep the memo")
+    val (p1, _) = IvfIndex.invertedFileCached(spark, dir, cells = 4, iters = 1)
+    val m1 = new java.io.File(p1).listFiles().map(_.lastModified).max
+    // in-place refresh: same table path, different rows and file stats
+    graft.Tables.embeddings(spark, sf).limit(100)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val c2 = IvfIndex.trainCached(spark, dir, cells = 4, iters = 1)
+    assert(!(c1 eq c2), "stale training served after the data changed")
+    val (p2, _) = IvfIndex.invertedFileCached(spark, dir, cells = 4, iters = 1)
+    assert(p1 == p2, "logical index location is stable per (dir,cells,iters)")
+    val m2 = new java.io.File(p2).listFiles().map(_.lastModified).max
+    assert(m2 > m1, "index was not rebuilt after the data changed")
+    IvfIndex.clearMemos()
+  }
+
   test("partial probe keeps useful recall at a fraction of the scan") {
     val ivf = IvfIndex.search(spark, sf, cents, queryId = 0L,
       k = 10, nprobe = 3).collect().map(_.getLong(0)).toSet
