@@ -28,7 +28,13 @@ object Bench {
     // a failed query must read as a FAILURE (-1), not as its
     // time-to-exception — a regression that throws would otherwise
     // masquerade as a performance win in the gate
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter: comma-separated query names; absent = all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       System.gc()
       var times = List.empty[Double]
       var failed = false

@@ -71,47 +71,55 @@ object Dedup {
       maxDf)
 
   /** [[ngramJaccardPairs]] over an explicit `documents` relation
-    * (doc_id, text). */
+    * (doc_id, text).
+    *
+    * Candidate generation carries a PPJoin-style size-ratio prefilter
+    * (Xiao et al., WWW'08 — public literature): Jaccard(A,B) ≤
+    * |smaller|/|larger|, so a pair whose capped set sizes violate
+    * `min ≥ threshold·max` can never reach the threshold and its token
+    * rows are dropped INSIDE the join, before the candidate-pair groupBy
+    * — the superlinear stage at corpus scale. The filter is exact, not
+    * approximate: every dropped pair provably fails the final predicate.
+    */
   def ngramJaccardPairsOn(docs: DataFrame, threshold: Double = 0.1,
       shingleK: Int = 3, maxDf: Int = DefaultMaxDf): DataFrame = {
-    // cache: the exploded index feeds the df-count and both self-join
-    // sides — uncached, each re-scans the docs and re-shingles (the
-    // dominant cost of this operator)
-    val idx0 = graft.Caches.register(shingleIndex(docs, shingleK).cache())
-    // cache: consumed by both the anti-join broadcast and the hotArr
-    // collect below — different plan shapes, so without it the full
-    // index aggregation would run twice
-    val hot = graft.Caches.register(idx0
+    // df-cap side: one shingle pass feeding the hot-token aggregation
+    // only (single consumer — no cache), collected to a 1-row broadcast.
+    // The hot set is tiny by construction: few shingles can exceed
+    // maxDf distinct documents.
+    val hotArr = shingleIndex(docs, shingleK)
       .groupBy("token").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
-      .select("token")
-      .cache())
-    val idx = idx0.join(broadcast(hot), Seq("token"), "left_anti")
-    // capped set sizes WITHOUT an aggregation pass: the hot set is tiny
-    // (few shingles can exceed maxDf docs), so collect it into a 1-row
-    // broadcast and subtract per doc map-side
-    val hotArr = hot.agg(collect_list("token").as("hot_toks"))
-    // cache: sizes feeds BOTH sides of the s1/s2 join below — uncached,
-    // each broadcast would re-scan the corpus and re-shingle it (two
-    // extra full tokenization passes on a (doc_id, long) relation that
-    // is tiny once computed)
-    val sizes = graft.Caches.register(docs.crossJoin(broadcast(hotArr))
+      .agg(collect_list("token").as("hot_toks"))
+    // the carrier: one row per doc with its CAPPED shingle array and its
+    // size — a second (final) shingle pass. Cached: it feeds both sides
+    // of the self-join below, which would otherwise re-scan and
+    // re-shingle the corpus per side (the dominant cost).
+    val capped = graft.Caches.register(docs.crossJoin(broadcast(hotArr))
       .select(col("doc_id"),
-        size(array_except(TextExpressions.shingleSet(col("text"), shingleK),
-          col("hot_toks"))).cast("long").as("n_tok"))
+        array_except(TextExpressions.shingleSet(col("text"), shingleK),
+          col("hot_toks")).as("toks"))
       .cache())
+    // the inverted index derives map-side from the cached carrier and
+    // carries n_tok on every row (+8 B per index row) so the size-ratio
+    // filter can run inside the join and the pair sizes ride the groupBy
+    // instead of two corpus-sized joins afterwards
+    val idx = capped.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tok"),
+      explode(col("toks")).as("token"))
     val a = idx.as("a"); val b = idx.as("b")
-    val inter = a.join(b,
+    a.join(b,
         col("a.token") === col("b.token") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n_tok"), col("b.n_tok")) >=
+            lit(threshold) * greatest(col("a.n_tok"), col("b.n_tok")))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+      .agg(count(lit(1)).as("inter"),
+        // n_tok is functionally determined by the doc id — max = the value
+        max(col("a.n_tok")).as("n1"), max(col("b.n_tok")).as("n2"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
-          (col("s1.n_tok") + col("s2.n_tok") - col("inter")).cast("double"), 4))
+          (col("n1") + col("n2") - col("inter")).cast("double"), 4))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
       .orderBy("id1", "id2")

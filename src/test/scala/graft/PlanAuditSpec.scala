@@ -36,10 +36,10 @@ class PlanAuditSpec extends SparkSpec {
     "q13_highlight" -> 1, "q14_status_recode" -> 2,
     "q15_acctbal_buckets" -> 2, "q16_dedup_exact" -> 2,
     "q17_token_frequency" -> 1, "q18_token_counts" -> 1, "q19_lang_id" -> 1,
-    // q22: the cached hot-set subtree's exchange prints once per
-    // REFERENCE in the plan string (it executes once) — the count is a
-    // string-level ceiling, not executed-shuffle truth
-    "q20_quality" -> 1, "q21_fingerprints" -> 1, "q22_jaccard_pairs" -> 10,
+    // q22: hot-df agg + the index self-join's two token exchanges + the
+    // pair groupBy; the sizes now ride the index rows (PPJoin size-ratio
+    // shape), so the old tail joins' exchanges are gone (was 10)
+    "q20_quality" -> 1, "q21_fingerprints" -> 1, "q22_jaccard_pairs" -> 4,
     "q23_minhash_sigs" -> 1, "q24_minhash_lsh_pairs" -> 2, "q25_simhash" -> 1,
     "q26_ann_topk" -> 0, "q27_blocked_neardup" -> 1, "q28_lsh_buckets" -> 1,
     "q29_lsh_neardup" -> 1, "q30_dau_realtime" -> 4, "q31_stats_by_type" -> 2,
