@@ -180,6 +180,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((docShingles & benchShingles).nonEmpty)
   }
 
+  test("decontaminate at production n-gram size (k=13) flags planted leaks") {
+    // real eval decontamination uses 8–13-gram windows, where the
+    // distinct-shingle count approaches the benchmark's total token
+    // count — the guard keys on exactly that measured count, so the
+    // broadcast math is unchanged. Plant contamination by leaving the
+    // benchmark docs IN the corpus: identical text shares all its
+    // 13-grams, so every bench doc long enough to have one is its own
+    // witness.
+    val docs = graft.Tables.documents(spark, sf)
+    val bench = docs.where(col("doc_id") % 50 === 0).select("text")
+    val flagged = Dedup.decontaminateAgainst(docs, bench, shingleK = 13)
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "an eval-suite-sized benchmark must broadcast at k=13 too")
+    val got = flagged.collect().map(_.getLong(0)).toSet
+    graft.Caches.releaseAll()
+    val shingle13 = org.apache.spark.sql.graft.TextExpressions
+      .shingleSet(col("text"), 13)
+    val expected = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), size(shingle13).as("n"))
+      .collect().filter(_.getInt(1) > 0).map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture docs must be >= 13 tokens long")
+    assert(expected.subsetOf(got),
+      s"planted k=13 leaks missed: ${expected -- got}")
+  }
+
   test("decontaminate guard: oversized benchmark side takes the shuffle path") {
     val docs = graft.Tables.documents(spark, sf)
     val bench = docs.where(col("doc_id") % 10 === 0)
