@@ -26,20 +26,15 @@ object Dau {
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("hr", date_format(col("ts"), "HH"))
 
-  /** Unsorted (dt, dau) aggregate shared by [[dauTotal]] and
-    * [[dauDayOverDay]] — the latter must not inherit the output sort
-    * (EliminateSorts does not reach through the explode it sits under). */
-  private def dailyCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** A1: distinct active users per day. */
+  def dauTotal(spark: SparkSession, dir: String): DataFrame = {
     val e = withDay(Tables.events(spark, dir))
     e.select("dt", "user_id")
       .dropDuplicates("dt", "user_id") // J5: per-day distinct
       .groupBy("dt")
       .agg(count(lit(1)).as("dau"))
+      .orderBy("dt")
   }
-
-  /** A1: distinct active users per day. */
-  def dauTotal(spark: SparkSession, dir: String): DataFrame =
-    dailyCounts(spark, dir).orderBy("dt")
 
   /** A2: first-visit hour per user per day, counted by (dt, hr).
     * The reference keeps the FIRST occurrence of a mid per day
@@ -60,30 +55,39 @@ object Dau {
     * previous CALENDAR day's value alongside (0 when there was none) — the
     * reference compares today vs yesterday by date, not by previous row.
     *
-    * Single-pass shape: each day's aggregate row emits itself
-    * `(dt, dau, 0)` plus a next-calendar-day shadow `(dt+1, 0, dau)`;
-    * re-aggregating by dt folds the shadow into the following day's row,
-    * and a day that exists only as a shadow (the day after the last
-    * active day) drops out via `dau > 0` (a real day always has dau ≥ 1).
-    * This scans events ONCE with no cache, no self-join, and no window —
-    * the retired `lag()` window funneled every row through one partition,
-    * and the round-6 cached self-join re-paid the aggregate's lineage in
-    * both join branches. The explode + re-agg run on the post-aggregate
-    * relation: one row per calendar day, tiny at any corpus scale.
+    * Single-pass shape: each deduped (dt, user) row emits itself
+    * `(dt, td=1, yd=0)` plus a next-calendar-day shadow
+    * `(dt+1, td=0, yd=1)` — map-side, BEFORE the daily aggregation — so
+    * `dau = sum(td)` and `dau_yd = sum(yd)` fold in the ONE aggregation
+    * the plain DAU count already needs. A day that exists only as a
+    * shadow (the day after the last active day) drops out via `dau > 0`
+    * (a real day always has dau ≥ 1). One events scan, no cache, no
+    * self-join, no window — the retired `lag()` window funneled every
+    * row through one partition, and the round-6 cached self-join
+    * re-paid the aggregate's lineage in both join branches. The explode
+    * doubles only the map-side input to the partial aggregate (tiny
+    * (dt, 1, 0) carriers); partial combine collapses it to ~2 rows per
+    * day per partition before the shuffle, so the plan has exactly the
+    * exchanges of [[dauTotal]]: dedup, daily agg, output sort.
     */
   def dauDayOverDay(spark: SparkSession, dir: String): DataFrame = {
-    val daily = dailyCounts(spark, dir)
-    daily
+    // the day rides as a typed DATE (int) until the very end: integer
+    // dedup/agg keys hash cheaper than 'yyyy-MM-dd' strings, the shadow
+    // is a flat `date_add(d, 1)`, and the string formatting runs on one
+    // row per calendar day instead of per deduped (day, user) row
+    val e = Tables.events(spark, dir)
+    e.select(to_date(col("ts")).as("d"), col("user_id"))
+      .dropDuplicates("d", "user_id") // J5: per-day distinct
       .select(explode(array(
-        struct(col("dt").as("dt"), col("dau").as("dau"),
-          lit(0L).as("dau_yd")),
-        struct(
-          date_format(date_add(to_date(col("dt")), 1), "yyyy-MM-dd").as("dt"),
-          lit(0L).as("dau"), col("dau").as("dau_yd")))).as("r"))
+        struct(col("d").as("d"), lit(1L).as("td"), lit(0L).as("yd")),
+        struct(date_add(col("d"), 1).as("d"),
+          lit(0L).as("td"), lit(1L).as("yd")))).as("r"))
       .select("r.*")
-      .groupBy("dt")
-      .agg(max("dau").as("dau"), max("dau_yd").as("dau_yd"))
+      .groupBy("d")
+      .agg(sum("td").as("dau"), sum("yd").as("dau_yd"))
       .where(col("dau") > 0)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("dt"),
+        col("dau"), col("dau_yd"))
       .orderBy("dt")
   }
 }

@@ -23,12 +23,12 @@ class PlanAuditSpec extends SparkSpec {
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
   private val shuffleBaseline = Map(
-    // q03: 4 (was 3) — the retired lag-window shape had a 4th exchange
-    // this regex never counted (`Exchange SinglePartition`, the scale
-    // hazard that forced the rewrite). The single-pass explode shape has
-    // the same number of PHYSICAL shuffles, all parallel, and the last
-    // two (re-agg + sort) move one row per calendar day.
-    "q01_dau_total" -> 3, "q02_dau_by_hour" -> 3, "q03_dau_day_over_day" -> 4,
+    // q03: same 3 exchanges as q01 — the next-day shadow rows are
+    // emitted map-side BEFORE the daily aggregate, so day-over-day
+    // rides the one aggregation the plain DAU count already pays (the
+    // retired lag-window shape had a 4th, uncounted
+    // `Exchange SinglePartition` on top)
+    "q01_dau_total" -> 3, "q02_dau_by_hour" -> 3, "q03_dau_day_over_day" -> 3,
     "q04_order_wide" -> 1, "q05_customer_enriched" -> 1,
     "q06_order_wide_enriched" -> 1, "q07_route_counts" -> 2,
     "q08_cdc_normalize" -> 2, "q09_route_by_config" -> 2,
