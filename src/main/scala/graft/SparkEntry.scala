@@ -73,6 +73,8 @@ object SparkEntry {
     "q57_repetition"   -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q58_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q50_curation" -> ((s, d) => Curation.curate(s, d)),
+    "q59_sequence_packing" -> ((s, d) => Packing.pack(s, d)),
+    "q60_canonical_docs"   -> ((s, d) => Curation.canonicalDocs(s, d)),
     "q51_weighted_sample" -> ((s, d) =>
       Sampling.sampleByWeights(s, d, MixRecipe)),
     "q52_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
@@ -786,6 +788,72 @@ object SparkEntry {
            FROM f)
          SELECT doc_id, lang, quality, rk FROM r WHERE rk <= 100
          ORDER BY doc_id""",
+    "q59_sequence_packing" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+                  ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT
+                    % 8 AS block
+           FROM documents),
+         w AS (
+           SELECT doc_id, block, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                    AS start_tok
+           FROM d)
+         SELECT doc_id, block, n_tokens, start_tok,
+                CAST(block * 1000000 + start_tok // 2048 AS BIGINT) AS bin
+         FROM w ORDER BY doc_id""",
+    "q60_canonical_docs" ->
+      raw"""WITH RECURSIVE $minhashLshCtes,
+         pairs AS (SELECT id1, id2 FROM sc WHERE est_sim >= 0.5),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL
+                 SELECT id2 AS src, id1 AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM sym),
+         reach(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON r.id = s.src),
+         cmp AS (SELECT id AS doc_id, min(comp) AS comp
+                 FROM reach GROUP BY id),
+         mq AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         qual AS (
+           SELECT doc_id,
+                  round((CASE WHEN len(toks) BETWEEN 20 AND 1000
+                              THEN CAST(0.5 AS DOUBLE)
+                              WHEN len(toks) >= 5 THEN CAST(0.25 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END)
+                        + (CASE WHEN (CASE WHEN len(toks) = 0
+                                 THEN CAST(0.0 AS DOUBLE)
+                                 ELSE CAST(len(list_filter(toks,
+                                   s -> list_contains(['the','a','an','and','of',
+                                     'to','in','is','it','on','for'], s)))
+                                   AS DOUBLE) / len(toks) END) >= 0.05
+                                THEN CAST(0.3 AS DOUBLE)
+                                ELSE CAST(0.0 AS DOUBLE) END)
+                        + CAST(0.2 AS DOUBLE)
+                        + (CASE WHEN (CASE WHEN len(regexp_replace(text,
+                                 '\s+', '', 'g')) = 0 THEN CAST(0.0 AS DOUBLE)
+                                 ELSE CAST(len(regexp_replace(text,
+                                   '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                                   / len(regexp_replace(text, '\s+', '', 'g'))
+                                 END) > 0.2
+                                THEN CAST(-0.2 AS DOUBLE)
+                                ELSE CAST(0.0 AS DOUBLE) END), 2) AS quality
+           FROM mq),
+         j AS (SELECT q.doc_id, COALESCE(c.comp, q.doc_id) AS comp, q.quality
+               FROM qual q LEFT JOIN cmp c ON q.doc_id = c.doc_id)
+         SELECT doc_id, comp, quality,
+                CASE WHEN row_number() OVER (PARTITION BY comp
+                       ORDER BY quality DESC, doc_id) = 1
+                     THEN 1 ELSE 0 END AS keep
+         FROM j ORDER BY doc_id""",
     "q51_weighted_sample" -> {
       val vals = MixRecipe.map { case (l, p) => s"('$l', $p)" }.mkString(", ")
       s"""WITH w(lang, pct) AS (VALUES $vals)

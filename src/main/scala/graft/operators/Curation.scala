@@ -50,4 +50,30 @@ object Curation {
       .select("doc_id", "lang", "quality", "rk")
       .orderBy("doc_id")
   }
+
+  /** Near-dup canonical selection — the decision a dedup pipeline
+    * actually ships: for every near-dup cluster (MinHash-LSH pairs →
+    * connected components, the q24/q53 machinery) keep exactly ONE
+    * member, the highest-quality document (ties → lowest doc_id);
+    * unclustered documents are their own cluster and keep themselves.
+    * Output: every doc with (comp, quality, keep ∈ {0,1}).
+    *
+    * Scale: the component labels are pair-derived (tiny next to the
+    * corpus); the corpus side joins and windows on (doc_id, quality) —
+    * the text never leaves the scan stage. Cluster groups are near-dup
+    * sets, so the keep-window partitions are small by construction. */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(spark, dir, ordered = false))
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    q.join(comps, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .withColumn("keep",
+        when(row_number().over(Window.partitionBy("comp")
+          .orderBy(desc("quality"), col("doc_id"))) === 1, lit(1))
+          .otherwise(lit(0)))
+      .select("doc_id", "comp", "quality", "keep")
+      .orderBy("doc_id")
+  }
 }

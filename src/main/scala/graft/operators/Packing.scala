@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Sequence packing — the training-example assembly step of an LLM data
+  * pipeline: documents are laid out into fixed token-budget bins
+  * (context windows), so the trainer reads dense, pre-packed examples
+  * instead of padding each document to the window size.
+  *
+  * Shape (offset packing, the standard streaming approximation): docs
+  * are content-addressed into `blocks` independent streams by salted
+  * md5 (engine-reproducible, same scheme as [[Sampling]]), ordered
+  * deterministically within their block, and a running token prefix-sum
+  * assigns `bin = block·10⁶ + start_tok div budget` — a document
+  * straddling a boundary belongs to the bin its FIRST token falls in
+  * (real pipelines split or truncate at the boundary; exact first-fit
+  * is a sequential fold no engine parallelizes).
+  *
+  * Scale: the only shuffles are the per-block window and the output
+  * sort. Parallelism = `blocks` — at 100 TB you raise `blocks` to a
+  * multiple of the cluster's cores and every block packs independently;
+  * there is no global order and no single-partition window. The window
+  * carries (doc_id, n_tokens, block) — never the text.
+  */
+object Packing {
+
+  def pack(spark: SparkSession, dir: String, budget: Int = 2048,
+      blocks: Int = 8, salt: String = "pack"): DataFrame = {
+    require(budget > 0 && blocks > 0, "budget and blocks must be positive")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        pmod(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+          lit(blocks.toLong)).as("block"))
+    val w = Window.partitionBy("block").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin",
+        col("block") * lit(1000000L) + expr(s"start_tok div $budget"))
+      .select("doc_id", "block", "n_tokens", "start_tok", "bin")
+      .orderBy("doc_id")
+  }
+}

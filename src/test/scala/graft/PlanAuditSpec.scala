@@ -57,6 +57,14 @@ class PlanAuditSpec extends SparkSpec {
     // (per-round shuffles run during construction, bounded by diameter)
     "q53_neardup_components" -> 1, "q54_knn_join" -> 2,
     "q55_asof_tolerance" -> 3,
+    // q59: per-block packing window + output sort — parallelism is the
+    // block count, no global window
+    "q59_sequence_packing" -> 2,
+    // q60: corpus(doc_id, quality) ⋈ component labels (SMJ on doc_id —
+    // labels can exceed broadcast size at corpus scale) + keep-window on
+    // comp + sort; the LSH/components construction runs before the
+    // audited plan exists (same as q53)
+    "q60_canonical_docs" -> 4,
     // q56: scan of the materialized inverted file → map-only scoring →
     // TakeOrderedAndProject; the index build/train run before the audited
     // plan exists
