@@ -82,6 +82,7 @@ object SparkEntry {
       Similarity.knnJoin(s, d, queryIds = Seq(0L, 1L, 2L, 3L), k = 5)),
     // —— Similarity search (extensions) ——
     "q26_ann_topk"        -> ((s, d) => Similarity.topK(s, d)),
+    "q61_rerank_ann"      -> ((s, d) => Similarity.rerankTopK(s, d)),
     "q27_blocked_neardup" -> ((s, d) => Similarity.blockedNearDup(s, d)),
     "q28_lsh_buckets"     -> ((s, d) => Similarity.lshBuckets(s, d)),
     "q29_lsh_neardup"     -> ((s, d) => Similarity.lshNearDup(s, d)),
@@ -663,6 +664,33 @@ object SparkEntry {
            FROM embeddings, q WHERE vec_id <> 0)
          SELECT vec_id, round(score_raw, 6) AS score
          FROM s ORDER BY score DESC, vec_id LIMIT 10""",
+    "q61_rerank_ann" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         c AS (
+           SELECT vec_id, embedding, qe,
+                  list_reduce(list_transform(
+                    list_zip(embedding[1:16], qe[1:16]),
+                    p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_transform(embedding[1:16],
+                       v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_transform(qe[1:16],
+                         v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y)))
+                    AS coarse_score
+           FROM embeddings, q WHERE vec_id <> 0),
+         s AS (SELECT vec_id, embedding, qe FROM c
+               ORDER BY coarse_score DESC, vec_id LIMIT 50),
+         r AS (
+           SELECT vec_id,
+                  list_reduce(list_transform(list_zip(embedding, qe),
+                    p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_transform(embedding,
+                       v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_transform(qe,
+                         v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y)))
+                    AS score_raw
+           FROM s)
+         SELECT vec_id, round(score_raw, 6) AS score
+         FROM r ORDER BY score DESC, vec_id LIMIT 10""",
     "q27_blocked_neardup" ->
       """WITH s AS (
            SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -43,6 +43,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage retrieval: coarse cosine over the FIRST `coarseDims`
+    * components shortlists `shortlist` candidates; only those are
+    * re-ranked with the full vector (the truncated-dimension /
+    * Matryoshka-retrieval pattern — score cheap on a prefix, pay full
+    * dimensionality for a bounded candidate set).
+    *
+    * Scale: both stages are map-only over the scan plus k-bounded
+    * TakeOrdered heaps — zero shuffles, like [[topK]], but the full-dim
+    * arithmetic runs on `shortlist` rows instead of the corpus. At
+    * 100 TB the coarse stage composes with the IVF partition-pruned
+    * scan (probe cells, coarse-score members, re-rank survivors); the
+    * prefix slice keeps one storage column (no separate head table) —
+    * the shortlist heap carries the full vector so stage 2 needs no
+    * second lookup. Ties at the shortlist boundary break on vec_id, so
+    * the cut is deterministic and oracle-reproducible. */
+  def rerankTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      coarseDims: Int = 16, shortlist: Int = 50, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    emb.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("q_embedding"),
+        cosineNative(slice(col("embedding"), 1, coarseDims),
+          slice(col("q_embedding"), 1, coarseDims)).as("coarse_score"))
+      .orderBy(desc("coarse_score"), col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"),
+        round(cosineNative(col("embedding"), col("q_embedding")), 6)
+          .as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, blocked by `label`
     * (IVF-style coarse quantization: only intra-block pairs are scored). */
   def blockedNearDup(spark: SparkSession, dir: String,

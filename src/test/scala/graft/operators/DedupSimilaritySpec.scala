@@ -152,6 +152,29 @@ class DedupSimilaritySpec extends SparkSpec {
     pairs.foreach(r => assert(r.getLong(0) < r.getLong(1)))
   }
 
+  test("rerank: full-width coarse stage reproduces brute force exactly") {
+    val n = graft.Tables.embeddings(spark, sf).count().toInt
+    val rr = Similarity.rerankTopK(spark, sf, coarseDims = 64,
+      shortlist = n, k = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.topK(spark, sf, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rr.toSeq == brute.toSeq)
+  }
+
+  test("rerank: 16-dim coarse shortlist keeps useful recall, scores exact") {
+    val rr = Similarity.rerankTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.topK(spark, sf, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // survivors carry their TRUE full-dim score (re-rank is exact on the
+    // shortlist), so any overlap with brute force agrees on the value
+    rr.foreach { case (id, s) =>
+      brute.get(id).foreach(b => assert(b == s, s"score drift for $id"))
+    }
+    val recall = rr.count { case (id, _) => brute.contains(id) } / 10.0
+    assert(recall >= 0.3, s"recall@10 was $recall")
+  }
+
   test("decontaminate: external benchmark relation flags exactly the overlap") {
     val docs = graft.Tables.documents(spark, sf)
     // benchmark = the text of every 10th doc, via a DIFFERENT relation
