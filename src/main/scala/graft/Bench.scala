@@ -28,10 +28,19 @@ object Bench {
     // a failed query must read as a FAILURE (-1), not as its
     // time-to-exception — a regression that throws would otherwise
     // masquerade as a performance win in the gate
-    // local-iteration filter: comma-separated query names; absent = all
+    // local-iteration filter: comma-separated query names; absent = all.
+    // Loud on stderr — a filtered "total" must never read as the suite's.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] WARNING: unmatched names in " +
+          s"SPARK_GRAFT_BENCH_ONLY: ${unknown.mkString(", ")}")
+      System.err.println(s"[bench] WARNING: filtered run (${names.size} " +
+        "queries) — the reported total is NOT the full-suite total")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -159,6 +159,33 @@ object SparkEntry {
     (0 until 16).map(j => s"($j, ${a(j)}, ${b(j)})").mkString(", ")
   }
 
+  // The composite quality score over CTE columns (toks, text) — the ONE
+  // SQL rendering of TextFunctions.qualityScore, shared by the q50 and
+  // q60 oracles so the compositions cannot drift from each other (q20
+  // derives the same score from its separately-output ratio columns).
+  private def qualityCaseSql: String =
+    raw"""round((CASE WHEN len(toks) BETWEEN 20 AND 1000
+                      THEN CAST(0.5 AS DOUBLE)
+                      WHEN len(toks) >= 5 THEN CAST(0.25 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+                + (CASE WHEN (CASE WHEN len(toks) = 0
+                         THEN CAST(0.0 AS DOUBLE)
+                         ELSE CAST(len(list_filter(toks,
+                           s -> list_contains(['the','a','an','and','of',
+                             'to','in','is','it','on','for'], s)))
+                           AS DOUBLE) / len(toks) END) >= 0.05
+                        THEN CAST(0.3 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END)
+                + CAST(0.2 AS DOUBLE)
+                + (CASE WHEN (CASE WHEN len(regexp_replace(text,
+                         '\s+', '', 'g')) = 0 THEN CAST(0.0 AS DOUBLE)
+                         ELSE CAST(len(regexp_replace(text,
+                           '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                           / len(regexp_replace(text, '\s+', '', 'g'))
+                         END) > 0.2
+                        THEN CAST(-0.2 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END), 2)"""
+
   // Shared CTE chain for the MinHash-LSH pipeline (q24 pairs, q53
   // components): shingle → minhash → banded buckets → candidate pairs →
   // est_sim scoring. `sc` is the scored-pairs relation.
@@ -768,7 +795,7 @@ object SparkEntry {
            ON e.user_id = o.user_id AND e.ts >= o.ots
          ORDER BY e.user_id, e.event_id""",
     "q50_curation" ->
-      """WITH fpd AS (
+      raw"""WITH fpd AS (
            SELECT doc_id, lang, text,
                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
            FROM documents),
@@ -784,28 +811,7 @@ object SparkEntry {
                               s -> len(s) > 0) AS toks
            FROM keep),
          q AS (
-           SELECT doc_id, lang,
-                  round((CASE WHEN len(toks) BETWEEN 20 AND 1000
-                              THEN CAST(0.5 AS DOUBLE)
-                              WHEN len(toks) >= 5 THEN CAST(0.25 AS DOUBLE)
-                              ELSE CAST(0.0 AS DOUBLE) END)
-                        + (CASE WHEN (CASE WHEN len(toks) = 0
-                                 THEN CAST(0.0 AS DOUBLE)
-                                 ELSE CAST(len(list_filter(toks,
-                                   s -> list_contains(['the','a','an','and','of',
-                                     'to','in','is','it','on','for'], s)))
-                                   AS DOUBLE) / len(toks) END) >= 0.05
-                                THEN CAST(0.3 AS DOUBLE)
-                                ELSE CAST(0.0 AS DOUBLE) END)
-                        + CAST(0.2 AS DOUBLE)
-                        + (CASE WHEN (CASE WHEN len(regexp_replace(text,
-                                 '\s+', '', 'g')) = 0 THEN CAST(0.0 AS DOUBLE)
-                                 ELSE CAST(len(regexp_replace(text,
-                                   '[^[:punct:]]', '', 'g')) AS DOUBLE)
-                                   / len(regexp_replace(text, '\s+', '', 'g'))
-                                 END) > 0.2
-                                THEN CAST(-0.2 AS DOUBLE)
-                                ELSE CAST(0.0 AS DOUBLE) END), 2) AS quality
+           SELECT doc_id, lang, $qualityCaseSql AS quality
            FROM m),
          f AS (SELECT * FROM q WHERE quality >= 0.5),
          r AS (
@@ -831,7 +837,8 @@ object SparkEntry {
                     AS start_tok
            FROM d)
          SELECT doc_id, block, n_tokens, start_tok,
-                CAST(block * 1000000 + start_tok // 2048 AS BIGINT) AS bin
+                CAST(block * 1099511627776 + start_tok // 2048 AS BIGINT)
+                  AS bin
          FROM w ORDER BY doc_id""",
     "q60_canonical_docs" ->
       raw"""WITH RECURSIVE $minhashLshCtes,
@@ -852,28 +859,7 @@ object SparkEntry {
                               s -> len(s) > 0) AS toks
            FROM documents),
          qual AS (
-           SELECT doc_id,
-                  round((CASE WHEN len(toks) BETWEEN 20 AND 1000
-                              THEN CAST(0.5 AS DOUBLE)
-                              WHEN len(toks) >= 5 THEN CAST(0.25 AS DOUBLE)
-                              ELSE CAST(0.0 AS DOUBLE) END)
-                        + (CASE WHEN (CASE WHEN len(toks) = 0
-                                 THEN CAST(0.0 AS DOUBLE)
-                                 ELSE CAST(len(list_filter(toks,
-                                   s -> list_contains(['the','a','an','and','of',
-                                     'to','in','is','it','on','for'], s)))
-                                   AS DOUBLE) / len(toks) END) >= 0.05
-                                THEN CAST(0.3 AS DOUBLE)
-                                ELSE CAST(0.0 AS DOUBLE) END)
-                        + CAST(0.2 AS DOUBLE)
-                        + (CASE WHEN (CASE WHEN len(regexp_replace(text,
-                                 '\s+', '', 'g')) = 0 THEN CAST(0.0 AS DOUBLE)
-                                 ELSE CAST(len(regexp_replace(text,
-                                   '[^[:punct:]]', '', 'g')) AS DOUBLE)
-                                   / len(regexp_replace(text, '\s+', '', 'g'))
-                                 END) > 0.2
-                                THEN CAST(-0.2 AS DOUBLE)
-                                ELSE CAST(0.0 AS DOUBLE) END), 2) AS quality
+           SELECT doc_id, $qualityCaseSql AS quality
            FROM mq),
          j AS (SELECT q.doc_id, COALESCE(c.comp, q.doc_id) AS comp, q.quality
                FROM qual q LEFT JOIN cmp c ON q.doc_id = c.doc_id)

@@ -108,11 +108,17 @@ object Dedup {
       size(col("toks")).cast("long").as("n_tok"),
       explode(col("toks")).as("token"))
     val a = idx.as("a"); val b = idx.as("b")
+    // margin 5e-5: the FINAL predicate tests round(jaccard, 4), which a
+    // raw J as low as threshold − 0.00005 still satisfies — prefiltering
+    // at the raw threshold would drop pairs the (round-tested) oracle
+    // keeps. J ≤ min/max, so min ≥ (t − 5e-5)·max retains every pair
+    // that can possibly round up to t.
+    val tMargin = threshold - 0.00005
     a.join(b,
         col("a.token") === col("b.token") &&
           col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n_tok"), col("b.n_tok")) >=
-            lit(threshold) * greatest(col("a.n_tok"), col("b.n_tok")))
+            lit(tMargin) * greatest(col("a.n_tok"), col("b.n_tok")))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("inter"),
         // n_tok is functionally determined by the doc id — max = the value

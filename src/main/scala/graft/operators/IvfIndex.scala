@@ -131,27 +131,51 @@ object IvfIndex {
       }
   }
 
+  /** Insert-or-get under `key`, evicting other entries for the same
+    * (dir, cells, iters) whose fingerprint is superseded — a long-lived
+    * server that sees periodic data refreshes must not accrete one memo
+    * entry (and one Centroids object) per refresh forever. */
+  private def memoSwap[A](memo: TrieMap[(String, Int, Int, Long), A],
+      key: (String, Int, Int, Long))(build: => A): A = {
+    val v = memo.getOrElseUpdate(key, build)
+    memo.keys.filter(k =>
+      (k._1, k._2, k._3) == ((key._1, key._2, key._3)) && k != key)
+      .foreach(memo.remove)
+    v
+  }
+
+  private def trainCachedFp(spark: SparkSession, dir: String, cells: Int,
+      iters: Int, fp: Long): Centroids =
+    memoSwap(trainMemo, (dir, cells, iters, fp))(
+      train(spark, dir, cells, iters))
+
   /** [[train]], memoized per (dir, cells, iters, data fingerprint) for
     * the JVM lifetime. */
   def trainCached(spark: SparkSession, dir: String, cells: Int = 16,
       iters: Int = 3): Centroids =
-    trainMemo.getOrElseUpdate((dir, cells, iters, dataFingerprint(dir)),
-      train(spark, dir, cells, iters))
+    trainCachedFp(spark, dir, cells, iters, dataFingerprint(dir))
 
   /** The materialized inverted file for (dir, cells, iters): trained and
     * written on first request, reused afterwards — until the source data
-    * changes (fingerprint key). Returns (indexPath, centroids) —
-    * everything [[searchInvertedFile]] needs. */
+    * changes (fingerprint key). The fingerprint is computed ONCE and
+    * keys both memos, so training and index can never mix two data
+    * versions; the index path embeds the fingerprint, so a rebuild after
+    * a refresh writes a NEW directory instead of overwriting files a
+    * concurrent search may still be scanning (the superseded directory
+    * is left for in-flight readers; one per refresh, tmp-dir lifetime).
+    * Returns (indexPath, centroids) — everything [[searchInvertedFile]]
+    * needs. */
   def invertedFileCached(spark: SparkSession, dir: String, cells: Int = 16,
       iters: Int = 3): (String, Centroids) = {
-    val cents = trainCached(spark, dir, cells, iters)
-    val path = indexMemo.getOrElseUpdate(
-      (dir, cells, iters, dataFingerprint(dir)), {
-        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-        val p = sys.props("java.io.tmpdir") + s"/graft-ivf-$tag-c$cells-i$iters"
-        buildInvertedFile(spark, dir, cents, p)
-        p
-      })
+    val fp = dataFingerprint(dir)
+    val cents = trainCachedFp(spark, dir, cells, iters, fp)
+    val path = memoSwap(indexMemo, (dir, cells, iters, fp)) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft-ivf-$tag-c$cells-i$iters-f${java.lang.Long.toHexString(fp)}"
+      buildInvertedFile(spark, dir, cents, p)
+      p
+    }
     (path, cents)
   }
 

@@ -15,10 +15,13 @@ import graft.functions.TextFunctions._
   * are content-addressed into `blocks` independent streams by salted
   * md5 (engine-reproducible, same scheme as [[Sampling]]), ordered
   * deterministically within their block, and a running token prefix-sum
-  * assigns `bin = block·10⁶ + start_tok div budget` — a document
+  * assigns `bin = block·2⁴⁰ + start_tok div budget` — a document
   * straddling a boundary belongs to the bin its FIRST token falls in
   * (real pipelines split or truncate at the boundary; exact first-fit
-  * is a sequential fold no engine parallelizes).
+  * is a sequential fold no engine parallelizes). The 2⁴⁰ stride keeps
+  * bin ids collision-free up to 2⁴⁰ windows per block (≈2.25e15 tokens
+  * at the default budget — comfortably past a 100 TB corpus) and 2²³
+  * blocks before the Long overflows.
   *
   * Scale: the only shuffles are the per-block window and the output
   * sort. Parallelism = `blocks` — at 100 TB you raise `blocks` to a
@@ -28,9 +31,13 @@ import graft.functions.TextFunctions._
   */
 object Packing {
 
+  /** Per-block bin-id stride (2⁴⁰). Shared with the q59 oracle SQL. */
+  val BinStride: Long = 1L << 40
+
   def pack(spark: SparkSession, dir: String, budget: Int = 2048,
       blocks: Int = 8, salt: String = "pack"): DataFrame = {
     require(budget > 0 && blocks > 0, "budget and blocks must be positive")
+    require(blocks.toLong < (1L << 23), "blocks must fit the bin-id stride")
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -40,7 +47,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
       .withColumn("bin",
-        col("block") * lit(1000000L) + expr(s"start_tok div $budget"))
+        col("block") * lit(BinStride) + expr(s"start_tok div $budget"))
       .select("doc_id", "block", "n_tokens", "start_tok", "bin")
       .orderBy("doc_id")
   }

@@ -104,9 +104,12 @@ class IvfIndexSpec extends SparkSpec {
     val c2 = IvfIndex.trainCached(spark, dir, cells = 4, iters = 1)
     assert(!(c1 eq c2), "stale training served after the data changed")
     val (p2, _) = IvfIndex.invertedFileCached(spark, dir, cells = 4, iters = 1)
-    assert(p1 == p2, "logical index location is stable per (dir,cells,iters)")
-    val m2 = new java.io.File(p2).listFiles().map(_.lastModified).max
-    assert(m2 > m1, "index was not rebuilt after the data changed")
+    assert(p1 != p2,
+      "a rebuild must land in a NEW fingerprint-suffixed directory so " +
+        "in-flight searches over the old index are never clobbered")
+    assert(new java.io.File(p2).exists(), "fresh index must be materialized")
+    assert(new java.io.File(p1).listFiles().map(_.lastModified).max == m1,
+      "the superseded index directory must be left untouched for readers")
     IvfIndex.clearMemos()
   }
 

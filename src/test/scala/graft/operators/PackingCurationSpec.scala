@@ -23,7 +23,7 @@ class PackingCurationSpec extends SparkSpec {
     }
     // bin encodes (block, window index of the doc's FIRST token)
     rows.foreach { case (_, block, _, start, bin) =>
-      assert(bin == block * 1000000L + start / 256)
+      assert(bin == block * Packing.BinStride + start / 256)
     }
   }
 
