@@ -83,6 +83,7 @@ object SparkEntry {
     // —— Similarity search (extensions) ——
     "q26_ann_topk"        -> ((s, d) => Similarity.topK(s, d)),
     "q61_rerank_ann"      -> ((s, d) => Similarity.rerankTopK(s, d)),
+    "q62_quantized_ann"   -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "q27_blocked_neardup" -> ((s, d) => Similarity.blockedNearDup(s, d)),
     "q28_lsh_buckets"     -> ((s, d) => Similarity.lshBuckets(s, d)),
     "q29_lsh_neardup"     -> ((s, d) => Similarity.lshNearDup(s, d)),
@@ -718,6 +719,27 @@ object SparkEntry {
            FROM s)
          SELECT vec_id, round(score_raw, 6) AS score
          FROM r ORDER BY score DESC, vec_id LIMIT 10""",
+    "q62_quantized_ann" ->
+      """WITH mq AS (
+           SELECT vec_id,
+                  list_transform(embedding, v -> CAST(floor(v::DOUBLE *
+                    (127.0 / list_reduce(list_transform(embedding,
+                       u -> abs(u::DOUBLE)), (x, y) -> greatest(x, y))))
+                    AS BIGINT)) AS qv
+           FROM embeddings),
+         q AS (SELECT qv AS qq FROM mq WHERE vec_id = 0),
+         s AS (
+           SELECT vec_id,
+                  list_reduce(list_transform(list_zip(qv, qq),
+                    p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_transform(qv,
+                       v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_transform(qq,
+                         v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y)))
+                    AS score_raw
+           FROM mq, q WHERE vec_id <> 0)
+         SELECT vec_id, round(score_raw, 6) AS score
+         FROM s ORDER BY score DESC, vec_id LIMIT 10""",
     "q27_blocked_neardup" ->
       """WITH s AS (
            SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -4,7 +4,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -32,26 +32,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType),
+      ArrayType(LongType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType),
+      ArrayType(LongType)))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
-  private def isDouble(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
-    case _ => false
+  // element accessor kind per side: long (int8-quantized carriers, see
+  // Int8Quantize — products ≤ 127²·dim are exactly representable in the
+  // double accumulator, so the integer path is bitwise-reproducible too)
+  // / double (exact centroids) / float (stored embeddings)
+  private def elem(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case t               => t
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (xd, yd) = (isDouble(left), isDouble(right))
+    def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
+      case DoubleType => arr.getDouble(i)
+      case LongType   => arr.getLong(i).toDouble
+      case _          => arr.getFloat(i).toDouble
+    }
+    val (xt, yt) = (elem(left), elem(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
-      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      val xi = get(x, i, xt)
+      val yi = get(y, i, yt)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -64,14 +75,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
-      def get(arr: String, idx: String, dbl: Boolean): String =
-        if (dbl) s"$arr.getDouble($idx)" else s"(double) $arr.getFloat($idx)"
+      def get(arr: String, idx: String, t: DataType): String = t match {
+        case DoubleType => s"$arr.getDouble($idx)"
+        case LongType   => s"(double) $arr.getLong($idx)"
+        case _          => s"(double) $arr.getFloat($idx)"
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = ${get(a, i, isDouble(left))};
-         |  double $yi = ${get(b, i, isDouble(right))};
+         |  double $xi = ${get(a, i, elem(left))};
+         |  double $yi = ${get(b, i, elem(right))};
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
@@ -83,9 +97,88 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-vector symmetric int8 quantization: `qᵢ = floor(vᵢ · 127/max|v|)`
+  * as `array<long>` (the storage layer would cast to bytes — 4× smaller
+  * than float32; the long carrier keeps oracle/BIGINT parity).
+  *
+  * A native expression rather than `transform(...)` because the scale
+  * `127/max|v|` must be computed ONCE per vector: Catalyst performs no
+  * CSE inside an expression tree and CollapseProject inlines
+  * single-referenced aliases into lambdas, so the composed form re-folds
+  * the max-abs reduction PER ELEMENT — O(dim²) per row. Two tight loops
+  * here (max-abs, then quantize), inside whole-stage codegen.
+  *
+  * Determinism: each output is one widen + one multiply + one floor on
+  * identical operands (the division happens once per vector, exactly as
+  * the oracle's `127.0 / list_reduce(...)` subexpression), so results
+  * are bitwise identical in DuckDB. A zero vector quantizes to zeros
+  * (the scale would be ∞ — guarded, not NaN-propagated). */
+case class Int8Quantize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "int8_quantize"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val out = new Array[Long](n)
+    if (maxAbs > 0.0) {
+      val scale = 127.0 / maxAbs
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(x.getFloat(i).toDouble * scale).toLong
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs"); val v = ctx.freshName("v")
+      val scale = ctx.freshName("scale"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $maxAbs = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($v > $maxAbs) $maxAbs = $v;
+         |}
+         |long[] $out = new long[$n];
+         |if ($maxAbs > 0.0) {
+         |  double $scale = 127.0 / $maxAbs;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (long) java.lang.Math.floor(
+         |      (double) $a.getFloat($i) * $scale);
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Int8Quantize = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for the native cosine expression. */
   def cosineNative(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for the native int8 quantizer. */
+  def int8QuantizeNative(a: Column): Column =
+    ExpressionUtils.column(Int8Quantize(ExpressionUtils.expression(a)))
 }

@@ -77,6 +77,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force top-k over INT8-QUANTIZED vectors — the 4×-storage-
+    * compression retrieval path (store `floor(v·127/max|v|)` bytes, keep
+    * float32 only for re-ranking if at all). Both sides quantize with
+    * the native [[org.apache.spark.sql.graft.Int8Quantize]] kernel
+    * (one pass per vector; the composed `transform` form would re-fold
+    * the per-vector scale per element), and scoring reuses the cosine
+    * kernel on the integer carriers — products ≤ 127²·dim are exactly
+    * representable in the double accumulator, so the whole pipeline
+    * stays bitwise oracle-reproducible. Map-only + TakeOrdered like
+    * [[topK]]; at 100 TB the quantized column is what you materialize
+    * and scan, cutting the ANN scan's bytes 4×. */
+  def quantizedTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.int8QuantizeNative
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), int8QuantizeNative(col("embedding")).as("qv"))
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("qv").as("q_qv"))
+    emb.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineNative(col("qv"), col("q_qv")), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, blocked by `label`
     * (IVF-style coarse quantization: only intra-block pairs are scored). */
   def blockedNearDup(spark: SparkSession, dir: String,

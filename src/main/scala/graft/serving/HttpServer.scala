@@ -15,6 +15,8 @@ import graft.operators.Api
   *   GET /statsByItem?itemName=small+ring&date=...&t=segment
   *   GET /detailByItem?date=...&itemName=small+ring&pageNo=1&pageSize=20
   *   GET /annSearch?vecId=0&k=10&nprobe=3   (extension: IVF ANN service)
+  *   GET /rerankSearch?vecId=0&k=10&coarseDims=16&shortlist=50
+  *       (extension: two-stage coarse-shortlist / exact-re-rank)
   *
   * The Spark driver hosts the server; each request compiles to a
   * DataFrame program that Catalyst plans and the cluster executes —
@@ -124,6 +126,18 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       IvfIndex.searchInvertedFile(spark, annIndexPath, annCentroids,
         q(0).getSeq[Float](0).toArray, excludeId = Some(vecId),
         k = k, nprobe = nprobe)
+    })
+    server.createContext("/rerankSearch", handler { p =>
+      val vecId = p.getOrElse("vecId",
+        throw new IllegalArgumentException("vecId required")).toLong
+      val k = p.getOrElse("k", "10").toInt
+      val coarseDims = p.getOrElse("coarseDims", "16").toInt
+      val shortlist = p.getOrElse("shortlist", "50").toInt
+      if (k <= 0 || coarseDims <= 0 || shortlist < k)
+        throw new IllegalArgumentException(
+          "need k > 0, coarseDims > 0, shortlist >= k")
+      graft.operators.Similarity.rerankTopK(spark, dataDir, vecId,
+        coarseDims, shortlist, k)
     })
     server.start()
     this

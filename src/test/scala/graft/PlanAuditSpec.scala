@@ -18,7 +18,8 @@ class PlanAuditSpec extends SparkSpec {
     * Q-row query batch. */
   private val bnljAllowed = Set(
     "q22_jaccard_pairs", "q26_ann_topk", "q32_detail_api", "q38_ivf_search",
-    "q41_topk_per_label", "q54_knn_join", "q61_rerank_ann")
+    "q41_topk_per_label", "q54_knn_join", "q61_rerank_ann",
+    "q62_quantized_ann")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -43,7 +44,7 @@ class PlanAuditSpec extends SparkSpec {
     "q23_minhash_sigs" -> 1, "q24_minhash_lsh_pairs" -> 2, "q25_simhash" -> 1,
     // q61: both retrieval stages are map-only + k-bounded TakeOrdered
     // heaps over the 1-row query broadcast — zero shuffles, like q26
-    "q26_ann_topk" -> 0, "q61_rerank_ann" -> 0,
+    "q26_ann_topk" -> 0, "q61_rerank_ann" -> 0, "q62_quantized_ann" -> 0,
     "q27_blocked_neardup" -> 1, "q28_lsh_buckets" -> 1,
     "q29_lsh_neardup" -> 1, "q30_dau_realtime" -> 4, "q31_stats_by_type" -> 2,
     "q32_detail_api" -> 0, "q33_media_meta" -> 1, "q34_frame_sample" -> 1,

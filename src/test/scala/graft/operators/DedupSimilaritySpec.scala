@@ -175,6 +175,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@10 was $recall")
   }
 
+  test("int8 quantize: range-bounded, extreme element hits ±127, zeros safe") {
+    import org.apache.spark.sql.graft.VectorExpressions.int8QuantizeNative
+    import spark.implicits._
+    val qdf = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), int8QuantizeNative(col("embedding")).as("qv"))
+    val rows = qdf.collect().map(_.getSeq[Long](1))
+    assert(rows.nonEmpty)
+    rows.foreach { qv =>
+      // floor(v·127/max|v|) ∈ [−128, 127]; the division 127/max|v| is
+      // rounded once, so the extreme element's product is 127·(1±ulp) —
+      // floor puts it in {126, 127} (positive) or {−127, −128} (negative)
+      assert(qv.forall(v => v >= -128 && v <= 127), qv.mkString(","))
+      assert(qv.max >= 126 || qv.min <= -127,
+        s"extreme element missing: max=${qv.max} min=${qv.min}")
+    }
+    // a zero vector must quantize to zeros, not NaN-propagate
+    val z = Seq((0L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+      .select(int8QuantizeNative(col("embedding")).as("qv"))
+      .collect()(0).getSeq[Long](0)
+    assert(z == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("quantized topK: zero-shuffle plan, useful recall vs exact") {
+    val qk = Similarity.quantizedTopK(spark, sf)
+    val plan = qk.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"quantized scan must be map-only:\n$plan")
+    val got = qk.collect().map(_.getLong(0)).toSet
+    val brute = Similarity.topK(spark, sf, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (got & brute).size / 10.0
+    assert(recall >= 0.5, s"int8 recall@10 was $recall")
+  }
+
   test("decontaminate: external benchmark relation flags exactly the overlap") {
     val docs = graft.Tables.documents(spark, sf)
     // benchmark = the text of every 10th doc, via a DIFFERENT relation

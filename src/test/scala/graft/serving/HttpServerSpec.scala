@@ -51,6 +51,13 @@ class HttpServerSpec extends SparkSpec {
       assert(c8 == 400)
       val (c9, _) = get(s"$base/annSearch?vecId=999999999") // unknown → 400
       assert(c9 == 400)
+
+      // two-stage rerank endpoint: exact full-dim scores on survivors
+      val (c10, rr) = get(s"$base/rerankSearch?vecId=0&k=5")
+      assert(c10 == 200 && rr.contains("\"score\""), rr.take(200))
+      assert(rr.split("\\},\\{").length == 5)
+      val (c11, _) = get(s"$base/rerankSearch?vecId=0&k=10&shortlist=5")
+      assert(c11 == 400) // shortlist < k → 400
     } finally srv.stop()
   }
 }
