@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.TextFunctions._
 
 /** Streaming ingestion curation — the LLM-pipeline operators applied to
@@ -39,4 +40,53 @@ object DocStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+
+  /** One packed document: its block, token count, and the token-budget
+    * bin it starts in (same encoding as the batch
+    * [[graft.operators.Packing]]). */
+  case class PackedDoc(doc_id: Long, block: Long, n_tokens: Long,
+      start_tok: Long, bin: Long)
+
+  /** STREAMING sequence packing — the batch operator's per-block token
+    * prefix sum continued across micro-batches: each block keeps its
+    * running token offset in keyed state, so a document arriving in
+    * batch 50 lands exactly where a one-shot batch pack over the whole
+    * history would have put it (given id-ordered arrival). This is the
+    * continuous-ingestion shape of training-shard assembly: curate the
+    * stream ([[curate]]), pack it, sink bins as shard files.
+    *
+    * State is ONE Long per block (`blocks`·8 bytes total — bounded by
+    * construction, no watermark needed, NoTimeout is safe). Within a
+    * batch, a block's rows are packed in doc_id order for determinism;
+    * across batches, arrival order is append order — the streaming
+    * contract (a late doc packs where it ARRIVES; offset packing never
+    * reorders history, exactly like a real shard writer).
+    *
+    * Input must carry (doc_id, text). */
+  def packStream(docs: DataFrame, budget: Int = 2048,
+      blocks: Int = 8, salt: String = "pack"): Dataset[PackedDoc] = {
+    import graft.operators.Packing.BinStride
+    require(budget > 0 && blocks > 0, "budget and blocks must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        pmod(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+          lit(blocks.toLong)).as("block"))
+      .as[(Long, Long, Long)]
+      .groupByKey { case (_, _, block) => block }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (block: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[Long]) => {
+          var offset = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, n, _) =>
+            val start = offset
+            offset += n
+            PackedDoc(id, block, n, start, block * BinStride + start / budget)
+          }
+          state.update(offset)
+          out.iterator
+        })
+  }
 }

@@ -453,6 +453,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(1L, 5L), s"got $rows")
   }
 
+  test("packStream continues block offsets across batches (= one-shot batch)") {
+    // id-ordered arrival over two batches must produce EXACTLY what the
+    // batch operator computes over the full corpus in one shot — the
+    // per-block running offset lives in keyed state between batches
+    val dir = tmpDir("packstream")
+    val texts = (0L until 20L).map(i =>
+      (i, ("tok " * (5 + (i % 7).toInt)).trim))
+    import spark.implicits._
+    texts.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val expected = graft.operators.Packing
+      .pack(spark, dir, budget = 16, blocks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStream.packStream(
+        mem.toDF().toDF("doc_id", "text"), budget = 16, blocks = 2)
+      .writeStream.format("memory").queryName("packstream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/_cp")
+      .start()
+    mem.addData(texts.take(10): _*)
+    q.processAllAvailable()
+    mem.addData(texts.drop(10): _*)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("packstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"streaming pack diverged from batch:\n missing=${expected -- got}\n extra=${got -- expected}")
+  }
+
   test("CdcRouter typed payload parse binds a fact table's bean") {
     import org.apache.spark.sql.types._
     implicit val enc: org.apache.spark.sql.Encoder[OrderInfoCdc] =
