@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSig, ShingleSet, SimHashSig}
+import org.apache.spark.sql.graft.{CosineSimilarity, Int8Quantize, MinHashSig, ShingleSet, SimHashSig}
 
 /** SQL surface for the engine's native expressions, registered through
   * the standard `SparkSessionExtensions` mechanism so `spark.sql(...)`
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+      (args: Seq[Expression]) => Int8Quantize(args(0))))
     ext.injectFunction((
       new FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),

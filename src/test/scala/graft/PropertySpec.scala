@@ -51,6 +51,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization is invariant under exact power-of-two scaling") {
+    // symmetric quantization depends only on v_i / max|v|, so scaling a
+    // vector by 4 (exact in float: exponent bump, mantissa untouched)
+    // must not change a single quantized value
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1000, 1000).map(_ / 100.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    val rows = samples(vecGen, 25).map(v => (v, v.map(_ * 4.0f)))
+    val bad = rows.toDF("a", "b").selectExpr(
+      "int8_quantize(a) AS qa", "int8_quantize(b) AS qb")
+      .where(col("qa") =!= col("qb")).count()
+    assert(bad == 0)
+  }
+
+  test("quantized cosine tracks true cosine within int8 resolution") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1000, 1000).map(_ / 100.0f))
+      .suchThat(v => v.count(_ != 0.0f) >= 4)
+    val rows = samples(Gen.zip(vecGen, vecGen), 25)
+    val r = rows.toDF("a", "b").selectExpr(
+      "cosine_similarity(a, b) AS exact",
+      "cosine_similarity(int8_quantize(a), int8_quantize(b)) AS quant")
+      .collect()
+    r.foreach { row =>
+      val (e, q) = (row.getDouble(0), row.getDouble(1))
+      assert(math.abs(e - q) < 0.08,
+        s"quantized cosine drifted: exact=$e quant=$q")
+    }
+  }
+
   test("asof join equals the naive theta-join + argmax on random data") {
     val tsGen = Gen.chooseNum(0L, 50L)
     val caseGen = Gen.zip(
