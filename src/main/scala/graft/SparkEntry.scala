@@ -74,6 +74,9 @@ object SparkEntry {
     "q58_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q50_curation" -> ((s, d) => Curation.curate(s, d)),
     "q59_sequence_packing" -> ((s, d) => Packing.pack(s, d)),
+    // budget 64 (not the 2048 default) so sf0.01 docs actually straddle
+    // window boundaries and the split path is what's gated
+    "q63_pack_spans" -> ((s, d) => Packing.packSpans(s, d, budget = 64)),
     "q60_canonical_docs"   -> ((s, d) => Curation.canonicalDocs(s, d)),
     "q51_weighted_sample" -> ((s, d) =>
       Sampling.sampleByWeights(s, d, MixRecipe)),
@@ -862,6 +865,32 @@ object SparkEntry {
                 CAST(block * 1099511627776 + start_tok // 2048 AS BIGINT)
                   AS bin
          FROM w ORDER BY doc_id""",
+    "q63_pack_spans" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+                  ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT
+                    % 8 AS block
+           FROM documents),
+         w AS (
+           SELECT doc_id, block, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                    AS start_tok
+           FROM d),
+         sp AS (
+           SELECT doc_id, block, start_tok, n_tokens,
+                  unnest(generate_series(start_tok // 64,
+                    (start_tok + n_tokens - 1) // 64)) AS win
+           FROM w WHERE n_tokens > 0)
+         SELECT doc_id,
+                CAST(block * 1099511627776 + win AS BIGINT) AS bin,
+                CAST(greatest(start_tok, win * 64) - start_tok AS BIGINT)
+                  AS tok_from,
+                CAST(least(start_tok + n_tokens, (win + 1) * 64) - start_tok
+                  AS BIGINT) AS tok_to
+         FROM sp ORDER BY doc_id, bin""",
     "q60_canonical_docs" ->
       raw"""WITH RECURSIVE $minhashLshCtes,
          pairs AS (SELECT id1, id2 FROM sc WHERE est_sim >= 0.5),

@@ -51,4 +51,41 @@ object Packing {
       .select("doc_id", "block", "n_tokens", "start_tok", "bin")
       .orderBy("doc_id")
   }
+
+  /** Span-level packing — what the shard writer actually emits: a doc
+    * whose tokens straddle window boundaries is SPLIT, one row per
+    * (doc, bin) with the doc-relative token range `[tok_from, tok_to)`
+    * that lands in that bin. Every bin is exactly `budget` tokens except
+    * each block's last; [[pack]]'s whole-doc rows are the `tok_from = 0`
+    * spans of this relation. Zero-token docs occupy no space in any
+    * shard and emit no span.
+    *
+    * Same two shuffles as [[pack]] (per-block window + output sort) —
+    * the span explode is map-side `sequence()` arithmetic over the
+    * prefix sums, ≤ ⌈n_tokens/budget⌉+1 rows per doc. */
+  def packSpans(spark: SparkSession, dir: String, budget: Int = 2048,
+      blocks: Int = 8, salt: String = "pack"): DataFrame = {
+    require(budget > 0 && blocks > 0, "budget and blocks must be positive")
+    require(blocks.toLong < (1L << 23), "blocks must fit the bin-id stride")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        pmod(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+          lit(blocks.toLong)).as("block"))
+    val w = Window.partitionBy("block").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("block"), col("start_tok"), col("n_tokens"),
+        explode(sequence(
+          expr(s"start_tok div $budget"),
+          expr(s"(start_tok + n_tokens - 1) div $budget"))).as("win"))
+      .select(col("doc_id"),
+        (col("block") * lit(BinStride) + col("win")).as("bin"),
+        (greatest(col("start_tok"), col("win") * budget) - col("start_tok"))
+          .as("tok_from"),
+        (least(col("start_tok") + col("n_tokens"),
+          (col("win") + 1) * budget) - col("start_tok")).as("tok_to"))
+      .orderBy("doc_id", "bin")
+  }
 }

@@ -61,9 +61,9 @@ class PlanAuditSpec extends SparkSpec {
     // (per-round shuffles run during construction, bounded by diameter)
     "q53_neardup_components" -> 1, "q54_knn_join" -> 2,
     "q55_asof_tolerance" -> 3,
-    // q59: per-block packing window + output sort — parallelism is the
-    // block count, no global window
-    "q59_sequence_packing" -> 2,
+    // q59/q63: per-block packing window + output sort — parallelism is
+    // the block count, no global window; q63's span explode is map-side
+    "q59_sequence_packing" -> 2, "q63_pack_spans" -> 2,
     // q60: corpus(doc_id, quality) ⋈ component labels (SMJ on doc_id —
     // labels can exceed broadcast size at corpus scale) + keep-window on
     // comp + sort; the LSH/components construction runs before the

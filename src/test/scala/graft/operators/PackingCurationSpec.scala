@@ -37,6 +37,35 @@ class PackingCurationSpec extends SparkSpec {
     assert(perBin.exists(_.getLong(1) > 1), "no bin packed >1 doc")
   }
 
+  test("packSpans: spans tile every doc exactly; bins never exceed budget") {
+    val budget = 64
+    val spans = Packing.packSpans(spark, sf, budget = budget, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val toks = TextAnalysis.tokenCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // per doc: spans are contiguous, start at 0, end at n_tokens
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0, s"doc $id first span must start at 0")
+      assert(sorted.last._4 == toks(id), s"doc $id spans must cover all tokens")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"doc $id spans must abut")
+        case _           =>
+      }
+    }
+    // docs with zero tokens emit no span; everything else is covered
+    assert(spans.map(_._1).toSet == toks.filter(_._2 > 0).keySet)
+    // no bin carries more than `budget` tokens
+    val perBin = spans.groupBy(_._2).map { case (bin, ss) =>
+      bin -> ss.map(s => s._4 - s._3).sum
+    }
+    assert(perBin.values.forall(_ <= budget),
+      s"overfull bin: ${perBin.maxBy(_._2)}")
+    // full bins exist (docs really straddle boundaries at this budget)
+    assert(perBin.values.exists(_ == budget), "no bin was filled exactly")
+  }
+
   test("canonicalDocs keeps exactly the best-quality member per cluster") {
     val out = Curation.canonicalDocs(spark, sf)
     val rows = out.collect().map(r =>
