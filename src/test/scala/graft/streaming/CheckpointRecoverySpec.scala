@@ -48,4 +48,53 @@ class CheckpointRecoverySpec extends SparkSpec {
     // b1 not reprocessed (no duplicates), b2 picked up
     assert(rows == Seq(1L, 2L, 3L))
   }
+
+  test("packStream offsets survive a restart (state from the checkpoint)") {
+    // the per-block running token offset is keyed state: stop the query,
+    // feed more docs, restart from the same checkpoint → the new docs
+    // continue at the offsets where the first run left off, matching the
+    // one-shot batch pack over the full corpus
+    val base = Files.createTempDirectory("cp_pack").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"
+    val cp = s"$base/_cp"
+    new java.io.File(srcDir).mkdirs()
+
+    import spark.implicits._
+    val texts = (0L until 16L).map(i =>
+      (i, ("tok " * (3 + (i % 5).toInt)).trim))
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.json(s"$srcDir/$name")
+
+    val schema = "doc_id LONG, text STRING"
+    def startQuery() =
+      DocStream.packStream(
+          spark.readStream.schema(schema).json(s"$srcDir/*/"),
+          budget = 8, blocks = 2)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[_], _: Long) =>
+          b.toDF().write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .start()
+
+    writeBatch("b1", texts.take(8))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    writeBatch("b2", texts.drop(8)) // arrives while the query is down
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "block", "n_tokens", "start_tok", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // equals the one-shot batch pack over the full corpus
+    val dir = s"$base/batch"
+    texts.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val expected = graft.operators.Packing
+      .pack(spark, dir, budget = 8, blocks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"restart broke offset continuity:\n missing=${expected -- got}\n extra=${got -- expected}")
+  }
 }
