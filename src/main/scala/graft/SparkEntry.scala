@@ -71,6 +71,7 @@ object SparkEntry {
     "q21_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q49_length_stats" -> ((s, d) => TextAnalysis.lengthStats(s, d)),
     "q57_repetition"   -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "q64_unigram_rarity" -> ((s, d) => TextAnalysis.unigramRarity(s, d)),
     "q58_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q50_curation" -> ((s, d) => Curation.curate(s, d)),
     "q59_sequence_packing" -> ((s, d) => Packing.pack(s, d)),
@@ -865,6 +866,21 @@ object SparkEntry {
                 CAST(block * 1099511627776 + start_tok // 2048 AS BIGINT)
                   AS bin
          FROM w ORDER BY doc_id""",
+    "q64_unigram_rarity" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                     t -> len(t) > 0)) AS token
+           FROM documents),
+         tf AS (SELECT token, COUNT(*) AS tf FROM tk GROUP BY token),
+         tot AS (SELECT COUNT(*) AS total FROM tk),
+         j AS (
+           SELECT doc_id, (total * 10000) // tf AS fp
+           FROM tk JOIN tf USING (token) CROSS JOIN tot)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                round(CAST(SUM(fp) AS DOUBLE)
+                      / (CAST(COUNT(*) AS DOUBLE) * 10000.0), 6) AS rarity
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
     "q63_pack_spans" ->
       """WITH d AS (
            SELECT doc_id,

@@ -79,6 +79,63 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Ceiling on DISTINCT vocabulary tokens [[unigramRarity]] will
+    * broadcast; above it the tf join degrades to a shuffled hash join
+    * (same measured-guard contract as `Dedup.decontaminateAgainst`). */
+  val MaxBroadcastVocab = 2000000L
+
+  /** Corpus-statistics quality signal: per-doc MEAN INVERSE TOKEN
+    * FREQUENCY — the unigram-LM filter shape (docs of globally rare
+    * tokens score high = OOD/noise; all-boilerplate docs score low).
+    * `rarity(doc) = mean_t floor(total·10⁴ / tf(t)) / 10⁴` — a monotone
+    * transform of unigram surprise that stays ORDER-INDEPENDENT: the
+    * per-token values are fixed-point longs (exact integer floor-div),
+    * so the doc-level sum is associative and engine-reproducible, and
+    * the one final division is a single IEEE op on identical operands
+    * (the label-centroid determinism pattern). Fixed-point headroom:
+    * total·10⁴ must fit a long — fine to ~10¹⁴ corpus tokens; shrink
+    * the scale beyond that.
+    *
+    * Scale shape: ONE tokenization pass (cached (doc_id, token)
+    * carrier) feeds the tf aggregation, the total count, and the
+    * score join. The vocabulary BROADCASTS under a measured guard
+    * (cap [[MaxBroadcastVocab]] distinct tokens — vocabulary grows
+    * sublinearly with the corpus, but the cap is measured, not
+    * assumed); above the cap the join falls back to a shuffled hash
+    * join whose hot-token skew is bounded by AQE skew splitting.
+    * Output: (doc_id, n_tokens, rarity); zero-token docs emit no row. */
+  def unigramRarity(spark: SparkSession, dir: String,
+      maxBroadcastVocab: Long = MaxBroadcastVocab): DataFrame = {
+    val toks = graft.Caches.register(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .cache())
+    val tf = graft.Caches.register(
+      toks.groupBy("token").agg(count(lit(1)).as("tf")).cache())
+    val nVocab = tf.count()
+    val tfSide =
+      if (nVocab <= maxBroadcastVocab) broadcast(tf)
+      else {
+        System.err.println(
+          s"[graft] unigramRarity: vocabulary has $nVocab distinct tokens " +
+            s"(> cap $maxBroadcastVocab); falling back to a shuffled join " +
+            "instead of broadcasting (driver-OOM guard)")
+        tf.hint("shuffle_hash")
+      }
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks
+      .join(tfSide, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr("(total * 10000) div tf").as("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("fp").as("sum_fp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_fp").cast("double") /
+          (col("n_tokens").cast("double") * 10000.0), 6).as("rarity"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus QA: per-language length-distribution summary — the sanity
     * dashboard a 100 TB ingest runs before training (count, min/max,
     * mean, exact quartiles of n_chars). `percentile` is the EXACT

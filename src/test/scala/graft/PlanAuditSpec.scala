@@ -19,7 +19,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q22_jaccard_pairs", "q26_ann_topk", "q32_detail_api", "q38_ivf_search",
     "q41_topk_per_label", "q54_knn_join", "q61_rerank_ann",
-    "q62_quantized_ann")
+    "q62_quantized_ann", "q64_unigram_rarity")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -75,6 +75,10 @@ class PlanAuditSpec extends SparkSpec {
     "q56_ivf_file_search" -> 0,
     // q57: map-only repetition stats; the one exchange is the output sort
     "q57_repetition" -> 1,
+    // q64: tf agg + per-doc score agg + output sort, plus the cached
+    // token carrier's exchange printing per reference; vocab broadcasts
+    // under the measured guard, total rides a 1-row BNLJ crossJoin
+    "q64_unigram_rarity" -> 4,
     // q58: bench-shingle distinct + per-doc overlap count + output sort —
     // the corpus-sized side only shuffles on doc_id
     "q58_decontaminate" -> 3)

@@ -209,6 +209,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"int8 recall@10 was $recall")
   }
 
+  test("unigram rarity: bounded below, monotone in token frequency") {
+    val r = TextAnalysis.unigramRarity(spark, sf)
+    val rows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    graft.Caches.releaseAll()
+    val n = graft.Tables.documents(spark, sf)
+      .where(length(col("text")) > 0).count()
+    assert(rows.length.toLong == n, "every non-empty doc scores")
+    // mean of total/tf with tf <= total ⇒ every addend >= 1 (up to the
+    // fixed-point floor), so rarity >= ~1; a doc of the corpus's rarest
+    // tokens must outscore a doc of its most common ones
+    assert(rows.forall(_._3 >= 0.999), "rarity is bounded below by ~1")
+    assert(rows.map(_._3).distinct.length > 1, "scores must discriminate")
+    // guarded fallback path gives the same answer
+    val viaShuffle = TextAnalysis
+      .unigramRarity(spark, sf, maxBroadcastVocab = 1L)
+      .collect().map(x => (x.getLong(0), x.getDouble(2))).toSeq
+    graft.Caches.releaseAll()
+    assert(viaShuffle == rows.map(x => (x._1, x._3)).toSeq,
+      "shuffle fallback must be answer-identical")
+  }
+
   test("decontaminate: external benchmark relation flags exactly the overlap") {
     val docs = graft.Tables.documents(spark, sf)
     // benchmark = the text of every 10th doc, via a DIFFERENT relation
