@@ -73,6 +73,7 @@ object SparkEntry {
     "q57_repetition"   -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q64_unigram_rarity" -> ((s, d) => TextAnalysis.unigramRarity(s, d)),
     "q58_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q65_contamination_report" -> ((s, d) => Dedup.contaminationReport(s, d)),
     "q50_curation" -> ((s, d) => Curation.curate(s, d)),
     "q59_sequence_packing" -> ((s, d) => Packing.pack(s, d)),
     // budget 64 (not the 2048 default) so sf0.01 docs actually straddle
@@ -590,6 +591,35 @@ object SparkEntry {
          FROM ci WHERE token IN (SELECT token FROM bs)
          GROUP BY doc_id HAVING count(*) >= 1
          ORDER BY doc_id""",
+    "q65_contamination_report" ->
+      raw"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                      s -> len(s) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END) AS shingles
+           FROM t),
+         b AS (
+           SELECT doc_id FROM documents
+           WHERE ('0x' || substr(md5('bench:' || doc_id), 1, 15))::BIGINT
+                   % 100 < 10),
+         bs AS (
+           SELECT doc_id AS eval_id, unnest(shingles) AS token FROM sh
+           WHERE doc_id IN (SELECT doc_id FROM b)),
+         ci AS (
+           SELECT doc_id, unnest(shingles) AS token FROM sh
+           WHERE doc_id NOT IN (SELECT doc_id FROM b)),
+         p AS (
+           SELECT bs.eval_id, ci.doc_id, count(*) AS n_shared
+           FROM ci JOIN bs USING (token)
+           GROUP BY bs.eval_id, ci.doc_id
+           HAVING count(*) >= 1)
+         SELECT eval_id, CAST(count(*) AS BIGINT) AS n_contaminated
+         FROM p GROUP BY eval_id ORDER BY eval_id""",
     "q22_jaccard_pairs" ->
       s"""WITH t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),

@@ -189,6 +189,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The flip side of [[decontaminateAgainst]] — the report an EVAL
+    * OWNER reads: per benchmark document, how many corpus documents
+    * share ≥ `minShared` distinct shingles with it (a compromised eval
+    * item is one whose answer text already circulates in the training
+    * corpus). `benchmark` needs (eval_id, text).
+    *
+    * Same scale contract as decontamination: the benchmark's
+    * (eval_id, token) index broadcasts under the measured-shingle
+    * guard, the corpus never shuffles on content, and the only
+    * corpus-driven exchange carries (eval_id, doc_id) pair keys bounded
+    * by actual overlap. Output: (eval_id, n_contaminated), only for
+    * eval docs with ≥ 1 contaminated corpus doc. */
+  def contaminationReportAgainst(corpus: DataFrame, benchmark: DataFrame,
+      shingleK: Int = 3, minShared: Int = 1,
+      maxBroadcastShingles: Long = MaxBroadcastShingles): DataFrame = {
+    val benchIdx = graft.Caches.register(
+      benchmark
+        .select(col("eval_id"),
+          explode(TextExpressions.shingleSet(col("text"), shingleK))
+            .as("token"))
+        .cache())
+    val nRows = benchIdx.count()
+    val benchSide =
+      if (nRows <= maxBroadcastShingles) broadcast(benchIdx)
+      else {
+        System.err.println(
+          s"[graft] contaminationReport: benchmark index has $nRows rows " +
+            s"(> cap $maxBroadcastShingles) — falling back to a shuffled " +
+            "join instead of broadcasting (driver-OOM guard)")
+        benchIdx.hint("shuffle_hash")
+      }
+    corpus
+      .select(col("doc_id"),
+        explode(TextExpressions.shingleSet(col("text"), shingleK)).as("token"))
+      .join(benchSide, Seq("token"))
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy("eval_id")
+  }
+
+  /** [[contaminationReportAgainst]] with the q58-style self-derived
+    * benchmark split (salted-hash sample of the corpus). */
+  def contaminationReport(spark: SparkSession, dir: String, pct: Int = 10,
+      shingleK: Int = 3, minShared: Int = 1,
+      salt: String = "bench"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench =
+      md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 100 < pct
+    contaminationReportAgainst(
+      docs.where(!isBench),
+      docs.where(isBench).select(col("doc_id").as("eval_id"), col("text")),
+      shingleK, minShared)
+  }
+
   /** [[decontaminateAgainst]] with the benchmark derived as a
     * deterministic salted-hash sample of the corpus itself — the
     * self-contained stand-in used by the q58 gate (no external eval

