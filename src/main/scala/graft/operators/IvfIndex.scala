@@ -195,6 +195,23 @@ object IvfIndex {
         cellExpr(cents, col("embedding")))
       .write.mode("overwrite").partitionBy("cell").parquet(outPath)
 
+  /** Incremental ingest: assign NEW embeddings against the EXISTING
+    * centroids and append them into the inverted file's cell partitions
+    * — the CDC path of an ANN service (IVF deployments retrain rarely;
+    * day-to-day arrivals are assigned to the current coarse quantizer).
+    * Appending files into `cell=<c>/` directories is reader-safe: a
+    * concurrent [[searchInvertedFile]] lists files at query start and
+    * simply misses rows committed after that listing — no torn index.
+    * Works per micro-batch from `foreachBatch` for streaming ingest.
+    * The assignment is the same map-only literal-centroid expression as
+    * the build: no join, no shuffle, partitionBy splits the write. */
+  def appendToInvertedFile(newEmb: DataFrame, cents: Centroids,
+      indexPath: String): Unit =
+    newEmb
+      .select(col("vec_id"), col("embedding"),
+        cellExpr(cents, col("embedding")))
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
+
   /** Top-nprobe cells for a query vector, computed over the C-row
     * centroid set (driver-side, exact same cosine fold as the engines). */
   def probeCells(cents: Centroids, queryVec: Array[Float],

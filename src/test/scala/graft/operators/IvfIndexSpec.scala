@@ -113,6 +113,31 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.clearMemos()
   }
 
+  test("incremental append: new vectors join existing cells and are found") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/index"
+    IvfIndex.buildInvertedFile(spark, sf, cents, idx)
+    val before = spark.read.parquet(idx).count()
+    // ingest a new vector that is EXACTLY vec_id 0's embedding → its
+    // cell is 0's cell and a full-probe search for 0 must now rank the
+    // clone first (cosine 1.0)
+    val v0 = graft.Tables.embeddings(spark, sf)
+      .where(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val newId = 1000000L
+    IvfIndex.appendToInvertedFile(
+      Seq((newId, v0)).toDF("vec_id", "embedding"), cents, idx)
+    assert(spark.read.parquet(idx).count() == before + 1)
+    // no new cell directories beyond the trained C
+    val cellDirs = new java.io.File(idx).list().filter(_.startsWith("cell="))
+    assert(cellDirs.length <= 8)
+    val hits = IvfIndex.searchInvertedFile(spark, idx, cents, v0,
+      excludeId = Some(0L), k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hits.head._1 == newId && hits.head._2 == 1.0,
+      s"appended clone not found first: ${hits.toSeq}")
+  }
+
   test("partial probe keeps useful recall at a fraction of the scan") {
     val ivf = IvfIndex.search(spark, sf, cents, queryId = 0L,
       k = 10, nprobe = 3).collect().map(_.getLong(0)).toSet
