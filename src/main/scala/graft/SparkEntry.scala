@@ -150,6 +150,11 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy("doc_id")
     }),
+    // —— Incremental / span-level dedup, mixture sampling, relevance ——
+    "q66_incremental_dedup" -> ((s, d) => Dedup.incrementalNewDocs(s, d)),
+    "q67_temperature_mixture" -> ((s, d) => Sampling.temperatureSample(s, d)),
+    "q68_bm25_rank" -> ((s, d) => Ranking.bm25Rank(s, d)),
+    "q69_duplicate_spans" -> ((s, d) => Dedup.duplicateSpans(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1213,5 +1218,95 @@ object SparkEntry {
            FROM c)
          SELECT lang, token, cnt, rank FROM r WHERE rank <= 3
          ORDER BY lang, rank""",
+    // q66: the Bloom prefilter is an optimization only — the answer is
+    // exactly the fingerprint anti-join, which is what this asserts
+    "q66_incremental_dedup" ->
+      """WITH inc AS (
+           SELECT doc_id, lang,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents WHERE doc_id % 5 = 0),
+         corp AS (
+           SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT doc_id, lang, fp FROM inc
+         ANTI JOIN corp USING (fp)
+         ORDER BY doc_id""",
+    // q67: per-lang ppm threshold floor(1e6·4/√count) — sqrt/mul/div are
+    // correctly-rounded IEEE ops, bit-identical across engines
+    "q67_temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+         SELECT doc_id, lang FROM documents JOIN c USING (lang)
+         WHERE ('0x' || substr(md5('tmix:' || doc_id), 1, 15))::BIGINT
+                 % 1000000
+               < CAST(floor(1000000.0 * 4 / sqrt(CAST(cnt AS DOUBLE)))
+                      AS BIGINT)
+         ORDER BY doc_id""",
+    // q68: BM25 (k1=1.2, b=0.75) over whitespace tokens; every float op
+    // mirrors the Spark side's textual order (see Ranking.bm25Rank's
+    // determinism contract); constants appear as the same literals
+    // ((1.2 + 1.0), not 2.2 — the parsed doubles must match bitwise)
+    "q68_bm25_rank" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, len(toks) AS dl,
+                  len(list_filter(toks, s -> s = 'spark'))  AS tf0,
+                  len(list_filter(toks, s -> s = 'vector')) AS tf1
+           FROM t),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS avgdl,
+                  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                    AS df0,
+                  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                    AS df1
+           FROM f)
+         SELECT doc_id,
+                round(  ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                          * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+                          / (CAST(tf0 AS DOUBLE)
+                             + 1.2 * (1.0 - 0.75
+                                      + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                      + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                          * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+                          / (CAST(tf1 AS DOUBLE)
+                             + 1.2 * (1.0 - 0.75
+                                      + 0.75 * (CAST(dl AS DOUBLE) / avgdl))),
+                      4) AS score
+         FROM f, s
+         WHERE tf0 > 0 OR tf1 > 0
+         ORDER BY score DESC, doc_id
+         LIMIT 50""",
+    // q69: 8-token k-grams; "≥2 distinct docs" as min≠max (same
+    // rewrite the Spark side uses); gaps-and-islands span merge
+    "q69_duplicate_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         gp AS (
+           SELECT doc_id, toks,
+                  unnest(range(len(toks) - 7)) AS pos
+           FROM t WHERE len(toks) >= 8),
+         g AS (
+           SELECT doc_id, pos,
+                  array_to_string(toks[pos + 1:pos + 8], ' ') AS gram
+           FROM gp),
+         d AS (SELECT gram FROM g GROUP BY gram
+               HAVING min(doc_id) <> max(doc_id)),
+         p AS (SELECT doc_id, pos FROM g SEMI JOIN d USING (gram)),
+         i AS (SELECT doc_id, pos,
+                      pos - row_number() OVER (
+                        PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM p)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                count(*) AS n_grams
+         FROM i GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start""",
   )
 }

@@ -480,4 +480,111 @@ object Dedup {
       .select("id1", "id2", "hamming", "n1", "n2")
       .orderBy("id1", "id2")
   }
+
+  /** Incremental (corpus-vs-batch) exact dedup: the rows of `incoming`
+    * whose canonical fingerprint does NOT already appear in `corpus` —
+    * the daily-ingest primitive (dedup a new crawl batch against the
+    * accumulated 100 TB corpus without re-deduping the corpus).
+    *
+    * Scale shape — the corpus side is NEVER shuffled:
+    *  1. one corpus pass tree-aggregates a Bloom filter over fingerprints
+    *     (`DataFrameStatFunctions.bloomFilter` — bit array sized by
+    *     `expectedCorpusDocs`/`fpp`, bounded driver memory);
+    *  2. the broadcast Bloom prefilters the batch map-side: a Bloom
+    *     NEGATIVE row is definitely new (no false negatives) and never
+    *     touches a join;
+    *  3. the few Bloom-POSITIVE fingerprints (true dups + `fpp` of the
+    *     batch) broadcast against the corpus as a LEFT SEMI probe —
+    *     corpus rows stream past the map-side hash table, no exchange;
+    *  4. the confirmed-dup fingerprints (≤ batch-sized) broadcast back
+    *     as the anti-join that produces the answer.
+    * The Bloom is an optimization only — the result is exactly the
+    * fingerprint anti-join, which is what the oracle asserts. The probe
+    * is the one justified UDF in the codebase: a driver-built sketch has
+    * no Column-function form, it gates nothing semantic, and it runs on
+    * the (small) batch side only. */
+  def newDocsAgainst(corpus: DataFrame, incoming: DataFrame,
+      expectedCorpusDocs: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusFp = corpus.select(fingerprint(col("text")).as("fp"))
+    val bloom = corpusFp.stat.bloomFilter("fp", expectedCorpusDocs, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((fp: String) => fp != null && bloomBc.value.mightContainString(fp))
+    val inc = incoming.select(col("doc_id"), col("lang"),
+      fingerprint(col("text")).as("fp"))
+    val candidates = inc.where(mightContain(col("fp")))
+      .select("fp").distinct()
+    // semi, not inner: only WHICH candidate fps exist in the corpus
+    // matters, and semi short-circuits on first probe hit per row
+    val confirmed = corpusFp.join(broadcast(candidates), Seq("fp"), "left_semi")
+    inc.join(broadcast(confirmed), Seq("fp"), "left_anti")
+      .select("doc_id", "lang", "fp")
+      .orderBy("doc_id")
+  }
+
+  /** [[newDocsAgainst]] with a deterministic corpus/batch split of the
+    * documents table (batch = every 5th doc id) — the self-contained
+    * stand-in used by the q66 gate. */
+  def incrementalNewDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    newDocsAgainst(docs.where(col("doc_id") % 5 =!= 0),
+      docs.where(col("doc_id") % 5 === 0))
+  }
+
+  /** Cross-document repeated-span detection — the k-gram approximation of
+    * suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): for every document,
+    * the maximal token spans covered by k-grams that also occur in some
+    * OTHER document. Long shared spans are boilerplate / syndicated text
+    * that exact and near-dup passes both miss (they score whole docs).
+    *
+    * Pipeline: token k-grams with positions → grams seen in ≥2 distinct
+    * docs → per-doc gaps-and-islands merge of adjacent duplicated
+    * positions into maximal spans. Output: (doc_id, span_start, span_end,
+    * n_grams) — token indices, 0-based inclusive.
+    *
+    * Scale notes:
+    *  - "≥2 distinct docs" is `min(doc_id) != max(doc_id)` — a plain
+    *    two-accumulator aggregate, NOT countDistinct, so the hot-gram
+    *    groups (boilerplate at 100 TB) never pay the distinct-agg
+    *    expansion and partial aggregation collapses them map-side.
+    *  - the gram index shuffles hashed gram KEYS + (doc_id, pos); the
+    *    document body never shuffles (global PlanAuditSpec gate).
+    *  - the islands window partitions by doc — bounded by document
+    *    length, no global window. */
+  def duplicateSpans(spark: SparkSession, dir: String, k: Int = 8)
+      : DataFrame =
+    duplicateSpansOn(Tables.documents(spark, dir), k)
+
+  /** [[duplicateSpans]] over an explicit (doc_id, text) relation. */
+  def duplicateSpansOn(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2 (got $k)")
+    val toks = tokens(col("text"))
+    // full k-grams only: a doc shorter than k tokens contributes none
+    val gramArr = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val g = docs.select(col("doc_id"),
+      posexplode(gramArr).as(Seq("pos", "gram")))
+    val dupGrams = g.groupBy("gram")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select("gram")
+    val dupPos = g.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    // gaps-and-islands: consecutive duplicated positions share
+    // (pos - rank) — positions are unique within a doc by construction
+    val islands = dupPos.withColumn("grp",
+      col("pos") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")))
+    islands.groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Relevance ranking for the serving layer — Okapi BM25 (Robertson et
+  * al., public literature; the default scorer of Lucene/Elasticsearch).
+  * This is the real replacement for the reference's ES relevance
+  * ordering (`PublisherMapperImpl.java:112-159` returns hits in ES score
+  * order), which the detail-page operators had deliberately pinned to a
+  * deterministic sort: [[bm25Rank]] reproduces score-ordered retrieval
+  * with engine-replicable arithmetic.
+  *
+  * Scale shape: per-document stats (dl, per-term tf) are ONE fold over
+  * the token array, map-side on the scan; corpus stats (N, avgdl, df_t)
+  * are one tiny aggregate broadcast back; scoring is map-only; the top-N
+  * is a k-bounded TakeOrdered heap — no global sort, no shuffle of the
+  * corpus. Two passes over the corpus total (stats + scoring), with the
+  * compact (doc_id, dl, tf*) carrier cached between them.
+  */
+object Ranking {
+
+  /** Top-`topN` documents by BM25 score for `terms` (exact whitespace-
+    * token match, like the serving layer's token-exact variant).
+    * Output: (doc_id, score), score rounded to 4 dp, ordered by
+    * (score desc, doc_id).
+    *
+    * Determinism contract with the oracle: dl/tf/df/N are integers held
+    * in doubles (exact at any sum order); avgdl divides two exact
+    * integers; every float op is a correctly-rounded IEEE +,-,*,/ applied
+    * in the same textual order on both sides. The one transcendental is
+    * `ln` in the idf — libm-identical in practice, and the score is
+    * rounded to 4 dp on both sides before compare/order. */
+  def bm25Rank(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "vector"),
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 50): DataFrame =
+    bm25RankOn(Tables.documents(spark, dir), terms, k1, b, topN)
+
+  /** [[bm25Rank]] over an explicit (doc_id, text) relation. */
+  def bm25RankOn(docs: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 50): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one query term")
+    // ONE fold computes dl + every per-term tf: split-out Columns would
+    // re-tokenize once per term (Catalyst does no CSE inside an
+    // expression tree — same trap as TextFunctions.qualityScore)
+    val zero = struct(
+      (lit(0L).as("dl") +: terms.indices.map(i => lit(0L).as(s"tf$i"))): _*)
+    val fold = aggregate(tokens(col("text")), zero,
+      (acc, t) => struct(
+        ((acc.getField("dl") + lit(1L)).as("dl") +:
+          terms.zipWithIndex.map { case (term, i) =>
+            (acc.getField(s"tf$i") +
+              when(t === lit(term), lit(1L)).otherwise(lit(0L))).as(s"tf$i")
+          }): _*))
+    val tfCols: Seq[Column] =
+      col("f.dl").as("dl") +: terms.indices.map(i => col(s"f.tf$i").as(s"tf$i"))
+    val tfRel = graft.Caches.register(
+      docs.select(col("doc_id"), fold.as("f"))
+        .select((col("doc_id") +: tfCols): _*)
+        .cache())
+    val statCols: Seq[Column] =
+      count(lit(1)).cast("double").as("n_docs") +:
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, lit(1L)).otherwise(lit(0L)))
+            .cast("double").as(s"df$i"))
+    val stats = tfRel.agg(statCols.head, statCols.tail: _*)
+    val joined = tfRel.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i")
+      val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    }.reduce(_ + _)
+    joined
+      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(topN)
+  }
+}

@@ -66,4 +66,36 @@ object Sampling {
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
+
+  /** Temperature-scaled mixture sampling (τ = 0.5): per-stratum keep RATE
+    * ∝ count^(τ−1) = 1/√count, so the kept counts scale as √count — the
+    * multilingual rebalancing scheme from the public literature (mBERT /
+    * XLM-R / mT5 "exponentiated smoothing": majority languages are
+    * downsampled, minority languages keep proportionally more) with the
+    * rates DERIVED FROM MEASURED COUNTS instead of a hand recipe like
+    * [[sampleByWeights]].
+    *
+    * Deterministic and engine-replicable: the per-lang threshold is
+    * floor(1e6·scale/√count) over a parts-per-million salted-md5 residue.
+    * √ and one multiply/divide are correctly-rounded IEEE ops, so Spark
+    * and the SQL oracle compute bit-identical thresholds — no transcendental
+    * functions whose libm rounding could diverge.
+    *
+    * Scale shape: one tiny count aggregate (|langs| rows) broadcasts back;
+    * the corpus itself sees a map-only filter riding the scan. At extreme
+    * stratum skew this beats the rank-based quota ([[stratifiedSample]]):
+    * no per-stratum window sort, the expected kept count is scale·√count
+    * with binomial concentration. */
+  def temperatureSample(spark: SparkSession, dir: String, scale: Int = 4,
+      salt: String = "tmix"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val threshold = floor(lit(1000000.0) * scale /
+      sqrt(col("cnt").cast("double"))).cast("long")
+    docs.join(broadcast(counts), Seq("lang"))
+      .where(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string")))
+        % 1000000 < threshold)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
 }

@@ -17,6 +17,9 @@ import graft.operators.Api
   *   GET /annSearch?vecId=0&k=10&nprobe=3   (extension: IVF ANN service)
   *   GET /rerankSearch?vecId=0&k=10&coarseDims=16&shortlist=50
   *       (extension: two-stage coarse-shortlist / exact-re-rank)
+  *   GET /searchRanked?q=spark+vector&topN=20
+  *       (extension: BM25 relevance-ordered document search — the
+  *       engine-native form of the reference's ES score ordering)
   *
   * The Spark driver hosts the server; each request compiles to a
   * DataFrame program that Catalyst plans and the cluster executes —
@@ -126,6 +129,20 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       IvfIndex.searchInvertedFile(spark, annIndexPath, annCentroids,
         q(0).getSeq[Float](0).toArray, excludeId = Some(vecId),
         k = k, nprobe = nprobe)
+    })
+    server.createContext("/searchRanked", handler { p =>
+      // BM25-ordered document search — the reference's ES hits came back
+      // in relevance-score order; this serves the same contract from the
+      // engine (Ranking.bm25Rank, zero-shuffle plan)
+      val q = p.getOrElse("q",
+        throw new IllegalArgumentException("q required"))
+      val topN = p.getOrElse("topN", "20").toInt
+      if (topN <= 0)
+        throw new IllegalArgumentException("topN must be positive")
+      val terms = q.split("\\s+").filter(_.nonEmpty).toSeq
+      if (terms.isEmpty)
+        throw new IllegalArgumentException("q must contain a term")
+      graft.operators.Ranking.bm25Rank(spark, dataDir, terms, topN = topN)
     })
     server.createContext("/rerankSearch", handler { p =>
       val vecId = p.getOrElse("vecId",

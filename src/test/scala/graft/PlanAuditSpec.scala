@@ -19,7 +19,10 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q22_jaccard_pairs", "q26_ann_topk", "q32_detail_api", "q38_ivf_search",
     "q41_topk_per_label", "q54_knn_join", "q61_rerank_ann",
-    "q62_quantized_ann", "q64_unigram_rarity")
+    "q62_quantized_ann", "q64_unigram_rarity",
+    // q68: the broadcast crossJoin is the 1-row (N, avgdl, df*)
+    // corpus-stats relation
+    "q68_bm25_rank")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -84,7 +87,21 @@ class PlanAuditSpec extends SparkSpec {
     "q58_decontaminate" -> 3,
     // q65: (eval, doc) pair agg + per-eval rollup + output sort; the
     // bench index broadcasts under the measured guard
-    "q65_contamination_report" -> 3)
+    "q65_contamination_report" -> 3,
+    // q66: batch-side candidate-fp distinct + output sort; the corpus
+    // side never shuffles (Bloom pass + broadcast semi/anti probes)
+    "q66_incremental_dedup" -> 2,
+    // q67: tiny per-lang count agg (broadcast back) + output sort; the
+    // corpus itself is a map-only filter
+    "q67_temperature_mixture" -> 2,
+    // q68: per-doc (dl, tf*) fold is map-side, corpus stats ride a 1-row
+    // broadcast crossJoin, top-N is a TakeOrdered heap — zero shuffles
+    "q68_bm25_rank" -> 0,
+    // q69: gram min/max agg feeding the semi-join probe side in place +
+    // the islands window on doc_id (the span agg reuses its
+    // partitioning) + the output sort — grams shuffle as hashed keys
+    // with (doc_id, pos), never the document body
+    "q69_duplicate_spans" -> 3)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

@@ -184,6 +184,40 @@ class PropertySpec extends SparkSpec {
       s"superseded checkpoints still pinned: $before -> $after")
   }
 
+  test("duplicate spans equal brute-force k-gram islands on random corpora") {
+    // tiny vocabulary forces cross-doc k-gram collisions; brute force
+    // recomputes grams → docs-with-gram → per-doc position islands
+    val k = 3
+    val docGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(6, docGen)
+    samples(corpusGen, 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.Dedup
+        .duplicateSpansOn(docs.toDF("doc_id", "text"), k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // brute force
+      val grams = docs.flatMap { case (id, t) =>
+        t.split("\\s+").filter(_.nonEmpty).sliding(k).filter(_.size == k)
+          .zipWithIndex.map { case (g, p) => (id, p, g.mkString(" ")) }
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+        .keySet
+      val want = grams.filter(g => dup(g._3)).groupBy(_._1).flatMap {
+        case (id, rows) =>
+          val ps = rows.map(_._2).sorted
+          // split sorted positions into consecutive runs
+          ps.foldLeft(List.empty[List[Int]]) {
+            case (run :: rest, p) if p == run.head + 1 => (p :: run) :: rest
+            case (acc, p) => List(p) :: acc
+          }.map(run => (id, run.min.toLong, (run.max + k - 1).toLong,
+            run.size.toLong))
+      }.toSet
+      assert(got == want, s"corpus=$texts")
+    }
+  }
+
   test("salted join equals plain join on random key distributions") {
     val cases = samples(Gen.zip(
       Gen.listOfN(200, Gen.chooseNum(1L, 10L)), Gen.chooseNum(1, 7)), 5)

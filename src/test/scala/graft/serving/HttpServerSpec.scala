@@ -58,6 +58,15 @@ class HttpServerSpec extends SparkSpec {
       assert(rr.split("\\},\\{").length == 5)
       val (c11, _) = get(s"$base/rerankSearch?vecId=0&k=10&shortlist=5")
       assert(c11 == 400) // shortlist < k → 400
+
+      // BM25-ranked document search: score-ordered hits, bounded by topN
+      val (c12, ranked) = get(s"$base/searchRanked?q=spark+vector&topN=5")
+      assert(c12 == 200 && ranked.contains("\"score\""), ranked.take(200))
+      assert(ranked.split("\\},\\{").length == 5)
+      val (c13, _) = get(s"$base/searchRanked?topN=5") // missing q → 400
+      assert(c13 == 400)
+      val (c14, _) = get(s"$base/searchRanked?q=spark&topN=0") // bad topN
+      assert(c14 == 400)
     } finally srv.stop()
   }
 }
