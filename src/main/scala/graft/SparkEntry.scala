@@ -155,6 +155,7 @@ object SparkEntry {
     "q67_temperature_mixture" -> ((s, d) => Sampling.temperatureSample(s, d)),
     "q68_bm25_rank" -> ((s, d) => Ranking.bm25Rank(s, d)),
     "q69_duplicate_spans" -> ((s, d) => Dedup.duplicateSpans(s, d)),
+    "q70_dup_span_stats"  -> ((s, d) => Dedup.duplicateSpanStats(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1281,10 +1282,45 @@ object SparkEntry {
          WHERE tf0 > 0 OR tf1 > 0
          ORDER BY score DESC, doc_id
          LIMIT 50""",
-    // q69: 8-token k-grams; "≥2 distinct docs" as min≠max (same
-    // rewrite the Spark side uses); gaps-and-islands span merge
+    // q69: 8-token k-grams as 60-bit md5 keys (identical hashing on
+    // both sides — a collision merges the same identities everywhere);
+    // "≥2 distinct docs" as min≠max (same rewrite the Spark side uses);
+    // gaps-and-islands span merge
     "q69_duplicate_spans" ->
-      """WITH t AS (
+      s"""WITH $dupSpanCtes
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                count(*) AS n_grams
+         FROM i GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start""",
+    // q70: q69 rolled up per document — DISTINCT covered positions
+    // (spans from runs separated by a sub-k gap overlap in token space)
+    "q70_dup_span_stats" ->
+      s"""WITH $dupSpanCtes,
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+           FROM i GROUP BY doc_id, grp),
+         cov AS (
+           SELECT DISTINCT doc_id, tpos FROM (
+             SELECT doc_id, unnest(range(s, e + 1)) AS tpos FROM spans)),
+         dt AS (SELECT doc_id, count(*) AS dup_tokens FROM cov
+                GROUP BY doc_id),
+         n AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+         SELECT n.doc_id, n.n_tokens,
+                COALESCE(dt.dup_tokens, 0) AS dup_tokens,
+                CASE WHEN n.n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE round(CAST(COALESCE(dt.dup_tokens, 0) AS DOUBLE)
+                                / CAST(n.n_tokens AS DOUBLE), 4) END
+                  AS dup_fraction
+         FROM n LEFT JOIN dt ON n.doc_id = dt.doc_id
+         ORDER BY n.doc_id""",
+  )
+
+  // Shared CTE chain for the duplicate-span pipeline (q69 spans, q70
+  // per-doc stats): tokens → positional 8-gram md5-keys → grams in ≥2
+  // distinct docs → duplicated positions → islands. `i` is the
+  // (doc_id, pos, grp) island relation; `t` the token relation.
+  private def dupSpanCtes: String =
+    raw"""t AS (
            SELECT doc_id,
                   list_filter(regexp_split_to_array(text, '\s+'),
                               s -> len(s) > 0) AS toks
@@ -1295,18 +1331,15 @@ object SparkEntry {
            FROM t WHERE len(toks) >= 8),
          g AS (
            SELECT doc_id, pos,
-                  array_to_string(toks[pos + 1:pos + 8], ' ') AS gram
+                  ('0x' || substr(md5(
+                     array_to_string(toks[pos + 1:pos + 8], ' ')),
+                     1, 15))::BIGINT AS gram_h
            FROM gp),
-         d AS (SELECT gram FROM g GROUP BY gram
+         d AS (SELECT gram_h FROM g GROUP BY gram_h
                HAVING min(doc_id) <> max(doc_id)),
-         p AS (SELECT doc_id, pos FROM g SEMI JOIN d USING (gram)),
+         p AS (SELECT doc_id, pos FROM g SEMI JOIN d USING (gram_h)),
          i AS (SELECT doc_id, pos,
                       pos - row_number() OVER (
                         PARTITION BY doc_id ORDER BY pos) AS grp
-               FROM p)
-         SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
-                count(*) AS n_grams
-         FROM i GROUP BY doc_id, grp
-         ORDER BY doc_id, span_start""",
-  )
+               FROM p)"""
 }

@@ -502,7 +502,10 @@ object Dedup {
     * fingerprint anti-join, which is what the oracle asserts. The probe
     * is the one justified UDF in the codebase: a driver-built sketch has
     * no Column-function form, it gates nothing semantic, and it runs on
-    * the (small) batch side only. */
+    * the (small) batch side only.
+    *
+    * Returns the surviving `incoming` rows with all their columns plus
+    * `fp` (unordered — callers sort or sink as they need). */
   def newDocsAgainst(corpus: DataFrame, incoming: DataFrame,
       expectedCorpusDocs: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
@@ -511,16 +514,13 @@ object Dedup {
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain =
       udf((fp: String) => fp != null && bloomBc.value.mightContainString(fp))
-    val inc = incoming.select(col("doc_id"), col("lang"),
-      fingerprint(col("text")).as("fp"))
+    val inc = incoming.withColumn("fp", fingerprint(col("text")))
     val candidates = inc.where(mightContain(col("fp")))
       .select("fp").distinct()
     // semi, not inner: only WHICH candidate fps exist in the corpus
     // matters, and semi short-circuits on first probe hit per row
     val confirmed = corpusFp.join(broadcast(candidates), Seq("fp"), "left_semi")
     inc.join(broadcast(confirmed), Seq("fp"), "left_anti")
-      .select("doc_id", "lang", "fp")
-      .orderBy("doc_id")
   }
 
   /** [[newDocsAgainst]] with a deterministic corpus/batch split of the
@@ -530,6 +530,8 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     newDocsAgainst(docs.where(col("doc_id") % 5 =!= 0),
       docs.where(col("doc_id") % 5 === 0))
+      .select("doc_id", "lang", "fp")
+      .orderBy("doc_id")
   }
 
   /** Cross-document repeated-span detection — the k-gram approximation of
@@ -557,7 +559,16 @@ object Dedup {
       : DataFrame =
     duplicateSpansOn(Tables.documents(spark, dir), k)
 
-  /** [[duplicateSpans]] over an explicit (doc_id, text) relation. */
+  /** [[duplicateSpans]] over an explicit (doc_id, text) relation.
+    *
+    * Grams travel as 60-bit md5 keys, not strings: the index shuffles
+    * twice (dup-gram agg + semi-join), and 8 B/key vs ~60 B/string is
+    * the difference between shuffling a key table and shuffling the
+    * corpus re-encoded. The hash is the engine-replicable [[md5Long]],
+    * so the oracle computes the identical keys — a (astronomically
+    * rare, ~2⁶⁰ birthday bound) collision merges the same two gram
+    * identities on both sides and stays hash-green. The (doc_id, pos,
+    * gram_h) carrier is cached — it feeds both the agg and the join. */
   def duplicateSpansOn(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"span gram size must be >= 2 (got $k)")
     val toks = tokens(col("text"))
@@ -566,13 +577,15 @@ object Dedup {
       transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
       .otherwise(array().cast("array<string>"))
-    val g = docs.select(col("doc_id"),
-      posexplode(gramArr).as(Seq("pos", "gram")))
-    val dupGrams = g.groupBy("gram")
+    val g = graft.Caches.register(docs
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5Long(col("gram")).as("gram_h"))
+      .cache())
+    val dupGrams = g.groupBy("gram_h")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .where(col("mn") =!= col("mx"))
-      .select("gram")
-    val dupPos = g.join(dupGrams, Seq("gram"), "left_semi")
+      .select("gram_h")
+    val dupPos = g.join(dupGrams, Seq("gram_h"), "left_semi")
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
     // gaps-and-islands: consecutive duplicated positions share
     // (pos - rank) — positions are unique within a doc by construction
@@ -586,5 +599,38 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "n_grams")
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Per-document duplicated-token fraction — [[duplicateSpans]] rolled
+    * up into the doc-level quality signal a curation pass filters on
+    * (the "fraction of text in duplicated spans" gate of public pipeline
+    * recipes such as Gopher/RefinedWeb). Every document is reported
+    * (fraction 0.0 when nothing is shared), so the output joins straight
+    * onto a quality table.
+    *
+    * Distinct covered positions, not a sum of span lengths: spans from
+    * runs separated by a sub-k gap overlap in TOKEN space (k−1 tail), so
+    * summing lengths would double-count. Output:
+    * (doc_id, n_tokens, dup_tokens, dup_fraction). */
+  def duplicateSpanStats(spark: SparkSession, dir: String, k: Int = 8)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spans = duplicateSpansOn(docs, k)
+    // countDistinct, not distinct→count: one doc_id exchange instead of
+    // two, and the per-group distinct set is bounded by document length
+    val covered = spans
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("tpos"))
+      .groupBy("doc_id")
+      .agg(countDistinct("tpos").as("dup_tokens"))
+    docs
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double"), 4)).as("dup_fraction"))
+      .orderBy("doc_id")
   }
 }

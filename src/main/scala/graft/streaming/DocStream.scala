@@ -41,6 +41,55 @@ object DocStream {
       .dropDuplicatesWithinWatermark("fp")
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
 
+  /** Continuous-ingest incremental dedup sink (foreachBatch): each
+    * micro-batch keeps only documents whose canonical fingerprint is
+    * absent from the ACCUMULATED corpus under `outDir`, then appends the
+    * survivors as `epoch=<id>` partitions. The batch twin of this pass is
+    * [[graft.operators.Dedup.newDocsAgainst]] — Bloom prefilter + exact
+    * confirm, the corpus side never shuffled.
+    *
+    * Complements [[curate]]'s `dropDuplicatesWithinWatermark`: the state
+    * store there holds fingerprints only inside the watermark horizon
+    * (bounded state, horizon-bounded exactness); HERE the corpus itself
+    * is the state — exact across any horizon with zero state-store
+    * growth, at the price of one corpus Bloom pass per epoch (at scale:
+    * maintain the Bloom incrementally instead of re-aggregating — the
+    * sketch is mergeable by construction).
+    *
+    * Idempotent under epoch replay twice over: the epoch directory is
+    * overwritten wholesale, and a re-delivered document's fingerprint is
+    * already in the corpus, so the content-level anti-join drops it even
+    * when it reappears under a NEW epoch id. Within one batch, the lowest
+    * doc_id per fingerprint wins (deterministic).
+    *
+    * Input must carry (doc_id, text); extra columns ride along. */
+  def incrementalDedupSinkEachBatch(outDir: String,
+      expectedCorpusDocs: Long = 1000000L)
+      (batch: DataFrame, epochId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    new java.io.File(outDir).mkdirs()
+    // within-batch dedup: newDocsAgainst compares batch-vs-corpus only
+    val uniq = batch
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("__rn") === 1).drop("__rn")
+    // corpus = every OTHER epoch's partition: a replayed epoch must not
+    // see its own previous (possibly partial) output as "the corpus" or
+    // replay would drop every row it is supposed to re-write
+    val corpusDirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
+        f.getName != s"epoch=$epochId")
+      .map(_.getAbsolutePath)
+    val fresh =
+      if (corpusDirs.isEmpty) uniq
+      else graft.operators.Dedup.newDocsAgainst(
+        batch.sparkSession.read.parquet(corpusDirs.toIndexedSeq: _*),
+        uniq, expectedCorpusDocs)
+    fresh.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+  }
+
   /** One packed document: its block, token count, and the token-budget
     * bin it starts in (same encoding as the batch
     * [[graft.operators.Packing]]). */

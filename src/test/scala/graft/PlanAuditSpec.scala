@@ -101,7 +101,11 @@ class PlanAuditSpec extends SparkSpec {
     // the islands window on doc_id (the span agg reuses its
     // partitioning) + the output sort — grams shuffle as hashed keys
     // with (doc_id, pos), never the document body
-    "q69_duplicate_spans" -> 3)
+    "q69_duplicate_spans" -> 3,
+    // q70: the q69 chain (minus its sort) + covered-position
+    // countDistinct + the docs-side join exchange + the output sort —
+    // every exchange carries (doc_id, position/count) keys only
+    "q70_dup_span_stats" -> 6)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

@@ -91,6 +91,26 @@ class IncrementalRankingSpec extends SparkSpec {
     assert(spans == Seq((0L, 7L), (11L, 18L)))
   }
 
+  test("duplicateSpanStats counts overlapping spans' tokens once") {
+    // doc 1 shares grams at positions 0 and 3 (via docs 2 and 3): spans
+    // [0,7] and [3,10] overlap in token space — distinct coverage is all
+    // 11 tokens (sum-of-lengths would claim 16, fraction > 1)
+    val ws = (0 to 10).map(i => s"w$i")
+    val docs = Seq(
+      (1L, ws.mkString(" ")),
+      (2L, ws.slice(0, 8).mkString(" ")),
+      (3L, ws.slice(3, 11).mkString(" ")),
+      (4L, "entirely unrelated text with no shared runs at all"))
+    val dir = java.nio.file.Files.createTempDirectory("spanstats").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.duplicateSpanStats(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 11L, 11L, 1.0), (2L, 8L, 8L, 1.0),
+      (3L, 8L, 8L, 1.0), (4L, 9L, 0L, 0.0)))
+  }
+
   // —— temperature mixture sampling (q67) ——
 
   test("temperature sample matches its per-stratum threshold definition") {

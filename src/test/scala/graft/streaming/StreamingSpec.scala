@@ -299,6 +299,35 @@ class StreamingSpec extends SparkSpec {
       (4L, "2024-01-03")), s"got $rows")
   }
 
+  test("incremental dedup sink: corpus-exact across batches, replay-safe") {
+    val out = tmpDir("increm")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(DocStream.incrementalDedupSinkEachBatch(out) _)
+      .option("checkpointLocation", tmpDir("increm-ck")).start()
+    mem.addData((1L, "alpha beta"), (2L, "gamma delta"))
+    q.processAllAvailable()
+    // batch 2: a content dup of doc 1 (new id), a within-batch dup pair
+    // (4/5), and one genuinely new doc
+    mem.addData((3L, "  ALPHA   beta "), (4L, "epsilon zeta"),
+      (5L, "epsilon zeta"), (6L, "brand new"))
+    q.processAllAvailable(); q.stop()
+    val stored = spark.read.parquet(out)
+    val ids = stored.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L, 6L),
+      s"expected content-unique survivors, got $ids")
+    // replay batch 2 under a NEW epoch id (re-delivery after checkpoint
+    // loss — the content-level anti-join must drop every row: 4's fp is
+    // now corpus, 3/5 are dups as before)
+    val replay = Seq((3L, "  ALPHA   beta "), (4L, "epsilon zeta"),
+      (5L, "epsilon zeta"), (6L, "brand new")).toDF("doc_id", "text")
+    DocStream.incrementalDedupSinkEachBatch(out)(replay, 99L)
+    val after = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSeq
+    assert(after.sorted == Seq(1L, 2L, 4L, 6L),
+      s"replay duplicated rows: $after")
+  }
+
   test("end-to-end chain: raw logs → demux → DAU table (full dwd path)") {
     // the reference's full pipeline: ods_BaseLogApp demux feeding
     // dwd_DauApp — here one streaming demux whose page branch feeds the
