@@ -48,6 +48,30 @@ class IncrementalRankingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("newDocsAgainst never shuffles the corpus side") {
+    // the scale contract: the 100 TB corpus is read (Bloom pass + semi
+    // probe) but NEVER exchanged — the only shuffle in the final plan is
+    // the batch-side candidate-fingerprint distinct, and nothing wide
+    // rides it
+    val corpus = (0L until 200L).map(i => (i, s"corpus text $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val incoming = (0L until 20L)
+      .map(i => (1000 + i, s"batch text ${i % 10}", "en"))
+      .toDF("doc_id", "text", "lang")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.newDocsAgainst(corpus, incoming)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 1,
+        s"corpus-side shuffle crept in: ${exchanges.map(_.output.map(_.name))}")
+      exchanges.foreach(e => assert(!e.output.exists(_.name == "text")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   // —— duplicate spans (q69) ——
 
   test("duplicateSpans merges adjacent shared k-grams into maximal spans") {
