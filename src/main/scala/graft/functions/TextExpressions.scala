@@ -93,6 +93,46 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     copy(child = c)
 }
 
+/** Native POSITIONAL k-gram hashes: array<long> where element i is the
+  * 60-bit md5 of the k tokens starting at token i (no distinct, no
+  * whole-text fallback — a doc shorter than k tokens yields an empty
+  * array). The duplicate-span index (`Dedup.duplicateSpansOn`) consumes
+  * this with posexplode: one tight loop replaces the composed
+  * transform/slice/concat_ws/md5 chain whose intermediate gram STRINGS
+  * existed only to be hashed. Hash twin of TextFunctions.md5Long, so the
+  * DuckDB oracle reproduces every element. */
+case class GramHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2, s"gram size must be >= 2 (got $k)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length - k + 1
+    if (n <= 0) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](n)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = TextKernel.md5Long60(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): GramHashes =
+    copy(child = c)
+}
+
 /** Native SimHash signature: one md5 per distinct token, popcount
   * tallies in a tight loop — replaces the interpreted aggregate over
   * sequence(bits) whose per-bit filter() re-walks the token hashes
@@ -137,6 +177,8 @@ case class SimHashSig(child: Expression, bits: Int)
 object TextExpressions {
   def shingleSet(text: Column, k: Int): Column =
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(text), k))
+  def gramHashes(text: Column, k: Int): Column =
+    ExpressionUtils.column(GramHashes(ExpressionUtils.expression(text), k))
   def minHashSig(text: Column, k: Int, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSig(ExpressionUtils.expression(text), k, numHashes))

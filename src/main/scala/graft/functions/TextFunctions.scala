@@ -115,7 +115,15 @@ object TextFunctions {
   def md5Long(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Word k-shingles of the token stream (for minhash over shingles). */
+  /** Word k-shingles of the token stream (for minhash over shingles).
+    *
+    * REFERENCE TWIN ONLY (the hot paths use the native
+    * `TextExpressions.shingleSet` / `MinHashSig` kernels): the transform
+    * lambda embeds the tokens() EXPRESSION, so `slice` re-tokenizes the
+    * document once per shingle element — O(n²) in document length. A
+    * caller on a hot path must materialize the token array as an
+    * attribute behind its own projection first (see
+    * `Dedup.duplicateSpansOn` for the pattern and the measured 2.3×). */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)

@@ -571,21 +571,14 @@ object Dedup {
     * gram_h) carrier is cached — it feeds both the agg and the join. */
   def duplicateSpansOn(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"span gram size must be >= 2 (got $k)")
-    // tokenize ONCE per row behind its own projection: the gram lambda
-    // must reference the `toks` ATTRIBUTE, not the tokens() expression —
-    // inlined, slice() would re-tokenize the document once PER GRAM
-    // (CollapseProject keeps the boundary: toks is non-cheap and
-    // referenced three times)
-    val withToks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val toks = col("toks")
-    // full k-grams only: a doc shorter than k tokens contributes none
-    val gramArr = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-    val g = graft.Caches.register(withToks
-      .select(col("doc_id"), posexplode(gramArr).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), md5Long(col("gram")).as("gram_h"))
+    // native positional-gram kernel: one tight tokenize+hash loop per
+    // document (the composed transform/slice/concat_ws/md5 chain built
+    // every gram as an intermediate Column string — and, inlined, even
+    // re-tokenized the document per gram element)
+    val g = graft.Caches.register(docs
+      .select(col("doc_id"),
+        posexplode(TextExpressions.gramHashes(col("text"), k))
+          .as(Seq("pos", "gram_h")))
       .cache())
     val dupGrams = g.groupBy("gram_h")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))

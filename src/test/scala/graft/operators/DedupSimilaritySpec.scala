@@ -110,6 +110,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native positional gram hashes match the composed form bitwise") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.graft.TextExpressions
+    val docs = graft.Tables.documents(spark, sf).limit(100)
+    // composed twin: materialized token attribute → per-position
+    // slice/concat_ws → md5Long (no short-doc fallback, like the kernel)
+    val toks = col("toks")
+    val composed = when(size(toks) >= 8,
+      transform(sequence(lit(0), size(toks) - 8),
+        i => TextFunctions.md5Long(
+          concat_ws(" ", slice(toks, i + 1, lit(8))))))
+      .otherwise(array().cast("array<long>"))
+    val cmp = docs
+      .select(col("text"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(composed.as("g_composed"),
+        TextExpressions.gramHashes(col("text"), 8).as("g_native"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("native simhash expression matches the composed form bitwise") {
     import graft.functions.TextFunctions
     import org.apache.spark.sql.graft.TextExpressions
