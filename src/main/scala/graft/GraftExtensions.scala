@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSimilarity, Int8Quantize, MinHashSig, ShingleSet, SimHashSig}
+import org.apache.spark.sql.graft.{CosineSimilarity, GramHashes, Int8Quantize, MinHashSig, ShingleSet, SimHashSig}
 
 /** SQL surface for the engine's native expressions, registered through
   * the standard `SparkSessionExtensions` mechanism so `spark.sql(...)`
@@ -46,5 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
       (args: Seq[Expression]) =>
         SimHashSig(args(0), intArg(args(1), "simhash_sig"))))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (args: Seq[Expression]) =>
+        GramHashes(args(0), intArg(args(1), "gram_hashes"))))
   }
 }

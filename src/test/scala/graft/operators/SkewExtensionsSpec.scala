@@ -53,6 +53,14 @@ class SkewExtensionsSpec extends SparkSpec {
     val sim = spark.sql("SELECT simhash_sig('a b c d', 48)")
       .collect()(0).getLong(0)
     assert(sim >= 0L && sim < (1L << 48))
+    val gh = spark.sql("SELECT gram_hashes('a b c d', 3)")
+      .collect()(0).getSeq[Long](0)
+    // hash-twin check in SQL: md5Long of each positional gram
+    val gh2 = spark.sql(
+      "SELECT array(CAST(conv(substr(md5('a b c'), 1, 15), 16, 10) AS BIGINT)" +
+        ", CAST(conv(substr(md5('b c d'), 1, 15), 16, 10) AS BIGINT))")
+      .collect()(0).getSeq[Long](0)
+    assert(gh == gh2)
   }
 
   test("windowed streaming aggregation emits closed windows") {
