@@ -508,9 +508,24 @@ object Dedup {
     * `fp` (unordered — callers sort or sink as they need). */
   def newDocsAgainst(corpus: DataFrame, incoming: DataFrame,
       expectedCorpusDocs: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val spark = corpus.sparkSession
     val corpusFp = corpus.select(fingerprint(col("text")).as("fp"))
     val bloom = corpusFp.stat.bloomFilter("fp", expectedCorpusDocs, fpp)
+    newDocsWithBloom(corpus, incoming, bloom)
+  }
+
+  /** [[newDocsAgainst]] with a caller-supplied Bloom filter over the
+    * corpus fingerprints — the continuous-ingest fast path
+    * ([[graft.streaming.DocStream]] maintains the sketch across epochs,
+    * so the per-batch corpus Bloom PASS disappears; sketches are
+    * mergeable, so a distributed maintainer unions per-partition blooms).
+    * CONTRACT: the bloom may over-approximate the corpus (false
+    * positives merely widen the exact confirm join) but must never
+    * under-approximate it — a fingerprint present in `corpus` but absent
+    * from the sketch would skip the confirm join and come back
+    * "new". */
+  def newDocsWithBloom(corpus: DataFrame, incoming: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val spark = corpus.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain =
       udf((fp: String) => fp != null && bloomBc.value.mightContainString(fp))
@@ -519,7 +534,8 @@ object Dedup {
       .select("fp").distinct()
     // semi, not inner: only WHICH candidate fps exist in the corpus
     // matters, and semi short-circuits on first probe hit per row
-    val confirmed = corpusFp.join(broadcast(candidates), Seq("fp"), "left_semi")
+    val confirmed = corpus.select(fingerprint(col("text")).as("fp"))
+      .join(broadcast(candidates), Seq("fp"), "left_semi")
     inc.join(broadcast(confirmed), Seq("fp"), "left_anti")
   }
 

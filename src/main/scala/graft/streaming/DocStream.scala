@@ -52,23 +52,30 @@ object DocStream {
     * store there holds fingerprints only inside the watermark horizon
     * (bounded state, horizon-bounded exactness); HERE the corpus itself
     * is the state — exact across any horizon with zero state-store
-    * growth, at the price of one corpus Bloom pass per epoch (at scale:
-    * maintain the Bloom incrementally instead of re-aggregating — the
-    * sketch is mergeable by construction).
+    * growth. The corpus Bloom is a ROLLING sketch persisted beside the
+    * data (`_bloom.bf`) and extended with each epoch's survivors, so a
+    * steady-state epoch costs O(batch): sketch probe map-side, the
+    * corpus parquet is scanned only by the exact confirm join for the
+    * (few) Bloom-positive fingerprints. A lost sketch rebuilds from the
+    * corpus; a stale-but-superset sketch only widens the confirm join —
+    * the answer never depends on the sketch (no false negatives by
+    * update order, see the in-body comment).
     *
     * Idempotent under epoch replay twice over: the epoch directory is
     * overwritten wholesale, and a re-delivered document's fingerprint is
     * already in the corpus, so the content-level anti-join drops it even
     * when it reappears under a NEW epoch id. Within one batch, the lowest
-    * doc_id per fingerprint wins (deterministic).
+    * doc_id per fingerprint wins (deterministic). The one collect is the
+    * batch's surviving fingerprints — bounded by micro-batch size.
     *
     * Input must carry (doc_id, text); extra columns ride along. */
   def incrementalDedupSinkEachBatch(outDir: String,
-      expectedCorpusDocs: Long = 1000000L)
+      expectedCorpusDocs: Long = 1000000L, fpp: Double = 0.01)
       (batch: DataFrame, epochId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.util.sketch.BloomFilter
     new java.io.File(outDir).mkdirs()
-    // within-batch dedup: newDocsAgainst compares batch-vs-corpus only
+    // within-batch dedup: newDocsWithBloom compares batch-vs-corpus only
     val uniq = batch
       .withColumn("fp", fingerprint(col("text")))
       .withColumn("__rn",
@@ -82,12 +89,45 @@ object DocStream {
       .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
         f.getName != s"epoch=$epochId")
       .map(_.getAbsolutePath)
+    // rolling corpus Bloom, persisted beside the data: each epoch pays
+    // O(batch) sketch work instead of the O(corpus) re-aggregation pass
+    // (the sketch never shrinks, so it stays a SUPERSET of the corpus —
+    // over-approximation only widens the exact confirm join). Missing or
+    // unreadable sketch → rebuild from the corpus parquet.
+    val bloomFile = new java.io.File(outDir, "_bloom.bf")
+    val sess = batch.sparkSession
+    val bloom: BloomFilter =
+      if (bloomFile.exists()) {
+        val in = new java.io.FileInputStream(bloomFile)
+        try BloomFilter.readFrom(in) finally in.close()
+      } else if (corpusDirs.nonEmpty)
+        sess.read.parquet(corpusDirs.toIndexedSeq: _*)
+          .select(fingerprint(col("text")).as("fp"))
+          .stat.bloomFilter("fp", expectedCorpusDocs, fpp)
+      else BloomFilter.create(expectedCorpusDocs, fpp)
     val fresh =
       if (corpusDirs.isEmpty) uniq
-      else graft.operators.Dedup.newDocsAgainst(
-        batch.sparkSession.read.parquet(corpusDirs.toIndexedSeq: _*),
-        uniq, expectedCorpusDocs)
-    fresh.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      else graft.operators.Dedup.newDocsWithBloom(
+        sess.read.parquet(corpusDirs.toIndexedSeq: _*), uniq, bloom)
+    // materialize survivors BEFORE the sketch update so the fps fed into
+    // the rolling bloom are exactly what lands in the epoch partition
+    val rows = fresh.persist()
+    try {
+      // SKETCH FIRST, data second: a crash between the two leaves fps in
+      // the bloom whose rows never published — false POSITIVES, resolved
+      // exactly by the confirm join on replay. The opposite order could
+      // leave corpus rows missing from the sketch — a false NEGATIVE
+      // lets a duplicate straight through. Atomic via tmp + rename.
+      rows.select("fp").collect().foreach(r => bloom.putString(r.getString(0)))
+      val tmp = new java.io.File(outDir, "._bloom.bf.tmp")
+      val out = new java.io.FileOutputStream(tmp)
+      try bloom.writeTo(out) finally out.close()
+      if (!tmp.renameTo(bloomFile)) {
+        bloomFile.delete()
+        require(tmp.renameTo(bloomFile), s"cannot publish $bloomFile")
+      }
+      rows.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    } finally rows.unpersist(blocking = false)
   }
 
   /** One packed document: its block, token count, and the token-budget

@@ -326,6 +326,19 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(after.sorted == Seq(1L, 2L, 4L, 6L),
       s"replay duplicated rows: $after")
+    // the rolling corpus sketch persists beside the data; losing it must
+    // not change answers — the sink rebuilds from the corpus parquet
+    val bloomFile = new java.io.File(out, "_bloom.bf")
+    assert(bloomFile.exists(), "rolling bloom sketch not persisted")
+    assert(bloomFile.delete())
+    val batch3 = Seq((7L, "alpha beta"), (8L, "never seen before"))
+      .toDF("doc_id", "text")
+    DocStream.incrementalDedupSinkEachBatch(out)(batch3, 100L)
+    val fin = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSeq
+    assert(fin.sorted == Seq(1L, 2L, 4L, 6L, 8L),
+      s"post-rebuild answers changed: $fin")
+    assert(bloomFile.exists(), "sketch not re-published after rebuild")
   }
 
   test("end-to-end chain: raw logs → demux → DAU table (full dwd path)") {
