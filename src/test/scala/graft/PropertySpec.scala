@@ -184,6 +184,41 @@ class PropertySpec extends SparkSpec {
       s"superseded checkpoints still pinned: $before -> $after")
   }
 
+  test("bm25 scores equal the driver-side textbook formula on random corpora") {
+    val docGen = Gen.listOfN(10, Gen.oneOf("spark", "vector", "x", "y", "z"))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(8, docGen)
+    val terms = Seq("spark", "vector")
+    val (k1, b) = (1.2, 0.75)
+    samples(corpusGen, 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.Ranking
+        .bm25RankOn(docs.toDF("doc_id", "text"), terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      // textbook BM25, same operand order as the operator
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty) }.toMap
+      val n = docs.size.toDouble
+      val avgdl = toks.values.map(_.length.toLong).sum.toDouble / n
+      val dfs = terms.map(t => toks.values.count(_.contains(t)).toDouble)
+      val want = docs.flatMap { case (id, _) =>
+        val dl = toks(id).length.toDouble
+        val score = terms.zip(dfs).map { case (t, df) =>
+          val tf = toks(id).count(_ == t).toDouble
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+        }.sum
+        // Spark's round() HALF_UPs the shortest-decimal representation —
+        // BigDecimal(toString), not the exact binary expansion
+        if (toks(id).exists(terms.contains)) Some(id ->
+          BigDecimal(score.toString)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      }.sortBy { case (id, s) => (-s, id) }
+      assert(got.toSeq == want, s"corpus=$texts")
+    }
+  }
+
   test("duplicate spans equal brute-force k-gram islands on random corpora") {
     // tiny vocabulary forces cross-doc k-gram collisions; brute force
     // recomputes grams → docs-with-gram → per-doc position islands
