@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: 8g is tight for a local[32] session running the whole
+  // 70-query bench with cached carriers (storage churn squeezes
+  // execution memory). Host-stall noise dominates bench variance either
+  // way (see SCALING.md round-7 close), but the forked JVM should not
+  // add GC pressure on a 128 GiB machine.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -253,6 +253,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup sink equals a global first-wins fold over batches") {
+    // tiny vocabulary forces cross-batch and within-batch fingerprint
+    // collisions; the sunk corpus must equal folding the batches in
+    // order, keeping the lowest doc_id per canonical fingerprint first
+    import graft.functions.TextFunctions.{fingerprint => fpCol}
+    val docGen = Gen.listOfN(3, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    samples(Gen.listOfN(24, docGen), 3).zipWithIndex.foreach {
+      case (texts, caseNo) =>
+        val out = java.nio.file.Files
+          .createTempDirectory(s"incprop$caseNo").toString
+        val batches = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .grouped(8).toSeq
+        batches.zipWithIndex.foreach { case (b, epoch) =>
+          graft.streaming.DocStream.incrementalDedupSinkEachBatch(out)(
+            b.toDF("doc_id", "text"), epoch.toLong)
+        }
+        val got = spark.read.parquet(out).select("doc_id").as[Long]
+          .collect().toSet
+        // driver-side fold (canonical fp via the engine's own column, so
+        // the normalization can never drift from the operator's)
+        val fps = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+          .select(col("doc_id"), fpCol(col("text")).as("fp"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        val want = scala.collection.mutable.Set.empty[Long]
+        val seen = scala.collection.mutable.Set.empty[String]
+        batches.foreach { b =>
+          b.groupBy(d => fps(d._1)).toSeq
+            .map { case (fp, ds) => (fp, ds.map(_._1).min) }
+            .sortBy(_._2)
+            .foreach { case (fp, id) =>
+              if (!seen(fp)) { seen += fp; want += id }
+            }
+        }
+        assert(got == want.toSet, s"case $caseNo: $texts")
+    }
+  }
+
   test("salted join equals plain join on random key distributions") {
     val cases = samples(Gen.zip(
       Gen.listOfN(200, Gen.chooseNum(1L, 10L)), Gen.chooseNum(1, 7)), 5)
