@@ -156,6 +156,11 @@ object SparkEntry {
     "q68_bm25_rank" -> ((s, d) => Ranking.bm25Rank(s, d)),
     "q69_duplicate_spans" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "q70_dup_span_stats"  -> ((s, d) => Dedup.duplicateSpanStats(s, d)),
+    // q54's batch shape composed with q56's disk-level pruning: one
+    // partition-pruned scan serves the whole query batch
+    "q71_ivf_knn_join" -> ((s, d) =>
+      IvfIndex.ivfKnnJoin(s, d, queryIds = Seq(0L, 1L, 2L, 3L), k = 5,
+        nprobe = 3, cells = 8, iters = 2)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -275,8 +280,41 @@ object SparkEntry {
   // averages sum(floor(v*1e6))/(n*1e6)), then probe-and-score. Every
   // aggregation is over longs or a single IEEE op, so DuckDB reproduces
   // the Spark result bit-for-bit.
-  private def ivfSearchSql(cells: Int, iters: Int, nprobe: Int, k: Int,
-      queryId: Long): String = {
+  /** Multi-query IVF batch kNN (q71): the same unrolled-Lloyd CTE chain
+    * as q38/q56, with per-query probe ranking and per-query top-k. */
+  private def ivfKnnJoinSql(cells: Int, iters: Int, nprobe: Int, k: Int,
+      queryIds: Seq[Long]): String = {
+    val (prefix, afSql) = ivfCtes(cells, iters)
+    val fin =
+      s"""q AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+                WHERE vec_id IN (${queryIds.mkString(", ")})),
+         probe AS (
+           SELECT query_id, cell FROM (
+             SELECT q.query_id, c.cell, row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, c.cell) AS rn
+             FROM c$iters c CROSS JOIN q) t
+           WHERE rn <= $nprobe),
+         af AS ($afSql),
+         s AS (
+           SELECT q.query_id, e.vec_id,
+                  round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+           FROM e JOIN af USING (vec_id)
+                JOIN probe ON probe.cell = af.cell
+                JOIN q ON q.query_id = probe.query_id
+           WHERE e.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, vec_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+           FROM s)
+         SELECT query_id, rank, vec_id, score FROM r WHERE rank <= $k
+         ORDER BY query_id, rank"""
+    "WITH " + prefix + ",\n" + fin
+  }
+
+  /** Shared unrolled-Lloyd CTE chain (seed + `iters` train iterations);
+    * returns (prefix CTEs, final-assignment subquery body `af`). */
+  private def ivfCtes(cells: Int, iters: Int): (String, String) = {
     val init =
       s"""e AS (SELECT vec_id, embedding FROM embeddings),
          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
@@ -310,6 +348,20 @@ object SparkEntry {
                        ORDER BY pos) AS centroid
            FROM s$i GROUP BY cell)"""
     }
+    val afSql =
+      s"""SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC,
+                               c.cell) AS rn
+             FROM e CROSS JOIN c$iters c) t
+           WHERE rn = 1"""
+    ((init +: iterCtes).mkString(",\n"), afSql)
+  }
+
+  private def ivfSearchSql(cells: Int, iters: Int, nprobe: Int, k: Int,
+      queryId: Long): String = {
+    val (prefix, afSql) = ivfCtes(cells, iters)
     val fin =
       s"""q AS (SELECT embedding AS qe FROM e WHERE vec_id = $queryId),
          probe AS (
@@ -318,19 +370,12 @@ object SparkEntry {
                ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, c.cell) AS rn
              FROM c$iters c CROSS JOIN q) t
            WHERE rn <= $nprobe),
-         af AS (
-           SELECT vec_id, cell FROM (
-             SELECT e.vec_id, c.cell,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC,
-                               c.cell) AS rn
-             FROM e CROSS JOIN c$iters c) t
-           WHERE rn = 1)
+         af AS ($afSql)
          SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS score
          FROM e JOIN af USING (vec_id) JOIN probe USING (cell) CROSS JOIN q
          WHERE e.vec_id <> $queryId
          ORDER BY score DESC, e.vec_id LIMIT $k"""
-    "WITH " + (init +: iterCtes :+ fin).mkString(",\n")
+    "WITH " + prefix + ",\n" + fin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -340,6 +385,9 @@ object SparkEntry {
     // result (and so the oracle) is identical to the in-flight q38 path
     "q56_ivf_file_search" ->
       ivfSearchSql(cells = 8, iters = 2, nprobe = 3, k = 10, queryId = 0L),
+    "q71_ivf_knn_join" ->
+      ivfKnnJoinSql(cells = 8, iters = 2, nprobe = 3, k = 5,
+        queryIds = Seq(0L, 1L, 2L, 3L)),
     "q01_dau_total" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau
          FROM events GROUP BY 1 ORDER BY dt""",

@@ -252,6 +252,52 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Batch kNN join over the materialized inverted file — the
+    * batch-retrieval path at corpus scale (embed a query batch nightly,
+    * retrieve top-k for all of them in one job). Composition of q54's
+    * batch shape with q56's disk-level pruning:
+    *  - ONE partition-pruned scan serves the whole batch: the scan
+    *    filter is the UNION of every query's probe cells (disk-level
+    *    `PartitionFilters`, like q56), so a 100-query batch probing 3 of
+    *    1024 cells reads at most ~300 cell directories, not the corpus;
+    *  - the broadcast (query_id, cell, q_embedding) relation restricts
+    *    each candidate row to exactly the queries that probe its cell —
+    *    never the Q×N score matrix;
+    *  - top-k per query rides the k-bounded [[graft.functions
+    *    .TopKAggregator]] (≤k pairs per query through the one shuffle),
+    *    never a whole-group sort.
+    * The Q query embeddings are request data (bounded collect, like the
+    * ANN service). Output: (query_id, rank, vec_id, score). */
+  def ivfKnnJoin(spark: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 5, nprobe: Int = 3, cells: Int = 8, iters: Int = 2)
+      : DataFrame = {
+    import spark.implicits._
+    require(queryIds.nonEmpty, "ivfKnnJoin needs at least one query id")
+    val (indexPath, cents) = invertedFileCached(spark, dir, cells, iters)
+    val qRows = Tables.embeddings(spark, dir)
+      .where(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+    val queryCells = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val emb = r.getSeq[Float](1).toArray
+      probeCells(cents, emb, nprobe).map(c => (qid, c, emb))
+    }.toSeq.toDF("query_id", "cell", "q_embedding")
+    val unionCells = qRows.flatMap { r =>
+      probeCells(cents, r.getSeq[Float](1).toArray, nprobe)
+    }.distinct.toSeq
+    val scored = spark.read.parquet(indexPath)
+      .where(col("cell").isin(unionCells: _*))
+      .join(broadcast(queryCells), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        round(cosineNative(col("embedding"), col("q_embedding")), 6)
+          .as("score"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+    Similarity.topKExplode(scored, k, "query_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** ANN search: probe the `nprobe` cells nearest to the query, score
     * only their members, return top-k (vec_id, score). The only
     * non-broadcast work is one map-only pass over the corpus scan. */

@@ -144,7 +144,7 @@ object Similarity {
     * fold through the k-bounded [[graft.functions.TopKAggregator]]
     * (ties: score desc, id asc — matching the oracles' ORDER BY), then
     * explode the per-group buffer to (key, rank, vec_id, score) rows. */
-  private def topKExplode(
+  private[operators] def topKExplode(
       scored: org.apache.spark.sql.Dataset[(Long, Double, Long)], k: Int,
       keyName: String): DataFrame = {
     import scored.sparkSession.implicits._

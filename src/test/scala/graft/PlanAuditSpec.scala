@@ -105,7 +105,11 @@ class PlanAuditSpec extends SparkSpec {
     // q70: the q69 chain (minus its sort) + covered-position
     // countDistinct + the docs-side join exchange + the output sort —
     // every exchange carries (doc_id, position/count) keys only
-    "q70_dup_span_stats" -> 6)
+    "q70_dup_span_stats" -> 6,
+    // q71: one partition-pruned scan serves the whole query batch; the
+    // TopK aggregation's query_id exchange (≤k pairs per query) + the
+    // output sort; the index build/train run before the audited plan
+    "q71_ivf_knn_join" -> 2)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

@@ -146,4 +146,29 @@ class IvfIndexSpec extends SparkSpec {
     val recall = (ivf & brute).size / 10.0
     assert(recall >= 0.3, s"recall@10 was $recall")
   }
+
+  test("batch kNN join equals per-query inverted-file searches; scan pruned") {
+    val queryIds = Seq(0L, 1L, 2L)
+    val batch = IvfIndex.ivfKnnJoin(spark, sf, queryIds, k = 5, nprobe = 3,
+      cells = 8, iters = 2)
+    // the one scan is partition-pruned to the union of probe cells
+    val plan = batch.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning in plan:\n$plan")
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val (idx, cents8) = IvfIndex.invertedFileCached(spark, sf, 8, 2)
+    val want = queryIds.flatMap { qid =>
+      val qv = graft.Tables.embeddings(spark, sf)
+        .where(org.apache.spark.sql.functions.col("vec_id") === qid)
+        .select("embedding").head.getSeq[Float](0).toArray
+      IvfIndex.searchInvertedFile(spark, idx, cents8, qv,
+        excludeId = Some(qid), k = 5, nprobe = 3)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0),
+          r.getDouble(1)) }
+    }
+    assert(got == want)
+  }
 }
