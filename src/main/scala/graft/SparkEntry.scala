@@ -161,6 +161,10 @@ object SparkEntry {
     "q71_ivf_knn_join" -> ((s, d) =>
       IvfIndex.ivfKnnJoin(s, d, queryIds = Seq(0L, 1L, 2L, 3L), k = 5,
         nprobe = 3, cells = 8, iters = 2)),
+    // the accuracy side of the nprobe tradeoff as a GATED metric
+    "q72_ivf_recall" -> ((s, d) =>
+      IvfIndex.recallReport(s, d, queryIds = Seq(0L, 1L, 2L, 3L), k = 10,
+        nprobe = 3, cells = 8, iters = 2)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -280,12 +284,14 @@ object SparkEntry {
   // averages sum(floor(v*1e6))/(n*1e6)), then probe-and-score. Every
   // aggregation is over longs or a single IEEE op, so DuckDB reproduces
   // the Spark result bit-for-bit.
-  /** Multi-query IVF batch kNN (q71): the same unrolled-Lloyd CTE chain
-    * as q38/q56, with per-query probe ranking and per-query top-k. */
-  private def ivfKnnJoinSql(cells: Int, iters: Int, nprobe: Int, k: Int,
+  /** All CTEs for the multi-query IVF batch kNN: the shared
+    * unrolled-Lloyd prefix + per-query probe ranking + ranked IVF
+    * results in CTE `r` (q71 selects from it; q72 layers the
+    * brute-force comparison on top). */
+  private def ivfKnnCtes(cells: Int, iters: Int, nprobe: Int,
       queryIds: Seq[Long]): String = {
     val (prefix, afSql) = ivfCtes(cells, iters)
-    val fin =
+    prefix + ",\n" +
       s"""q AS (SELECT vec_id AS query_id, embedding AS qe FROM e
                 WHERE vec_id IN (${queryIds.mkString(", ")})),
          probe AS (
@@ -306,11 +312,42 @@ object SparkEntry {
          r AS (
            SELECT query_id, vec_id, score, row_number() OVER (
              PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-           FROM s)
-         SELECT query_id, rank, vec_id, score FROM r WHERE rank <= $k
-         ORDER BY query_id, rank"""
-    "WITH " + prefix + ",\n" + fin
+           FROM s)"""
   }
+
+  /** Multi-query IVF batch kNN (q71): the same unrolled-Lloyd CTE chain
+    * as q38/q56, with per-query probe ranking and per-query top-k. */
+  private def ivfKnnJoinSql(cells: Int, iters: Int, nprobe: Int, k: Int,
+      queryIds: Seq[Long]): String =
+    "WITH " + ivfKnnCtes(cells, iters, nprobe, queryIds) + "\n" +
+      s"""SELECT query_id, rank, vec_id, score FROM r WHERE rank <= $k
+         ORDER BY query_id, rank"""
+
+  /** Recall@k report (q72): IVF top-k vs exact brute-force top-k per
+    * query — both deterministic (rounded score, vec_id tiebreak). */
+  private def ivfRecallSql(cells: Int, iters: Int, nprobe: Int, k: Int,
+      queryIds: Seq[Long]): String =
+    "WITH " + ivfKnnCtes(cells, iters, nprobe, queryIds) + ",\n" +
+      s"""ivf AS (SELECT query_id, vec_id FROM r WHERE rank <= $k),
+         bs AS (
+           SELECT q.query_id, e.vec_id,
+                  round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         br AS (
+           SELECT query_id, vec_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+           FROM bs),
+         brute AS (SELECT query_id, vec_id FROM br WHERE rank <= $k),
+         ov AS (
+           SELECT query_id, count(*) AS n_overlap
+           FROM ivf SEMI JOIN brute USING (query_id, vec_id)
+           GROUP BY query_id)
+         SELECT ql.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+                round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+                      / CAST($k AS DOUBLE), 4) AS recall
+         FROM (SELECT DISTINCT query_id FROM q) ql
+         LEFT JOIN ov ON ql.query_id = ov.query_id
+         ORDER BY ql.query_id"""
 
   /** Shared unrolled-Lloyd CTE chain (seed + `iters` train iterations);
     * returns (prefix CTEs, final-assignment subquery body `af`). */
@@ -387,6 +424,9 @@ object SparkEntry {
       ivfSearchSql(cells = 8, iters = 2, nprobe = 3, k = 10, queryId = 0L),
     "q71_ivf_knn_join" ->
       ivfKnnJoinSql(cells = 8, iters = 2, nprobe = 3, k = 5,
+        queryIds = Seq(0L, 1L, 2L, 3L)),
+    "q72_ivf_recall" ->
+      ivfRecallSql(cells = 8, iters = 2, nprobe = 3, k = 10,
         queryIds = Seq(0L, 1L, 2L, 3L)),
     "q01_dau_total" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau

@@ -298,6 +298,35 @@ object IvfIndex {
       .orderBy("query_id", "rank")
   }
 
+  /** Recall@k report: for each query in the batch, how many of the
+    * IVF-probed top-k also appear in the exact brute-force top-k — the
+    * accuracy side of the nprobe/cells latency tradeoff, as a GATED
+    * query rather than a claim (an index deployment monitors exactly
+    * this on a sampled query set). Both sides are deterministic
+    * (rounded score, vec_id tiebreak), so recall is engine-exact.
+    * Output: (query_id, n_overlap, recall). */
+  def recallReport(spark: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 10, nprobe: Int = 3, cells: Int = 8, iters: Int = 2)
+      : DataFrame = {
+    import spark.implicits._
+    val ivf = ivfKnnJoin(spark, dir, queryIds, k, nprobe, cells, iters)
+      .select("query_id", "vec_id")
+    val brute = Similarity.knnJoin(spark, dir, queryIds, k)
+      .select("query_id", "vec_id")
+    val overlap = ivf.join(brute, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    // left join from the query list: a fully-missed query (overlap 0)
+    // must still report its row — that is the alert the report exists for
+    queryIds.toDF("query_id")
+      .join(broadcast(overlap), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / k, 4)
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
   /** ANN search: probe the `nprobe` cells nearest to the query, score
     * only their members, return top-k (vec_id, score). The only
     * non-broadcast work is one map-only pass over the corpus scan. */

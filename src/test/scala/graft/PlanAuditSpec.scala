@@ -22,7 +22,9 @@ class PlanAuditSpec extends SparkSpec {
     "q62_quantized_ann", "q64_unigram_rarity",
     // q68: the broadcast crossJoin is the 1-row (N, avgdl, df*)
     // corpus-stats relation
-    "q68_bm25_rank")
+    "q68_bm25_rank",
+    // q72: the brute-force side is q54's Q-row query-batch broadcast
+    "q72_ivf_recall")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -109,7 +111,11 @@ class PlanAuditSpec extends SparkSpec {
     // q71: one partition-pruned scan serves the whole query batch; the
     // TopK aggregation's query_id exchange (≤k pairs per query) + the
     // output sort; the index build/train run before the audited plan
-    "q71_ivf_knn_join" -> 2)
+    "q71_ivf_knn_join" -> 2,
+    // q72: both retrieval arms' TopK exchanges + the overlap semi-join,
+    // rollup, and output sort — every exchange carries at most Q·k
+    // (query_id, vec_id) rows
+    "q72_ivf_recall" -> 6)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet
