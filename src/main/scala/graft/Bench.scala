@@ -61,11 +61,30 @@ object Bench {
         if (!failed) times ::= dt
       }
       name -> (if (failed || times.isEmpty) -1.0 else times.min)
-    }.toMap
+    }
+    // fixed order (sorted query names) and total-first: the driver
+    // captures only a log tail, so if the line is ever truncated the
+    // total and the earliest keys survive — and the SAME json goes
+    // whole to a committed file so no reader ever depends on the log
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val heapGb = Runtime.getRuntime.maxMemory() / (1 << 30)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""runs":$runs,"fastRuns":$fastRuns,"cpus":$cpus,""" +
+        s""""heapGb":$heapGb,"nQueries":${results.size},""" +
+        s""""filtered":${only.isDefined},"queries":$qs}"""
+    println(json)
+    // full-suite runs only: a filtered local iteration must never
+    // overwrite the committed artifact with a partial total
+    if (only.isEmpty) {
+      val f = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+        "/root/repo/BENCH_SELF.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $f")
+    }
     spark.stop()
   }
 }

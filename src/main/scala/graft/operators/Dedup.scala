@@ -533,9 +533,13 @@ object Dedup {
     val candidates = inc.where(mightContain(col("fp")))
       .select("fp").distinct()
     // semi, not inner: only WHICH candidate fps exist in the corpus
-    // matters, and semi short-circuits on first probe hit per row
+    // matters, and semi short-circuits on first probe hit per row.
+    // distinct: a corpus with internal duplicate fps would otherwise
+    // return one confirmed row per CORPUS occurrence, inflating the
+    // broadcast beyond the documented ≤-candidate-count bound
     val confirmed = corpus.select(fingerprint(col("text")).as("fp"))
       .join(broadcast(candidates), Seq("fp"), "left_semi")
+      .distinct()
     inc.join(broadcast(confirmed), Seq("fp"), "left_anti")
   }
 

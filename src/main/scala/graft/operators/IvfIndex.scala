@@ -304,11 +304,17 @@ object IvfIndex {
     * query rather than a claim (an index deployment monitors exactly
     * this on a sampled query set). Both sides are deterministic
     * (rounded score, vec_id tiebreak), so recall is engine-exact.
-    * Output: (query_id, n_overlap, recall). */
+    * Output: (query_id, n_overlap, recall).
+    *
+    * CONTRACT for unknown ids: a query id absent from the embeddings
+    * table is OMITTED from the report — there is no query vector, so
+    * "recall" is undefined, not zero (and the DuckDB oracle derives its
+    * query list from the embeddings table the same way). A query that
+    * exists but whose IVF probe misses everything still reports its
+    * recall-0 row — that is the alert the report exists for. */
   def recallReport(spark: SparkSession, dir: String, queryIds: Seq[Long],
       k: Int = 10, nprobe: Int = 3, cells: Int = 8, iters: Int = 2)
       : DataFrame = {
-    import spark.implicits._
     val ivf = ivfKnnJoin(spark, dir, queryIds, k, nprobe, cells, iters)
       .select("query_id", "vec_id")
     val brute = Similarity.knnJoin(spark, dir, queryIds, k)
@@ -316,9 +322,13 @@ object IvfIndex {
     val overlap = ivf.join(brute, Seq("query_id", "vec_id"), "left_semi")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_overlap"))
-    // left join from the query list: a fully-missed query (overlap 0)
-    // must still report its row — that is the alert the report exists for
-    queryIds.toDF("query_id")
+    // seed from the ids FOUND in the embeddings table (pushdown-filtered
+    // scan), not the raw request list — matches the oracle's derivation
+    // and the contract above; a found-but-fully-missed query (overlap 0)
+    // still gets its row via the left join
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"))
       .join(broadcast(overlap), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),

@@ -137,11 +137,17 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       val q = p.getOrElse("q",
         throw new IllegalArgumentException("q required"))
       val topN = p.getOrElse("topN", "20").toInt
-      if (topN <= 0)
-        throw new IllegalArgumentException("topN must be positive")
+      if (topN <= 0 || topN > 1000)
+        throw new IllegalArgumentException("topN must be in 1..1000")
       val terms = q.split("\\s+").filter(_.nonEmpty).toSeq
       if (terms.isEmpty)
         throw new IllegalArgumentException("q must contain a term")
+      // one fold accumulator field is compiled per term: cap the count so
+      // a hostile query string cannot compile an arbitrarily large
+      // Catalyst expression tree per request (HTTP 400, like the other
+      // endpoints' input validation)
+      if (terms.size > 16)
+        throw new IllegalArgumentException("q is limited to 16 terms")
       graft.operators.Ranking.bm25Rank(spark, dataDir, terms, topN = topN)
     })
     server.createContext("/rerankSearch", handler { p =>

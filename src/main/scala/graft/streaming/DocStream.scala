@@ -41,6 +41,36 @@ object DocStream {
       .dropDuplicatesWithinWatermark("fp")
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
 
+  /** outDir (canonical) → owner tag for [[incrementalDedupSinkEachBatch]]:
+    * `query:<streaming-query-id>` when invoked from a stream execution
+    * thread, `direct` for plain method calls (replay simulation). */
+  private val dirOwners =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Loud rejection of the second concurrent writer on one corpus dir:
+    * ownership transfers freely when the recorded owner is not an ACTIVE
+    * streaming query (restart, replay, sequential tests), but two live
+    * writers would interleave the sketch read-modify-write — a
+    * correctness hole (lost fingerprints), not a race to tolerate. */
+  private def assertSingleWriter(
+      sess: org.apache.spark.sql.SparkSession, outDir: String): Unit = {
+    val owner = "id = ([0-9a-fA-F-]+)".r
+      .findFirstMatchIn(Thread.currentThread().getName)
+      .map(m => s"query:${m.group(1)}").getOrElse("direct")
+    val key = new java.io.File(outDir).getCanonicalPath
+    val prev = dirOwners.putIfAbsent(key, owner)
+    if (prev != null && prev != owner) {
+      val prevActive = prev.startsWith("query:") &&
+        sess.streams.active.exists(q => s"query:${q.id}" == prev)
+      require(!prevActive,
+        s"incrementalDedupSink: $outDir is owned by active streaming " +
+          s"query $prev; a second concurrent writer would interleave " +
+          "rolling-Bloom updates (lost fingerprints = duplicates " +
+          "admitted). Run exactly one sink per corpus directory.")
+      dirOwners.put(key, owner)
+    }
+  }
+
   /** Continuous-ingest incremental dedup sink (foreachBatch): each
     * micro-batch keeps only documents whose canonical fingerprint is
     * absent from the ACCUMULATED corpus under `outDir`, then appends the
@@ -68,15 +98,31 @@ object DocStream {
     * doc_id per fingerprint wins (deterministic). The one collect is the
     * batch's surviving fingerprints — bounded by micro-batch size.
     *
-    * Input must carry (doc_id, text); extra columns ride along. */
+    * Input must carry (doc_id, text); extra columns ride along. Rows
+    * with null text are DROPPED up front: content dedup is undefined
+    * without content, and a null fingerprint reaching the sketch update
+    * would NPE mid-epoch (after a possibly partial sketch write).
+    *
+    * CONTRACT — single writer per `outDir`: the rolling-sketch
+    * read-modify-write and the epoch-directory listing assume exactly
+    * one concurrent sink per corpus directory. Concurrent writers are
+    * NOT superset-preserving (last-writer-wins on `_bloom.bf` can drop
+    * the other's fingerprints = duplicates admitted later), so a second
+    * ACTIVE streaming query writing the same dir inside this JVM is
+    * rejected loudly (see [[assertSingleWriter]]); restarts and replay
+    * calls take ownership over since the prior run is no longer active.
+    * Cross-JVM single-ownership is the caller's responsibility, same as
+    * for any checkpointed foreachBatch sink. */
   def incrementalDedupSinkEachBatch(outDir: String,
       expectedCorpusDocs: Long = 1000000L, fpp: Double = 0.01)
       (batch: DataFrame, epochId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.util.sketch.BloomFilter
+    assertSingleWriter(batch.sparkSession, outDir)
     new java.io.File(outDir).mkdirs()
     // within-batch dedup: newDocsWithBloom compares batch-vs-corpus only
     val uniq = batch
+      .where(col("text").isNotNull)
       .withColumn("fp", fingerprint(col("text")))
       .withColumn("__rn",
         row_number().over(Window.partitionBy("fp").orderBy("doc_id")))

@@ -341,6 +341,36 @@ class StreamingSpec extends SparkSpec {
     assert(bloomFile.exists(), "sketch not re-published after rebuild")
   }
 
+  test("incremental dedup sink: second concurrent writer rejected, " +
+      "null text dropped") {
+    val out = tmpDir("increm-own")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(DocStream.incrementalDedupSinkEachBatch(out) _)
+      .option("checkpointLocation", tmpDir("increm-own-ck")).start()
+    mem.addData((1L, "alpha beta"))
+    q.processAllAvailable()
+    // the query is still ACTIVE: a second writer on the same corpus dir
+    // would interleave the rolling-Bloom read-modify-write, so the sink
+    // must refuse loudly rather than corrupt the sketch
+    val rogue = Seq((2L, "gamma delta")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      DocStream.incrementalDedupSinkEachBatch(out)(rogue, 50L)
+    }
+    assert(ex.getMessage.contains("owned by active streaming query"),
+      s"wrong rejection message: ${ex.getMessage}")
+    q.stop()
+    // prior owner no longer active → ownership transfers (restart/replay
+    // path); and a null-text row is dropped up front instead of NPE-ing
+    // the sketch update mid-epoch
+    val batch = Seq((3L, "gamma delta"), (4L, null))
+      .toDF("doc_id", "text")
+    DocStream.incrementalDedupSinkEachBatch(out)(batch, 51L)
+    val ids = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet
+    assert(ids == Set(1L, 3L), s"got $ids")
+  }
+
   test("end-to-end chain: raw logs → demux → DAU table (full dwd path)") {
     // the reference's full pipeline: ods_BaseLogApp demux feeding
     // dwd_DauApp — here one streaming demux whose page branch feeds the
