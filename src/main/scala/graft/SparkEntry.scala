@@ -58,6 +58,11 @@ object SparkEntry {
     "q16_dedup_exact"       -> ((s, d) => Dedup.exact(s, d)),
     "q17_token_frequency"   -> ((s, d) => TextAnalysis.tokenFrequency(s, d)),
     "q22_jaccard_pairs"     -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // q73: same exact-Jaccard contract at a dedup-grade threshold —
+    // dispatches to the PPJoin prefix-index path (candidates only from
+    // rare-first prefixes, verified against the full sets)
+    "q73_jaccard_prefix"    -> ((s, d) =>
+      Dedup.ngramJaccardPairs(s, d, threshold = 0.5)),
     "q23_minhash_sigs"      -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q24_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q25_simhash"           -> ((s, d) => Dedup.simhashSignatures(s, d)),
@@ -415,6 +420,44 @@ object SparkEntry {
     "WITH " + prefix + ",\n" + fin
   }
 
+  /** Exact n-gram-Jaccard pair oracle (q22/q73), parameterized by
+    * threshold: shingle → hot-cap (df > maxDf dropped) → intersection
+    * counts → round(J,4) ≥ t. Deliberately the PLAIN counting
+    * formulation — the Spark side's plan (counting join below
+    * [[graft.operators.Dedup.PrefixPathThreshold]], prefix index at or
+    * above) is pure pruning over the same arithmetic. */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH t AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                                    s -> len(s) > 0) AS toks
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(len(toks) - 2),
+                  i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+           END) AS shingles
+         FROM t),
+       tok0 AS (SELECT doc_id, unnest(shingles) AS token FROM sh),
+       hot AS (SELECT token FROM tok0 GROUP BY token
+               HAVING count(*) > ${graft.operators.Dedup.DefaultMaxDf}),
+       tok AS (SELECT * FROM tok0 WHERE token NOT IN (SELECT token FROM hot)),
+       sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS cnt_inter
+         FROM tok a JOIN tok b
+           ON a.token = b.token AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id1, id2,
+              round(CAST(cnt_inter AS DOUBLE)
+                    / (s1.n_tok + s2.n_tok - cnt_inter), 4) AS jaccard
+       FROM inter
+       JOIN sz s1 ON id1 = s1.doc_id
+       JOIN sz s2 ON id2 = s2.doc_id
+       WHERE round(CAST(cnt_inter AS DOUBLE)
+                   / (s1.n_tok + s2.n_tok - cnt_inter), 4) >= $threshold
+       ORDER BY id1, id2"""
+
   def oracleSql: Map[String, String] = Map(
     "q38_ivf_search" ->
       ivfSearchSql(cells = 8, iters = 2, nprobe = 3, k = 10, queryId = 0L),
@@ -714,37 +757,11 @@ object SparkEntry {
            HAVING count(*) >= 1)
          SELECT eval_id, CAST(count(*) AS BIGINT) AS n_contaminated
          FROM p GROUP BY eval_id ORDER BY eval_id""",
-    "q22_jaccard_pairs" ->
-      s"""WITH t AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
-                                      s -> len(s) > 0) AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(range(len(toks) - 2),
-                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-             END) AS shingles
-           FROM t),
-         tok0 AS (SELECT doc_id, unnest(shingles) AS token FROM sh),
-         hot AS (SELECT token FROM tok0 GROUP BY token
-                 HAVING count(*) > ${graft.operators.Dedup.DefaultMaxDf}),
-         tok AS (SELECT * FROM tok0 WHERE token NOT IN (SELECT token FROM hot)),
-         sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS cnt_inter
-           FROM tok a JOIN tok b
-             ON a.token = b.token AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id1, id2,
-                round(CAST(cnt_inter AS DOUBLE)
-                      / (s1.n_tok + s2.n_tok - cnt_inter), 4) AS jaccard
-         FROM inter
-         JOIN sz s1 ON id1 = s1.doc_id
-         JOIN sz s2 ON id2 = s2.doc_id
-         WHERE round(CAST(cnt_inter AS DOUBLE)
-                     / (s1.n_tok + s2.n_tok - cnt_inter), 4) >= 0.1
-         ORDER BY id1, id2""",
+    "q22_jaccard_pairs" -> jaccardPairsSql(0.1),
+    // q73: identical exact-Jaccard semantics at threshold 0.5 — the
+    // oracle is the plain counting formulation; the Spark side's prefix
+    // index is pure pruning, so the results must match it exactly
+    "q73_jaccard_prefix" -> jaccardPairsSql(0.5),
     "q23_minhash_sigs" ->
       raw"""WITH t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),

@@ -70,19 +70,44 @@ object Dedup {
     ngramJaccardPairsOn(Tables.documents(spark, dir), threshold, shingleK,
       maxDf)
 
+  /** Threshold at which [[ngramJaccardPairsOn]] switches from the
+    * counting join to the prefix-index join. Measured at sf0.1 (DuckDB
+    * probe over the exact pipeline, margin included): candidate rows
+    * old→prefix are 1.26M→1.04M at t=0.1 (max shingle df 25 — this
+    * corpus has no hot shingles, so excluding each doc's commonest 10%
+    * barely bites), 1.17M→0.64M at t=0.3, 0.97M→0.33M at t=0.5,
+    * 0.66M→0.11M at t=0.7. Below the cutoff the prefix covers ~90% of
+    * every set and the extra stages (df join, per-doc sort, verify
+    * joins) cost more than the pruning saves; above it the prefix
+    * shrinks with t and the candidate mass collapses. */
+  val PrefixPathThreshold = 0.3
+
   /** [[ngramJaccardPairs]] over an explicit `documents` relation
-    * (doc_id, text).
-    *
-    * Candidate generation carries a PPJoin-style size-ratio prefilter
-    * (Xiao et al., WWW'08 — public literature): Jaccard(A,B) ≤
-    * |smaller|/|larger|, so a pair whose capped set sizes violate
-    * `min ≥ threshold·max` can never reach the threshold and its token
-    * rows are dropped INSIDE the join, before the candidate-pair groupBy
-    * — the superlinear stage at corpus scale. The filter is exact, not
-    * approximate: every dropped pair provably fails the final predicate.
-    */
+    * (doc_id, text). Exact at every threshold; the PLAN is adaptive:
+    * below [[PrefixPathThreshold]] the inverted-index counting join
+    * ([[ngramJaccardPairsCounting]] — 4 exchanges, intersection counted
+    * inside the pair groupBy), at or above it the PPJoin prefix-index
+    * join ([[ngramJaccardPairsPrefix]] — candidates only from rare-first
+    * prefixes, verified against the full sets). Both produce identical
+    * results; the crossover is measured, not guessed (see
+    * [[PrefixPathThreshold]]). */
   def ngramJaccardPairsOn(docs: DataFrame, threshold: Double = 0.1,
-      shingleK: Int = 3, maxDf: Int = DefaultMaxDf): DataFrame = {
+      shingleK: Int = 3, maxDf: Int = DefaultMaxDf): DataFrame =
+    if (threshold >= PrefixPathThreshold)
+      ngramJaccardPairsPrefix(docs, threshold, shingleK, maxDf)
+    else ngramJaccardPairsCounting(docs, threshold, shingleK, maxDf)
+
+  /** Counting-join path: inverted shingle index self-join with the
+    * PPJoin size-ratio prefilter (Xiao et al., WWW'08) evaluated INSIDE
+    * the join — Jaccard(A,B) ≤ |smaller|/|larger|, so a pair whose
+    * capped set sizes violate `min ≥ threshold·max` is dropped before
+    * the candidate-pair groupBy, the superlinear stage at corpus scale.
+    * The filter is exact: every dropped pair provably fails the final
+    * predicate. Intersections are counted by the groupBy itself, so no
+    * verify stage exists — the right shape when the prefix would cover
+    * most of every set (low thresholds). */
+  def ngramJaccardPairsCounting(docs: DataFrame, threshold: Double,
+      shingleK: Int, maxDf: Int): DataFrame = {
     // df-cap side: one shingle pass feeding the hot-token aggregation
     // only (single consumer — no cache), collected to a 1-row broadcast.
     // The hot set is tiny by construction: few shingles can exceed
@@ -123,6 +148,90 @@ object Dedup {
       .agg(count(lit(1)).as("inter"),
         // n_tok is functionally determined by the doc id — max = the value
         max(col("a.n_tok")).as("n1"), max(col("b.n_tok")).as("n2"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  /** Prefix-index path — true prefix-filtered set-similarity join
+    * (PPJoin candidate generation, Xiao et al. WWW'08 §3, distributed as
+    * the 3-stage MapReduce shape of Vernica et al. SIGMOD'10 — both
+    * public literature):
+    *
+    *  1. SORTED CARRIER: each doc's capped shingle set ordered by the
+    *     global canonical token order (df asc, hash then token tiebreak)
+    *     — rarest shingles first. The df aggregation doubles as the
+    *     hot-token cap (df > maxDf dropped — Jaccard stays defined over
+    *     the capped universe, like stopword removal).
+    *  2. PREFIX INDEX + CANDIDATES: only each doc's first
+    *     n − ⌈t·n⌉ + 1 sorted shingles are indexed. Any pair with
+    *     J ≥ t intersects in ≥ ⌈t·n⌉ elements, so the globally smallest
+    *     common shingle provably lands in BOTH prefixes — equi-joining
+    *     prefixes loses no qualifying pair. The payoff is where the
+    *     quadratic mass lives: a shingle shared by d docs yields d²/2
+    *     candidate rows, and the df-asc order pushes precisely the
+    *     high-df shingles out of the prefixes. The PPJoin size-ratio
+    *     filter (min ≥ t·max, exact) still runs inside the join.
+    *  3. VERIFY: candidate pairs (id keys only) join back to the cached
+    *     carrier — partitioned by doc_id, so only the narrow pair side
+    *     re-shuffles — and `array_intersect` over the two full sets
+    *     computes the EXACT Jaccard. No approximation anywhere: the
+    *     prefix only prunes, the verdict is the set arithmetic.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, threshold: Double,
+      shingleK: Int, maxDf: Int): DataFrame = {
+    // margin 5e-5: the FINAL predicate tests round(jaccard, 4), which a
+    // raw J as low as threshold − 0.00005 still satisfies — pruning
+    // (prefix length AND size-ratio) at the raw threshold would drop
+    // pairs the (round-tested) oracle keeps.
+    val tMargin = threshold - 0.00005
+    val idx0 = shingleIndex(docs, shingleK)
+    // df per shingle: ONE token-keyed aggregation serves both the hot
+    // cap (df > maxDf ⇒ dropped from the universe) and the canonical
+    // global order. shingleSet is per-doc distinct, so count = df.
+    val dfs = idx0.groupBy("token").agg(count(lit(1)).as("df"))
+    // the carrier: one row per doc, its capped shingle set SORTED by
+    // (df, hash, token) — struct sort_array gives the lexicographic
+    // order map-side after the per-doc collect. Cached and partitioned
+    // by doc_id (the groupBy), so both verify joins below leave it in
+    // place. Exchanges here carry (doc_id, df, token) — never the text.
+    val carrier = graft.Caches.register(idx0
+      .join(dfs.where(col("df") <= maxDf), Seq("token"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"),
+        md5Long(col("token")).as("h"), col("token")))).as("sorted"))
+      .select(col("doc_id"),
+        transform(col("sorted"), s => s.getField("token")).as("toks"),
+        size(col("sorted")).cast("long").as("n_tok"))
+      .cache())
+    // prefix index: map-side slice of the sorted carrier. p = n − o + 1
+    // with o = ⌈t·n⌉ the minimum intersection a qualifying pair owes
+    // this doc; if none of the first p sorted shingles were shared, the
+    // ≥ o shared ones would all sit in the last o − 1 positions.
+    val pfx = carrier.select(col("doc_id"), col("n_tok"),
+      explode(slice(col("toks"), lit(1),
+        greatest(lit(1), (col("n_tok") -
+          ceil(lit(tMargin) * col("n_tok")) + 1).cast("int")))).as("token"))
+    val a = pfx.as("a"); val b = pfx.as("b")
+    val cand = a.join(b,
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n_tok"), col("b.n_tok")) >=
+            lit(tMargin) * greatest(col("a.n_tok"), col("b.n_tok")))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_pfx_shared"))
+      .select("id1", "id2")
+    // verify from the full sorted sets: exact intersection, exact sizes
+    val ca = carrier.select(col("doc_id").as("id1"),
+      col("toks").as("toks1"), col("n_tok").as("n1"))
+    val cb = carrier.select(col("doc_id").as("id2"),
+      col("toks").as("toks2"), col("n_tok").as("n2"))
+    cand.join(ca, Seq("id1")).join(cb, Seq("id2"))
+      .withColumn("inter",
+        size(array_intersect(col("toks1"), col("toks2"))).cast("long"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double"), 4))

@@ -115,7 +115,17 @@ class PlanAuditSpec extends SparkSpec {
     // q72: both retrieval arms' TopK exchanges + the overlap semi-join,
     // rollup, and output sort — every exchange carries at most Q·k
     // (query_id, vec_id) rows
-    "q72_ivf_recall" -> 6)
+    "q72_ivf_recall" -> 6,
+    // q73: the PPJoin prefix path (Vernica et al. SIGMOD'10 3-stage
+    // shape) — df agg + index-by-token for the df join + the sorted-
+    // carrier groupBy, the PREFIX self-join's two token exchanges, the
+    // candidate-pair groupBy, the two narrow pair-side verify exchanges
+    // (the cached carrier stays doc_id-partitioned), and the output
+    // sort. More exchanges than q22's counting join but each carries
+    // keys/prefix rows only, and at t≥0.5 the candidate mass is 3–6×
+    // smaller (measured: 0.97M→0.33M rows at t=0.5, sf0.1) — the stage
+    // count is the price of the pruning, paid in narrow data
+    "q73_jaccard_prefix" -> 10)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

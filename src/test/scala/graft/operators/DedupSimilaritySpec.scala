@@ -22,6 +22,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("prefix path ≡ counting path at every dispatchable threshold") {
+    // the prefix index is pure pruning: whatever the threshold, the two
+    // plans must produce the identical pair set with identical scores
+    val docs = graft.Tables.documents(spark, sf)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val counting = Dedup.ngramJaccardPairsCounting(docs, t, 3, 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs, t, 3, 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(prefix.toSeq == counting.toSeq,
+        s"t=$t: prefix ${prefix.length} rows vs counting ${counting.length}")
+    }
+    // boundary sanity: two docs sharing a sizable gram run — both plans
+    // must agree on the pair and its rounded score
+    import spark.implicits._
+    val d1 = (1 to 14).map(i => s"x$i").mkString(" ")
+    val rows = Seq((1L, d1 + " q w e"), (2L, d1 + " r t y u i o p a s d f g h j k l z x c v b n m"))
+      .toDF("doc_id", "text")
+    val both = Seq(
+      Dedup.ngramJaccardPairsCounting(rows, 0.3, 3, 1000).collect().toSeq,
+      Dedup.ngramJaccardPairsPrefix(rows, 0.3, 3, 1000).collect().toSeq)
+    assert(both(0) == both(1), s"crafted pair diverged: $both")
+  }
+
   test("hot-shingle df cap keeps the candidate count bounded") {
     import spark.implicits._
     // one shingle ("x y z") is in EVERY doc; the rest are unique per doc.
