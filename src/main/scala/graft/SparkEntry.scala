@@ -159,6 +159,11 @@ object SparkEntry {
     "q66_incremental_dedup" -> ((s, d) => Dedup.incrementalNewDocs(s, d)),
     "q67_temperature_mixture" -> ((s, d) => Sampling.temperatureSample(s, d)),
     "q68_bm25_rank" -> ((s, d) => Ranking.bm25Rank(s, d)),
+    // q74: the A4 detail page served in ES's true relevance order —
+    // BM25 over the part dim's analyzed sku names, AND-matched, lines
+    // ordered by (score desc, l_orderkey, l_linenumber), paged
+    "q74_detail_ranked" -> ((s, d) =>
+      Ranking.detailByItemRanked(s, d, Item, 1, 20)),
     "q69_duplicate_spans" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "q70_dup_span_stats"  -> ((s, d) => Dedup.duplicateSpanStats(s, d)),
     // q54's batch shape composed with q56's disk-level pruning: one
@@ -1387,6 +1392,56 @@ object SparkEntry {
          WHERE tf0 > 0 OR tf1 > 0
          ORDER BY score DESC, doc_id
          LIMIT 50""",
+    // q74: q68's BM25 arithmetic (same textual float-op order, same
+    // literals) over the part dim's ANALYZED sku names (lowercase,
+    // non-alphanumeric split — the q44 analyzer), AND-matched, then the
+    // q12 detail projection ordered by (score desc, key) and paged
+    "q74_detail_ranked" ->
+      """WITH pd AS (
+           SELECT p_partkey AS doc_id,
+                  list_filter(regexp_split_to_array(lower(p_name),
+                                                    '[^a-z0-9]+'),
+                              s -> len(s) > 0) AS toks
+           FROM part),
+         f AS (
+           SELECT doc_id, len(toks) AS dl,
+                  len(list_filter(toks, s -> s = 'small')) AS tf0,
+                  len(list_filter(toks, s -> s = 'ring'))  AS tf1
+           FROM pd),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS avgdl,
+                  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                    AS df0,
+                  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                    AS df1
+           FROM f),
+         sc AS (
+           SELECT doc_id,
+                  round(  ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                            * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+                            / (CAST(tf0 AS DOUBLE)
+                               + 1.2 * (1.0 - 0.75
+                                        + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                        + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                            * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+                            / (CAST(tf1 AS DOUBLE)
+                               + 1.2 * (1.0 - 0.75
+                                        + 0.75 * (CAST(dl AS DOUBLE) / avgdl))),
+                        4) AS score
+           FROM f, s
+           WHERE tf0 > 0 AND tf1 > 0)
+         SELECT l_orderkey, l_linenumber, p_name AS sku_name,
+                l_quantity AS sku_num, l_extendedprice AS order_price,
+                l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                  AS total_amount,
+                p_brand, p_type, score
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN sc ON p_partkey = sc.doc_id
+         ORDER BY score DESC, l_orderkey, l_linenumber
+         LIMIT 20 OFFSET 0""",
     // q69: 8-token k-grams as 60-bit md5 keys (identical hashing on
     // both sides — a collision merges the same identities everywhere);
     // "≥2 distinct docs" as min≠max (same rewrite the Spark side uses);

@@ -40,7 +40,19 @@ object Ranking {
 
   /** [[bm25Rank]] over an explicit (doc_id, text) relation. */
   def bm25RankOn(docs: DataFrame, terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75, topN: Int = 50): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 50): DataFrame =
+    bm25ScoresOn(docs, terms, k1, b, requireAllTerms = false)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(topN)
+
+  /** The unlimited core of [[bm25RankOn]]: (doc_id, score) for every
+    * document containing at least one query term — or, with
+    * `requireAllTerms`, EVERY term (the ES match-AND contract of the
+    * serving layer). No ordering, no cut: callers that page (the ranked
+    * detail endpoint) window this instead of top-N-ing it. */
+  def bm25ScoresOn(docs: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+      requireAllTerms: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "bm25Rank needs at least one query term")
     // ONE fold computes dl + every per-term tf: split-out Columns would
     // re-tokenize once per term (Catalyst does no CSE inside an
@@ -77,10 +89,55 @@ object Ranking {
         (tf + lit(k1) * (lit(1.0) - lit(b) +
           lit(b) * (col("dl").cast("double") / col("avgdl"))))
     }.reduce(_ + _)
+    val matched = terms.indices.map(i => col(s"tf$i") > 0)
+      .reduce((x, y) => if (requireAllTerms) x && y else x || y)
     joined
-      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .where(matched)
       .select(col("doc_id"), round(score, 4).as("score"))
-      .orderBy(desc("score"), col("doc_id"))
-      .limit(topN)
+  }
+
+  /** A4 in the reference's TRUE serving order. The reference's ES
+    * returned detail hits in relevance-score order
+    * (`PublisherMapperImpl.java:112-159`); the engine's `detailByItem`
+    * had deliberately pinned a deterministic (l_orderkey, l_linenumber)
+    * sort as the stand-in. This is the ranked mode: the sku corpus (the
+    * part dim — one document per p_partkey, p_name analyzed exactly like
+    * the q44 serving matcher: lowercased, split on non-alphanumerics) is
+    * BM25-scored against the analyzed query; matching is AND over the
+    * query terms (the q44 contract); lines of matched skus order by
+    * (score desc, l_orderkey, l_linenumber) — fully deterministic, score
+    * rounded to 4 dp — and the page window cuts.
+    *
+    * Scale shape: corpus stats are one aggregate over the part DIM (the
+    * idf source, like an ES index), never lineitem; the scored match
+    * set is a dim-sized broadcast into lineitem — J1's join shape with
+    * a score column riding. */
+  def detailByItemRanked(spark: SparkSession, dir: String,
+      itemName: String, pageNo: Int = 1, pageSize: Int = 20): DataFrame = {
+    val terms = itemName.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, s"no analyzable tokens in '$itemName'")
+    // re-serialize the analyzed token array to whitespace form so the
+    // fold's whitespace tokenizer sees exactly the analyzer's tokens
+    val partDocs = Tables.part(spark, dir)
+      .select(col("p_partkey").as("doc_id"),
+        concat_ws(" ", array_remove(
+          split(lower(col("p_name")), "[^a-z0-9]+"), "")).as("text"))
+    val scored = bm25ScoresOn(partDocs, terms, requireAllTerms = true)
+    val sk = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .join(broadcast(scored), col("p_partkey") === col("doc_id"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(sk), li("l_partkey") === sk("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("p_name").as("sku_name"),
+        col("l_quantity").as("sku_num"),
+        col("l_extendedprice").as("order_price"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_amount"),
+        col("p_brand"), col("p_type"), col("score"))
+      .orderBy(desc("score"), col("l_orderkey"), col("l_linenumber"))
+      .offset((pageNo - 1) * pageSize)
+      .limit(pageSize)
   }
 }

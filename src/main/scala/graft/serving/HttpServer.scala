@@ -102,11 +102,20 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
         p.getOrElse("t", "segment"))
     })
     server.createContext("/detailByItem", handler { p =>
-      Api.detailByItem(spark, dataDir,
-        p.getOrElse("itemName",
-          throw new IllegalArgumentException("itemName required")),
-        p.getOrElse("pageNo", "1").toInt,
-        p.getOrElse("pageSize", "20").toInt)
+      val item = p.getOrElse("itemName",
+        throw new IllegalArgumentException("itemName required"))
+      val pageNo = p.getOrElse("pageNo", "1").toInt
+      val pageSize = p.getOrElse("pageSize", "20").toInt
+      // rank=bm25: hits in relevance order, the reference's actual ES
+      // serving behavior; default stays the pinned deterministic sort
+      p.getOrElse("rank", "key") match {
+        case "bm25" =>
+          graft.operators.Ranking.detailByItemRanked(
+            spark, dataDir, item, pageNo, pageSize)
+        case "key" => Api.detailByItem(spark, dataDir, item, pageNo, pageSize)
+        case other =>
+          throw new IllegalArgumentException(s"unknown rank mode '$other'")
+      }
     })
     server.createContext("/annSearch", handler { p =>
       import graft.operators.IvfIndex

@@ -20,9 +20,9 @@ class PlanAuditSpec extends SparkSpec {
     "q22_jaccard_pairs", "q26_ann_topk", "q32_detail_api", "q38_ivf_search",
     "q41_topk_per_label", "q54_knn_join", "q61_rerank_ann",
     "q62_quantized_ann", "q64_unigram_rarity",
-    // q68: the broadcast crossJoin is the 1-row (N, avgdl, df*)
+    // q68/q74: the broadcast crossJoin is the 1-row (N, avgdl, df*)
     // corpus-stats relation
-    "q68_bm25_rank",
+    "q68_bm25_rank", "q74_detail_ranked",
     // q72: the brute-force side is q54's Q-row query-batch broadcast
     "q72_ivf_recall")
 
@@ -90,9 +90,14 @@ class PlanAuditSpec extends SparkSpec {
     // q65: (eval, doc) pair agg + per-eval rollup + output sort; the
     // bench index broadcasts under the measured guard
     "q65_contamination_report" -> 3,
-    // q66: batch-side candidate-fp distinct + output sort; the corpus
-    // side never shuffles (Bloom pass + broadcast semi/anti probes)
-    "q66_incremental_dedup" -> 2,
+    // q66: batch-side candidate-fp distinct + confirmed-fp distinct +
+    // output sort. The confirmed distinct (round-8 ADVICE fix) bounds
+    // the anti-join broadcast at candidate count even when the corpus
+    // holds duplicate fingerprints: its partial hash-aggregate collapses
+    // dups MAP-SIDE, so the added exchange carries at most
+    // candidates×partitions fp rows — the corpus itself (content or
+    // full rows) still never shuffles (Bloom pass + broadcast probes)
+    "q66_incremental_dedup" -> 3,
     // q67: tiny per-lang count agg (broadcast back) + output sort; the
     // corpus itself is a map-only filter
     "q67_temperature_mixture" -> 2,
@@ -125,7 +130,11 @@ class PlanAuditSpec extends SparkSpec {
     // keys/prefix rows only, and at t≥0.5 the candidate mass is 3–6×
     // smaller (measured: 0.97M→0.33M rows at t=0.5, sf0.1) — the stage
     // count is the price of the pruning, paid in narrow data
-    "q73_jaccard_prefix" -> 10)
+    "q73_jaccard_prefix" -> 10,
+    // q74: BM25 stats ride the 1-row broadcast (like q68), the scored
+    // sku set broadcasts into part then lineitem (J1's shape), and the
+    // page window is a TakeOrdered heap — zero shuffles
+    "q74_detail_ranked" -> 0)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

@@ -33,6 +33,20 @@ class HttpServerSpec extends SparkSpec {
       assert(c3 == 200 && detail.contains("<em>") && detail.contains("\"total\""))
       assert(detail.split("\\},\\{").length <= 3)
 
+      // rank=bm25: relevance-ordered detail page — scores present and
+      // non-increasing down the page; unknown rank mode → 400
+      val (cr, rankedPage) =
+        get(s"$base/detailByItem?itemName=small+ring&rank=bm25&pageSize=5")
+      assert(cr == 200 && rankedPage.contains("\"score\""),
+        rankedPage.take(200))
+      val pageScores = "\"score\":([0-9.]+)".r
+        .findAllMatchIn(rankedPage).map(_.group(1).toDouble).toSeq
+      assert(pageScores.nonEmpty &&
+        pageScores.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+        s"scores not ranked: $pageScores")
+      val (crBad, _) = get(s"$base/detailByItem?itemName=x&rank=pagerank")
+      assert(crBad == 400)
+
       // F10 semantics: unknown t → 400, not a stack trace
       val (c4, err) = get(s"$base/statsByItem?itemName=x&t=age-ish")
       assert(c4 == 400 && err.contains("unknown stats type"))
