@@ -127,34 +127,14 @@ object DocStream {
       .withColumn("__rn",
         row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
       .where(col("__rn") === 1).drop("__rn")
-    // corpus = every OTHER epoch's partition: a replayed epoch must not
-    // see its own previous (possibly partial) output as "the corpus" or
-    // replay would drop every row it is supposed to re-write
-    val corpusDirs = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
-        f.getName != s"epoch=$epochId")
-      .map(_.getAbsolutePath)
-    // rolling corpus Bloom, persisted beside the data: each epoch pays
-    // O(batch) sketch work instead of the O(corpus) re-aggregation pass
-    // (the sketch never shrinks, so it stays a SUPERSET of the corpus —
-    // over-approximation only widens the exact confirm join). Missing or
-    // unreadable sketch → rebuild from the corpus parquet.
-    val bloomFile = new java.io.File(outDir, "_bloom.bf")
+    val corpusDirs = corpusEpochDirs(outDir, epochId)
     val sess = batch.sparkSession
-    val bloom: BloomFilter =
-      if (bloomFile.exists()) {
-        val in = new java.io.FileInputStream(bloomFile)
-        try BloomFilter.readFrom(in) finally in.close()
-      } else if (corpusDirs.nonEmpty)
-        sess.read.parquet(corpusDirs.toIndexedSeq: _*)
-          .select(fingerprint(col("text")).as("fp"))
-          .stat.bloomFilter("fp", expectedCorpusDocs, fpp)
-      else BloomFilter.create(expectedCorpusDocs, fpp)
+    val bloom = loadOrBuildBloom(sess, outDir, corpusDirs,
+      expectedCorpusDocs, fpp)
     val fresh =
       if (corpusDirs.isEmpty) uniq
       else graft.operators.Dedup.newDocsWithBloom(
-        sess.read.parquet(corpusDirs.toIndexedSeq: _*), uniq, bloom)
+        sess.read.parquet(corpusDirs: _*), uniq, bloom)
     // materialize survivors BEFORE the sketch update so the fps fed into
     // the rolling bloom are exactly what lands in the epoch partition
     val rows = fresh.persist()
@@ -165,14 +145,140 @@ object DocStream {
       // leave corpus rows missing from the sketch — a false NEGATIVE
       // lets a duplicate straight through. Atomic via tmp + rename.
       rows.select("fp").collect().foreach(r => bloom.putString(r.getString(0)))
-      val tmp = new java.io.File(outDir, "._bloom.bf.tmp")
-      val out = new java.io.FileOutputStream(tmp)
-      try bloom.writeTo(out) finally out.close()
-      if (!tmp.renameTo(bloomFile)) {
-        bloomFile.delete()
-        require(tmp.renameTo(bloomFile), s"cannot publish $bloomFile")
-      }
+      publishBloom(bloom, outDir)
       rows.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** Every OTHER epoch's partition dir under `outDir`: a replayed epoch
+    * must not see its own previous (possibly partial) output as "the
+    * corpus" or replay would drop every row it is supposed to re-write. */
+  private def corpusEpochDirs(outDir: String, epochId: Long): Seq[String] =
+    Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
+        f.getName != s"epoch=$epochId")
+      .map(_.getAbsolutePath).toIndexedSeq
+
+  /** Rolling corpus Bloom, persisted beside the data: each epoch pays
+    * O(batch) sketch work instead of the O(corpus) re-aggregation pass
+    * (the sketch never shrinks, so it stays a SUPERSET of the corpus —
+    * over-approximation only widens the exact confirm join). Missing or
+    * unreadable sketch → rebuild from the corpus parquet. */
+  private def loadOrBuildBloom(sess: org.apache.spark.sql.SparkSession,
+      outDir: String, corpusDirs: Seq[String], expectedCorpusDocs: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloomFile = new java.io.File(outDir, "_bloom.bf")
+    if (bloomFile.exists()) {
+      val in = new java.io.FileInputStream(bloomFile)
+      try BloomFilter.readFrom(in) finally in.close()
+    } else if (corpusDirs.nonEmpty)
+      sess.read.parquet(corpusDirs: _*)
+        .select(fingerprint(col("text")).as("fp"))
+        .stat.bloomFilter("fp", expectedCorpusDocs, fpp)
+    else BloomFilter.create(expectedCorpusDocs, fpp)
+  }
+
+  /** Atomic tmp+rename publish of the rolling sketch. */
+  private def publishBloom(bloom: org.apache.spark.util.sketch.BloomFilter,
+      outDir: String): Unit = {
+    val bloomFile = new java.io.File(outDir, "_bloom.bf")
+    val tmp = new java.io.File(outDir, "._bloom.bf.tmp")
+    val out = new java.io.FileOutputStream(tmp)
+    try bloom.writeTo(out) finally out.close()
+    if (!tmp.renameTo(bloomFile)) {
+      bloomFile.delete()
+      require(tmp.renameTo(bloomFile), s"cannot publish $bloomFile")
+    }
+  }
+
+  /** The COMPOSED continuous-ingestion sink — the product story in one
+    * foreachBatch: corpus-level incremental dedup (the
+    * [[incrementalDedupSinkEachBatch]] machinery: rolling Bloom →
+    * exact confirm → anti-join, corpus never shuffled) THEN sequence
+    * packing continued exactly where the stored corpus ends, published
+    * as an `epoch=<id>` partition through [[PartitionedUpsert]] (atomic
+    * per-partition swap, untouched epochs never rewritten). Upstream of
+    * this sink sits [[curate]] (quality gate + watermarked dedup), so
+    * one streaming query runs gate → horizon dedup → corpus dedup →
+    * pack → shard publish; `PipelineSpec` pins the end-to-end contract:
+    * the final shard layout equals the one-shot batch pipeline (gate +
+    * global exact dedup + `Packing.pack`) under id-ordered arrival,
+    * across a checkpoint restart.
+    *
+    * Instead of keeping per-block running token offsets in state (the
+    * [[packStream]] approach), each epoch derives them from the stored
+    * corpus: `sum(n_tokens) per block` over the OTHER epochs' partitions.
+    * Epoch publication is atomic, so the sums are exact, and a replayed
+    * epoch is excluded from its own base offsets — replay lands every
+    * row at its original start_tok for free. The recompute reads only
+    * the (block, n_tokens) columns of the shard metadata, never text;
+    * at 100 TB this is a column-pruned scan of two longs per stored doc
+    * per epoch — trade it for packStream's keyed state when epochs are
+    * frequent.
+    *
+    * CONTRACT: same single-writer rule as
+    * [[incrementalDedupSinkEachBatch]]; `budget`/`blocks`/`salt` must
+    * not change across the corpus lifetime (offsets would tear). */
+  def curatedPackedSinkEachBatch(outDir: String, budget: Int = 2048,
+      blocks: Int = 8, salt: String = "pack",
+      expectedCorpusDocs: Long = 1000000L, fpp: Double = 0.01)
+      (batch: DataFrame, epochId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Packing
+    require(budget > 0 && blocks > 0, "budget and blocks must be positive")
+    assertSingleWriter(batch.sparkSession, outDir)
+    new java.io.File(outDir).mkdirs()
+    // heal any crashed epoch swap BEFORE the corpus listing: a half-
+    // published epoch would otherwise vanish from the dedup corpus and
+    // its documents would be re-admitted as new
+    PartitionedUpsert.recoverAll(outDir)
+    val sess = batch.sparkSession
+    val uniq = batch
+      .where(col("text").isNotNull)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("__rn") === 1).drop("__rn")
+    val corpusDirs = corpusEpochDirs(outDir, epochId)
+    val bloom = loadOrBuildBloom(sess, outDir, corpusDirs,
+      expectedCorpusDocs, fpp)
+    val fresh =
+      if (corpusDirs.isEmpty) uniq
+      else graft.operators.Dedup.newDocsWithBloom(
+        sess.read.parquet(corpusDirs: _*), uniq, bloom)
+    // per-block token offsets where the stored corpus ends (column-
+    // pruned: two longs per stored doc, text never read)
+    val baseOffsets: Map[Long, Long] =
+      if (corpusDirs.isEmpty) Map.empty
+      else sess.read.parquet(corpusDirs: _*)
+        .groupBy("block").agg(sum("n_tokens").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseCol = baseOffsets.foldLeft(lit(0L)) { case (acc, (b, t)) =>
+      when(col("block") === b, lit(t)).otherwise(acc)
+    }
+    // identical arithmetic to Packing.pack: same tokenizer, same block
+    // hash, same bin stride — the equivalence the pipeline spec pins
+    val w = Window.partitionBy("block").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = fresh
+      .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+      .withColumn("block",
+        pmod(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+          lit(blocks.toLong)))
+      .withColumn("start_tok",
+        baseCol + sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin",
+        col("block") * lit(Packing.BinStride) + expr(s"start_tok div $budget"))
+    val rows = packed.persist()
+    try {
+      // same crash ordering as the plain sink: sketch first (false
+      // positives only), then the atomic epoch swap
+      rows.select("fp").collect().foreach(r => bloom.putString(r.getString(0)))
+      publishBloom(bloom, outDir)
+      PartitionedUpsert.upsert(rows.withColumn("epoch", lit(epochId)),
+        outDir, "epoch", Seq.empty)
     } finally rows.unpersist(blocking = false)
   }
 

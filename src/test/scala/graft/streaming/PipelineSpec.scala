@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.{GraftSession, SparkSpec}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The continuous-ingestion product story, end to end, as ONE streaming
+  * query: quality gate → watermarked dedup ([[DocStream.curate]]) →
+  * corpus-level incremental dedup → sequence packing → shard publish
+  * through [[PartitionedUpsert]] ([[DocStream.curatedPackedSinkEachBatch]])
+  * — with a checkpoint restart in the middle, on the RocksDB state-store
+  * provider, asserting the final shard layout equals the one-shot batch
+  * pipeline (same gate + global exact dedup + `Packing.pack`).
+  *
+  * The fixtures exercise every dedup layer at its OWN horizon:
+  *  - within-batch exact dup → dropped by the watermark state,
+  *  - cross-batch dup inside the watermark → dropped by the state,
+  *  - dup arriving AFTER its fingerprint's state was evicted (event time
+  *    jumped past the watermark horizon) → the state dedup cannot see
+  *    it; only the corpus-level Bloom+confirm pass drops it,
+  *  - dup spanning the checkpoint restart → recovered state or corpus,
+  *  - junk doc → quality-gated before any state is touched.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def onRocksDB[A](body: => A): A = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      GraftSession.RocksDBProvider)
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streaming curate→dedup→pack pipeline == one-shot batch, " +
+      "across restart, on RocksDB") { onRocksDB {
+    val base = Files.createTempDirectory("pipeline").toString
+    val out = s"$base/corpus"
+    val cp = s"$base/_cp"
+    val (budget, blocks) = (16, 2)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def doc(n: Int) = // distinct quality-passing bodies, stopword-rich
+      s"the story number $n of the sea and the wind is told again here"
+    val junk = "xyzzy" // 1 token, no stopwords → quality 0.2 < 0.5
+
+    // (doc_id, text, ts) — ids arrive in order, the packStream contract
+    val b1 = Seq(
+      (1L, doc(1), t("2024-01-01 10:00:00")),
+      (2L, doc(2), t("2024-01-01 10:01:00")),
+      (3L, doc(1) + " ", t("2024-01-01 10:02:00")), // in-batch dup (ws noise)
+      (4L, junk, t("2024-01-01 10:03:00")))         // quality-gated
+    val b2 = Seq(
+      (5L, doc(5), t("2024-01-01 10:06:00")),
+      (6L, doc(2), t("2024-01-01 10:07:00")),       // cross-batch dup, in-state
+      (7L, doc(7), t("2024-01-01 10:08:00")))
+    // restart happens here; then event time jumps 3 h — far past the
+    // 10 min watermark, so every earlier fingerprint's state is evicted
+    val b3 = Seq(
+      (8L, doc(8), t("2024-01-01 13:00:00")),
+      (9L, doc(9), t("2024-01-01 13:01:00")))
+    val b4 = Seq(
+      (10L, doc(1), t("2024-01-01 13:30:00")),      // post-eviction dup →
+                                                    // ONLY the corpus sees it
+      (11L, doc(11), t("2024-01-01 13:31:00")))
+
+    def start(mem: MemoryStream[(Long, String, java.sql.Timestamp)]) =
+      DocStream.curate(mem.toDF().toDF("doc_id", "text", "ts"),
+          minQuality = 0.5, watermark = "10 minutes")
+        .writeStream
+        .foreachBatch(DocStream.curatedPackedSinkEachBatch(
+          out, budget = budget, blocks = blocks) _)
+        .option("checkpointLocation", cp)
+        .outputMode("append").start()
+
+    val mem1 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q1 = start(mem1)
+    mem1.addData(b1: _*); q1.processAllAvailable()
+    mem1.addData(b2: _*); q1.processAllAvailable()
+    val stateOps = q1.recentProgress.flatMap(_.stateOperators)
+    assert(stateOps.flatMap(_.customMetrics.keySet.toArray).toSet
+        .exists(_.toString.startsWith("rocksdb")),
+      "watermarked dedup state is not RocksDB-backed")
+    q1.stop()
+
+    // checkpoint restart: a NEW query + source resumes the same state
+    val mem2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    mem2.addData(b1: _*); mem2.addData(b2: _*) // replayed source history
+    val q2 = start(mem2)
+    mem2.addData(b3: _*); q2.processAllAvailable()
+    mem2.addData(b4: _*); q2.processAllAvailable()
+    q2.stop()
+
+    // the one-shot batch twin over the SAME input set: gate → global
+    // exact dedup (lowest doc_id per fingerprint) → Packing.pack
+    val all = (b1 ++ b2 ++ b3 ++ b4).toDF("doc_id", "text", "ts")
+    val survivors = all
+      .where(qualityScore(col("text")) >= 0.5)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("rn") === 1)
+      .select("doc_id", "text")
+    val batchDir = s"$base/batch"
+    survivors.write.parquet(s"$batchDir/documents.parquet")
+    val expected = graft.operators.Packing
+      .pack(spark, batchDir, budget = budget, blocks = blocks)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+    val shards = spark.read.parquet(out)
+    val got = shards
+      .select("doc_id", "block", "n_tokens", "start_tok", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"pipeline diverged from batch:\n missing=${expected -- got}\n " +
+        s"extra=${got -- expected}")
+
+    // layer-by-layer evidence, for sharper failures than set equality:
+    val ids = got.map(_._1)
+    assert(!ids.contains(4L), "junk doc passed the quality gate")
+    assert(!ids.contains(3L) && !ids.contains(6L),
+      "watermark-horizon duplicate admitted")
+    assert(!ids.contains(10L),
+      "post-eviction duplicate admitted — corpus-level dedup failed")
+    assert(ids.contains(8L) && ids.contains(11L),
+      "restart lost curated documents")
+    // genuinely incremental: the corpus accumulated across >1 epoch and
+    // the restart continued packing where the stored corpus ended
+    val epochs = Option(new java.io.File(out).list()).get
+      .filter(_.startsWith("epoch=")).toSet
+    assert(epochs.size > 1, s"expected multiple epoch partitions: $epochs")
+  } }
+}
