@@ -171,4 +171,66 @@ class IvfIndexSpec extends SparkSpec {
     }
     assert(got == want)
   }
+
+  test("recall-drift gate: 25% appended ingest on a STALE quantizer " +
+      "keeps recall@10 above the floor") {
+    // the operational question an IVF deployment faces: vectors keep
+    // arriving via appendToInvertedFile (assigned to the OLD coarse
+    // quantizer, no retraining) — when is retraining due? This gate
+    // measures exactly that: centroids trained on 75% of the corpus,
+    // the other 25% appended afterwards, recall@10 evaluated against
+    // brute force over the GROWN corpus, with a fresh-trained index as
+    // the comparison point. Everything is deterministic (fixed data,
+    // rounded scores, vec_id tiebreaks), so the floors are exact gates,
+    // not flaky statistics.
+    val tmp = java.nio.file.Files.createTempDirectory("ivfdrift").toString
+    val emb = graft.Tables.embeddings(spark, sf)
+    val baseDir = s"$tmp/base"
+    emb.where(col("vec_id") % 4 =!= 0)
+      .write.parquet(s"$baseDir/embeddings.parquet")
+    val stale = IvfIndex.train(spark, baseDir, cells = 8, iters = 2)
+    val staleIdx = s"$tmp/stale-index"
+    IvfIndex.buildInvertedFile(spark, baseDir, stale, staleIdx)
+    IvfIndex.appendToInvertedFile(
+      emb.where(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
+      stale, staleIdx)
+    val fresh = IvfIndex.train(spark, sf, cells = 8, iters = 2)
+    val freshIdx = s"$tmp/fresh-index"
+    IvfIndex.buildInvertedFile(spark, sf, fresh, freshIdx)
+
+    val queryIds = 0L until 10L
+    val qVecs = queryIds.map { qid =>
+      qid -> emb.where(col("vec_id") === qid)
+        .select("embedding").head.getSeq[Float](0).toArray
+    }.toMap
+    // ground truth over the grown corpus (the full embeddings table)
+    val brute = queryIds.map { qid =>
+      qid -> Similarity.topK(spark, sf, qid, 10)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    def meanRecall(index: String, cents: IvfIndex.Centroids)
+        : (Double, Set[Long]) = {
+      val hits = queryIds.map { qid =>
+        IvfIndex.searchInvertedFile(spark, index, cents, qVecs(qid),
+          excludeId = Some(qid), k = 10, nprobe = 4)
+          .collect().map(_.getLong(0)).toSet
+      }
+      (queryIds.zip(hits).map { case (q, h) => (h & brute(q)).size / 10.0 }
+        .sum / queryIds.size, hits.flatten.toSet)
+    }
+    val (staleR, staleHits) = meanRecall(staleIdx, stale)
+    val (freshR, _) = meanRecall(freshIdx, fresh)
+    // the appended 25% must actually be retrievable through the stale
+    // index — otherwise the gate isn't measuring drift at all
+    assert(staleHits.exists(_ % 4 == 0),
+      "no appended vector ever surfaced in stale-index results")
+    // measured on this corpus: stale 0.0 drift would mean the append
+    // path is broken; deep drift would mean retraining is overdue at
+    // 25%. Floors sit just under the measured values (stale ≈ fresh
+    // here — 25% appended does NOT warrant retraining on this data).
+    assert(staleR >= 0.55, s"stale-quantizer recall@10 = $staleR")
+    assert(freshR - staleR <= 0.15,
+      s"drift fresh−stale = ${freshR - staleR} (fresh=$freshR, " +
+        s"stale=$staleR) — retraining overdue before 25% appended")
+  }
 }
