@@ -16,17 +16,18 @@ import org.apache.spark.sql.functions._
   * as in TPC-H).
   *
   * Two columns get more than a key shift, both deliberately:
-  *  - `documents.text`: each replica k>0 injectively remaps ~30% of the
-  *    token vocabulary (token → `token_k`, chosen by crc32(token#k) —
-  *    a function of the TOKEN, not the doc). Docs that are exact or
-  *    near duplicates of each other WITHIN a replica stay exactly as
-  *    similar (an injective vocabulary remap preserves set relations on
-  *    tokens and on shingles alike), while cross-replica copies of the
-  *    same doc fall far below every near-dup threshold (a 5-gram
-  *    shingle survives unremapped with p ≈ 0.7⁵ ≈ 0.17 → Jaccard
-  *    ≈ 0.09). Without this, every doc would gain factor−1 artificial
-  *    near-dups and the pair-generating dedup queries would measure a
-  *    quadratic blow-up that a real 10× corpus does not have.
+  *  - `documents.text`: each replica k>0 injectively remaps `remapPct`%
+  *    of the token vocabulary (token → `token_k`, chosen by
+  *    crc32(token#k) — a function of the TOKEN, not the doc). Docs that
+  *    are exact or near duplicates of each other WITHIN a replica stay
+  *    exactly as similar (an injective vocabulary remap preserves set
+  *    relations on tokens and on shingles alike), while cross-replica
+  *    copies of the same doc fall far below every near-dup threshold
+  *    (at the default 50%, a 5-gram shingle survives unremapped with
+  *    p ≈ 0.5⁵ ≈ 3% → Jaccard ≈ 0.016). Without this, every doc would
+  *    gain factor−1 artificial near-dups and the pair-generating dedup
+  *    queries would measure a quadratic blow-up that a real 10× corpus
+  *    does not have. See [[run]] for the remapPct semantics.
   *  - `embeddings.embedding`: ±0.02 deterministic per-(vec, replica,
   *    dim) jitter so ANN top-k measures a 10× corpus rather than
   *    10-way ties between exact copies.
@@ -52,18 +53,28 @@ object ScaleUp {
     (col(c) + col("k") * lit(s)).as(c)
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <baseDir> <outDir> [factor]")
+    require(args.length >= 2,
+      "usage: ScaleUp <baseDir> <outDir> [factor] [remapPct]")
     val (base, out) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
+    val remapPct = if (args.length > 3) args(3).toInt else 50
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, base, out, factor)
+    run(spark, base, out, factor, remapPct)
     spark.stop()
   }
 
+  /** `remapPct` tunes how much cross-replica text overlap survives — the
+    * skew knob of the amplifier. 50 (default) models INDEPENDENT corpus
+    * growth: unigram vocab overlap 1/3, 5-gram shingle survival 0.5⁵ ≈
+    * 3% — replica copies share vocabulary but essentially no shingles,
+    * like genuinely new content. 30 models a NEAR-DUP-HEAVY corpus:
+    * 5-gram survival 17%, 3-gram 34% — every doc drags a tail of
+    * partial copies, the shape that stresses candidate-generation skew
+    * in the similarity-join family. */
   def run(spark: SparkSession, base: String, out: String,
-      factor: Int): Unit = {
+      factor: Int, remapPct: Int = 50): Unit = {
     val replicas = broadcast(
       spark.range(factor).select(col("id").cast("int").as("k")))
     def t(name: String) = Tables(spark, base, name)
@@ -112,10 +123,10 @@ object ScaleUp {
       shifted("event_id", sEvt), col("ts"), shifted("user_id", sUser),
       col("event_type"), col("value"), col("props"))))
 
-    // ~30% per-replica vocabulary remap; decision is crc32(token#k) so
-    // identical texts stay identical within a replica
+    // remapPct% per-replica vocabulary remap; decision is crc32(token#k)
+    // so identical texts stay identical within a replica
     val remapTok = (tok: Column) => when(
-      crc32(concat(tok, lit("#"), col("k"))) % 10 < 3,
+      crc32(concat(tok, lit("#"), col("k"))) % 100 < remapPct,
       concat(tok, lit("_"), col("k"))).otherwise(tok)
     val remappedText = when(col("k") === 0, col("text")).otherwise(
       concat_ws(" ", transform(split(col("text"), " "), remapTok)))
