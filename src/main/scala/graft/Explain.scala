@@ -8,7 +8,11 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
+    // SPARK_GRAFT_SF_DIR: plan shapes are stats-driven (file-size based
+    // broadcast selection), so the scale-validation run diffs --scan
+    // output across sf dirs to catch joins that silently flip strategy
+    // as the data grows
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val scan = args.contains("--scan")
     val wanted =
       if (args.filterNot(_ == "--scan").nonEmpty) args.filterNot(_ == "--scan").toSeq

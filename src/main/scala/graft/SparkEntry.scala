@@ -58,11 +58,14 @@ object SparkEntry {
     "q16_dedup_exact"       -> ((s, d) => Dedup.exact(s, d)),
     "q17_token_frequency"   -> ((s, d) => TextAnalysis.tokenFrequency(s, d)),
     "q22_jaccard_pairs"     -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
-    // q73: same exact-Jaccard contract at a dedup-grade threshold —
-    // dispatches to the PPJoin prefix-index path (candidates only from
-    // rare-first prefixes, verified against the full sets)
-    "q73_jaccard_prefix"    -> ((s, d) =>
-      Dedup.ngramJaccardPairs(s, d, threshold = 0.5)),
+    // q73: same exact-Jaccard contract at a dedup-grade threshold, on
+    // the PPJoin prefix-index path PINNED (candidates only from
+    // rare-first prefixes, verified against the full hashed sets) — the
+    // adaptive entrypoint would measure this df-flat corpus and pick
+    // the counting join (see Dedup.prefixPathPays), so the gate calls
+    // the prefix path directly to keep it oracle-covered
+    "q73_jaccard_prefix"    -> ((s, d) => Dedup.ngramJaccardPairsPrefix(
+      graft.Tables.documents(s, d), 0.5, 3, Dedup.DefaultMaxDf)),
     "q23_minhash_sigs"      -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q24_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q25_simhash"           -> ((s, d) => Dedup.simhashSignatures(s, d)),

@@ -3,8 +3,8 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -174,6 +174,66 @@ case class SimHashSig(child: Expression, bits: Int)
     copy(child = c)
 }
 
+/** Intersection size of two ASCENDING-sorted `array<long>`s by linear
+  * merge — the verify kernel of the PPJoin prefix path.
+  *
+  * `array_intersect` builds a hash set per invocation (allocation +
+  * hashing per element); for the verify stage that runs once per
+  * CANDIDATE PAIR (millions of rows at corpus scale) the constant
+  * matters more than the asymptotics. Both inputs are distinct-element
+  * sets sorted by value (the caller sorts the small carrier side once),
+  * so a two-pointer merge counts the intersection in ≤ |a|+|b| long
+  * comparisons with zero allocation, inside whole-stage codegen.
+  *
+  * CONTRACT: both arrays ascending-sorted, duplicate-free (as produced
+  * by `sort_array` over a set). Unsorted input silently undercounts —
+  * callers own the ordering, same as any merge join. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var n = 0L
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { n += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $n++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   def shingleSet(text: Column, k: Int): Column =
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(text), k))
@@ -184,4 +244,7 @@ object TextExpressions {
       MinHashSig(ExpressionUtils.expression(text), k, numHashes))
   def simHashSig(text: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashSig(ExpressionUtils.expression(text), bits))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -31,6 +31,13 @@ object Dedup {
     * with the oracle SQL builder so both sides always agree. */
   val DefaultMaxDf = 1000
 
+  /** Ceiling on the estimated bytes of the hashed-shingle carrier the
+    * prefix path will broadcast into its verify joins (both sides of a
+    * corpus-sized relation — priced conservatively against executor
+    * memory, same measured-guard discipline as
+    * [[MaxBroadcastShingles]]). */
+  val MaxVerifyBroadcastBytes = 256L << 20
+
   /** Exact dedup: canonical fingerprint → keeper id + duplicate count.
     * Only groups with at least one row are emitted (every doc belongs to
     * exactly one group; singletons included so the output is a full
@@ -70,32 +77,69 @@ object Dedup {
     ngramJaccardPairsOn(Tables.documents(spark, dir), threshold, shingleK,
       maxDf)
 
-  /** Threshold at which [[ngramJaccardPairsOn]] switches from the
-    * counting join to the prefix-index join. Measured at sf0.1 (DuckDB
-    * probe over the exact pipeline, margin included): candidate rows
-    * old→prefix are 1.26M→1.04M at t=0.1 (max shingle df 25 — this
-    * corpus has no hot shingles, so excluding each doc's commonest 10%
-    * barely bites), 1.17M→0.64M at t=0.3, 0.97M→0.33M at t=0.5,
-    * 0.66M→0.11M at t=0.7. Below the cutoff the prefix covers ~90% of
-    * every set and the extra stages (df join, per-doc sort, verify
-    * joins) cost more than the pruning saves; above it the prefix
-    * shrinks with t and the candidate mass collapses. */
+  /** Threshold below which [[ngramJaccardPairsOn]] never considers the
+    * prefix-index join: the prefix keeps each doc's first
+    * n − ⌈t·n⌉ + 1 sorted shingles, so at low t it covers ~the whole
+    * set — the extra stages (order join, per-doc sort, verify joins)
+    * cannot pay for themselves regardless of the corpus. Measured at
+    * sf0.1 (DuckDB probe): candidate rows counting→prefix are
+    * 1.26M→1.04M at t=0.1 but 0.66M→0.11M at t=0.7.
+    *
+    * ABOVE this threshold the choice is NOT threshold-driven — it is
+    * skew-driven, and [[ngramJaccardPairsOn]] measures it per corpus
+    * (see [[prefixPathPays]]): the sf1 scale run showed the counting
+    * join 2–6× faster than the prefix path at EVERY threshold on a
+    * df-flat corpus (max df ≈ 25·sf — no hot shingles, so candidate
+    * generation was never the bottleneck the prefix machinery
+    * amortizes against). */
   val PrefixPathThreshold = 0.3
 
+  /** Candidate-pair rows the counting join may emit per inverted-index
+    * row before the prefix path's extra corpus-sized stages (global
+    * order join, per-doc sort, two verify joins) pay for themselves.
+    * Calibrated from the sf1 run (BENCH_SF1.md): at ratio ≈ 0.5 the
+    * counting join won 2–6×, and the prefix overhead is ~4 extra
+    * stages over the same index — so the pair mass must exceed the
+    * index size by roughly an order of magnitude before pruning wins. */
+  val CountingPairRowsPerIndexRow = 8.0
+
+  /** TRUE when the capped shingle-df distribution is hot enough that
+    * the counting join's candidate mass — exactly Σ df·(df−1)/2 pair
+    * rows through its groupBy — exceeds
+    * [[CountingPairRowsPerIndexRow]] × the index size (Σ df). Pure
+    * arithmetic so the dispatch rule is unit-testable against flat and
+    * Zipfian distributions without a corpus. */
+  def prefixPathPays(sumDf: Long, sumDf2: Long): Boolean =
+    (sumDf2 - sumDf) / 2.0 > CountingPairRowsPerIndexRow * sumDf
+
   /** [[ngramJaccardPairs]] over an explicit `documents` relation
-    * (doc_id, text). Exact at every threshold; the PLAN is adaptive:
-    * below [[PrefixPathThreshold]] the inverted-index counting join
-    * ([[ngramJaccardPairsCounting]] — 4 exchanges, intersection counted
-    * inside the pair groupBy), at or above it the PPJoin prefix-index
-    * join ([[ngramJaccardPairsPrefix]] — candidates only from rare-first
-    * prefixes, verified against the full sets). Both produce identical
-    * results; the crossover is measured, not guessed (see
-    * [[PrefixPathThreshold]]). */
+    * (doc_id, text). Exact at every threshold; the PLAN is adaptive on
+    * TWO measured axes: below [[PrefixPathThreshold]] the inverted-index
+    * counting join always runs ([[ngramJaccardPairsCounting]] — the
+    * prefix would cover ~the whole set); at or above it a per-corpus
+    * skew probe (one narrow aggregation over the hashed shingle index —
+    * the same df relation either chosen path builds as its first stage)
+    * prices the counting join's candidate mass and picks the PPJoin
+    * prefix-index join ([[ngramJaccardPairsPrefix]]) only when hot
+    * shingles make that mass explode ([[prefixPathPays]]). Both paths
+    * produce identical results; both cutoffs are measured, not guessed
+    * (sf0.1 candidate probe + the sf1 scale run, see BENCH_SF1.md). */
   def ngramJaccardPairsOn(docs: DataFrame, threshold: Double = 0.1,
       shingleK: Int = 3, maxDf: Int = DefaultMaxDf): DataFrame =
-    if (threshold >= PrefixPathThreshold)
-      ngramJaccardPairsPrefix(docs, threshold, shingleK, maxDf)
-    else ngramJaccardPairsCounting(docs, threshold, shingleK, maxDf)
+    if (threshold < PrefixPathThreshold)
+      ngramJaccardPairsCounting(docs, threshold, shingleK, maxDf)
+    else {
+      val st = shingleIndex(docs, shingleK)
+        .select(md5Long(col("token")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf)
+        .agg(coalesce(sum("df"), lit(0L)).as("s1"),
+          coalesce(sum(col("df") * col("df")), lit(0L)).as("s2"))
+        .head
+      if (prefixPathPays(st.getLong(0), st.getLong(1)))
+        ngramJaccardPairsPrefix(docs, threshold, shingleK, maxDf)
+      else ngramJaccardPairsCounting(docs, threshold, shingleK, maxDf)
+    }
 
   /** Counting-join path: inverted shingle index self-join with the
     * PPJoin size-ratio prefilter (Xiao et al., WWW'08) evaluated INSIDE
@@ -188,23 +232,41 @@ object Dedup {
     // (prefix length AND size-ratio) at the raw threshold would drop
     // pairs the (round-tested) oracle keeps.
     val tMargin = threshold - 0.00005
+    // HASH-FIRST index: every downstream stage (df aggregation, order
+    // join, prefix self-join, verify) needs shingle IDENTITY only, so
+    // the string leaves the plan at the scan — all exchanges and sorts
+    // in this operator run on 8 B longs (the sf1 scale run measured the
+    // string-keyed carrier build at 2× the whole counting join). Same
+    // 60-bit identity-hash argument as the carried sets below.
     val idx0 = shingleIndex(docs, shingleK)
-    // df per shingle: ONE token-keyed aggregation serves both the hot
-    // cap (df > maxDf ⇒ dropped from the universe) and the canonical
-    // global order. shingleSet is per-doc distinct, so count = df.
-    val dfs = idx0.groupBy("token").agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), md5Long(col("token")).as("h"))
+    // df per shingle hash: ONE aggregation serves both the hot cap
+    // (df > maxDf ⇒ dropped from the universe) and the canonical global
+    // order. shingleSet is per-doc distinct, so count = df.
+    val dfs = idx0.groupBy("h").agg(count(lit(1)).as("df"))
     // the carrier: one row per doc, its capped shingle set SORTED by
     // (df, hash, token) — struct sort_array gives the lexicographic
     // order map-side after the per-doc collect. Cached and partitioned
     // by doc_id (the groupBy), so both verify joins below leave it in
     // place. Exchanges here carry (doc_id, df, token) — never the text.
+    //
+    // The carried set is the 60-bit md5 HASH of each shingle, not the
+    // string: candidate keys and the verify intersection only need
+    // identity, and an 8 B long per shingle instead of a ~20 B string
+    // is the difference between the verify stage shuffling kilobyte
+    // array rows per candidate pair and shuffling ~400 B ones (the
+    // sf1 scale run measured the string-array verify at 5× the
+    // counting join's whole cost). Same identity-hash argument as the
+    // q69 gram keys: both docs of a pair hash identically, so a
+    // collision merges the same identities everywhere (60-bit space,
+    // ~1e-6 corpus-level collision odds).
     val carrier = graft.Caches.register(idx0
-      .join(dfs.where(col("df") <= maxDf), Seq("token"))
+      .join(dfs.where(col("df") <= maxDf), Seq("h"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"),
-        md5Long(col("token")).as("h"), col("token")))).as("sorted"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+        .as("sorted"))
       .select(col("doc_id"),
-        transform(col("sorted"), s => s.getField("token")).as("toks"),
+        transform(col("sorted"), s => s.getField("h")).as("toks"),
         size(col("sorted")).cast("long").as("n_tok"))
       .cache())
     // prefix index: map-side slice of the sorted carrier. p = n − o + 1
@@ -224,14 +286,32 @@ object Dedup {
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("n_pfx_shared"))
       .select("id1", "id2")
-    // verify from the full sorted sets: exact intersection, exact sizes
-    val ca = carrier.select(col("doc_id").as("id1"),
-      col("toks").as("toks1"), col("n_tok").as("n1"))
-    val cb = carrier.select(col("doc_id").as("id2"),
-      col("toks").as("toks2"), col("n_tok").as("n2"))
+    // verify from the full sorted sets: exact intersection, exact sizes.
+    // The candidate relation is the BIG side here (pairs ≫ docs), so
+    // when the measured carrier size fits the broadcast budget the two
+    // verify joins go map-side — candidates never shuffle at all. The
+    // estimate prices exactly what ships: 8 B per carried hash plus
+    // per-row overhead. Above the budget (a corpus whose hash arrays
+    // outgrow executor memory) the joins fall back to shuffles that
+    // carry the narrow hash arrays.
+    val st = carrier.agg(count(lit(1)).as("docs"),
+      coalesce(sum("n_tok"), lit(0L)).as("toks")).head
+    val carrierBytes = st.getLong(1) * 8L + st.getLong(0) * 32L
+    val bcast = carrierBytes <= MaxVerifyBroadcastBytes
+    def verifySide(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df
+    // re-sort by VALUE (the carrier's order is (df, h) — prefix
+    // semantics): the native merge kernel counts the intersection in
+    // one allocation-free pass over two value-sorted long arrays, per
+    // candidate pair. The sort runs once per DOC on the small carrier
+    // side, not once per pair.
+    val ca = verifySide(carrier.select(col("doc_id").as("id1"),
+      sort_array(col("toks")).as("toks1"), col("n_tok").as("n1")))
+    val cb = verifySide(carrier.select(col("doc_id").as("id2"),
+      sort_array(col("toks")).as("toks2"), col("n_tok").as("n2")))
     cand.join(ca, Seq("id1")).join(cb, Seq("id2"))
       .withColumn("inter",
-        size(array_intersect(col("toks1"), col("toks2"))).cast("long"))
+        TextExpressions.sortedIntersectCount(col("toks1"), col("toks2")))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double"), 4))

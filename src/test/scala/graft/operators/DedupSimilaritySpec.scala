@@ -46,6 +46,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(both(0) == both(1), s"crafted pair diverged: $both")
   }
 
+  test("jaccard dispatch is skew-measured: flat df → counting, " +
+      "hot df → prefix") {
+    // the pure rule, against the two distribution shapes it separates:
+    // flat (every shingle df≈2: pair mass ≈ index size — counting) vs
+    // Zipfian (one df=1000 shingle: ~500k pairs from 1k rows — prefix)
+    assert(!Dedup.prefixPathPays(sumDf = 1000, sumDf2 = 2000))
+    assert(Dedup.prefixPathPays(sumDf = 1000, sumDf2 = 1000 * 1000))
+    // integration: the adaptive entrypoint probes THIS corpus (df-flat,
+    // max df ≈ 25·sf) and must choose the counting join even at a
+    // prefix-eligible threshold — its plan has no prefix verify kernel
+    val docs = graft.Tables.documents(spark, sf)
+    val chosen = Dedup.ngramJaccardPairsOn(docs, 0.5, 3, 1000)
+    val plan = chosen.queryExecution.analyzed.toString()
+    assert(!plan.contains("sorted_intersect_count"),
+      "flat-df corpus dispatched to the prefix path")
+    // and the pinned prefix path (the q73 gate) does carry the kernel
+    val pinned = Dedup.ngramJaccardPairsPrefix(docs, 0.5, 3, 1000)
+    assert(pinned.queryExecution.analyzed.toString()
+      .contains("sorted_intersect_count"))
+  }
+
   test("hot-shingle df cap keeps the candidate count bounded") {
     import spark.implicits._
     // one shingle ("x y z") is in EVERY doc; the rest are unique per doc.
