@@ -104,7 +104,17 @@ object Similarity {
   }
 
   /** Near-duplicate pairs by cosine ≥ threshold, blocked by `label`
-    * (IVF-style coarse quantization: only intra-block pairs are scored). */
+    * (IVF-style coarse quantization: only intra-block pairs are scored).
+    *
+    * QUADRATIC BY DESIGN: with a FIXED block vocabulary, intra-block
+    * population grows with the corpus and pair count grows with its
+    * square — the sf1 scale run measured exactly that (10× vectors →
+    * ×100 pairs, ×34 time; BENCH_SF1.md). This operator is the
+    * exact-within-block baseline; at corpus scale use the siblings
+    * whose block counts grow with the data: hyperplane LSH buckets
+    * ([[lshNearDup]]), MinHash-LSH ([[graft.operators.Dedup
+    * .minhashLshPairs]]), or the IVF kNN join
+    * ([[graft.operators.IvfIndex.ivfKnnJoin]]). */
   def blockedNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
