@@ -61,6 +61,34 @@ case class ShingleSet(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Native k-word distinct shingle set as 60-bit md5 HASHES:
+  * array<long>. Same shingle semantics as [[ShingleSet]] (whitespace
+  * tokens, whole-text fallback under k tokens, first-occurrence
+  * distinct) and the same per-shingle hash as [[MinHashSig]]'s base —
+  * one tokenize+hash+dedup loop per doc. The similarity-join family
+  * consumes this instead of [[ShingleSet]] wherever only shingle
+  * IDENTITY matters (inverted indexes, df aggregation, overlap
+  * counting): every downstream exchange then carries 8 B longs instead
+  * of ~20 B strings, and set arithmetic runs on primitives. Counts are
+  * invariant under the injective hash (60-bit space — a collision
+  * merges the same identities on every side), so the string-shingle
+  * DuckDB oracles verify the hashed plans unchanged. */
+case class ShingleHashSet(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val sh = TextKernel.distinctShingles(text, k)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = TextKernel.md5Long60(sh(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashSet =
+    copy(child = c)
+}
+
 /** Native MinHash signature: one md5 per distinct shingle, `numHashes`
   * affine permutations, all in a tight loop — replaces the interpreted
   * aggregate/zip_with fold (~6× on the signature build at bench scale). */
@@ -237,6 +265,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 object TextExpressions {
   def shingleSet(text: Column, k: Int): Column =
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(text), k))
+  def shingleHashSet(text: Column, k: Int): Column =
+    ExpressionUtils.column(
+      ShingleHashSet(ExpressionUtils.expression(text), k))
   def gramHashes(text: Column, k: Int): Column =
     ExpressionUtils.column(GramHashes(ExpressionUtils.expression(text), k))
   def minHashSig(text: Column, k: Int, numHashes: Int): Column =

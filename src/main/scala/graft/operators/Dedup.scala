@@ -59,6 +59,15 @@ object Dedup {
     docs.select(col("doc_id"),
       explode(TextExpressions.shingleSet(col("text"), k)).as("token"))
 
+  /** Inverted shingle index on 60-bit HASH identity — the form every
+    * similarity-join stage consumes (df aggregation, hot cap, equi-join
+    * keys, overlap counts): exchanges carry 8 B longs, never shingle
+    * strings, and the counts are invariant under the injective hash
+    * (see [[org.apache.spark.sql.graft.ShingleHashSet]]). */
+  private def shingleHashIndex(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextExpressions.shingleHashSet(col("text"), k)).as("h"))
+
   /** Near-dup pairs by exact 3-gram-shingle-set Jaccard ≥ `threshold`,
     * generated via inverted-index self-join (no cross product). Output:
     * (id1, id2, jaccard) with id1 < id2.
@@ -129,8 +138,7 @@ object Dedup {
     if (threshold < PrefixPathThreshold)
       ngramJaccardPairsCounting(docs, threshold, shingleK, maxDf)
     else {
-      val st = shingleIndex(docs, shingleK)
-        .select(md5Long(col("token")).as("h"))
+      val st = shingleHashIndex(docs, shingleK)
         .groupBy("h").agg(count(lit(1)).as("df"))
         .where(col("df") <= maxDf)
         .agg(coalesce(sum("df"), lit(0L)).as("s1"),
@@ -152,21 +160,23 @@ object Dedup {
     * most of every set (low thresholds). */
   def ngramJaccardPairsCounting(docs: DataFrame, threshold: Double,
       shingleK: Int, maxDf: Int): DataFrame = {
-    // df-cap side: one shingle pass feeding the hot-token aggregation
-    // only (single consumer — no cache), collected to a 1-row broadcast.
-    // The hot set is tiny by construction: few shingles can exceed
-    // maxDf distinct documents.
-    val hotArr = shingleIndex(docs, shingleK)
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    // df-cap side: one hashed-shingle pass feeding the hot aggregation
+    // only (single consumer — no cache), collected to a 1-row broadcast
+    // of 8 B keys. The hot set is tiny by construction: few shingles
+    // can exceed maxDf distinct documents.
+    val hotArr = shingleHashIndex(docs, shingleK)
+      .groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
-      .agg(collect_list("token").as("hot_toks"))
-    // the carrier: one row per doc with its CAPPED shingle array and its
-    // size — a second (final) shingle pass. Cached: it feeds both sides
-    // of the self-join below, which would otherwise re-scan and
-    // re-shingle the corpus per side (the dominant cost).
+      .agg(collect_list("h").as("hot_toks"))
+    // the carrier: one row per doc with its CAPPED hashed shingle array
+    // and its size — a second (final) shingle pass. Cached: it feeds
+    // both sides of the self-join below, which would otherwise re-scan
+    // and re-shingle the corpus per side (the dominant cost). Hash
+    // identity end-to-end: the self-join keys, the size-ratio filter,
+    // and the intersection count below never touch a string.
     val capped = graft.Caches.register(docs.crossJoin(broadcast(hotArr))
       .select(col("doc_id"),
-        array_except(TextExpressions.shingleSet(col("text"), shingleK),
+        array_except(TextExpressions.shingleHashSet(col("text"), shingleK),
           col("hot_toks")).as("toks"))
       .cache())
     // the inverted index derives map-side from the cached carrier and
@@ -238,8 +248,7 @@ object Dedup {
     // in this operator run on 8 B longs (the sf1 scale run measured the
     // string-keyed carrier build at 2× the whole counting join). Same
     // 60-bit identity-hash argument as the carried sets below.
-    val idx0 = shingleIndex(docs, shingleK)
-      .select(col("doc_id"), md5Long(col("token")).as("h"))
+    val idx0 = shingleHashIndex(docs, shingleK)
     // df per shingle hash: ONE aggregation serves both the hot cap
     // (df > maxDf ⇒ dropped from the universe) and the canonical global
     // order. shingleSet is per-doc distinct, so count = df.
@@ -350,8 +359,8 @@ object Dedup {
       maxBroadcastShingles: Long = MaxBroadcastShingles): DataFrame = {
     val benchShingles = graft.Caches.register(
       benchmark
-        .select(explode(TextExpressions.shingleSet(col("text"), shingleK))
-          .as("token"))
+        .select(explode(
+          TextExpressions.shingleHashSet(col("text"), shingleK)).as("token"))
         .distinct()
         .cache())
     val nShingles = benchShingles.count()
@@ -368,9 +377,10 @@ object Dedup {
       }
     corpus
       .select(col("doc_id"),
-        explode(TextExpressions.shingleSet(col("text"), shingleK)).as("token"))
-      // shingleSet is distinct per doc, so each (doc_id, token) row is
-      // unique and the post-join count IS the distinct-shared count
+        explode(TextExpressions.shingleHashSet(col("text"), shingleK))
+          .as("token"))
+      // the hashed set is distinct per doc, so each (doc_id, token) row
+      // is unique and the post-join count IS the distinct-shared count
       .join(benchSide, Seq("token"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -396,7 +406,7 @@ object Dedup {
     val benchIdx = graft.Caches.register(
       benchmark
         .select(col("eval_id"),
-          explode(TextExpressions.shingleSet(col("text"), shingleK))
+          explode(TextExpressions.shingleHashSet(col("text"), shingleK))
             .as("token"))
         .cache())
     val nRows = benchIdx.count()
@@ -411,7 +421,8 @@ object Dedup {
       }
     corpus
       .select(col("doc_id"),
-        explode(TextExpressions.shingleSet(col("text"), shingleK)).as("token"))
+        explode(TextExpressions.shingleHashSet(col("text"), shingleK))
+          .as("token"))
       .join(benchSide, Seq("token"))
       .groupBy(col("eval_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
