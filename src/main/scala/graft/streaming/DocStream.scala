@@ -303,6 +303,13 @@ object DocStream {
     * contract (a late doc packs where it ARRIVES; offset packing never
     * reorders history, exactly like a real shard writer).
     *
+    * MEMORY: the per-batch determinism sort buffers ONE BLOCK's slice
+    * of the micro-batch on the executor (`rows.toSeq.sortBy`), i.e.
+    * ~micro-batch ÷ blocks rows of (id, n_tokens, block) — fine at any
+    * sane trigger interval, but do not feed a giant one-shot backfill
+    * through this with blocks=1; backfills are what the batch
+    * [[graft.operators.Packing.pack]] is for.
+    *
     * Input must carry (doc_id, text). */
   def packStream(docs: DataFrame, budget: Int = 2048,
       blocks: Int = 8, salt: String = "pack"): Dataset[PackedDoc] = {
