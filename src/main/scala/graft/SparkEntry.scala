@@ -167,6 +167,10 @@ object SparkEntry {
     // ordered by (score desc, l_orderkey, l_linenumber), paged
     "q74_detail_ranked" -> ((s, d) =>
       Ranking.detailByItemRanked(s, d, Item, 1, 20)),
+    // q75: the SemDeDup pass — embedding-cosine near-dup edges →
+    // connected components → one canonical survivor per component
+    // (min-id policy); full per-vector verdict
+    "q75_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q69_duplicate_spans" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "q70_dup_span_stats"  -> ((s, d) => Dedup.duplicateSpanStats(s, d)),
     // q54's batch shape composed with q56's disk-level pruning: one
@@ -1445,6 +1449,37 @@ object SparkEntry {
          JOIN sc ON p_partkey = sc.doc_id
          ORDER BY score DESC, l_orderkey, l_linenumber
          LIMIT 20 OFFSET 0""",
+    // q75: q27's blocked cosine pairs feed q53's recursive min-label
+    // components; canonical = min id in component (comp label itself),
+    // singletons keep themselves
+    "q75_semantic_dedup" ->
+      """WITH RECURSIVE sc AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+                  round(
+                    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+                    / (sqrt(list_reduce(list_transform(a.embedding,
+                         v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
+                       * sqrt(list_reduce(list_transform(b.embedding,
+                           v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))), 6)
+                    AS score
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id),
+         pairs AS (SELECT id1, id2 FROM sc WHERE score >= 0.3),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL
+                 SELECT id2 AS src, id1 AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM sym),
+         reach(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT sy.dst, r.comp FROM reach r JOIN sym sy ON r.id = sy.src),
+         cmp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS comp,
+                CASE WHEN e.vec_id = COALESCE(c.comp, e.vec_id)
+                     THEN 1 ELSE 0 END AS keep
+         FROM embeddings e LEFT JOIN cmp c ON e.vec_id = c.id
+         ORDER BY vec_id""",
     // q69: 8-token k-grams as 60-bit md5 keys (identical hashing on
     // both sides — a collision merges the same identities everywhere);
     // "≥2 distinct docs" as min≠max (same rewrite the Spark side uses);

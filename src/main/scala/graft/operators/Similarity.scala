@@ -116,7 +116,13 @@ object Similarity {
     * .minhashLshPairs]]), or the IVF kNN join
     * ([[graft.operators.IvfIndex.ivfKnnJoin]]). */
   def blockedNearDup(spark: SparkSession, dir: String,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3): DataFrame =
+    blockedPairs(spark, dir, threshold).orderBy("id1", "id2")
+
+  /** [[blockedNearDup]] without the presentation sort — the edge feed
+    * for consumers that aggregate the pairs (components, dedup). */
+  private def blockedPairs(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
     val a = emb.as("a"); val b = emb.as("b")
@@ -125,7 +131,40 @@ object Similarity {
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         round(cosineNative(col("a.embedding"), col("b.embedding")), 6).as("score"))
       .where(col("score") >= threshold)
-      .orderBy("id1", "id2")
+  }
+
+  /** Semantic dedup (the SemDeDup pass, Abbas et al. 2023,
+    * arXiv:2303.09540): embedding-cosine near-duplicate EDGES →
+    * connected COMPONENTS → one canonical survivor per component.
+    * Output is the full per-vector verdict: (vec_id, comp, keep) for
+    * EVERY vector — comp is the component representative (min vec_id
+    * reachable; singletons are their own comp) and keep marks the
+    * canonical (vec_id == comp, deterministic min-id selection, the
+    * paper's "keep one per cluster" with an id tiebreak instead of its
+    * centroid-distance rank — both are valid canonical policies; min-id
+    * is the oracle-reproducible one).
+    *
+    * Scale: pairs come from the label-blocked cosine join (quadratic
+    * within a block — see [[blockedNearDup]]'s scaladoc for why, and
+    * for the siblings whose block counts grow with the data; at corpus
+    * scale feed edges from [[graft.operators.IvfIndex.ivfKnnJoin]]
+    * cells instead). Components are pointer-jumping
+    * ([[graft.operators.Dedup.connectedComponents]], O(log diameter)
+    * rounds), and the final verdict is one broadcast-or-SMJ left join
+    * of the component labels back onto the vector ids — the embedding
+    * column itself never shuffles past the pair join. */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val edges = blockedPairs(spark, dir, threshold).select("id1", "id2")
+    val comps = Dedup.connectedComponents(edges)
+      .select(col("doc_id").as("vec_id"), col("comp"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("comp"))
+      .withColumn("keep",
+        when(col("vec_id") === col("comp"), 1).otherwise(0))
+      .orderBy("vec_id")
   }
 
   /** Per-label nearest neighbors of a query vector via the typed TopK

@@ -134,7 +134,11 @@ class PlanAuditSpec extends SparkSpec {
     // q74: BM25 stats ride the 1-row broadcast (like q68), the scored
     // sku set broadcasts into part then lineitem (J1's shape), and the
     // page window is a TakeOrdered heap — zero shuffles
-    "q74_detail_ranked" -> 0)
+    "q74_detail_ranked" -> 0,
+    // q75: component labels (post-checkpoint tail, as in q53) join back
+    // onto the vec_id spine + the output sort; the pair join and the
+    // pointer-jumping rounds run before the audited plan exists
+    "q75_semantic_dedup" -> 3)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

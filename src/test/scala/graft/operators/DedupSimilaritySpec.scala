@@ -199,6 +199,27 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("semantic dedup: verdict covers every vector, edges never split, " +
+      "keeps are the component minima") {
+    val verdict = Similarity.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(verdict.length == n, "one verdict row per vector")
+    val comp = verdict.toMap.view.mapValues(_._1).toMap
+    // keep ⇔ the vector IS its component label (min-id canonical)
+    verdict.foreach { case (id, (c, keep)) =>
+      assert(c <= id, s"comp label $c above member $id")
+      assert((keep == 1) == (id == c), s"keep flag wrong for $id")
+    }
+    // exactly one canonical per component
+    assert(verdict.count(_._2._2 == 1) == comp.values.toSet.size)
+    // no near-dup edge crosses a component boundary
+    Similarity.blockedNearDup(spark, sf).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(comp(a) == comp(b), s"edge ($a,$b) split across components")
+    }
+  }
+
   test("bucketSignature raises on dim mismatch instead of silently zeroing") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, 1f, 2f))).toDF("vec_id", "embedding")
