@@ -529,7 +529,13 @@ object Dedup {
 
   /** Connected components over a near-dup edge list (id1, id2) — the
     * dedup DECISION step: pairwise edges become groups, each labeled by
-    * its minimum member id (the keeper). Iterative min-label propagation
+    * its minimum member id (the keeper).
+    *
+    * TWO measured regimes: the symmetrized edge list is materialized
+    * once, and graphs at or under [[DriverCcEdgeBudget]] undirected
+    * edges are solved by a driver union-find ([[driverComponents]] —
+    * milliseconds, zero rounds, labels come back as a broadcastable
+    * LocalRelation); larger graphs run iterative min-label propagation
     * WITH SHORTCUTTING: each round every node adopts
     * min(own label, smallest neighbor label, its label's own label) —
     * the pointer-jumping term halves the remaining label-chain length
@@ -558,7 +564,19 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
-  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  /** Undirected-edge count at or below which [[connectedComponents]]
+    * solves the graph on the driver instead of iterating cluster-wide.
+    * The near-dup graphs this operator consumes are SPARSE by
+    * construction (banded/blocked/thresholded candidate generation), so
+    * even corpus-scale runs often land under it. Memory bound: the
+    * collected edge array tops out near 200 MB transient at the budget
+    * (Row overhead dominates), against multi-GB driver heaps — and the
+    * union-find itself is two longs per node. Over budget, the
+    * distributed loop runs unchanged. */
+  val DriverCcEdgeBudget: Long = 2L * 1000 * 1000
+
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50,
+      edgeBudget: Long = DriverCcEdgeBudget): DataFrame = {
     // materialize the edge list ONCE, symmetrized map-side in the same
     // pass (a union of two selects would execute the upstream pipeline —
     // e.g. the full MinHash-LSH build — twice): `sym` is referenced by
@@ -568,6 +586,17 @@ object Dedup {
         struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    // MEASURED dispatch (the blocks are already materialized, so this
+    // count is a block scan, not a recompute): a small graph pays 5–20
+    // scheduled rounds — each a shuffle join plus a convergence action —
+    // for work a driver union-find finishes in milliseconds. Same
+    // philosophy as the q73 prefix-path probe: price the iteration
+    // against the collect, choose per graph.
+    if (sym.count() <= 2 * edgeBudget) {
+      val out = driverComponents(sym)
+      releaseCheckpoint(sym)
+      return out
+    }
     // checkpoint the seed labels too: each round references `labels`
     // twice (neighbor join + pointer-jump join) — materialized blocks
     // make the second reference a block read, not a recompute
@@ -607,6 +636,36 @@ object Dedup {
     // the FINAL labels checkpoint stays persisted — the returned frame
     // reads from it; its one node-sized table is LRU-evictable
     labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
+  }
+
+  /** Driver union-find over a materialized symmetric edge list: path
+    * compression + union-by-min (the smaller root always wins, so each
+    * final root is its component's minimum id — the exact fixpoint the
+    * distributed loop converges to). Output is a LocalRelation, which
+    * downstream joins broadcast for free. `src <= dst` keeps exactly one
+    * direction of each symmetrized pair WITHOUT dropping self-loop
+    * nodes, should a caller ever emit (a, a). */
+  private def driverComponents(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      var y = x0 // compress the chain just walked
+      while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+      x
+    }
+    val nodes = new scala.collection.mutable.LongMap[Unit]()
+    sym.where(col("src") <= col("dst")).select("src", "dst")
+      .collect().foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        nodes(a) = (); nodes(b) = ()
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    nodes.keysIterator.map(id => (id, find(id))).toSeq.sorted
+      .toDF("doc_id", "comp")
   }
 
   /** Identical-signature clusters: one row per distinct `bits`-bit

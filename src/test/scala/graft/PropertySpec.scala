@@ -150,9 +150,16 @@ class PropertySpec extends SparkSpec {
           if (m < comp(n)) { comp += n -> m; changed = true }
         }
       }
-      val got = graft.operators.Dedup.connectedComponents(edges)
+      // BOTH dispatch regimes must reach the same fixpoint: the driver
+      // union-find (default budget) and the distributed pointer-jumping
+      // loop (budget 0 forces it)
+      val viaDriver = graft.operators.Dedup.connectedComponents(edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == comp)
+      val viaLoop = graft.operators.Dedup
+        .connectedComponents(edges, edgeBudget = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver == comp)
+      assert(viaLoop == comp)
     }
   }
 
@@ -163,7 +170,10 @@ class PropertySpec extends SparkSpec {
     // suffice for n=100 (2^9 > 100)
     val n = 100L
     val edges = (1L until n).map(i => (i, i + 1)).toDF("id1", "id2")
-    val got = graft.operators.Dedup.connectedComponents(edges, maxIters = 10)
+    // edgeBudget = 0 pins the DISTRIBUTED loop (the default budget would
+    // dispatch a 99-edge graph to the driver union-find)
+    val got = graft.operators.Dedup
+      .connectedComponents(edges, maxIters = 10, edgeBudget = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == n.toInt)
     assert(got.forall(_._2 == 1L))
@@ -176,12 +186,25 @@ class PropertySpec extends SparkSpec {
     // snapshot stays pinned for the life of the session
     val before = spark.sparkContext.getPersistentRDDs.size
     val edges = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
-    graft.operators.Dedup.connectedComponents(edges, maxIters = 10).collect()
+    graft.operators.Dedup
+      .connectedComponents(edges, maxIters = 10, edgeBudget = 0L).collect()
     val after = spark.sparkContext.getPersistentRDDs.size
     // only the FINAL labels checkpoint (which the result reads) may
     // remain — per-round snapshots and the edge list must be gone
     assert(after <= before + 1,
       s"superseded checkpoints still pinned: $before -> $after")
+  }
+
+  test("driver union-find path releases the edge checkpoint entirely") {
+    // the driver dispatch returns a LocalRelation — NOTHING may stay
+    // pinned, including the symmetrized edge list it collected from
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val out = graft.operators.Dedup.connectedComponents(edges).collect()
+    assert(out.length == 40)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"driver path leaked checkpoint blocks: $before -> $after")
   }
 
   test("bm25 scores equal the driver-side textbook formula on random corpora") {
