@@ -27,9 +27,40 @@ import org.apache.spark.sql.graft.TextExpressions
   */
 object Dedup {
 
-  /** Default document-frequency cap for [[ngramJaccardPairs]] — shared
-    * with the oracle SQL builder so both sides always agree. */
+  /** Document-frequency FLOOR for [[ngramJaccardPairs]]' hot cap —
+    * shared with the oracle SQL builder so both sides always agree.
+    * Under AUTO resolution this is the small-corpus regime's effective
+    * cap (the relative term only overtakes it past
+    * [[DefaultMaxDf]]/[[MaxDfFrac]] = 100k documents), so every gated
+    * SF is numerically unchanged by AUTO. */
   val DefaultMaxDf = 1000
+
+  /** Fraction of the corpus a shingle may appear in before AUTO maxDf
+    * drops it. The sf1 scale run's carried finding (BENCH_SF1.md #4):
+    * an ABSOLUTE cap is not scale-stable — the df of ordinary
+    * boilerplate shingles grows linearly with corpus size, so a cap
+    * that never fires at sf1 silently rewrites Jaccard semantics
+    * (mass stopword removal) somewhere between sf10 and sf100 on the
+    * SAME distribution. A relative cap drops "shingles in > 1% of
+    * documents" at every scale — the scale-invariant reading of the
+    * stopword analogy. Candidate-mass COST at the relative cap is the
+    * dispatch's job, not the cap's: [[prefixPathPays]] prices the
+    * actual capped df distribution per corpus and picks the prefix
+    * path when hot-but-under-cap shingles make the counting join's
+    * pair mass explode. */
+  val MaxDfFrac = 0.01
+
+  /** Sentinel for `maxDf` parameters: resolve per corpus via
+    * [[resolveMaxDf]]. */
+  val AutoMaxDf = -1
+
+  /** AUTO maxDf: the relative cap with the absolute floor —
+    * max([[DefaultMaxDf]], ⌈[[MaxDfFrac]] · nDocs⌉). Explicit caps pass
+    * through untouched. */
+  def resolveMaxDf(maxDf: Int, nDocs: => Long): Int =
+    if (maxDf != AutoMaxDf) maxDf
+    else math.min(Int.MaxValue.toLong, math.max(DefaultMaxDf.toLong,
+      math.ceil(MaxDfFrac * nDocs).toLong)).toInt
 
   /** Ceiling on the estimated bytes of the hashed-shingle carrier the
     * prefix path will broadcast into its verify joins (both sides of a
@@ -79,10 +110,14 @@ object Dedup {
     * (boilerplate headers, licence text — guaranteed at 100 TB) re-creates
     * the O(n²) join this operator exists to avoid. The hot set is tiny by
     * construction (few shingles can exceed maxDf docs), so the drop is a
-    * broadcast anti-join — no extra shuffle on the index. */
+    * broadcast anti-join — no extra shuffle on the index.
+    *
+    * The DEFAULT cap is corpus-relative ([[AutoMaxDf]] →
+    * [[resolveMaxDf]]): max([[DefaultMaxDf]], ⌈1% of documents⌉) — see
+    * [[MaxDfFrac]] for why an absolute cap is not scale-stable. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.1, shingleK: Int = 3,
-      maxDf: Int = DefaultMaxDf): DataFrame =
+      maxDf: Int = AutoMaxDf): DataFrame =
     ngramJaccardPairsOn(Tables.documents(spark, dir), threshold, shingleK,
       maxDf)
 
@@ -134,20 +169,25 @@ object Dedup {
     * produce identical results; both cutoffs are measured, not guessed
     * (sf0.1 candidate probe + the sf1 scale run, see BENCH_SF1.md). */
   def ngramJaccardPairsOn(docs: DataFrame, threshold: Double = 0.1,
-      shingleK: Int = 3, maxDf: Int = DefaultMaxDf): DataFrame =
+      shingleK: Int = 3, maxDf: Int = AutoMaxDf): DataFrame = {
+    // AUTO cap resolves against the corpus size — a metadata-cheap count
+    // on a source table; callers handing in an expensive mid-pipeline
+    // relation pass an explicit cap (or cache) to skip the extra action
+    val cap = resolveMaxDf(maxDf, docs.count())
     if (threshold < PrefixPathThreshold)
-      ngramJaccardPairsCounting(docs, threshold, shingleK, maxDf)
+      ngramJaccardPairsCounting(docs, threshold, shingleK, cap)
     else {
       val st = shingleHashIndex(docs, shingleK)
         .groupBy("h").agg(count(lit(1)).as("df"))
-        .where(col("df") <= maxDf)
+        .where(col("df") <= cap)
         .agg(coalesce(sum("df"), lit(0L)).as("s1"),
           coalesce(sum(col("df") * col("df")), lit(0L)).as("s2"))
         .head
       if (prefixPathPays(st.getLong(0), st.getLong(1)))
-        ngramJaccardPairsPrefix(docs, threshold, shingleK, maxDf)
-      else ngramJaccardPairsCounting(docs, threshold, shingleK, maxDf)
+        ngramJaccardPairsPrefix(docs, threshold, shingleK, cap)
+      else ngramJaccardPairsCounting(docs, threshold, shingleK, cap)
     }
+  }
 
   /** Counting-join path: inverted shingle index self-join with the
     * PPJoin size-ratio prefilter (Xiao et al., WWW'08) evaluated INSIDE

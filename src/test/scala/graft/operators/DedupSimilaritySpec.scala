@@ -90,6 +90,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pair.length == 1 && pair(0).getDouble(2) == 0.5)
   }
 
+  test("AUTO maxDf: absolute floor below 100k docs, corpus-relative above") {
+    // the floor regime — every gated SF lives here, so AUTO must be
+    // numerically identical to the old absolute default
+    assert(Dedup.resolveMaxDf(Dedup.AutoMaxDf, 0L) == Dedup.DefaultMaxDf)
+    assert(Dedup.resolveMaxDf(Dedup.AutoMaxDf, 100L) == Dedup.DefaultMaxDf)
+    assert(Dedup.resolveMaxDf(Dedup.AutoMaxDf, 100000L) == Dedup.DefaultMaxDf)
+    // the relative regime — 1% of the corpus, ceil'd
+    assert(Dedup.resolveMaxDf(Dedup.AutoMaxDf, 100001L) == 1001)
+    assert(Dedup.resolveMaxDf(Dedup.AutoMaxDf, 1000000000L) == 10000000)
+    // never overflows Int on absurd corpus sizes
+    assert(Dedup.resolveMaxDf(Dedup.AutoMaxDf, Long.MaxValue / 4) ==
+      Int.MaxValue)
+    // explicit caps pass through untouched (and never trigger the count)
+    assert(Dedup.resolveMaxDf(5, sys.error("must not evaluate")) == 5)
+  }
+
   test("minhash est_sim tracks true jaccard for LSH pairs") {
     val lsh = Dedup.minhashLshPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
