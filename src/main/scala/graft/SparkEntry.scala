@@ -171,6 +171,14 @@ object SparkEntry {
     // connected components → one canonical survivor per component
     // (min-id policy); full per-vector verdict
     "q75_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // q76/q77: the privacy-scrub stage — per-doc PII inventory and the
+    // tag-redacted corpus (Dolma/FineWeb-style regex scrub; patterns
+    // stay inside the Java-regex ∩ RE2 subset so the oracle is
+    // bit-identical). The synthetic corpus carries no PII, so both are
+    // exact-identity gates corpus-wide; planted-PII behavior is pinned
+    // by PiiSpec.
+    "q76_pii_scan"   -> ((s, d) => Pii.piiScan(s, d)),
+    "q77_pii_redact" -> ((s, d) => Pii.piiRedact(s, d)),
     "q69_duplicate_spans" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "q70_dup_span_stats"  -> ((s, d) => Dedup.duplicateSpanStats(s, d)),
     // q54's batch shape composed with q56's disk-level pruning: one
@@ -1480,6 +1488,30 @@ object SparkEntry {
                      THEN 1 ELSE 0 END AS keep
          FROM embeddings e LEFT JOIN cmp c ON e.vec_id = c.id
          ORDER BY vec_id""",
+    // q76: match counts via len(regexp_extract_all) — DuckDB's RE2 and
+    // Spark's regexp_count agree on the lookaround-free pattern subset
+    "q76_pii_scan" ->
+      s"""SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '${Pii.EmailRe}')) AS BIGINT)
+              AS n_email,
+            CAST(len(regexp_extract_all(text, '${Pii.Ipv4Re}')) AS BIGINT)
+              AS n_ipv4,
+            CAST(len(regexp_extract_all(text, '${Pii.PhoneRe}')) AS BIGINT)
+              AS n_phone,
+            CASE WHEN len(regexp_extract_all(text, '${Pii.EmailRe}'))
+                    + len(regexp_extract_all(text, '${Pii.Ipv4Re}'))
+                    + len(regexp_extract_all(text, '${Pii.PhoneRe}')) > 0
+                 THEN 1 ELSE 0 END AS has_pii
+         FROM documents ORDER BY doc_id""",
+    // q77: the same three replacements in the same EMAIL → IPV4 → PHONE
+    // order ('g' = replace-all, Spark's default)
+    "q77_pii_redact" ->
+      s"""SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
+              '${Pii.Ipv4Re}', '${Pii.Ipv4Tag}', 'g'),
+              '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g') AS clean_text
+         FROM documents ORDER BY doc_id""",
     // q69: 8-token k-grams as 60-bit md5 keys (identical hashing on
     // both sides — a collision merges the same identities everywhere);
     // "≥2 distinct docs" as min≠max (same rewrite the Spark side uses);

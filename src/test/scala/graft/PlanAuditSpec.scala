@@ -138,7 +138,10 @@ class PlanAuditSpec extends SparkSpec {
     // q75: component labels (post-checkpoint tail, as in q53) join back
     // onto the vec_id spine + the output sort; the pair join and the
     // pointer-jumping rounds run before the audited plan exists
-    "q75_semantic_dedup" -> 3)
+    "q75_semantic_dedup" -> 3,
+    // q76/q77: map-only regex passes — the one exchange is the output
+    // sort, same as every per-doc scan query
+    "q76_pii_scan" -> 1, "q77_pii_redact" -> 1)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet
