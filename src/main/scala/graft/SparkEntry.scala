@@ -179,6 +179,12 @@ object SparkEntry {
     // by PiiSpec.
     "q76_pii_scan"   -> ((s, d) => Pii.piiScan(s, d)),
     "q77_pii_redact" -> ((s, d) => Pii.piiRedact(s, d)),
+    // q78: the audit rollup of a curation run — per (source, lang)
+    // totals, exact-dup count, fixed-point mean quality, PII incidence
+    "q78_corpus_report" -> ((s, d) => Curation.corpusReport(s, d)),
+    // q79: quality-decile stamp via broadcast percentile cutoffs (the
+    // scale-safe ntile)
+    "q79_curriculum" -> ((s, d) => Curation.curriculum(s, d)),
     "q69_duplicate_spans" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "q70_dup_span_stats"  -> ((s, d) => Dedup.duplicateSpanStats(s, d)),
     // q54's batch shape composed with q56's disk-level pruning: one
@@ -1512,6 +1518,52 @@ object SparkEntry {
               '${Pii.Ipv4Re}', '${Pii.Ipv4Tag}', 'g'),
               '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g') AS clean_text
          FROM documents ORDER BY doc_id""",
+    // q78: every aggregate an integer sum (basis-point quality — the
+    // q64 fixed-point trick) so accumulation order can't flip the hash;
+    // the one division runs once per group on exact integers
+    "q78_corpus_report" ->
+      raw"""WITH t AS (
+           SELECT source, lang, n_chars, text,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         m AS (
+           SELECT source, lang, n_chars,
+                  CAST(len(toks) AS BIGINT) AS n_toks,
+                  CAST(round(($qualityCaseSql) * 10000) AS BIGINT) AS q_bp,
+                  md5(text) AS fp,
+                  CASE WHEN len(regexp_extract_all(text, '${Pii.EmailRe}'))
+                          + len(regexp_extract_all(text, '${Pii.Ipv4Re}'))
+                          + len(regexp_extract_all(text, '${Pii.PhoneRe}'))
+                          > 0 THEN 1 ELSE 0 END AS pii
+           FROM t)
+         SELECT source, lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                CAST(count(*) - count(DISTINCT fp) AS BIGINT)
+                  AS n_exact_dups,
+                CAST(round(CAST(sum(q_bp) AS DOUBLE) / count(*)) AS BIGINT)
+                  AS mean_quality_bp,
+                CAST(sum(pii) AS BIGINT) AS n_pii_docs
+         FROM m GROUP BY source, lang ORDER BY source, lang""",
+    // q79: quantile_cont = Spark's exact `percentile` (linear
+    // interpolation, the q49 parity); strict > against each cutoff, so
+    // ties share a decile deterministically
+    "q79_curriculum" ->
+      raw"""WITH t AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         q AS (SELECT doc_id, ($qualityCaseSql) AS quality FROM t),
+         c AS (SELECT ${(1 until 10).map(i =>
+             s"quantile_cont(quality, ${i / 10.0}) AS c$i").mkString(", ")}
+               FROM q)
+         SELECT doc_id, quality,
+                10 - (${(1 until 10).map(i =>
+                  s"CASE WHEN quality > c$i THEN 1 ELSE 0 END")
+                  .mkString(" + ")}) AS decile
+         FROM q, c ORDER BY doc_id""",
     // q69: 8-token k-grams as 60-bit md5 keys (identical hashing on
     // both sides — a collision merges the same identities everywhere);
     // "≥2 distinct docs" as min≠max (same rewrite the Spark side uses);

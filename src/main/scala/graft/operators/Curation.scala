@@ -76,4 +76,66 @@ object Curation {
       .select("doc_id", "comp", "quality", "keep")
       .orderBy("doc_id")
   }
+
+  /** Corpus report card — the audit rollup every curation run publishes:
+    * per (source, lang) document and token totals, exact-duplicate
+    * count, mean quality, and PII incidence. ONE corpus scan computes
+    * every per-doc signal (tokens, fixed-point quality, fingerprint,
+    * PII flag) in the same projection, then one aggregation rolls them
+    * up — at 100 TB the shuffle carries ~60 B/row key signals, never
+    * text, and the output is |sources|×|langs| rows.
+    *
+    * Determinism discipline: every aggregate is an INTEGER sum/count
+    * (fixed-point basis-point quality, the q64 trick), so no
+    * double-accumulation order can flip the hash gate; the one division
+    * (mean quality) happens once per GROUP on exact integer inputs. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        tokenCount(col("text")).cast("long").as("n_toks"),
+        round(qualityScore(col("text")) * 10000).cast("long").as("q_bp"),
+        md5(col("text")).as("fp"),
+        ((regexp_count(col("text"), lit(Pii.EmailRe))
+          + regexp_count(col("text"), lit(Pii.Ipv4Re))
+          + regexp_count(col("text"), lit(Pii.PhoneRe))) > 0)
+          .cast("long").as("pii"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_toks").as("total_tokens"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        round(sum("q_bp") / count(lit(1))).cast("long")
+          .as("mean_quality_bp"),
+        sum("pii").as("n_pii_docs"))
+      .orderBy("source", "lang")
+
+  /** Curriculum bucketing: every document stamped with its quality
+    * decile (1 = top) so a training loader can schedule easy/clean
+    * buckets first. Deliberately NOT `ntile` — a global window without
+    * a partition key collapses the corpus into ONE task at scale. Here
+    * the decile CUTOFFS are a 9-value exact-percentile aggregate
+    * (linear-interpolated rank, = DuckDB quantile_cont, the q49
+    * parity), broadcast as one row; assignment is then map-side —
+    * the same cutoffs-broadcast shape as the IVF centroid assign.
+    * Ties share a decile by construction (strict `>` against each
+    * cutoff), so the stamp is deterministic without a doc_id
+    * tiebreak. */
+  def curriculum(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "curriculum needs at least 2 buckets")
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    val cuts = q.agg(
+      percentile(col("quality"), lit(1.0 / buckets)).as("c1"),
+      (2 until buckets).map(i =>
+        percentile(col("quality"), lit(i.toDouble / buckets)).as(s"c$i")): _*)
+    val above = (1 until buckets)
+      .map(i => when(col("quality") > col(s"c$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    q.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("quality"),
+        (lit(buckets) - above).as("decile"))
+      .orderBy("doc_id")
+  }
 }

@@ -24,7 +24,9 @@ class PlanAuditSpec extends SparkSpec {
     // corpus-stats relation
     "q68_bm25_rank", "q74_detail_ranked",
     // q72: the brute-force side is q54's Q-row query-batch broadcast
-    "q72_ivf_recall")
+    "q72_ivf_recall",
+    // q79: the 1-row decile-cutoff broadcast
+    "q79_curriculum")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -141,7 +143,14 @@ class PlanAuditSpec extends SparkSpec {
     "q75_semantic_dedup" -> 3,
     // q76/q77: map-only regex passes — the one exchange is the output
     // sort, same as every per-doc scan query
-    "q76_pii_scan" -> 1, "q77_pii_redact" -> 1)
+    "q76_pii_scan" -> 1, "q77_pii_redact" -> 1,
+    // q78: countDistinct expands to a two-level aggregate (2) + the
+    // output sort; all per-doc signals ride the scan projection
+    "q78_corpus_report" -> 3,
+    // q79: one SinglePartition exchange for the 9-cutoff percentile
+    // aggregate (broadcast back as one row); decile assignment is
+    // map-side, and AQE folds the output sort of the tiny result
+    "q79_curriculum" -> 1)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

@@ -87,4 +87,45 @@ class PackingCurationSpec extends SparkSpec {
       assert(comp == id && keep == 1)
     }
   }
+
+  test("corpusReport totals reconcile with the per-doc operators") {
+    val sf = "/root/testdata/sf0.001"
+    val rep = Curation.corpusReport(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(rep.map(_.getLong(2)).sum == docs.count(), "n_docs covers corpus")
+    assert(rep.map(_.getLong(3)).sum ==
+      docs.agg(sum("n_chars")).head.getLong(0), "total_chars reconciles")
+    // group keys are unique and every aggregate is non-negative/bounded
+    assert(rep.map(r => (r.getString(0), r.getString(1))).distinct.length
+      == rep.length)
+    rep.foreach { r =>
+      assert(r.getLong(5) >= 0 && r.getLong(5) < r.getLong(2),
+        "exact dups below group size")
+      assert(r.getLong(6) >= 0 && r.getLong(6) <= 10000,
+        "mean quality in basis points")
+      assert(r.getLong(7) >= 0 && r.getLong(7) <= r.getLong(2),
+        "pii incidence bounded by group size")
+    }
+  }
+
+  test("curriculum: deciles ~equal-mass and monotone against quality") {
+    val sf = "/root/testdata/sf0.001"
+    val cur = Curation.curriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(cur.map(_._3).forall(d => d >= 1 && d <= 10))
+    // monotone: a strictly better quality never lands in a strictly
+    // worse (higher-numbered) decile
+    cur.sortBy(_._2).sliding(2).foreach {
+      case Array((_, q1, d1), (_, q2, d2)) =>
+        if (q1 < q2) assert(d1 >= d2, s"quality $q1<$q2 but decile $d1<$d2")
+        else assert(d1 == d2, "ties share a decile")
+      case _ =>
+    }
+    // equal-mass up to tie granularity: no decile holds more than the
+    // largest quality-tie group plus a tenth of the corpus
+    val biggestTie = cur.groupBy(_._2).values.map(_.length).max
+    val biggest = cur.groupBy(_._3).values.map(_.length).max
+    assert(biggest <= cur.length / 10 + biggestTie,
+      s"decile of $biggest docs exceeds tie-adjusted tenth")
+  }
 }
