@@ -31,9 +31,17 @@ import graft.functions.TextFunctions._
   */
 object DocStream {
 
+  /** `scrubPii` runs [[graft.operators.Pii.redactText]] FIRST — before
+    * the quality gate and before fingerprinting — so PII never reaches
+    * dedup state or the stored corpus, and two documents differing only
+    * in their PII (same form letter, different phone number) carry the
+    * same fingerprint and dedupe to one. Map-only, rides the same scan
+    * stage as the gate. */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
-      watermark: String = "24 hours"): DataFrame =
-    docs
+      watermark: String = "24 hours", scrubPii: Boolean = false): DataFrame =
+    (if (scrubPii)
+       docs.withColumn("text", graft.operators.Pii.redactText(col("text")))
+     else docs)
       .withColumn("quality", qualityScore(col("text")))
       .where(col("quality") >= minQuality)
       .withColumn("fp", fingerprint(col("text")))

@@ -134,4 +134,28 @@ class PipelineSpec extends SparkSpec {
       .filter(_.startsWith("epoch=")).toSet
     assert(epochs.size > 1, s"expected multiple epoch partitions: $epochs")
   } }
+
+  test("curate(scrubPii): PII never reaches state; PII-only variants " +
+      "dedupe to one") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val body = "the offer is told here again and the number to call is"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocStream.curate(mem.toDF().toDF("doc_id", "text", "ts"),
+        minQuality = 0.5, watermark = "10 minutes", scrubPii = true)
+      .writeStream.format("memory").queryName("pii_curated")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, s"$body 555-123-4567", t("2024-01-01 10:00:00")),
+      // same form letter, different phone — post-scrub twin of doc 1
+      (2L, s"$body 555-987-6543", t("2024-01-01 10:01:00")),
+      (3L, s"$body a@b.co today", t("2024-01-01 10:02:00")))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("pii_curated")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 2 deduped against doc 1's scrubbed fingerprint
+    assert(rows.keySet == Set(1L, 3L), s"got ${rows.keySet}")
+    assert(rows(1L) == s"$body |||PHONE|||", "phone not scrubbed")
+    assert(rows(3L) == s"$body |||EMAIL||| today", "email not scrubbed")
+  }
 }
