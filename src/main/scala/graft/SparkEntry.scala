@@ -185,6 +185,12 @@ object SparkEntry {
     // q79: quality-decile stamp via broadcast percentile cutoffs (the
     // scale-safe ntile)
     "q79_curriculum" -> ((s, d) => Curation.curriculum(s, d)),
+    // q80/q81: BPE vocabulary induction + subword accounting under the
+    // learned merges. Iterative argmax training has no SQL rendering →
+    // rows-only gates; exact semantics (hand-traced merges, training-
+    // segmentation reproduction, roundtrip) are pinned by BpeSpec.
+    "q80_bpe_merges"    -> ((s, d) => Bpe.mergeTable(s, d)),
+    "q81_bpe_subtokens" -> ((s, d) => Bpe.subtokenCounts(s, d)),
     "q69_duplicate_spans" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "q70_dup_span_stats"  -> ((s, d) => Dedup.duplicateSpanStats(s, d)),
     // q54's batch shape composed with q56's disk-level pruning: one

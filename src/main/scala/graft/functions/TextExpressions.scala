@@ -262,7 +262,50 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native BPE encode: whitespace-tokenize, segment each word with the
+  * learned `merges` applied in rank order (the exact
+  * [[graft.operators.BpeKernel]] arithmetic the trainer used), emit the
+  * concatenated subword array (final symbols keep their `</w>`
+  * markers). The merge table is a constructor param — it ships inside
+  * the serialized expression once per executor, not per row — and
+  * `encoded` memoizes per-instance: natural text repeats word forms
+  * heavily, so each distinct form pays the merge loop once per
+  * partition (the cache is bounded by the partition's distinct forms;
+  * transient, rebuilt after deserialization). */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+  @transient private lazy val pairs: IndexedSeq[(String, String)] =
+    merges.toIndexedSeq
+  @transient private lazy val encoded =
+    new java.util.HashMap[String, Array[UTF8String]]()
+  override def nullSafeEval(input: Any): Any = {
+    import graft.operators.BpeKernel
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    val out = Array.newBuilder[UTF8String]
+    toks.foreach { w =>
+      var subs = encoded.get(w)
+      if (subs == null) {
+        subs = BpeKernel.encodeWord(w, rank, pairs)
+          .map(UTF8String.fromString(_)).toArray
+        encoded.put(w, subs)
+      }
+      out ++= subs
+    }
+    new GenericArrayData(out.result().asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+}
+
 object TextExpressions {
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(
+      BpeEncode(ExpressionUtils.expression(text), merges))
   def shingleSet(text: Column, k: Int): Column =
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(text), k))
   def shingleHashSet(text: Column, k: Int): Column =

@@ -150,7 +150,12 @@ class PlanAuditSpec extends SparkSpec {
     // q79: one SinglePartition exchange for the 9-cutoff percentile
     // aggregate (broadcast back as one row); decile assignment is
     // map-side, and AQE folds the output sort of the tiny result
-    "q79_curriculum" -> 1)
+    "q79_curriculum" -> 1,
+    // q80: the audited plan is the collected merge table (a
+    // LocalRelation — training's word-count shuffle runs before the
+    // plan exists); q81: the encode expression rides the scan + the
+    // output sort, same as every per-doc map query
+    "q80_bpe_merges" -> 0, "q81_bpe_subtokens" -> 1)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet
