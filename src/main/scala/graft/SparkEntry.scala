@@ -191,6 +191,8 @@ object SparkEntry {
     // segmentation reproduction, roundtrip) are pinned by BpeSpec.
     "q80_bpe_merges"    -> ((s, d) => Bpe.mergeTable(s, d)),
     "q81_bpe_subtokens" -> ((s, d) => Bpe.subtokenCounts(s, d)),
+    // q82: SemDeDup on TRAINED k-means cells (the paper's algorithm)
+    "q82_semantic_dedup_ivf" -> ((s, d) => Similarity.semanticDedupIvf(s, d)),
     "q69_duplicate_spans" -> ((s, d) => Dedup.duplicateSpans(s, d)),
     "q70_dup_span_stats"  -> ((s, d) => Dedup.duplicateSpanStats(s, d)),
     // q54's batch shape composed with q56's disk-level pruning: one
@@ -243,6 +245,25 @@ object SparkEntry {
                          END) > 0.2
                         THEN CAST(-0.2 AS DOUBLE)
                         ELSE CAST(0.0 AS DOUBLE) END), 2)"""
+
+  // Shared recursive-CC + verdict tail for the SemDeDup oracles
+  // (q75/q82): consumes CTE `pairs`(id1, id2), emits the full
+  // per-vector (vec_id, comp, keep) verdict. The WITH must be RECURSIVE.
+  private def semanticVerdictSql: String =
+    """sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL
+                 SELECT id2 AS src, id1 AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM sym),
+         reach(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT sy.dst, r.comp FROM reach r JOIN sym sy ON r.id = sy.src),
+         cmp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS comp,
+                CASE WHEN e.vec_id = COALESCE(c.comp, e.vec_id)
+                     THEN 1 ELSE 0 END AS keep
+         FROM embeddings e LEFT JOIN cmp c ON e.vec_id = c.id
+         ORDER BY vec_id"""
 
   // Shared CTE chain for the MinHash-LSH pipeline (q24 pairs, q53
   // components): shingle → minhash → banded buckets → candidate pairs →
@@ -1473,33 +1494,32 @@ object SparkEntry {
     // components; canonical = min id in component (comp label itself),
     // singletons keep themselves
     "q75_semantic_dedup" ->
-      """WITH RECURSIVE sc AS (
+      s"""WITH RECURSIVE sc AS (
            SELECT a.vec_id AS id1, b.vec_id AS id2,
-                  round(
-                    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-                      p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
-                    / (sqrt(list_reduce(list_transform(a.embedding,
-                         v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
-                       * sqrt(list_reduce(list_transform(b.embedding,
-                           v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))), 6)
+                  round(${cosSql("a.embedding", "b.embedding")}, 6)
                     AS score
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id),
          pairs AS (SELECT id1, id2 FROM sc WHERE score >= 0.3),
-         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
-                 UNION ALL
-                 SELECT id2 AS src, id1 AS dst FROM pairs),
-         nodes AS (SELECT DISTINCT src AS id FROM sym),
-         reach(id, comp) AS (
-           SELECT id, id FROM nodes
-           UNION
-           SELECT sy.dst, r.comp FROM reach r JOIN sym sy ON r.id = sy.src),
-         cmp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
-         SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS comp,
-                CASE WHEN e.vec_id = COALESCE(c.comp, e.vec_id)
-                     THEN 1 ELSE 0 END AS keep
-         FROM embeddings e LEFT JOIN cmp c ON e.vec_id = c.id
-         ORDER BY vec_id""",
+         $semanticVerdictSql""",
+    // q82: SemDeDup proper — pairs within TRAINED k-means cells (the
+    // q38 unrolled-Lloyd CTE chain supplies the assignment), then the
+    // same components + verdict tail as q75
+    "q82_semantic_dedup_ivf" -> {
+      val (prefix, afSql) = ivfCtes(16, 3)
+      s"""WITH RECURSIVE $prefix,
+         af AS ($afSql),
+         sc AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+                  round(${cosSql("a.embedding", "b.embedding")}, 6)
+                    AS score
+           FROM e a JOIN af fa ON a.vec_id = fa.vec_id
+                JOIN af fb ON fa.cell = fb.cell
+                JOIN e b ON b.vec_id = fb.vec_id
+                        AND a.vec_id < b.vec_id),
+         pairs AS (SELECT id1, id2 FROM sc WHERE score >= 0.3),
+         $semanticVerdictSql"""
+    },
     // q76: match counts via len(regexp_extract_all) — DuckDB's RE2 and
     // Spark's regexp_count agree on the lookaround-free pattern subset
     "q76_pii_scan" ->

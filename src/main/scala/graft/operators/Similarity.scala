@@ -154,8 +154,47 @@ object Similarity {
     * of the component labels back onto the vector ids — the embedding
     * column itself never shuffles past the pair join. */
   def semanticDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.3): DataFrame = {
-    val edges = blockedPairs(spark, dir, threshold).select("id1", "id2")
+      threshold: Double = 0.3): DataFrame =
+    componentVerdict(spark, dir,
+      blockedPairs(spark, dir, threshold).select("id1", "id2"))
+
+  /** [[semanticDedup]] on TRAINED clusters — the paper's actual
+    * algorithm (SemDeDup §2: k-means the embeddings, compare pairs
+    * within each cluster): edges are intra-CELL cosine pairs under the
+    * k-means assignment [[graft.operators.IvfIndex.trainCached]]
+    * produces, instead of the fixed label blocking. Approximate by
+    * design — a near-dup pair split across cells is not scored (the
+    * paper accepts exactly this miss); cell COUNT grows with the
+    * corpus, so intra-cell population — and the quadratic term — stays
+    * bounded, which is what makes this the 100 TB path. Assignment is
+    * the map-only literal-centroid expression (zero shuffles before the
+    * pair join), and the verdict machinery is shared with
+    * [[semanticDedup]]. */
+  def semanticDedupIvf(spark: SparkSession, dir: String,
+      threshold: Double = 0.3, cells: Int = 16, iters: Int = 3)
+      : DataFrame = {
+    val cents = IvfIndex.trainCached(spark, dir, cells, iters)
+    // cell computed IN the scan projection (literal centroids, map-only)
+    // — joining a separate assign() relation back on vec_id would spend
+    // a corpus shuffle to rediscover a value the scan can compute
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        IvfIndex.cellExpr(cents, col("embedding")))
+    val a = emb.as("a"); val b = emb.as("b")
+    val edges = a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(cosineNative(col("a.embedding"), col("b.embedding")), 6)
+          .as("score"))
+      .where(col("score") >= threshold)
+      .select("id1", "id2")
+    componentVerdict(spark, dir, edges)
+  }
+
+  /** Shared SemDeDup decision tail: edges → components → the full
+    * per-vector verdict (see [[semanticDedup]]'s scaladoc). */
+  private def componentVerdict(spark: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     val comps = Dedup.connectedComponents(edges)
       .select(col("doc_id").as("vec_id"), col("comp"))
     Tables.embeddings(spark, dir).select(col("vec_id"))

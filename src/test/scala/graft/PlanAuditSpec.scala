@@ -155,7 +155,10 @@ class PlanAuditSpec extends SparkSpec {
     // LocalRelation — training's word-count shuffle runs before the
     // plan exists); q81: the encode expression rides the scan + the
     // output sort, same as every per-doc map query
-    "q80_bpe_merges" -> 0, "q81_bpe_subtokens" -> 1)
+    "q80_bpe_merges" -> 0, "q81_bpe_subtokens" -> 1,
+    // q82: identical audited tail to q75 (components run pre-plan; the
+    // intra-cell pair join feeds the eager edge materialization)
+    "q82_semantic_dedup_ivf" -> 3)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet
