@@ -204,6 +204,11 @@ object SparkEntry {
     "q72_ivf_recall" -> ((s, d) =>
       IvfIndex.recallReport(s, d, queryIds = Seq(0L, 1L, 2L, 3L), k = 10,
         nprobe = 3, cells = 8, iters = 2)),
+    // q83: C4-style boilerplate removal — corpus-repeated 10-token
+    // chunks deleted from every doc, map-only reassembly
+    "q83_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
+    // q84: the boilerplate dictionary itself (the audit view)
+    "q84_boilerplate_chunks" -> ((s, d) => Dedup.boilerplateChunks(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1621,7 +1626,56 @@ object SparkEntry {
                   AS dup_fraction
          FROM n LEFT JOIN dt ON n.doc_id = dt.doc_id
          ORDER BY n.doc_id""",
+    // q83: C4 line dedup over aligned 10-token chunks — chunks repeated
+    // ≥3 times corpus-wide are removed from every doc; docs reassemble
+    // from survivors in chunk order (Spark groups df on the 60-bit md5
+    // hash — hash-identity, same accepted convention as the similarity
+    // family; the SQL groups on chunk text, identical absent collisions)
+    "q83_chunk_dedup" ->
+      s"""WITH $chunkCtes,
+         d AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(*) >= 3),
+         keep AS (SELECT doc_id, idx, chunk FROM ch
+                  ANTI JOIN d USING (chunk)),
+         agg AS (SELECT doc_id,
+                        string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+                        count(*) AS n_kept
+                 FROM keep GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch
+                 GROUP BY doc_id)
+         SELECT t.doc_id,
+                COALESCE(agg.clean_text, '') AS clean_text,
+                CAST(COALESCE(tot.n_chunks, 0)
+                     - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+         FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+         ORDER BY t.doc_id""",
+    // q84: the boilerplate dictionary (audit view), hottest first
+    "q84_boilerplate_chunks" ->
+      s"""WITH $chunkCtes
+         SELECT chunk, CAST(count(*) AS BIGINT) AS n
+         FROM ch GROUP BY chunk HAVING count(*) >= 3
+         ORDER BY n DESC, chunk LIMIT 1000""",
   )
+
+  // Shared CTE chain for the boilerplate-chunk pipeline (q83/q84):
+  // whitespace tokens → aligned 10-token windows, 0-based chunk index.
+  // DuckDB list slices are 1-based inclusive and clamp at the end, like
+  // Spark's slice(toks, i*10+1, 10).
+  private def chunkCtes: String =
+    raw"""t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         cidx AS (
+           SELECT doc_id, toks,
+                  unnest(range(CAST(ceil(len(toks) / 10.0) AS BIGINT)))
+                    AS idx
+           FROM t WHERE len(toks) > 0),
+         ch AS (
+           SELECT doc_id, idx,
+                  array_to_string(toks[idx*10 + 1 : idx*10 + 10], ' ')
+                    AS chunk
+           FROM cidx)"""
 
   // Shared CTE chain for the duplicate-span pipeline (q69 spans, q70
   // per-doc stats): tokens → positional 8-gram md5-keys → grams in ≥2

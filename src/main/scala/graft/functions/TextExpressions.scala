@@ -302,7 +302,40 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = c)
 }
 
+/** Membership of a Long key in a STATIC sorted set — binary search over
+  * a long[] that ships INSIDE the serialized expression once per
+  * executor (the [[BpeEncode]] constructor-param pattern), with full
+  * whole-stage codegen. The map-side half of broadcast-a-dictionary
+  * plans (boilerplate-chunk removal): the alternatives are an
+  * `array_contains` over a literal array (O(|set|) per probe) or a UDF
+  * over a broadcast HashSet (no codegen, boxing per row).
+  * `set` must be sorted ascending and distinct — callers build it with
+  * `.sorted` on a collected key column. */
+case class SortedLongSetContains(child: Expression, set: IndexedSeq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "sorted_long_set_contains"
+  // case-class equality over IndexedSeq is structural (plan
+  // canonicalization / subexpression elimination stay correct); the
+  // lookup array is derived once per (de)serialized instance
+  @transient private lazy val arr: Array[Long] = set.toArray
+  override def nullSafeEval(input: Any): Any =
+    java.util.Arrays.binarySearch(arr, input.asInstanceOf[Long]) >= 0
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("sortedSet", arr, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = java.util.Arrays.binarySearch($ref, $v) >= 0;")
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : SortedLongSetContains = copy(child = c)
+}
+
 object TextExpressions {
+  def sortedLongSetContains(key: Column, set: IndexedSeq[Long]): Column =
+    ExpressionUtils.column(
+      SortedLongSetContains(ExpressionUtils.expression(key), set))
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(
       BpeEncode(ExpressionUtils.expression(text), merges))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -950,5 +950,134 @@ object Dedup {
           .otherwise(round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
             / col("n_tokens").cast("double"), 4)).as("dup_fraction"))
       .orderBy("doc_id")
+  }
+
+  // ——— boilerplate-chunk removal (C4-style line dedup) ———
+
+  /** Tokens per pseudo-line. C4 (Raffel et al. 2020, §2.2) removes any
+    * LINE occurring ≥3 times in the corpus; this corpus has no newlines,
+    * so "lines" are fixed 10-token windows — same machinery, same
+    * threshold, alignment-fixed so the unit is deterministic. */
+  val ChunkTokens = 10
+
+  /** Corpus occurrence threshold: a chunk seen this many times (or more)
+    * anywhere in the corpus is boilerplate and is removed from EVERY
+    * document (C4 removes all copies, not all-but-one). */
+  val BoilerplateMinDf = 3
+
+  /** Ceiling on boilerplate-dictionary entries shipped to executors via
+    * the [[org.apache.spark.sql.graft.SortedLongSetContains]] kernel
+    * (8 B each → 32 MB at the cap). Above it the map-side plan degrades
+    * to the join path — loudly, never silently. */
+  val MaxBoilerplateDict = 4 << 20
+
+  /** Aligned `chunkTokens`-token windows over a token-array COLUMN
+    * (which must be a materialized attribute, not a raw `split` — a
+    * lambda over `split(text)` would re-evaluate the split per chunk
+    * element, the Catalyst HOF re-eval trap). `Column./` is double
+    * division, so the chunk count is floor()ed back to int — exact for
+    * any realistic token count. */
+  private def chunksOf(toks: Column, chunkTokens: Int): Column =
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0),
+          (floor((size(toks) + chunkTokens - 1) / chunkTokens)
+            .cast("int")) - 1),
+        i => array_join(
+          slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+
+  /** Per-doc aligned chunk relation: (doc_id, idx, chunk). */
+  private def chunkRelation(docs: DataFrame, chunkTokens: Int): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), chunksOf(col("toks"), chunkTokens).as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "chunk")))
+
+  /** The boilerplate dictionary as an audit view: every chunk the corpus
+    * repeats ≥ `minDf` times, with its occurrence count — what a
+    * curation owner reviews before turning on [[chunkDedup]]. Output
+    * (chunk, n), hottest first, deterministic tiebreak, top-1000.
+    * The groupBy here keys on chunk TEXT (the audit must show it);
+    * [[chunkDedup]]'s own df pass keys on the 60-bit hash. */
+  def boilerplateChunks(spark: SparkSession, dir: String,
+      chunkTokens: Int = ChunkTokens, minDf: Int = BoilerplateMinDf)
+      : DataFrame =
+    chunkRelation(Tables.documents(spark, dir), chunkTokens)
+      .groupBy("chunk").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minDf)
+      .orderBy(desc("n"), col("chunk"))
+      .limit(1000)
+
+  /** C4-style boilerplate removal: delete every aligned `chunkTokens`-
+    * token window whose exact text occurs ≥ `minDf` times in the corpus,
+    * then reassemble each document from its surviving chunks. Output:
+    * (doc_id, clean_text, n_dropped) for EVERY document, doc_id order.
+    *
+    * Scale shape (the q58 broadcast-a-dictionary pattern, inverted):
+    *  1. chunk df aggregates on the 60-bit md5 hash — the ONLY
+    *     corpus-sized shuffle carries (hash, count) = 16 B rows, never
+    *     chunk text;
+    *  2. the dictionary (hashes with df ≥ minDf — bounded by distinct
+    *     boilerplate, NOT corpus size) collects to the driver and ships
+    *     sorted inside the codegen'd binary-search kernel;
+    *  3. reassembly is MAP-ONLY: each doc re-chunks in the scan
+    *     projection and drops dictionary hits locally — document text
+    *     never shuffles, and the output needs no doc_id regroup because
+    *     chunks never left their row.
+    * If the dictionary exceeds [[MaxBoilerplateDict]] entries the plan
+    * degrades (loudly) to a broadcast-join + regroup path whose
+    * reassembly shuffle carries surviving chunk text — correct at any
+    * dictionary size, just not text-shuffle-free. */
+  def chunkDedup(spark: SparkSession, dir: String,
+      chunkTokens: Int = ChunkTokens, minDf: Int = BoilerplateMinDf)
+      : DataFrame =
+    chunkDedupOn(Tables.documents(spark, dir), chunkTokens, minDf,
+      MaxBoilerplateDict)
+
+  /** [[chunkDedup]] with the dictionary cap injectable so the spec can
+    * force the join fallback and assert both paths agree. */
+  private[operators] def chunkDedupOn(docs: DataFrame, chunkTokens: Int,
+      minDf: Int, maxDict: Int): DataFrame = {
+    val carrier = chunkRelation(docs, chunkTokens)
+      .select(col("doc_id"), col("idx"), md5Long(col("chunk")).as("h"))
+    val dictDf = carrier.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minDf).select("h")
+    val dict = dictDf.limit(maxDict + 1).collect()
+      .map(_.getLong(0))
+    if (dict.length <= maxDict) {
+      val sorted = dict.sorted.toIndexedSeq
+      docs
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          chunksOf(col("toks"), chunkTokens).as("chunks"))
+        .select(col("doc_id"), col("chunks"),
+          filter(col("chunks"), c => !TextExpressions
+            .sortedLongSetContains(md5Long(c), sorted)).as("kept"))
+        .select(col("doc_id"),
+          array_join(col("kept"), " ").as("clean_text"),
+          (size(col("chunks")) - size(col("kept"))).cast("long")
+            .as("n_dropped"))
+        .orderBy("doc_id")
+    } else {
+      System.err.println(s"[graft] chunkDedup: dictionary has " +
+        s"> $maxDict entries — falling back to the join path " +
+        "(reassembly shuffles surviving chunk text)")
+      val ch = chunkRelation(docs, chunkTokens)
+        .withColumn("h", md5Long(col("chunk")))
+      val kept = ch.join(dictDf, Seq("h"), "left_anti")
+      val agg = kept.groupBy("doc_id")
+        .agg(array_join(array_sort(collect_list(struct(col("idx"),
+            col("chunk")))).getField("chunk"), " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+      val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      docs.select(col("doc_id"))
+        .join(tot, Seq("doc_id"), "left")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          (coalesce(col("n_chunks"), lit(0L))
+            - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        .orderBy("doc_id")
+    }
   }
 }

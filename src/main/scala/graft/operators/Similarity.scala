@@ -169,11 +169,33 @@ object Similarity {
     * bounded, which is what makes this the 100 TB path. Assignment is
     * the map-only literal-centroid expression (zero shuffles before the
     * pair join), and the verdict machinery is shared with
-    * [[semanticDedup]]. */
+    * [[semanticDedup]].
+    *
+    * `cells = 0` (the default) MEASURES the corpus and picks
+    * `max(16, ceil(n / 128))` — the scaladoc's "cell count grows with
+    * the corpus" claim as code, not prose. A fixed 16 at sf1 (20k
+    * vectors) left ~1.2k vectors per cell: the same quadratic pair mass
+    * as the label-blocked brute path it exists to beat, AND join
+    * parallelism capped at 16 partitions (measured: 27.8 s vs brute's
+    * 28.3 s — BENCH_SF1.md). At the gate/bench scales (200 / 2k
+    * vectors) the measured choice lands on exactly 16, so the DuckDB
+    * oracle's unrolled 16-cell Lloyd CTE stays hash-exact and bench
+    * history stays comparable. The count is parquet-metadata-only;
+    * capped at 4096 so the literal-centroid expression stays
+    * compilable (past that, a deployment shards training anyway). */
   def semanticDedupIvf(spark: SparkSession, dir: String,
-      threshold: Double = 0.3, cells: Int = 16, iters: Int = 3)
+      threshold: Double = 0.3, cells: Int = 0, iters: Int = 3)
       : DataFrame = {
-    val cents = IvfIndex.trainCached(spark, dir, cells, iters)
+    val nCells =
+      if (cells > 0) cells
+      else {
+        val n = Tables.embeddings(spark, dir).count()
+        val c = math.min(4096L, math.max(16L, (n + 127L) / 128L)).toInt
+        System.err.println(
+          s"[graft] semanticDedupIvf: measured $n vectors -> $c cells")
+        c
+      }
+    val cents = IvfIndex.trainCached(spark, dir, nCells, iters)
     // cell computed IN the scan projection (literal centroids, map-only)
     // — joining a separate assign() relation back on vec_id would spend
     // a corpus shuffle to rediscover a value the scan can compute

@@ -158,7 +158,14 @@ class PlanAuditSpec extends SparkSpec {
     "q80_bpe_merges" -> 0, "q81_bpe_subtokens" -> 1,
     // q82: identical audited tail to q75 (components run pre-plan; the
     // intra-cell pair join feeds the eager edge materialization)
-    "q82_semantic_dedup_ivf" -> 3)
+    "q82_semantic_dedup_ivf" -> 3,
+    // q83: the chunk-df pass runs EAGERLY at plan build (dictionary
+    // collect); the audited plan is the map-only reassembly + the
+    // output sort — document text never shuffles
+    "q83_chunk_dedup" -> 1,
+    // q84: one exchange for the chunk-text groupBy; the top-1000 cut is
+    // a TakeOrdered heap, not a global sort
+    "q84_boilerplate_chunks" -> 1)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet

@@ -447,4 +447,80 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.Caches.releaseAll()
     assert(viaShuffle.toSeq == viaBroadcast.toSeq)
   }
+
+  // ——— boilerplate-chunk removal (C4 line dedup) ———
+
+  /** Reference implementation: the C4 pass in plain Scala over the
+    * collected corpus. */
+  private def bruteChunkDedup(rows: Seq[(Long, String)], k: Int, minDf: Int)
+      : (Map[Long, (String, Long)], Map[String, Long]) = {
+    def chunksOf(text: String): Seq[String] =
+      text.split("\\s+").filter(_.nonEmpty).grouped(k)
+        .map(_.mkString(" ")).toSeq
+    val df = rows.flatMap { case (_, t) => chunksOf(t) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dict = df.filter(_._2 >= minDf)
+    val out = rows.map { case (id, t) =>
+      val ch = chunksOf(t)
+      val kept = ch.filterNot(dict.contains)
+      id -> (kept.mkString(" "), (ch.size - kept.size).toLong)
+    }.toMap
+    (out, dict)
+  }
+
+  test("chunk dedup matches the brute-force C4 pass (and drops things)") {
+    val rows = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (expected, dict) = bruteChunkDedup(rows, Dedup.ChunkTokens,
+      Dedup.BoilerplateMinDf)
+    assert(dict.nonEmpty, "test corpus has no boilerplate — test is vacuous")
+    val got = Dedup.chunkDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
+    // the pass actually removed something on this corpus
+    assert(got.values.map(_._2).sum > 0)
+  }
+
+  test("chunk dedup join fallback ≡ kernel path") {
+    val docs = graft.Tables.documents(spark, sf)
+    val kernel = Dedup.chunkDedupOn(docs, Dedup.ChunkTokens,
+        Dedup.BoilerplateMinDf, maxDict = Int.MaxValue - 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // maxDict = 0 forces the join path (the dictionary is non-empty)
+    val joined = Dedup.chunkDedupOn(docs, Dedup.ChunkTokens,
+        Dedup.BoilerplateMinDf, maxDict = 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kernel.toSeq == joined.toSeq)
+  }
+
+  test("boilerplate dictionary matches brute force") {
+    val rows = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (_, dict) = bruteChunkDedup(rows, Dedup.ChunkTokens,
+      Dedup.BoilerplateMinDf)
+    val got = Dedup.boilerplateChunks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // hottest first, chunk-text tiebreak, and exactly the brute dict
+    assert(got.toMap == dict)
+    assert(got.sortBy { case (c, n) => (-n, c) }.toSeq == got.toSeq)
+  }
+
+  test("sorted-long-set kernel: membership ≡ Set, null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.TextExpressions
+    val set = IndexedSeq(-9L, -1L, 0L, 7L, 42L, Long.MaxValue)
+    val probe = Seq[java.lang.Long](-10L, -9L, -1L, 0L, 1L, 7L, 41L, 42L,
+      Long.MaxValue, Long.MinValue, null)
+    val got = probe.toDF("v")
+      .select(TextExpressions.sortedLongSetContains(col("v"), set))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    val want = probe.map(v =>
+      if (v == null) null else Boolean.box(set.contains(v.longValue())))
+    assert(got.toSeq == want.toSeq)
+  }
 }
