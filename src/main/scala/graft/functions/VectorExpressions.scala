@@ -172,6 +172,125 @@ case class Int8Quantize(child: Expression)
       newChild: Expression): Int8Quantize = copy(child = newChild)
 }
 
+/** Argmax-cosine cell assignment against a STATIC centroid matrix —
+  * the scalable form of IVF assignment.
+  *
+  * The composed form (`greatest` over one `struct(cosineNative(emb,
+  * typedlit(c)), -cell)` branch per cell) is oracle-proven but its
+  * Catalyst tree is O(cells · dim) literal nodes: at 16 cells that is
+  * ~1k nodes (fine); at the 157 cells a corpus-relative cell count
+  * picks at sf1, analysis + codegen of the ~40k-node tree pinned the
+  * single-threaded driver for >10 minutes (measured, round 8). This
+  * kernel is ONE expression node — the flattened row-major matrix
+  * ships inside the serialized expression once per executor (the
+  * [[graft]] constructor-param pattern) — so plan work is
+  * cell-count-independent and the per-row loop is the same arithmetic.
+  *
+  * Bitwise parity contract (what keeps the q38/q56/q82 oracles green):
+  * per cell, accumulate dot/nx/ny in ascending element order exactly
+  * like [[CosineSimilarity]], then `dot / (sqrt(nx) * sqrt(ny))`;
+  * cells are scanned ascending and replaced only on a STRICTLY greater
+  * similarity under `java.lang.Double.compare` ordering (NaN greatest,
+  * -0.0 < 0.0) — identical to `greatest`'s struct ordering on
+  * (sim, -cell) with its smallest-cell tiebreak. Spec-asserted equal
+  * to the composed form on the real corpus.
+  *
+  * ONE deliberate divergence: a NULL input array yields NULL (the
+  * unknown vector has no cell). The composed form yields cell 0 there
+  * — `struct(null_sim, -cell)` is a non-null struct, so `greatest`
+  * falls through to the tiebreak — which would silently pool every
+  * null-embedding row into cell 0 at scale. No gated table contains
+  * null embeddings, so the oracles see no difference; the spec pins
+  * both behaviors. */
+case class CellArgmax(child: Expression, matrix: IndexedSeq[Double],
+    cells: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(cells > 0 && matrix.length % cells == 0,
+    s"matrix length ${matrix.length} not divisible into $cells cells")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(TypeCollection(
+    ArrayType(FloatType), ArrayType(DoubleType), ArrayType(LongType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "cell_argmax"
+
+  private def dim: Int = matrix.length / cells
+  @transient private lazy val m: Array[Double] = matrix.toArray
+
+  private def elem: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case t               => t
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val t = elem
+    def get(i: Int): Double = t match {
+      case DoubleType => x.getDouble(i)
+      case LongType   => x.getLong(i).toDouble
+      case _          => x.getFloat(i).toDouble
+    }
+    val n = math.min(x.numElements(), dim)
+    var best = 0; var bestSim = Double.NaN; var first = true
+    var c = 0
+    while (c < cells) {
+      val off = c * dim
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = get(i); val yi = m(off + i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      val sim = dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (first || java.lang.Double.compare(sim, bestSim) > 0) {
+        best = c; bestSim = sim; first = false
+      }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("centroidMatrix", m, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi"); val sim = ctx.freshName("sim")
+      val best = ctx.freshName("best"); val bestSim = ctx.freshName("bestSim")
+      val first = ctx.freshName("first")
+      val getX = elem match {
+        case DoubleType => s"$x.getDouble($i)"
+        case LongType   => s"(double) $x.getLong($i)"
+        case _          => s"(double) $x.getFloat($i)"
+      }
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $dim);
+         |int $best = 0; double $bestSim = Double.NaN; boolean $first = true;
+         |for (int $c = 0; $c < $cells; $c++) {
+         |  int $off = $c * $dim;
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $getX;
+         |    double $yi = $ref[$off + $i];
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  double $sim = $dot / (java.lang.Math.sqrt($nx)
+         |    * java.lang.Math.sqrt($ny));
+         |  if ($first || java.lang.Double.compare($sim, $bestSim) > 0) {
+         |    $best = $c; $bestSim = $sim; $first = false;
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): CellArgmax =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Column API for the native cosine expression. */
   def cosineNative(a: Column, b: Column): Column =
@@ -181,4 +300,11 @@ object VectorExpressions {
   /** Column API for the native int8 quantizer. */
   def int8QuantizeNative(a: Column): Column =
     ExpressionUtils.column(Int8Quantize(ExpressionUtils.expression(a)))
+
+  /** Column API for the native argmax-cell assignment. `matrix` is
+    * row-major (cell-major) flattened centroids. */
+  def cellArgmaxNative(emb: Column, matrix: IndexedSeq[Double],
+      cells: Int): Column =
+    ExpressionUtils.column(
+      CellArgmax(ExpressionUtils.expression(emb), matrix, cells))
 }

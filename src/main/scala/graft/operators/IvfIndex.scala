@@ -41,10 +41,32 @@ object IvfIndex {
   /** Fixed-point scale for the order-independent centroid averages. */
   val Scale = 1e6
 
-  /** Argmax-cell expression over literal centroids: map-only, no join.
-    * Max cosine; ties break toward the smallest cell (struct ordering on
-    * (sim, -cell) — matches the oracle's ORDER BY sim DESC, cell). */
+  /** Argmax-cell expression over the trained centroids: map-only, no
+    * join. Max cosine; ties break toward the smallest cell (matching
+    * the oracle's ORDER BY sim DESC, cell). Implemented by the native
+    * [[org.apache.spark.sql.graft.CellArgmax]] kernel — ONE expression
+    * node whose flattened centroid matrix ships with the plan, so
+    * analysis/codegen cost is cell-count-INDEPENDENT (the literal
+    * `greatest(struct…)` form this replaces built an O(cells·dim)
+    * tree that pinned the driver for minutes at 157 cells — see the
+    * kernel's scaladoc; [[cellExprComposed]] keeps that form for the
+    * spec's bitwise-equality assertion). `cents` must be contiguous
+    * cells 0..C-1 (what [[train]] produces). */
   def cellExpr(cents: Centroids, emb: Column): Column = {
+    val sorted = cents.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((c, _), i) => c == i },
+      s"cells must be contiguous 0..${cents.size - 1}")
+    val flat = sorted.flatMap(_._2).toIndexedSeq
+    org.apache.spark.sql.graft.VectorExpressions
+      .cellArgmaxNative(emb, flat, cents.size).as("cell")
+  }
+
+  /** The pre-round-8 composed form of [[cellExpr]] (literal `greatest`
+    * over per-cell struct branches) — retained ONLY as the spec's
+    * independent reference implementation; do not use on hot paths
+    * (plan cost grows with cells·dim). */
+  private[operators] def cellExprComposed(cents: Centroids,
+      emb: Column): Column = {
     val best = greatest(cents.map { case (cell, c) =>
       struct(
         cosineNative(emb, typedlit(c.toArray)).as("sim"),

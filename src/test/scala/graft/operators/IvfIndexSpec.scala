@@ -22,6 +22,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(idx.groupBy("vec_id").count().where(col("count") > 1).count() == 0)
   }
 
+  test("native CellArgmax ≡ composed greatest-struct assignment (bitwise)") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val native = emb.select(col("vec_id"),
+        IvfIndex.cellExpr(cents, col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val composed = emb.select(col("vec_id"),
+        IvfIndex.cellExprComposed(cents, col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native == composed)
+    // degenerate inputs: empty array (all-NaN sims → cell 0) and short
+    // array (partial-dim accumulation) agree; NULL input deliberately
+    // DIVERGES — kernel yields null (no cell for an unknown vector),
+    // composed form pools it into cell 0 via the null-sim struct
+    // tiebreak (see CellArgmax scaladoc)
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Some(Array.empty[Float])),
+      (2L, None),
+      (3L, Some(Array(0.5f, -1.5f, 2f)))).toDF("vec_id", "embedding")
+    val en = edge.select(IvfIndex.cellExpr(cents, col("embedding")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    val ec = edge.select(IvfIndex.cellExprComposed(cents, col("embedding")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(en(0) == ec(0) && en(2) == ec(2))
+    assert(en(1) == null && ec(1) == 0)
+  }
+
   test("assignment is map-only: zero shuffles in the plan") {
     val emb = graft.Tables.embeddings(spark, sf)
     val idx = IvfIndex.assign(emb.select("vec_id", "embedding"), cents)
