@@ -209,6 +209,7 @@ object SparkEntry {
     "q83_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
     // q84: the boilerplate dictionary itself (the audit view)
     "q84_boilerplate_chunks" -> ((s, d) => Dedup.boilerplateChunks(s, d)),
+    "q85_domain_cap"        -> ((s, d) => Sampling.domainCap(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1654,6 +1655,17 @@ object SparkEntry {
          SELECT chunk, CAST(count(*) AS BIGINT) AS n
          FROM ch GROUP BY chunk HAVING count(*) >= 3
          ORDER BY n DESC, chunk LIMIT 1000""",
+    // q85: per-source domain cap — keep the 10 smallest salted-md5
+    // ranks per source (same hash convention as q48's quota sampler)
+    "q85_domain_cap" ->
+      """WITH r AS (
+           SELECT source, doc_id, row_number() OVER (
+             PARTITION BY source
+             ORDER BY ('0x' || substr(md5('dcap:' || doc_id), 1, 15))::BIGINT,
+                      doc_id) AS rk
+           FROM documents)
+         SELECT source, doc_id FROM r WHERE rk <= 10
+         ORDER BY source, doc_id""",
   )
 
   // Shared CTE chain for the boilerplate-chunk pipeline (q83/q84):

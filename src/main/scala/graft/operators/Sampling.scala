@@ -98,4 +98,38 @@ object Sampling {
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
+
+  /** Per-source document cap (the "domain cap" curation stage from the
+    * public web-corpus literature — RefinedWeb / Gopher cap documents
+    * per registered domain so no single site dominates the training
+    * mix): keep at most `cap` docs per source, chosen by the same
+    * deterministic salted-hash order as [[stratifiedSample]].
+    *
+    * Scale shape: [[stratifiedSample]]'s window formulation SORTS each
+    * stratum, and a window partition cannot be split — one mega-domain
+    * (a billion pages behind one source) pins a single task at 100 TB.
+    * Here the k-bounded [[graft.functions.MinKLongAggregator]] carries
+    * at most `cap` (hash, doc_id) pairs per source out of every map
+    * task (partial aggregation), so shuffle bytes per source are
+    * cap-sized regardless of the domain's row count and nothing ever
+    * sorts a whole stratum. Exactness: the 60-bit md5 rank stays a
+    * Long end-to-end (a Double score would truncate it at 53 bits and
+    * drift from the oracle's integer ORDER BY). */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 10,
+      salt: String = "dcap"): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.MinKLongAggregator(cap)
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))).as("h"),
+        col("doc_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, h, id) => (h, id) }
+      .agg(agg.toColumn.name("kept"))
+      .toDF("source", "kept")
+      .select(col("source"), explode(col("kept")).as("pair"))
+      .select(col("source"), col("pair._2").as("doc_id"))
+      .orderBy("source", "doc_id")
+  }
 }

@@ -160,4 +160,32 @@ class AsofSamplingSpec extends SparkSpec {
       assert(n == math.min(k.toLong, full(lang)), s"$lang: $n")
     }
   }
+
+  test("domain cap keeps min(cap, |source|) docs, the window-rank set") {
+    val cap = 10
+    val got = Sampling.domainCap(spark, sf, cap = cap)
+    val perSource = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = graft.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.keySet == full.keySet)
+    perSource.foreach { case (src, n) =>
+      assert(n == math.min(cap.toLong, full(src)), s"$src: $n")
+    }
+    // the k-bounded aggregator must pick EXACTLY the docs the window
+    // formulation ranks <= cap (same hash, same tiebreak)
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.md5Long
+    val windowed = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        row_number().over(Window.partitionBy("source").orderBy(
+          md5Long(concat(lit("dcap:"), col("doc_id").cast("string"))),
+          col("doc_id"))).as("rk"))
+      .where(col("rk") <= cap)
+      .select("source", "doc_id")
+    val a = got.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = windowed.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }
