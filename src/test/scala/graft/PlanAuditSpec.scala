@@ -165,7 +165,11 @@ class PlanAuditSpec extends SparkSpec {
     "q83_chunk_dedup" -> 1,
     // q84: one exchange for the chunk-text groupBy; the top-1000 cut is
     // a TakeOrdered heap, not a global sort
-    "q84_boilerplate_chunks" -> 1)
+    "q84_boilerplate_chunks" -> 1,
+    // q85: the per-source MinK quota agg (k-bounded partial agg, so
+    // the exchange carries <= cap pairs per source per map task) + the
+    // deterministic output sort
+    "q85_domain_cap" -> 2)
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet
