@@ -210,6 +210,7 @@ object SparkEntry {
     // q84: the boilerplate dictionary itself (the audit view)
     "q84_boilerplate_chunks" -> ((s, d) => Dedup.boilerplateChunks(s, d)),
     "q85_domain_cap"        -> ((s, d) => Sampling.domainCap(s, d)),
+    "q86_leakage_safe_split" -> ((s, d) => Sampling.leakageSafeSplit(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1666,6 +1667,15 @@ object SparkEntry {
            FROM documents)
          SELECT source, doc_id FROM r WHERE rk <= 10
          ORDER BY source, doc_id""",
+    // q86: split keyed on source (not doc_id) — domain-level holdout
+    "q86_leakage_safe_split" ->
+      """SELECT doc_id, source,
+           CASE WHEN ('0x' || substr(md5('split:' || source), 1, 15))::BIGINT
+                     % 100 < 10 THEN 'test'
+                WHEN ('0x' || substr(md5('split:' || source), 1, 15))::BIGINT
+                     % 100 < 20 THEN 'val'
+                ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id""",
   )
 
   // Shared CTE chain for the boilerplate-chunk pipeline (q83/q84):

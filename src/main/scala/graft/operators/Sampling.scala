@@ -132,4 +132,27 @@ object Sampling {
       .select(col("source"), col("pair._2").as("doc_id"))
       .orderBy("source", "doc_id")
   }
+
+  /** Leakage-safe train/val/test split: the split label is keyed on
+    * SOURCE, not doc_id, so every document from a domain lands in the
+    * same split — near-duplicates within a site (boilerplate, templated
+    * pages) can never straddle the train/eval boundary, the held-out-
+    * domain hygiene rule from the public dataset literature. The
+    * salted-md5 residue makes the assignment deterministic across
+    * runs, engines, and corpus growth (a domain keeps its split as new
+    * pages arrive — an incremental-build invariant, same argument as
+    * [[hashSample]]). Map-only: the label is a scan-projection
+    * expression; nothing shuffles but the output sort. */
+  def leakageSafeSplit(spark: SparkSession, dir: String,
+      valPct: Int = 10, testPct: Int = 10,
+      salt: String = "split"): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)
+    val r = md5Long(concat(lit(s"$salt:"), col("source"))) % 100
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(r < testPct, lit("test"))
+          .when(r < testPct + valPct, lit("val"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+  }
 }

@@ -188,4 +188,24 @@ class AsofSamplingSpec extends SparkSpec {
     val b = windowed.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("leakage-safe split: one split per source, covers all docs") {
+    val got = Sampling.leakageSafeSplit(spark, sf)
+    assert(got.count() == graft.Tables.documents(spark, sf).count())
+    // the hygiene invariant: a source never straddles splits
+    val straddlers = got.groupBy("source")
+      .agg(countDistinct("split").as("k")).where(col("k") > 1)
+    assert(straddlers.count() == 0)
+    // all three labels are drawn from the fixed vocabulary
+    val labels = got.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "val", "test")))
+    // deterministic: same salt, same assignment
+    val again = Sampling.leakageSafeSplit(spark, sf)
+    assert(got.collect().toSeq == again.collect().toSeq)
+    // degenerate bounds hold: 0/0 puts everything in train
+    val all = Sampling.leakageSafeSplit(spark, sf, valPct = 0, testPct = 0)
+    assert(all.select("split").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("train"))
+  }
 }
