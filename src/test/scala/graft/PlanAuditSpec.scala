@@ -169,7 +169,22 @@ class PlanAuditSpec extends SparkSpec {
     // q85: the per-source MinK quota agg (k-bounded partial agg, so
     // the exchange carries <= cap pairs per source per map task) + the
     // deterministic output sort
-    "q85_domain_cap" -> 2)
+    "q85_domain_cap" -> 2,
+    // q86: the split label is a scan-projection expression; only the
+    // output sort exchanges
+    "q86_leakage_safe_split" -> 1)
+
+  // Audited shapes must not depend on which specs ran before this one
+  // in the JVM: a cache entry left by another spec (same carrier,
+  // different params) substitutes an InMemoryRelation whose stored
+  // build plan — exchanges included — prints inside the audited plan
+  // string and shifts the count. Baselines are recorded from a fresh
+  // session's sequential sweep (`Explain --scan`); resetting here,
+  // BEFORE this spec's own full-sweep tests repopulate the caches in
+  // query order, reproduces that state no matter the suite order.
+  test("audit precondition: start from a cache-clean session") {
+    spark.catalog.clearCache()
+  }
 
   test("every query has a shuffle baseline (keep the map in sync)") {
     val missing = SparkEntry.queries.keySet -- shuffleBaseline.keySet
