@@ -328,4 +328,26 @@ class PropertySpec extends SparkSpec {
       assert(salted == plain, s"buckets=$buckets")
     }
   }
+
+  test("MinK quota aggregator equals sort-take under any partition split") {
+    // the merge path is what production exercises (map-side partial
+    // aggs combining across partitions); randomize the split so
+    // reduce/merge interleavings are covered, including duplicate
+    // hash keys where the id tiebreak decides
+    val caseGen = for {
+      n     <- Gen.chooseNum(0, 60)
+      k     <- Gen.chooseNum(1, 8)
+      pairs <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 1000L)))
+      cut   <- Gen.chooseNum(0, math.max(n, 1))
+    } yield (pairs, k, cut)
+    samples(caseGen, 40).foreach { case (pairs, k, cut) =>
+      val agg = new graft.functions.MinKLongAggregator(k)
+      val (a, b) = pairs.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      val expected = pairs.sorted(Ordering.Tuple2[Long, Long]).take(k)
+      assert(agg.finish(merged) == expected, s"k=$k cut=$cut")
+    }
+  }
 }
