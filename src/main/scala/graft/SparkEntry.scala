@@ -211,6 +211,15 @@ object SparkEntry {
     "q84_boilerplate_chunks" -> ((s, d) => Dedup.boilerplateChunks(s, d)),
     "q85_domain_cap"        -> ((s, d) => Sampling.domainCap(s, d)),
     "q86_leakage_safe_split" -> ((s, d) => Sampling.leakageSafeSplit(s, d)),
+    // q87: CCNet-style perplexity filter — bigram LM trained on the
+    // trusted 'en' slice, log-free fixed-point inverse-probability score
+    "q87_lm_perplexity" -> ((s, d) => LangModel.perplexityScore(s, d)),
+    // q88: TF-IDF keyword extraction, integer idf (monotone = same
+    // ranking as log idf, engine-exact)
+    "q88_tfidf_keywords" -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
+    // q89: mixture upsampling — equal-contribution epochs per source,
+    // fractional epoch via the hashSample Bernoulli rule
+    "q89_mixture_epochs" -> ((s, d) => Sampling.mixtureEpochs(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1676,6 +1685,92 @@ object SparkEntry {
                      % 100 < 20 THEN 'val'
                 ELSE 'train' END AS split
          FROM documents ORDER BY doc_id""",
+    // q87: bigram-LM perplexity proxy. Model from the lang='en' slice:
+    // c1 = unigram occurrences, c2 = bigram occurrences, V = distinct
+    // vocab; per-bigram integer inverse smoothed probability
+    // ((c1+V)*1e6) // (c2+1); docs with <2 tokens have no bigrams and
+    // are absent (inner GROUP BY), matching the Spark side.
+    "q87_lm_perplexity" ->
+      raw"""WITH t AS (
+           SELECT doc_id, lang,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         cb AS (
+           SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2,
+                  COUNT(*) AS tf
+           FROM (SELECT doc_id, toks, unnest(range(len(toks)-1)) AS i
+                 FROM t WHERE len(toks) > 1)
+           GROUP BY 1, 2, 3),
+         uni AS (
+           SELECT w, COUNT(*) AS c1
+           FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en')
+           GROUP BY 1),
+         v AS (SELECT COUNT(*) AS v FROM uni),
+         bi AS (
+           SELECT toks[i+1] AS w1, toks[i+2] AS w2, COUNT(*) AS c2
+           FROM (SELECT toks, unnest(range(len(toks)-1)) AS i
+                 FROM t WHERE lang = 'en' AND len(toks) > 1)
+           GROUP BY 1, 2),
+         j AS (
+           SELECT cb.doc_id, cb.tf,
+                  ((COALESCE(uni.c1, 0) + v.v) * 1000000)
+                    // (COALESCE(bi.c2, 0) + 1) AS ip
+           FROM cb
+           LEFT JOIN uni ON cb.w1 = uni.w
+           LEFT JOIN bi ON cb.w1 = bi.w1 AND cb.w2 = bi.w2
+           CROSS JOIN v)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                round(CAST(SUM(ip * tf) AS DOUBLE)
+                      / (CAST(SUM(tf) AS DOUBLE) * 1000000.0), 6) AS ppx
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+    // q88: TF-IDF top-3 keywords per doc; integer idf = (N*1e6) // df,
+    // score = tf * idf, ties on token asc.
+    "q88_tfidf_keywords" ->
+      raw"""WITH tk AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                     s -> len(s) > 0)) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                FROM tk GROUP BY 1, 2),
+         df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         s AS (
+           SELECT tf.doc_id, tf.token,
+                  tf.tf * ((n.n * 1000000) // df.df) AS score
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, token, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, token) AS rk
+           FROM s)
+         SELECT doc_id, token, CAST(score AS BIGINT) AS score,
+                CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // q89: mixture upsampling — factor6 = (maxCnt*1e6) // cnt per
+    // source; every doc repeats (factor6 // 1e6) times plus one more
+    // when its salted-md5 residue < factor6 % 1e6.
+    "q89_mixture_epochs" ->
+      """WITH c AS (SELECT source, COUNT(*) AS cnt
+                  FROM documents GROUP BY 1),
+         m AS (SELECT MAX(cnt) AS max_cnt FROM c),
+         f AS (
+           SELECT source,
+                  ((max_cnt * 1000000) // cnt) // 1000000 AS epochs,
+                  ((max_cnt * 1000000) // cnt) % 1000000 AS rem
+           FROM c CROSS JOIN m),
+         d AS (
+           SELECT doc_id, documents.source,
+                  epochs + CASE WHEN ('0x' || substr(md5('mix:' || doc_id),
+                    1, 15))::BIGINT % 1000000 < rem THEN 1 ELSE 0 END
+                    AS reps
+           FROM documents JOIN f USING (source))
+         SELECT doc_id, source, epoch
+         FROM (SELECT doc_id, source,
+                      CAST(unnest(range(reps)) AS BIGINT) AS epoch
+               FROM d)
+         ORDER BY doc_id, epoch""",
   )
 
   // Shared CTE chain for the boilerplate-chunk pipeline (q83/q84):

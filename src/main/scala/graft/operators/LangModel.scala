@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Statistical language-model scoring over `documents` — the CCNet-style
+  * "perplexity filter" stage of a training-data pipeline: train a cheap
+  * n-gram model on a trusted reference slice, score every corpus document
+  * by how surprising its text is under that model, and let curation keep
+  * the head/middle of the distribution (public recipe: CCNet, Wenzek et
+  * al. 2020, which scores Common Crawl against a Wikipedia-trained
+  * KenLM model; no reference-repo counterpart — north-star extension).
+  *
+  * Log-free fixed-point arithmetic, same trick as the q64 rarity score:
+  * instead of summing float log-probabilities (whose libm rounding could
+  * diverge between engines), each bigram contributes the INTEGER
+  * inverse-probability `((c1 + V) * 1e6) div (c2 + 1)` — the reciprocal
+  * of an add-one-smoothed conditional P(w2|w1) in millionths. Long sums
+  * of those are exact and order-independent, so Spark's partial
+  * aggregation and DuckDB's single-threaded fold agree bit-for-bit; the
+  * one double division happens once per doc at the end. The score is a
+  * monotone proxy for perplexity (it is the arithmetic rather than
+  * geometric mean of inverse probabilities), which is all a rank-and-
+  * threshold curation gate needs.
+  *
+  * Scale shape (100 TB): the reference slice is a fixed trusted corpus
+  * (Wikipedia-sized, ~10⁹–10¹⁰ tokens), so the model tables (`uni`,
+  * `bi`) are corpus-stat-sized, not corpus-sized — far smaller than the
+  * scored text but too big to broadcast; both lookups are shuffle
+  * equi-joins on token keys, the word-count shape that AQE skew-handles
+  * (stopword keys are hot). The scored side aggregates per-doc bigram
+  * counts BEFORE joining (map-side combine), so join input is distinct
+  * bigrams per doc, not token positions. Fixed-point headroom: `(c1+V) *
+  * 1e6` stays inside a signed 64-bit Long while the reference slice has
+  * under ~9×10¹² occurrences of a single token — four orders of
+  * magnitude above a Wikipedia-scale reference; for a truly giant
+  * reference, drop the multiplier to 1e3 and rescale the final divide.
+  */
+object LangModel {
+
+  /** Adjacent-token bigrams of a token-array column, as structs
+    * `(w1, w2)` — `zip_with` over the two off-by-one slices, one pass,
+    * no per-element re-tokenization (the q69 lesson: the slices are
+    * attributes of a materialized token array, not recomputed chains). */
+  private def bigramsOf(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+
+  /** Per-document perplexity proxy under a bigram model trained on the
+    * `refLang` slice: `(doc_id, n_bigrams, ppx)` where `ppx` is the
+    * mean inverse smoothed bigram probability (≥ 1.0; higher = more
+    * surprising). Documents with fewer than two tokens have no bigrams
+    * and are absent from the output (nothing to score — same contract
+    * as the oracle's inner GROUP BY).
+    */
+  def perplexityScore(spark: SparkSession, dir: String,
+      refLang: String = "en"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+
+    // Model tables from the trusted slice. `c1` counts every occurrence
+    // of the token in the reference (plain unigram frequency, documented
+    // choice — not just context positions); V is the distinct vocab.
+    val train = docs.filter(col("lang") === refLang)
+    val uni = train
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vdf = uni.agg(count(lit(1)).as("v")) // 1 row — broadcast scalar
+    val bi = train
+      .filter(size(col("toks")) > 1)
+      .select(explode(bigramsOf(col("toks"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+
+    // Scored side: per-doc distinct bigrams with tf (map-side combine
+    // shrinks the join input to distinct bigrams, not token positions).
+    val corpusBg = docs
+      .filter(size(col("toks")) > 1)
+      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+
+    corpusBg
+      .join(uni, Seq("w1"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(vdf))
+      .withColumn("ip", // inverse smoothed P(w2|w1), in millionths
+        expr("((coalesce(c1, 0L) + v) * 1000000L) div (coalesce(c2, 0L) + 1L)"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("ip") * col("tf")).cast("double") /
+          (sum(col("tf")).cast("double") * 1000000.0), 6).as("ppx"))
+      .orderBy("doc_id")
+  }
+}

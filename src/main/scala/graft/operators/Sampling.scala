@@ -155,4 +155,48 @@ object Sampling {
           .otherwise(lit("train")).as("split"))
       .orderBy("doc_id")
   }
+
+  /** Mixture upsampling by epochs: rebalance the training mix so every
+    * source contributes equally by REPEATING under-represented sources'
+    * documents (the data-mixing step of the public pretraining recipes —
+    * small trusted corpora see multiple epochs while the web crawl sees
+    * one; cf. the Pile / LLaMA mixture tables). Dual of [[domainCap]]
+    * (which DOWN-samples the over-represented head): each source gets
+    * `maxCnt / cnt` epochs, split into a whole part every document
+    * repeats and a fractional part materialized by the same salted-md5
+    * Bernoulli rule as [[hashSample]] — deterministic, content-
+    * addressed, and exact in expectation per source.
+    *
+    * Fixed-point arithmetic end to end: `factor6 = (maxCnt * 1e6) div
+    * cnt` ≥ 1e6 splits into `epochs = factor6 div 1e6` (≥ 1) and `rem =
+    * factor6 mod 1e6`; a document gets `epochs + (h < rem)` replicas.
+    * Integer division on both engines (positive operands, truncation =
+    * floor), so the replica count — not just its expectation — is
+    * hash-exact.
+    *
+    * Scale shape: the per-source factor table is |sources|-sized and
+    * broadcasts; the corpus side is one map-only pass whose `explode`
+    * amplifies rows by design (that is the operator's job — output
+    * size is the mixture's token budget, ~|sources|·maxCnt). Nothing
+    * shuffles but the output sort; no stratum ever sorts or windows. */
+  def mixtureEpochs(spark: SparkSession, dir: String,
+      salt: String = "mix"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val mx = counts.agg(max("cnt").as("maxCnt")) // 1 row
+    val fac = counts.crossJoin(broadcast(mx))
+      .withColumn("factor6", expr("(maxCnt * 1000000L) div cnt"))
+      .select(col("source"),
+        expr("factor6 div 1000000L").as("epochs"),
+        expr("factor6 % 1000000L").as("rem"))
+    docs.select("doc_id", "source") // prune the body before any exchange
+      .join(broadcast(fac), Seq("source"))
+      .withColumn("extra",
+        when(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string")))
+          % 1000000L < col("rem"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("epochs") + col("extra") - 1)))
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
 }

@@ -154,4 +154,43 @@ object TextAnalysis {
         percentile(col("n_chars"), lit(0.5)).as("p50"),
         percentile(col("n_chars"), lit(0.75)).as("p75"))
       .orderBy("lang")
+
+  /** TF-IDF keyword extraction: the top-`k` most characteristic tokens
+    * per document — the tagging/labeling pass a corpus catalog runs so
+    * curation and mixture design can filter by topic without embeddings.
+    *
+    * Log-free fixed point (q64's trick): `idf = (N * 1e6) div df` is the
+    * integer inverse document frequency in millionths — a strictly
+    * monotone transform of the textbook `log(N/df)`, so the per-doc
+    * ranking it induces is identical while staying engine-exact
+    * (`score = tf * idf` is a Long end-to-end; no libm). Ties break on
+    * the token string so the top-k set is deterministic.
+    *
+    * Scale shape: tf aggregates per (doc, token) BEFORE anything joins
+    * (map-side combine collapses token positions); df derives from tf
+    * (one more hash-agg on the token key — word-count shape); the
+    * tf⋈df equi-join shuffles on the token key where AQE handles the
+    * stopword skew. The final window partitions by doc_id — each
+    * partition is one document's distinct tokens, bounded by document
+    * length, so no stratum-sort scale trap (contrast [[graft.operators.
+    * Sampling.domainCap]]'s analysis: doc-keyed windows are safe,
+    * domain-keyed ones are not). */
+  def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n")) // 1 row — broadcast scalar
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * ((n * 1000000L) div df)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
 }
