@@ -1721,8 +1721,7 @@ object SparkEntry {
            LEFT JOIN bi ON cb.w1 = bi.w1 AND cb.w2 = bi.w2
            CROSS JOIN v)
          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-                round(CAST(SUM(ip * tf) AS DOUBLE)
-                      / (CAST(SUM(tf) AS DOUBLE) * 1000000.0), 6) AS ppx
+                CAST(SUM(ip * tf) // SUM(tf) AS BIGINT) AS ppx_micros
          FROM j GROUP BY doc_id ORDER BY doc_id""",
     // q88: TF-IDF top-3 keywords per doc; integer idf = (N*1e6) // df,
     // score = tf * idf, ties on token asc.

@@ -20,10 +20,12 @@ import graft.functions.TextFunctions._
   * of an add-one-smoothed conditional P(w2|w1) in millionths. Long sums
   * of those are exact and order-independent, so Spark's partial
   * aggregation and DuckDB's single-threaded fold agree bit-for-bit; the
-  * one double division happens once per doc at the end. The score is a
-  * monotone proxy for perplexity (it is the arithmetic rather than
-  * geometric mean of inverse probabilities), which is all a rank-and-
-  * threshold curation gate needs.
+  * per-doc mean stays integer too (`div`, micros) — an earlier
+  * `round(double, 6)` variant differed from DuckDB in the last digit at
+  * a half-boundary, the usual cross-engine float-rounding trap. The
+  * score is a monotone proxy for perplexity (it is the arithmetic
+  * rather than geometric mean of inverse probabilities), which is all a
+  * rank-and-threshold curation gate needs.
   *
   * Scale shape (100 TB): the reference slice is a fixed trusted corpus
   * (Wikipedia-sized, ~10⁹–10¹⁰ tokens), so the model tables (`uni`,
@@ -51,11 +53,12 @@ object LangModel {
       (a, b) => struct(a.as("w1"), b.as("w2")))
 
   /** Per-document perplexity proxy under a bigram model trained on the
-    * `refLang` slice: `(doc_id, n_bigrams, ppx)` where `ppx` is the
-    * mean inverse smoothed bigram probability (≥ 1.0; higher = more
-    * surprising). Documents with fewer than two tokens have no bigrams
-    * and are absent from the output (nothing to score — same contract
-    * as the oracle's inner GROUP BY).
+    * `refLang` slice: `(doc_id, n_bigrams, ppx_micros)` where
+    * `ppx_micros` is the mean inverse smoothed bigram probability in
+    * millionths (≥ 1e6; higher = more surprising), kept integer so the
+    * score is bit-stable across engines. Documents with fewer than two
+    * tokens have no bigrams and are absent from the output (nothing to
+    * score — same contract as the oracle's inner GROUP BY).
     */
   def perplexityScore(spark: SparkSession, dir: String,
       refLang: String = "en"): DataFrame = {
@@ -85,15 +88,14 @@ object LangModel {
       .agg(count(lit(1)).as("tf"))
 
     corpusBg
-      .join(uni, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
       .join(bi, Seq("w1", "w2"), "left")
       .crossJoin(broadcast(vdf))
       .withColumn("ip", // inverse smoothed P(w2|w1), in millionths
         expr("((coalesce(c1, 0L) + v) * 1000000L) div (coalesce(c2, 0L) + 1L)"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_bigrams"),
-        round(sum(col("ip") * col("tf")).cast("double") /
-          (sum(col("tf")).cast("double") * 1000000.0), 6).as("ppx"))
+        expr("sum(ip * tf) div sum(tf)").as("ppx_micros"))
       .orderBy("doc_id")
   }
 }

@@ -26,7 +26,10 @@ class PlanAuditSpec extends SparkSpec {
     // q72: the brute-force side is q54's Q-row query-batch broadcast
     "q72_ivf_recall",
     // q79: the 1-row decile-cutoff broadcast
-    "q79_curriculum")
+    "q79_curriculum",
+    // q87/q88: the 1-row vocab-size / corpus-count broadcast (same
+    // pattern as q64's total); q89: the 1-row max-source-count broadcast
+    "q87_lm_perplexity", "q88_tfidf_keywords", "q89_mixture_epochs")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -172,7 +175,18 @@ class PlanAuditSpec extends SparkSpec {
     "q85_domain_cap" -> 2,
     // q86: the split label is a scan-projection expression; only the
     // output sort exchanges
-    "q86_leakage_safe_split" -> 1)
+    "q86_leakage_safe_split" -> 1,
+    // q87: the two model aggs (uni on w, bi on (w1,w2)) + the per-doc
+    // bigram-tf agg + the two model joins' probe-side re-exchanges + the
+    // final per-doc agg/sort — every exchange carries token keys and
+    // counts, never text; vocab size rides the 1-row broadcast
+    "q87_lm_perplexity" -> 6,
+    // q88: tf agg (doc_id, token) + df agg (token) + the df join's
+    // probe re-exchange + the per-doc rank window + the output sort
+    "q88_tfidf_keywords" -> 5,
+    // q89: per-source count agg (broadcast back) + the tiny factor
+    // relation's exchange + the output sort — the explode is map-side
+    "q89_mixture_epochs" -> 3)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.functions.TextFunctions.md5LongScala
+
+/** Hand-traced correctness authority for the three round-8 additions
+  * (q87 LM perplexity, q88 TF-IDF keywords, q89 mixture epochs) — the
+  * same contract BpeSpec provides for BPE: tiny literal corpora whose
+  * expected outputs are computed by hand in the comments, so a change
+  * in semantics fails here even if the DuckDB oracle drifts with it. */
+class LangModelMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a tiny documents table (full driver schema not needed — the
+    * operators only touch the columns they select). */
+  private def docsDir(rows: Seq[(String, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("lmx").toString
+    rows.toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("perplexityScore hand-trace: smoothed inverse-prob micros") {
+    // Train slice (lang=en): d1 "a b a b", d2 "a b c", d4 "a".
+    //   uni: a=4, b=3, c=1  → V=3
+    //   bi:  (a,b)=3, (b,a)=1, (b,c)=1
+    // Scored docs (all langs, ≥2 tokens): d1, d2, d3 "a b q b".
+    //   ip(w1,w2) = ((c1(w1)+V)*1e6) div (c2+1)
+    //   ip(a,b) = (4+3)e6 div 4 = 1_750_000
+    //   ip(b,a) = (3+3)e6 div 2 = 3_000_000
+    //   ip(b,c) = (3+3)e6 div 2 = 3_000_000
+    //   ip(b,q) = (3+3)e6 div 1 = 6_000_000   (unseen bigram)
+    //   ip(q,b) = (0+3)e6 div 1 = 3_000_000   (unseen w1 → c1=0)
+    // d1: (2*1_750_000 + 3_000_000) div 3 = 2_166_666, n=3
+    // d2: (1_750_000 + 3_000_000) div 2   = 2_375_000, n=2
+    // d3: (1_750_000 + 6_000_000 + 3_000_000) div 3 = 3_583_333, n=3
+    // d4: one token → no bigrams → absent.
+    val dir = docsDir(Seq(
+      ("d1", "en", "s", "a b a b"),
+      ("d2", "en", "s", "a b c"),
+      ("d3", "xx", "s", "a b q b"),
+      ("d4", "en", "s", "a")))
+    val got = LangModel.perplexityScore(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("d1", 3L, 2166666L),
+      ("d2", 2L, 2375000L),
+      ("d3", 3L, 3583333L)))
+  }
+
+  test("tfidfKeywords hand-trace: integer idf, score-desc/token-asc ties") {
+    // d1 "x x y", d2 "x z", d3 "y y y z w"; N=3.
+    //   df: x=2, y=2, z=2, w=1 → idf6: 1_500_000 each, w 3_000_000
+    // d1: x 2*1.5e6=3_000_000 rk1; y 1_500_000 rk2
+    // d2: x and z tie at 1_500_000 → token asc: x rk1, z rk2
+    // d3: y 4_500_000 rk1; w 3_000_000 rk2; z 1_500_000 rk3
+    val dir = docsDir(Seq(
+      ("d1", "en", "s", "x x y"),
+      ("d2", "en", "s", "x z"),
+      ("d3", "en", "s", "y y y z w")))
+    val got = TextAnalysis.tfidfKeywords(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("d1", "x", 3000000L, 1L), ("d1", "y", 1500000L, 2L),
+      ("d2", "x", 1500000L, 1L), ("d2", "z", 1500000L, 2L),
+      ("d3", "y", 4500000L, 1L), ("d3", "w", 3000000L, 2L),
+      ("d3", "z", 1500000L, 3L)))
+  }
+
+  test("mixtureEpochs: exact epochs when factors are integral") {
+    // A=4 docs, B=2, C=1 → maxCnt=4; factors 1, 2, 4 exactly (rem=0,
+    // so no stochastic top-up anywhere): every A doc appears once
+    // (epoch 0), B docs twice (0,1), the C doc four times (0..3).
+    val dir = docsDir(Seq(
+      ("a1", "en", "A", "t"), ("a2", "en", "A", "t"),
+      ("a3", "en", "A", "t"), ("a4", "en", "A", "t"),
+      ("b1", "en", "B", "t"), ("b2", "en", "B", "t"),
+      ("c1", "en", "C", "t")))
+    val got = Sampling.mixtureEpochs(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a1", "A", 0L), ("a2", "A", 0L), ("a3", "A", 0L), ("a4", "A", 0L),
+      ("b1", "B", 0L), ("b2", "B", 0L), ("b1", "B", 1L), ("b2", "B", 1L),
+      ("c1", "C", 0L), ("c1", "C", 1L), ("c1", "C", 2L), ("c1", "C", 3L)
+    ).sortBy(r => (r._1, r._3)))
+  }
+
+  test("mixtureEpochs: fractional factor tops up by the salted residue") {
+    // A=3, B=2 → maxCnt=3; B factor6 = 1_500_000 → 1 epoch + one extra
+    // iff md5Long("mix:" + doc_id) % 1e6 < 500_000 — reproduced here
+    // with the Scala twin of the expression, so the expected rep count
+    // per B doc is computed independently of the operator.
+    val dir = docsDir(Seq(
+      ("a1", "en", "A", "t"), ("a2", "en", "A", "t"), ("a3", "en", "A", "t"),
+      ("b1", "en", "B", "t"), ("b2", "en", "B", "t")))
+    val reps = Sampling.mixtureEpochs(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def expectedB(id: String): Long =
+      1L + (if (math.floorMod(md5LongScala(s"mix:$id"), 1000000L) < 500000L) 1L else 0L)
+    assert(reps("a1") == 1L && reps("a2") == 1L && reps("a3") == 1L)
+    assert(reps("b1") == expectedB("b1"))
+    assert(reps("b2") == expectedB("b2"))
+    // epochs are contiguous from 0 (a repeated doc's epochs are 0..r-1)
+    val byDoc = Sampling.mixtureEpochs(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    byDoc.foreach { case (id, es) =>
+      assert(es == (0L until es.size.toLong), s"$id epochs not contiguous: $es")
+    }
+  }
+}
