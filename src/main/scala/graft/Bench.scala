@@ -68,12 +68,19 @@ object Bench {
     // whole to a committed file so no reader ever depends on the log
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // the -1 failure sentinels stay visible per-query but must not
+    // pollute the headline: value/nQueries cover COMPLETED queries only,
+    // and failures are listed by name so an automation reading just the
+    // summary fields can't mistake a broken query for a fast one
+    val (ok, bad) = results.partition(_._2 >= 0.0)
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val failedList = bad.map(n => s"\"${n._1}\"").mkString("[", ",", "]")
     val heapGb = Runtime.getRuntime.maxMemory() / (1 << 30)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
         s""""runs":$runs,"fastRuns":$fastRuns,"cpus":$cpus,""" +
-        s""""heapGb":$heapGb,"nQueries":${results.size},""" +
+        s""""heapGb":$heapGb,"nQueries":${ok.size},""" +
+        s""""failed":$failedList,""" +
         s""""filtered":${only.isDefined},"queries":$qs}"""
     println(json)
     // full-suite runs only: a filtered local iteration must never
