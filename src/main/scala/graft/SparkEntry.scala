@@ -220,6 +220,14 @@ object SparkEntry {
     // q89: mixture upsampling — equal-contribution epochs per source,
     // fractional epoch via the hashSample Bernoulli rule
     "q89_mixture_epochs" -> ((s, d) => Sampling.mixtureEpochs(s, d)),
+    // q90/q91: the oracle-able split of BPE (round-8 verdict #3) — q90
+    // gates training's distributed word-count input, q91 gates the
+    // distributed encode expression under a FIXED literal merge table
+    // (the oracle replays the rank-order merge loop per word in a
+    // DuckDB recursive CTE); only the driver argmax iteration remains
+    // outside the oracle, pinned by BpeSpec
+    "q90_bpe_word_counts" -> ((s, d) => Bpe.wordCountRelation(s, d)),
+    "q91_bpe_encode_fixed" -> ((s, d) => Bpe.subtokenCountsFixed(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1770,6 +1778,58 @@ object SparkEntry {
                       CAST(unnest(range(reps)) AS BIGINT) AS epoch
                FROM d)
          ORDER BY doc_id, epoch""",
+    // q90: BPE training's distributed input relation — plain word count.
+    "q90_bpe_word_counts" ->
+      raw"""SELECT word, COUNT(*) AS cnt
+         FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                         s -> len(s) > 0)) AS word
+               FROM documents)
+         GROUP BY word ORDER BY word""",
+    // q91: replay the BPE encode loop per distinct word under the FIXED
+    // merge table (Bpe.FixedMerges as a VALUES literal): seed each word
+    // as characters with the last one carrying '</w>', then repeatedly
+    // merge the LEFTMOST occurrence of the lowest-ranked adjacent pair
+    // (equivalent to the kernel's all-occurrences-left-to-right pass:
+    // a merge can't create a new occurrence of its own pair, so
+    // re-scanning from position 1 visits the same occurrences in the
+    // same order). Lengths strictly decrease, so each word's final
+    // state is its minimum-length row.
+    "q91_bpe_encode_fixed" ->
+      raw"""WITH RECURSIVE
+         m(rk, l, r) AS (VALUES
+           (0,'j','o'),(1,'jo','i'),(2,'joi','n</w>'),(3,'a','n'),
+           (4,'h','a'),(5,'s','h'),(6,'r','o'),(7,'o','w</w>'),
+           (8,'ro','w</w>'),(9,'l','o'),(10,'s','lo')),
+         t AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             s -> len(s) > 0) AS toks
+               FROM documents),
+         w AS (SELECT DISTINCT unnest(toks) AS word FROM t),
+         enc AS (
+           SELECT word,
+                  list_transform(range(1, len(word) + 1),
+                    i -> substr(word, CAST(i AS INT), 1) ||
+                         CASE WHEN i = len(word) THEN '</w>' ELSE '' END)
+                    AS syms
+           FROM w
+           UNION ALL
+           SELECT e.word,
+                  e.syms[:p.pos-1] || [e.syms[p.pos] || e.syms[p.pos+1]]
+                    || e.syms[p.pos+2:] AS syms
+           FROM enc e, LATERAL (
+             SELECT CAST(u.i AS INT) AS pos
+             FROM unnest(range(1, len(e.syms))) AS u(i)
+             JOIN m ON m.l = e.syms[u.i] AND m.r = e.syms[u.i + 1]
+             ORDER BY m.rk, u.i LIMIT 1) p),
+         c AS (SELECT word, MIN(len(syms)) AS n_sub FROM enc GROUP BY word),
+         occ AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         s AS (SELECT doc_id, COUNT(*) AS n_words, SUM(n_sub) AS n_bpe
+               FROM occ JOIN c USING (word) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
+                CAST(COALESCE(s.n_bpe, 0) AS BIGINT) AS n_bpe
+         FROM documents d LEFT JOIN s USING (doc_id)
+         ORDER BY doc_id""",
   )
 
   // Shared CTE chain for the boilerplate-chunk pipeline (q83/q84):

@@ -111,6 +111,44 @@ object Bpe {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** q90: the distributed training input as a gated relation — exact
+    * (word, cnt), ordered. This is the only shuffle in BPE training, so
+    * oracle-checking it (plain GROUP BY) leaves just the driver argmax
+    * loop outside the oracle, and that loop is pinned by BpeSpec's
+    * hand-traces. */
+  def wordCountRelation(spark: SparkSession, dir: String): DataFrame =
+    wordCounts(Tables.documents(spark, dir))
+      .orderBy("word")
+
+  /** Fixed merge table for the oracle-checkable encode gate (q91): an
+    * arbitrary literal vocabulary (NOT trained — trained merges aren't
+    * SQL-derivable) chosen to exercise every encode behavior on the
+    * corpus: rank precedence (r+o fires before o+w</w> in "row"),
+    * cascaded merges ((r,o) then (ro,w</w>) collapses "row" to one
+    * token; (l,o) then (s,lo) for "slow"), the end-of-word marker
+    * blocking mid-word pairs ((s,h) cannot bind the final h</w> of
+    * "hash"), and multi-step chains (j→jo→joi→join</w>). */
+  val FixedMerges: Seq[(String, String)] = Seq(
+    "j" -> "o", "jo" -> "i", "joi" -> "n</w>",
+    "a" -> "n", "h" -> "a", "s" -> "h",
+    "r" -> "o", "o" -> "w</w>", "ro" -> "w</w>",
+    "l" -> "o", "s" -> "lo")
+
+  /** q91: per-document subword accounting under a FIXED merge table —
+    * the same distributed encode expression q81 uses, but with the
+    * merges passed as a literal so a SQL oracle can replay the
+    * rank-order merge loop per word (DuckDB recursive CTE) and check
+    * the counts exactly. Gating this + q90 gates every distributed
+    * stage of BPE; only the driver argmax iteration stays spec-pinned. */
+  def subtokenCountsFixed(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)] = FixedMerges): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_words"),
+        size(org.apache.spark.sql.graft.TextExpressions
+          .bpeEncode(col("text"), merges)).cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+
   /** q81: per-document subword accounting under the learned vocabulary
     * — the token budget a trained tokenizer would actually produce
     * (n_bpe ≥ n_words: every word is ≥ 1 subword). Encoding is the

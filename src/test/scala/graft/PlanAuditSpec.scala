@@ -186,7 +186,10 @@ class PlanAuditSpec extends SparkSpec {
     "q88_tfidf_keywords" -> 5,
     // q89: per-source count agg (broadcast back) + the tiny factor
     // relation's exchange + the output sort — the explode is map-side
-    "q89_mixture_epochs" -> 3)
+    "q89_mixture_epochs" -> 3,
+    // q90: the word-count agg + the output sort (training's only
+    // distributed stage); q91: map-only native encode, sort only
+    "q90_bpe_word_counts" -> 2, "q91_bpe_encode_fixed" -> 1)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -55,6 +55,22 @@ class BpeSpec extends SparkSpec {
     assert(unseen.mkString("") == "lowest</w>")
   }
 
+  test("fixed-merge encode hand-trace (the q91 oracle's semantics)") {
+    // Under Bpe.FixedMerges: "join" chains j→jo→joi→join</w> (1 token);
+    // "row" cascades (r,o) then (ro,w</w>) (1); "slow" [s,l,o,w</w>]:
+    // the RANK-7 (o,w</w>) beats the rank-9 (l,o) → [s,l,ow</w>] (3);
+    // "hash" merges (h,a) but (s,h) can't bind the final h</w> (3);
+    // "order" matches nothing (5). The empty doc exercises the
+    // zero-word row (n_words = n_bpe = 0).
+    val dir = java.nio.file.Files.createTempDirectory("bpefix").toString
+    Seq(("d1", "join row"), ("d2", "slow hash order"), ("d3", ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Bpe.subtokenCountsFixed(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("d1", 2L, 2L), ("d2", 3L, 11L), ("d3", 0L, 0L)))
+  }
+
   test("distributed encode: roundtrip, determinism, and count bounds") {
     val sf = "/root/testdata/sf0.001"
     val merges = Bpe.train(spark, sf, numMerges = 30)
