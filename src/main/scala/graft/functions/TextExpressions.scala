@@ -43,6 +43,69 @@ private[graft] object TextKernel {
     while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
     v >>> 4
   }
+
+  // ---- byte-level path (the hashed-shingle kernels) -------------------
+  //
+  // The hashed kernels never need the shingle STRING — only its md5.
+  // md5(shingle.getBytes(UTF_8)) == md5 of the member tokens' UTF-8
+  // byte regions fed through MessageDigest.update with a 0x20 between,
+  // so the kernels below tokenize the row's UTF-8 bytes ONCE (offsets +
+  // lengths, no String or byte copies) and digest regions directly:
+  // zero intermediate Strings, zero concatenation buffers, same hashes.
+  //
+  // Byte-exactness of the tokenizer: Java's `\s` is ASCII-only
+  // ([ \t\n\x0B\f\r]), every member is a single UTF-8 byte < 0x80, and
+  // UTF-8 continuation/lead bytes are all >= 0x80 — so scanning raw
+  // bytes for that set splits exactly where `toString.split("\\s+")`
+  // does, for any Unicode content.
+
+  /** Token byte-ranges of one row: parallel (starts, lens), n valid. */
+  final class Tokens(val starts: Array[Int], val lens: Array[Int],
+      val n: Int)
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def tokenize(bytes: Array[Byte]): Tokens = {
+    var cap = 8
+    var starts = new Array[Int](cap)
+    var lens = new Array[Int](cap)
+    var n = 0
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        val s = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        if (n == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          lens = java.util.Arrays.copyOf(lens, cap)
+        }
+        starts(n) = s; lens(n) = i - s; n += 1
+      }
+    }
+    new Tokens(starts, lens, n)
+  }
+
+  /** md5-60 of the `k` tokens starting at token `t`, space-joined —
+    * byte-exact twin of `md5Long60(toks.slice(t, t+k).mkString(" "))`.
+    * `k` may be 0 (the empty-text fallback shingle: md5 of ""). */
+  def hashGram(bytes: Array[Byte], tk: Tokens, t: Int, k: Int): Long = {
+    val d = digest.get(); d.reset()
+    var j = 0
+    while (j < k) {
+      if (j > 0) d.update(0x20.toByte)
+      d.update(bytes, tk.starts(t + j), tk.lens(t + j))
+      j += 1
+    }
+    val b = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 }
 
 /** Native k-word distinct shingle set: array<string>. Replaces the
@@ -78,12 +141,31 @@ case class ShingleHashSet(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash_set"
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val sh = TextKernel.distinctShingles(text, k)
-    val out = new Array[Long](sh.length)
-    var i = 0
-    while (i < sh.length) { out(i) = TextKernel.md5Long60(sh(i)); i += 1 }
-    new GenericArrayData(out)
+    // byte-level path: tokenize the UTF-8 bytes once, digest each
+    // shingle's token REGIONS (no shingle Strings), dedup on the hash
+    // itself in first-occurrence order. Dedup-by-hash equals the old
+    // dedup-by-string except when two distinct shingles of ONE doc
+    // collide in 60-bit space (2^-60) — and since every consumer treats
+    // the values as shingle identities (and the sorted-merge verify
+    // kernel requires duplicate-free sets), collapsing a collision here
+    // is the more consistent behavior, not a divergence.
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tk = TextKernel.tokenize(bytes)
+    if (tk.n < k)
+      new GenericArrayData(Array(TextKernel.hashGram(bytes, tk, 0, tk.n)))
+    else {
+      val nSh = tk.n - k + 1
+      val seen = new java.util.HashSet[java.lang.Long](nSh * 2)
+      val out = new Array[Long](nSh)
+      var m = 0
+      var i = 0
+      while (i < nSh) {
+        val h = TextKernel.hashGram(bytes, tk, i, k)
+        if (seen.add(h)) { out(m) = h; m += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, m))
+    }
   }
   override protected def withNewChildInternal(c: Expression): ShingleHashSet =
     copy(child = c)
@@ -101,12 +183,19 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+    // byte-level path, and NO dedup: `min` is idempotent, so feeding a
+    // repeated shingle's base through the permutations a second time
+    // cannot change any signature slot — the old distinct-then-hash
+    // pass bought nothing here. Each shingle is hashed straight off the
+    // token byte regions (zero intermediate Strings).
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tk = TextKernel.tokenize(bytes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    val shingles = TextKernel.distinctShingles(text, k)
+    val nSh = if (tk.n < k) 1 else tk.n - k + 1
+    val kk = if (tk.n < k) tk.n else k
     var s = 0
-    while (s < shingles.length) {
-      val base = TextKernel.md5Long60(shingles(s)) % MinHashP
+    while (s < nSh) {
+      val base = TextKernel.hashGram(bytes, tk, s, kk) % MinHashP
       var j = 0
       while (j < numHashes) {
         val h = (as(j) * base + bs(j)) % MinHashP
@@ -135,23 +224,18 @@ case class GramHashes(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gram_hashes"
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.split("\\s+").filter(_.nonEmpty)
-    val n = toks.length - k + 1
+    // byte-level path: each positional gram digests its token byte
+    // regions directly — the old StringBuilder + toString per gram
+    // existed only to be hashed.
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tk = TextKernel.tokenize(bytes)
+    val n = tk.n - k + 1
     if (n <= 0) new GenericArrayData(Array.emptyLongArray)
     else {
       val out = new Array[Long](n)
-      val sb = new java.lang.StringBuilder
       var i = 0
       while (i < n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        out(i) = TextKernel.md5Long60(sb.toString)
+        out(i) = TextKernel.hashGram(bytes, tk, i, k)
         i += 1
       }
       new GenericArrayData(out)

@@ -192,6 +192,51 @@ class DedupSimilaritySpec extends SparkSpec {
     cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("byte-path hashed kernels: unicode and whitespace edges match composed") {
+    // the byte-level tokenizer must split exactly where Java's \s+ does
+    // on multi-byte UTF-8 (continuation bytes >= 0x80 can't alias ASCII
+    // whitespace), and the <k / empty fallbacks must hash the same
+    // joined form — pinned against the composed column twins per row
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.graft.TextExpressions
+    import spark.implicits._
+    val rows = Seq(
+      "héllo wörld héllo wörld naïve ß中文 emoji🙂 tail",
+      " \t leading  and\ttrailing \n spaces  mixed \f ws \r here ",
+      "",
+      "   \t  ",
+      "one",
+      "two toks",
+      "中文 字 符 串 中文 字 符 串 中文 字",
+      "a b a b a b a b")
+    val cmp = rows.toDF("text").select(
+      transform(array_distinct(TextFunctions.shingles(col("text"), 3)),
+        s => TextFunctions.md5Long(s)).as("hs_composed"),
+      TextExpressions.shingleHashSet(col("text"), 3).as("hs_native"),
+      TextFunctions.minHashSignature(col("text"), 3, 8).as("mh_composed"),
+      TextExpressions.minHashSig(col("text"), 3, 8).as("mh_native"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"shingle hashes diverged: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3),
+        s"minhash diverged: ${r.getSeq[Long](2)} vs ${r.getSeq[Long](3)}")
+    }
+    // positional grams on the same edge rows (no fallback: short rows
+    // must yield empty arrays on both sides)
+    val toks = col("toks")
+    val composedGrams = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => TextFunctions.md5Long(concat_ws(" ", slice(toks, i + 1, lit(3))))))
+      .otherwise(array().cast("array<long>"))
+    rows.toDF("text")
+      .select(col("text"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(composedGrams.as("g_composed"),
+        TextExpressions.gramHashes(col("text"), 3).as("g_native"))
+      .collect()
+      .foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("native simhash expression matches the composed form bitwise") {
     import graft.functions.TextFunctions
     import org.apache.spark.sql.graft.TextExpressions
