@@ -386,6 +386,56 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = c)
 }
 
+/** Map-side bigram-LM perplexity proxy — the STREAMING/serving twin of
+  * the join-based batch scorer (`graft.operators.LangModel
+  * .perplexityScore`, q87). The model (unigram counts, bigram counts
+  * keyed `"w1 w2"`, vocab size) ships inside the serialized expression
+  * once per executor (the [[BpeEncode]] constructor-param pattern) —
+  * the CCNet production shape, where the trained model is distributed
+  * to workers and scoring is embarrassingly parallel. Integer
+  * arithmetic is IDENTICAL to the batch scorer: summing the per-
+  * position inverse probabilities equals summing per-distinct-bigram
+  * `ip * tf`, so both paths agree bit-for-bit (spec-pinned). Returns
+  * NULL for docs with fewer than two tokens (nothing to score — the
+  * batch scorer omits those rows). */
+case class PerplexityMicros(child: Expression, uni: Map[String, Long],
+    bi: Map[String, Long], v: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "perplexity_micros"
+  @transient private lazy val jUni = {
+    val m = new java.util.HashMap[String, java.lang.Long](uni.size * 2)
+    uni.foreach { case (k, c) => m.put(k, c) }
+    m
+  }
+  @transient private lazy val jBi = {
+    val m = new java.util.HashMap[String, java.lang.Long](bi.size * 2)
+    bi.foreach { case (k, c) => m.put(k, c) }
+    m
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 2) null
+    else {
+      var sum = 0L
+      var i = 0
+      while (i < toks.length - 1) {
+        val c1 = jUni.get(toks(i))
+        val c2 = jBi.get(toks(i) + " " + toks(i + 1))
+        val c1v = if (c1 == null) 0L else c1.longValue()
+        val c2v = if (c2 == null) 0L else c2.longValue()
+        sum += ((c1v + v) * 1000000L) / (c2v + 1L)
+        i += 1
+      }
+      sum / (toks.length - 1L)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : PerplexityMicros = copy(child = c)
+}
+
 /** Membership of a Long key in a STATIC sorted set — binary search over
   * a long[] that ships INSIDE the serialized expression once per
   * executor (the [[BpeEncode]] constructor-param pattern), with full
@@ -438,4 +488,8 @@ object TextExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def perplexityMicros(text: Column, uni: Map[String, Long],
+      bi: Map[String, Long], v: Long): Column =
+    ExpressionUtils.column(
+      PerplexityMicros(ExpressionUtils.expression(text), uni, bi, v))
 }

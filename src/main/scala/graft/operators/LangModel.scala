@@ -52,6 +52,66 @@ object LangModel {
       slice(toks, lit(2), size(toks) - 1),
       (a, b) => struct(a.as("w1"), b.as("w2")))
 
+  /** A collected bigram model for MAP-SIDE scoring (the streaming /
+    * serving twin of the q87 join plan): unigram counts, bigram counts
+    * keyed `"w1 w2"` (tokens cannot contain whitespace, so the join is
+    * injective), and the vocab size. Bounded by [[trainModel]]'s caps —
+    * the CCNet deployment shape, where the trained reference model is a
+    * fixed artifact shipped to workers. */
+  final case class BigramModel(uni: Map[String, Long],
+      bi: Map[String, Long], v: Long)
+
+  /** Train a [[BigramModel]] by collecting the model tables under loud
+    * caps. The caps are a CONTRACT, not a truncation: silently dropping
+    * tail bigrams would change scores, so an over-cap reference fails
+    * with instructions to use the join-based batch scorer (whose model
+    * tables never leave the cluster) or shrink the reference slice.
+    * Wikipedia-scale references fit comfortably (~10⁷ unigrams / ~10⁸
+    * bigrams of a few tens of bytes each is single-digit GB — the same
+    * order as the KenLM artifacts CCNet ships to every worker). */
+  def trainModel(spark: SparkSession, dir: String, refLang: String = "en",
+      maxUnigrams: Int = 10000000, maxBigrams: Int = 50000000)
+      : BigramModel = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), tokens(col("text")).as("toks"))
+    val (uni, bi) = modelTables(docs.filter(col("lang") === refLang))
+    val uniRows = uni.limit(maxUnigrams + 1).collect()
+    require(uniRows.length <= maxUnigrams,
+      s"reference vocabulary exceeds maxUnigrams=$maxUnigrams: use the " +
+        "join-based LangModel.perplexityScore or a smaller reference")
+    val biRows = bi.limit(maxBigrams + 1).collect()
+    require(biRows.length <= maxBigrams,
+      s"reference bigram table exceeds maxBigrams=$maxBigrams: use the " +
+        "join-based LangModel.perplexityScore or a smaller reference")
+    BigramModel(
+      uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      biRows.map(r => s"${r.getString(0)} ${r.getString(1)}" -> r.getLong(2))
+        .toMap,
+      uniRows.length.toLong)
+  }
+
+  /** Map-only score column under a collected model — bit-identical to
+    * the q87 join plan (summing per-position inverse probabilities
+    * equals summing per-distinct-bigram ip·tf; integer div). NULL for
+    * docs with fewer than two tokens. */
+  def scoreColumn(model: BigramModel, text: Column): Column =
+    org.apache.spark.sql.graft.TextExpressions
+      .perplexityMicros(text, model.uni, model.bi, model.v)
+
+  /** The model tables of the (already filtered) reference slice:
+    * (`uni(w, c1)`, `bi(w1, w2, c2)`). */
+  private def modelTables(train: DataFrame): (DataFrame, DataFrame) = {
+    val uni = train
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = train
+      .filter(size(col("toks")) > 1)
+      .select(explode(bigramsOf(col("toks"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    (uni, bi)
+  }
+
   /** Per-document perplexity proxy under a bigram model trained on the
     * `refLang` slice: `(doc_id, n_bigrams, ppx_micros)` where
     * `ppx_micros` is the mean inverse smoothed bigram probability in
@@ -68,16 +128,8 @@ object LangModel {
     // Model tables from the trusted slice. `c1` counts every occurrence
     // of the token in the reference (plain unigram frequency, documented
     // choice — not just context positions); V is the distinct vocab.
-    val train = docs.filter(col("lang") === refLang)
-    val uni = train
-      .select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val (uni, bi) = modelTables(docs.filter(col("lang") === refLang))
     val vdf = uni.agg(count(lit(1)).as("v")) // 1 row — broadcast scalar
-    val bi = train
-      .filter(size(col("toks")) > 1)
-      .select(explode(bigramsOf(col("toks"))).as("bg"))
-      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .agg(count(lit(1)).as("c2"))
 
     // Scored side: per-doc distinct bigrams with tf (map-side combine
     // shrinks the join input to distinct bigrams, not token positions).

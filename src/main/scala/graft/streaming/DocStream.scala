@@ -36,18 +36,39 @@ object DocStream {
     * dedup state or the stored corpus, and two documents differing only
     * in their PII (same form letter, different phone number) carry the
     * same fingerprint and dedupe to one. Map-only, rides the same scan
-    * stage as the gate. */
+    * stage as the gate.
+    *
+    * `ppxModel` adds the CCNet-style perplexity gate as a second
+    * quality signal: the model is TRAINED ONCE on a trusted reference
+    * ([[graft.operators.LangModel.trainModel]] — refresh it per corpus
+    * epoch by restarting the query with a new model, like any broadcast
+    * dim) and scoring is map-only under the broadcast model, composing
+    * exactly like the PII scrub. A doc is dropped when its score
+    * EXCEEDS `maxPpxMicros` (too surprising under the reference);
+    * unscoreable docs (<2 tokens, NULL score) pass — length is the
+    * quality gate's jurisdiction, not the LM's. */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
-      watermark: String = "24 hours", scrubPii: Boolean = false): DataFrame =
-    (if (scrubPii)
-       docs.withColumn("text", graft.operators.Pii.redactText(col("text")))
-     else docs)
-      .withColumn("quality", qualityScore(col("text")))
-      .where(col("quality") >= minQuality)
+      watermark: String = "24 hours", scrubPii: Boolean = false,
+      ppxModel: Option[graft.operators.LangModel.BigramModel] = None,
+      maxPpxMicros: Long = Long.MaxValue): DataFrame = {
+    val gated =
+      (if (scrubPii)
+         docs.withColumn("text", graft.operators.Pii.redactText(col("text")))
+       else docs)
+        .withColumn("quality", qualityScore(col("text")))
+        .where(col("quality") >= minQuality)
+    ppxModel.fold(gated) { m =>
+        gated
+          .withColumn("ppx_micros",
+            graft.operators.LangModel.scoreColumn(m, col("text")))
+          .where(col("ppx_micros").isNull ||
+            col("ppx_micros") <= maxPpxMicros)
+      }
       .withColumn("fp", fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+  }
 
   /** outDir (canonical) → owner tag for [[incrementalDedupSinkEachBatch]]:
     * `query:<streaming-query-id>` when invoked from a stream execution

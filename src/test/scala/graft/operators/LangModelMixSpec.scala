@@ -50,6 +50,25 @@ class LangModelMixSpec extends SparkSpec {
       ("d3", 3L, 3583333L)))
   }
 
+  test("map-side scorer under trainModel matches the join-based q87 plan") {
+    // the streaming gate's broadcast-model expression must agree
+    // BIT-FOR-BIT with the batch join plan on a real corpus: same
+    // integer formula, per-position sum == per-distinct-bigram ip·tf
+    val model = LangModel.trainModel(spark, sf)
+    val mapSide = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        LangModel.scoreColumn(model,
+          org.apache.spark.sql.functions.col("text")).as("ppx_micros"))
+      .where(org.apache.spark.sql.functions.col("ppx_micros").isNotNull)
+      .as[(String, Long)].collect().toMap
+    val joined = LangModel.perplexityScore(spark, sf)
+      .select("doc_id", "ppx_micros")
+      .as[(String, Long)].collect().toMap
+    assert(mapSide.nonEmpty && mapSide == joined,
+      s"map-side scorer diverged from the join plan " +
+        s"(${mapSide.size} vs ${joined.size} rows)")
+  }
+
   test("tfidfKeywords hand-trace: integer idf, score-desc/token-asc ties") {
     // d1 "x x y", d2 "x z", d3 "y y y z w"; N=3.
     //   df: x=2, y=2, z=2, w=1 → idf6: 1_500_000 each, w 3_000_000

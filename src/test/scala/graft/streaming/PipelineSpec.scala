@@ -135,6 +135,65 @@ class PipelineSpec extends SparkSpec {
     assert(epochs.size > 1, s"expected multiple epoch partitions: $epochs")
   } }
 
+  test("curate(ppxModel): LM gate drops surprising text, equals the " +
+      "batch filter") {
+    import graft.operators.LangModel
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def doc(n: Int) =
+      s"the story number $n of the sea and the wind is told again here"
+    // trusted reference slice → train-once broadcast model
+    val base = Files.createTempDirectory("ppx").toString
+    (1 to 5).map(n => (n.toLong, "en", doc(n)))
+      .toDF("doc_id", "lang", "text")
+      .write.parquet(s"$base/ref/documents.parquet")
+    val model = LangModel.trainModel(spark, s"$base/ref")
+
+    // same words → same quality score; only the bigram ORDER differs,
+    // which is exactly the signal the LM gate adds over the quality gate
+    val fluent = doc(9)
+    val scrambled =
+      "sea the of wind and number the 9 story told is again here the"
+    val scores = Seq(fluent, scrambled).toDF("text")
+      .select(LangModel.scoreColumn(model, col("text")))
+      .as[Long].collect()
+    assert(scores(0) < scores(1),
+      s"scrambled text must score as more surprising: ${scores.toSeq}")
+    val thr = (scores(0) + scores(1)) / 2
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocStream.curate(mem.toDF().toDF("doc_id", "text", "ts"),
+        minQuality = 0.5, watermark = "10 minutes",
+        ppxModel = Some(model), maxPpxMicros = thr)
+      .writeStream.format("memory").queryName("ppx_curated")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, fluent, t("2024-01-01 10:00:00")),
+      (2L, scrambled, t("2024-01-01 10:01:00")),
+      (3L, doc(2), t("2024-01-01 10:02:00")), // exact reference phrasing
+      (4L, "xyzzy", t("2024-01-01 10:03:00"))) // quality-gated before LM
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ppx_curated").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"got $got")
+
+    // pinned equal to the one-shot batch pipeline (gate order and all)
+    val all = Seq(
+      (1L, fluent, t("2024-01-01 10:00:00")),
+      (2L, scrambled, t("2024-01-01 10:01:00")),
+      (3L, doc(2), t("2024-01-01 10:02:00")),
+      (4L, "xyzzy", t("2024-01-01 10:03:00"))).toDF("doc_id", "text", "ts")
+    val batchIds = all
+      .where(qualityScore(col("text")) >= 0.5)
+      .withColumn("p", LangModel.scoreColumn(model, col("text")))
+      .where(col("p").isNull || col("p") <= thr)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("rn") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == batchIds, s"streaming $got != batch $batchIds")
+  }
+
   test("curate(scrubPii): PII never reaches state; PII-only variants " +
       "dedupe to one") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
