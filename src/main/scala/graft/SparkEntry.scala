@@ -228,6 +228,12 @@ object SparkEntry {
     // outside the oracle, pinned by BpeSpec
     "q90_bpe_word_counts" -> ((s, d) => Bpe.wordCountRelation(s, d)),
     "q91_bpe_encode_fixed" -> ((s, d) => Bpe.subtokenCountsFixed(s, d)),
+    // q92: C4-style token blocklist accounting — map-only native
+    // counter over a fixed banned-identity set
+    "q92_blocklist_scan" -> ((s, d) => TextAnalysis.blocklistScan(s, d)),
+    // q93: tokenizer fertility per language under the fixed BPE vocab
+    "q93_tokenizer_fertility" ->
+      ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1795,12 +1801,65 @@ object SparkEntry {
     // same order). Lengths strictly decrease, so each word's final
     // state is its minimum-length row.
     "q91_bpe_encode_fixed" ->
-      raw"""WITH RECURSIVE
+      raw"""$bpeEncodeCtes,
+         occ AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         s AS (SELECT doc_id, COUNT(*) AS n_words, SUM(n_sub) AS n_bpe
+               FROM occ JOIN c USING (word) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
+                CAST(COALESCE(s.n_bpe, 0) AS BIGINT) AS n_bpe
+         FROM documents d LEFT JOIN s USING (doc_id)
+         ORDER BY doc_id""",
+    // q92: token-level blocklist accounting; hash-identity probing on
+    // the Spark side is injective up to md5-60 collisions, so the
+    // string-membership oracle verifies it unchanged.
+    "q92_blocklist_scan" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(toks, s -> list_contains(
+                    ['slow', 'merge', 'zzz-absent'], s))) AS BIGINT)
+                    AS n_banned
+           FROM t)
+         SELECT doc_id, n_tokens, n_banned,
+                CAST(CASE WHEN n_banned = 0 THEN 1 ELSE 0 END AS BIGINT)
+                  AS keep
+         FROM b ORDER BY doc_id""",
+    // q93: per-language fertility under the same fixed merge table —
+    // the q91 encode CTE grouped by the lang dimension.
+    "q93_tokenizer_fertility" ->
+      raw"""$bpeEncodeCtes,
+         occ AS (SELECT lang, unnest(toks) AS word FROM t),
+         s AS (SELECT lang, COUNT(*) AS n_words, SUM(n_sub) AS n_bpe
+               FROM occ JOIN c USING (word) GROUP BY lang)
+         SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_bpe AS BIGINT) AS n_bpe,
+                CAST((n_bpe * 1000000) // n_words AS BIGINT)
+                  AS fertility_micros
+         FROM s ORDER BY lang""",
+  )
+
+  /** Shared CTE chain for the fixed-merge BPE oracles (q91/q93): the
+    * merge table (Bpe.FixedMerges as a VALUES literal), tokenized docs
+    * `t(doc_id, lang, toks)`, and the recursive per-word encode ending
+    * in `c(word, n_sub)` — each word seeded as characters with the last
+    * carrying '</w>', then repeatedly merging the LEFTMOST occurrence
+    * of the lowest-ranked adjacent pair (equivalent to the kernel's
+    * all-occurrences-left-to-right pass: a merge can't create a new
+    * occurrence of its own pair, so re-scanning from position 1 visits
+    * the same occurrences in the same order). Lengths strictly
+    * decrease, so each word's final state is its minimum-length row. */
+  private def bpeEncodeCtes: String =
+    raw"""WITH RECURSIVE
          m(rk, l, r) AS (VALUES
            (0,'j','o'),(1,'jo','i'),(2,'joi','n</w>'),(3,'a','n'),
            (4,'h','a'),(5,'s','h'),(6,'r','o'),(7,'o','w</w>'),
            (8,'ro','w</w>'),(9,'l','o'),(10,'s','lo')),
-         t AS (SELECT doc_id,
+         t AS (SELECT doc_id, lang,
                  list_filter(regexp_split_to_array(text, '\s+'),
                              s -> len(s) > 0) AS toks
                FROM documents),
@@ -1821,16 +1880,7 @@ object SparkEntry {
              FROM unnest(range(1, len(e.syms))) AS u(i)
              JOIN m ON m.l = e.syms[u.i] AND m.r = e.syms[u.i + 1]
              ORDER BY m.rk, u.i LIMIT 1) p),
-         c AS (SELECT word, MIN(len(syms)) AS n_sub FROM enc GROUP BY word),
-         occ AS (SELECT doc_id, unnest(toks) AS word FROM t),
-         s AS (SELECT doc_id, COUNT(*) AS n_words, SUM(n_sub) AS n_bpe
-               FROM occ JOIN c USING (word) GROUP BY doc_id)
-         SELECT d.doc_id,
-                CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
-                CAST(COALESCE(s.n_bpe, 0) AS BIGINT) AS n_bpe
-         FROM documents d LEFT JOIN s USING (doc_id)
-         ORDER BY doc_id""",
-  )
+         c AS (SELECT word, MIN(len(syms)) AS n_sub FROM enc GROUP BY word)"""
 
   // Shared CTE chain for the boilerplate-chunk pipeline (q83/q84):
   // whitespace tokens → aligned 10-token windows, 0-based chunk index.

@@ -386,6 +386,37 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = c)
 }
 
+/** Count of tokens whose md5-60 identity is in a STATIC sorted ban
+  * set — the scan kernel of the blocklist filter (q92). Reuses the
+  * byte-level tokenizer ([[TextKernel.tokenize]]) and per-token region
+  * hashing, probes with binary search over a long[] that ships inside
+  * the serialized expression ([[SortedLongSetContains]] pattern):
+  * map-only, no explode, no broadcast join — the banned set is an
+  * artifact like the BPE merge table. Hash-identity probing is exact
+  * up to md5-60 collisions (2^-60), same contract as every hashed
+  * kernel here. */
+case class BannedTokenCount(child: Expression, set: IndexedSeq[Long])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "banned_token_count"
+  @transient private lazy val arr: Array[Long] = set.toArray
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tk = TextKernel.tokenize(bytes)
+    var n = 0L
+    var i = 0
+    while (i < tk.n) {
+      if (java.util.Arrays.binarySearch(arr,
+          TextKernel.hashGram(bytes, tk, i, 1)) >= 0) n += 1
+      i += 1
+    }
+    n
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : BannedTokenCount = copy(child = c)
+}
+
 /** Map-side bigram-LM perplexity proxy — the STREAMING/serving twin of
   * the join-based batch scorer (`graft.operators.LangModel
   * .perplexityScore`, q87). The model (unigram counts, bigram counts
@@ -492,4 +523,7 @@ object TextExpressions {
       bi: Map[String, Long], v: Long): Column =
     ExpressionUtils.column(
       PerplexityMicros(ExpressionUtils.expression(text), uni, bi, v))
+  def bannedTokenCount(text: Column, set: IndexedSeq[Long]): Column =
+    ExpressionUtils.column(
+      BannedTokenCount(ExpressionUtils.expression(text), set))
 }

@@ -193,4 +193,54 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("score"), col("rk"))
       .orderBy("doc_id", "rk")
   }
+
+  /** Corpus stand-in blocklist for the gated q92 run — the REAL list is
+    * a user-supplied artifact (C4 shipped a public "bad words" list);
+    * these are arbitrary vocabulary members (plus a guaranteed miss) so
+    * the gate exercises both hit and miss paths on the test corpus. */
+  val DefaultBlocklist: Seq[String] = Seq("slow", "merge", "zzz-absent")
+
+  /** q92: C4-style token blocklist accounting (Raffel et al. 2020 §2.2
+    * drop documents containing any banned word; no reference-repo
+    * counterpart — north-star extension): per doc, total tokens, banned
+    * tokens, and the C4 keep flag (`n_banned == 0`). Map-only: the
+    * banned set ships inside the native counting expression as sorted
+    * md5-60 identities (binary-search probe per token, byte-level
+    * tokenizer, no explode/join) — at 100 TB the scan IS the cost and
+    * the list is a fixed artifact, exactly like the BPE merge table.
+    * Emitting counts rather than dropping keeps the operator composable
+    * (threshold policies — any-hit, ratio — are one `where` on top). */
+  def blocklistScan(spark: SparkSession, dir: String,
+      terms: Seq[String] = DefaultBlocklist): DataFrame = {
+    val set = terms.distinct.map(md5LongScala).sorted.toIndexedSeq
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        org.apache.spark.sql.graft.TextExpressions
+          .bannedTokenCount(col("text"), set).as("n_banned"))
+      .withColumn("keep",
+        when(col("n_banned") === 0L, lit(1L)).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  /** q93: tokenizer fertility per language — subwords emitted per word
+    * under a fixed vocabulary, the metric tokenizer/mixture analyses
+    * report per language (public: BLOOM and XLM tokenizer-fairness
+    * studies; a language whose fertility is 2× pays 2× the sequence
+    * budget for the same content, which feeds directly into mixture
+    * weights). Composes the q91 fixed-merge encode with the stored
+    * `lang` dimension: map-only per-doc counts → one tiny per-lang
+    * aggregate; fixed-point micros division keeps it engine-exact. */
+  def tokenizerFertility(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)] = Bpe.FixedMerges): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        tokenCount(col("text")).cast("long").as("n_words"),
+        size(org.apache.spark.sql.graft.TextExpressions
+          .bpeEncode(col("text"), merges)).cast("long").as("n_bpe"))
+      .groupBy("lang")
+      .agg(sum("n_words").as("n_words"), sum("n_bpe").as("n_bpe"))
+      .withColumn("fertility_micros",
+        expr("(n_bpe * 1000000L) div n_words"))
+      .orderBy("lang")
 }

@@ -189,7 +189,10 @@ class PlanAuditSpec extends SparkSpec {
     "q89_mixture_epochs" -> 3,
     // q90: the word-count agg + the output sort (training's only
     // distributed stage); q91: map-only native encode, sort only
-    "q90_bpe_word_counts" -> 2, "q91_bpe_encode_fixed" -> 1)
+    "q90_bpe_word_counts" -> 2, "q91_bpe_encode_fixed" -> 1,
+    // q92: map-only blocklist counter, sort only; q93: the tiny
+    // per-lang agg + sort — the encode counts are scan projections
+    "q92_blocklist_scan" -> 1, "q93_tokenizer_fertility" -> 2)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

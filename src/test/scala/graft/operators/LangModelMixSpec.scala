@@ -88,6 +88,36 @@ class LangModelMixSpec extends SparkSpec {
       ("d3", "z", 1500000L, 3L)))
   }
 
+  test("blocklistScan hand-trace: hit counts and the C4 keep flag") {
+    // terms {slow, merge, zzz}: d1 has two hits → dropped under the
+    // any-hit policy; d2 clean; d3 empty (0 tokens, trivially clean)
+    val dir = docsDir(Seq(
+      ("d1", "en", "s", "slow merge fast"),
+      ("d2", "en", "s", "fast ok"),
+      ("d3", "en", "s", "")))
+    val got = TextAnalysis
+      .blocklistScan(spark, dir, terms = Seq("slow", "merge", "zzz"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("d1", 3L, 2L, 0L), ("d2", 2L, 0L, 1L), ("d3", 0L, 0L, 1L)))
+  }
+
+  test("tokenizerFertility hand-trace: per-lang micros under FixedMerges") {
+    // Under Bpe.FixedMerges (see BpeSpec): join→1 subtoken, row→1,
+    // hash→3, slow→3, order→5.
+    // en: "join row" (2w, 2sub) + "hash" (1w, 3sub) → 5e6 div 3
+    // xx: "slow order" (2w, 3+5 sub)               → 8e6 div 2
+    val dir = docsDir(Seq(
+      ("d1", "en", "s", "join row"),
+      ("d2", "en", "s", "hash"),
+      ("d3", "xx", "s", "slow order")))
+    val got = TextAnalysis.tokenizerFertility(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("en", 3L, 5L, 1666666L),
+      ("xx", 2L, 8L, 4000000L)))
+  }
+
   test("mixtureEpochs: exact epochs when factors are integral") {
     // A=4 docs, B=2, C=1 → maxCnt=4; factors 1, 2, 4 exactly (rem=0,
     // so no stochastic top-up anywhere): every A doc appears once
