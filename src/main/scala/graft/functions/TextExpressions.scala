@@ -258,21 +258,28 @@ case class SimHashSig(child: Expression, bits: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_sig"
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.split("\\s+").filter(_.nonEmpty)
-    val seen = new java.util.LinkedHashSet[String]()
-    toks.foreach(seen.add)
+    // byte-level path: hash each token region, dedup DISTINCT tokens by
+    // their 60-bit identity (equal to string dedup except when two
+    // distinct tokens of one doc collide in 60-bit space, 2^-60 — and
+    // the hash IS the vote, so collapsing a collision merges votes that
+    // were already identical), tally majority bits.
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tk = TextKernel.tokenize(bytes)
+    val seen = new java.util.HashSet[java.lang.Long](tk.n * 2)
     val counts = new Array[Int](bits)
     var n = 0
-    val it = seen.iterator()
-    while (it.hasNext) {
-      val h = TextKernel.md5Long60(it.next())
-      var i = 0
-      while (i < bits) {
-        if (((h >>> i) & 1L) != 0L) counts(i) += 1
-        i += 1
+    var t = 0
+    while (t < tk.n) {
+      val h = TextKernel.hashGram(bytes, tk, t, 1)
+      if (seen.add(h)) {
+        var i = 0
+        while (i < bits) {
+          if (((h >>> i) & 1L) != 0L) counts(i) += 1
+          i += 1
+        }
+        n += 1
       }
-      n += 1
+      t += 1
     }
     var sig = 0L
     var i = 0

@@ -46,17 +46,30 @@ object DocStream {
     * exactly like the PII scrub. A doc is dropped when its score
     * EXCEEDS `maxPpxMicros` (too surprising under the reference);
     * unscoreable docs (<2 tokens, NULL score) pass — length is the
-    * quality gate's jurisdiction, not the LM's. */
+    * quality gate's jurisdiction, not the LM's.
+    *
+    * `blocklist` adds the C4 bad-words gate (the batch twin is
+    * [[graft.operators.TextAnalysis.blocklistScan]]'s keep flag, any-hit
+    * policy): map-only native counter against the banned identity set
+    * shipped inside the expression — runs AFTER the PII scrub (a
+    * redacted `|||PHONE|||` placeholder can't be banned content) and
+    * before the LM score, cheapest-gate-first. */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       watermark: String = "24 hours", scrubPii: Boolean = false,
       ppxModel: Option[graft.operators.LangModel.BigramModel] = None,
-      maxPpxMicros: Long = Long.MaxValue): DataFrame = {
-    val gated =
+      maxPpxMicros: Long = Long.MaxValue,
+      blocklist: Option[Seq[String]] = None): DataFrame = {
+    val gated0 =
       (if (scrubPii)
          docs.withColumn("text", graft.operators.Pii.redactText(col("text")))
        else docs)
         .withColumn("quality", qualityScore(col("text")))
         .where(col("quality") >= minQuality)
+    val gated = blocklist.fold(gated0) { terms =>
+      val set = terms.distinct.map(md5LongScala).sorted.toIndexedSeq
+      gated0.where(org.apache.spark.sql.graft.TextExpressions
+        .bannedTokenCount(col("text"), set) === 0L)
+    }
     ppxModel.fold(gated) { m =>
         gated
           .withColumn("ppx_micros",

@@ -194,6 +194,34 @@ class PipelineSpec extends SparkSpec {
     assert(got == batchIds, s"streaming $got != batch $batchIds")
   }
 
+  test("curate(blocklist): any-hit drop equals the batch keep flag") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clean = "the story of the sea and the wind is told again here"
+    val dirty = "the story of the sea and the banned wind is told here"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocStream.curate(mem.toDF().toDF("doc_id", "text", "ts"),
+        minQuality = 0.5, watermark = "10 minutes",
+        blocklist = Some(Seq("banned", "zzz")))
+      .writeStream.format("memory").queryName("bl_curated")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, clean, t("2024-01-01 10:00:00")),
+      (2L, dirty, t("2024-01-01 10:01:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bl_curated").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L), s"got $got")
+    // the batch twin's keep flag agrees (any-hit policy)
+    val base = Files.createTempDirectory("bl").toString
+    Seq((1L, clean), (2L, dirty)).toDF("doc_id", "text")
+      .write.parquet(s"$base/documents.parquet")
+    val keep = graft.operators.TextAnalysis
+      .blocklistScan(spark, base, terms = Seq("banned", "zzz"))
+      .where(col("keep") === 1L)
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(keep == got, s"batch keep $keep != streaming $got")
+  }
+
   test("curate(scrubPii): PII never reaches state; PII-only variants " +
       "dedupe to one") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
