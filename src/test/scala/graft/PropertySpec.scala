@@ -350,4 +350,40 @@ class PropertySpec extends SparkSpec {
       assert(agg.finish(merged) == expected, s"k=$k cut=$cut")
     }
   }
+
+  test("byte-level tokenizer+hashing equals the String reference on " +
+      "adversarial unicode/whitespace") {
+    // the round-9 kernels tokenize UTF-8 BYTES and hash token regions;
+    // this pins them (through gramHashes, no dedup to mask order bugs)
+    // against an independent String-side reference — split("\\s+") +
+    // md5LongScala — on text drawn from multi-byte alphabets (CJK,
+    // accents, emoji, ß) joined by random ASCII-whitespace runs with
+    // random leading/trailing noise
+    import graft.functions.TextFunctions.md5LongScala
+    val ws = Gen.listOfN(2, Gen.oneOf(' ', '\t', '\n', '', '\f', '\r'))
+      .flatMap(l => Gen.chooseNum(1, 2).map(n => l.take(n).mkString))
+    val tokChar = Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('é', 'ß', 'ø', '中', '文', '字', 'Ω', 'λ'))
+    val tok = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, tokChar).map(_.mkString))
+    val textG = for {
+      n    <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, tok)
+      seps <- Gen.listOfN(n + 1, ws)
+      lead <- Gen.oneOf("", " ", "\t ")
+    } yield lead + toks.zip(seps).map { case (t, s) => t + s }.mkString
+    val rows = samples(textG, 60)
+    val got = rows.toDF("text")
+      .select(org.apache.spark.sql.graft.TextExpressions
+        .gramHashes(col("text"), 2).as("g"))
+      .collect().map(_.getSeq[Long](0).toList)
+    val expected = rows.map { t =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 2) Nil
+      else toks.sliding(2).map(p => md5LongScala(p.mkString(" "))).toList
+    }
+    rows.lazyZip(got).lazyZip(expected).foreach { (t, g, e) =>
+      assert(g == e, s"byte path diverged on ${t.map(_.toInt)}")
+    }
+  }
 }
