@@ -123,12 +123,27 @@ object LangModel {
   def perplexityScore(spark: SparkSession, dir: String,
       refLang: String = "en"): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    perplexityScoreAgainst(docs, docs.filter(col("lang") === refLang))
+  }
+
+  /** The production shape: score `corpus` under a model trained on a
+    * SEPARATE `reference` relation (CCNet trains on Wikipedia, scores
+    * Common Crawl) — at 100 TB the reference is a fixed trusted corpus,
+    * so the model tables are constant while only the scored side grows.
+    * Both inputs carry (doc_id, text); q87 is this with the reference
+    * being the corpus's own `lang = 'en'` slice. Join-based (no size
+    * cap on the reference) — for a model that fits the [[trainModel]]
+    * caps, [[scoreColumn]] is the map-only equivalent, bit-identical. */
+  def perplexityScoreAgainst(corpus: DataFrame, reference: DataFrame)
+      : DataFrame = {
+    val docs = corpus
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
 
     // Model tables from the trusted slice. `c1` counts every occurrence
     // of the token in the reference (plain unigram frequency, documented
     // choice — not just context positions); V is the distinct vocab.
-    val (uni, bi) = modelTables(docs.filter(col("lang") === refLang))
+    val (uni, bi) = modelTables(
+      reference.select(tokens(col("text")).as("toks")))
     val vdf = uni.agg(count(lit(1)).as("v")) // 1 row — broadcast scalar
 
     // Scored side: per-doc distinct bigrams with tf (map-side combine

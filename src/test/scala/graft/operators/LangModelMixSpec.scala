@@ -69,6 +69,32 @@ class LangModelMixSpec extends SparkSpec {
         s"(${mapSide.size} vs ${joined.size} rows)")
   }
 
+  test("cross-corpus scoring: join variant == map-side model, " +
+      "separate reference") {
+    // the production shape — train on one corpus, score another — must
+    // agree between the join plan (perplexityScoreAgainst) and the
+    // broadcast-model expression (trainModel + scoreColumn)
+    import org.apache.spark.sql.functions.{col => c}
+    val refDir = docsDir(Seq(
+      ("r1", "en", "s", "a b a b"), ("r2", "en", "s", "a b c")))
+    val corpusDir = docsDir(Seq(
+      ("d1", "xx", "s", "a b q b"), ("d2", "xx", "s", "c a"),
+      ("d3", "xx", "s", "solo")))
+    val joined = LangModel.perplexityScoreAgainst(
+        graft.Tables.documents(spark, corpusDir),
+        graft.Tables.documents(spark, refDir))
+      .as[(String, Long, Long)].collect().toSeq
+    val model = LangModel.trainModel(spark, refDir)
+    val mapSide = graft.Tables.documents(spark, corpusDir)
+      .select(c("doc_id"),
+        LangModel.scoreColumn(model, c("text")).as("p"))
+      .where(c("p").isNotNull)
+      .orderBy("doc_id")
+      .as[(String, Long)].collect().toSeq
+    assert(joined.map(r => (r._1, r._3)) == mapSide)
+    assert(joined.map(_._1) == Seq("d1", "d2"), "1-token doc must be absent")
+  }
+
   test("tfidfKeywords hand-trace: integer idf, score-desc/token-asc ties") {
     // d1 "x x y", d2 "x z", d3 "y y y z w"; N=3.
     //   df: x=2, y=2, z=2, w=1 → idf6: 1_500_000 each, w 3_000_000
