@@ -234,6 +234,8 @@ object SparkEntry {
     // q93: tokenizer fertility per language under the fixed BPE vocab
     "q93_tokenizer_fertility" ->
       ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
+    // q94: language ID by LM — least-perplexed per-lang bigram model
+    "q94_lm_langid" -> ((s, d) => LangModel.lmLangId(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1841,6 +1843,49 @@ object SparkEntry {
                 CAST((n_bpe * 1000000) // n_words AS BIGINT)
                   AS fertility_micros
          FROM s ORDER BY lang""",
+    // q94: the q87 model/scoring CTEs with lang prepended to every
+    // model key; per doc the prediction is the (ppx, lang)-minimal row.
+    "q94_lm_langid" ->
+      raw"""WITH t AS (
+           SELECT doc_id, lang,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         cb AS (
+           SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2,
+                  COUNT(*) AS tf
+           FROM (SELECT doc_id, toks, unnest(range(len(toks)-1)) AS i
+                 FROM t WHERE len(toks) > 1)
+           GROUP BY 1, 2, 3),
+         uni AS (
+           SELECT lang, w, COUNT(*) AS c1
+           FROM (SELECT lang, unnest(toks) AS w FROM t)
+           GROUP BY 1, 2),
+         v AS (SELECT lang, COUNT(*) AS v FROM uni GROUP BY 1),
+         bi AS (
+           SELECT lang, toks[i+1] AS w1, toks[i+2] AS w2, COUNT(*) AS c2
+           FROM (SELECT lang, toks, unnest(range(len(toks)-1)) AS i
+                 FROM t WHERE len(toks) > 1)
+           GROUP BY 1, 2, 3),
+         langs AS (SELECT DISTINCT lang FROM documents),
+         j AS (
+           SELECT cb.doc_id, l.lang, cb.tf,
+                  ((COALESCE(uni.c1, 0) + v.v) * 1000000)
+                    // (COALESCE(bi.c2, 0) + 1) AS ip
+           FROM cb
+           CROSS JOIN langs l
+           LEFT JOIN uni ON uni.lang = l.lang AND cb.w1 = uni.w
+           LEFT JOIN bi ON bi.lang = l.lang AND cb.w1 = bi.w1
+                       AND cb.w2 = bi.w2
+           JOIN v ON v.lang = l.lang),
+         s AS (SELECT doc_id, lang, SUM(ip * tf) // SUM(tf) AS ppx
+               FROM j GROUP BY 1, 2),
+         r AS (SELECT doc_id, lang, ppx,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY ppx, lang) AS rk
+               FROM s)
+         SELECT doc_id, lang AS pred_lang, CAST(ppx AS BIGINT) AS ppx_micros
+         FROM r WHERE rk = 1 ORDER BY doc_id""",
   )
 
   /** Shared CTE chain for the fixed-merge BPE oracles (q91/q93): the

@@ -98,6 +98,55 @@ object LangModel {
     org.apache.spark.sql.graft.TextExpressions
       .perplexityMicros(text, model.uni, model.bi, model.v)
 
+  /** q94: language identification BY language model — the CCNet
+    * composition this family exists for: train one bigram model per
+    * language slice, score every document under ALL of them, predict
+    * the language whose model is least perplexed (ties → lang asc).
+    * Beats the q19 stopword heuristic wherever languages share an
+    * alphabet but not bigram statistics.
+    *
+    * Scale shape: the per-lang models are ONE aggregation each with
+    * `lang` prepended to the key (model size = corpus stats × 1, not
+    * × languages); the scored side crosses its distinct-bigram relation
+    * with the tiny language list (broadcast) and both model lookups are
+    * shuffle equi-joins on (lang, token) keys — the q87 word-count-join
+    * shape, skew handled by AQE. The per-doc argmin is an exact integer
+    * `min(struct(ppx, lang))` aggregate, not a window. Docs with fewer
+    * than two tokens are absent (q87's contract). */
+  def lmLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val uni = docs
+      .select(col("lang"), explode(col("toks")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c1"))
+    val vdf = uni.groupBy("lang").agg(count(lit(1)).as("v"))
+    val bi = docs
+      .filter(size(col("toks")) > 1)
+      .select(col("lang"), explode(bigramsOf(col("toks"))).as("bg"))
+      .groupBy(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val langs = docs.select("lang").distinct()
+    val corpusBg = docs
+      .filter(size(col("toks")) > 1)
+      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    corpusBg
+      .crossJoin(broadcast(langs))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("lang", "w1"), "left")
+      .join(bi, Seq("lang", "w1", "w2"), "left")
+      .join(broadcast(vdf), Seq("lang"))
+      .withColumn("ip",
+        expr("((coalesce(c1, 0L) + v) * 1000000L) div (coalesce(c2, 0L) + 1L)"))
+      .groupBy("doc_id", "lang")
+      .agg(expr("sum(ip * tf) div sum(tf)").as("ppx"))
+      .groupBy("doc_id")
+      .agg(min(struct(col("ppx"), col("lang"))).as("best"))
+      .select(col("doc_id"), col("best.lang").as("pred_lang"),
+        col("best.ppx").as("ppx_micros"))
+      .orderBy("doc_id")
+  }
+
   /** The model tables of the (already filtered) reference slice:
     * (`uni(w, c1)`, `bi(w1, w2, c2)`). */
   private def modelTables(train: DataFrame): (DataFrame, DataFrame) = {

@@ -29,7 +29,9 @@ class PlanAuditSpec extends SparkSpec {
     "q79_curriculum",
     // q87/q88: the 1-row vocab-size / corpus-count broadcast (same
     // pattern as q64's total); q89: the 1-row max-source-count broadcast
-    "q87_lm_perplexity", "q88_tfidf_keywords", "q89_mixture_epochs")
+    "q87_lm_perplexity", "q88_tfidf_keywords", "q89_mixture_epochs",
+    // q94: the languages-list broadcast crossJoin (rows = #languages)
+    "q94_lm_langid")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -192,7 +194,12 @@ class PlanAuditSpec extends SparkSpec {
     "q90_bpe_word_counts" -> 2, "q91_bpe_encode_fixed" -> 1,
     // q92: map-only blocklist counter, sort only; q93: the tiny
     // per-lang agg + sort — the encode counts are scan projections
-    "q92_blocklist_scan" -> 1, "q93_tokenizer_fertility" -> 2)
+    "q92_blocklist_scan" -> 1, "q93_tokenizer_fertility" -> 2,
+    // q94: q87's model/scoring exchanges with lang in the keys (uni,
+    // vdf, bi, langs-distinct, doc-bigram aggs + two model-join probe
+    // re-exchanges) + the per-(doc,lang) and per-doc argmin aggs —
+    // token-key shuffles throughout, text never leaves the scan
+    "q94_lm_langid" -> 9)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -69,6 +69,27 @@ class LangModelMixSpec extends SparkSpec {
         s"(${mapSide.size} vs ${joined.size} rows)")
   }
 
+  test("lmLangId hand-trace: least-perplexed model wins") {
+    // Corpus: en={d1,d2: "a b"}, fr={d3,d4: "x y"}, xx={d5: "a b"}.
+    // Models — en: uni a=2,b=2, V=2, bi(a,b)=2; fr: x=2,y=2, V=2,
+    // bi(x,y)=2; xx: a=1,b=1, V=2, bi(a,b)=1.
+    // Score "a b": en (2+2)e6 div 3 = 1_333_333; fr (0+2)e6 div 1 =
+    // 2_000_000; xx (1+2)e6 div 2 = 1_500_000 → en wins — INCLUDING
+    // for d5, whose stored lang is xx: the bigger training mass makes
+    // the en model less perplexed, which is the point of LM-based ID.
+    // "x y" symmetrically → fr at 1_333_333.
+    val dir = docsDir(Seq(
+      ("d1", "en", "s", "a b"), ("d2", "en", "s", "a b"),
+      ("d3", "fr", "s", "x y"), ("d4", "fr", "s", "x y"),
+      ("d5", "xx", "s", "a b")))
+    val got = LangModel.lmLangId(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("d1", "en", 1333333L), ("d2", "en", 1333333L),
+      ("d3", "fr", 1333333L), ("d4", "fr", 1333333L),
+      ("d5", "en", 1333333L)))
+  }
+
   test("cross-corpus scoring: join variant == map-side model, " +
       "separate reference") {
     // the production shape — train on one corpus, score another — must
