@@ -240,9 +240,19 @@ object SparkEntry {
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
   // sides; sums of integers are CAST to BIGINT (DuckDB widens to HUGEINT);
-  // all cross-row double aggregates are round()ed identically on both
-  // sides; list folds mirror Spark's sequential `aggregate` so doubles
-  // are bitwise-identical.
+  // money SUMs are cent-exact on both sides (TextFunctions.moneySum:
+  // per-row floor(x·100 + 0.5) cents — bit-equal in every engine —
+  // summed as integers, ONE final /100.0): a double SUM's last ulp
+  // depends on partial-aggregation ORDER, which flipped a rounded
+  // digit at sf1; other float results of exact-integer arithmetic
+  // (averages, the rarity mean) use the engine-stable
+  // floor(x·10^d + 0.5)/10^d rule (TextFunctions.roundStable) since
+  // round() diverges at half boundaries (Spark HALF_UPs the shortest
+  // decimal repr, DuckDB rounds the binary double). round() remains
+  // only on exact integer ratios at ≤4 digits, where a boundary hit
+  // needs the ratio within 1 ulp of a 5·10⁻⁵ multiple. List folds
+  // mirror Spark's sequential `aggregate` so doubles are
+  // bitwise-identical.
   // MinHash affine constants (j, a_j, b_j) as a SQL VALUES list — the
   // same md5-derived constants the Spark side embeds as array literals.
   private val MhConstsSql: String = {
@@ -623,14 +633,16 @@ object SparkEntry {
     "q42_supplier_stats" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
                 count(*) AS n_suppliers,
-                round(sum(s_acctbal), 2) AS total_bal
+                CAST(SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  / 100.0 AS total_bal
          FROM supplier
          LEFT JOIN nation ON s_nationkey = n_nationkey
          LEFT JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1, 2 ORDER BY region_name, nation_name""",
     "q07_route_counts" ->
       """SELECT 'DWD_' || upper(event_type) AS topic, count(*) AS cnt,
-                round(sum(value), 2) AS total_value
+                CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  / 100.0 AS total_value
          FROM events GROUP BY 1 ORDER BY topic""",
     "q08_cdc_normalize" ->
       """SELECT op, count(*) AS cnt FROM (
@@ -655,7 +667,9 @@ object SparkEntry {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q11_stats_by_item" ->
       """SELECT p_brand AS name,
-                round(sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2)
+                CAST(SUM(CAST(floor(l_extendedprice
+                      * (CAST(1.0 AS DOUBLE) - l_discount)
+                      * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
                   AS value
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_name LIKE '%small%' AND p_name LIKE '%ring%'
@@ -680,13 +694,17 @@ object SparkEntry {
       """SELECT CASE WHEN o_orderstatus = 'F' THEN 'filled'
                      WHEN o_orderstatus = 'O' THEN 'open'
                      ELSE 'partial' END AS status_name,
-                count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+                count(*) AS cnt,
+                CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  / 100.0 AS total
          FROM orders GROUP BY 1 ORDER BY status_name""",
     "q15_acctbal_buckets" ->
       """SELECT CASE WHEN c_acctbal <= 1000.0 THEN 'low'
                      WHEN c_acctbal <= 5000.0 THEN 'mid'
                      ELSE 'high' END AS bucket,
-                count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+                count(*) AS cnt,
+                CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  / 100.0 AS total_bal
          FROM customer GROUP BY 1 ORDER BY bucket""",
     "q16_dedup_exact" ->
       """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dupes FROM (
@@ -1104,8 +1122,9 @@ object SparkEntry {
            SELECT doc_id, (total * 10000) // tf AS fp
            FROM tk JOIN tf USING (token) CROSS JOIN tot)
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                round(CAST(SUM(fp) AS DOUBLE)
-                      / (CAST(COUNT(*) AS DOUBLE) * 10000.0), 6) AS rarity
+                floor(CAST(SUM(fp) AS DOUBLE)
+                      / (CAST(COUNT(*) AS DOUBLE) * 10000.0)
+                      * 1000000 + 0.5) / 1000000 AS rarity
          FROM j GROUP BY doc_id ORDER BY doc_id""",
     "q63_pack_spans" ->
       """WITH d AS (
@@ -1182,7 +1201,7 @@ object SparkEntry {
     "q49_length_stats" ->
       """SELECT lang, count(*) AS n_docs,
                 min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-                round(avg(n_chars), 2) AS avg_chars,
+                floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars,
                 quantile_cont(n_chars, 0.25) AS p25,
                 quantile_cont(n_chars, 0.5) AS p50,
                 quantile_cont(n_chars, 0.75) AS p75
@@ -1233,7 +1252,9 @@ object SparkEntry {
          FROM td FULL OUTER JOIN yd ON td.hr = yd.hr ORDER BY hr""",
     "q31_stats_by_type" ->
       """SELECT c_mktsegment AS name,
-                round(sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2)
+                CAST(SUM(CAST(floor(l_extendedprice
+                      * (CAST(1.0 AS DOUBLE) - l_discount)
+                      * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
                   AS value
          FROM orders
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -1301,7 +1322,9 @@ object SparkEntry {
          FROM f ORDER BY doc_id""",
     "q44_stats_analyzed" ->
       """SELECT p_brand AS name,
-                round(sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2)
+                CAST(SUM(CAST(floor(l_extendedprice
+                      * (CAST(1.0 AS DOUBLE) - l_discount)
+                      * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
                   AS value
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE list_contains(list_filter(
@@ -1313,7 +1336,9 @@ object SparkEntry {
          GROUP BY 1 ORDER BY name""",
     "q39_stats_token_match" ->
       """SELECT p_brand AS name,
-                round(sum(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2)
+                CAST(SUM(CAST(floor(l_extendedprice
+                      * (CAST(1.0 AS DOUBLE) - l_discount)
+                      * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
                   AS value
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE list_contains(string_split(p_name, ' '), 'small')
@@ -1393,7 +1418,8 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts::TIMESTAMP),
                          '%Y-%m-%d %H:%M:%S') AS wstart,
                 event_type, count(*) AS cnt,
-                round(sum(value), 2) AS total_value
+                CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  / 100.0 AS total_value
          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
     "q37_top_tokens" ->
       """WITH c AS (

@@ -10,6 +10,30 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Engine-stable decimal rounding of a double: floor(x·10^d + 0.5) /
+    * 10^d. `round()` is NOT engine-stable — Spark HALF_UPs the shortest
+    * decimal repr while DuckDB rounds the binary double, and at a half
+    * boundary they differ in the last digit (bit-identical inputs of
+    * 96680292.225 rounded to .23 vs .22 at sf1). Multiply, add, floor,
+    * divide are all IEEE-deterministic, so this rule yields the SAME
+    * bits on every engine given the same input bits. Positive inputs
+    * only (floor+0.5 is round-half-down for negatives). */
+  def roundStable(c: Column, digits: Int): Column = {
+    val p = math.pow(10.0, digits)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** Order-independent money sum: each row's amount becomes EXACT
+    * integer cents via the stable floor rule (per-row doubles are
+    * bit-equal across engines — a product or a stored value, no
+    * accumulation), the cents sum as Longs (associative — partial
+    * aggregation order cannot change the result, unlike a double SUM,
+    * whose last ulp depends on add order and flipped a rounded digit
+    * at sf1), and ONE final division yields the 2-decimal value.
+    * Headroom: Long cents overflow at ~9·10¹⁶ currency units. */
+  def moneySum(amount: Column): Column =
+    sum(floor(amount * lit(100.0) + lit(0.5))).cast("double") / lit(100.0)
+
   /** Whitespace tokens (empty tokens filtered). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)

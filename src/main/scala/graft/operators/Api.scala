@@ -61,7 +61,8 @@ object Api {
       .select(col("p_partkey"))
     wide.join(broadcast(p), wide("sku_id") === p("p_partkey"))
       .groupBy(col(field).as("name"))
-      .agg(round(sum(col("split_total_amount")), 2).as("value"))
+      .agg(graft.functions.TextFunctions.moneySum(
+        col("split_total_amount")).as("value"))
       .orderBy("name")
   }
 

@@ -30,7 +30,8 @@ object Demux {
       .groupBy("topic")
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum(col("value")), 2).as("total_value"))
+        graft.functions.TextFunctions.moneySum(
+          col("value")).as("total_value"))
       .orderBy("topic")
 
   /** T6 CDC op normalization: map event types onto insert/update/delete the

@@ -19,7 +19,8 @@ object EventRates {
         col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum(col("value")), 2).as("total_value"))
+        graft.functions.TextFunctions.moneySum(
+          col("value")).as("total_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("cnt"), col("total_value"))

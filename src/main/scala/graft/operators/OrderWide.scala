@@ -73,7 +73,8 @@ object OrderWide {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
       .agg(count(lit(1)).as("n_suppliers"),
-        round(sum(col("s_acctbal")), 2).as("total_bal"))
+        graft.functions.TextFunctions.moneySum(
+          col("s_acctbal")).as("total_bal"))
       .orderBy("region_name", "nation_name")
   }
 

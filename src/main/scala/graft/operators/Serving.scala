@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextFunctions.moneySum
 
 /** Serving-layer queries — the analytical surface the reference delegated to
   * Elasticsearch (/root/reference InsightAnalytics .../mapper/impl/
@@ -72,7 +73,7 @@ object Serving {
     val li = Tables.lineitem(spark, dir)
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col(groupField).as("name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("value"))
       .orderBy("name")
   }
@@ -173,7 +174,7 @@ object Serving {
       .groupBy("status_name")
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        moneySum(col("o_totalprice")).as("total"))
       .orderBy("status_name")
 
   /** F9/A6 analog: re-bucket a numeric dimension after aggregation
@@ -189,6 +190,6 @@ object Serving {
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum(col("c_acctbal")), 2).as("total_bal"))
+        moneySum(col("c_acctbal")).as("total_bal"))
       .orderBy("bucket")
 }

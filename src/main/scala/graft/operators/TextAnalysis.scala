@@ -131,7 +131,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("fp").as("sum_fp"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("sum_fp").cast("double") /
+        roundStable(col("sum_fp").cast("double") /
           (col("n_tokens").cast("double") * 10000.0), 6).as("rarity"))
       .orderBy("doc_id")
   }
@@ -149,7 +149,7 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"),
-        round(avg("n_chars"), 2).as("avg_chars"),
+        roundStable(avg("n_chars"), 2).as("avg_chars"),
         percentile(col("n_chars"), lit(0.25)).as("p25"),
         percentile(col("n_chars"), lit(0.5)).as("p50"),
         percentile(col("n_chars"), lit(0.75)).as("p75"))
