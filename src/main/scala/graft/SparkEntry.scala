@@ -155,7 +155,8 @@ object SparkEntry {
       ds.toDF()
         .select(col("doc_id"), col("media_type"),
           col("n_bytes").cast("long").as("n_bytes"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+          graft.functions.TextFunctions.roundStable(
+            element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy("doc_id")
     }),
     // —— Incremental / span-level dedup, mixture sampling, relevance ——
@@ -248,11 +249,11 @@ object SparkEntry {
   // (averages, the rarity mean) use the engine-stable
   // floor(x·10^d + 0.5)/10^d rule (TextFunctions.roundStable) since
   // round() diverges at half boundaries (Spark HALF_UPs the shortest
-  // decimal repr, DuckDB rounds the binary double). round() remains
-  // only on exact integer ratios at ≤4 digits, where a boundary hit
-  // needs the ratio within 1 ulp of a 5·10⁻⁵ multiple. List folds
-  // mirror Spark's sequential `aggregate` so doubles are
-  // bitwise-identical.
+  // decimal repr, DuckDB rounds the binary double). NO gated output
+  // uses round() anymore — every rounded value (cosine scores, jaccard,
+  // quality ratios, BM25, q_bp) goes through the floor rule on both
+  // sides. List folds mirror Spark's sequential `aggregate` so doubles
+  // are bitwise-identical.
   // MinHash affine constants (j, a_j, b_j) as a SQL VALUES list — the
   // same md5-derived constants the Spark side embeds as array literals.
   private val MhConstsSql: String = {
@@ -266,7 +267,7 @@ object SparkEntry {
   // q60 oracles so the compositions cannot drift from each other (q20
   // derives the same score from its separately-output ratio columns).
   private def qualityCaseSql: String =
-    raw"""round((CASE WHEN len(toks) BETWEEN 20 AND 1000
+    raw"""floor(((CASE WHEN len(toks) BETWEEN 20 AND 1000
                       THEN CAST(0.5 AS DOUBLE)
                       WHEN len(toks) >= 5 THEN CAST(0.25 AS DOUBLE)
                       ELSE CAST(0.0 AS DOUBLE) END)
@@ -286,7 +287,7 @@ object SparkEntry {
                            / len(regexp_replace(text, '\s+', '', 'g'))
                          END) > 0.2
                         THEN CAST(-0.2 AS DOUBLE)
-                        ELSE CAST(0.0 AS DOUBLE) END), 2)"""
+                        ELSE CAST(0.0 AS DOUBLE) END)) * 100 + 0.5) / 100"""
 
   // Shared recursive-CC + verdict tail for the SemDeDup oracles
   // (q75/q82): consumes CTE `pairs`(id1, id2), emits the full
@@ -404,7 +405,7 @@ object SparkEntry {
          af AS ($afSql),
          s AS (
            SELECT q.query_id, e.vec_id,
-                  round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+                  floor((${cosSql("e.embedding", "q.qe")}) * 1000000 + 0.5) / 1000000 AS score
            FROM e JOIN af USING (vec_id)
                 JOIN probe ON probe.cell = af.cell
                 JOIN q ON q.query_id = probe.query_id
@@ -431,7 +432,7 @@ object SparkEntry {
       s"""ivf AS (SELECT query_id, vec_id FROM r WHERE rank <= $k),
          bs AS (
            SELECT q.query_id, e.vec_id,
-                  round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+                  floor((${cosSql("e.embedding", "q.qe")}) * 1000000 + 0.5) / 1000000 AS score
            FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
          br AS (
            SELECT query_id, vec_id, row_number() OVER (
@@ -443,8 +444,8 @@ object SparkEntry {
            FROM ivf SEMI JOIN brute USING (query_id, vec_id)
            GROUP BY query_id)
          SELECT ql.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
-                round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
-                      / CAST($k AS DOUBLE), 4) AS recall
+                floor((CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+                      / CAST($k AS DOUBLE)) * 10000 + 0.5) / 10000 AS recall
          FROM (SELECT DISTINCT query_id FROM q) ql
          LEFT JOIN ov ON ql.query_id = ov.query_id
          ORDER BY ql.query_id"""
@@ -508,7 +509,7 @@ object SparkEntry {
              FROM c$iters c CROSS JOIN q) t
            WHERE rn <= $nprobe),
          af AS ($afSql)
-         SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+         SELECT e.vec_id, floor((${cosSql("e.embedding", "q.qe")}) * 1000000 + 0.5) / 1000000 AS score
          FROM e JOIN af USING (vec_id) JOIN probe USING (cell) CROSS JOIN q
          WHERE e.vec_id <> $queryId
          ORDER BY score DESC, e.vec_id LIMIT $k"""
@@ -544,13 +545,13 @@ object SparkEntry {
            ON a.token = b.token AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
        SELECT id1, id2,
-              round(CAST(cnt_inter AS DOUBLE)
-                    / (s1.n_tok + s2.n_tok - cnt_inter), 4) AS jaccard
+              floor((CAST(cnt_inter AS DOUBLE)
+                    / (s1.n_tok + s2.n_tok - cnt_inter)) * 10000 + 0.5) / 10000 AS jaccard
        FROM inter
        JOIN sz s1 ON id1 = s1.doc_id
        JOIN sz s2 ON id2 = s2.doc_id
-       WHERE round(CAST(cnt_inter AS DOUBLE)
-                   / (s1.n_tok + s2.n_tok - cnt_inter), 4) >= $threshold
+       WHERE floor((CAST(cnt_inter AS DOUBLE)
+                   / (s1.n_tok + s2.n_tok - cnt_inter)) * 10000 + 0.5) / 10000 >= $threshold
        ORDER BY id1, id2"""
 
   def oracleSql: Map[String, String] = Map(
@@ -763,17 +764,17 @@ object SparkEntry {
                             'sum') AS DOUBLE) / len(toks) END AS mean_raw
            FROM t)
          SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-                round(stop_raw, 4) AS stop_ratio,
-                round(punct_raw, 4) AS punct_ratio,
-                round(mean_raw, 4) AS mean_tok_len,
-                round((CASE WHEN n BETWEEN 20 AND 1000 THEN CAST(0.5 AS DOUBLE)
+                floor((stop_raw) * 10000 + 0.5) / 10000 AS stop_ratio,
+                floor((punct_raw) * 10000 + 0.5) / 10000 AS punct_ratio,
+                floor((mean_raw) * 10000 + 0.5) / 10000 AS mean_tok_len,
+                floor(((CASE WHEN n BETWEEN 20 AND 1000 THEN CAST(0.5 AS DOUBLE)
                             WHEN n >= 5 THEN CAST(0.25 AS DOUBLE)
                             ELSE CAST(0.0 AS DOUBLE) END)
                       + (CASE WHEN stop_raw >= 0.05 THEN CAST(0.3 AS DOUBLE)
                               ELSE CAST(0.0 AS DOUBLE) END)
                       + CAST(0.2 AS DOUBLE)
                       + (CASE WHEN punct_raw > 0.2 THEN CAST(-0.2 AS DOUBLE)
-                              ELSE CAST(0.0 AS DOUBLE) END), 2) AS quality
+                              ELSE CAST(0.0 AS DOUBLE) END)) * 100 + 0.5) / 100 AS quality
          FROM m ORDER BY doc_id""",
     "q21_fingerprints" ->
       """SELECT doc_id,
@@ -799,8 +800,8 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
                 CAST(n_distinct AS BIGINT) AS n_distinct,
-                round(CAST(1.0 AS DOUBLE)
-                      - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
+                floor((CAST(1.0 AS DOUBLE)
+                      - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)) * 10000 + 0.5) / 10000
                   AS rep_ratio
          FROM g ORDER BY doc_id""",
     // decontamination: distinct shingles shared with the salted-hash
@@ -892,7 +893,7 @@ object SparkEntry {
          FROM h GROUP BY doc_id, hash_idx ORDER BY doc_id, hash_idx""",
     "q24_minhash_lsh_pairs" ->
       s"""WITH $minhashLshCtes
-         SELECT id1, id2, round(est_sim, 4) AS est_sim
+         SELECT id1, id2, floor((est_sim) * 10000 + 0.5) / 10000 AS est_sim
          FROM sc WHERE est_sim >= 0.5 ORDER BY id1, id2""",
     // components of the LSH near-dup graph: DuckDB computes min-reachable
     // id via a recursive CTE; the engine's label propagation converges to
@@ -938,7 +939,7 @@ object SparkEntry {
                          v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y)))
                     AS score_raw
            FROM embeddings, q WHERE vec_id <> 0)
-         SELECT vec_id, round(score_raw, 6) AS score
+         SELECT vec_id, floor((score_raw) * 1000000 + 0.5) / 1000000 AS score
          FROM s ORDER BY score DESC, vec_id LIMIT 10""",
     "q61_rerank_ann" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -965,7 +966,7 @@ object SparkEntry {
                          v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y)))
                     AS score_raw
            FROM s)
-         SELECT vec_id, round(score_raw, 6) AS score
+         SELECT vec_id, floor((score_raw) * 1000000 + 0.5) / 1000000 AS score
          FROM r ORDER BY score DESC, vec_id LIMIT 10""",
     "q62_quantized_ann" ->
       """WITH mq AS (
@@ -986,18 +987,17 @@ object SparkEntry {
                          v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y)))
                     AS score_raw
            FROM mq, q WHERE vec_id <> 0)
-         SELECT vec_id, round(score_raw, 6) AS score
+         SELECT vec_id, floor((score_raw) * 1000000 + 0.5) / 1000000 AS score
          FROM s ORDER BY score DESC, vec_id LIMIT 10""",
     "q27_blocked_neardup" ->
       """WITH s AS (
            SELECT a.vec_id AS id1, b.vec_id AS id2,
-                  round(
-                    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                  floor((list_reduce(list_transform(list_zip(a.embedding, b.embedding),
                       p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
                     / (sqrt(list_reduce(list_transform(a.embedding,
                          v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
                        * sqrt(list_reduce(list_transform(b.embedding,
-                           v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))), 6)
+                           v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y)))) * 1000000 + 0.5) / 1000000
                     AS score
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id)
@@ -1012,7 +1012,7 @@ object SparkEntry {
            FROM embeddings),
          s AS (
            SELECT a.vec_id AS id1, b2.vec_id AS id2,
-                  round(${cosSql("a.embedding", "b2.embedding")}, 6) AS score
+                  floor((${cosSql("a.embedding", "b2.embedding")}) * 1000000 + 0.5) / 1000000 AS score
            FROM b a JOIN b b2
              ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          SELECT id1, id2, score FROM s WHERE score >= 0.3
@@ -1318,7 +1318,7 @@ object SparkEntry {
                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
                   AS media_type,
                 CAST(nb AS BIGINT) AS n_bytes,
-                round(CAST(CAST(f0_raw AS REAL) AS DOUBLE), 4) AS f0
+                floor((CAST(CAST(f0_raw AS REAL) AS DOUBLE)) * 10000 + 0.5) / 10000 AS f0
          FROM f ORDER BY doc_id""",
     "q44_stats_analyzed" ->
       """SELECT p_brand AS name,
@@ -1348,13 +1348,12 @@ object SparkEntry {
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          s AS (
            SELECT label, vec_id,
-                  round(
-                    list_reduce(list_transform(list_zip(embedding, qe),
+                  floor((list_reduce(list_transform(list_zip(embedding, qe),
                       p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
                     / (sqrt(list_reduce(list_transform(embedding,
                          v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
                        * sqrt(list_reduce(list_transform(qe,
-                           v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))), 6)
+                           v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y)))) * 1000000 + 0.5) / 1000000
                     AS score
            FROM embeddings, q WHERE vec_id <> 0),
          r AS (
@@ -1368,7 +1367,7 @@ object SparkEntry {
                      FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
          s AS (
            SELECT q.query_id, e.vec_id,
-                  round(${cosSql("e.embedding", "q.qe")}, 6) AS score
+                  floor((${cosSql("e.embedding", "q.qe")}) * 1000000 + 0.5) / 1000000 AS score
            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
          r AS (
            SELECT query_id, vec_id, score, row_number() OVER (
@@ -1483,7 +1482,7 @@ object SparkEntry {
                     AS df1
            FROM f)
          SELECT doc_id,
-                round(  ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                floor((ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
                           * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
                           / (CAST(tf0 AS DOUBLE)
                              + 1.2 * (1.0 - 0.75
@@ -1492,8 +1491,7 @@ object SparkEntry {
                           * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
                           / (CAST(tf1 AS DOUBLE)
                              + 1.2 * (1.0 - 0.75
-                                      + 0.75 * (CAST(dl AS DOUBLE) / avgdl))),
-                      4) AS score
+                                      + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) * 10000 + 0.5) / 10000 AS score
          FROM f, s
          WHERE tf0 > 0 OR tf1 > 0
          ORDER BY score DESC, doc_id
@@ -1525,7 +1523,7 @@ object SparkEntry {
            FROM f),
          sc AS (
            SELECT doc_id,
-                  round(  ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                  floor((ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
                             * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
                             / (CAST(tf0 AS DOUBLE)
                                + 1.2 * (1.0 - 0.75
@@ -1534,8 +1532,7 @@ object SparkEntry {
                             * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
                             / (CAST(tf1 AS DOUBLE)
                                + 1.2 * (1.0 - 0.75
-                                        + 0.75 * (CAST(dl AS DOUBLE) / avgdl))),
-                        4) AS score
+                                        + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) * 10000 + 0.5) / 10000 AS score
            FROM f, s
            WHERE tf0 > 0 AND tf1 > 0)
          SELECT l_orderkey, l_linenumber, p_name AS sku_name,
@@ -1554,7 +1551,7 @@ object SparkEntry {
     "q75_semantic_dedup" ->
       s"""WITH RECURSIVE sc AS (
            SELECT a.vec_id AS id1, b.vec_id AS id2,
-                  round(${cosSql("a.embedding", "b.embedding")}, 6)
+                  floor((${cosSql("a.embedding", "b.embedding")}) * 1000000 + 0.5) / 1000000
                     AS score
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id),
@@ -1569,7 +1566,7 @@ object SparkEntry {
          af AS ($afSql),
          sc AS (
            SELECT a.vec_id AS id1, b.vec_id AS id2,
-                  round(${cosSql("a.embedding", "b.embedding")}, 6)
+                  floor((${cosSql("a.embedding", "b.embedding")}) * 1000000 + 0.5) / 1000000
                     AS score
            FROM e a JOIN af fa ON a.vec_id = fa.vec_id
                 JOIN af fb ON fa.cell = fb.cell
@@ -1614,7 +1611,7 @@ object SparkEntry {
          m AS (
            SELECT source, lang, n_chars,
                   CAST(len(toks) AS BIGINT) AS n_toks,
-                  CAST(round(($qualityCaseSql) * 10000) AS BIGINT) AS q_bp,
+                  CAST(floor((($qualityCaseSql) * 10000) + 0.5) AS BIGINT) AS q_bp,
                   md5(text) AS fp,
                   CASE WHEN len(regexp_extract_all(text, '${Pii.EmailRe}'))
                           + len(regexp_extract_all(text, '${Pii.Ipv4Re}'))
@@ -1626,7 +1623,7 @@ object SparkEntry {
                 CAST(sum(n_toks) AS BIGINT) AS total_tokens,
                 CAST(count(*) - count(DISTINCT fp) AS BIGINT)
                   AS n_exact_dups,
-                CAST(round(CAST(sum(q_bp) AS DOUBLE) / count(*)) AS BIGINT)
+                CAST(floor((CAST(sum(q_bp) AS DOUBLE) / count(*)) + 0.5) AS BIGINT)
                   AS mean_quality_bp,
                 CAST(sum(pii) AS BIGINT) AS n_pii_docs
          FROM m GROUP BY source, lang ORDER BY source, lang""",
@@ -1674,8 +1671,8 @@ object SparkEntry {
          SELECT n.doc_id, n.n_tokens,
                 COALESCE(dt.dup_tokens, 0) AS dup_tokens,
                 CASE WHEN n.n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
-                     ELSE round(CAST(COALESCE(dt.dup_tokens, 0) AS DOUBLE)
-                                / CAST(n.n_tokens AS DOUBLE), 4) END
+                     ELSE floor((CAST(COALESCE(dt.dup_tokens, 0) AS DOUBLE)
+                                / CAST(n.n_tokens AS DOUBLE)) * 10000 + 0.5) / 10000 END
                   AS dup_fraction
          FROM n LEFT JOIN dt ON n.doc_id = dt.doc_id
          ORDER BY n.doc_id""",

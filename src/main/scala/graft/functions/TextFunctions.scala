@@ -124,7 +124,7 @@ object TextFunctions {
           .when(n >= 5, lit(0.25)).otherwise(lit(0.0))
         val stopScore = when(stopRaw >= 0.05, lit(0.3)).otherwise(lit(0.0))
         val punctPenalty = when(punctRaw > 0.2, lit(-0.2)).otherwise(lit(0.0))
-        round(lenScore + stopScore + lit(0.2) + punctPenalty, 2)
+        roundStable(lenScore + stopScore + lit(0.2) + punctPenalty, 2)
       }))
 
   /** Canonical-form document fingerprint: md5 of lowercased,

@@ -93,7 +93,8 @@ object Curation {
     Tables.documents(spark, dir)
       .select(col("source"), col("lang"), col("n_chars"),
         tokenCount(col("text")).cast("long").as("n_toks"),
-        round(qualityScore(col("text")) * 10000).cast("long").as("q_bp"),
+        floor(qualityScore(col("text")) * 10000 + lit(0.5))
+          .cast("long").as("q_bp"),
         md5(col("text")).as("fp"),
         ((regexp_count(col("text"), lit(Pii.EmailRe))
           + regexp_count(col("text"), lit(Pii.Ipv4Re))
@@ -105,7 +106,7 @@ object Curation {
         sum("n_chars").as("total_chars"),
         sum("n_toks").as("total_tokens"),
         (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
-        round(sum("q_bp") / count(lit(1))).cast("long")
+        floor(sum("q_bp") / count(lit(1)) + lit(0.5)).cast("long")
           .as("mean_quality_bp"),
         sum("pii").as("n_pii_docs"))
       .orderBy("source", "lang")

@@ -243,7 +243,7 @@ object Dedup {
         // n_tok is functionally determined by the doc id — max = the value
         max(col("a.n_tok")).as("n1"), max(col("b.n_tok")).as("n2"))
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
+        roundStable(col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double"), 4))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
@@ -362,7 +362,7 @@ object Dedup {
       .withColumn("inter",
         TextExpressions.sortedIntersectCount(col("toks1"), col("toks2")))
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
+        roundStable(col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double"), 4))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
@@ -555,7 +555,7 @@ object Dedup {
         size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
           b => b)).cast("double") / numHashes)
       .where(col("est_sim") >= threshold)
-      .select(col("id1"), col("id2"), round(col("est_sim"), 4).as("est_sim"))
+      .select(col("id1"), col("id2"), roundStable(col("est_sim"), 4).as("est_sim"))
     // `ordered = false` for consumers that discard ordering (the
     // components build) — skips a global range-partition sort
     if (ordered) scored.orderBy("id1", "id2") else scored
@@ -947,7 +947,7 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          .otherwise(roundStable(coalesce(col("dup_tokens"), lit(0L)).cast("double")
             / col("n_tokens").cast("double"), 4)).as("dup_fraction"))
       .orderBy("doc_id")
   }

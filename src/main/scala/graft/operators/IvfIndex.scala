@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.VectorExpressions.cosineNative
 import graft.Tables
+import graft.functions.TextFunctions.roundStable
 
 /** IVF (inverted-file) ANN index over the embeddings table — the scale
   * path past brute force: k-means-style coarse quantization, then search
@@ -268,7 +269,7 @@ object IvfIndex {
       .where(col("cell").isin(probes: _*))
     excludeId.fold(base)(id => base.where(col("vec_id") =!= id))
       .select(col("vec_id"),
-        round(cosineNative(col("embedding"), typedlit(queryVec)), 6)
+        roundStable(cosineNative(col("embedding"), typedlit(queryVec)), 6)
           .as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
@@ -312,7 +313,7 @@ object IvfIndex {
       .join(broadcast(queryCells), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"),
-        round(cosineNative(col("embedding"), col("q_embedding")), 6)
+        roundStable(cosineNative(col("embedding"), col("q_embedding")), 6)
           .as("score"),
         col("vec_id"))
       .as[(Long, Double, Long)]
@@ -354,7 +355,7 @@ object IvfIndex {
       .join(broadcast(overlap), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / k, 4)
+        roundStable(coalesce(col("n_overlap"), lit(0L)).cast("double") / k, 4)
           .as("recall"))
       .orderBy("query_id")
   }
@@ -379,7 +380,7 @@ object IvfIndex {
       .where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosineNative(col("embedding"), col("q_embedding")), 6).as("score"))
+        roundStable(cosineNative(col("embedding"), col("q_embedding")), 6).as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
   }

@@ -93,7 +93,7 @@ object Ranking {
       .reduce((x, y) => if (requireAllTerms) x && y else x || y)
     joined
       .where(matched)
-      .select(col("doc_id"), round(score, 4).as("score"))
+      .select(col("doc_id"), graft.functions.TextFunctions.roundStable(score, 4).as("score"))
   }
 
   /** A4 in the reference's TRUE serving order. The reference's ES

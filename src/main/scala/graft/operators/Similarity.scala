@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextFunctions.roundStable
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.graft.VectorExpressions.cosineNative
 
@@ -38,7 +39,7 @@ object Similarity {
     emb.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosineNative(col("embedding"), col("q_embedding")), 6).as("score"))
+        roundStable(cosineNative(col("embedding"), col("q_embedding")), 6).as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
   }
@@ -71,7 +72,7 @@ object Similarity {
       .orderBy(desc("coarse_score"), col("vec_id"))
       .limit(shortlist)
       .select(col("vec_id"),
-        round(cosineNative(col("embedding"), col("q_embedding")), 6)
+        roundStable(cosineNative(col("embedding"), col("q_embedding")), 6)
           .as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
@@ -98,7 +99,7 @@ object Similarity {
     emb.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosineNative(col("qv"), col("q_qv")), 6).as("score"))
+        roundStable(cosineNative(col("qv"), col("q_qv")), 6).as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
   }
@@ -129,7 +130,7 @@ object Similarity {
     a.join(b, col("a.label") === col("b.label") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(cosineNative(col("a.embedding"), col("b.embedding")), 6).as("score"))
+        roundStable(cosineNative(col("a.embedding"), col("b.embedding")), 6).as("score"))
       .where(col("score") >= threshold)
   }
 
@@ -206,7 +207,7 @@ object Similarity {
     val edges = a.join(b, col("a.cell") === col("b.cell") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(cosineNative(col("a.embedding"), col("b.embedding")), 6)
+        roundStable(cosineNative(col("a.embedding"), col("b.embedding")), 6)
           .as("score"))
       .where(col("score") >= threshold)
       .select("id1", "id2")
@@ -241,7 +242,7 @@ object Similarity {
     val scored = emb.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("label").cast("long"),
-        round(cosineNative(col("embedding"), col("q_embedding")), 6).as("score"),
+        roundStable(cosineNative(col("embedding"), col("q_embedding")), 6).as("score"),
         col("vec_id"))
       .as[(Long, Double, Long)]
     topKExplode(scored, k, "label")
@@ -285,7 +286,7 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"),
-        round(cosineNative(col("embedding"), col("q_embedding")), 6)
+        roundStable(cosineNative(col("embedding"), col("q_embedding")), 6)
           .as("score"),
         col("vec_id"))
       .as[(Long, Double, Long)]
@@ -364,7 +365,7 @@ object Similarity {
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(cosineNative(col("a.embedding"), col("b.embedding")), 6).as("score"))
+        roundStable(cosineNative(col("a.embedding"), col("b.embedding")), 6).as("score"))
       .where(col("score") >= threshold)
       .orderBy("id1", "id2")
   }

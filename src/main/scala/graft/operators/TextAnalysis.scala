@@ -46,9 +46,9 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
-        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
-        round(punctRatio(col("text")), 4).as("punct_ratio"),
-        round(meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        roundStable(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        roundStable(punctRatio(col("text")), 4).as("punct_ratio"),
+        roundStable(meanTokenLen(col("text")), 4).as("mean_tok_len"),
         qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
@@ -69,7 +69,7 @@ object TextAnalysis {
         size(org.apache.spark.sql.graft.TextExpressions
           .shingleSet(col("text"), k)).cast("long").as("n_distinct"))
       .withColumn("rep_ratio",
-        round(lit(1.0) -
+        roundStable(lit(1.0) -
           col("n_distinct").cast("double") / col("n_grams").cast("double"), 4))
       .orderBy("doc_id")
 
