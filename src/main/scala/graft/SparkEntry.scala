@@ -237,6 +237,13 @@ object SparkEntry {
       ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
     // q94: language ID by LM — least-perplexed per-lang bigram model
     "q94_lm_langid" -> ((s, d) => LangModel.lmLangId(s, d)),
+    // q95: directed shingle-set containment — the asymmetric partial-
+    // copy detector (Broder's containment) symmetric Jaccard misses
+    "q95_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    // q96: the Gopher quality ruleset as per-rule integer flags
+    "q96_gopher_rules" -> ((s, d) => Curation.gopherRules(s, d)),
+    // q97: DSIR hashed-ngram importance weights vs the 'en' target slice
+    "q97_dsir_weights" -> ((s, d) => Sampling.dsirWeights(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1909,6 +1916,124 @@ object SparkEntry {
                FROM s)
          SELECT doc_id, lang AS pred_lang, CAST(ppx AS BIGINT) AS ppx_micros
          FROM r WHERE rk = 1 ORDER BY doc_id""",
+    // q95: directed containment over the q22 shingle universe (same
+    // tokenize/shingle/hot-cap CTEs); each undirected intersection row
+    // yields up to two directed rows, containment = inter/|src| under
+    // the stable floor rule.
+    "q95_containment_pairs" ->
+      raw"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                      s -> len(s) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END) AS shingles
+           FROM t),
+         tok0 AS (SELECT doc_id, unnest(shingles) AS token FROM sh),
+         hot AS (SELECT token FROM tok0 GROUP BY token
+                 HAVING count(*) > ${graft.operators.Dedup.DefaultMaxDf}),
+         tok AS (SELECT * FROM tok0
+                 WHERE token NOT IN (SELECT token FROM hot)),
+         sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS cnt
+           FROM tok a JOIN tok b
+             ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         d AS (
+           SELECT id1 AS src_id, id2 AS dst_id,
+                  floor(CAST(cnt AS DOUBLE) / s1.n_tok * 10000 + 0.5)
+                    / 10000 AS containment
+           FROM inter JOIN sz s1 ON id1 = s1.doc_id
+           UNION ALL
+           SELECT id2, id1,
+                  floor(CAST(cnt AS DOUBLE) / s2.n_tok * 10000 + 0.5)
+                    / 10000
+           FROM inter JOIN sz s2 ON id2 = s2.doc_id)
+         SELECT src_id, dst_id, containment
+         FROM d WHERE containment >= 0.8
+         ORDER BY src_id, dst_id""",
+    // q96: the Gopher token-shape ruleset — every flag is an integer
+    // comparison (no float ratio ever materializes), wlen in exact
+    // integer micros.
+    "q96_gopher_rules" ->
+      raw"""WITH t AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n,
+                  CAST(COALESCE(list_sum(
+                    list_transform(toks, s -> len(s))), 0) AS BIGINT) AS sl,
+                  CAST(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+                    AS nsym,
+                  CAST(len(list_filter(toks,
+                    s -> regexp_matches(s, '[A-Za-z]'))) AS BIGINT) AS na,
+                  CAST(len(list_intersect(list_distinct(toks),
+                    ['the','a','an','and','of','to','in','is','it','on',
+                     'for'])) AS BIGINT) AS ns
+           FROM t),
+         f AS (
+           SELECT doc_id, n AS n_tokens,
+                  CASE WHEN n > 0 THEN (sl * 1000000) // n
+                       ELSE 0 END AS wlen_micros,
+                  CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END
+                    AS r_wordcount,
+                  CASE WHEN n > 0 AND 3 * n <= sl AND sl <= 10 * n
+                       THEN 1 ELSE 0 END AS r_wordlen,
+                  CASE WHEN n > 0 AND 10 * nsym <= n THEN 1 ELSE 0 END
+                    AS r_symbol,
+                  CASE WHEN n > 0 AND 5 * na >= 4 * n THEN 1 ELSE 0 END
+                    AS r_alpha,
+                  CASE WHEN ns >= 2 THEN 1 ELSE 0 END AS r_stop
+           FROM s)
+         SELECT doc_id, n_tokens, CAST(wlen_micros AS BIGINT) AS wlen_micros,
+                CAST(r_wordcount AS BIGINT) AS r_wordcount,
+                CAST(r_wordlen AS BIGINT) AS r_wordlen,
+                CAST(r_symbol AS BIGINT) AS r_symbol,
+                CAST(r_alpha AS BIGINT) AS r_alpha,
+                CAST(r_stop AS BIGINT) AS r_stop,
+                CAST(CASE WHEN r_wordcount = 1 AND r_wordlen = 1
+                      AND r_symbol = 1 AND r_alpha = 1 AND r_stop = 1
+                      THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM f ORDER BY doc_id""",
+    // q97: DSIR hashed-ngram importance weights — unigram+bigram
+    // features md5-hashed into 8192 buckets, one aggregation builds
+    // both distributions, per-feature integer smoothed ratio
+    // ((ct+1)*1e6)//(cr+1), doc weight = exact integer mean.
+    "q97_dsir_weights" ->
+      raw"""WITH t AS (
+           SELECT doc_id, lang,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, lang,
+                  unnest(list_concat(toks,
+                    list_transform(range(len(toks) - 1),
+                      i -> toks[i+1] || ' ' || toks[i+2]))) AS feat
+           FROM t),
+         o AS (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5(feat), 1, 15))::BIGINT % 8192
+                    AS bucket
+           FROM f),
+         b AS (
+           SELECT bucket, count(*) AS cr,
+                  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+           FROM o GROUP BY 1),
+         sc AS (SELECT bucket, ((ct + 1) * 1000000) // (cr + 1) AS score6
+                FROM b)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                CAST(SUM(score6) // count(*) AS BIGINT) AS weight_micros
+         FROM o JOIN sc USING (bucket)
+         GROUP BY doc_id ORDER BY doc_id""",
   )
 
   /** Shared CTE chain for the fixed-merge BPE oracles (q91/q93): the

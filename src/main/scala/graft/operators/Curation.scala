@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -110,6 +110,80 @@ object Curation {
           .as("mean_quality_bp"),
         sum("pii").as("n_pii_docs"))
       .orderBy("source", "lang")
+
+  /** Stopwords two or more of which a document must contain to clear
+    * the Gopher stop-word rule — the published rule's shape with the
+    * repo's fixed deterministic list (the paper uses
+    * the/be/to/of/and/that/have/with). */
+  val GopherStopwords: Seq[String] = enStopwords
+
+  /** q96: the Gopher quality-filter RULESET (Rae et al. 2021,
+    * Appendix A1.1 — public recipe) as explicit per-document rule
+    * flags, not a blended score: real pipelines report and tune each
+    * rule independently (how many docs fail ONLY the word-count rule?)
+    * and a training-data audit needs the per-rule breakdown, which the
+    * composite q20 score cannot give. Line-shape rules (bullet/ellipsis
+    * line ratios) are omitted: this corpus is single-line, and they
+    * would be untestable flags — the token-shape subset implemented
+    * here is the one every text corpus exercises.
+    *
+    * Every rule is an INTEGER comparison — no ratio is ever
+    * materialized as a float (`3·n ≤ Σlen ≤ 10·n` IS "mean word length
+    * in [3,10]"), so the flags are bit-stable across engines by
+    * construction, stronger than the roundStable discipline the float
+    * queries need. `wlen_micros` is exposed for observability as exact
+    * integer micros (floor division).
+    *
+    * Rules: r_wordcount 50 ≤ n ≤ 100000; r_wordlen mean word length in
+    * [3,10]; r_symbol (# + ellipsis occurrences) ≤ 0.1·n; r_alpha ≥80%
+    * of words contain a letter; r_stop ≥2 distinct [[GopherStopwords]];
+    * keep = all pass. Zero-token docs fail everything (keep 0).
+    *
+    * Scale shape: map-only — one tokenization in the scan projection
+    * feeds every rule; the only exchange is the output sort. At 100 TB
+    * this is the gate that runs FIRST (before any dedup shuffle) so
+    * downstream stages never pay for documents a scan-side rule
+    * already rejected. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(Tables.documents(spark, dir))
+
+  /** [[gopherRules]] over an explicit (doc_id, text) relation. */
+  def gopherRulesOn(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    val sumLen = coalesce(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")),
+      lit(0L))
+    val nSym = (regexp_count(col("text"), lit("#"))
+      + regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(GopherStopwords.map(lit): _*))).cast("long")
+    val flag = (c: Column) => when(c, lit(1L)).otherwise(lit(0L))
+    docs
+      .select(col("doc_id"), n.as("n_tokens"), sumLen.as("sum_len"),
+        nSym.as("n_sym"), nAlpha.as("n_alpha"), nStop.as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          expr("(sum_len * 1000000L) div n_tokens")).otherwise(lit(0L))
+          .as("wlen_micros"),
+        flag(col("n_tokens") >= 50 && col("n_tokens") <= 100000)
+          .as("r_wordcount"),
+        flag(col("n_tokens") > 0 &&
+          lit(3L) * col("n_tokens") <= col("sum_len") &&
+          col("sum_len") <= lit(10L) * col("n_tokens")).as("r_wordlen"),
+        flag(col("n_tokens") > 0 &&
+          lit(10L) * col("n_sym") <= col("n_tokens")).as("r_symbol"),
+        flag(col("n_tokens") > 0 &&
+          lit(5L) * col("n_alpha") >= lit(4L) * col("n_tokens"))
+          .as("r_alpha"),
+        flag(col("n_stop") >= 2).as("r_stop"))
+      .withColumn("keep",
+        flag(col("r_wordcount") === 1L && col("r_wordlen") === 1L &&
+          col("r_symbol") === 1L && col("r_alpha") === 1L &&
+          col("r_stop") === 1L))
+      .orderBy("doc_id")
+  }
 
   /** Curriculum bucketing: every document stamped with its quality
     * decile (1 = top) so a training loader can schedule easy/clean

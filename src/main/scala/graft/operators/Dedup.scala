@@ -250,6 +250,76 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** q95: DIRECTED shingle-set containment pairs — the asymmetric
+    * near-dup case symmetric Jaccard structurally misses: a short
+    * document quoted wholesale inside a much longer one has
+    * J = |A|/|B| ≈ 0 but containment C(A→B) = |A∩B|/|A| ≈ 1. Public
+    * recipe: Jaccard containment from the shingling literature (Broder
+    * 1997 §3 defines both resemblance and containment over shingle
+    * sets); training-data pipelines use it to catch partial copies —
+    * quotations, article-in-digest, template-plus-payload — that the
+    * q22 family's resemblance threshold lets through.
+    *
+    * Output: (src_id, dst_id, containment) with src ≠ dst, one row per
+    * DIRECTION whose capped-universe containment rounds to ≥
+    * `threshold` — a near-exact copy pair emits both directions, a
+    * strict subset emits one.
+    *
+    * Scale shape: the q22 counting-join skeleton on 60-bit hashed
+    * shingle identity (8 B exchange keys, strings never leave the
+    * scan) with the same corpus-relative hot-df cap — but NO size-ratio
+    * prefilter: containment is exactly the predicate a size-ratio
+    * bound cannot prune (the smaller side can always be contained,
+    * whatever the ratio), so the candidate mass is the full capped
+    * Σdf·(df−1)/2 and the df cap is the ONLY defense against hot
+    * shingles — at 100 TB run this at the same relative cap as q22.
+    * Both directions fall out of ONE a<b join + groupBy (the pair's
+    * intersection is computed once; the two directed scores are a
+    * map-side explode of the aggregated row). */
+  def containmentPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, shingleK: Int = 3,
+      maxDf: Int = AutoMaxDf): DataFrame =
+    containmentPairsOn(Tables.documents(spark, dir), threshold, shingleK,
+      maxDf)
+
+  /** [[containmentPairs]] over an explicit `documents` relation. */
+  def containmentPairsOn(docs: DataFrame, threshold: Double = 0.8,
+      shingleK: Int = 3, maxDf: Int = AutoMaxDf): DataFrame = {
+    val cap = resolveMaxDf(maxDf, docs.count())
+    val hotArr = shingleHashIndex(docs, shingleK)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > cap)
+      .agg(collect_list("h").as("hot_toks"))
+    // capped hashed carrier, cached for the self-join (the q22 shape)
+    val capped = graft.Caches.register(docs.crossJoin(broadcast(hotArr))
+      .select(col("doc_id"),
+        array_except(TextExpressions.shingleHashSet(col("text"), shingleK),
+          col("hot_toks")).as("toks"))
+      .cache())
+    val idx = capped.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tok"),
+      explode(col("toks")).as("token"))
+    val a = idx.as("a"); val b = idx.as("b")
+    val pairs = a.join(b,
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n_tok")).as("n1"), max(col("b.n_tok")).as("n2"))
+    // one aggregated row per undirected pair → up to two directed rows
+    pairs
+      .select(explode(array(
+        struct(col("id1").as("src_id"), col("id2").as("dst_id"),
+          roundStable(col("inter").cast("double") / col("n1").cast("double"),
+            4).as("containment")),
+        struct(col("id2").as("src_id"), col("id1").as("dst_id"),
+          roundStable(col("inter").cast("double") / col("n2").cast("double"),
+            4).as("containment")))).as("e"))
+      .select(col("e.src_id"), col("e.dst_id"), col("e.containment"))
+      .where(col("containment") >= threshold)
+      .orderBy("src_id", "dst_id")
+  }
+
   /** Prefix-index path — true prefix-filtered set-similarity join
     * (PPJoin candidate generation, Xiao et al. WWW'08 §3, distributed as
     * the 3-stage MapReduce shape of Vernica et al. SIGMOD'10 — both

@@ -199,4 +199,81 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("epoch"))
       .orderBy("doc_id", "epoch")
   }
+
+  /** Number of hashed-n-gram feature buckets for [[dsirWeights]] — the
+    * whole point of the hashing trick: the distribution tables are
+    * FIXED SIZE regardless of corpus size. */
+  val DsirBuckets = 8192
+
+  /** q97: DSIR-style importance weights (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023 —
+    * public recipe): hash every unigram and adjacent bigram into
+    * [[DsirBuckets]] buckets, estimate the target (here: the `lang =
+    * refLang` slice) and raw feature distributions over those buckets,
+    * and score each document by how much more target-like than
+    * raw-like its features are. Output: (doc_id, n_feats,
+    * weight_micros) — higher = more target-like; downstream selection
+    * is "sample ∝ weight" (the paper) or "keep top-p by weight"
+    * (compose with [[sampleByWeights]]).
+    *
+    * Engine-exact fixed point, the q87 discipline: the paper sums
+    * per-feature LOG probability ratios; summing libm logs would tie
+    * the gate to float rounding, so each feature occurrence instead
+    * contributes the INTEGER smoothed ratio `((ct+1)·1e6) div (cr+1)`
+    * (add-one over bucket counts) and the doc score is the exact
+    * integer mean — the arithmetic rather than geometric mean of
+    * feature ratios, a monotone-enough proxy for rank-and-threshold
+    * selection (exactly q87's perplexity trade). The global
+    * normalizer (T+B)/(R+B) scales every doc identically and is
+    * dropped. Headroom: ct·1e6 holds to ~9·10¹² occurrences of one
+    * bucket — thousands of times a Wikipedia-scale target slice.
+    *
+    * Scale shape (the reason DSIR won at FLAN/pile scale): BOTH
+    * distribution tables are ≤ [[DsirBuckets]] rows — corpus-size-
+    * independent — built by ONE aggregation over the exploded feature
+    * stream (count + count-if-target), then broadcast; scoring is a
+    * map-side broadcast join + per-doc sum with map-side combine. At
+    * 100 TB nothing corpus-sized ever shuffles: exchanges carry
+    * (bucket) ints going up and (doc_id, partial sums) coming down. */
+  def dsirWeights(spark: SparkSession, dir: String,
+      refLang: String = "en"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dsirWeightsAgainst(docs, col("lang") === refLang)
+  }
+
+  /** [[dsirWeights]] over an explicit relation: `isTarget` marks the
+    * target slice (any boolean Column over the relation's columns). */
+  def dsirWeightsAgainst(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    // unigrams ++ adjacent bigrams ("w1 w2"), hashed to buckets in the
+    // scan projection; docs with zero tokens have no features and are
+    // absent from the output (nothing to score — the q87 contract)
+    val toks = tokens(col("text"))
+    // guard: slice with negative length throws on zero-token docs
+    val bigrams = when(size(toks) <= 1, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val feats = concat(toks, bigrams)
+    val occ = graft.Caches.register(docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(transform(feats, f => pmod(md5Long(f), lit(DsirBuckets))))
+          .as("bucket"))
+      .cache())
+    // ONE fixed-size aggregation builds both distributions
+    val buckets = occ
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+      .withColumn("score6", expr("((ct + 1L) * 1000000L) div (cr + 1L)"))
+      .select("bucket", "score6")
+    occ
+      .join(broadcast(buckets), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        expr("sum(score6) div count(1)").as("weight_micros"))
+      .orderBy("doc_id")
+  }
 }

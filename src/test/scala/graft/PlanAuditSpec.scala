@@ -31,7 +31,9 @@ class PlanAuditSpec extends SparkSpec {
     // pattern as q64's total); q89: the 1-row max-source-count broadcast
     "q87_lm_perplexity", "q88_tfidf_keywords", "q89_mixture_epochs",
     // q94: the languages-list broadcast crossJoin (rows = #languages)
-    "q94_lm_langid")
+    "q94_lm_langid",
+    // q95: q22's collected hot-shingle-set broadcast (1 row)
+    "q95_containment_pairs")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -199,7 +201,18 @@ class PlanAuditSpec extends SparkSpec {
     // vdf, bi, langs-distinct, doc-bigram aggs + two model-join probe
     // re-exchanges) + the per-(doc,lang) and per-doc argmin aggs —
     // token-key shuffles throughout, text never leaves the scan
-    "q94_lm_langid" -> 9)
+    "q94_lm_langid" -> 9,
+    // q95: the q22 counting-join skeleton (hot-df agg + the self-join's
+    // two token exchanges + the pair groupBy); the directed explode and
+    // threshold filter are map-side on the aggregated pairs, and AQE
+    // folds the tiny output sort
+    "q95_containment_pairs" -> 4,
+    // q96: map-only integer rule flags, output sort only
+    "q96_gopher_rules" -> 1,
+    // q97: the fixed-size bucket-distribution agg (≤8192 rows,
+    // broadcast back) + the per-doc weight agg + the output sort —
+    // feature occurrences never shuffle (map-side combine on doc_id)
+    "q97_dsir_weights" -> 3)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

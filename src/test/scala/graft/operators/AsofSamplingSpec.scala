@@ -208,4 +208,45 @@ class AsofSamplingSpec extends SparkSpec {
     assert(all.select("split").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("train"))
   }
+
+  test("dsir weights: exact integer trace on a collision-free corpus") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5LongScala
+    // two docs, features = unigrams + adjacent bigrams:
+    //   target (en): {aa, bb, "aa bb"}; raw-only (de): {cc, dd, "cc dd"}
+    // precondition (checked): the six features land in six DISTINCT
+    // buckets, so every bucket has cr=1 and ct = 1/0 by slice:
+    //   en features: score6 = ((1+1)·1e6)//(1+1) = 1_000_000
+    //   de features: score6 = ((0+1)·1e6)//(1+1) =   500_000
+    // doc weights are the exact means of three equal values.
+    val feats = Seq("aa", "bb", "aa bb", "cc", "dd", "cc dd")
+    val buckets = feats.map(f =>
+      math.floorMod(md5LongScala(f), Sampling.DsirBuckets))
+    assert(buckets.distinct.length == feats.length,
+      s"hand-trace needs collision-free buckets, got $buckets")
+    val docs = Seq((1L, "aa bb", "en"), (2L, "cc dd", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = Sampling.dsirWeightsAgainst(docs, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 1000000L), (2L, 3L, 500000L)),
+      s"dsir trace diverged: ${got.toSeq}")
+    // ranking sanity at corpus scale: among well-populated docs, the
+    // max-weight doc of the target slice outranks the min-weight doc
+    // outside it (target-like features score strictly higher)
+    val w = Sampling.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val docsSf = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val en = docsSf.collect { case (id, "en") => w(id) }
+    val other = docsSf.collect { case (id, l) if l != "en" => w(id) }
+    assert(en.sum / en.length > other.sum / other.length,
+      "the target slice must out-weigh the rest on average " +
+        s"(en mean ${en.sum / en.length} vs ${other.sum / other.length})")
+    // zero-token docs are absent (nothing to score)
+    val none = Sampling.dsirWeightsAgainst(
+      Seq((1L, "", "en")).toDF("doc_id", "text", "lang"),
+      col("lang") === "en")
+    assert(none.count() == 0)
+  }
 }

@@ -568,4 +568,43 @@ class DedupSimilaritySpec extends SparkSpec {
       if (v == null) null else Boolean.box(set.contains(v.longValue())))
     assert(got.toSeq == want.toSeq)
   }
+
+  test("containment catches the asymmetric partial copy Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = 12 tokens (10 distinct 3-shingles), doc 2 = doc 1 plus 28
+    // unique tokens: every shingle of 1 appears in 2, so C(1→2) = 1.0,
+    // while J = 10/38 ≈ 0.26 (below q73's 0.5) and C(2→1) = 10/38
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (1 to 28).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsOn(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected exactly the small→big direction, got ${got.toSeq}")
+    // the same pair is invisible to symmetric Jaccard at 0.5
+    assert(Dedup.ngramJaccardPairsCounting(docs, 0.5, 3, 1000).count() == 0)
+    // near-exact copies emit BOTH directions
+    val twins = Seq((1L, small + " extra"), (2L, small + " extra"))
+      .toDF("doc_id", "text")
+    val both = Dedup.containmentPairsOn(twins, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(both.toSeq == Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
+  test("containment respects the hot-df cap (capped universe semantics)") {
+    import spark.implicits._
+    // 3 docs share one ubiquitous shingle "a b c"; with cap 2 it drops
+    // from the universe, so doc 3 (only that shingle + own tokens) has
+    // no shared shingles left and NO pair forms through it
+    val docs = Seq(
+      (1L, "a b c p q r s t u v w x"),
+      (2L, "a b c p q r s t u v w x"),
+      (3L, "a b c m1 m2 m3 m4 m5 m6")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairsOn(docs, threshold = 0.5, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // docs 1↔2 still fully contain each other over their 9 surviving
+    // shingles; doc 3's only shared shingle is gone, so no pair forms
+    assert(pairs.toSet == Set((1L, 2L), (2L, 1L)),
+      s"capped-universe pairs wrong: ${pairs.toSeq}")
+  }
 }

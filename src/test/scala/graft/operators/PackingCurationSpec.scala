@@ -128,4 +128,47 @@ class PackingCurationSpec extends SparkSpec {
     assert(biggest <= cur.length / 10 + biggestTie,
       s"decile of $biggest docs exceeds tie-adjusted tenth")
   }
+
+  test("gopher rules: each rule trips on exactly its violation") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(_ => "the of and word").mkString(" ")
+    val docs = Seq(
+      // 0: 200 tokens, wlen (3+2+3+4)/4=3.0 ok, stopwords {the,of,and},
+      //    all alpha, no symbols → passes everything
+      (0L, fifty),
+      // 1: word count 4 < 50 → fails ONLY r_wordcount
+      (1L, "the of and word"),
+      // 2: mean word length 2.4 < 3 (tokens a,of,be,to,the ×40 = wlen
+      //    (1+2+2+2+3)/5) → fails ONLY r_wordlen
+      (2L, (1 to 40).map(_ => "a of be to the").mkString(" ")),
+      // 3: 50 of its 200 tokens are '###' (symbol count 150 > 0.1·200);
+      //    '###' has no letter but 150/200 alpha = 75% < 80% also trips
+      //    r_alpha — craft symbols INSIDE words instead: 'w###ord' keeps
+      //    alpha, adds 3 '#' per word → 150 symbols in 50 words of doc
+      //    0's tail. Use fifty + 50×'w###d' = 250 tokens, 150 '#' → sym
+      //    ratio 0.6 → fails ONLY r_symbol
+      (3L, fifty + " " + (1 to 50).map(_ => "w###d").mkString(" ")),
+      // 4: 30% pure-digit tokens → fails ONLY r_alpha (wlen: '12345'
+      //    ×60 + doc-0 body stays in [3,10])
+      (4L, fifty + " " + (1 to 60).map(_ => "12345").mkString(" ")),
+      // 5: only one distinct stopword ('the') → fails ONLY r_stop
+      (5L, (1 to 60).map(_ => "the green word").mkString(" ")),
+      // 6: empty text → zero tokens, fails everything
+      (6L, "")).toDF("doc_id", "text")
+    val got = Curation.gopherRulesOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(got(0L) == ((1L, 1L, 1L, 1L, 1L, 1L)), s"doc0: ${got(0L)}")
+    assert(got(1L) == ((0L, 1L, 1L, 1L, 1L, 0L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((1L, 0L, 1L, 1L, 1L, 0L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((1L, 1L, 0L, 1L, 1L, 0L)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((1L, 1L, 1L, 0L, 1L, 0L)), s"doc4: ${got(4L)}")
+    assert(got(5L) == ((1L, 1L, 1L, 1L, 0L, 0L)), s"doc5: ${got(5L)}")
+    assert(got(6L) == ((0L, 0L, 0L, 0L, 0L, 0L)), s"doc6: ${got(6L)}")
+    // wlen_micros is the exact integer mean: doc 0 = 12 chars / 4 toks
+    val wlen = Curation.gopherRulesOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(wlen(0L) == 3000000L, s"doc0 wlen ${wlen(0L)}")
+    assert(wlen(6L) == 0L)
+  }
 }
