@@ -147,6 +147,29 @@ object Curation {
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesOn(Tables.documents(spark, dir))
 
+  /** The [[gopherRules]] verdict as ONE boolean Column — the composable
+    * gate form [[graft.streaming.DocStream.curate]] applies map-side
+    * (pinned equal to the batch flags' `keep` by `PackingCurationSpec`
+    * and the `PipelineSpec` batch-equivalence case). Conjunction of the
+    * five integer rules; zero-token docs fail. */
+  def gopherKeep(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val sumLen = coalesce(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")),
+      lit(0L))
+    val nSym = (regexp_count(text, lit("#"))
+      + regexp_count(text, lit("\\.\\.\\."))).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(GopherStopwords.map(lit): _*))).cast("long")
+    n >= 50 && n <= 100000 &&
+      lit(3L) * n <= sumLen && sumLen <= lit(10L) * n &&
+      lit(10L) * nSym <= n &&
+      lit(5L) * nAlpha >= lit(4L) * n &&
+      nStop >= 2
+  }
+
   /** [[gopherRules]] over an explicit (doc_id, text) relation. */
   def gopherRulesOn(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

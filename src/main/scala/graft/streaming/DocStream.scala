@@ -53,18 +53,29 @@ object DocStream {
     * policy): map-only native counter against the banned identity set
     * shipped inside the expression — runs AFTER the PII scrub (a
     * redacted `|||PHONE|||` placeholder can't be banned content) and
-    * before the LM score, cheapest-gate-first. */
+    * before the LM score, cheapest-gate-first.
+    *
+    * `gopherGate` adds the Gopher token-shape ruleset (the batch twin
+    * is [[graft.operators.Curation.gopherRules]]' keep flag): all five
+    * integer rules must pass. Map-only, rides the quality gate's scan
+    * stage — it judges the (possibly PII-scrubbed) text, same as every
+    * other gate downstream of the scrub. */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       watermark: String = "24 hours", scrubPii: Boolean = false,
       ppxModel: Option[graft.operators.LangModel.BigramModel] = None,
       maxPpxMicros: Long = Long.MaxValue,
-      blocklist: Option[Seq[String]] = None): DataFrame = {
-    val gated0 =
+      blocklist: Option[Seq[String]] = None,
+      gopherGate: Boolean = false): DataFrame = {
+    val gated00 =
       (if (scrubPii)
          docs.withColumn("text", graft.operators.Pii.redactText(col("text")))
        else docs)
         .withColumn("quality", qualityScore(col("text")))
         .where(col("quality") >= minQuality)
+    val gated0 =
+      if (gopherGate)
+        gated00.where(graft.operators.Curation.gopherKeep(col("text")))
+      else gated00
     val gated = blocklist.fold(gated0) { terms =>
       val set = terms.distinct.map(md5LongScala).sorted.toIndexedSeq
       gated0.where(org.apache.spark.sql.graft.TextExpressions

@@ -171,4 +171,17 @@ class PackingCurationSpec extends SparkSpec {
     assert(wlen(0L) == 3000000L, s"doc0 wlen ${wlen(0L)}")
     assert(wlen(6L) == 0L)
   }
+
+  test("gopherKeep (the streaming gate form) ≡ the flags' keep, " +
+      "corpus-wide") {
+    val docs = graft.Tables.documents(spark, sf)
+    val viaFlags = Curation.gopherRulesOn(docs)
+      .where(col("keep") === 1L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val viaGate = docs.where(Curation.gopherKeep(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaGate == viaFlags,
+      s"gate/flags diverge: ${viaGate.diff(viaFlags)} ${viaFlags.diff(viaGate)}")
+    assert(viaFlags.nonEmpty, "expected some sf docs to pass the ruleset")
+  }
 }

@@ -222,6 +222,32 @@ class PipelineSpec extends SparkSpec {
     assert(keep == got, s"batch keep $keep != streaming $got")
   }
 
+  test("curate(gopherGate): the Gopher ruleset drops short docs, equals " +
+      "the batch keep flag") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val body = "the story of the sea and the wind is told again here"
+    val long = Seq.fill(5)(body).mkString(" ")  // 60 tokens → passes
+    val short = body                            // 12 tokens → r_wordcount 0
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocStream.curate(mem.toDF().toDF("doc_id", "text", "ts"),
+        minQuality = 0.5, watermark = "10 minutes", gopherGate = true)
+      .writeStream.format("memory").queryName("gopher_curated")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, long, t("2024-01-01 10:00:00")),
+      (2L, short, t("2024-01-01 10:01:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("gopher_curated").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L), s"got $got")
+    // the batch twin's keep flag agrees
+    val keep = graft.operators.Curation
+      .gopherRulesOn(Seq((1L, long), (2L, short)).toDF("doc_id", "text"))
+      .where(col("keep") === 1L)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(keep == got, s"batch keep $keep != streaming $got")
+  }
+
   test("curate(scrubPii): PII never reaches state; PII-only variants " +
       "dedupe to one") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
