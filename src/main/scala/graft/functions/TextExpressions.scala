@@ -245,6 +245,46 @@ case class GramHashes(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Native DSIR feature buckets: every unigram AND adjacent-bigram
+  * occurrence of the text, as its 60-bit md5 reduced mod `buckets` —
+  * ONE tokenize pass, token byte regions hashed directly. Replaces the
+  * composed concat/zip_with/slice/transform chain whose tokens()
+  * subtree Catalyst re-evaluates per reference (no CSE inside one
+  * expression tree) and whose bigram Strings existed only to be
+  * hashed. NO dedup — DSIR counts feature OCCURRENCES. Hash twin of
+  * `pmod(md5Long(feat), buckets)` (unigram feat = the token, bigram
+  * feat = "w1 w2"), so the DuckDB oracle reproduces every element.
+  * Zero tokens → empty array; one token → just its unigram. */
+case class DsirFeatureBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(buckets > 0, s"bucket count must be positive (got $buckets)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dsir_feature_buckets"
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tk = TextKernel.tokenize(bytes)
+    val n = tk.n
+    if (n == 0) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val m = if (n >= 2) 2 * n - 1 else n
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < n) { // hashGram is non-negative (60-bit), % == pmod
+        out(i) = TextKernel.hashGram(bytes, tk, i, 1) % buckets
+        i += 1
+      }
+      var j = 0
+      while (j < n - 1) {
+        out(n + j) = TextKernel.hashGram(bytes, tk, j, 2) % buckets
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): DsirFeatureBuckets =
+    copy(child = c)
+}
+
 /** Native SimHash signature: one md5 per distinct token, popcount
   * tallies in a tight loop — replaces the interpreted aggregate over
   * sequence(bits) whose per-bit filter() re-walks the token hashes
@@ -518,6 +558,9 @@ object TextExpressions {
       ShingleHashSet(ExpressionUtils.expression(text), k))
   def gramHashes(text: Column, k: Int): Column =
     ExpressionUtils.column(GramHashes(ExpressionUtils.expression(text), k))
+  def dsirFeatureBuckets(text: Column, buckets: Int): Column =
+    ExpressionUtils.column(
+      DsirFeatureBuckets(ExpressionUtils.expression(text), buckets))
   def minHashSig(text: Column, k: Int, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSig(ExpressionUtils.expression(text), k, numHashes))

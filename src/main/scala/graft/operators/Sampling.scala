@@ -245,22 +245,16 @@ object Sampling {
     * target slice (any boolean Column over the relation's columns). */
   def dsirWeightsAgainst(docs: DataFrame,
       isTarget: org.apache.spark.sql.Column): DataFrame = {
-    import graft.functions.TextFunctions.tokens
-    // unigrams ++ adjacent bigrams ("w1 w2"), hashed to buckets in the
-    // scan projection; docs with zero tokens have no features and are
-    // absent from the output (nothing to score — the q87 contract)
-    val toks = tokens(col("text"))
-    // guard: slice with negative length throws on zero-token docs
-    val bigrams = when(size(toks) <= 1, array().cast("array<string>"))
-      .otherwise(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-    val feats = concat(toks, bigrams)
+    // unigram + adjacent-bigram occurrences, hashed to buckets by the
+    // native kernel (ONE tokenize pass off token byte regions — the
+    // composed concat/zip_with/md5 chain re-evaluated its tokens()
+    // subtree per reference and built every bigram String just to hash
+    // it); docs with zero tokens have no features and are absent from
+    // the output (nothing to score — the q87 contract)
     val occ = graft.Caches.register(docs
       .select(col("doc_id"), isTarget.as("is_target"),
-        explode(transform(feats, f => pmod(md5Long(f), lit(DsirBuckets))))
-          .as("bucket"))
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .dsirFeatureBuckets(col("text"), DsirBuckets)).as("bucket"))
       .cache())
     // ONE fixed-size aggregation builds both distributions
     val buckets = occ

@@ -386,4 +386,35 @@ class PropertySpec extends SparkSpec {
       assert(g == e, s"byte path diverged on ${t.map(_.toInt)}")
     }
   }
+
+  test("dsir feature buckets equal the String reference " +
+      "(unigrams ++ bigrams, pmod)") {
+    // the q97 kernel emits every unigram and adjacent-bigram OCCURRENCE
+    // as md5-60 mod buckets in one byte-level pass; reference: the
+    // composed String-side definition the oracle replays
+    import graft.functions.TextFunctions.md5LongScala
+    val B = graft.operators.Sampling.DsirBuckets
+    val tok = Gen.chooseNum(1, 5)
+      .flatMap(n => Gen.listOfN(n,
+        Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', '中', 'Ω'))).map(_.mkString))
+    val textG = for {
+      n    <- Gen.chooseNum(0, 10)
+      toks <- Gen.listOfN(n, tok)
+      lead <- Gen.oneOf("", "  ", "\t")
+    } yield lead + toks.mkString(" ")
+    val rows = samples(textG, 60)
+    val got = rows.toDF("text")
+      .select(org.apache.spark.sql.graft.TextExpressions
+        .dsirFeatureBuckets(col("text"), B).as("b"))
+      .collect().map(_.getSeq[Long](0).toList)
+    val expected = rows.map { t =>
+      val toks = t.split("\\s+").filter(_.nonEmpty).toList
+      val feats = toks ++ toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" "))
+      feats.map(f => math.floorMod(md5LongScala(f), B).toLong)
+    }
+    rows.lazyZip(got).lazyZip(expected).foreach { (t, g, e) =>
+      assert(g == e, s"dsir kernel diverged on '$t'")
+    }
+  }
 }
