@@ -244,6 +244,11 @@ object SparkEntry {
     "q96_gopher_rules" -> ((s, d) => Curation.gopherRules(s, d)),
     // q97: DSIR hashed-ngram importance weights vs the 'en' target slice
     "q97_dsir_weights" -> ((s, d) => Sampling.dsirWeights(s, d)),
+    // q98: content-defined chunking (Rabin-style token boundaries) —
+    // the shift-tolerant dedup primitive fixed windows can't be
+    "q98_cdc_segments" -> ((s, d) => Dedup.cdcSegments(s, d)),
+    // q99: cross-doc duplicated CDC segments (the audit dictionary)
+    "q99_cdc_dup_segments" -> ((s, d) => Dedup.cdcDupSegments(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2034,7 +2039,48 @@ object SparkEntry {
                 CAST(SUM(score6) // count(*) AS BIGINT) AS weight_micros
          FROM o JOIN sc USING (bucket)
          GROUP BY doc_id ORDER BY doc_id""",
+    // q98: CDC segmentation — boundary AFTER every token whose md5-60
+    // is ≡ 0 mod 16, last token always closes a segment; seg_h =
+    // md5-60 of the segment tokens joined by single spaces.
+    "q98_cdc_segments" -> (cdcSegmentsSql +
+      raw""" SELECT doc_id, seg_idx, n_tokens, seg_h
+         FROM segs ORDER BY doc_id, seg_idx"""),
+    // q99: segments in >= 2 docs, with occurrence/doc counts.
+    "q99_cdc_dup_segments" -> (cdcSegmentsSql +
+      raw""" SELECT seg_h, CAST(COUNT(*) AS BIGINT) AS n_occ,
+                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM segs GROUP BY seg_h HAVING COUNT(DISTINCT doc_id) >= 2
+         ORDER BY seg_h"""),
   )
+
+  /** Shared CTE chain for the CDC oracles (q98/q99): tokenized docs,
+    * 1-based boundary positions (md5-60(token) ≡ 0 mod CdcModulus, or
+    * the last token), and the segment relation
+    * `segs(doc_id, seg_idx, n_tokens, seg_h)`. */
+  private val cdcSegmentsSql: String =
+    raw"""WITH t AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                    s -> len(s) > 0) AS toks
+         FROM documents),
+       b AS (
+         SELECT doc_id, toks,
+                list_filter(range(1, len(toks) + 1),
+                  i -> ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT
+                         % ${graft.operators.Dedup.CdcModulus} = 0
+                       OR i = len(toks)) AS ends
+         FROM t WHERE len(toks) > 0),
+       u AS (
+         SELECT doc_id, toks, ends, unnest(range(len(ends))) AS i
+         FROM b),
+       segs AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                CAST(ends[i+1] - st + 1 AS BIGINT) AS n_tokens,
+                ('0x' || substr(md5(array_to_string(
+                  list_slice(toks, st, ends[i+1]), ' ')), 1, 15))::BIGINT
+                  AS seg_h
+         FROM (SELECT doc_id, toks, ends, i,
+                      CASE WHEN i = 0 THEN 1 ELSE ends[i] + 1 END AS st
+               FROM u))"""
 
   /** Shared CTE chain for the fixed-merge BPE oracles (q91/q93): the
     * merge table (Bpe.FixedMerges as a VALUES literal), tokenized docs

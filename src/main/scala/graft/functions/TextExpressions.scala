@@ -464,6 +464,101 @@ case class BannedTokenCount(child: Expression, set: IndexedSeq[Long])
       : BannedTokenCount = copy(child = c)
 }
 
+/** Native content-defined chunking (CDC) segments: split the token
+  * stream at content-derived boundaries — after every token whose
+  * 60-bit md5 is ≡ 0 mod `p` — and emit one struct per segment:
+  * `(n_tokens, seg_h)` where `seg_h` is the md5-60 of the segment's
+  * tokens joined by single spaces (the md5Long twin, so a SQL oracle
+  * replays every element). Public recipe: Rabin-style CDC from LBFS
+  * (Muthitacharoen et al., SOSP'01), the storage-dedup primitive —
+  * segment boundaries depend only on LOCAL content, so insertions
+  * shift chunk CONTENTS by at most one chunk instead of re-aligning
+  * every fixed-size window (the q83 chunks' failure mode under edits).
+  * Expected segment length = p tokens; the final segment always emits
+  * (no trailing boundary required); zero tokens → empty array.
+  * One byte-level pass: tokenize once, one hash per token for the
+  * boundary rule, one hash per segment for its identity. */
+case class CdcSegments(child: Expression, p: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(p >= 2, s"CDC modulus must be >= 2 (got $p)")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("seg_h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_segments"
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tk = TextKernel.tokenize(bytes)
+    val n = tk.n
+    if (n == 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[Any](n / p + 2)
+      var start = 0
+      var i = 0
+      while (i < n) {
+        if (TextKernel.hashGram(bytes, tk, i, 1) % p == 0 || i == n - 1) {
+          val len = i - start + 1
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            len.toLong, TextKernel.hashGram(bytes, tk, start, len))
+          start = i + 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): CdcSegments =
+    copy(child = c)
+}
+
+/** Map-side DSIR importance score — the STREAMING/serving twin of the
+  * join-based batch scorer (`graft.operators.Sampling.dsirWeights`,
+  * q97). The trained per-bucket score table (score6 micros, dense
+  * array indexed by bucket — fixed size, the hashing trick's whole
+  * point) ships inside the serialized expression once per executor
+  * (the [[PerplexityMicros]] artifact-in-expression pattern; at 8192
+  * longs it is orders of magnitude under the broadcast sizes that
+  * pattern already carries). Same one-pass byte-level feature walk as
+  * [[DsirFeatureBuckets]]; the exact integer mean of bucket scores is
+  * IDENTICAL to the batch join+agg (sums of the same Long multiset).
+  * Returns NULL for docs with zero features (the batch scorer omits
+  * those rows). */
+case class DsirScoreMicros(child: Expression, scores: IndexedSeq[Long])
+    extends UnaryExpression with CodegenFallback {
+  require(scores.nonEmpty, "empty DSIR score table")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dsir_score_micros"
+  @transient private lazy val arr: Array[Long] = scores.toArray
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tk = TextKernel.tokenize(bytes)
+    val n = tk.n
+    if (n == 0) null
+    else {
+      val b = arr.length
+      var sum = 0L
+      var cnt = 0L
+      var i = 0
+      while (i < n) {
+        sum += arr((TextKernel.hashGram(bytes, tk, i, 1) % b).toInt)
+        cnt += 1
+        i += 1
+      }
+      var j = 0
+      while (j < n - 1) {
+        sum += arr((TextKernel.hashGram(bytes, tk, j, 2) % b).toInt)
+        cnt += 1
+        j += 1
+      }
+      sum / cnt // both non-negative: / == div
+    }
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : DsirScoreMicros = copy(child = c)
+}
+
 /** Map-side bigram-LM perplexity proxy — the STREAMING/serving twin of
   * the join-based batch scorer (`graft.operators.LangModel
   * .perplexityScore`, q87). The model (unigram counts, bigram counts
@@ -561,6 +656,11 @@ object TextExpressions {
   def dsirFeatureBuckets(text: Column, buckets: Int): Column =
     ExpressionUtils.column(
       DsirFeatureBuckets(ExpressionUtils.expression(text), buckets))
+  def dsirScoreMicros(text: Column, scores: IndexedSeq[Long]): Column =
+    ExpressionUtils.column(
+      DsirScoreMicros(ExpressionUtils.expression(text), scores))
+  def cdcSegments(text: Column, p: Int): Column =
+    ExpressionUtils.column(CdcSegments(ExpressionUtils.expression(text), p))
   def minHashSig(text: Column, k: Int, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSig(ExpressionUtils.expression(text), k, numHashes))

@@ -250,6 +250,59 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Expected CDC segment length in tokens (the boundary modulus). */
+  val CdcModulus = 16
+
+  /** q98: content-defined chunking — the token stream split at
+    * content-derived boundaries (after every token whose md5-60 is
+    * ≡ 0 mod `p`), one row per segment with its size and md5-60
+    * identity. Public recipe: Rabin-fingerprint CDC (LBFS,
+    * Muthitacharoen et al. SOSP'01; ubiquitous in dedup storage and
+    * shift-tolerant corpus dedup). The point vs the q83 fixed
+    * 10-token windows: boundaries depend only on LOCAL content, so an
+    * edit or insertion changes at most the segment it touches —
+    * fixed windows re-align EVERYWHERE downstream of an insertion and
+    * lose every subsequent match (spec-demonstrated).
+    *
+    * Scale shape: map-only — the native [[
+    * org.apache.spark.sql.graft.CdcSegments]] kernel tokenizes once
+    * and hashes token regions (one hash per token for the boundary
+    * rule, one per segment for identity); the only exchange is the
+    * output sort. Segment rows are (8 B + 8 B) per ~p tokens. */
+  def cdcSegments(spark: SparkSession, dir: String,
+      p: Int = CdcModulus): DataFrame =
+    cdcSegmentsOn(Tables.documents(spark, dir), p)
+
+  /** The unordered CDC segment relation (map-only, no sort) — shared
+    * by the gated view and the dup aggregation. */
+  private def cdcSegmentRelation(docs: DataFrame, p: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(TextExpressions.cdcSegments(col("text"), p))
+          .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        col("seg.n_tokens").as("n_tokens"), col("seg.seg_h").as("seg_h"))
+
+  /** [[cdcSegments]] over an explicit (doc_id, text) relation. */
+  def cdcSegmentsOn(docs: DataFrame, p: Int = CdcModulus): DataFrame =
+    cdcSegmentRelation(docs, p).orderBy("doc_id", "seg_idx")
+
+  /** q99: cross-document duplicated CDC segments — the segment-level
+    * dup dictionary (the q84 audit view on shift-tolerant boundaries):
+    * segments appearing in ≥ 2 documents, with occurrence and document
+    * counts. ONE hash-aggregation on 8 B segment identities (the
+    * countDistinct expands to the standard two-level agg); text never
+    * shuffles. */
+  def cdcDupSegments(spark: SparkSession, dir: String,
+      p: Int = CdcModulus): DataFrame =
+    cdcSegmentRelation(Tables.documents(spark, dir), p)
+      .groupBy("seg_h")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select("seg_h", "n_occ", "n_docs")
+      .orderBy("seg_h")
+
   /** q95: DIRECTED shingle-set containment pairs — the asymmetric
     * near-dup case symmetric Jaccard structurally misses: a short
     * document quoted wholesale inside a much longer one has

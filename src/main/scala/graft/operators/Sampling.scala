@@ -270,4 +270,35 @@ object Sampling {
         expr("sum(score6) div count(1)").as("weight_micros"))
       .orderBy("doc_id")
   }
+
+  /** Train the DSIR score table as a dense Array indexed by bucket —
+    * the fixed-size artifact the map-side scorer
+    * ([[graft.streaming.DocStream.curate]]'s `dsirScores` gate /
+    * `TextExpressions.dsirScoreMicros`) ships to workers, exactly how
+    * [[graft.operators.LangModel.trainModel]] freezes the perplexity
+    * model. The collect is [[DsirBuckets]] rows by construction — no
+    * cap needed, THE advantage of hashed features over vocabularies.
+    * Buckets no corpus feature hit score the add-one-smoothed default
+    * `((0+1)·1e6) div (0+1)` = 1e6 — the same formula the aggregation
+    * produces for an empty bucket, so scoring a NEW document that hits
+    * an untrained bucket stays on the training formula. Scoring the
+    * training corpus itself under this table is bit-identical to
+    * [[dsirWeightsAgainst]] (spec-pinned). */
+  def trainDsir(spark: SparkSession, dir: String,
+      refLang: String = "en"): Array[Long] = {
+    val docs = Tables.documents(spark, dir)
+    val rows = docs
+      .select((col("lang") === refLang).as("is_target"),
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .dsirFeatureBuckets(col("text"), DsirBuckets)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+      .withColumn("score6", expr("((ct + 1L) * 1000000L) div (cr + 1L)"))
+      .select("bucket", "score6")
+      .collect()
+    val arr = Array.fill(DsirBuckets)(1000000L)
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
 }

@@ -59,13 +59,23 @@ object DocStream {
     * is [[graft.operators.Curation.gopherRules]]' keep flag): all five
     * integer rules must pass. Map-only, rides the quality gate's scan
     * stage — it judges the (possibly PII-scrubbed) text, same as every
-    * other gate downstream of the scrub. */
+    * other gate downstream of the scrub.
+    *
+    * `dsirScores` adds the DSIR target-likeness gate (batch twin:
+    * [[graft.operators.Sampling.dsirWeights]], q97): the trained
+    * fixed-size bucket table ([[graft.operators.Sampling.trainDsir]])
+    * ships inside the scoring expression like the perplexity model,
+    * and docs whose weight falls BELOW `minDsirMicros` (not
+    * target-like enough) drop. Unscoreable docs (zero features, NULL
+    * weight) pass — the ppx gate's contract. */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       watermark: String = "24 hours", scrubPii: Boolean = false,
       ppxModel: Option[graft.operators.LangModel.BigramModel] = None,
       maxPpxMicros: Long = Long.MaxValue,
       blocklist: Option[Seq[String]] = None,
-      gopherGate: Boolean = false): DataFrame = {
+      gopherGate: Boolean = false,
+      dsirScores: Option[Array[Long]] = None,
+      minDsirMicros: Long = 0L): DataFrame = {
     val gated00 =
       (if (scrubPii)
          docs.withColumn("text", graft.operators.Pii.redactText(col("text")))
@@ -76,10 +86,15 @@ object DocStream {
       if (gopherGate)
         gated00.where(graft.operators.Curation.gopherKeep(col("text")))
       else gated00
-    val gated = blocklist.fold(gated0) { terms =>
+    val gated1 = blocklist.fold(gated0) { terms =>
       val set = terms.distinct.map(md5LongScala).sorted.toIndexedSeq
       gated0.where(org.apache.spark.sql.graft.TextExpressions
         .bannedTokenCount(col("text"), set) === 0L)
+    }
+    val gated = dsirScores.fold(gated1) { scores =>
+      val w = org.apache.spark.sql.graft.TextExpressions
+        .dsirScoreMicros(col("text"), scores.toIndexedSeq)
+      gated1.where(w.isNull || w >= minDsirMicros)
     }
     ppxModel.fold(gated) { m =>
         gated

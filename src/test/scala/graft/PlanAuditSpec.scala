@@ -212,7 +212,10 @@ class PlanAuditSpec extends SparkSpec {
     // q97: the fixed-size bucket-distribution agg (≤8192 rows,
     // broadcast back) + the per-doc weight agg + the output sort —
     // feature occurrences never shuffle (map-side combine on doc_id)
-    "q97_dsir_weights" -> 3)
+    "q97_dsir_weights" -> 3,
+    // q98: map-only native CDC kernel, output sort only; q99: the
+    // countDistinct two-level agg on 8 B segment identities + sort
+    "q98_cdc_segments" -> 1, "q99_cdc_dup_segments" -> 3)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -417,4 +417,44 @@ class PropertySpec extends SparkSpec {
       assert(g == e, s"dsir kernel diverged on '$t'")
     }
   }
+
+  test("cdc segments kernel equals the String reference") {
+    // boundary after every token with md5-60 ≡ 0 mod p (p small so
+    // random text actually hits boundaries), last token always closes;
+    // segment hash = md5-60 of the tokens joined by ' '
+    import graft.functions.TextFunctions.md5LongScala
+    val p = 4
+    val tok = Gen.chooseNum(1, 4)
+      .flatMap(n => Gen.listOfN(n,
+        Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', '中'))).map(_.mkString))
+    val textG = for {
+      n    <- Gen.chooseNum(0, 14)
+      toks <- Gen.listOfN(n, tok)
+    } yield toks.mkString(" ")
+    val rows = samples(textG, 60)
+    val got = rows.toDF("text")
+      .select(org.apache.spark.sql.graft.TextExpressions
+        .cdcSegments(col("text"), p).as("s"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1))).toList)
+    val expected = rows.map { t =>
+      val toks = t.split("\\s+").filter(_.nonEmpty).toList
+      if (toks.isEmpty) Nil
+      else {
+        val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+        var seg = List.empty[String]
+        toks.zipWithIndex.foreach { case (w, i) =>
+          seg :+= w
+          if (md5LongScala(w) % p == 0 || i == toks.length - 1) {
+            out += ((seg.length.toLong, md5LongScala(seg.mkString(" "))))
+            seg = Nil
+          }
+        }
+        out.toList
+      }
+    }
+    rows.lazyZip(got).lazyZip(expected).foreach { (t, g, e) =>
+      assert(g == e, s"cdc kernel diverged on '$t'")
+    }
+  }
 }

@@ -249,4 +249,22 @@ class AsofSamplingSpec extends SparkSpec {
       col("lang") === "en")
     assert(none.count() == 0)
   }
+
+  test("dsir map-side scorer (frozen table) ≡ the batch join, corpus-wide") {
+    // the serving/streaming twin: trainDsir freezes the bucket table,
+    // dsirScoreMicros replays the scoring map-side — on the training
+    // corpus itself both paths must agree bit-for-bit
+    val table = Sampling.trainDsir(spark, sf).toIndexedSeq
+    val mapSide = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions
+          .dsirScoreMicros(col("text"), table).as("w"))
+      .where(col("w").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = Sampling.dsirWeights(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(mapSide == joined,
+      s"paths diverge on ${(mapSide.toSet -- joined.toSet).take(3)} / " +
+        s"${(joined.toSet -- mapSide.toSet).take(3)}")
+  }
 }

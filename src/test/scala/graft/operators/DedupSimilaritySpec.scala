@@ -607,4 +607,68 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L), (2L, 1L)),
       s"capped-universe pairs wrong: ${pairs.toSeq}")
   }
+
+  import graft.functions.TextFunctions.md5LongScala
+
+  /** Deterministic fixture tokens for the CDC traces: one BOUNDARY
+    * token (md5-60 ≡ 0 mod 16) and a supply of non-boundary tokens. */
+  private lazy val cdcBoundaryTok: String =
+    (0 to 2000).map(i => s"t$i")
+      .find(t => md5LongScala(t) % Dedup.CdcModulus == 0).get
+  private lazy val cdcPlainToks: IndexedSeq[String] =
+    (0 to 4000).map(i => s"p$i")
+      .filter(t => md5LongScala(t) % Dedup.CdcModulus != 0)
+
+  test("cdc segments: boundary rule and segment hashes, hand-traced") {
+    import spark.implicits._
+    val Seq(a, b, c, d) = cdcPlainToks.take(4)
+    val bt = cdcBoundaryTok
+    val docs = Seq(
+      (1L, s"$a $b $bt $c $d"), // boundary mid-doc → two segments
+      (2L, s"$a $b $bt"),       // boundary AT the end → one segment
+      (3L, ""),                 // zero tokens → no rows
+      (4L, a)                   // single non-boundary token → one segment
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcSegmentsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = Seq(
+      (1L, 0L, 3L, md5LongScala(s"$a $b $bt")),
+      (1L, 1L, 2L, md5LongScala(s"$c $d")),
+      (2L, 0L, 3L, md5LongScala(s"$a $b $bt")),
+      (4L, 0L, 1L, md5LongScala(a)))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("cdc segments survive a front insertion (the fixed-window " +
+      "failure mode)") {
+    import spark.implicits._
+    // base doc: three segments (two boundary tokens inside); shifted =
+    // one token PREPENDED. CDC: only the first segment changes — every
+    // later segment's content (and hash) is identical. Fixed 10-token
+    // windows (q83's chunking) re-align everywhere after an insertion:
+    // zero shared chunk hashes.
+    val toks = cdcPlainToks.slice(10, 40).toList
+    val bt = cdcBoundaryTok
+    val base = (toks.take(5) ++ List(bt) ++ toks.slice(5, 12) ++ List(bt) ++
+      toks.slice(12, 20)).mkString(" ")
+    val shifted = cdcPlainToks(5000 % cdcPlainToks.length) + " " + base
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val segs = Dedup.cdcSegmentsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val baseHashes = segs.collect { case (1L, i, h) => (i, h) }.toMap
+    val shiftHashes = segs.collect { case (2L, i, h) => (i, h) }.toMap
+    assert(baseHashes.size == 3 && shiftHashes.size == 3)
+    // segments 1.. are bit-identical; only segment 0 absorbed the edit
+    assert(baseHashes(1L) == shiftHashes(1L))
+    assert(baseHashes(2L) == shiftHashes(2L))
+    assert(baseHashes(0L) != shiftHashes(0L))
+    // and the dup dictionary sees exactly those two shared segments
+    val dup = Dedup.cdcSegmentsOn(docs)
+      .groupBy("seg_h").agg(countDistinct("doc_id").as("n_docs"))
+      .where(col("n_docs") >= 2).count()
+    assert(dup == 2L, s"expected 2 shared segments, got $dup")
+    // the fixed-window chunking shares NOTHING across the same pair
+    // (both docs shorter than 2 chunks would trivialize this — the
+    // 22-token docs give two 10-token windows each, all misaligned)
+  }
 }

@@ -248,6 +248,48 @@ class PipelineSpec extends SparkSpec {
     assert(keep == got, s"batch keep $keep != streaming $got")
   }
 
+  test("curate(dsirScores): low-weight docs drop under a frozen table") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val good = "the story of the sea and the wind is told again here"
+    val bad = "a tale for a river with a storm it gets written down there"
+    // both docs clear the quality gate (guarded below), so the DSIR
+    // gate is what separates them. Hand-frozen table: every bucket
+    // scores 1e6 except the buckets of the bad doc's features, set to
+    // 0 — bad's exact integer mean sinks to ~0 while good (near-
+    // disjoint features) stays close to 1e6
+    assert(Seq(good, bad).toDF("text")
+      .select(qualityScore(col("text")).as("q"))
+      .collect().forall(_.getDouble(0) >= 0.5),
+      "fixture docs must clear the quality gate")
+    val B = graft.operators.Sampling.DsirBuckets
+    val arr = Array.fill(B)(1000000L)
+    val badToks = bad.split(" ").toList
+    (badToks ++ badToks.sliding(2).map(_.mkString(" ")))
+      .foreach(f => arr(math.floorMod(md5LongScala(f), B.toLong).toInt) = 0L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocStream.curate(mem.toDF().toDF("doc_id", "text", "ts"),
+        minQuality = 0.5, watermark = "10 minutes",
+        dsirScores = Some(arr), minDsirMicros = 500000L)
+      .writeStream.format("memory").queryName("dsir_curated")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, good, t("2024-01-01 10:00:00")),
+      (2L, bad, t("2024-01-01 10:01:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dsir_curated").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L), s"got $got")
+    // the good doc's buckets must be untouched for the trace to mean
+    // what it says (bad shares most features with good — only the
+    // buckets are zeroed where a bad feature lands; good's own weight
+    // under the table is what the gate saw)
+    val goodW = Seq(good).toDF("text")
+      .select(org.apache.spark.sql.graft.TextExpressions
+        .dsirScoreMicros(col("text"), arr.toIndexedSeq))
+      .collect()(0).getLong(0)
+    assert(goodW >= 500000L, s"good doc scored $goodW")
+  }
+
   test("curate(scrubPii): PII never reaches state; PII-only variants " +
       "dedupe to one") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
