@@ -249,6 +249,9 @@ object SparkEntry {
     "q98_cdc_segments" -> ((s, d) => Dedup.cdcSegments(s, d)),
     // q99: cross-doc duplicated CDC segments (the audit dictionary)
     "q99_cdc_dup_segments" -> ((s, d) => Dedup.cdcDupSegments(s, d)),
+    // q100: first-occurrence substring dedup at CDC boundaries —
+    // repetition removed, one canonical copy of everything kept
+    "q100_cdc_dedup" -> ((s, d) => Dedup.cdcDedup(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2051,6 +2054,30 @@ object SparkEntry {
                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
          FROM segs GROUP BY seg_h HAVING COUNT(DISTINCT doc_id) >= 2
          ORDER BY seg_h"""),
+    // q100: keep each duplicated segment's globally-first occurrence
+    // (min packed doc_id·1e6+seg_idx), drop the rest; reassemble kept
+    // segments in order, single-space joined. Zero-token docs → ('',0).
+    "q100_cdc_dedup" -> (cdcSegmentsSql +
+      raw""", canon AS (
+           SELECT seg_h, MIN(doc_id * 1000000 + seg_idx) AS canon,
+                  COUNT(*) AS cnt
+           FROM segs GROUP BY seg_h),
+         kept AS (
+           SELECT s.doc_id, s.seg_idx, s.seg_text,
+                  CASE WHEN c.cnt >= 2
+                        AND s.doc_id * 1000000 + s.seg_idx <> c.canon
+                       THEN 0 ELSE 1 END AS keep
+           FROM segs s JOIN canon c USING (seg_h)),
+         agg AS (
+           SELECT doc_id,
+                  string_agg(CASE WHEN keep = 1 THEN seg_text END,
+                             ' ' ORDER BY seg_idx) AS clean_text,
+                  SUM(1 - keep) AS n_dropped
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+                CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id"""),
   )
 
   /** Shared CTE chain for the CDC oracles (q98/q99): tokenized docs,
@@ -2075,6 +2102,8 @@ object SparkEntry {
        segs AS (
          SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
                 CAST(ends[i+1] - st + 1 AS BIGINT) AS n_tokens,
+                array_to_string(list_slice(toks, st, ends[i+1]), ' ')
+                  AS seg_text,
                 ('0x' || substr(md5(array_to_string(
                   list_slice(toks, st, ends[i+1]), ' ')), 1, 15))::BIGINT
                   AS seg_h

@@ -512,6 +512,69 @@ case class CdcSegments(child: Expression, p: Int)
     copy(child = c)
 }
 
+/** Map-side CDC first-occurrence dedup: rebuild a document's text from
+  * the CDC segments ([[CdcSegments]] boundaries, same one-pass walk)
+  * that are either globally UNIQUE or are their hash's canonical
+  * (globally first) occurrence. The dup dictionary ships inside the
+  * expression as two parallel arrays — ascending segment hashes and,
+  * aligned, the packed canonical occurrence `doc_id·10⁶ + seg_idx` —
+  * so the keep decision is a binary search plus one compare, and the
+  * reassembly is map-only: document text NEVER shuffles (the q83
+  * dictionary-kernel discipline). Kept segments join by single spaces
+  * (whitespace-normalizing, like the chunk-dedup reassembly). Returns
+  * `struct(clean_text, n_dropped)`; zero tokens → ("", 0).
+  * Packing contract: seg_idx < 10⁶ (a million CDC segments ≈ 16M
+  * tokens in ONE document — far past any real document), enforced. */
+case class CdcFirstOccurrenceText(left: Expression, right: Expression,
+    p: Int, hashes: IndexedSeq[Long], canonPacked: IndexedSeq[Long])
+    extends BinaryExpression with CodegenFallback {
+  require(p >= 2, s"CDC modulus must be >= 2 (got $p)")
+  require(hashes.length == canonPacked.length,
+    "dictionary arrays must align")
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_dropped", LongType, nullable = false)))
+  override def prettyName: String = "cdc_first_occurrence_text"
+  @transient private lazy val hArr: Array[Long] = hashes.toArray
+  @transient private lazy val cArr: Array[Long] = canonPacked.toArray
+  override def nullSafeEval(text: Any, docId: Any): Any = {
+    val bytes = text.asInstanceOf[UTF8String].getBytes
+    val id = docId.asInstanceOf[Long]
+    val tk = TextKernel.tokenize(bytes)
+    val n = tk.n
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var dropped = 0L
+    var segIdx = 0L
+    var start = 0
+    var i = 0
+    while (i < n) {
+      if (TextKernel.hashGram(bytes, tk, i, 1) % p == 0 || i == n - 1) {
+        val len = i - start + 1
+        val h = TextKernel.hashGram(bytes, tk, start, len)
+        val pos = java.util.Arrays.binarySearch(hArr, h)
+        require(segIdx < 1000000L,
+          s"document $id exceeds 10^6 CDC segments")
+        val keep = pos < 0 || cArr(pos) == id * 1000000L + segIdx
+        if (keep) {
+          var t = start
+          while (t < start + len) {
+            if (out.size() > 0) out.write(' ')
+            out.write(bytes, tk.starts(t), tk.lens(t))
+            t += 1
+          }
+        } else dropped += 1L
+        segIdx += 1L
+        start = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromBytes(out.toByteArray), dropped)
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CdcFirstOccurrenceText = copy(left = l, right = r)
+}
+
 /** Map-side DSIR importance score — the STREAMING/serving twin of the
   * join-based batch scorer (`graft.operators.Sampling.dsirWeights`,
   * q97). The trained per-bucket score table (score6 micros, dense
@@ -661,6 +724,11 @@ object TextExpressions {
       DsirScoreMicros(ExpressionUtils.expression(text), scores))
   def cdcSegments(text: Column, p: Int): Column =
     ExpressionUtils.column(CdcSegments(ExpressionUtils.expression(text), p))
+  def cdcFirstOccurrenceText(text: Column, docId: Column, p: Int,
+      hashes: IndexedSeq[Long], canonPacked: IndexedSeq[Long]): Column =
+    ExpressionUtils.column(CdcFirstOccurrenceText(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(docId),
+      p, hashes, canonPacked))
   def minHashSig(text: Column, k: Int, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSig(ExpressionUtils.expression(text), k, numHashes))

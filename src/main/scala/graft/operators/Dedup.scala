@@ -303,6 +303,61 @@ object Dedup {
       .select("seg_h", "n_occ", "n_docs")
       .orderBy("seg_h")
 
+  /** Ceiling on DUPLICATED-segment dictionary entries [[cdcDedup]] will
+    * collect and ship ([[MaxBoilerplateDict]]'s contract: ~32 B per
+    * entry, so the default is a few hundred MB of executor footprint). */
+  val MaxCdcDict = 8000000
+
+  /** q100: CDC first-occurrence dedup — the exact-substring dedup
+    * POLICY (keep the globally first occurrence, drop every later one;
+    * Lee et al. 2022's substring-dedup semantics) applied at q98's
+    * shift-tolerant segment granularity. Unlike q83's boilerplate pass
+    * (which drops ALL occurrences of high-df chunks), this keeps one
+    * canonical copy of every duplicated segment, so no content is
+    * lost — only repetition.
+    *
+    * Scale shape: the dictionary holds only DUPLICATED segment hashes
+    * (bounded by real duplication mass, not corpus size) with their
+    * packed canonical occurrence `doc_id·10⁶ + seg_idx`; it ships
+    * inside a map-side kernel ([[
+    * org.apache.spark.sql.graft.CdcFirstOccurrenceText]]) that walks
+    * segments once, binary-searches each hash, and reassembles kept
+    * token regions — document text NEVER shuffles (the q83 kernel
+    * discipline); the only exchanges carry 8 B hashes (dictionary
+    * build) and the output sort. An over-cap dictionary fails LOUDLY
+    * with direction (dedup boilerplate first / raise the cap) rather
+    * than silently shuffling the corpus body. Packing contract:
+    * doc_id < 2⁶³/10⁶ ≈ 9·10¹², seg_idx < 10⁶ (kernel-enforced). */
+  def cdcDedup(spark: SparkSession, dir: String,
+      p: Int = CdcModulus): DataFrame =
+    cdcDedupOn(Tables.documents(spark, dir), p, MaxCdcDict)
+
+  /** [[cdcDedup]] with the cap injectable for specs. */
+  private[operators] def cdcDedupOn(docs: DataFrame, p: Int,
+      maxDict: Int): DataFrame = {
+    val dictRows = cdcSegmentRelation(docs, p)
+      .groupBy("seg_h")
+      .agg(min(col("doc_id") * lit(1000000L) + col("seg_idx"))
+        .as("canon"), count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+      .select("seg_h", "canon")
+      .limit(maxDict + 1).collect()
+    require(dictRows.length <= maxDict,
+      s"cdcDedup: more than $maxDict duplicated segments — run " +
+        "boilerplate/chunk dedup first (q83) or raise MaxCdcDict " +
+        "with the executor memory to back it")
+    val sorted = dictRows.map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val res = TextExpressions.cdcFirstOccurrenceText(
+      col("text"), col("doc_id"), p,
+      sorted.map(_._1).toIndexedSeq, sorted.map(_._2).toIndexedSeq)
+    docs
+      .select(col("doc_id"), res.as("r"))
+      .select(col("doc_id"), col("r.clean_text").as("clean_text"),
+        col("r.n_dropped").as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   /** q95: DIRECTED shingle-set containment pairs — the asymmetric
     * near-dup case symmetric Jaccard structurally misses: a short
     * document quoted wholesale inside a much longer one has

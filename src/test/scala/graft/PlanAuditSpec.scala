@@ -215,7 +215,11 @@ class PlanAuditSpec extends SparkSpec {
     "q97_dsir_weights" -> 3,
     // q98: map-only native CDC kernel, output sort only; q99: the
     // countDistinct two-level agg on 8 B segment identities + sort
-    "q98_cdc_segments" -> 1, "q99_cdc_dup_segments" -> 3)
+    "q98_cdc_segments" -> 1, "q99_cdc_dup_segments" -> 3,
+    // q100: the dup dictionary builds EAGERLY at plan time (8 B hash
+    // agg + bounded collect); the audited plan is the map-only kernel
+    // reassembly + output sort — document text never shuffles
+    "q100_cdc_dedup" -> 1)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

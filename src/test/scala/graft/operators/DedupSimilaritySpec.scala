@@ -671,4 +671,30 @@ class DedupSimilaritySpec extends SparkSpec {
     // (both docs shorter than 2 chunks would trivialize this — the
     // 22-token docs give two 10-token windows each, all misaligned)
   }
+
+  test("cdc first-occurrence dedup keeps one canonical copy, " +
+      "hand-traced") {
+    import spark.implicits._
+    val Seq(a, b, c, d, x, y) = cdcPlainToks.slice(100, 106)
+    val bt = cdcBoundaryTok
+    val docs = Seq(
+      (1L, s"$a $b $bt $c $d"), // segments [a b bt], [c d]
+      (2L, s"$x $y $bt $c $d"), // [x y bt], [c d] — [c d] is a dup
+      (3L, s"$c $d"),           // [c d] again — also dropped
+      (4L, "")                  // zero tokens
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcDedupOn(docs, Dedup.CdcModulus, 1000).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = Seq(
+      (1L, s"$a $b $bt $c $d", 0L), // canonical occurrence — untouched
+      (2L, s"$x $y $bt", 1L),
+      (3L, "", 1L),
+      (4L, "", 0L))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+    // over-cap dictionary fails loudly instead of shuffling text
+    val err = intercept[IllegalArgumentException] {
+      Dedup.cdcDedupOn(docs, Dedup.CdcModulus, 0)
+    }
+    assert(err.getMessage.contains("duplicated segments"))
+  }
 }
