@@ -274,8 +274,8 @@ object Dedup {
     cdcSegmentsOn(Tables.documents(spark, dir), p)
 
   /** The unordered CDC segment relation (map-only, no sort) — shared
-    * by the gated view and the dup aggregation. */
-  private def cdcSegmentRelation(docs: DataFrame, p: Int): DataFrame =
+    * by the gated view, the dup aggregation, and the streaming sink. */
+  private[graft] def cdcSegmentRelation(docs: DataFrame, p: Int): DataFrame =
     docs
       .select(col("doc_id"),
         posexplode(TextExpressions.cdcSegments(col("text"), p))

@@ -218,6 +218,121 @@ object DocStream {
     } finally rows.unpersist(blocking = false)
   }
 
+  /** Continuous SUBSTRING dedup sink (foreachBatch) — the streaming
+    * twin of the q100 batch pass: each micro-batch's documents are
+    * rebuilt from only the CDC segments whose first occurrence this is
+    * — across the ACCUMULATED corpus under `outDir` and within the
+    * batch — then appended as `epoch=<id>` partitions with
+    * `(doc_id, text, n_dropped)`; documents whose every segment was
+    * already seen vanish. Where [[incrementalDedupSinkEachBatch]]
+    * dedups whole documents, this removes REPEATED PASSAGES from
+    * otherwise-novel documents — the cross-document repetition a
+    * fingerprint can never see.
+    *
+    * Same state discipline as the doc-level sink, at segment
+    * granularity: a rolling segment-hash Bloom (`_segbloom.bf`,
+    * putLong/mightContainLong — 8 B identities) persisted beside the
+    * data; Bloom-positive candidates are EXACTLY confirmed by
+    * re-segmenting the corpus text map-side (the kernel is cheap; a
+    * production deployment would maintain an indexed hash store) —
+    * the answer never depends on the sketch. Re-segmenting published
+    * CLEANED text yields exactly its kept segments (removing whole
+    * segments never moves another segment's boundary: every kept
+    * segment still ends at its own boundary token or end-of-doc), so
+    * corpus-derived hashes stay consistent across epochs by
+    * construction.
+    *
+    * Crash/replay safety, sketch-first (the doc-sink argument): a
+    * crash after the sketch publish but before the data write leaves
+    * false POSITIVES whose confirm finds nothing in the corpus — the
+    * segment is kept when it genuinely re-arrives, so no content is
+    * lost; the reverse order could lose the only copy of a passage.
+    * Epoch replay overwrites its own partition and excludes it from
+    * "the corpus", so re-delivered batches converge to the same
+    * output. Driver-side collects (confirmed hashes, intra-batch dup
+    * dictionary, published segment hashes) are bounded by micro-batch
+    * size — the fp-collect contract. Single writer per dir, enforced
+    * like the doc sink. */
+  def cdcDedupSinkEachBatch(outDir: String,
+      p: Int = graft.operators.Dedup.CdcModulus,
+      expectedCorpusSegments: Long = 10000000L, fpp: Double = 0.01)
+      (batch: DataFrame, epochId: Long): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    assertSingleWriter(batch.sparkSession, outDir)
+    new java.io.File(outDir).mkdirs()
+    val sess = batch.sparkSession
+    val docs = batch.where(col("text").isNotNull)
+    val segs = graft.operators.Dedup.cdcSegmentRelation(docs, p)
+    val corpusDirs = corpusEpochDirs(outDir, epochId)
+
+    // rolling segment Bloom (superset of corpus segments; rebuild on loss)
+    val bloomFile = new java.io.File(outDir, "_segbloom.bf")
+    val bloom: BloomFilter =
+      if (bloomFile.exists()) {
+        val in = new java.io.FileInputStream(bloomFile)
+        try BloomFilter.readFrom(in) finally in.close()
+      } else if (corpusDirs.nonEmpty)
+        // distributed rebuild — the corpus segment stream never collects
+        graft.operators.Dedup
+          .cdcSegmentRelation(sess.read.parquet(corpusDirs: _*), p)
+          .stat.bloomFilter("seg_h", expectedCorpusSegments, fpp)
+      else BloomFilter.create(expectedCorpusSegments, fpp)
+
+    // corpus-seen segments: Bloom prefilter map-side, exact confirm
+    // against the re-segmented corpus (semi-join on 8 B keys)
+    val bloomBc = sess.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val candidates = segs.select("seg_h").distinct()
+      .where(mightContain(col("seg_h")))
+    val confirmed: Array[Long] =
+      if (corpusDirs.isEmpty) Array.emptyLongArray
+      else graft.operators.Dedup
+        .cdcSegmentRelation(sess.read.parquet(corpusDirs: _*), p)
+        .select("seg_h")
+        .join(broadcast(candidates), Seq("seg_h"), "left_semi")
+        .distinct()
+        .collect().map(_.getLong(0))
+    val confirmedSet = confirmed.toSet
+
+    // intra-batch first occurrence for segments the corpus has NOT
+    // seen; corpus-seen hashes drop ALL batch occurrences (canonical
+    // already published) via the impossible packed sentinel -1
+    val intra = segs.groupBy("seg_h")
+      .agg(min(col("doc_id") * lit(1000000L) + col("seg_idx"))
+        .as("canon"), count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+      .select("seg_h", "canon")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dict = (confirmed.map(h => (h, -1L)) ++
+      intra.filterNot { case (h, _) => confirmedSet(h) })
+      .sortBy(_._1)
+
+    val res = org.apache.spark.sql.graft.TextExpressions
+      .cdcFirstOccurrenceText(col("text"), col("doc_id"), p,
+        dict.map(_._1).toIndexedSeq, dict.map(_._2).toIndexedSeq)
+    val rows = docs
+      .select(col("doc_id"), res.as("r"))
+      .select(col("doc_id"), col("r.clean_text").as("text"),
+        col("r.n_dropped").as("n_dropped"))
+      .where(length(col("text")) > 0)
+      .persist()
+    try {
+      // SKETCH FIRST, data second (see scaladoc): published segments =
+      // the cleaned rows' own re-segmentation, bounded by batch size
+      graft.operators.Dedup.cdcSegmentRelation(rows, p)
+        .select("seg_h").distinct()
+        .collect().foreach(r => bloom.putLong(r.getLong(0)))
+      val tmp = new java.io.File(outDir, "._segbloom.bf.tmp")
+      val out = new java.io.FileOutputStream(tmp)
+      try bloom.writeTo(out) finally out.close()
+      if (!tmp.renameTo(bloomFile)) {
+        bloomFile.delete()
+        require(tmp.renameTo(bloomFile), s"cannot publish $bloomFile")
+      }
+      rows.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    } finally rows.unpersist(blocking = false)
+  }
+
   /** Every OTHER epoch's partition dir under `outDir`: a replayed epoch
     * must not see its own previous (possibly partial) output as "the
     * corpus" or replay would drop every row it is supposed to re-write. */

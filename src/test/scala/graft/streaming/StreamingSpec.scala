@@ -708,6 +708,59 @@ class StreamingSpec extends SparkSpec {
     PartitionedUpsert.upsert(batch, out, "dt", Seq("k"))
     assert(spark.read.parquet(out).count() == 2)
   }
+
+  test("cdc dedup sink: repeated passages drop across batches, " +
+      "replay-safe, sketch-loss-safe") {
+    import graft.functions.TextFunctions.md5LongScala
+    val P = graft.operators.Dedup.CdcModulus
+    val bt = (0 to 2000).map(i => s"t$i")
+      .find(t => md5LongScala(t) % P == 0).get
+    val Seq(a, b, c, d, x, y, q1, r1) = (0 to 4000).map(i => s"p$i")
+      .filter(t => md5LongScala(t) % P != 0).take(8)
+    val out = tmpDir("cdcsink")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(DocStream.cdcDedupSinkEachBatch(out) _)
+      .option("checkpointLocation", tmpDir("cdcsink-ck")).start()
+    // batch 1: doc2's trailing [c d] segment repeats doc1's — the
+    // PASSAGE drops while the novel head of doc2 publishes
+    mem.addData(
+      (1L, s"$a $b $bt $c $d"),  // [a b bt], [c d] — all fresh
+      (2L, s"$x $y $bt $c $d"))  // [x y bt] fresh, [c d] intra-dup
+    q.processAllAvailable()
+    // batch 2: corpus-seen head segment, a DIFFERENT segmentation of
+    // seen tokens (one fresh segment), and an all-seen doc that vanishes
+    mem.addData(
+      (3L, s"$a $b $bt"),         // [a b bt] corpus-seen → empty → gone
+      (4L, s"$c $d $x $y"),       // ONE segment [c d x y] — fresh, kept
+      (5L, s"$q1 $r1 $bt $c $d")) // [q1 r1 bt] fresh, [c d] corpus-seen
+    q.processAllAvailable(); q.stop()
+    def corpus() = spark.read.parquet(out)
+      .select("doc_id", "text", "n_dropped").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Set(
+      (1L, s"$a $b $bt $c $d", 0L),
+      (2L, s"$x $y $bt", 1L),
+      (4L, s"$c $d $x $y", 0L),
+      (5L, s"$q1 $r1 $bt", 1L))
+    assert(corpus() == want, s"got ${corpus()}")
+    // replay batch 2 under a new epoch id: every surviving passage is
+    // already corpus, so nothing duplicates
+    val replay = Seq((3L, s"$a $b $bt"), (4L, s"$c $d $x $y"),
+      (5L, s"$q1 $r1 $bt $c $d")).toDF("doc_id", "text")
+    DocStream.cdcDedupSinkEachBatch(out)(replay, 99L)
+    assert(corpus() == want, s"replay duplicated passages: ${corpus()}")
+    // sketch loss: rebuild from the corpus text, answers unchanged
+    val bloomFile = new java.io.File(out, "_segbloom.bf")
+    assert(bloomFile.exists(), "rolling segment sketch not persisted")
+    assert(bloomFile.delete())
+    DocStream.cdcDedupSinkEachBatch(out)(
+      Seq((6L, s"$c $d"), (7L, "fresh words entirely"))
+        .toDF("doc_id", "text"), 100L)
+    assert(corpus() == want + ((7L, "fresh words entirely", 0L)),
+      s"post-rebuild answers changed: ${corpus()}")
+    assert(bloomFile.exists(), "sketch not re-published after rebuild")
+  }
 }
 
 /** Top-level so Encoders.product can derive a TypeTag. */
