@@ -252,6 +252,9 @@ object SparkEntry {
     // q100: first-occurrence substring dedup at CDC boundaries —
     // repetition removed, one canonical copy of everything kept
     "q100_cdc_dedup" -> ((s, d) => Dedup.cdcDedup(s, d)),
+    // q101: the Gopher REPETITION ruleset — all nine within-doc
+    // repeated-ngram character fractions + the conjunction verdict
+    "q101_gopher_repetition" -> ((s, d) => Curation.gopherRepetition(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2078,7 +2081,69 @@ object SparkEntry {
                 CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
          FROM documents d LEFT JOIN agg a USING (doc_id)
          ORDER BY d.doc_id"""),
+    // q101: Gopher repetition signals — per n, group the doc's word
+    // n-grams, take max(count·chars) (top-gram mass, n = 2..4) or the
+    // duplicated-gram mass sum (n = 5..10); fixed-point micros by
+    // integer floor division over the doc's total token chars.
+    "q101_gopher_repetition" -> gopherRepetitionSql,
   )
+
+  /** Generated oracle for q101: one CTE per gram size (the nine Gopher
+    * repetition signals share the tokenized-docs CTE). Thresholds come
+    * from the same table the Spark plan uses
+    * ([[graft.operators.Curation.RepetitionCapsMicros]]) so the two
+    * sides cannot drift. */
+  private def gopherRepetitionSql: String = {
+    val caps = graft.operators.Curation.RepetitionCapsMicros
+    val header = raw"""WITH t AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                    s -> len(s) > 0) AS toks
+         FROM documents),
+       tc AS (
+         SELECT doc_id,
+                CAST(coalesce(list_sum(list_transform(toks, s -> len(s))),
+                     0) AS BIGINT) AS total_chars
+         FROM t)"""
+    val ctes = caps.map { case (f, _) =>
+      val n = f.replaceAll("[a-z]+", "").toInt
+      val agg =
+        if (f.startsWith("top")) "max(cnt * chars)"
+        else "sum(CASE WHEN cnt >= 2 THEN cnt * chars ELSE 0 END)"
+      s"""g$n AS (
+         SELECT doc_id, CAST($agg AS BIGINT) AS mass
+         FROM (SELECT doc_id, gram, count(*) AS cnt,
+                      len(gram) - ${n - 1} AS chars
+               FROM (SELECT doc_id,
+                            unnest(CASE WHEN len(toks) >= $n
+                              THEN list_transform(range(len(toks) - ${n - 1}),
+                                i -> array_to_string(
+                                  list_slice(toks, i + 1, i + $n), ' '))
+                              ELSE [] END) AS gram
+                     FROM t)
+               GROUP BY doc_id, gram)
+         GROUP BY doc_id)"""
+    }
+    val cols = caps.map { case (f, _) =>
+      val n = f.replaceAll("[a-z]+", "").toInt
+      s"""CAST(CASE WHEN total_chars > 0
+              THEN coalesce(g$n.mass, 0) * 1000000 // total_chars
+              ELSE 0 END AS BIGINT) AS ${f}_micros"""
+    }
+    val keep = caps
+      .map { case (f, cap) => s"${f}_micros <= $cap" }
+      .mkString(" AND ")
+    val joins = caps.map { case (f, _) =>
+      val n = f.replaceAll("[a-z]+", "").toInt
+      s"LEFT JOIN g$n USING (doc_id)"
+    }
+    (header +: ctes).mkString(",\n       ") +
+      "\n       SELECT doc_id, total_chars,\n       " +
+      cols.mkString(",\n       ") +
+      s""",\n       CAST(CASE WHEN $keep AND total_chars > 0
+              THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM tc ${joins.mkString(" ")}
+         ORDER BY doc_id"""
+  }
 
   /** Shared CTE chain for the CDC oracles (q98/q99): tokenized docs,
     * 1-based boundary positions (md5-60(token) ≡ 0 mod CdcModulus, or

@@ -702,7 +702,114 @@ case class SortedLongSetContains(child: Expression, set: IndexedSeq[Long])
       : SortedLongSetContains = copy(child = c)
 }
 
+/** Native Gopher REPETITION signals (Rae et al. 2021, Table A1;
+  * RedPajama-style char accounting): all nine per-document n-gram
+  * repetition statistics in ONE pass over the row's UTF-8 bytes —
+  * struct(total_chars, top2, top3, top4, dup5 .. dup10) where
+  *   total_chars = Σ codepoints over all tokens (whitespace excluded),
+  *   topN  = max over distinct N-grams of count·charlen(gram),
+  *   dupN  = Σ over distinct N-grams with count ≥ 2 of count·charlen,
+  *   charlen(gram) = Σ member-token codepoints (separators excluded).
+  * The fraction (÷ total_chars, fixed-point micros) is computed in the
+  * plan so every emitted number is integer arithmetic.
+  *
+  * Unlike the shingle-family kernels the gram hashes here never leave
+  * the expression (only grouped counts do), so identity uses a cheap
+  * 64-bit polynomial hash over the token byte regions instead of md5 —
+  * a within-doc collision (~n²/2⁶⁴) merely merges two gram groups,
+  * the same benign failure mode as the md5-60 family. Codepoints are
+  * counted directly on UTF-8 bytes (non-continuation bytes), matching
+  * `length()` in both Spark and DuckDB for any Unicode content.
+  * Documents with fewer than N tokens have no N-grams (no whole-text
+  * fallback — these are within-doc duplication measures, not identity
+  * sketches); zero tokens → all-zero struct. */
+case class GopherRepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import GopherRepetitionStats.{MaxN, MinN, TopNs}
+  override def dataType: DataType = StructType(
+    StructField("total_chars", LongType, nullable = false) +:
+      (MinN to MaxN).map { n =>
+        val f = if (TopNs.contains(n)) s"top$n" else s"dup$n"
+        StructField(f, LongType, nullable = false)
+      })
+  override def prettyName: String = "gopher_repetition_stats"
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val tk = TextKernel.tokenize(bytes)
+    val n = tk.n
+    // prefix sums of per-token codepoint counts: charlen of the gram
+    // spanning tokens [i, i+k) is cp(i+k) - cp(i)
+    val cp = new Array[Long](n + 1)
+    var t = 0
+    while (t < n) {
+      var c = 0L
+      val s = tk.starts(t); val e = s + tk.lens(t)
+      var b = s
+      while (b < e) { if ((bytes(b) & 0xc0) != 0x80) c += 1; b += 1 }
+      cp(t + 1) = cp(t) + c
+      t += 1
+    }
+    val out = new Array[Any](1 + MaxN - MinN + 1)
+    out(0) = cp(n)
+    var k = MinN
+    while (k <= MaxN) {
+      val grams = n - k + 1
+      var stat = 0L
+      if (grams > 0) {
+        // gram identity → occurrence count (charlen rides along; it is
+        // a function of the identity, stored once)
+        val m = new java.util.HashMap[java.lang.Long, Array[Long]](
+          grams * 2)
+        var i = 0
+        while (i < grams) {
+          var h = 1125899906842597L
+          var j = 0
+          while (j < k) {
+            if (j > 0) h = h * 31 + 0x20
+            val s = tk.starts(i + j); val e = s + tk.lens(i + j)
+            var b = s
+            while (b < e) { h = h * 31 + (bytes(b) & 0xff); b += 1 }
+            j += 1
+          }
+          val prev = m.get(h)
+          if (prev == null) m.put(h, Array(1L, cp(i + k) - cp(i)))
+          else prev(0) += 1L
+          i += 1
+        }
+        val it = m.values().iterator()
+        if (TopNs.contains(k)) {
+          while (it.hasNext) {
+            val v = it.next(); val mass = v(0) * v(1)
+            if (mass > stat) stat = mass
+          }
+        } else {
+          while (it.hasNext) {
+            val v = it.next()
+            if (v(0) >= 2L) stat += v(0) * v(1)
+          }
+        }
+      }
+      out(1 + k - MinN) = stat
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(out: _*)
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : GopherRepetitionStats = copy(child = c)
+}
+
+object GopherRepetitionStats {
+  val MinN = 2
+  val MaxN = 10
+  /** Most-frequent-gram accounting for n = 2..4; duplicate-gram
+    * accounting for n = 5..10 — the Gopher Table A1 split. */
+  val TopNs: Set[Int] = Set(2, 3, 4)
+}
+
 object TextExpressions {
+  def gopherRepetitionStats(text: Column): Column =
+    ExpressionUtils.column(
+      GopherRepetitionStats(ExpressionUtils.expression(text)))
   def sortedLongSetContains(key: Column, set: IndexedSeq[Long]): Column =
     ExpressionUtils.column(
       SortedLongSetContains(ExpressionUtils.expression(key), set))

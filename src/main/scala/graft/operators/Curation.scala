@@ -208,6 +208,64 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The Gopher REPETITION ruleset (Rae et al. 2021 Table A1 — the
+    * second half of the Gopher filter, complementing [[gopherRules]]'s
+    * shape rules): per-document fraction of characters attributed to
+    * repeated word n-grams, for all nine signals — most-frequent-gram
+    * mass for n = 2..4, duplicated-gram mass for n = 5..10. High values
+    * flag within-document boilerplate/spam the corpus-level dedup
+    * family cannot see.
+    *
+    * Scale shape: MAP-ONLY. One native kernel call per document
+    * ([[org.apache.spark.sql.graft.GopherRepetitionStats]]) computes
+    * all nine statistics in a single tokenize pass; the only shuffle is
+    * the output sort. Every emitted number is integer fixed-point
+    * (char-mass micros, floor division) so the hash is engine-stable.
+    * Thresholds are the paper's: 0.20/0.18/0.16 for top-2/3/4, 0.15
+    * down to 0.10 for dup-5..10; `keep` is their conjunction (empty
+    * docs fail). */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetitionOn(Tables.documents(spark, dir))
+
+  /** Gopher repetition thresholds in micros, aligned with the kernel's
+    * field order top2..top4, dup5..dup10. */
+  private[graft] val RepetitionCapsMicros: Seq[(String, Long)] = Seq(
+    "top2" -> 200000L, "top3" -> 180000L, "top4" -> 160000L,
+    "dup5" -> 150000L, "dup6" -> 140000L, "dup7" -> 130000L,
+    "dup8" -> 120000L, "dup9" -> 110000L, "dup10" -> 100000L)
+
+  /** [[gopherRepetition]] over an explicit (doc_id, text) relation. */
+  def gopherRepetitionOn(docs: DataFrame): DataFrame = {
+    val stats = org.apache.spark.sql.graft.TextExpressions
+      .gopherRepetitionStats(col("text"))
+    val withStats = docs.select(col("doc_id"), stats.as("s"))
+      .select(col("doc_id") +:
+        col("s.total_chars").as("total_chars") +:
+        RepetitionCapsMicros.map { case (f, _) =>
+          when(col("s.total_chars") > 0L,
+            expr(s"(s.$f * 1000000L) div s.total_chars"))
+            .otherwise(lit(0L)).as(s"${f}_micros")
+        }: _*)
+    val keep = RepetitionCapsMicros
+      .map { case (f, cap) => col(s"${f}_micros") <= cap }
+      .reduce(_ && _) && col("total_chars") > 0L
+    withStats
+      .withColumn("keep", when(keep, lit(1L)).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  /** The [[gopherRepetition]] verdict as ONE boolean Column — the
+    * composable map-side gate form, like [[gopherKeep]]. Division-free
+    * but EXACTLY the batch flags' floor-division semantics:
+    * floor(m·10⁶ / t) ≤ cap  ⟺  m·10⁶ < (cap+1)·t  for t > 0. */
+  def gopherRepetitionKeep(text: Column): Column = {
+    val s = org.apache.spark.sql.graft.TextExpressions
+      .gopherRepetitionStats(text)
+    RepetitionCapsMicros.map { case (f, cap) =>
+      s.getField(f) * lit(1000000L) < lit(cap + 1L) * s.getField("total_chars")
+    }.reduce(_ && _) && s.getField("total_chars") > 0L
+  }
+
   /** Curriculum bucketing: every document stamped with its quality
     * decile (1 = top) so a training loader can schedule easy/clean
     * buckets first. Deliberately NOT `ntile` — a global window without

@@ -219,7 +219,10 @@ class PlanAuditSpec extends SparkSpec {
     // q100: the dup dictionary builds EAGERLY at plan time (8 B hash
     // agg + bounded collect); the audited plan is the map-only kernel
     // reassembly + output sort — document text never shuffles
-    "q100_cdc_dedup" -> 1)
+    "q100_cdc_dedup" -> 1,
+    // q101: map-only native repetition kernel (all nine signals in one
+    // struct per doc), output sort only
+    "q101_gopher_repetition" -> 1)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

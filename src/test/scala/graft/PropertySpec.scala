@@ -457,4 +457,46 @@ class PropertySpec extends SparkSpec {
       assert(g == e, s"cdc kernel diverged on '$t'")
     }
   }
+
+  test("gopher repetition kernel equals the String reference " +
+      "(all nine signals, unicode codepoint accounting)") {
+    // the q101 kernel groups gram identities by a byte-level poly hash
+    // and counts codepoints straight off UTF-8 lead bytes; reference:
+    // HashMap on the gram STRING, codePointCount per token — short
+    // repetitive token alphabet so grams actually collide
+    val tok = Gen.oneOf("a", "bb", "ccc", "中", "é文", "a", "bb")
+    val textG = for {
+      n    <- Gen.chooseNum(0, 18)
+      toks <- Gen.listOfN(n, tok)
+      lead <- Gen.oneOf("", " ", "\t ")
+    } yield lead + toks.mkString(" ")
+    val rows = samples(textG, 60)
+    val got = rows.toDF("text")
+      .select(org.apache.spark.sql.graft.TextExpressions
+        .gopherRepetitionStats(col("text")).as("s"))
+      .collect().map { r =>
+        val s = r.getStruct(0); (0 to 9).map(s.getLong).toList
+      }
+    val expected = rows.map { t =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      val cp = toks.map(w => w.codePointCount(0, w.length).toLong)
+      val total = cp.sum
+      val stats = (2 to 10).map { n =>
+        val grams = (0 to toks.length - n)
+          .map(i => toks.slice(i, i + n).mkString(" ") ->
+            cp.slice(i, i + n).sum)
+        // .values (not .map on the Map — that would key by count and
+        // collapse distinct grams)
+        val counts = grams.groupBy(_._1).values
+          .map(g => (g.length.toLong, g.head._2))
+        if (counts.isEmpty) 0L
+        else if (n <= 4) counts.map { case (c, ch) => c * ch }.max
+        else counts.collect { case (c, ch) if c >= 2 => c * ch }.sum
+      }
+      total +: stats.toList
+    }
+    rows.lazyZip(got).lazyZip(expected).foreach { (t, g, e) =>
+      assert(g == e, s"repetition kernel diverged on '$t'")
+    }
+  }
 }

@@ -172,6 +172,67 @@ class PackingCurationSpec extends SparkSpec {
     assert(wlen(6L) == 0L)
   }
 
+  test("gopher repetition: hand-traced char-mass micros per signal") {
+    import spark.implicits._
+    // doc 3: 60 DISTINCT 3-char tokens — low repetition, passes all
+    val clean = (1 to 60).map(i => f"t$i%02d").mkString(" ")
+    val docs = Seq(
+      // 0: "ab ab ab" — total 6 chars; top-2-gram "ab ab" count 2,
+      //    charlen 4 → mass 8 → 1333333 micros (trips); top3 = the one
+      //    3-gram, mass 6 → 1000000; no 4-grams; no 5..10-grams
+      (0L, "ab ab ab"),
+      // 1: four distinct 4-char tokens — total 16; top2 mass 8 →
+      //    500000, top3 mass 12 → 750000, top4 mass 16 → 1000000
+      (1L, "abcd efgh ijkl mnop"),
+      // 2: empty → all zeros, keep 0
+      (2L, ""),
+      // 3: clean — top2 6/180 → 33333, top3 50000, top4 66666, dup 0
+      (3L, clean)).toDF("doc_id", "text")
+    val got = Curation.gopherRepetitionOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          (5 to 10).map(i => r.getLong(i)).toList, r.getLong(11)))
+      .toMap
+    assert(got(0L) == ((6L, 1333333L, 1000000L, 0L,
+      List(0L, 0L, 0L, 0L, 0L, 0L), 0L)), s"doc0: ${got(0L)}")
+    assert(got(1L) == ((16L, 500000L, 750000L, 1000000L,
+      List(0L, 0L, 0L, 0L, 0L, 0L), 0L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, 0L,
+      List(0L, 0L, 0L, 0L, 0L, 0L), 0L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((180L, 33333L, 50000L, 66666L,
+      List(0L, 0L, 0L, 0L, 0L, 0L), 1L)), s"doc3: ${got(3L)}")
+  }
+
+  test("gopher repetition: duplicated-gram mass counts EVERY occurrence") {
+    import spark.implicits._
+    // "v w x y z" ×3 (15 single-char tokens, total 15): period-5
+    // repetition makes EVERY 5-gram a duplicate — identity classes
+    // {0,5,10} (count 3) and {1,6},{2,7},{3,8},{4,9} (count 2 each),
+    // charlen 5 → dup5 mass 3·5 + 4·2·5 = 55 → 3666666 micros.
+    // 6-grams: classes {i, i+5} for i = 0..4 → five identities of
+    // count 2, charlen 6 → dup6 mass 60 → 4000000.
+    val docs = Seq((0L, "v w x y z v w x y z v w x y z"))
+      .toDF("doc_id", "text")
+    val r = Curation.gopherRepetitionOn(docs).collect().head
+    assert(r.getLong(1) == 15L, s"total ${r.getLong(1)}")
+    assert(r.getLong(5) == 3666666L, s"dup5 ${r.getLong(5)}")
+    assert(r.getLong(6) == 4000000L, s"dup6 ${r.getLong(6)}")
+    assert(r.getLong(11) == 0L, "must trip the keep gate")
+  }
+
+  test("gopherRepetitionKeep (the gate form) ≡ the flags' keep, " +
+      "corpus-wide") {
+    val docs = graft.Tables.documents(spark, sf)
+    val viaFlags = Curation.gopherRepetitionOn(docs)
+      .where(col("keep") === 1L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val viaGate = docs.where(Curation.gopherRepetitionKeep(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaGate == viaFlags,
+      s"gate/flags diverge: ${viaGate.diff(viaFlags)} ${viaFlags.diff(viaGate)}")
+    assert(viaFlags.nonEmpty, "expected some sf docs to pass")
+  }
+
   test("gopherKeep (the streaming gate form) ≡ the flags' keep, " +
       "corpus-wide") {
     val docs = graft.Tables.documents(spark, sf)
