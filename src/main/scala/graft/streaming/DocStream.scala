@@ -61,6 +61,12 @@ object DocStream {
     * stage — it judges the (possibly PII-scrubbed) text, same as every
     * other gate downstream of the scrub.
     *
+    * `repetitionGate` adds the Gopher REPETITION ruleset (batch twin:
+    * [[graft.operators.Curation.gopherRepetition]]'s keep flag, q101):
+    * all nine repeated-ngram character-mass caps must pass. One native
+    * kernel call per doc, map-only, composing right after the shape
+    * rules — the two halves of the Gopher filter.
+    *
     * `dsirScores` adds the DSIR target-likeness gate (batch twin:
     * [[graft.operators.Sampling.dsirWeights]], q97): the trained
     * fixed-size bucket table ([[graft.operators.Sampling.trainDsir]])
@@ -74,6 +80,7 @@ object DocStream {
       maxPpxMicros: Long = Long.MaxValue,
       blocklist: Option[Seq[String]] = None,
       gopherGate: Boolean = false,
+      repetitionGate: Boolean = false,
       dsirScores: Option[Array[Long]] = None,
       minDsirMicros: Long = 0L): DataFrame = {
     val gated00 =
@@ -82,10 +89,15 @@ object DocStream {
        else docs)
         .withColumn("quality", qualityScore(col("text")))
         .where(col("quality") >= minQuality)
-    val gated0 =
+    val gated01 =
       if (gopherGate)
         gated00.where(graft.operators.Curation.gopherKeep(col("text")))
       else gated00
+    val gated0 =
+      if (repetitionGate)
+        gated01.where(
+          graft.operators.Curation.gopherRepetitionKeep(col("text")))
+      else gated01
     val gated1 = blocklist.fold(gated0) { terms =>
       val set = terms.distinct.map(md5LongScala).sorted.toIndexedSeq
       gated0.where(org.apache.spark.sql.graft.TextExpressions

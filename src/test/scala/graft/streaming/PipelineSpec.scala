@@ -248,6 +248,40 @@ class PipelineSpec extends SparkSpec {
     assert(keep == got, s"batch keep $keep != streaming $got")
   }
 
+  test("curate(repetitionGate): repetitive docs drop, equals the batch " +
+      "keep flag") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // both docs are 72 tokens and clear the quality floor (guarded
+    // below); the bad one is ONE sentence looped 6 times, so its
+    // duplicated 5..10-gram mass is ~the whole doc, while every gram
+    // of the clean doc contains a unique token (no duplicates at all)
+    val sentence = "the story of the sea and the wind is told again here"
+    val clean = (1 to 18)
+      .flatMap(i => Seq("the", s"word$i", "of", s"view$i")).mkString(" ")
+    val loopy = Seq.fill(6)(sentence).mkString(" ")
+    assert(Seq(clean, loopy).toDF("text")
+      .select(qualityScore(col("text")).as("q"))
+      .collect().forall(_.getDouble(0) >= 0.5),
+      "fixture docs must clear the quality gate")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocStream.curate(mem.toDF().toDF("doc_id", "text", "ts"),
+        minQuality = 0.5, watermark = "10 minutes", repetitionGate = true)
+      .writeStream.format("memory").queryName("repetition_curated")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, clean, t("2024-01-01 10:00:00")),
+      (2L, loopy, t("2024-01-01 10:01:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("repetition_curated").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L), s"got $got")
+    val keep = graft.operators.Curation
+      .gopherRepetitionOn(Seq((1L, clean), (2L, loopy)).toDF("doc_id", "text"))
+      .where(col("keep") === 1L)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(keep == got, s"batch keep $keep != streaming $got")
+  }
+
   test("curate(dsirScores): low-weight docs drop under a frozen table") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val good = "the story of the sea and the wind is told again here"
