@@ -255,6 +255,10 @@ object SparkEntry {
     // q101: the Gopher REPETITION ruleset — all nine within-doc
     // repeated-ngram character fractions + the conjunction verdict
     "q101_gopher_repetition" -> ((s, d) => Curation.gopherRepetition(s, d)),
+    // q102: edit-distance fuzzy self-join over part names (entity
+    // resolution / ES fuzziness parity) — ED-Join prefix + SymSpell
+    // deletion-neighborhood candidates, exact levenshtein verify
+    "q102_fuzzy_pairs" -> ((s, d) => FuzzyJoin.fuzzyPairs(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2086,6 +2090,18 @@ object SparkEntry {
     // duplicated-gram mass sum (n = 5..10); fixed-point micros by
     // integer floor division over the doc's total token chars.
     "q101_gopher_repetition" -> gopherRepetitionSql,
+    // q102: the fuzzy join's answer is DEFINED extensionally — all
+    // a<b pairs within levenshtein 2 — so the oracle is the O(n²)
+    // brute force the Spark plan must never be; candidate filtering is
+    // the plan's concern, not the contract's.
+    "q102_fuzzy_pairs" ->
+      raw"""WITH p AS (SELECT p_partkey AS k, p_name AS n FROM part)
+         SELECT a.k AS a_key, b.k AS b_key,
+                CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
+         FROM p a JOIN p b
+           ON a.k < b.k AND abs(len(a.n) - len(b.n)) <= 2
+              AND levenshtein(a.n, b.n) <= 2
+         ORDER BY a_key, b_key""",
   )
 
   /** Generated oracle for q101: one CTE per gram size (the nine Gopher

@@ -222,7 +222,14 @@ class PlanAuditSpec extends SparkSpec {
     "q100_cdc_dedup" -> 1,
     // q101: map-only native repetition kernel (all nine signals in one
     // struct per doc), output sort only
-    "q101_gopher_repetition" -> 1)
+    "q101_gopher_repetition" -> 1,
+    // q102: the count is high but nearly all exchanges carry the NAME
+    // QUOTIENT (distinct names — 64 rows on this corpus), not the
+    // keyed relation: quotient distinct + gram df/rarity join + window
+    // + prefix self-join + overlap joinbacks + short-path variant join,
+    // then the two clone-group expansion joins and the output sort on
+    // the full relation
+    "q102_fuzzy_pairs" -> 19)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,
