@@ -259,6 +259,9 @@ object SparkEntry {
     // resolution / ES fuzziness parity) — ED-Join prefix + SymSpell
     // deletion-neighborhood candidates, exact levenshtein verify
     "q102_fuzzy_pairs" -> ((s, d) => FuzzyJoin.fuzzyPairs(s, d)),
+    // q103: supervised odds-ratio quality classifier — closed-form
+    // "looks like the trusted slice" filter, all-integer weights
+    "q103_odds_quality" -> ((s, d) => LangModel.oddsQuality(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2102,6 +2105,44 @@ object SparkEntry {
            ON a.k < b.k AND abs(len(a.n) - len(b.n)) <= 2
               AND levenshtein(a.n, b.n) <= 2
          ORDER BY a_key, b_key""",
+    // q103: replay the classifier's exact integer steps — per-class
+    // token occurrence counts, Laplace-smoothed per-10⁹ class rates,
+    // clamped rate ratio, per-doc occurrence-weighted integer mean.
+    "q103_odds_quality" ->
+      raw"""WITH c AS (
+           SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS occ
+           FROM (SELECT doc_id, lang,
+                        unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                           s -> len(s) > 0)) AS tok
+                 FROM documents)
+           GROUP BY doc_id, lang, tok),
+         m AS (
+           SELECT tok,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN occ ELSE 0 END)
+                       AS BIGINT) AS cp,
+                  CAST(SUM(CASE WHEN lang <> 'en' THEN occ ELSE 0 END)
+                       AS BIGINT) AS cn
+           FROM c GROUP BY tok),
+         t AS (
+           SELECT CAST(SUM(cp) AS BIGINT) AS np,
+                  CAST(SUM(cn) AS BIGINT) AS nn,
+                  CAST(COUNT(*) AS BIGINT) AS v
+           FROM m),
+         w AS (
+           SELECT tok,
+                  least(((cp + 1) * 1000000000 // (np + v)) * 1000000
+                          // greatest((cn + 1) * 1000000000 // (nn + v), 1),
+                        1000000000000) AS w
+           FROM m, t),
+         s AS (
+           SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_tokens,
+                  CAST(SUM(occ * w) AS BIGINT) AS mass
+           FROM c JOIN w USING (tok) GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+                CAST(mass // n_tokens AS BIGINT) AS score_micros,
+                CAST(CASE WHEN mass // n_tokens >= 1000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS pred
+         FROM s ORDER BY doc_id""",
   )
 
   /** Generated oracle for q101: one CTE per gram size (the nine Gopher

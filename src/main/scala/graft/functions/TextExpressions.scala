@@ -806,10 +806,46 @@ object GopherRepetitionStats {
   val TopNs: Set[Int] = Set(2, 3, 4)
 }
 
+/** Map-side scorer for the odds-ratio quality classifier (q103's
+  * serving/streaming twin, the PerplexityMicros deployment shape): the
+  * trained per-token weight table ships inside the expression; a doc's
+  * score is the integer mean weight over its token OCCURRENCES
+  * (`floor(Σ occ·w / n)`, micros), so summation order cannot change the
+  * result and the join-based batch plan is reproduced bit-for-bit on
+  * any corpus whose tokens the model has seen. Unseen tokens take
+  * `default` (the trained zero-count weight). NULL for empty docs. */
+case class OddsScoreMicros(child: Expression,
+    weights: Map[String, Long], default: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "odds_score_micros"
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) null
+    else {
+      var sum = 0L
+      var i = 0
+      while (i < toks.length) {
+        sum += weights.getOrElse(toks(i), default)
+        i += 1
+      }
+      sum / toks.length
+    }
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : OddsScoreMicros = copy(child = c)
+}
+
 object TextExpressions {
   def gopherRepetitionStats(text: Column): Column =
     ExpressionUtils.column(
       GopherRepetitionStats(ExpressionUtils.expression(text)))
+  def oddsScoreMicros(text: Column, weights: Map[String, Long],
+      default: Long): Column =
+    ExpressionUtils.column(
+      OddsScoreMicros(ExpressionUtils.expression(text), weights, default))
   def sortedLongSetContains(key: Column, set: IndexedSeq[Long]): Column =
     ExpressionUtils.column(
       SortedLongSetContains(ExpressionUtils.expression(key), set))

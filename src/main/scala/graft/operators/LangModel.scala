@@ -214,4 +214,139 @@ object LangModel {
         expr("sum(ip * tf) div sum(tf)").as("ppx_micros"))
       .orderBy("doc_id")
   }
+
+  // ---- odds-ratio quality classifier (q103) -------------------------
+
+  /** Weight clamp for [[oddsWeights]]: a token seen only in the
+    * positive class with a near-zero negative rate would otherwise get
+    * an unbounded ratio, and `Σ occ·w` must stay inside a Long for any
+    * real document (≤ 10⁶ tokens × 10¹² < 2⁶³). Part of the score's
+    * definition — the oracle replays it. */
+  val MaxOddsWeightMicros = 1000000000000L
+
+  /** Distinct-vocabulary cap for broadcasting the weight table in
+    * [[oddsQuality]] (the q64 measured-guard contract). */
+  val MaxBroadcastOddsVocab = 2000000L
+
+  /** q103: supervised odds-ratio quality classifier — the closed-form
+    * stand-in for the fastText-style "looks like the trusted corpus"
+    * filter (GPT-3 / LLaMA pipelines train a linear classifier between
+    * a trusted slice and the raw crawl; here the trusted slice is the
+    * `posLang` documents). Training is ONE aggregation: per-token
+    * occurrence counts in each class. A token's weight is its add-one-
+    * smoothed class-rate ratio in fixed point —
+    *   `rate_c = (cnt_c + 1) · 10⁹ div (N_c + V)` (occurrences per
+    *   10⁹-token class, Laplace-smoothed), then
+    *   `w = min(rate_pos · 10⁶ div max(rate_neg, 1), clamp)` —
+    * and a document scores the integer MEAN weight over its token
+    * occurrences (micros; ≥ 10⁶ leans positive). Every step is integer
+    * floor arithmetic, so Spark's partial aggregation and the DuckDB
+    * oracle agree bit-for-bit; like the perplexity and TF-IDF scores,
+    * this is a monotone ratio-space proxy for the log-space naive-Bayes
+    * sum (documented deviation — rank-and-threshold gates only need
+    * monotonicity).
+    *
+    * Scale shape: one tokenization feeds a (doc_id, token) tf carrier;
+    * the model is ONE token-keyed aggregation over it (corpus-stat-
+    * sized); class totals ride a broadcast 1-row scalar; the scoring
+    * join broadcasts the weight table under a measured vocab guard
+    * (shuffled hash join + AQE skew splitting above it); the per-doc
+    * mean re-aggregates on doc_id. Headroom: `(cnt+1)·10⁹` holds to
+    * ~9×10⁹ occurrences of one token per class — shrink the rate scale
+    * for a corpus beyond that (the q64 contract).
+    *
+    * Output: (doc_id, n_tokens, score_micros, pred); empty docs emit
+    * no row. */
+  def oddsQuality(spark: SparkSession, dir: String,
+      posLang: String = "en",
+      maxBroadcastVocab: Long = MaxBroadcastOddsVocab): DataFrame = {
+    val carrier = graft.Caches.register(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(count(lit(1)).as("occ"))
+        .cache())
+    val model = carrier.groupBy("tok").agg(
+      sum(when(col("lang") === posLang, col("occ")).otherwise(0L))
+        .as("cp"),
+      sum(when(col("lang") =!= posLang, col("occ")).otherwise(0L))
+        .as("cn"))
+    val tot = model.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
+    val weights = model.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        oddsWeightExpr(MaxOddsWeightMicros).as("w"))
+    val nVocab = weights.count()
+    val wSide =
+      if (nVocab <= maxBroadcastVocab) broadcast(weights)
+      else {
+        System.err.println(
+          s"[graft] oddsQuality: $nVocab distinct tokens (> cap " +
+            s"$maxBroadcastVocab) — weight side falls back to a " +
+            "shuffled join")
+        weights.hint("shuffle_hash")
+      }
+    carrier.join(wSide, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_tokens"),
+        expr("sum(occ * w)").as("mass"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("mass div n_tokens").as("score_micros"))
+      .withColumn("pred",
+        when(col("score_micros") >= 1000000L, lit(1L)).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  /** The weight formula as one SQL expression over (cp, cn, np, nn, v)
+    * — shared by the batch plan and [[trainOdds]] so they cannot
+    * drift. */
+  private def oddsWeightExpr(clamp: Long): Column =
+    expr(
+      s"""least(
+            ((cp + 1L) * 1000000000L div (np + v)) * 1000000L
+              div greatest((cn + 1L) * 1000000000L div (nn + v), 1L),
+            ${clamp}L)""")
+
+  /** A collected odds model for MAP-SIDE scoring (the streaming /
+    * serving twin): per-token weights plus the zero-count default for
+    * unseen tokens. Bounded by a loud cap, the [[trainModel]]
+    * contract. */
+  final case class OddsModel(weights: Map[String, Long], default: Long)
+
+  /** Train an [[OddsModel]] on the corpus at `dir` (positive class =
+    * `posLang` documents). The collected table is the same weight
+    * relation the batch plan joins, so [[oddsScoreColumn]] reproduces
+    * [[oddsQuality]] bit-for-bit on any doc whose tokens the model has
+    * seen. */
+  def trainOdds(spark: SparkSession, dir: String, posLang: String = "en",
+      maxVocab: Int = 2000000): OddsModel = {
+    val carrier = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+    val model = carrier.groupBy("tok").agg(
+      sum(when(col("lang") === posLang, lit(1L)).otherwise(0L)).as("cp"),
+      sum(when(col("lang") =!= posLang, lit(1L)).otherwise(0L)).as("cn"))
+    val tot = model.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
+    val rows = model.crossJoin(broadcast(tot))
+      .select(col("tok"), oddsWeightExpr(MaxOddsWeightMicros).as("w"))
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"classifier vocabulary exceeds maxVocab=$maxVocab: use the " +
+        "join-based LangModel.oddsQuality or cap the corpus slice")
+    val Array(np, nn, v) = tot.collect().head.toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    val default = math.min(
+      (1000000000L / (np + v)) * 1000000L
+        / math.max(1000000000L / (nn + v), 1L),
+      MaxOddsWeightMicros)
+    OddsModel(rows.map(r => r.getString(0) -> r.getLong(1)).toMap, default)
+  }
+
+  /** Map-only score column under a collected [[OddsModel]] —
+    * bit-identical to the q103 join plan wherever the model's
+    * vocabulary covers the doc. NULL for empty docs. */
+  def oddsScoreColumn(model: OddsModel, text: Column): Column =
+    org.apache.spark.sql.graft.TextExpressions
+      .oddsScoreMicros(text, model.weights, model.default)
 }

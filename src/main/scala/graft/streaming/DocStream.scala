@@ -73,7 +73,14 @@ object DocStream {
     * ships inside the scoring expression like the perplexity model,
     * and docs whose weight falls BELOW `minDsirMicros` (not
     * target-like enough) drop. Unscoreable docs (zero features, NULL
-    * weight) pass — the ppx gate's contract. */
+    * weight) pass — the ppx gate's contract.
+    *
+    * `oddsModel` adds the supervised odds-ratio classifier gate (batch
+    * twin: [[graft.operators.LangModel.oddsQuality]], q103): the
+    * trained per-token weight table
+    * ([[graft.operators.LangModel.trainOdds]]) ships inside the scoring
+    * expression; docs scoring BELOW `minOddsMicros` drop; empty docs
+    * (NULL score) pass. */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       watermark: String = "24 hours", scrubPii: Boolean = false,
       ppxModel: Option[graft.operators.LangModel.BigramModel] = None,
@@ -82,7 +89,9 @@ object DocStream {
       gopherGate: Boolean = false,
       repetitionGate: Boolean = false,
       dsirScores: Option[Array[Long]] = None,
-      minDsirMicros: Long = 0L): DataFrame = {
+      minDsirMicros: Long = 0L,
+      oddsModel: Option[graft.operators.LangModel.OddsModel] = None,
+      minOddsMicros: Long = 0L): DataFrame = {
     val gated00 =
       (if (scrubPii)
          docs.withColumn("text", graft.operators.Pii.redactText(col("text")))
@@ -103,10 +112,14 @@ object DocStream {
       gated0.where(org.apache.spark.sql.graft.TextExpressions
         .bannedTokenCount(col("text"), set) === 0L)
     }
-    val gated = dsirScores.fold(gated1) { scores =>
+    val gated2 = dsirScores.fold(gated1) { scores =>
       val w = org.apache.spark.sql.graft.TextExpressions
         .dsirScoreMicros(col("text"), scores.toIndexedSeq)
       gated1.where(w.isNull || w >= minDsirMicros)
+    }
+    val gated = oddsModel.fold(gated2) { m =>
+      val s = graft.operators.LangModel.oddsScoreColumn(m, col("text"))
+      gated2.where(s.isNull || s >= minOddsMicros)
     }
     ppxModel.fold(gated) { m =>
         gated

@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpec {
     // q94: the languages-list broadcast crossJoin (rows = #languages)
     "q94_lm_langid",
     // q95: q22's collected hot-shingle-set broadcast (1 row)
-    "q95_containment_pairs")
+    "q95_containment_pairs",
+    // q103: the 1-row class-totals broadcast (q64's total pattern)
+    "q103_odds_quality")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -229,7 +231,12 @@ class PlanAuditSpec extends SparkSpec {
     // + prefix self-join + overlap joinbacks + short-path variant join,
     // then the two clone-group expansion joins and the output sort on
     // the full relation
-    "q102_fuzzy_pairs" -> 19)
+    "q102_fuzzy_pairs" -> 19,
+    // q103: the (doc,tok) tf carrier agg + the token-keyed model agg +
+    // 1-row totals collapse + the weight-table broadcast-join scoring
+    // pass + the per-doc re-agg + output sort (the carrier's cached
+    // build plan prints its exchanges into the audit too)
+    "q103_odds_quality" -> 10)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -69,6 +69,46 @@ class LangModelMixSpec extends SparkSpec {
         s"(${mapSide.size} vs ${joined.size} rows)")
   }
 
+  test("oddsQuality hand-trace: clamped rate-ratio weights, occurrence-" +
+      "weighted integer mean") {
+    // Corpus: d1 (en) "a a b", d2 (fr) "a c".
+    //   model: a cp=2 cn=1; b cp=1 cn=0; c cp=0 cn=1; np=3 nn=2 V=3
+    //   rates (per 1e9, add-one): rp = (cp+1)e9 // 6, rn = (cn+1)e9 // 5
+    //   a: rp 5e8,        rn 4e8 → w = 5e8·1e6 // 4e8  = 1_250_000
+    //   b: rp 333333333,  rn 2e8 → w = 1_666_666
+    //   c: rp 166666666,  rn 4e8 → w =   416_666
+    // d1: (2·1_250_000 + 1_666_666) div 3 = 1_388_888 → pred 1
+    // d2: (1_250_000 + 416_666) div 2     =   833_333 → pred 0
+    val dir = docsDir(Seq(
+      ("d1", "en", "s", "a a b"),
+      ("d2", "fr", "s", "a c")))
+    val got = LangModel.oddsQuality(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    graft.Caches.releaseAll()
+    assert(got == Seq(
+      ("d1", 3L, 1388888L, 1L),
+      ("d2", 2L, 833333L, 0L)))
+  }
+
+  test("map-side odds scorer under trainOdds matches the q103 join plan") {
+    // the streaming gate's in-expression weight table must reproduce
+    // the batch join bit-for-bit on a corpus the model has fully seen
+    val model = LangModel.trainOdds(spark, sf)
+    val mapSide = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        LangModel.oddsScoreColumn(model,
+          org.apache.spark.sql.functions.col("text")).as("s"))
+      .where(org.apache.spark.sql.functions.col("s").isNotNull)
+      .as[(Long, Long)].collect().toMap
+    val joined = LangModel.oddsQuality(spark, sf)
+      .select("doc_id", "score_micros")
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.releaseAll()
+    assert(mapSide.nonEmpty && mapSide == joined,
+      s"map-side odds scorer diverged from the join plan " +
+        s"(${mapSide.size} vs ${joined.size} rows)")
+  }
+
   test("lmLangId hand-trace: least-perplexed model wins") {
     // Corpus: en={d1,d2: "a b"}, fr={d3,d4: "x y"}, xx={d5: "a b"}.
     // Models — en: uni a=2,b=2, V=2, bi(a,b)=2; fr: x=2,y=2, V=2,

@@ -282,6 +282,34 @@ class PipelineSpec extends SparkSpec {
     assert(keep == got, s"batch keep $keep != streaming $got")
   }
 
+  test("curate(oddsModel): low-scoring docs drop under a frozen " +
+      "classifier") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val good = "the story of the sea and the wind is told again here"
+    val bad = "a tale for a river with a storm it gets written down there"
+    assert(Seq(good, bad).toDF("text")
+      .select(qualityScore(col("text")).as("q"))
+      .collect().forall(_.getDouble(0) >= 0.5),
+      "fixture docs must clear the quality gate")
+    // hand-frozen model: the bad doc's tokens weigh 0, everything else
+    // (unseen → default) 2e6 — bad's mean sinks to 0, good stays 2e6
+    val model = graft.operators.LangModel.OddsModel(
+      bad.split(" ").map(_ -> 0L).toMap, default = 2000000L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocStream.curate(mem.toDF().toDF("doc_id", "text", "ts"),
+        minQuality = 0.5, watermark = "10 minutes",
+        oddsModel = Some(model), minOddsMicros = 1000000L)
+      .writeStream.format("memory").queryName("odds_curated")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, good, t("2024-01-01 10:00:00")),
+      (2L, bad, t("2024-01-01 10:01:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("odds_curated").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L), s"got $got")
+  }
+
   test("curate(dsirScores): low-weight docs drop under a frozen table") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val good = "the story of the sea and the wind is told again here"
