@@ -262,6 +262,9 @@ object SparkEntry {
     // q103: supervised odds-ratio quality classifier — closed-form
     // "looks like the trusted slice" filter, all-integer weights
     "q103_odds_quality" -> ((s, d) => LangModel.oddsQuality(s, d)),
+    // q104: PageRank on the per-user item-transition graph — the
+    // iterate-join-aggregate centrality, exact integer fixed point
+    "q104_pagerank" -> ((s, d) => GraphRank.pageRank(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2143,7 +2146,46 @@ object SparkEntry {
                 CAST(CASE WHEN mass // n_tokens >= 1000000
                      THEN 1 ELSE 0 END AS BIGINT) AS pred
          FROM s ORDER BY doc_id""",
+    // q104: the fixed-iteration integer PageRank is replayed exactly —
+    // one generated CTE per round (r1..r10), the q82 unrolled-oracle
+    // pattern.
+    "q104_pagerank" -> pageRankSql(10),
   )
+
+  /** Generated oracle for q104: transition edges from per-user lead(),
+    * then `iters` unrolled rank CTEs applying the exact integer update
+    * `r' = 150000 + (85 · Σ floor(r·w / wout)) div 100`. */
+  private def pageRankSql(iters: Int): String = {
+    val header = raw"""WITH e0 AS (
+         SELECT user_id, ts, event_id,
+                CAST(props->>'k' AS BIGINT) AS k
+         FROM events),
+       tr AS (
+         SELECT k AS src,
+                lead(k) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst
+         FROM e0),
+       e AS (
+         SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         FROM tr WHERE dst IS NOT NULL GROUP BY src, dst),
+       outw AS (
+         SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+       nodes AS (SELECT DISTINCT k AS node FROM e0),
+       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         SELECT n.node,
+                CAST(150000 + (85 * COALESCE(c.s, 0)) // 100
+                     AS BIGINT) AS r
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS node, SUM((r.r * e.w) // o.wout) AS s
+           FROM e JOIN r${i - 1} r ON r.node = e.src
+                  JOIN outw o ON o.src = e.src
+           GROUP BY e.dst) c USING (node))"""
+    }
+    (header +: rounds).mkString(",\n       ") +
+      s"\n       SELECT node, r AS rank_micros FROM r$iters ORDER BY node"
+  }
 
   /** Generated oracle for q101: one CTE per gram size (the nine Gopher
     * repetition signals share the tokenized-docs CTE). Thresholds come

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics over the event stream: PageRank on the
+  * item-transition graph (per-user consecutive `props.k` transitions,
+  * weighted by frequency) — the "what do sessions flow toward"
+  * centrality every clickstream warehouse eventually wants, and the
+  * engine's generic iterate-join-aggregate shape (the q53 connected-
+  * components loop's directed, weighted sibling).
+  *
+  * All-integer fixed point, exactly replayed by the (unrolled) DuckDB
+  * oracle: ranks live in micros, each iteration is
+  *   `r'(v) = 150000 + (85 · Σ_{u→v} floor(r(u)·w(u,v) / wout(u))) div 100`
+  * (damping 0.85, teleport 0.15·10⁶), so every step is exact Long
+  * arithmetic and partial-aggregation order cannot flip a digit.
+  * Dangling mass (nodes with no out-edges) is dropped — the documented
+  * variant; ranks then need no global renormalization step, which
+  * would be the one all-to-one exchange in the plan.
+  *
+  * Scale shape: the edge relation (with its out-weight joined on once,
+  * up front) is `localCheckpoint`ed and reused by every round — each
+  * iteration is ONE shuffle join (ranks onto edges by src) plus ONE
+  * aggregation (contributions by dst), the canonical distributed
+  * PageRank plan; lineage is truncated per round by the checkpoint (a
+  * 100 TB run would checkpoint to reliable storage instead, the q53
+  * note), and intermediate rank snapshots are released as soon as the
+  * next round materializes. Iteration count is FIXED (convergence
+  * detection would add a per-round action), which also keeps the
+  * result a pure function of the input — the oracle-ability contract.
+  */
+object GraphRank {
+
+  /** Damping in percent and teleport mass in micros: 0.85 / 0.15. */
+  val DampingPct = 85L
+  val TeleportMicros = 150000L
+
+  /** Release the storage behind a localCheckpoint'd frame (the Dedup
+    * helper's contract: only safe when the frame is never referenced
+    * again). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** Edge count at or below which [[pageRank]] runs the rank loop on
+    * the driver instead of scheduling `iters` join rounds — the q53
+    * measured-dispatch contract: the blocks are already materialized,
+    * the count is a block scan, and a small graph's 10 scheduled
+    * rounds are pure overhead against a millisecond array loop. Same
+    * integer arithmetic on both paths, so the oracle cannot tell. */
+  val DriverRankEdgeBudget: Long = 2L * 1000 * 1000
+
+  /** q104: PageRank over the `props.k` transition graph of `events`.
+    * Output: (node, rank_micros) after `iters` rounds. */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 10,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
+    pageRankOn(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      iters, edgeBudget)
+
+  /** [[pageRank]] over an explicit (user_id, ts, event_id, k) event
+    * relation. */
+  def pageRankOn(ev: DataFrame, iters: Int = 10,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = ev.sparkSession
+    val nxt = lead(col("k"), 1).over(
+      Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+    val trans = ev.select(col("k").as("src"), nxt.as("dst"))
+      .where(col("dst").isNotNull)
+    val edges = trans.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+    // static across rounds: materialize ONCE with the out-weight riding
+    // along, so each iteration joins a block-backed relation
+    val edgesN = edges.join(outw, Seq("src")).localCheckpoint()
+    val nodes = ev.select(col("k").as("node")).distinct()
+      .localCheckpoint()
+    if (edgesN.count() <= edgeBudget) {
+      val out = driverRank(spark, edgesN, nodes, iters)
+      releaseCheckpoint(edgesN)
+      releaseCheckpoint(nodes)
+      return out
+    }
+    var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    var round = 0
+    while (round < iters) {
+      val contrib = edgesN
+        .join(ranks, edgesN("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("(r * w) div wout").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(TeleportMicros) +
+            expr(s"($DampingPct * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+      releaseCheckpoint(ranks)
+      ranks = next
+      round += 1
+    }
+    val out = ranks.select(col("node"), col("r").as("rank_micros"))
+      .orderBy("node")
+    releaseCheckpoint(edgesN)
+    releaseCheckpoint(nodes)
+    out
+  }
+
+  /** The same integer update as the distributed loop, on collected
+    * arrays — bit-identical by construction (exact Long arithmetic,
+    * order-free sums). */
+  private def driverRank(spark: SparkSession, edgesN: DataFrame,
+      nodes: DataFrame, iters: Int): DataFrame = {
+    import spark.implicits._
+    val es = edgesN.select("src", "dst", "w", "wout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ns = nodes.select("node").collect().map(_.getLong(0))
+    var r = ns.map(_ -> 1000000L).toMap
+    var round = 0
+    while (round < iters) {
+      val s = new scala.collection.mutable.HashMap[Long, Long]()
+        .withDefaultValue(0L)
+      es.foreach { case (src, dst, w, wout) =>
+        s(dst) += r(src) * w / wout
+      }
+      r = ns.map(n =>
+        n -> (TeleportMicros + DampingPct * s(n) / 100L)).toMap
+      round += 1
+    }
+    ns.sorted.map(n => (n, r(n))).toSeq
+      .toDF("node", "rank_micros")
+  }
+}

@@ -236,7 +236,12 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row totals collapse + the weight-table broadcast-join scoring
     // pass + the per-doc re-agg + output sort (the carrier's cached
     // build plan prints its exchanges into the audit too)
-    "q103_odds_quality" -> 10)
+    "q103_odds_quality" -> 10,
+    // q104: the audited plan is the measured DRIVER path (the graph
+    // builds eagerly at plan time; the returned frame is a sorted local
+    // relation); the distributed loop's rounds are checkpoint-truncated
+    // and spec-pinned equal
+    "q104_pagerank" -> 0)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

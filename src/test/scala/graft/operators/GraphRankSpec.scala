@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank on the transition graph (q104): hand-traced integer
+  * updates, and the driver-dispatch path pinned equal to the
+  * distributed loop. */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One user walking k: 1→2→2→1→3.
+    * Edges: (1→2,w1) (2→2,w1) (2→1,w1) (1→3,w1); wout(1)=2, wout(2)=2. */
+  private def walk: DataFrame = {
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    Seq((7L, t(1), 1L, 1L), (7L, t(2), 2L, 2L), (7L, t(3), 3L, 2L),
+      (7L, t(4), 4L, 1L), (7L, t(5), 5L, 3L))
+      .toDF("user_id", "ts", "event_id", "k")
+  }
+
+  test("hand trace: one and two integer rounds") {
+    // round 1 from r0 = 1e6:
+    //   s(1) = r(2)·1/2 = 500000;  s(2) = r(1)/2 + r(2)/2 = 1000000;
+    //   s(3) = r(1)/2 = 500000
+    //   r1 = 150000 + 85·s div 100 → (575000, 1000000, 575000)
+    val r1 = GraphRank.pageRankOn(walk, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 575000L, 2L -> 1000000L, 3L -> 575000L),
+      s"round 1: $r1")
+    // round 2: s(1) = 1000000/2; s(2) = 575000/2 + 1000000/2 = 787500;
+    //   s(3) = 575000/2 = 287500
+    //   → (575000, 150000 + 669375 = 819375, 150000 + 244375 = 394375)
+    val r2 = GraphRank.pageRankOn(walk, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 575000L, 2L -> 819375L, 3L -> 394375L),
+      s"round 2: $r2")
+  }
+
+  test("driver dispatch equals the distributed loop on the sf corpus") {
+    def ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val viaDriver = GraphRank.pageRankOn(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCluster = GraphRank.pageRankOn(ev, edgeBudget = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver.nonEmpty && viaDriver == viaCluster,
+      s"paths diverge (${viaDriver.size} vs ${viaCluster.size} nodes)")
+  }
+
+  test("every node appears with at least the teleport mass") {
+    val out = GraphRank.pageRank(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= GraphRank.TeleportMicros),
+      "rank below teleport floor")
+  }
+}
