@@ -265,6 +265,11 @@ object SparkEntry {
     // q104: PageRank on the per-user item-transition graph — the
     // iterate-join-aggregate centrality, exact integer fixed point
     "q104_pagerank" -> ((s, d) => GraphRank.pageRank(s, d)),
+    // q105: strict-order funnel (view → click → purchase) — users
+    // reaching each step strictly after their earliest prior step
+    "q105_funnel" -> ((s, d) => Sessionize.funnel(s, d)),
+    // q106: cohort retention matrix — first-seen day × activity offset
+    "q106_cohorts" -> ((s, d) => Sessionize.cohorts(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2150,6 +2155,48 @@ object SparkEntry {
     // one generated CTE per round (r1..r10), the q82 unrolled-oracle
     // pattern.
     "q104_pagerank" -> pageRankSql(10),
+    // q105: per-user minimal step times — min(view), then min(click)
+    // STRICTLY after it, then min(purchase) after that; count non-null
+    // per step. NULL propagation in the CASE matches Spark's when().
+    "q105_funnel" ->
+      raw"""WITH s1 AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+           FROM events GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+                      THEN e.ts END) AS t2
+           FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+                      THEN e.ts END) AS t3
+           FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                  CAST(count(t1) AS BIGINT) AS n_users FROM s1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'click',
+                  CAST(count(t2) AS BIGINT) FROM s2
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), 'purchase',
+                  CAST(count(t3) AS BIGINT) FROM s3)
+         ORDER BY step""",
+    // q106: UTC day-string cohorts (the q01 bucketing convention),
+    // integer day offsets, exact distinct counts.
+    "q106_cohorts" ->
+      raw"""WITH ev AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events),
+         f AS (
+           SELECT user_id, min(dt) AS cohort_dt FROM ev GROUP BY user_id)
+         SELECT cohort_dt,
+                CAST(CAST(dt AS DATE) - CAST(cohort_dt AS DATE)
+                     AS BIGINT) AS day_offset,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+         FROM ev JOIN f USING (user_id)
+         GROUP BY cohort_dt, day_offset
+         ORDER BY cohort_dt, day_offset""",
   )
 
   /** Generated oracle for q104: transition edges from per-user lead(),

@@ -104,4 +104,76 @@ object Sessionize {
     import events.sparkSession.implicits._
     events.withWatermark("ts", delay).as[SessEvent]
   }
+
+  /** q105: strict-order funnel — how many users reach each step of an
+    * event-type sequence, where step i+1 must occur STRICTLY AFTER the
+    * user's earliest completion of step i (the standard minimal-time
+    * funnel semantics; same-microsecond ties do not advance, a
+    * deterministic rule the oracle replays).
+    *
+    * Scale shape: ONE shuffle. Every step time is a conditional MIN
+    * window over the same user partitioning — Catalyst stacks the
+    * chained windows into one Window operator behind a single exchange
+    * — then a per-user dedup rides the same partitioning and the
+    * 3-row rollup is a map-side count into a single-partition agg.
+    * Timestamps compare as exact micros; counts are integers — nothing
+    * for an engine to round. */
+  def funnel(spark: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelOn(Tables.events(spark, dir), steps)
+
+  /** [[funnel]] over an explicit (user_id, ts, event_type) relation. */
+  def funnelOn(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val byUser = Window.partitionBy("user_id")
+    val base = events.select(col("user_id"), col("ts"), col("event_type"))
+    val withTimes = steps.zipWithIndex.foldLeft(base) {
+      case (d, (step, i)) =>
+        val cond =
+          if (i == 0) col("event_type") === step
+          else col("event_type") === step && col("ts") > col(s"t$i")
+        d.withColumn(s"t${i + 1}", min(when(cond, col("ts"))).over(byUser))
+    }
+    val stepTimes = steps.indices.map(i =>
+      max(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    val perUser = withTimes
+      .groupBy("user_id")
+      .agg(stepTimes.head, stepTimes.tail: _*)
+    val stepCounts = steps.indices.map(i =>
+      count(when(col(s"t${i + 1}").isNotNull, lit(1))).as(s"c${i + 1}"))
+    val counts = perUser.agg(stepCounts.head, stepCounts.tail: _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1L).as("step"), lit(s).as("event_type"),
+        col(s"c${i + 1}").as("n_users"))
+    }: _*)).as("f"))
+      .select(col("f.step"), col("f.event_type"), col("f.n_users"))
+      .orderBy("step")
+  }
+
+  /** q106: cohort retention — users grouped by their FIRST-seen day,
+    * crossed with every later day they were active:
+    * (cohort_dt, day_offset, active_users). The warehouse retention
+    * matrix, exactly integer.
+    *
+    * Scale shape: the first-seen relation is one per-user aggregation;
+    * the activity join is user-keyed (AQE broadcasts it when small);
+    * the final rollup is a two-level distinct-count on
+    * (cohort, offset, user) keys. Day boundaries are UTC date_format
+    * strings (the q01 convention), so both engines bucket identically. */
+  def cohorts(spark: SparkSession, dir: String): DataFrame =
+    cohortsOn(Tables.events(spark, dir))
+
+  /** [[cohorts]] over an explicit (user_id, ts) relation. */
+  def cohortsOn(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+    val first = ev.groupBy("user_id").agg(min(col("dt")).as("cohort_dt"))
+    ev.join(first, Seq("user_id"))
+      .groupBy(col("cohort_dt"),
+        datediff(to_date(col("dt")), to_date(col("cohort_dt")))
+          .cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_dt", "day_offset")
+  }
 }

@@ -241,7 +241,13 @@ class PlanAuditSpec extends SparkSpec {
     // builds eagerly at plan time; the returned frame is a sorted local
     // relation); the distributed loop's rounds are checkpoint-truncated
     // and spec-pinned equal
-    "q104_pagerank" -> 0)
+    "q104_pagerank" -> 0,
+    // q105: ONE user-keyed exchange feeds every chained window, the
+    // per-user dedup, and the map-side rollup into the single-row agg
+    "q105_funnel" -> 1,
+    // q106: first-seen agg + its user-keyed join probe + the two-level
+    // distinct-count + output sort
+    "q106_cohorts" -> 4)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,
