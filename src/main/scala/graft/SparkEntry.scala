@@ -270,6 +270,9 @@ object SparkEntry {
     "q105_funnel" -> ((s, d) => Sessionize.funnel(s, d)),
     // q106: cohort retention matrix — first-seen day × activity offset
     "q106_cohorts" -> ((s, d) => Sessionize.cohorts(s, d)),
+    // q107: fuzzy clusters — q102's linear-output production form
+    // (cluster stamp per key instead of the quadratic pair relation)
+    "q107_fuzzy_clusters" -> ((s, d) => FuzzyJoin.fuzzyClusters(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2197,6 +2200,31 @@ object SparkEntry {
          FROM ev JOIN f USING (user_id)
          GROUP BY cohort_dt, day_offset
          ORDER BY cohort_dt, day_offset""",
+    // q107: clusters over the brute-force distance-≤2 name graph —
+    // min-reachable-surrogate via the q53 recursive-CTE pattern; each
+    // name's surrogate is its minimum key, so the cluster id is the
+    // smallest key in the cluster.
+    "q107_fuzzy_clusters" ->
+      raw"""WITH RECURSIVE p AS (
+           SELECT p_partkey AS k, p_name AS n FROM part),
+         g AS (SELECT n, min(k) AS nid FROM p GROUP BY n),
+         pairs AS (
+           SELECT a.nid AS id1, b.nid AS id2 FROM g a JOIN g b
+           ON a.n < b.n AND abs(len(a.n) - len(b.n)) <= 2
+              AND levenshtein(a.n, b.n) <= 2),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL SELECT id2, id1 FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM sym),
+         reach(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON r.id = s.src),
+         lab AS (SELECT id AS nid, min(comp) AS comp
+                 FROM reach GROUP BY id)
+         SELECT p.k AS key, CAST(coalesce(l.comp, g.nid) AS BIGINT)
+                  AS cluster
+         FROM p JOIN g USING (n) LEFT JOIN lab l ON l.nid = g.nid
+         ORDER BY key""",
   )
 
   /** Generated oracle for q104: transition edges from per-user lead(),

@@ -91,6 +91,50 @@ object FuzzyJoin {
     cross.union(eq)
   }
 
+  /** q107: the LINEAR-OUTPUT production form of the fuzzy join — every
+    * key stamped with its fuzzy-cluster id (the smallest key whose name
+    * is reachable through distance-≤k links). Entity resolution at
+    * scale emits CLUSTERS, not pairs: q102's pair relation is quadratic
+    * in clone-group size (552M rows at sf1 — the audit view), while
+    * this is one row per input key, whatever the duplication structure.
+    *
+    * Shape: the quotient pair machinery runs unchanged; name pairs map
+    * to surrogate ids (each name's minimum key) and feed the q53
+    * connected-components machinery (measured driver dispatch and all);
+    * the final stamp is one join back through the name→surrogate
+    * relation. Because components label by minimum id and surrogates
+    * are minimum keys, `cluster` is the smallest key in the whole
+    * fuzzy cluster — a deterministic, meaningful canonical. */
+  def fuzzyClusters(spark: SparkSession, dir: String,
+      maxDist: Int = 2): DataFrame =
+    fuzzyClustersOn(
+      Tables.part(spark, dir)
+        .select(col("p_partkey").as("key"), col("p_name").as("name")),
+      maxDist)
+      .orderBy("key")
+
+  /** [[fuzzyClusters]] over an explicit (key, name) relation. */
+  def fuzzyClustersOn(rel: DataFrame, maxDist: Int = 2,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+    val base = rel.select(col("key"), col("name"))
+    val groups = graft.Caches.register(
+      base.groupBy("name").agg(min(col("key")).as("nid")).cache())
+    val namePairs = quotientPairs(
+      groups.select(col("name")), maxDist, maxBroadcastGrams)
+    val edges = namePairs
+      .join(groups.select(col("name").as("a_name"), col("nid").as("id1")),
+        Seq("a_name"))
+      .join(groups.select(col("name").as("b_name"), col("nid").as("id2")),
+        Seq("b_name"))
+      .select(col("id1"), col("id2"))
+    val comps = Dedup.connectedComponents(edges)
+      .select(col("doc_id").as("nid"), col("comp"))
+    base.join(groups, Seq("name"))
+      .join(comps, Seq("nid"), "left")
+      .select(col("key"),
+        coalesce(col("comp"), col("nid")).as("cluster"))
+  }
+
   /** The fuzzy join on the name QUOTIENT: all (a_name < b_name) pairs
     * of the single-column `names` relation within `maxDist`, with the
     * exact distance (≥ 1 — self pairs are the expansion's job). */

@@ -247,7 +247,11 @@ class PlanAuditSpec extends SparkSpec {
     "q105_funnel" -> 1,
     // q106: first-seen agg + its user-keyed join probe + the two-level
     // distinct-count + output sort
-    "q106_cohorts" -> 4)
+    "q106_cohorts" -> 4,
+    // q107: the quotient machinery collapses at plan time (64-name
+    // local relations, driver-dispatch components); the audited plan is
+    // the group agg + the cluster stamp join + output sort
+    "q107_fuzzy_clusters" -> 3)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -87,6 +87,46 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(run(rows) == brute(rows))
   }
 
+  test("fuzzy clusters: transitive closure of the pair relation, " +
+      "smallest key as the cluster id") {
+    val rows = Seq(
+      1L -> "goldenrod lavender spring",
+      2L -> "goldenrod lavender sprint",   // chains to 1
+      3L -> "goldenrod lavander sprint",   // chains to 2 (and 1 at d2)
+      4L -> "completely different words",  // singleton
+      5L -> "abcd", 6L -> "axcd",          // short-path pair
+      7L -> "goldenrod lavender spring")   // clone of 1
+    val got = FuzzyJoin.fuzzyClustersOn(rows.toDF("key", "name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.Caches.releaseAll()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 1L), s"got $got")
+  }
+
+  test("fuzzy clusters equal union-find over brute-force pairs on " +
+      "random corpora") {
+    val nameG = for {
+      n  <- Gen.chooseNum(1, 16)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val names = samples(nameG, 60)
+    val rows = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+    val got = FuzzyJoin.fuzzyClustersOn(rows.toDF("key", "name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.Caches.releaseAll()
+    // reference: union-by-min over the brute-force pair set
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    brute(rows).foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = rows.map(r => r._1 -> find(r._1)).toMap
+    assert(got == want,
+      s"diff=${got.toSet.diff(want.toSet).take(5)}")
+  }
+
   test("maxDist=1 tightens the answer and the distances are exact") {
     val rows = Seq(1L -> "goldenrod lavender spring",
       2L -> "goldenrod lavender sprint",
