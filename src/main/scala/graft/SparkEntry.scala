@@ -273,6 +273,10 @@ object SparkEntry {
     // q107: fuzzy clusters — q102's linear-output production form
     // (cluster stamp per key instead of the quadratic pair relation)
     "q107_fuzzy_clusters" -> ((s, d) => FuzzyJoin.fuzzyClusters(s, d)),
+    // q108: product-quantization codes (the 64×-compressed embedding
+    // representation); q109: ADC search over the codes
+    "q108_pq_codes" -> ((s, d) => PqIndex.pqCodes(s, d)),
+    "q109_pq_search" -> ((s, d) => PqIndex.pqSearch(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2225,7 +2229,106 @@ object SparkEntry {
                   AS cluster
          FROM p JOIN g USING (n) LEFT JOIN lab l ON l.nid = g.nid
          ORDER BY key""",
+    // q108/q109: the per-subspace Lloyd chain unrolled (the q38/q82
+    // pattern), L2 assignment with lowest-cell ties, empty cells keep
+    // their previous centroid; ADC sums the per-subspace table in
+    // ascending subspace order.
+    "q108_pq_codes" -> (pqCtes(4, 8, 2, 16) +
+      raw""",
+         af AS ($pqAssignFinal)
+         SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(cell AS BIGINT)
+                  AS code
+         FROM af ORDER BY vec_id, s"""),
+    "q109_pq_search" -> (pqCtes(4, 8, 2, 16) +
+      raw""",
+         af AS ($pqAssignFinal),
+         q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+         dt AS (
+           SELECT c.s, c.cell,
+                  list_reduce(list_transform(
+                    list_zip(list_slice(q.qe, c.s * 16 + 1, c.s * 16 + 16),
+                             c.cent),
+                    p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])),
+                    (x, y) -> x + y) AS d2
+           FROM c2 c CROSS JOIN q),
+         sc AS (
+           SELECT a.vec_id,
+                  list_reduce(list(dt.d2 ORDER BY a.s), (x, y) -> x + y)
+                    AS raw
+           FROM af a JOIN dt ON dt.s = a.s AND dt.cell = a.cell
+           WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+         SELECT vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS adist
+         FROM sc ORDER BY raw, vec_id LIMIT 10"""),
   )
+
+  /** Shared per-subspace unrolled-Lloyd chain for the PQ oracles:
+    * CTEs e, c0 .. c`iters` over `m` subspaces × `k` cells of `d`
+    * components; the final codebook is c`iters`. */
+  private def pqCtes(m: Int, k: Int, iters: Int, d: Int): String = {
+    def l2(vec: String, cent: String, s: String): String =
+      s"""list_reduce(list_transform(
+            list_zip(list_slice($vec, $s * $d + 1, $s * $d + $d), $cent),
+            p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])),
+            (x, y) -> x + y)"""
+    val init =
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         seed AS (
+           SELECT embedding,
+                  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                    AS cell
+           FROM (SELECT vec_id, embedding FROM e
+                 ORDER BY vec_id LIMIT $k) t),
+         c0 AS (
+           SELECT sp.s, seed.cell,
+                  list_transform(
+                    list_slice(embedding, sp.s * $d + 1, sp.s * $d + $d),
+                    v -> v::DOUBLE) AS cent
+           FROM seed, (SELECT unnest(range($m)) AS s) sp)"""
+    val rounds = (0 until iters).map { i =>
+      s"""a$i AS (
+           SELECT vec_id, s, cell FROM (
+             SELECT e.vec_id, c.s, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id, c.s
+                      ORDER BY ${l2("e.embedding", "c.cent", "c.s")},
+                               c.cell) AS rn
+             FROM e CROSS JOIN c$i c) t
+           WHERE rn = 1),
+         x$i AS (
+           SELECT a.s, a.cell, p.i AS pos,
+                  e.embedding[a.s * $d + p.i + 1]::DOUBLE AS v
+           FROM a$i a JOIN e USING (vec_id),
+                (SELECT unnest(range($d)) AS i) p),
+         s$i AS (
+           SELECT s, cell, pos,
+                  CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT))
+                       AS BIGINT) AS sv,
+                  count(*) AS n
+           FROM x$i GROUP BY s, cell, pos),
+         c${i + 1} AS (
+           SELECT c.s, c.cell, coalesce(nw.cent, c.cent) AS cent
+           FROM c$i c LEFT JOIN (
+             SELECT s, cell,
+                    list(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE)
+                         * 1000000.0) ORDER BY pos) AS cent
+             FROM s$i GROUP BY s, cell) nw USING (s, cell))"""
+    }
+    (init +: rounds).mkString(",\n         ")
+  }
+
+  /** The PQ final-assignment subquery body (against c2, the default
+    * 2-iteration codebook). */
+  private def pqAssignFinal: String =
+    s"""SELECT vec_id, s, cell FROM (
+          SELECT e.vec_id, c.s, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id, c.s
+                   ORDER BY list_reduce(list_transform(
+                       list_zip(list_slice(e.embedding,
+                                c.s * 16 + 1, c.s * 16 + 16), c.cent),
+                       p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])),
+                       (x, y) -> x + y),
+                            c.cell) AS rn
+          FROM e CROSS JOIN c2 c) t
+        WHERE rn = 1"""
 
   /** Generated oracle for q104: transition edges from per-user lead(),
     * then `iters` unrolled rank CTEs applying the exact integer update

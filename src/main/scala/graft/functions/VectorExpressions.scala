@@ -5,8 +5,8 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 
@@ -291,6 +291,104 @@ case class CellArgmax(child: Expression, matrix: IndexedSeq[Double],
     copy(child = c)
 }
 
+/** Product-quantization code assignment (the PQ encode step, Jégou et
+  * al. 2011): the embedding splits into `m` contiguous subspaces of
+  * `dim/m` components; each subspace gets the id of its nearest (L2)
+  * sub-centroid — ties to the lowest id. `matrix` is flattened
+  * subspace-major then cell-major: entry (s, c, i) at
+  * `((s·k + c)·subDim) + i`. One pass, map-only; the codebook ships
+  * inside the expression (m·k·subDim doubles — a few KB), the q83
+  * artifact-in-expression discipline. NULL array → NULL codes. */
+case class PqAssign(child: Expression, matrix: IndexedSeq[Double],
+    m: Int, k: Int) extends UnaryExpression with ExpectsInputTypes
+    with CodegenFallback {
+  require(m > 0 && k > 0 && matrix.length % (m * k) == 0,
+    s"matrix length ${matrix.length} not divisible into $m x $k cells")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(TypeCollection(
+    ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_assign"
+
+  private def subDim: Int = matrix.length / (m * k)
+  @transient private lazy val mat: Array[Double] = matrix.toArray
+
+  private def elem: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case t               => t
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val t = elem
+    def get(i: Int): Double = t match {
+      case DoubleType => x.getDouble(i)
+      case _          => x.getFloat(i).toDouble
+    }
+    val d = subDim
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bestDist = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (s * k + c) * d
+        var dist = 0.0
+        var i = 0
+        while (i < d) {
+          val pos = s * d + i
+          val diff =
+            (if (pos < x.numElements()) get(pos) else 0.0) - mat(off + i)
+          dist += diff * diff
+          i += 1
+        }
+        if (java.lang.Double.compare(dist, bestDist) < 0) {
+          best = c; bestDist = dist
+        }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAssign =
+    copy(child = c)
+}
+
+/** ADC (asymmetric distance computation) scoring against a per-query
+  * distance table: `table[(s·k) + code_s]` summed over the `m`
+  * subspaces in ascending order — the sum order is part of the
+  * contract, since the oracle folds the same doubles the same way.
+  * The table (m·k doubles) is computed once per query on the driver
+  * and ships in the expression. */
+case class PqAdcScore(child: Expression, table: IndexedSeq[Double],
+    k: Int) extends UnaryExpression with ExpectsInputTypes
+    with CodegenFallback {
+  require(k > 0 && table.length % k == 0,
+    s"table length ${table.length} not divisible by k=$k")
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+  @transient private lazy val t: Array[Double] = table.toArray
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    var sum = 0.0
+    var s = 0
+    val n = codes.numElements()
+    while (s < n) {
+      sum += t(s * k + codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
+  override protected def withNewChildInternal(c: Expression): PqAdcScore =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Column API for the native cosine expression. */
   def cosineNative(a: Column, b: Column): Column =
@@ -307,4 +405,17 @@ object VectorExpressions {
       cells: Int): Column =
     ExpressionUtils.column(
       CellArgmax(ExpressionUtils.expression(emb), matrix, cells))
+
+  /** Column API for the PQ code assignment. `matrix` is flattened
+    * (subspace, cell)-major sub-centroids. */
+  def pqAssignNative(emb: Column, matrix: IndexedSeq[Double],
+      m: Int, k: Int): Column =
+    ExpressionUtils.column(
+      PqAssign(ExpressionUtils.expression(emb), matrix, m, k))
+
+  /** Column API for ADC scoring against a per-query distance table. */
+  def pqAdcScoreNative(codes: Column, table: IndexedSeq[Double],
+      k: Int): Column =
+    ExpressionUtils.column(
+      PqAdcScore(ExpressionUtils.expression(codes), table, k))
 }

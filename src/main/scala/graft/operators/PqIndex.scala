@@ -1,0 +1,156 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+import graft.Tables
+
+/** Product quantization (Jégou et al., PAMI 2011) — the memory side of
+  * the 100 TB ANN architecture IVF (q38/q56) provides the compute side
+  * of: embeddings compress to `m` small codes (one byte each at
+  * k ≤ 256), 64× smaller than float32 for the default geometry here,
+  * and queries score against codes with one table lookup per subspace
+  * (ADC) instead of a d-dimensional loop. IVF+PQ is the canonical
+  * billion-vector layout.
+  *
+  * Determinism discipline (the q38 contract): sub-centroid training is
+  * Lloyd with INTEGER-EXACT averages (per-component sums of
+  * `floor(v·10⁶)` longs — partial-aggregation order cannot change
+  * them), L2 assignment compares doubles built from identical operands
+  * in identical fold order on both engines, ties take the lowest cell,
+  * and EMPTY cells keep their previous centroid (both sides replay
+  * that rule). The DuckDB oracle unrolls the per-subspace Lloyd chain
+  * exactly (the q82 pattern).
+  *
+  * Scale shape: training collects only (m·k·subDim) fixed-point sums
+  * per iteration; encoding is MAP-ONLY (the codebook ships inside the
+  * [[org.apache.spark.sql.graft.PqAssign]] expression); ADC search is
+  * map-only scoring against an in-expression distance table plus a
+  * k-bounded TakeOrdered — zero shuffles end to end. */
+object PqIndex {
+
+  /** (subspace, cell) → exact-double sub-centroid. */
+  type SubCentroids = IndexedSeq[((Int, Int), IndexedSeq[Double])]
+
+  /** Default geometry for the gated queries: 4 subspaces × 8 cells
+    * over the 64-dim test embeddings, 2 Lloyd iterations. */
+  val M = 4
+  val K = 8
+  val Iters = 2
+
+  /** Train per-subspace centroids: seed = the k lowest vec_ids'
+    * subvectors, then `iters` Lloyd rounds with integer-exact averages;
+    * empty cells keep their previous centroid. */
+  def train(spark: SparkSession, dir: String, m: Int = M, k: Int = K,
+      iters: Int = Iters): SubCentroids = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    var cents: SubCentroids = emb.orderBy("vec_id").limit(k).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .flatMap { case (r, c) =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        (0 until m).map(s => ((s, c), v.slice(s * d, (s + 1) * d).toIndexedSeq))
+      }.toIndexedSeq
+    for (_ <- 1 to iters) {
+      val codes = VectorExpressions
+        .pqAssignNative(col("embedding"), flatten(cents, m, k, d), m, k)
+      val sums = emb
+        .select(posexplode(col("embedding")).as(Seq("gpos", "v")),
+          codes.as("codes"))
+        .select((col("gpos") / d).cast("int").as("s"),
+          pmod(col("gpos"), lit(d)).as("pos"),
+          expr("codes[cast(gpos / " + d + " as int)]").as("cell"),
+          col("v"))
+        .groupBy("s", "cell", "pos")
+        .agg(sum(floor(col("v").cast("double") * IvfIndex.Scale)).as("sv"),
+          count(lit(1)).as("n"))
+        .collect()
+      val means = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).toIndexedSeq
+            .map(r => r.getLong(3).toDouble /
+              (r.getLong(4).toDouble * IvfIndex.Scale))
+        }
+      cents = cents.map { case (key, old) => (key, means.getOrElse(key, old)) }
+    }
+    cents
+  }
+
+  /** Flatten to the (subspace, cell)-major layout [[PqAssign]] wants. */
+  private def flatten(cents: SubCentroids, m: Int, k: Int,
+      d: Int): IndexedSeq[Double] = {
+    val byKey = cents.toMap
+    (0 until m).flatMap(s => (0 until k).flatMap(c => byKey((s, c))))
+  }
+
+  // train-once memo, the IvfIndex deployment contract (keyed on the
+  // data fingerprint so an in-place refresh retrains)
+  private val memo =
+    TrieMap.empty[(String, Int, Int, Int, Long), SubCentroids]
+  def trainCached(spark: SparkSession, dir: String, m: Int = M,
+      k: Int = K, iters: Int = Iters): SubCentroids =
+    memo.getOrElseUpdate(
+      (dir, m, k, iters, IvfIndex.dataFingerprint(dir)),
+      train(spark, dir, m, k, iters))
+
+  /** q108: every vector's PQ codes — map-only encode under the trained
+    * codebook, one row per (vector, subspace) (the q23 exploded-array
+    * convention the hash gate wants). */
+  def pqCodes(spark: SparkSession, dir: String, m: Int = M, k: Int = K,
+      iters: Int = Iters): DataFrame = {
+    val cents = trainCached(spark, dir, m, k, iters)
+    val d = cents.head._2.length
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(VectorExpressions.pqAssignNative(col("embedding"),
+          flatten(cents, m, k, d), m, k)))
+      .select(col("vec_id"), col("pos").cast("long").as("s"),
+        col("col").cast("long").as("code"))
+      .orderBy("vec_id", "s")
+  }
+
+  /** q109: ADC top-`topK` for the query vector `queryId` — the
+    * per-subspace squared-L2 table to every sub-centroid is computed
+    * once on the driver (ascending-position folds, the engine-parity
+    * order) and ships inside the scoring expression; candidates score
+    * with `m` lookups each, smaller = closer. Output
+    * (vec_id, adist) — the approximate distance, rounded for the gate
+    * AFTER the raw-double ordering picks the top k. */
+  def pqSearch(spark: SparkSession, dir: String, queryId: Long = 0L,
+      topK: Int = 10, m: Int = M, k: Int = K,
+      iters: Int = Iters): DataFrame = {
+    val cents = trainCached(spark, dir, m, k, iters)
+    val d = cents.head._2.length
+    val q = Tables.embeddings(spark, dir)
+      .where(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val byKey = cents.toMap
+    val table = (0 until m).flatMap { s =>
+      (0 until k).map { c =>
+        val cent = byKey((s, c))
+        var dist = 0.0
+        var i = 0
+        while (i < d) {
+          val diff = q(s * d + i) - cent(i)
+          dist += diff * diff
+          i += 1
+        }
+        dist
+      }
+    }
+    val codes = VectorExpressions.pqAssignNative(col("embedding"),
+      flatten(cents, m, k, d), m, k)
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        VectorExpressions.pqAdcScoreNative(codes, table, k).as("raw"))
+      .orderBy(col("raw"), col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"),
+        (floor(col("raw") * 1e6 + lit(0.5)) / 1e6).as("adist"))
+  }
+}

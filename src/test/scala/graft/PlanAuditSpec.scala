@@ -251,7 +251,11 @@ class PlanAuditSpec extends SparkSpec {
     // q107: the quotient machinery collapses at plan time (64-name
     // local relations, driver-dispatch components); the audited plan is
     // the group agg + the cluster stamp join + output sort
-    "q107_fuzzy_clusters" -> 3)
+    "q107_fuzzy_clusters" -> 3,
+    // q108: training collects at plan time; the audited plan is the
+    // map-only in-expression encode + output sort. q109: map-only ADC
+    // scoring + TakeOrdered — zero exchanges
+    "q108_pq_codes" -> 1, "q109_pq_search" -> 0)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,
