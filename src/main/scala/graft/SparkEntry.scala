@@ -277,6 +277,8 @@ object SparkEntry {
     // representation); q109: ADC search over the codes
     "q108_pq_codes" -> ((s, d) => PqIndex.pqCodes(s, d)),
     "q109_pq_search" -> ((s, d) => PqIndex.pqSearch(s, d)),
+    // q110: IVF+PQ composed — coarse cells prune, PQ codes score
+    "q110_ivfpq_search" -> ((s, d) => PqIndex.ivfPqSearch(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2235,13 +2237,13 @@ object SparkEntry {
     // ascending subspace order.
     "q108_pq_codes" -> (pqCtes(4, 8, 2, 16) +
       raw""",
-         af AS ($pqAssignFinal)
+         af AS (${pqAssignFinal()})
          SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(cell AS BIGINT)
                   AS code
          FROM af ORDER BY vec_id, s"""),
     "q109_pq_search" -> (pqCtes(4, 8, 2, 16) +
       raw""",
-         af AS ($pqAssignFinal),
+         af AS (${pqAssignFinal()}),
          q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
          dt AS (
            SELECT c.s, c.cell,
@@ -2259,65 +2261,113 @@ object SparkEntry {
            WHERE a.vec_id <> 0 GROUP BY a.vec_id)
          SELECT vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS adist
          FROM sc ORDER BY raw, vec_id LIMIT 10"""),
+    // q110: the q38 IVF chain (probe pruning) composed with the PQ
+    // chain (p-prefixed CTEs, shared `e`) — ADC within probed cells.
+    "q110_ivfpq_search" -> ivfPqSearchSql(),
   )
 
+  /** Composed IVF+PQ oracle: IVF coarse chain (cells=8, 2 iters, as
+    * q38) for probe selection and assignment, PQ chain (4×8, 2 iters)
+    * for ADC scoring, joined on the probed-cell membership. */
+  private def ivfPqSearchSql(cells: Int = 8, ivfIters: Int = 2,
+      nprobe: Int = 3, pqIters: Int = 2, topK: Int = 10,
+      queryId: Long = 0L): String = {
+    val (ivfPrefix, ivfAf) = ivfCtes(cells, ivfIters)
+    val pq = pqCtes(4, 8, pqIters, 16, p = "p", withE = false)
+    raw"""WITH $ivfPrefix,
+         $pq,
+         q AS (SELECT embedding AS qe FROM e WHERE vec_id = $queryId),
+         probe AS (
+           SELECT cell FROM (
+             SELECT c.cell, row_number() OVER (
+               ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, c.cell)
+               AS rn
+             FROM c$ivfIters c CROSS JOIN q) t
+           WHERE rn <= $nprobe),
+         afiv AS ($ivfAf),
+         afpq AS (${pqAssignFinal("p", pqIters)}),
+         dt AS (
+           SELECT c.s, c.cell,
+                  list_reduce(list_transform(
+                    list_zip(list_slice(q.qe, c.s * 16 + 1, c.s * 16 + 16),
+                             c.cent),
+                    p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])),
+                    (x, y) -> x + y) AS d2
+           FROM pc$pqIters c CROSS JOIN q),
+         sc AS (
+           SELECT a.vec_id,
+                  list_reduce(list(dt.d2 ORDER BY a.s), (x, y) -> x + y)
+                    AS raw
+           FROM afpq a JOIN dt ON dt.s = a.s AND dt.cell = a.cell
+                JOIN afiv ON afiv.vec_id = a.vec_id
+                JOIN probe ON afiv.cell = probe.cell
+           WHERE a.vec_id <> $queryId GROUP BY a.vec_id)
+         SELECT vec_id, floor(raw * 1000000 + 0.5) / 1000000 AS adist
+         FROM sc ORDER BY raw, vec_id LIMIT $topK"""
+  }
+
   /** Shared per-subspace unrolled-Lloyd chain for the PQ oracles:
-    * CTEs e, c0 .. c`iters` over `m` subspaces × `k` cells of `d`
-    * components; the final codebook is c`iters`. */
-  private def pqCtes(m: Int, k: Int, iters: Int, d: Int): String = {
+    * CTEs `${p}seed`, `${p}c0` .. `${p}c$iters` over `m` subspaces ×
+    * `k` cells of `d` components. With `withE` (the standalone form)
+    * the chain opens `WITH e AS (...)`; composed callers (q110) share
+    * an existing `e` and pass a name prefix to avoid colliding with
+    * the IVF chain's CTE names. */
+  private def pqCtes(m: Int, k: Int, iters: Int, d: Int,
+      p: String = "", withE: Boolean = true): String = {
     def l2(vec: String, cent: String, s: String): String =
       s"""list_reduce(list_transform(
             list_zip(list_slice($vec, $s * $d + 1, $s * $d + $d), $cent),
             p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])),
             (x, y) -> x + y)"""
+    val e = if (withE)
+      s"WITH e AS (SELECT vec_id, embedding FROM embeddings),\n         "
+    else ""
     val init =
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         seed AS (
+      s"""$e${p}seed AS (
            SELECT embedding,
                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                     AS cell
            FROM (SELECT vec_id, embedding FROM e
                  ORDER BY vec_id LIMIT $k) t),
-         c0 AS (
-           SELECT sp.s, seed.cell,
+         ${p}c0 AS (
+           SELECT sp.s, ${p}seed.cell,
                   list_transform(
                     list_slice(embedding, sp.s * $d + 1, sp.s * $d + $d),
                     v -> v::DOUBLE) AS cent
-           FROM seed, (SELECT unnest(range($m)) AS s) sp)"""
+           FROM ${p}seed, (SELECT unnest(range($m)) AS s) sp)"""
     val rounds = (0 until iters).map { i =>
-      s"""a$i AS (
+      s"""${p}a$i AS (
            SELECT vec_id, s, cell FROM (
              SELECT e.vec_id, c.s, c.cell,
                     row_number() OVER (PARTITION BY e.vec_id, c.s
                       ORDER BY ${l2("e.embedding", "c.cent", "c.s")},
                                c.cell) AS rn
-             FROM e CROSS JOIN c$i c) t
+             FROM e CROSS JOIN ${p}c$i c) t
            WHERE rn = 1),
-         x$i AS (
-           SELECT a.s, a.cell, p.i AS pos,
-                  e.embedding[a.s * $d + p.i + 1]::DOUBLE AS v
-           FROM a$i a JOIN e USING (vec_id),
-                (SELECT unnest(range($d)) AS i) p),
-         s$i AS (
+         ${p}x$i AS (
+           SELECT a.s, a.cell, pp.i AS pos,
+                  e.embedding[a.s * $d + pp.i + 1]::DOUBLE AS v
+           FROM ${p}a$i a JOIN e USING (vec_id),
+                (SELECT unnest(range($d)) AS i) pp),
+         ${p}s$i AS (
            SELECT s, cell, pos,
                   CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT))
                        AS BIGINT) AS sv,
                   count(*) AS n
-           FROM x$i GROUP BY s, cell, pos),
-         c${i + 1} AS (
+           FROM ${p}x$i GROUP BY s, cell, pos),
+         ${p}c${i + 1} AS (
            SELECT c.s, c.cell, coalesce(nw.cent, c.cent) AS cent
-           FROM c$i c LEFT JOIN (
+           FROM ${p}c$i c LEFT JOIN (
              SELECT s, cell,
                     list(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE)
                          * 1000000.0) ORDER BY pos) AS cent
-             FROM s$i GROUP BY s, cell) nw USING (s, cell))"""
+             FROM ${p}s$i GROUP BY s, cell) nw USING (s, cell))"""
     }
     (init +: rounds).mkString(",\n         ")
   }
 
-  /** The PQ final-assignment subquery body (against c2, the default
-    * 2-iteration codebook). */
-  private def pqAssignFinal: String =
+  /** The PQ final-assignment subquery body against `${p}c$iters`. */
+  private def pqAssignFinal(p: String = "", iters: Int = 2): String =
     s"""SELECT vec_id, s, cell FROM (
           SELECT e.vec_id, c.s, c.cell,
                  row_number() OVER (PARTITION BY e.vec_id, c.s
@@ -2327,7 +2377,7 @@ object SparkEntry {
                        p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])),
                        (x, y) -> x + y),
                             c.cell) AS rn
-          FROM e CROSS JOIN c2 c) t
+          FROM e CROSS JOIN ${p}c$iters c) t
         WHERE rn = 1"""
 
   /** Generated oracle for q104: transition edges from per-user lead(),

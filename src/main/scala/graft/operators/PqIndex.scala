@@ -113,6 +113,63 @@ object PqIndex {
       .orderBy("vec_id", "s")
   }
 
+  /** q110: IVF+PQ — the composed billion-vector serving path: the
+    * coarse IVF cells PRUNE (only the `nprobe` cells nearest the query
+    * are scanned) and the PQ codes SCORE (ADC within the survivors).
+    * The whole plan is map-only: one in-expression coarse assignment
+    * (`CellArgmax`) feeding an `IN` filter, one in-expression encode +
+    * table lookup, a k-bounded TakeOrdered — zero exchanges, and at
+    * 100 TB the same shape runs against the cell-partitioned inverted
+    * file (q56) with 64×-compressed codes instead of raw floats.
+    * Probe selection replays q38's rule (cosine to the coarse
+    * centroid, ties to the lowest cell) on the driver — ascending-
+    * index folds, so the doubles match the oracle's bit-for-bit. */
+  def ivfPqSearch(spark: SparkSession, dir: String, queryId: Long = 0L,
+      topK: Int = 10, nprobe: Int = 3, cells: Int = 8, ivfIters: Int = 2,
+      m: Int = M, k: Int = K, iters: Int = Iters): DataFrame = {
+    val coarse = IvfIndex.trainCached(spark, dir, cells, ivfIters)
+    val cents = trainCached(spark, dir, m, k, iters)
+    val d = cents.head._2.length
+    val q = Tables.embeddings(spark, dir)
+      .where(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    def cos(a: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nq = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * q(i); na += a(i) * a(i); nq += q(i) * q(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nq))
+    }
+    val probes = coarse.map { case (cell, c) => (cell, cos(c)) }
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nprobe).map(_._1)
+    val byKey = cents.toMap
+    val table = (0 until m).flatMap { s =>
+      (0 until k).map { c =>
+        val cent = byKey((s, c))
+        var dist = 0.0
+        var i = 0
+        while (i < d) {
+          val diff = q(s * d + i) - cent(i); dist += diff * diff; i += 1
+        }
+        dist
+      }
+    }
+    val codes = VectorExpressions.pqAssignNative(col("embedding"),
+      flatten(cents, m, k, d), m, k)
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") =!= queryId)
+      .where(IvfIndex.cellExpr(coarse, col("embedding"))
+        .isin(probes: _*))
+      .select(col("vec_id"),
+        VectorExpressions.pqAdcScoreNative(codes, table, k).as("raw"))
+      .orderBy(col("raw"), col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"),
+        (floor(col("raw") * 1e6 + lit(0.5)) / 1e6).as("adist"))
+  }
+
   /** q109: ADC top-`topK` for the query vector `queryId` — the
     * per-subspace squared-L2 table to every sub-centroid is computed
     * once on the driver (ascending-position folds, the engine-parity

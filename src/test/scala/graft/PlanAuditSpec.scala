@@ -254,8 +254,10 @@ class PlanAuditSpec extends SparkSpec {
     "q107_fuzzy_clusters" -> 3,
     // q108: training collects at plan time; the audited plan is the
     // map-only in-expression encode + output sort. q109: map-only ADC
-    // scoring + TakeOrdered — zero exchanges
-    "q108_pq_codes" -> 1, "q109_pq_search" -> 0)
+    // scoring + TakeOrdered — zero exchanges. q110: the composed
+    // IVF-prune + ADC-score plan is equally map-only
+    "q108_pq_codes" -> 1, "q109_pq_search" -> 0,
+    "q110_ivfpq_search" -> 0)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

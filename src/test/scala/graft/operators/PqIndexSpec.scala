@@ -69,6 +69,37 @@ class PqIndexSpec extends SparkSpec {
       w.length < 2 || w(0) <= w(1)))
   }
 
+  test("IVF+PQ equals full ADC restricted to the probed cells") {
+    val coarse = IvfIndex.trainCached(spark, sf, cells = 8, iters = 2)
+    // replicate the probe rule: top-3 cells by cosine to the query
+    val q = graft.Tables.embeddings(spark, sf)
+      .where(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    def cos(a: Seq[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * q(i)).sum
+      val na = math.sqrt(a.map(v => v * v).sum)
+      val nq = math.sqrt(q.map(v => v * v).sum)
+      dot / (na * nq)
+    }
+    val probes = coarse.map { case (c, cent) => (c, cos(cent)) }
+      .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1).toSet
+    val cellOf = IvfIndex
+      .assign(graft.Tables.embeddings(spark, sf)
+        .select("vec_id", "embedding"), coarse)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // full-ADC ranking (large k), filtered to probed cells, top 10
+    val fullAdc = PqIndex.pqSearch(spark, sf, topK = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = fullAdc
+      .filter { case (vid, _) => probes.contains(cellOf(vid)) }
+      .take(10).toSeq
+    val got = PqIndex.ivfPqSearch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected,
+      s"composed ${got.take(3)}... != pruned-full ${expected.take(3)}...")
+    assert(got.forall { case (vid, _) => probes.contains(cellOf(vid)) })
+  }
+
   test("ADC error is bounded by the quantization error (triangle " +
       "inequality, every vector)") {
     // adist(q, v) is the EXACT distance from q to v's reconstruction
