@@ -91,6 +91,26 @@ object FuzzyJoin {
     cross.union(eq)
   }
 
+  /** Serving form — the ES `match` + `fuzziness` query: items whose
+    * name is within `maxDist` edits of one query term. A single-term
+    * probe needs none of the join machinery: the plan is one scan with
+    * a cheap length band, the threshold (banded-DP) levenshtein, and a
+    * k-bounded TakeOrdered — map-only, pushed column pruning, no
+    * exchange. Served by `/fuzzySearch`. */
+  def fuzzyTermSearch(spark: SparkSession, dir: String, term: String,
+      maxDist: Int = 2, topN: Int = 20): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 4, "maxDist must be in 0..4")
+    require(topN > 0, "topN must be positive")
+    Tables.part(spark, dir)
+      .select(col("p_partkey").as("key"), col("p_name").as("name"))
+      .where(abs(length(col("name")) - lit(term.length)) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name"), lit(term), maxDist).cast("long"))
+      .where(col("dist") >= 0L)
+      .orderBy(col("dist"), col("key"))
+      .limit(topN)
+  }
+
   /** q107: the LINEAR-OUTPUT production form of the fuzzy join — every
     * key stamped with its fuzzy-cluster id (the smallest key whose name
     * is reachable through distance-≤k links). Entity resolution at

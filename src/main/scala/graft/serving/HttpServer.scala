@@ -20,6 +20,8 @@ import graft.operators.Api
   *   GET /searchRanked?q=spark+vector&topN=20
   *       (extension: BM25 relevance-ordered document search — the
   *       engine-native form of the reference's ES score ordering)
+  *   GET /fuzzySearch?q=goldenrod+lavender+spring&dist=2&topN=20
+  *       (extension: typo-tolerant item lookup — ES match+fuzziness)
   *
   * The Spark driver hosts the server; each request compiles to a
   * DataFrame program that Catalyst plans and the cluster executes —
@@ -158,6 +160,21 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       if (terms.size > 16)
         throw new IllegalArgumentException("q is limited to 16 terms")
       graft.operators.Ranking.bm25Rank(spark, dataDir, terms, topN = topN)
+    })
+    server.createContext("/fuzzySearch", handler { p =>
+      // ES match + fuzziness parity: typo-tolerant item lookup
+      val q = p.getOrElse("q",
+        throw new IllegalArgumentException("q required"))
+      val dist = p.getOrElse("dist", "2").toInt
+      val topN = p.getOrElse("topN", "20").toInt
+      if (dist < 0 || dist > 4)
+        throw new IllegalArgumentException("dist must be in 0..4")
+      if (topN <= 0 || topN > 1000)
+        throw new IllegalArgumentException("topN must be in 1..1000")
+      if (q.length > 200)
+        throw new IllegalArgumentException("q is limited to 200 chars")
+      graft.operators.FuzzyJoin.fuzzyTermSearch(spark, dataDir, q,
+        maxDist = dist, topN = topN)
     })
     server.createContext("/rerankSearch", handler { p =>
       val vecId = p.getOrElse("vecId",

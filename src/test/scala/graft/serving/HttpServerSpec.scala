@@ -81,6 +81,20 @@ class HttpServerSpec extends SparkSpec {
       assert(c13 == 400)
       val (c14, _) = get(s"$base/searchRanked?q=spark&topN=0") // bad topN
       assert(c14 == 400)
+
+      // fuzzy item lookup: a one-edit typo still finds the exact name,
+      // served in (dist, key) order
+      val exactName = graft.Tables.part(spark, sf)
+        .select("p_name").head().getString(0)
+      val typo = java.net.URLEncoder.encode(
+        "x" + exactName.drop(1), "UTF-8")
+      val (c15, fz) = get(s"$base/fuzzySearch?q=$typo&dist=2&topN=5")
+      assert(c15 == 200 && fz.contains("\"dist\""), fz.take(200))
+      assert(fz.contains("\"dist\":1"), fz.take(300))
+      val (c16, _) = get(s"$base/fuzzySearch?topN=5") // missing q → 400
+      assert(c16 == 400)
+      val (c17, _) = get(s"$base/fuzzySearch?q=abc&dist=9") // bad dist
+      assert(c17 == 400)
     } finally srv.stop()
   }
 }
