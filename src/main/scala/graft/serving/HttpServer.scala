@@ -127,19 +127,30 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       val nprobe = p.getOrElse("nprobe", "3").toInt
       if (k <= 0 || nprobe <= 0)
         throw new IllegalArgumentException("k and nprobe must be positive")
-      // the query embedding comes from the SOURCE table, not the inverted
-      // file: vec_id is not the index's partition key, so a lookup there
-      // would scan every cell partition before the pruned search even
-      // starts — against the source parquet the pushed vec_id filter
-      // row-group-skips and reads two columns
+      // the query embedding comes from the SOURCE table, not the
+      // inverted file: vec_id is not the index's partition key, so a
+      // lookup there would scan every cell partition before the pruned
+      // search even starts — against the source parquet the pushed
+      // vec_id filter row-group-skips and reads two columns. The lookup
+      // doubles as the unknown-vecId 400 for both modes.
       val q = graft.Tables.embeddings(spark, dataDir)
         .where(org.apache.spark.sql.functions.col("vec_id") === vecId)
         .select("embedding").collect()
       if (q.isEmpty)
         throw new IllegalArgumentException(s"unknown vecId $vecId")
-      IvfIndex.searchInvertedFile(spark, annIndexPath, annCentroids,
-        q(0).getSeq[Float](0).toArray, excludeId = Some(vecId),
-        k = k, nprobe = nprobe)
+      // mode=ivfpq: IVF-pruned, PQ-ADC-scored (the compressed serving
+      // path, q110); default stays the exact-scored inverted file
+      p.getOrElse("mode", "exact") match {
+        case "ivfpq" =>
+          graft.operators.PqIndex.ivfPqSearch(spark, dataDir,
+            queryId = vecId, topK = k, nprobe = nprobe)
+        case "exact" =>
+          IvfIndex.searchInvertedFile(spark, annIndexPath, annCentroids,
+            q(0).getSeq[Float](0).toArray, excludeId = Some(vecId),
+            k = k, nprobe = nprobe)
+        case other =>
+          throw new IllegalArgumentException(s"unknown mode '$other'")
+      }
     })
     server.createContext("/searchRanked", handler { p =>
       // BM25-ordered document search — the reference's ES hits came back

@@ -66,6 +66,17 @@ class HttpServerSpec extends SparkSpec {
       val (c9, _) = get(s"$base/annSearch?vecId=999999999") // unknown → 400
       assert(c9 == 400)
 
+      // mode=ivfpq: compressed serving path — ADC distances ascending
+      val (c9b, pq) = get(s"$base/annSearch?vecId=0&k=5&mode=ivfpq")
+      assert(c9b == 200 && pq.contains("\"adist\""), pq.take(200))
+      assert(pq.split("\\},\\{").length == 5)
+      val pqDists = "\"adist\":([0-9.]+)".r
+        .findAllMatchIn(pq).map(_.group(1).toDouble).toSeq
+      assert(pqDists.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+        s"adist not ascending: $pqDists")
+      val (c9c, _) = get(s"$base/annSearch?vecId=0&mode=cosine-ish")
+      assert(c9c == 400) // unknown mode → 400
+
       // two-stage rerank endpoint: exact full-dim scores on survivors
       val (c10, rr) = get(s"$base/rerankSearch?vecId=0&k=5")
       assert(c10 == 200 && rr.contains("\"score\""), rr.take(200))
