@@ -279,6 +279,9 @@ object SparkEntry {
     "q109_pq_search" -> ((s, d) => PqIndex.pqSearch(s, d)),
     // q110: IVF+PQ composed — coarse cells prune, PQ codes score
     "q110_ivfpq_search" -> ((s, d) => PqIndex.ivfPqSearch(s, d)),
+    // q111: GROUP BY ROLLUP corpus report — cells + subtotals + grand
+    // total in one aggregation pass
+    "q111_rollup_report" -> ((s, d) => Curation.rollupReport(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2264,6 +2267,17 @@ object SparkEntry {
     // q110: the q38 IVF chain (probe pruning) composed with the PQ
     // chain (p-prefixed CTEs, shared `e`) — ADC within probed cells.
     "q110_ivfpq_search" -> ivfPqSearchSql(),
+    // q111: the same whitespace token count as q18, rolled up with
+    // 'ALL' sentinels over the grouping nulls.
+    "q111_rollup_report" ->
+      raw"""SELECT coalesce(source, 'ALL') AS source,
+                coalesce(lang, 'ALL') AS lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                         s -> len(s) > 0))) AS BIGINT)
+                  AS n_tokens
+         FROM documents GROUP BY ROLLUP (source, lang)
+         ORDER BY source, lang""",
   )
 
   /** Composed IVF+PQ oracle: IVF coarse chain (cells=8, 2 iters, as

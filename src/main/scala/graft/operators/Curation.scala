@@ -266,6 +266,24 @@ object Curation {
     }.reduce(_ && _) && s.getField("total_chars") > 0L
   }
 
+  /** q111: the corpus report's ROLLUP form — per (source, lang) cells
+    * PLUS per-source subtotals and the grand total in one pass, the
+    * warehouse `GROUP BY ROLLUP` surface (one aggregation, Spark
+    * expands the grouping sets map-side; no second scan for the
+    * subtotal rows). Rolled-up keys surface as the literal 'ALL'
+    * (coalesce over the grouping nulls) so the gate's row sort is
+    * engine-independent. Integer-only aggregates, the q78 rule. */
+  def rollupReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_toks"))
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy("source", "lang")
+
   /** Curriculum bucketing: every document stamped with its quality
     * decile (1 = top) so a training loader can schedule easy/clean
     * buckets first. Deliberately NOT `ntile` — a global window without

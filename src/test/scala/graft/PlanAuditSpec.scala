@@ -257,7 +257,10 @@ class PlanAuditSpec extends SparkSpec {
     // scoring + TakeOrdered — zero exchanges. q110: the composed
     // IVF-prune + ADC-score plan is equally map-only
     "q108_pq_codes" -> 1, "q109_pq_search" -> 0,
-    "q110_ivfpq_search" -> 0)
+    "q110_ivfpq_search" -> 0,
+    // q111: ONE aggregation (Spark expands the rollup grouping sets
+    // map-side via Expand) + the output sort
+    "q111_rollup_report" -> 2)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

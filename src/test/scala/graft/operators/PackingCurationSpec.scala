@@ -172,6 +172,23 @@ class PackingCurationSpec extends SparkSpec {
     assert(wlen(6L) == 0L)
   }
 
+  test("rollup report reconciles: subtotals = Σ cells, grand = corpus") {
+    val rows = Curation.rollupReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val cells = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val subs = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(grand.length == 1 && cells.nonEmpty && subs.nonEmpty)
+    subs.foreach { case (src, _, nd, nt) =>
+      val mine = cells.filter(_._1 == src)
+      assert(nd == mine.map(_._3).sum && nt == mine.map(_._4).sum,
+        s"subtotal for $src does not reconcile")
+    }
+    assert(grand.head._3 == cells.map(_._3).sum)
+    assert(grand.head._3 ==
+      graft.Tables.documents(spark, sf).count())
+  }
+
   test("gopher repetition: hand-traced char-mass micros per signal") {
     import spark.implicits._
     // doc 3: 60 DISTINCT 3-char tokens — low repetition, passes all
