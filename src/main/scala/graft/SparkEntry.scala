@@ -187,9 +187,10 @@ object SparkEntry {
     // scale-safe ntile)
     "q79_curriculum" -> ((s, d) => Curation.curriculum(s, d)),
     // q80/q81: BPE vocabulary induction + subword accounting under the
-    // learned merges. Iterative argmax training has no SQL rendering →
-    // rows-only gates; exact semantics (hand-traced merges, training-
-    // segmentation reproduction, roundtrip) are pinned by BpeSpec.
+    // learned merges. The training argmax loop is replayed by the
+    // oracle as 50 unrolled pair-count→argmax→substitute rounds (see
+    // bpeTrainCtes); exact semantics are additionally pinned by
+    // BpeSpec's hand-traces.
     "q80_bpe_merges"    -> ((s, d) => Bpe.mergeTable(s, d)),
     "q81_bpe_subtokens" -> ((s, d) => Bpe.subtokenCounts(s, d)),
     // q82: SemDeDup on TRAINED k-means cells (the paper's algorithm)
@@ -1854,6 +1855,12 @@ object SparkEntry {
                       CAST(unnest(range(reps)) AS BIGINT) AS epoch
                FROM d)
          ORDER BY doc_id, epoch""",
+    // q80/q81: BPE training replayed as 50 unrolled pair-count →
+    // argmax → substitute rounds (the round-9 verdict's last
+    // `no_oracle` rows; see bpeTrainCtes for the replace()-as-
+    // applyMerge construction).
+    "q80_bpe_merges" -> bpeMergesSql(50),
+    "q81_bpe_subtokens" -> bpeSubtokensSql(50),
     // q90: BPE training's distributed input relation — plain word count.
     "q90_bpe_word_counts" ->
       raw"""SELECT word, COUNT(*) AS cnt
@@ -2516,6 +2523,102 @@ object SparkEntry {
          FROM (SELECT doc_id, toks, ends, i,
                       CASE WHEN i = 0 THEN 1 ELSE ends[i] + 1 END AS st
                FROM u))"""
+
+  /** Unrolled BPE-training oracle chain (q80/q81): q90's word-count
+    * relation capped to the trainer's vocab bound, then `n`
+    * pair-count → argmax → substitute rounds — the exact
+    * [[graft.operators.Bpe.trainOn]] loop replayed relationally.
+    *
+    * The substitute step needs no recursion: tokens never contain
+    * whitespace, so a word's segmentation rides as the string
+    * `' s1  s2 ... sk '` (every symbol wrapped in its own spaces), and
+    * DuckDB's `replace(ws, ' l  r ', ' lr ')` — left-to-right,
+    * non-overlapping, replacement text never rescanned — IS
+    * [[graft.operators.BpeKernel.applyMerge]]: each match consumes
+    * exactly symbols i,i+1's private regions and scanning resumes at
+    * symbol i+2. Pair counts re-split the string per round; the argmax
+    * tie-break (count desc, left asc, right asc) and the
+    * minPairCount=2 early stop mirror trainOn (once a round's `best`
+    * is empty the vocabulary stops changing, so all later rounds are
+    * empty too — exactly the driver's `done` flag).
+    *
+    * The chain's final relation `v{n}` is the trainer's finished
+    * vocabulary segmentation, which q81 reads directly: encodeWord
+    * reproduces the training segmentation for every word the trainer
+    * saw (the min-rank-repeat loop replays the same merges in the same
+    * global order — BpeSpec pins this), and at gate SFs the corpus
+    * vocabulary is far below the 100k cap so every word is seen. If a
+    * corpus ever overflowed the cap, unseen words would drop from the
+    * oracle's join and the gate would fail loudly on n_words. */
+  private def bpeTrainCtes(n: Int): String = {
+    val seed =
+      raw"""t AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           s -> len(s) > 0) AS toks
+             FROM documents),
+         wc AS (SELECT word, COUNT(*) AS cnt
+                FROM (SELECT unnest(toks) AS word FROM t)
+                GROUP BY word
+                ORDER BY cnt DESC, word
+                LIMIT ${graft.operators.Bpe.DefaultVocabCap}),
+         v0 AS MATERIALIZED (
+           SELECT word, cnt,
+                  ' ' || array_to_string(
+                    list_transform(range(1, len(word) + 1),
+                      i -> substr(word, CAST(i AS INT), 1) ||
+                           CASE WHEN i = len(word) THEN '</w>'
+                                ELSE '' END),
+                    '  ') || ' ' AS ws
+           FROM wc)"""
+    val rounds = (0 until n).map { k =>
+      s"""pc$k AS (
+           SELECT syms[CAST(i AS INT) + 1] AS l,
+                  syms[CAST(i AS INT) + 2] AS r, SUM(cnt) AS c
+           FROM (SELECT cnt, syms, unnest(range(len(syms) - 1)) AS i
+                 FROM (SELECT cnt,
+                         list_filter(regexp_split_to_array(ws, ' +'),
+                                     s -> len(s) > 0) AS syms
+                       FROM v$k))
+           GROUP BY 1, 2),
+         best$k AS (SELECT l, r, c FROM pc$k WHERE c >= 2
+                    ORDER BY c DESC, l, r LIMIT 1),
+         v${k + 1} AS MATERIALIZED (
+           SELECT word, cnt,
+                  CASE WHEN b.l IS NULL THEN ws
+                       ELSE replace(ws, ' ' || b.l || '  ' || b.r || ' ',
+                                        ' ' || b.l || b.r || ' ') END AS ws
+           FROM v$k LEFT JOIN best$k b ON TRUE)"""
+    }
+    val merges = "merges AS (" + (0 until n).map { k =>
+      s"""SELECT CAST($k AS INT) AS rank, l AS "left", r AS "right",
+                CAST(c AS BIGINT) AS pair_count FROM best$k"""
+    }.mkString("\n           UNION ALL ") + ")"
+    "WITH\n  " + ((seed +: rounds) :+ merges).mkString(",\n  ")
+  }
+
+  /** q80's oracle: the learned merge table from the unrolled chain. */
+  private def bpeMergesSql(n: Int): String =
+    bpeTrainCtes(n) +
+      "\n  SELECT rank, \"left\", \"right\", pair_count FROM merges" +
+      " ORDER BY rank"
+
+  /** q81's oracle: per-doc word/subtoken counts read straight off the
+    * chain's final vocabulary segmentation `v{n}` (see bpeTrainCtes). */
+  private def bpeSubtokensSql(n: Int): String =
+    bpeTrainCtes(n) +
+      s""",
+  c AS (SELECT word,
+               len(list_filter(regexp_split_to_array(ws, ' +'),
+                               s -> len(s) > 0)) AS n_sub
+        FROM v$n),
+  occ AS (SELECT doc_id, unnest(toks) AS word FROM t),
+  s AS (SELECT doc_id, COUNT(*) AS n_words, SUM(n_sub) AS n_bpe
+        FROM occ JOIN c USING (word) GROUP BY doc_id)
+  SELECT d.doc_id,
+         CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
+         CAST(COALESCE(s.n_bpe, 0) AS BIGINT) AS n_bpe
+  FROM documents d LEFT JOIN s USING (doc_id)
+  ORDER BY doc_id"""
 
   /** Shared CTE chain for the fixed-merge BPE oracles (q91/q93): the
     * merge table (Bpe.FixedMerges as a VALUES literal), tokenized docs
