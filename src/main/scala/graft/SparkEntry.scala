@@ -498,14 +498,21 @@ object SparkEntry {
 
   /** Shared unrolled-Lloyd CTE chain (seed + `iters` train iterations);
     * returns (prefix CTEs, final-assignment subquery body `af`). */
-  private def ivfCtes(cells: Int, iters: Int): (String, String) = {
+  private def ivfCtes(cells: Int, iters: Int): (String, String) =
+    ivfCtes(cells.toString, iters)
+
+  /** [[ivfCtes]] with the cell count as a SQL expression, so an oracle
+    * can derive it from the corpus with the operator's own rule (q82's
+    * measured `max(16, ceil(n/128))` — the round-9 verdict's frozen-
+    * parameter fix: the sf1 sweep no longer departs by design). */
+  private def ivfCtes(cellsSql: String, iters: Int): (String, String) = {
     val init =
       s"""e AS (SELECT vec_id, embedding FROM embeddings),
          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                          AS cell,
                        list_transform(embedding, v -> v::DOUBLE) AS centroid
                 FROM (SELECT vec_id, embedding FROM e
-                      ORDER BY vec_id LIMIT $cells) seed)"""
+                      ORDER BY vec_id LIMIT ($cellsSql)) seed)"""
     val iterCtes = (0 until iters).map { i =>
       s"""a$i AS (
            SELECT vec_id, cell FROM (
@@ -1605,9 +1612,14 @@ object SparkEntry {
          $semanticVerdictSql""",
     // q82: SemDeDup proper — pairs within TRAINED k-means cells (the
     // q38 unrolled-Lloyd CTE chain supplies the assignment), then the
-    // same components + verdict tail as q75
+    // same components + verdict tail as q75. The cell count is DERIVED
+    // from the corpus with the operator's own measured rule, so the
+    // oracle tracks the operator at every SF (16 at the gate, 157 at
+    // sf1) instead of freezing the gate-SF parameter.
     "q82_semantic_dedup_ivf" -> {
-      val (prefix, afSql) = ivfCtes(16, 3)
+      val (prefix, afSql) = ivfCtes(
+        "SELECT CAST(LEAST(4096, GREATEST(16, (COUNT(*) + 127) // 128))" +
+          " AS INT) FROM embeddings", 3)
       s"""WITH RECURSIVE $prefix,
          af AS ($afSql),
          sc AS (

@@ -291,6 +291,100 @@ case class CellArgmax(child: Expression, matrix: IndexedSeq[Double],
     copy(child = c)
 }
 
+/** Random-hyperplane LSH signature (Charikar, STOC 2002 §3) in ONE
+  * codegen'd node: bit j of the result = sign of the dot product of
+  * the embedding with plane j's weight row. `matrix` is plane-major
+  * flattened (entry (j, i) at `j·dim + i`, small-integer weights held
+  * exactly in doubles), shipped once inside the expression — the
+  * CellArgmax discipline applied to its last composed sibling: the
+  * previous formulation planned 8 inlined `zip_with`/`aggregate` folds
+  * per signature (hundreds of lambda nodes per plan).
+  *
+  * Bitwise-identical to that composed form (HyperplaneSigSpec pins it):
+  * float→double widening is exact, each product rounds once, and the
+  * fold adds in ascending index order — the same IEEE op sequence as
+  * `aggregate(zip_with(...))` and DuckDB's `list_reduce`. `d >= 0`
+  * sets the bit (+0.0 counts, NaN does not), matching the composed
+  * `when`. A NULL embedding yields a NULL signature (drops out of
+  * joins); a width mismatch raises — same loud guard as the composed
+  * form's `raise_error` branch, an embedding table with ragged widths
+  * is corrupt input, not data. */
+case class HyperplaneSig(child: Expression, matrix: IndexedSeq[Double],
+    planes: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(planes > 0 && planes <= 64 && matrix.length % planes == 0,
+    s"matrix length ${matrix.length} not divisible into $planes planes")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(TypeCollection(
+    ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  private def dim: Int = matrix.length / planes
+  @transient private lazy val m: Array[Double] = matrix.toArray
+
+  private def elem: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case t               => t
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_sig: embedding dim != $dim, got ${x.numElements()}")
+    val t = elem
+    def get(i: Int): Double = t match {
+      case DoubleType => x.getDouble(i)
+      case _          => x.getFloat(i).toDouble
+    }
+    var sig = 0L
+    var j = 0
+    while (j < planes) {
+      val off = j * dim
+      var d = 0.0
+      var i = 0
+      while (i < dim) { d += get(i) * m(off + i); i += 1 }
+      if (d >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("planeMatrix", m, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val off = ctx.freshName("off"); val d = ctx.freshName("d")
+      val sig = ctx.freshName("sig")
+      val getX = elem match {
+        case DoubleType => s"$x.getDouble($i)"
+        case _          => s"(double) $x.getFloat($i)"
+      }
+      s"""
+         |if ($x.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "hyperplane_sig: embedding dim != $dim, got "
+         |      + $x.numElements());
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $planes; $j++) {
+         |  int $off = $j * $dim;
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $d += $getX * $ref[$off + $i];
+         |  }
+         |  if ($d >= 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig =
+    copy(child = c)
+}
+
 /** Product-quantization code assignment (the PQ encode step, Jégou et
   * al. 2011): the embedding splits into `m` contiguous subspaces of
   * `dim/m` components; each subspace gets the id of its nearest (L2)
@@ -405,6 +499,13 @@ object VectorExpressions {
       cells: Int): Column =
     ExpressionUtils.column(
       CellArgmax(ExpressionUtils.expression(emb), matrix, cells))
+
+  /** Column API for the native hyperplane-LSH signature. `matrix` is
+    * plane-major flattened weight rows. */
+  def hyperplaneSigNative(emb: Column, matrix: IndexedSeq[Double],
+      planes: Int): Column =
+    ExpressionUtils.column(
+      HyperplaneSig(ExpressionUtils.expression(emb), matrix, planes))
 
   /** Column API for the PQ code assignment. `matrix` is flattened
     * (subspace, cell)-major sub-centroids. */

@@ -178,10 +178,11 @@ object Similarity {
     * vectors) left ~1.2k vectors per cell: the same quadratic pair mass
     * as the label-blocked brute path it exists to beat, AND join
     * parallelism capped at 16 partitions (measured: 27.8 s vs brute's
-    * 28.3 s — BENCH_SF1.md). At the gate/bench scales (200 / 2k
-    * vectors) the measured choice lands on exactly 16, so the DuckDB
-    * oracle's unrolled 16-cell Lloyd CTE stays hash-exact and bench
-    * history stays comparable. The count is parquet-metadata-only;
+    * 28.3 s — BENCH_SF1.md). The DuckDB oracle derives its cell count
+    * from the corpus with this same rule (LIMIT-subquery seed in the
+    * unrolled Lloyd CTE), so the gate tracks the operator at every SF
+    * — 16 at the gate corpus, 157 at sf1 — rather than freezing the
+    * gate-SF parameter. The count is parquet-metadata-only;
     * capped at 4096 so the literal-centroid expression stays
     * compilable (past that, a deployment shards training anyway). */
   def semanticDedupIvf(spark: SparkSession, dir: String,
@@ -326,12 +327,27 @@ object Similarity {
       graft.functions.TextFunctions.md5LongScala(s"lsh-plane:$j:$i") % 17 - 8))
 
   /** The bucket column expression over an `embedding` column: bit j =
-    * sign of the dot product with plane j's weight vector. Guarded: an
-    * embedding whose width differs from `dim` raises instead of silently
-    * zeroing bucket bits (zip_with would pad with nulls); a NULL
-    * embedding yields a NULL bucket (drops out of joins) rather than
-    * crashing the job for one bad row. */
+    * sign of the dot product with plane j's weight vector — ONE native
+    * codegen'd node carrying the flattened plane matrix
+    * ([[org.apache.spark.sql.graft.HyperplaneSig]]). Guarded: an
+    * embedding whose width differs from `dim` raises instead of
+    * silently zeroing bucket bits; a NULL embedding yields a NULL
+    * bucket (drops out of joins) rather than crashing the job for one
+    * bad row. Bitwise-equal to [[bucketSignatureComposed]]
+    * (HyperplaneSigSpec pins it on the real corpus). */
   private[operators] def bucketSignature(planes: Int, dim: Int = 64) = {
+    val flat = planeWeights(planes, dim).flatten.map(_.toDouble)
+    org.apache.spark.sql.graft.VectorExpressions.hyperplaneSigNative(
+      col("embedding"), flat, planes)
+  }
+
+  /** The pre-kernel formulation — `planes` inlined `zip_with`/
+    * `aggregate` folds — kept as the spec's independent arithmetic
+    * witness (the CellArgmax round's pattern): HyperplaneSigSpec
+    * asserts the native node reproduces this bit-for-bit. Not used in
+    * any query plan. */
+  private[operators] def bucketSignatureComposed(planes: Int,
+      dim: Int = 64) = {
     val sig = planeWeights(planes, dim).zipWithIndex.map { case (w, j) =>
       val warr = array(w.map(v => lit(v.toDouble)): _*)
       val d = aggregate(
