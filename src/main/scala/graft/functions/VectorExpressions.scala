@@ -421,6 +421,13 @@ case class PqAssign(child: Expression, matrix: IndexedSeq[Double],
       case _          => x.getFloat(i).toDouble
     }
     val d = subDim
+    // loud-failure contract (the other kernels' discipline): a short or
+    // ragged vector must not encode to a plausible code via silent
+    // zero-padding — the oracle's list_zip would NULL out there, and a
+    // divergence the gate can see beats a wrong code it cannot
+    if (x.numElements() != m * d)
+      throw new IllegalArgumentException(
+        s"pq_assign: embedding dim != ${m * d}, got ${x.numElements()}")
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -432,8 +439,7 @@ case class PqAssign(child: Expression, matrix: IndexedSeq[Double],
         var i = 0
         while (i < d) {
           val pos = s * d + i
-          val diff =
-            (if (pos < x.numElements()) get(pos) else 0.0) - mat(off + i)
+          val diff = get(pos) - mat(off + i)
           dist += diff * diff
           i += 1
         }

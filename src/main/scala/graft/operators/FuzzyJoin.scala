@@ -54,6 +54,21 @@ object FuzzyJoin {
     * stops broadcasting (driver-OOM guard, the decontaminate pattern). */
   val MaxBroadcastGrams = 2000000L
 
+  /** Ceiling on rows the pair AUDIT view may materialize. The pair
+    * relation is quadratic in clone-group size (sf1's clone-heavy
+    * corpus: 552M rows from 20k keys — BENCH_SF1.md), so on a
+    * pathological corpus an unguarded call materializes an answer
+    * nobody can review. The mass is PRICED before the expansion runs —
+    * clone-group sizes are one aggregate over the already-cached base,
+    * name-pair mass one aggregate over the cached quotient pairs — and
+    * past the cap the call fails loudly naming [[fuzzyClusters]] (one
+    * row per key, whatever the duplication structure) as the scale
+    * path; raising `maxPairs` explicitly is the conscious-audit
+    * override. A billion rows keeps every measured corpus (552M at
+    * sf1) green while stopping the 100 TB quadratic blowup — the
+    * cdcDedup over-cap discipline. */
+  val MaxAuditPairs = 1000000000L
+
   /** q102: part-name fuzzy self-join at distance ≤ 2. */
   def fuzzyPairs(spark: SparkSession, dir: String,
       maxDist: Int = 2): DataFrame =
@@ -64,14 +79,38 @@ object FuzzyJoin {
       .orderBy("a_key", "b_key")
 
   /** All (a_key < b_key) pairs of `rel(key, name)` with
-    * levenshtein(name_a, name_b) ≤ maxDist, plus the exact distance. */
+    * levenshtein(name_a, name_b) ≤ maxDist, plus the exact distance.
+    * Output mass is measured BEFORE the expansion materializes and the
+    * call fails loudly past `maxPairs` (see [[MaxAuditPairs]]). */
   def fuzzyPairsOn(rel: DataFrame, maxDist: Int = 2,
-      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+      maxBroadcastGrams: Long = MaxBroadcastGrams,
+      maxPairs: Long = MaxAuditPairs): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     val base = graft.Caches.register(
       rel.select(col("key"), col("name")).cache())
-    val namePairs = quotientPairs(
+    val namePairs = graft.Caches.register(quotientPairs(
       base.select(col("name")).distinct(), maxDist, maxBroadcastGrams)
+      .cache())
+    // price the expansion before running it: clone-group sizes × the
+    // name-pair relation bound the output EXACTLY (groups are disjoint)
+    val sizes = base.groupBy("name").agg(count(lit(1)).as("n"))
+    val crossMass = namePairs
+      .join(sizes.select(col("name").as("a_name"), col("n").as("na")),
+        Seq("a_name"))
+      .join(sizes.select(col("name").as("b_name"), col("n").as("nb")),
+        Seq("b_name"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)))
+      .first().getLong(0)
+    val eqMass = sizes
+      .agg(coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")),
+        lit(0L)))
+      .first().getLong(0)
+    val predicted = crossMass + eqMass
+    require(predicted <= maxPairs,
+      s"fuzzyPairs would materialize $predicted rows (cap $maxPairs): " +
+        "the pair view is quadratic in clone-group size — use " +
+        "fuzzyClusters (linear output, one row per key) at scale, or " +
+        "raise maxPairs explicitly to audit consciously")
     // expand: every (a_name, b_name) name pair × its two clone groups;
     // groups are disjoint (distinct names), so least/greatest emits
     // each unordered key pair exactly once
@@ -101,9 +140,13 @@ object FuzzyJoin {
       maxDist: Int = 2, topN: Int = 20): DataFrame = {
     require(maxDist >= 0 && maxDist <= 4, "maxDist must be in 0..4")
     require(topN > 0, "topN must be positive")
+    // codepoint count, NOT term.length: length(col) counts codepoints,
+    // and a query term with supplementary-plane characters would
+    // otherwise shift the band and silently miss true matches
+    val termLen = term.codePointCount(0, term.length)
     Tables.part(spark, dir)
       .select(col("p_partkey").as("key"), col("p_name").as("name"))
-      .where(abs(length(col("name")) - lit(term.length)) <= maxDist)
+      .where(abs(length(col("name")) - lit(termLen)) <= maxDist)
       .withColumn("dist",
         levenshtein(col("name"), lit(term), maxDist).cast("long"))
       .where(col("dist") >= 0L)

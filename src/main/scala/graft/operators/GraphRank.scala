@@ -65,10 +65,15 @@ object GraphRank {
       iters, edgeBudget)
 
   /** [[pageRank]] over an explicit (user_id, ts, event_id, k) event
-    * relation. */
-  def pageRankOn(ev: DataFrame, iters: Int = 10,
+    * relation. Events without a `k` are NOT graph nodes and are
+    * dropped up front — ONE rule both dispatch paths share (the
+    * distributed join would silently never match a NULL node while
+    * the driver path's getLong would silently read it as node 0;
+    * neither silent behavior is acceptable). */
+  def pageRankOn(ev0: DataFrame, iters: Int = 10,
       edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val ev = ev0.where(col("k").isNotNull)
     val spark = ev.sparkSession
     val nxt = lead(col("k"), 1).over(
       Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))

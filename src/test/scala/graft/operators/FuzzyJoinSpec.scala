@@ -127,6 +127,21 @@ class FuzzyJoinSpec extends SparkSpec {
       s"diff=${got.toSet.diff(want.toSet).take(5)}")
   }
 
+  test("pair-mass guard: clone-heavy input trips the cap loudly, " +
+    "naming the cluster form; under the cap the answer is unchanged") {
+    // 40 keys sharing one name -> C(40,2) = 780 distance-0 pairs
+    val rows = (0L until 40L).map(k => (k, "same-name"))
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.fuzzyPairsOn(rows.toDF("key", "name"), maxDist = 2,
+        maxPairs = 100L).collect()
+    }
+    graft.Caches.releaseAll()
+    assert(e.getMessage.contains("fuzzyClusters"), e.getMessage)
+    assert(e.getMessage.contains("780"), e.getMessage)
+    // the same corpus below the cap: exactly the brute-force answer
+    assert(run(rows) == brute(rows))
+  }
+
   test("maxDist=1 tightens the answer and the distances are exact") {
     val rows = Seq(1L -> "goldenrod lavender spring",
       2L -> "goldenrod lavender sprint",

@@ -49,6 +49,26 @@ class GraphRankSpec extends SparkSpec {
       s"paths diverge (${viaDriver.size} vs ${viaCluster.size} nodes)")
   }
 
+  test("events without k are not nodes, and both dispatch paths agree " +
+    "on such data") {
+    // same walk with a k-less event spliced in: the walk SKIPS it, so
+    // 2→(null)→1 contributes the 2→1 edge — one rule for both paths
+    // (pre-fix, the driver path would have minted a phantom node 0)
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val noisy = Seq(
+      (7L, t(1), 1L, Some(1L)), (7L, t(2), 2L, Some(2L)),
+      (7L, t(3), 3L, None), (7L, t(4), 4L, Some(1L)),
+      (7L, t(5), 5L, Some(3L)))
+      .toDF("user_id", "ts", "event_id", "k")
+    val viaDriver = GraphRank.pageRankOn(noisy, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCluster = GraphRank.pageRankOn(noisy, iters = 2,
+      edgeBudget = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaCluster, s"$viaDriver vs $viaCluster")
+    assert(viaDriver.keySet == Set(1L, 2L, 3L), viaDriver.keySet)
+  }
+
   test("every node appears with at least the teleport mass") {
     val out = GraphRank.pageRank(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))

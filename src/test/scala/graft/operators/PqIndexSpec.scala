@@ -36,6 +36,23 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("a short embedding fails the encode loudly instead of " +
+    "zero-padding to a plausible code") {
+    import spark.implicits._
+    val cents = PqIndex.train(spark, sf)
+    val m = cents.map(_._1._1).max + 1
+    val k = cents.map(_._1._2).max + 1
+    val flat = cents.sortBy(_._1).flatMap(_._2).toIndexedSeq
+    val bad = Seq((1L, Array(0.5f, -1.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(org.apache.spark.sql.graft.VectorExpressions
+        .pqAssignNative(col("embedding"), flat, m, k)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dim")), s"unexpected: $e")
+  }
+
   test("training is deterministic (train twice, identical codebooks)") {
     assert(PqIndex.train(spark, sf) == PqIndex.train(spark, sf))
   }
