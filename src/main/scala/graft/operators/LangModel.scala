@@ -105,15 +105,88 @@ object LangModel {
     * Beats the q19 stopword heuristic wherever languages share an
     * alphabet but not bigram statistics.
     *
-    * Scale shape: the per-lang models are ONE aggregation each with
-    * `lang` prepended to the key (model size = corpus stats × 1, not
-    * × languages); the scored side crosses its distinct-bigram relation
-    * with the tiny language list (broadcast) and both model lookups are
-    * shuffle equi-joins on (lang, token) keys — the q87 word-count-join
-    * shape, skew handled by AQE. The per-doc argmin is an exact integer
-    * `min(struct(ppx, lang))` aggregate, not a window. Docs with fewer
-    * than two tokens are absent (q87's contract). */
+    * Scale shape — the HIT/MISS DECOMPOSITION (the round-9 verdict's
+    * q94 growth bound, solved exactly instead of heuristically): the
+    * naive formulation crosses every doc-bigram with every language
+    * and pays the smoothing arithmetic for all |bigrams|·L rows — the
+    * one shape in the suite whose sf1 growth exponent exceeded its
+    * data growth. But almost all of those rows are MISSES, and a
+    * miss's score is a closed form: when language L has never seen
+    * w1, ip = (0+v_L)·1e6 div (0+1) = v_L·1e6 exactly. So the join
+    * only materializes HIT rows — `corpusBg ⋈ uni` on w1 is an INNER
+    * join whose mass is the shared-vocabulary overlap (each token
+    * meets only the languages that contain it), with the bigram table
+    * left-joined below it — and the per-(doc, lang) score assembles
+    * arithmetically:
+    *
+    *   ppx(d, L) = (Σ_hit ip·tf  +  (T_d − h1) · v_L · 1e6)  div  T_d
+    *
+    * where T_d is the doc's bigram mass and h1 the mass whose w1 the
+    * language has seen. The ×L factor survives only in the final
+    * assembly — one thin (docs × L) relation of three longs, against
+    * a broadcast language list — not in the token-level join. Per-row
+    * integer ops are identical to the naive product (per-position div
+    * first, order-free Long sums), so the result is bit-identical;
+    * LangModelMixSpec pins it against [[lmLangIdProduct]] and the
+    * oracle replays the naive product wholesale. The per-doc argmin is
+    * an exact integer `min(struct(ppx, lang))` aggregate, not a
+    * window. Docs with fewer than two tokens are absent (q87's
+    * contract). */
   def lmLangId(spark: SparkSession, dir: String): DataFrame = {
+    val (vdf, totals, hit) = langIdParts(spark, dir)
+    totals.crossJoin(broadcast(vdf))
+      .join(hit, Seq("doc_id", "lang"), "left")
+      .withColumn("ppx",
+        expr("(coalesce(hs, 0L) + (t - coalesce(h1, 0L)) * v * 1000000L)" +
+          " div t"))
+      .groupBy("doc_id")
+      .agg(min(struct(col("ppx"), col("lang"))).as("best"))
+      .select(col("doc_id"), col("best.lang").as("pred_lang"),
+        col("best.ppx").as("ppx_micros"))
+      .orderBy("doc_id")
+  }
+
+  /** The decomposed relations behind [[lmLangId]]: per-lang vocab
+    * sizes `vdf(lang, v)`, per-doc bigram mass `totals(doc_id, t)`,
+    * and the hit aggregate `hit(doc_id, lang, hs, h1)` (hs = Σ ip·tf
+    * over positions whose w1 the language has seen; h1 = that mass). */
+  private def langIdParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val uni = docs
+      .select(col("lang"), explode(col("toks")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c1"))
+    val vdf = uni.groupBy("lang").agg(count(lit(1)).as("v"))
+    val bi = docs
+      .filter(size(col("toks")) > 1)
+      .select(col("lang"), explode(bigramsOf(col("toks"))).as("bg"))
+      .groupBy(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val corpusBg = docs
+      .filter(size(col("toks")) > 1)
+      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val totals = corpusBg.groupBy("doc_id").agg(sum(col("tf")).as("t"))
+    val hit = corpusBg
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .join(bi, Seq("lang", "w1", "w2"), "left")
+      .join(broadcast(vdf), Seq("lang"))
+      .withColumn("ip",
+        expr("((c1 + v) * 1000000L) div (coalesce(c2, 0L) + 1L)"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(expr("ip * tf")).as("hs"), sum(col("tf")).as("h1"))
+    (vdf, totals, hit)
+  }
+
+  /** The naive ×L product formulation — every doc-bigram crossed with
+    * every language — kept as the spec's independent arithmetic
+    * witness: LangModelMixSpec asserts [[lmLangId]]'s decomposition
+    * reproduces it exactly. Not used in any query plan (its join mass
+    * is |bigrams|·L regardless of vocabulary overlap). */
+  private[operators] def lmLangIdProduct(spark: SparkSession,
+      dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
     val uni = docs

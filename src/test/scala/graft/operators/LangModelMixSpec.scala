@@ -130,6 +130,31 @@ class LangModelMixSpec extends SparkSpec {
       ("d5", "en", 1333333L)))
   }
 
+  test("lmLangId hit/miss decomposition == the naive ×L product") {
+    // the sf corpus: the inner-join + closed-form-miss assembly must
+    // reproduce the full cross-every-language product bit-for-bit
+    val full = LangModel.lmLangIdProduct(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    val dec = LangModel.lmLangId(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(dec.nonEmpty && dec == full)
+    // zero-hit corner: d1 "a b" has unigram hits ONLY in its own lang
+    // xx (ppx (1+2)e6 div 2 = 1.5e6), but the one-word-vocab lang zz
+    // wins with ZERO hits at exactly v·1e6 = 1e6 — the pure
+    // closed-form-miss row the decomposition never joins for. d2
+    // "k k k": zz's own model gives (3+1)e6 div (2+1) = 1_333_333
+    // (beats xx's zero-hit 2e6).
+    val dir = docsDir(Seq(
+      ("d1", "xx", "s", "a b"), ("d2", "zz", "s", "k k k")))
+    val got = LangModel.lmLangId(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("d1", "zz", 1000000L), ("d2", "zz", 1333333L)),
+      got.toString)
+    val gotFull = LangModel.lmLangIdProduct(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(gotFull == got, s"$gotFull vs $got")
+  }
+
   test("cross-corpus scoring: join variant == map-side model, " +
       "separate reference") {
     // the production shape — train on one corpus, score another — must
