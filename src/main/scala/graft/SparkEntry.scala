@@ -283,6 +283,10 @@ object SparkEntry {
     // q111: GROUP BY ROLLUP corpus report — cells + subtotals + grand
     // total in one aggregation pass
     "q111_rollup_report" -> ((s, d) => Curation.rollupReport(s, d)),
+    // q112: THE one-command corpus build — scrub → six gates → exact +
+    // near + semantic dedup → domain cap → mixture → packing, gated as
+    // one manifest (see Curation.corpusBuild)
+    "q112_corpus_build" -> ((s, d) => Curation.corpusBuild(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -504,10 +508,14 @@ object SparkEntry {
   /** [[ivfCtes]] with the cell count as a SQL expression, so an oracle
     * can derive it from the corpus with the operator's own rule (q82's
     * measured `max(16, ceil(n/128))` — the round-9 verdict's frozen-
-    * parameter fix: the sf1 sweep no longer departs by design). */
-  private def ivfCtes(cellsSql: String, iters: Int): (String, String) = {
+    * parameter fix: the sf1 sweep no longer departs by design), and the
+    * embedding source CTE injectable (q112 trains on the corpus-build
+    * survivors' embeddings). */
+  private def ivfCtes(cellsSql: String, iters: Int,
+      embCte: String = "e AS (SELECT vec_id, embedding FROM embeddings)")
+      : (String, String) = {
     val init =
-      s"""e AS (SELECT vec_id, embedding FROM embeddings),
+      s"""$embCte,
          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                          AS cell,
                        list_transform(embedding, v -> v::DOUBLE) AS centroid
@@ -1867,6 +1875,9 @@ object SparkEntry {
                       CAST(unnest(range(reps)) AS BIGINT) AS epoch
                FROM d)
          ORDER BY doc_id, epoch""",
+    // q112: the one-command corpus build — the full composed pipeline
+    // replayed as one CTE chain (see corpusBuildSql)
+    "q112_corpus_build" -> corpusBuildSql,
     // q80/q81: BPE training replayed as 50 unrolled pair-count →
     // argmax → substitute rounds (the round-9 verdict's last
     // `no_oracle` rows; see bpeTrainCtes for the replace()-as-
@@ -2535,6 +2546,309 @@ object SparkEntry {
          FROM (SELECT doc_id, toks, ends, i,
                       CASE WHEN i = 0 THEN 1 ELSE ends[i] + 1 END AS st
                FROM u))"""
+
+  /** The q112 one-command corpus-build oracle: every stage of
+    * [[graft.operators.Curation.corpusBuild]] replayed in one CTE
+    * chain — scrub (q77 arithmetic) → quality (q20) + Gopher shape
+    * (q96) + repetition (q101) + perplexity (q87) + DSIR (q97) + odds
+    * (q103) gates → exact dedup (fingerprint min-id) → MinHash-LSH
+    * near dedup (q24 CTEs + q53 recursive components) → trained-cell
+    * semantic dedup (the q82 unrolled-Lloyd chain over SURVIVOR
+    * embeddings with the measured cell rule) → domain cap (q85) →
+    * mixture epochs (q89) → packing (q59). Heavily-referenced CTEs
+    * are MATERIALIZED (the scrubbed corpus feeds ~15 stages; without
+    * it DuckDB re-inlines the parquet scan per reference). Every
+    * arithmetic fragment is copied verbatim from the corresponding
+    * standalone oracle, so the composition cannot drift from the
+    * already-gated stage semantics. */
+  private def corpusBuildSql: String = {
+    import graft.operators.Pii
+    val repCtes = graft.operators.Curation.RepetitionCapsMicros.map {
+      case (f, _) =>
+        val n = f.replaceAll("[a-z]+", "").toInt
+        val agg =
+          if (f.startsWith("top")) "max(cnt * chars)"
+          else "sum(CASE WHEN cnt >= 2 THEN cnt * chars ELSE 0 END)"
+        s"""g$n AS (
+         SELECT doc_id, CAST($agg AS BIGINT) AS mass
+         FROM (SELECT doc_id, gram, count(*) AS cnt,
+                      len(gram) - ${n - 1} AS chars
+               FROM (SELECT doc_id,
+                            unnest(CASE WHEN len(toks) >= $n
+                              THEN list_transform(range(len(toks) - ${n - 1}),
+                                i -> array_to_string(
+                                  list_slice(toks, i + 1, i + $n), ' '))
+                              ELSE [] END) AS gram
+                     FROM t)
+               GROUP BY doc_id, gram)
+         GROUP BY doc_id)"""
+    }
+    val repConds = graft.operators.Curation.RepetitionCapsMicros.map {
+      case (f, cap) =>
+        val n = f.replaceAll("[a-z]+", "").toInt
+        s"""(CASE WHEN total_chars > 0 THEN coalesce(g$n.mass, 0)
+            * 1000000 // total_chars ELSE 0 END) <= $cap"""
+    }.mkString(" AND ")
+    val repJoins = graft.operators.Curation.RepetitionCapsMicros.map {
+      case (f, _) =>
+        s"LEFT JOIN g${f.replaceAll("[a-z]+", "")} USING (doc_id)"
+    }.mkString(" ")
+    val (ivfPrefix, ivfAf) = ivfCtes(
+      "SELECT CAST(LEAST(4096, GREATEST(16, (COUNT(*) + 127) // 128))" +
+        " AS INT) FROM e", 3,
+      embCte = """e AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        SEMI JOIN nr ON embeddings.vec_id = nr.doc_id)""")
+    val parts = Seq(
+      s"""sd AS MATERIALIZED (
+      SELECT doc_id, lang, source,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
+               '${Pii.Ipv4Re}', '${Pii.Ipv4Tag}', 'g'),
+               '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g') AS text
+      FROM documents)""",
+      raw"""t AS MATERIALIZED (
+      SELECT doc_id, lang, source, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         s -> len(s) > 0) AS toks
+      FROM sd)""",
+      s"""qs AS (SELECT doc_id, ($qualityCaseSql) AS quality FROM t)""",
+      raw"""gsh AS (
+      SELECT doc_id,
+             CASE WHEN (n >= 50 AND n <= 100000)
+                   AND (n > 0 AND 3 * n <= sl AND sl <= 10 * n)
+                   AND (n > 0 AND 10 * nsym <= n)
+                   AND (n > 0 AND 5 * na >= 4 * n)
+                   AND (ns >= 2) THEN 1 ELSE 0 END AS g_shape
+      FROM (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n,
+                   CAST(COALESCE(list_sum(
+                     list_transform(toks, s -> len(s))), 0) AS BIGINT) AS sl,
+                   CAST(len(regexp_extract_all(text, '#'))
+                     + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+                     AS nsym,
+                   CAST(len(list_filter(toks,
+                     s -> regexp_matches(s, '[A-Za-z]'))) AS BIGINT) AS na,
+                   CAST(len(list_intersect(list_distinct(toks),
+                     ['the','a','an','and','of','to','in','is','it','on',
+                      'for'])) AS BIGINT) AS ns
+            FROM t))""",
+      raw"""tc AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(toks, s -> len(s))),
+                  0) AS BIGINT) AS total_chars
+      FROM t)""") ++ repCtes ++ Seq(
+      s"""grep AS (
+         SELECT doc_id,
+                CAST(CASE WHEN $repConds AND total_chars > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS g_rep
+         FROM tc $repJoins)""",
+      """cb AS (
+      SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2, COUNT(*) AS tf
+      FROM (SELECT doc_id, toks, unnest(range(len(toks)-1)) AS i
+            FROM t WHERE len(toks) > 1)
+      GROUP BY 1, 2, 3)""",
+      """uni AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en')
+      GROUP BY 1)""",
+      "v AS (SELECT COUNT(*) AS v FROM uni)",
+      """bi AS (
+      SELECT toks[i+1] AS w1, toks[i+2] AS w2, COUNT(*) AS c2
+      FROM (SELECT toks, unnest(range(len(toks)-1)) AS i
+            FROM t WHERE lang = 'en' AND len(toks) > 1)
+      GROUP BY 1, 2)""",
+      """ppx AS (
+      SELECT doc_id, CAST(SUM(ip * tf) // SUM(tf) AS BIGINT) AS ppx
+      FROM (SELECT cb.doc_id, cb.tf,
+                   ((COALESCE(uni.c1, 0) + v.v) * 1000000)
+                     // (COALESCE(bi.c2, 0) + 1) AS ip
+            FROM cb
+            LEFT JOIN uni ON cb.w1 = uni.w
+            LEFT JOIN bi ON cb.w1 = bi.w1 AND cb.w2 = bi.w2
+            CROSS JOIN v)
+      GROUP BY doc_id)""",
+      """dso AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(feat), 1, 15))::BIGINT % 8192 AS bucket
+      FROM (SELECT doc_id, lang,
+                   unnest(list_concat(toks,
+                     list_transform(range(len(toks) - 1),
+                       i -> toks[i+1] || ' ' || toks[i+2]))) AS feat
+            FROM t))""",
+      """dsb AS (
+      SELECT bucket, ((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)
+             * 1000000) // (count(*) + 1) AS score6
+      FROM dso GROUP BY bucket)""",
+      """dsir AS (
+      SELECT doc_id, CAST(SUM(score6) // count(*) AS BIGINT) AS dsir
+      FROM dso JOIN dsb USING (bucket) GROUP BY doc_id)""",
+      """oc AS (
+      SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS occ
+      FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)
+      GROUP BY doc_id, lang, tok)""",
+      """om AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN lang = 'en' THEN occ ELSE 0 END)
+                  AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN lang <> 'en' THEN occ ELSE 0 END)
+                  AS BIGINT) AS cn
+      FROM oc GROUP BY tok)""",
+      """ot AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM om)""",
+      """ow AS (
+      SELECT tok,
+             least(((cp + 1) * 1000000000 // (np + v)) * 1000000
+                     // greatest((cn + 1) * 1000000000 // (nn + v), 1),
+                   1000000000000) AS w
+      FROM om, ot)""",
+      """odds AS (
+      SELECT doc_id,
+             CAST(SUM(occ * w) // SUM(occ) AS BIGINT) AS odds
+      FROM oc JOIN ow USING (tok) GROUP BY doc_id)""",
+      """gated AS MATERIALIZED (
+      SELECT t.doc_id
+      FROM t
+      JOIN qs USING (doc_id)
+      JOIN gsh USING (doc_id)
+      JOIN grep USING (doc_id)
+      LEFT JOIN ppx USING (doc_id)
+      LEFT JOIN dsir USING (doc_id)
+      LEFT JOIN odds USING (doc_id)
+      WHERE qs.quality >= 0.5 AND gsh.g_shape = 1 AND grep.g_rep = 1
+        AND (ppx.ppx IS NULL OR ppx.ppx <= 35000000)
+        AND (dsir.dsir IS NULL OR dsir.dsir >= 430000)
+        AND (odds.odds IS NULL OR odds.odds >= 990000))""",
+      raw"""ex AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT t.doc_id, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+          ORDER BY t.doc_id) AS rn
+        FROM t SEMI JOIN gated USING (doc_id)) z
+      WHERE rn = 1)""",
+      """nt AS (
+      SELECT t.doc_id, toks FROM t SEMI JOIN ex USING (doc_id))""",
+      """nsh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(len(toks) - 2),
+               i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+        END) AS shingles
+      FROM nt)""",
+      """nex AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT
+               % 2147483647 AS base
+      FROM nsh)""",
+      s"consts(j, a, b) AS (VALUES $MhConstsSql)",
+      """nh AS (
+      SELECT doc_id, c.j AS hash_idx,
+             (c.a::BIGINT * base + c.b::BIGINT) % 2147483647 AS hv
+      FROM nex CROSS JOIN consts c)""",
+      """nsig AS MATERIALIZED (
+      SELECT doc_id, hash_idx, min(hv) AS hash_val
+      FROM nh GROUP BY doc_id, hash_idx)""",
+      """nbk AS MATERIALIZED (
+      SELECT doc_id, hash_idx // 2 AS band,
+             md5(array_to_string(list(hash_val ORDER BY hash_idx), ','))
+               AS band_key
+      FROM nsig GROUP BY doc_id, band)""",
+      """ncand AS (
+      SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      FROM nbk x JOIN nbk y
+        ON x.band = y.band AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id)""",
+      """npair AS (
+      SELECT id1, id2
+      FROM (SELECT id1, id2,
+                   CAST(sum(CASE WHEN s1.hash_val = s2.hash_val
+                        THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_sim
+            FROM ncand
+            JOIN nsig s1 ON id1 = s1.doc_id
+            JOIN nsig s2 ON id2 = s2.doc_id AND s1.hash_idx = s2.hash_idx
+            GROUP BY id1, id2) z
+      WHERE est_sim >= 0.5)""",
+      """nsym AS (SELECT id1 AS src, id2 AS dst FROM npair
+      UNION ALL SELECT id2 AS src, id1 AS dst FROM npair)""",
+      """nreach(id, comp) AS (
+      SELECT id, id FROM (SELECT DISTINCT src AS id FROM nsym) z
+      UNION
+      SELECT sy.dst, r.comp FROM nreach r JOIN nsym sy ON r.id = sy.src)""",
+      """ncomp AS MATERIALIZED (SELECT id, min(comp) AS comp FROM nreach
+      GROUP BY id)""",
+      """nr AS MATERIALIZED (
+      SELECT ex.doc_id FROM ex LEFT JOIN ncomp ON ex.doc_id = ncomp.id
+      WHERE ncomp.comp IS NULL OR ncomp.comp = ex.doc_id)""",
+      ivfPrefix,
+      s"af AS ($ivfAf)",
+      s"""spair AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM e a JOIN af fa ON a.vec_id = fa.vec_id
+           JOIN af fb ON fa.cell = fb.cell
+           JOIN e b ON b.vec_id = fb.vec_id AND a.vec_id < b.vec_id
+      WHERE floor((${cosSql("a.embedding", "b.embedding")}) * 1000000 + 0.5)
+              / 1000000 >= 0.3)""",
+      """ssym AS (SELECT id1 AS src, id2 AS dst FROM spair
+      UNION ALL SELECT id2 AS src, id1 AS dst FROM spair)""",
+      """sreach(id, comp) AS (
+      SELECT id, id FROM (SELECT DISTINCT src AS id FROM ssym) z
+      UNION
+      SELECT sy.dst, r.comp FROM sreach r JOIN ssym sy ON r.id = sy.src)""",
+      """scomp AS MATERIALIZED (SELECT id, min(comp) AS comp FROM sreach
+      GROUP BY id)""",
+      """sem AS MATERIALIZED (
+      SELECT nr.doc_id
+      FROM nr
+      SEMI JOIN e ON nr.doc_id = e.vec_id
+      LEFT JOIN scomp ON nr.doc_id = scomp.id
+      WHERE scomp.comp IS NULL OR scomp.comp = nr.doc_id)""",
+      """cap AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT sd.source, sem.doc_id, row_number() OVER (
+          PARTITION BY sd.source
+          ORDER BY ('0x' || substr(md5('dcap:' || sem.doc_id),
+                      1, 15))::BIGINT, sem.doc_id) AS rk
+        FROM sem JOIN sd USING (doc_id)) z
+      WHERE rk <= 100)""",
+      """mcnt AS (
+      SELECT sd.source, count(*) AS cnt
+      FROM cap JOIN sd USING (doc_id) GROUP BY sd.source)""",
+      "mmax AS (SELECT MAX(cnt) AS max_cnt FROM mcnt)",
+      """mfac AS (
+      SELECT source,
+             ((max_cnt * 1000000) // cnt) // 1000000 AS epochs,
+             ((max_cnt * 1000000) // cnt) % 1000000 AS rem
+      FROM mcnt CROSS JOIN mmax)""",
+      """meps AS MATERIALIZED (
+      SELECT doc_id, source,
+             CAST(unnest(range(reps)) AS BIGINT) AS epoch
+      FROM (SELECT cap.doc_id, sd.source,
+                   epochs + CASE WHEN ('0x' || substr(md5('mix:' ||
+                     cap.doc_id), 1, 15))::BIGINT % 1000000 < rem
+                     THEN 1 ELSE 0 END AS reps
+            FROM cap JOIN sd USING (doc_id)
+            JOIN mfac ON sd.source = mfac.source) z)""",
+      """pd AS (
+      SELECT m.doc_id, m.epoch,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('build:' || m.doc_id || ':' || m.epoch),
+                1, 15))::BIGINT % 8 AS block
+      FROM meps m JOIN t USING (doc_id))""",
+      """pw AS (
+      SELECT doc_id, epoch, block, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY block
+               ORDER BY doc_id, epoch ROWS UNBOUNDED PRECEDING)
+               - n_tokens AS BIGINT) AS start_tok
+      FROM pd)""")
+    "WITH RECURSIVE\n " + parts.mkString(",\n ") + "\n " +
+      """SELECT doc_id, epoch, CAST(block AS BIGINT) AS block,
+             n_tokens, start_tok,
+             CAST(block * 1099511627776 + start_tok // 2048 AS BIGINT)
+               AS bin
+      FROM pw ORDER BY doc_id, epoch"""
+  }
 
   /** Unrolled BPE-training oracle chain (q80/q81): q90's word-count
     * relation capped to the trainer's vocab bound, then `n`

@@ -51,6 +51,151 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** THE one-command corpus build (q112) — the full curation family
+    * composed into a single gated batch entry, the pipeline a training
+    * corpus actually ships through:
+    *
+    *   scrub → {quality, Gopher shape, Gopher repetition, perplexity,
+    *   DSIR, odds-classifier} gates → exact dedup → MinHash-LSH
+    *   near dedup → trained-cell semantic dedup → domain cap →
+    *   mixture epochs → sequence packing
+    *
+    * Output: the BUILD MANIFEST — one row per kept (doc, epoch) with
+    * its packed shard position `(doc_id, epoch, block, n_tokens,
+    * start_tok, bin)`. Every upstream decision is observable through
+    * it (a wrongly gated/deduped/capped doc changes the manifest), so
+    * one oracle gates the whole composition; each stage's semantics is
+    * additionally gated by its standalone query (q77, q20, q96, q101,
+    * q87, q97, q103, q16, q24/q53, q82, q85, q89, q59).
+    *
+    * Composition semantics (all deterministic, all content-addressed):
+    *  - every model and signal reads the SCRUBBED text (PII redaction
+    *    first, the streaming `DocStream.curate` order);
+    *  - the three reference models (bigram perplexity, DSIR buckets,
+    *    odds classifier) train on the scrubbed corpus's `en` slice /
+    *    labels, then score map-side — the gates share ONE scan with
+    *    the quality/Gopher signals, the dedup fingerprint, and the
+    *    pack length;
+    *  - unscoreable docs PASS the model gates (NULL ppx/dsir/odds —
+    *    the streaming contract);
+    *  - dedup keeps the LOWEST doc_id (per fingerprint, per near-dup
+    *    component, per semantic component); the semantic stage trains
+    *    its k-means on the SURVIVORS' embeddings with the measured
+    *    corpus-relative cell count, and a doc with no embedding row
+    *    does not survive it (no vector → no semantic verdict);
+    *  - domain cap, mixture, and packing run on survivors with the
+    *    q85/q89/q59 arithmetic (md5-addressed, integer-exact).
+    *
+    * Scale: one corpus scan computes all eight per-doc signals; the
+    * gates drop mass BEFORE any pair machinery runs; every later stage
+    * shuffles thin key relations, never text (the near-dup stage
+    * carries signature arrays, the semantic stage vectors of the
+    * survivor subset). The expensive stages are all the standalone
+    * operators unchanged, so their 100 TB postures carry over. */
+  def corpusBuild(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5,
+      maxPpxMicros: Long = 35000000L,
+      minDsirMicros: Long = 430000L,
+      minOddsMicros: Long = 990000L,
+      nearThreshold: Double = 0.5,
+      semThreshold: Double = 0.3,
+      domainCap: Int = 100,
+      packBudget: Int = 2048,
+      packBlocks: Int = 8): DataFrame =
+    corpusBuildStages(spark, dir, minQuality, maxPpxMicros,
+      minDsirMicros, minOddsMicros, nearThreshold, semThreshold,
+      domainCap, packBudget, packBlocks)("manifest")
+
+  /** [[corpusBuild]] with every intermediate stage observable — the
+    * spec/debug window into the composition: keys `flagged`, `gated`,
+    * `exact`, `near`, `sem`, `capped`, `epochs`, `manifest`. */
+  private[graft] def corpusBuildStages(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5,
+      maxPpxMicros: Long = 35000000L,
+      minDsirMicros: Long = 430000L,
+      minOddsMicros: Long = 990000L,
+      nearThreshold: Double = 0.5,
+      semThreshold: Double = 0.3,
+      domainCap: Int = 100,
+      packBudget: Int = 2048,
+      packBlocks: Int = 8): Map[String, DataFrame] = {
+    val scrubbed = graft.Caches.register(Tables.documents(spark, dir)
+      .withColumn("text", Pii.redactText(col("text"))).cache())
+    val ppxM = LangModel.trainModelOn(scrubbed)
+    val dsirT = Sampling.trainDsirOn(scrubbed, col("lang") === "en")
+    val oddsM = LangModel.trainOddsOn(scrubbed)
+    // ONE scan projection computes every text-derived signal — gate
+    // scores, dedup fingerprint, the near-dup minhash SIGNATURE, and
+    // the pack length — and then `text` is GONE: no later stage (fp
+    // window, component joins, cap, mixture, packing) ever shuffles
+    // the corpus body, only ~200 B of signals per doc (the q50
+    // no-text-shuffle audit, held by the whole composition).
+    val flagged = scrubbed.select(
+      col("doc_id"), col("lang"), col("source"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      qualityScore(col("text")).as("quality"),
+      gopherKeep(col("text")).as("g_shape"),
+      gopherRepetitionKeep(col("text")).as("g_rep"),
+      LangModel.scoreColumn(ppxM, col("text")).as("ppx"),
+      org.apache.spark.sql.graft.TextExpressions
+        .dsirScoreMicros(col("text"), dsirT.toIndexedSeq).as("dsir"),
+      LangModel.oddsScoreColumn(oddsM, col("text")).as("odds"),
+      fingerprint(col("text")).as("fp"),
+      org.apache.spark.sql.graft.TextExpressions
+        .minHashSig(col("text"), 3, 16).as("sig"))
+    val gated = flagged.where(
+      col("quality") >= minQuality && col("g_shape") && col("g_rep") &&
+        (col("ppx").isNull || col("ppx") <= maxPpxMicros) &&
+        (col("dsir").isNull || col("dsir") >= minDsirMicros) &&
+        (col("odds").isNull || col("odds") >= minOddsMicros))
+      .select("doc_id", "source", "n_tokens", "fp", "sig")
+    val exact = graft.Caches.register(gated
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("rn") === 1).drop("rn")
+      .cache())
+    val nearPairs = Dedup
+      .minhashPairsFromSigs(exact.select("doc_id", "sig"),
+        threshold = nearThreshold, ordered = false)
+      .select("id1", "id2")
+    val nearComps = Dedup.connectedComponents(nearPairs)
+    val near = graft.Caches.register(exact
+      .join(nearComps, Seq("doc_id"), "left")
+      .where(col("comp").isNull || col("comp") === col("doc_id"))
+      .drop("comp")
+      .cache())
+    val semVerdict = Similarity.semanticDedupIvfOn(
+      Tables.embeddings(spark, dir)
+        .join(near.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+      threshold = semThreshold)
+    val sem = near.join(
+      semVerdict.where(col("keep") === 1)
+        .select(col("vec_id").as("doc_id")),
+      Seq("doc_id"))
+    val capped = graft.Caches.register(sem
+      .join(Sampling.domainCapOn(sem, domainCap).select("doc_id"),
+        Seq("doc_id"))
+      .cache())
+    val epochs = Sampling.mixtureEpochsOn(capped)
+    val d = epochs
+      .join(capped.select("doc_id", "n_tokens"), Seq("doc_id"))
+      .select(col("doc_id"), col("epoch"), col("n_tokens"),
+        pmod(md5Long(concat(lit("build:"), col("doc_id").cast("string"),
+          lit(":"), col("epoch").cast("string"))),
+          lit(packBlocks.toLong)).as("block"))
+    val w = Window.partitionBy("block").orderBy("doc_id", "epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val manifest = d
+      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin", col("block") * lit(Packing.BinStride)
+        + expr(s"start_tok div $packBudget"))
+      .select("doc_id", "epoch", "block", "n_tokens", "start_tok", "bin")
+      .orderBy("doc_id", "epoch")
+    Map("flagged" -> flagged, "gated" -> gated, "exact" -> exact,
+      "near" -> near, "sem" -> sem, "capped" -> capped,
+      "epochs" -> epochs, "manifest" -> manifest)
+  }
+
   /** Near-dup canonical selection — the decision a dedup pipeline
     * actually ships: for every near-dup cluster (MinHash-LSH pairs →
     * connected components, the q24/q53 machinery) keep exactly ONE

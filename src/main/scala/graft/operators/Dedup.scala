@@ -683,7 +683,11 @@ object Dedup {
     * shuffled rows per doc). */
   private def signatureArrays(spark: SparkSession, dir: String,
       shingleK: Int, numHashes: Int): DataFrame =
-    Tables.documents(spark, dir)
+    signatureArraysOn(Tables.documents(spark, dir), shingleK, numHashes)
+
+  private def signatureArraysOn(docs: DataFrame, shingleK: Int,
+      numHashes: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         TextExpressions.minHashSig(col("text"), shingleK, numHashes).as("sig"))
 
@@ -705,12 +709,31 @@ object Dedup {
     * the only exploded relation is the (doc, band) bucket table. */
   def minhashLshPairs(spark: SparkSession, dir: String,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5, ordered: Boolean = true): DataFrame = {
-    val rowsPerBand = numHashes / bands
+      threshold: Double = 0.5, ordered: Boolean = true): DataFrame =
+    minhashLshPairsOn(Tables.documents(spark, dir), shingleK, numHashes,
+      bands, threshold, ordered)
+
+  /** [[minhashLshPairs]] over an explicit documents relation (the
+    * corpus-build composition runs it on gate-and-exact-dedup
+    * survivors of the scrubbed corpus). */
+  def minhashLshPairsOn(docs: DataFrame,
+      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, ordered: Boolean = true): DataFrame =
     // cache: referenced three times below (banding + both verify sides);
     // without it each reference re-scans documents and re-hashes shingles
-    val sigs = graft.Caches.register(
-      signatureArrays(spark, dir, shingleK, numHashes).cache())
+    minhashPairsFromSigs(
+      graft.Caches.register(
+        signatureArraysOn(docs, shingleK, numHashes).cache()),
+      numHashes, bands, threshold, ordered)
+
+  /** The band/bucket/verify tail of [[minhashLshPairs]] over an
+    * already-computed `(doc_id, sig)` relation — the corpus-build
+    * composition computes signatures in its shared scan projection
+    * (text never survives past the scan) and feeds them here. */
+  private[operators] def minhashPairsFromSigs(sigs: DataFrame,
+      numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, ordered: Boolean = true): DataFrame = {
+    val rowsPerBand = numHashes / bands
     // band key = md5 of the ordered hash values inside the band
     val bandKeys = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>

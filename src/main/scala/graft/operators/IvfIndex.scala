@@ -92,8 +92,14 @@ object IvfIndex {
   /** Train C centroids with `iters` Lloyd iterations; collects the C
     * centroids per iteration (integer-exact averages, see object doc). */
   def train(spark: SparkSession, dir: String, cells: Int = 16,
+      iters: Int = 3): Centroids =
+    trainOn(Tables.embeddings(spark, dir), cells, iters)
+
+  /** [[train]] over an explicit (vec_id, embedding) relation (the
+    * corpus-build composition trains on the survivors' embeddings). */
+  def trainOn(embeddings: DataFrame, cells: Int = 16,
       iters: Int = 3): Centroids = {
-    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val emb = embeddings.select("vec_id", "embedding")
     // init: the C lowest vec_ids, cell id = rank (vec_ids are 0..N-1 in
     // the test tables; take a sorted limit to stay general)
     var cents: Centroids = emb.orderBy("vec_id").limit(cells).collect()

@@ -71,8 +71,17 @@ object LangModel {
     * order as the KenLM artifacts CCNet ships to every worker). */
   def trainModel(spark: SparkSession, dir: String, refLang: String = "en",
       maxUnigrams: Int = 10000000, maxBigrams: Int = 50000000)
+      : BigramModel =
+    trainModelOn(Tables.documents(spark, dir), refLang, maxUnigrams,
+      maxBigrams)
+
+  /** [[trainModel]] over an explicit documents relation (the corpus-
+    * build composition trains on the SCRUBBED corpus, not the raw
+    * table). */
+  def trainModelOn(documents: DataFrame, refLang: String = "en",
+      maxUnigrams: Int = 10000000, maxBigrams: Int = 50000000)
       : BigramModel = {
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .select(col("lang"), tokens(col("text")).as("toks"))
     val (uni, bi) = modelTables(docs.filter(col("lang") === refLang))
     val uniRows = uni.limit(maxUnigrams + 1).collect()
@@ -393,8 +402,13 @@ object LangModel {
     * [[oddsQuality]] bit-for-bit on any doc whose tokens the model has
     * seen. */
   def trainOdds(spark: SparkSession, dir: String, posLang: String = "en",
+      maxVocab: Int = 2000000): OddsModel =
+    trainOddsOn(Tables.documents(spark, dir), posLang, maxVocab)
+
+  /** [[trainOdds]] over an explicit documents relation. */
+  def trainOddsOn(documents: DataFrame, posLang: String = "en",
       maxVocab: Int = 2000000): OddsModel = {
-    val carrier = Tables.documents(spark, dir)
+    val carrier = documents
       .select(col("lang"), explode(tokens(col("text"))).as("tok"))
     val model = carrier.groupBy("tok").agg(
       sum(when(col("lang") === posLang, lit(1L)).otherwise(0L)).as("cp"),

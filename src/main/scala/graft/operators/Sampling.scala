@@ -116,10 +116,16 @@ object Sampling {
     * Long end-to-end (a Double score would truncate it at 53 bits and
     * drift from the oracle's integer ORDER BY). */
   def domainCap(spark: SparkSession, dir: String, cap: Int = 10,
+      salt: String = "dcap"): DataFrame =
+    domainCapOn(Tables.documents(spark, dir), cap, salt)
+
+  /** [[domainCap]] over an explicit documents relation. */
+  def domainCapOn(docs: DataFrame, cap: Int = 10,
       salt: String = "dcap"): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val agg = new graft.functions.MinKLongAggregator(cap)
-    Tables.documents(spark, dir)
+    docs
       .select(col("source"),
         md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))).as("h"),
         col("doc_id"))
@@ -180,8 +186,11 @@ object Sampling {
     * size is the mixture's token budget, ~|sources|·maxCnt). Nothing
     * shuffles but the output sort; no stratum ever sorts or windows. */
   def mixtureEpochs(spark: SparkSession, dir: String,
-      salt: String = "mix"): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+      salt: String = "mix"): DataFrame =
+    mixtureEpochsOn(Tables.documents(spark, dir), salt)
+
+  /** [[mixtureEpochs]] over an explicit documents relation. */
+  def mixtureEpochsOn(docs: DataFrame, salt: String = "mix"): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
     val mx = counts.agg(max("cnt").as("maxCnt")) // 1 row
     val fac = counts.crossJoin(broadcast(mx))
@@ -285,10 +294,15 @@ object Sampling {
     * training corpus itself under this table is bit-identical to
     * [[dsirWeightsAgainst]] (spec-pinned). */
   def trainDsir(spark: SparkSession, dir: String,
-      refLang: String = "en"): Array[Long] = {
-    val docs = Tables.documents(spark, dir)
+      refLang: String = "en"): Array[Long] =
+    trainDsirOn(Tables.documents(spark, dir), col("lang") === refLang)
+
+  /** [[trainDsir]] over an explicit documents relation with an
+    * arbitrary target predicate. */
+  def trainDsirOn(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column): Array[Long] = {
     val rows = docs
-      .select((col("lang") === refLang).as("is_target"),
+      .select(isTarget.as("is_target"),
         explode(org.apache.spark.sql.graft.TextExpressions
           .dsirFeatureBuckets(col("text"), DsirBuckets)).as("bucket"))
       .groupBy("bucket")

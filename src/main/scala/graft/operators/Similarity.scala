@@ -190,18 +190,44 @@ object Similarity {
       : DataFrame = {
     val nCells =
       if (cells > 0) cells
-      else {
-        val n = Tables.embeddings(spark, dir).count()
-        val c = math.min(4096L, math.max(16L, (n + 127L) / 128L)).toInt
-        System.err.println(
-          s"[graft] semanticDedupIvf: measured $n vectors -> $c cells")
-        c
-      }
+      else measuredCells(Tables.embeddings(spark, dir).count())
     val cents = IvfIndex.trainCached(spark, dir, nCells, iters)
+    semanticDedupWithCentroids(Tables.embeddings(spark, dir), cents,
+      threshold)
+  }
+
+  /** The operator's corpus-relative cell-count rule (shared with the
+    * q82 oracle, which derives the same value in SQL). */
+  private[operators] def measuredCells(n: Long): Int = {
+    val c = math.min(4096L, math.max(16L, (n + 127L) / 128L)).toInt
+    System.err.println(
+      s"[graft] semanticDedupIvf: measured $n vectors -> $c cells")
+    c
+  }
+
+  /** [[semanticDedupIvf]] over an explicit (vec_id, embedding)
+    * relation — trains on THAT relation (no memo: the survivor subset
+    * changes with upstream gates). The corpus-build composition's
+    * semantic stage. */
+  def semanticDedupIvfOn(emb: DataFrame, threshold: Double = 0.3,
+      cells: Int = 0, iters: Int = 3): DataFrame = {
+    val n = if (cells > 0) -1L else emb.count()
+    if (n == 0)
+      // nothing to dedup (an upstream gate emptied the corpus): the
+      // empty verdict, not a zero-cell training crash
+      return emb.select(col("vec_id"), col("vec_id").as("comp"),
+        lit(1).as("keep"))
+    val nCells = if (cells > 0) cells else measuredCells(n)
+    val cents = IvfIndex.trainOn(emb, nCells, iters)
+    semanticDedupWithCentroids(emb, cents, threshold)
+  }
+
+  private def semanticDedupWithCentroids(embeddings: DataFrame,
+      cents: IvfIndex.Centroids, threshold: Double): DataFrame = {
     // cell computed IN the scan projection (literal centroids, map-only)
     // — joining a separate assign() relation back on vec_id would spend
     // a corpus shuffle to rediscover a value the scan can compute
-    val emb = Tables.embeddings(spark, dir)
+    val emb = embeddings
       .select(col("vec_id"), col("embedding"),
         IvfIndex.cellExpr(cents, col("embedding")))
     val a = emb.as("a"); val b = emb.as("b")
@@ -212,16 +238,21 @@ object Similarity {
           .as("score"))
       .where(col("score") >= threshold)
       .select("id1", "id2")
-    componentVerdict(spark, dir, edges)
+    componentVerdictOn(embeddings.select("vec_id"), edges)
   }
 
   /** Shared SemDeDup decision tail: edges → components → the full
     * per-vector verdict (see [[semanticDedup]]'s scaladoc). */
   private def componentVerdict(spark: SparkSession, dir: String,
+      edges: DataFrame): DataFrame =
+    componentVerdictOn(Tables.embeddings(spark, dir).select("vec_id"),
+      edges)
+
+  private def componentVerdictOn(universe: DataFrame,
       edges: DataFrame): DataFrame = {
     val comps = Dedup.connectedComponents(edges)
       .select(col("doc_id").as("vec_id"), col("comp"))
-    Tables.embeddings(spark, dir).select(col("vec_id"))
+    universe.select(col("vec_id"))
       .join(comps, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("comp"), col("vec_id")).as("comp"))

@@ -35,7 +35,10 @@ class PlanAuditSpec extends SparkSpec {
     // q95: q22's collected hot-shingle-set broadcast (1 row)
     "q95_containment_pairs",
     // q103: the 1-row class-totals broadcast (q64's total pattern)
-    "q103_odds_quality")
+    "q103_odds_quality",
+    // q112: inherits q89's 1-row max-source-count broadcast and q103's
+    // class-totals broadcast through the composed pipeline
+    "q112_corpus_build")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -199,11 +202,15 @@ class PlanAuditSpec extends SparkSpec {
     // q92: map-only blocklist counter, sort only; q93: the tiny
     // per-lang agg + sort — the encode counts are scan projections
     "q92_blocklist_scan" -> 1, "q93_tokenizer_fertility" -> 2,
-    // q94: q87's model/scoring exchanges with lang in the keys (uni,
-    // vdf, bi, langs-distinct, doc-bigram aggs + two model-join probe
-    // re-exchanges) + the per-(doc,lang) and per-doc argmin aggs —
-    // token-key shuffles throughout, text never leaves the scan
-    "q94_lm_langid" -> 9,
+    // q94: the hit/miss decomposition — q87's model exchanges with
+    // lang in the keys (uni, vdf, bi, doc-bigram aggs), the INNER hit
+    // join's probe exchanges + hit aggregate, the per-doc totals agg,
+    // and the thin (docs × L) assembly + argmin. Four more exchanges
+    // than the old ×L product, but each carries shared-vocab hits or
+    // per-doc scalars instead of |bigrams|·L arithmetic rows —
+    // measured 0.83→0.56 s at sf0.1, 8.4–12→3.9 s at sf1. Token-key
+    // shuffles throughout, text never leaves the scan
+    "q94_lm_langid" -> 13,
     // q95: the q22 counting-join skeleton (hot-df agg + the self-join's
     // two token exchanges + the pair groupBy); the directed explode and
     // threshold filter are map-side on the aggregated pairs, and AQE
@@ -260,7 +267,14 @@ class PlanAuditSpec extends SparkSpec {
     "q110_ivfpq_search" -> 0,
     // q111: ONE aggregation (Spark expands the rollup grouping sets
     // map-side via Expand) + the output sort
-    "q111_rollup_report" -> 2)
+    "q111_rollup_report" -> 2,
+    // q112: the whole curation family composed — six gate relations
+    // (three of them model-training aggregations), three dedup stages
+    // (fingerprint window, minhash band/verify joins, semantic pair
+    // join), cap window, mixture, packing window, output sort. Each
+    // stage's own shuffle shape is audited by its standalone query;
+    // this records the composition's total
+    "q112_corpus_build" -> 82)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

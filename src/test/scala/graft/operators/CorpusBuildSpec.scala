@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The one-command corpus build (q112): stage containment, manifest
+  * packing arithmetic, and the epoch structure — the composition-level
+  * invariants no single-stage oracle can see. */
+class CorpusBuildSpec extends SparkSpec {
+
+  // sf0.01, not the default sf0.001: the Gopher word-count floor (50
+  // tokens) rejects every 50-token-ish doc of the tiny corpus, which
+  // exercises nothing downstream. The degenerate-corpus path is its
+  // own test below.
+  private lazy val stages =
+    Curation.corpusBuildStages(spark, "/root/testdata/sf0.01")
+  private def ids(stage: String): Set[Long] =
+    stages(stage).select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("stages only ever shrink: gated ⊇ exact ⊇ near ⊇ sem ⊇ capped") {
+    val gated = ids("gated"); val exact = ids("exact")
+    val near = ids("near"); val sem = ids("sem"); val capped = ids("capped")
+    assert(gated.nonEmpty, "gates killed the whole sf corpus")
+    assert(exact.subsetOf(gated) && near.subsetOf(exact) &&
+      sem.subsetOf(near) && capped.subsetOf(sem),
+      s"containment broken: ${gated.size} ⊇ ${exact.size} ⊇ " +
+        s"${near.size} ⊇ ${sem.size} ⊇ ${capped.size}")
+  }
+
+  test("manifest: per-block start_tok is the exact (doc, epoch)-ordered " +
+    "prefix sum, and bins advance every budget tokens") {
+    val rows = stages("manifest")
+      .select("doc_id", "epoch", "block", "n_tokens", "start_tok", "bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._3).foreach { case (block, rs) =>
+      var acc = 0L
+      rs.sortBy(r => (r._1, r._2)).foreach {
+        case (d, e, _, n, start, bin) =>
+          assert(start == acc, s"block $block doc $d/$e: $start != $acc")
+          assert(bin == block * Packing.BinStride + start / 2048,
+            s"block $block doc $d/$e: bad bin $bin")
+          acc += n
+      }
+    }
+  }
+
+  test("every kept doc packs every one of its epochs, contiguously " +
+    "from 0") {
+    val manifest = stages("manifest")
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val capped = ids("capped")
+    assert(manifest.map(_._1).toSet == capped,
+      "manifest docs != capped survivors")
+    manifest.groupBy(_._1).foreach { case (d, es) =>
+      val epochs = es.map(_._2).sorted.toSeq
+      assert(epochs == (0L until epochs.length).toSeq,
+        s"doc $d epochs not contiguous: $epochs")
+    }
+  }
+
+  test("the manifest never reuses a (block, start) slot") {
+    val slots = stages("manifest").select("block", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(slots.length == slots.toSet.size, "overlapping pack slots")
+  }
+
+  test("a corpus the gates empty out yields an empty manifest, not a " +
+    "crash") {
+    // sf0.001's docs all fall under the Gopher 50-token floor
+    val m = Curation.corpusBuild(spark, sf)
+    assert(m.count() == 0L)
+    graft.Caches.releaseAll()
+  }
+}
