@@ -2658,7 +2658,7 @@ object SparkEntry {
       FROM (SELECT toks, unnest(range(len(toks)-1)) AS i
             FROM t WHERE lang = 'en' AND len(toks) > 1)
       GROUP BY 1, 2)""",
-      """ppx AS (
+      """ppx  AS MATERIALIZED (
       SELECT doc_id, CAST(SUM(ip * tf) // SUM(tf) AS BIGINT) AS ppx
       FROM (SELECT cb.doc_id, cb.tf,
                    ((COALESCE(uni.c1, 0) + v.v) * 1000000)
@@ -2680,7 +2680,7 @@ object SparkEntry {
       SELECT bucket, ((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)
              * 1000000) // (count(*) + 1) AS score6
       FROM dso GROUP BY bucket)""",
-      """dsir AS (
+      """dsir  AS MATERIALIZED (
       SELECT doc_id, CAST(SUM(score6) // count(*) AS BIGINT) AS dsir
       FROM dso JOIN dsb USING (bucket) GROUP BY doc_id)""",
       """oc AS (
@@ -2704,10 +2704,23 @@ object SparkEntry {
                      // greatest((cn + 1) * 1000000000 // (nn + v), 1),
                    1000000000000) AS w
       FROM om, ot)""",
-      """odds AS (
+      """odds  AS MATERIALIZED (
       SELECT doc_id,
              CAST(SUM(occ * w) // SUM(occ) AS BIGINT) AS odds
       FROM oc JOIN ow USING (tok) GROUP BY doc_id)""",
+      // corpus-relative model-gate cutoffs — exact order statistics
+      // (keep the best 90% of scored docs, ties at the cutoff pass):
+      // the operator's q79-style percentile rule replayed with
+      // ORDER BY + LIMIT-subquery
+      """pcut AS (SELECT max(v) AS cut FROM (
+        SELECT ppx AS v FROM ppx ORDER BY ppx
+        LIMIT (SELECT GREATEST((count(*) * 90) // 100, 1) FROM ppx)))""",
+      """dcut AS (SELECT min(v) AS cut FROM (
+        SELECT dsir AS v FROM dsir ORDER BY dsir DESC
+        LIMIT (SELECT GREATEST((count(*) * 90) // 100, 1) FROM dsir)))""",
+      """ocut AS (SELECT min(v) AS cut FROM (
+        SELECT odds AS v FROM odds ORDER BY odds DESC
+        LIMIT (SELECT GREATEST((count(*) * 90) // 100, 1) FROM odds)))""",
       """gated AS MATERIALIZED (
       SELECT t.doc_id
       FROM t
@@ -2718,9 +2731,9 @@ object SparkEntry {
       LEFT JOIN dsir USING (doc_id)
       LEFT JOIN odds USING (doc_id)
       WHERE qs.quality >= 0.5 AND gsh.g_shape = 1 AND grep.g_rep = 1
-        AND (ppx.ppx IS NULL OR ppx.ppx <= 35000000)
-        AND (dsir.dsir IS NULL OR dsir.dsir >= 430000)
-        AND (odds.odds IS NULL OR odds.odds >= 990000))""",
+        AND (ppx.ppx IS NULL OR ppx.ppx <= (SELECT cut FROM pcut))
+        AND (dsir.dsir IS NULL OR dsir.dsir >= (SELECT cut FROM dcut))
+        AND (odds.odds IS NULL OR odds.odds >= (SELECT cut FROM ocut)))""",
       raw"""ex AS MATERIALIZED (
       SELECT doc_id FROM (
         SELECT t.doc_id, row_number() OVER (

@@ -145,12 +145,12 @@ object IvfIndex {
     * each data file's (name, mtime, size) — one driver-side directory
     * listing, no data read. The same signal object stores and streaming
     * file sources key on; content hashing would cost a corpus scan. */
-  def dataFingerprint(dir: String): Long = {
+  def dataFingerprint(dir: String, table: String = "embeddings"): Long = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
-    walk(new java.io.File(s"$dir/embeddings.parquet"))
+    walk(new java.io.File(s"$dir/$table.parquet"))
       .filterNot(_.getName.startsWith("."))
       .foldLeft(17L) { (h, f) =>
         var x = h

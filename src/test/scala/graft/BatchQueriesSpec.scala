@@ -8,11 +8,7 @@ package graft
 class BatchQueriesSpec extends SparkSpec {
 
   // Queries whose correct result may legitimately be empty at tiny scale.
-  // q112 at sf0.001: the Gopher 50-token floor rejects the whole tiny
-  // corpus by design (CorpusBuildSpec pins both the empty path here
-  // and the populated pipeline at sf0.01); the driver's sf0.01 gate
-  // sees 225 rows
-  private val mayBeEmpty = Set[String]("q112_corpus_build")
+  private val mayBeEmpty = Set[String]()
 
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)

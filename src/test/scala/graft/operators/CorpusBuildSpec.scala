@@ -70,9 +70,30 @@ class CorpusBuildSpec extends SparkSpec {
 
   test("a corpus the gates empty out yields an empty manifest, not a " +
     "crash") {
-    // sf0.001's docs all fall under the Gopher 50-token floor
-    val m = Curation.corpusBuild(spark, sf)
+    // every doc sits far under the Gopher 50-token floor, so the shape
+    // rule rejects the whole corpus; the semantic stage must take its
+    // zero-survivor path (no zero-cell k-means crash) and the manifest
+    // must come back empty
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cbempty").toString
+    Seq((0L, "en", "s", "tiny doc one"), (1L, "en", "s", "tiny doc two"))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, Array(0.1f, 0.2f), 0), (1L, Array(0.2f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val m = Curation.corpusBuild(spark, dir)
     assert(m.count() == 0L)
+    graft.Caches.releaseAll()
+  }
+
+  test("the percentile model gates rescue a corpus whose score SCALE " +
+    "shifts (the sf1 lesson): sf0.001 still builds") {
+    // absolute gate-SF thresholds emptied 10× corpora; the relative
+    // cutoffs must keep any corpus's best 90% regardless of the ppx /
+    // dsir / odds magnitudes
+    val m = Curation.corpusBuild(spark, sf)
+    assert(m.count() > 0L)
     graft.Caches.releaseAll()
   }
 }
