@@ -88,29 +88,43 @@ object FuzzyJoin {
     require(maxDist >= 1, "maxDist must be >= 1")
     val base = graft.Caches.register(
       rel.select(col("key"), col("name")).cache())
-    val namePairs = graft.Caches.register(quotientPairs(
-      base.select(col("name")).distinct(), maxDist, maxBroadcastGrams)
-      .cache())
-    // price the expansion before running it: clone-group sizes × the
-    // name-pair relation bound the output EXACTLY (groups are disjoint)
-    val sizes = base.groupBy("name").agg(count(lit(1)).as("n"))
-    val crossMass = namePairs
-      .join(sizes.select(col("name").as("a_name"), col("n").as("na")),
-        Seq("a_name"))
-      .join(sizes.select(col("name").as("b_name"), col("n").as("nb")),
-        Seq("b_name"))
-      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)))
-      .first().getLong(0)
-    val eqMass = sizes
-      .agg(coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")),
-        lit(0L)))
-      .first().getLong(0)
-    val predicted = crossMass + eqMass
-    require(predicted <= maxPairs,
-      s"fuzzyPairs would materialize $predicted rows (cap $maxPairs): " +
-        "the pair view is quadratic in clone-group size — use " +
-        "fuzzyClusters (linear output, one row per key) at scale, or " +
-        "raise maxPairs explicitly to audit consciously")
+    // TIERED guard: C(N,2) bounds ANY pair view, so one cheap count
+    // clears small corpora without touching the quotient machinery
+    // (the measured-dispatch discipline — pricing the expansion
+    // exactly cost ~2 s at sf0.1 for a guard that can't trip there).
+    // Only when the trivial bound can't clear does the exact price
+    // run: clone-group sizes × the cached name-pair relation bound
+    // the output EXACTLY (groups are disjoint), one driver action.
+    val nKeys = base.count()
+    val triviallyUnder =
+      nKeys.toDouble * (nKeys - 1).toDouble / 2.0 <= maxPairs.toDouble
+    val namePairs =
+      if (triviallyUnder)
+        quotientPairs(base.select(col("name")).distinct(), maxDist,
+          maxBroadcastGrams)
+      else {
+        val np = graft.Caches.register(quotientPairs(
+          base.select(col("name")).distinct(), maxDist,
+          maxBroadcastGrams).cache())
+        val sizes = base.groupBy("name").agg(count(lit(1)).as("n"))
+        val predicted = np
+          .join(sizes.select(col("name").as("a_name"), col("n").as("na")),
+            Seq("a_name"))
+          .join(sizes.select(col("name").as("b_name"), col("n").as("nb")),
+            Seq("b_name"))
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("cm"))
+          .crossJoin(sizes
+            .agg(coalesce(sum((col("n") * (col("n") - 1) / 2)
+              .cast("long")), lit(0L)).as("em")))
+          .select(col("cm") + col("em"))
+          .first().getLong(0)
+        require(predicted <= maxPairs,
+          s"fuzzyPairs would materialize $predicted rows (cap " +
+            s"$maxPairs): the pair view is quadratic in clone-group " +
+            "size — use fuzzyClusters (linear output, one row per key) " +
+            "at scale, or raise maxPairs explicitly to audit consciously")
+        np
+      }
     // expand: every (a_name, b_name) name pair × its two clone groups;
     // groups are disjoint (distinct names), so least/greatest emits
     // each unordered key pair exactly once
@@ -201,7 +215,7 @@ object FuzzyJoin {
   /** The fuzzy join on the name QUOTIENT: all (a_name < b_name) pairs
     * of the single-column `names` relation within `maxDist`, with the
     * exact distance (≥ 1 — self pairs are the expansion's job). */
-  private def quotientPairs(names: DataFrame, maxDist: Int,
+  private[graft] def quotientPairs(names: DataFrame, maxDist: Int,
       maxBroadcastGrams: Long): DataFrame = {
     val prefixLen = maxDist * Q + 1
     // |grams| > k·q ⟺ len ≥ q·(k+1): below that the overlap bound is
