@@ -287,6 +287,8 @@ object SparkEntry {
     // near + semantic dedup → domain cap → mixture → packing, gated as
     // one manifest (see Curation.corpusBuild)
     "q112_corpus_build" -> ((s, d) => Curation.corpusBuild(s, d)),
+    // q113: the build's per-block shard report (size/skew audit)
+    "q113_build_report" -> ((s, d) => Curation.buildReport(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1875,9 +1877,11 @@ object SparkEntry {
                       CAST(unnest(range(reps)) AS BIGINT) AS epoch
                FROM d)
          ORDER BY doc_id, epoch""",
-    // q112: the one-command corpus build — the full composed pipeline
-    // replayed as one CTE chain (see corpusBuildSql)
-    "q112_corpus_build" -> corpusBuildSql,
+    // q112/q113: the one-command corpus build (and its shard report) —
+    // the full composed pipeline replayed as one CTE chain (see
+    // corpusBuildSql)
+    "q112_corpus_build" -> corpusBuildManifestSql,
+    "q113_build_report" -> corpusBuildReportSql,
     // q80/q81: BPE training replayed as 50 unrolled pair-count →
     // argmax → substitute rounds (the round-9 verdict's last
     // `no_oracle` rows; see bpeTrainCtes for the replace()-as-
@@ -2855,13 +2859,30 @@ object SparkEntry {
                ORDER BY doc_id, epoch ROWS UNBOUNDED PRECEDING)
                - n_tokens AS BIGINT) AS start_tok
       FROM pd)""")
-    "WITH RECURSIVE\n " + parts.mkString(",\n ") + "\n " +
-      """SELECT doc_id, epoch, CAST(block AS BIGINT) AS block,
+    "WITH RECURSIVE\n " + parts.mkString(",\n ") + ",\n " +
+      """manifest AS (
+      SELECT doc_id, epoch, CAST(block AS BIGINT) AS block,
              n_tokens, start_tok,
              CAST(block * 1099511627776 + start_tok // 2048 AS BIGINT)
                AS bin
-      FROM pw ORDER BY doc_id, epoch"""
+      FROM pw)"""
   }
+
+  /** q112's final select over [[corpusBuildSql]]'s `manifest` CTE. */
+  private def corpusBuildManifestSql: String =
+    corpusBuildSql +
+      "\n SELECT doc_id, epoch, block, n_tokens, start_tok, bin" +
+      " FROM manifest ORDER BY doc_id, epoch"
+
+  /** q113's per-block shard report over the same chain. */
+  private def corpusBuildReportSql: String =
+    corpusBuildSql +
+      """
+ SELECT block, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(count(DISTINCT bin) AS BIGINT) AS n_bins
+ FROM manifest GROUP BY block ORDER BY block"""
 
   /** Unrolled BPE-training oracle chain (q80/q81): q90's word-count
     * relation capped to the trainer's vocab bound, then `n`

@@ -30,6 +30,123 @@ object Curation {
     .empty[(String, Long),
       (LangModel.BigramModel, Array[Long], LangModel.OddsModel)]
 
+  /** The frozen model-gate thresholds a reference corpus induces —
+    * what a STREAM wires into [[graft.streaming.DocStream.curate]]'s
+    * absolute `maxPpxMicros` / `minDsirMicros` / `minOddsMicros`
+    * parameters. [[corpusBuild]] computes these cutoffs fresh per run
+    * (corpus-relative — see its scaladoc); a stream cannot rank
+    * against data it has not seen yet, so it gates against the
+    * cutoffs its reference corpus froze — train-then-freeze, exactly
+    * the model-artifact discipline. `None` = the reference had no
+    * scoreable docs for that signal (gate passes everything, like the
+    * NULL-score contract). */
+  final case class GateCutoffs(maxPpxMicros: Option[Long],
+      minDsirMicros: Option[Long], minOddsMicros: Option[Long])
+
+  /** Freeze [[GateCutoffs]] from the corpus at `dir`: the same scrub →
+    * train → score → exact-order-statistic computation the batch build
+    * performs, returning the thresholds instead of building. The spec
+    * pins the freeze faithful: re-gating the reference corpus with
+    * these ABSOLUTE cutoffs reproduces the build's percentile-gated
+    * doc set exactly. */
+  def trainGateCutoffs(spark: SparkSession, dir: String,
+      ppxKeepPct: Int = 90, dsirKeepPct: Int = 90,
+      oddsKeepPct: Int = 90): GateCutoffs = {
+    val flaggedC = gateSignals(spark, dir)
+    cutoffsOf(flaggedC, ppxKeepPct, dsirKeepPct, oddsKeepPct)
+  }
+
+  /** The trained gate models for `dir` (memoized) — what a stream
+    * ships alongside [[trainGateCutoffs]]' thresholds. */
+  def trainGateModels(spark: SparkSession, dir: String)
+      : (LangModel.BigramModel, Array[Long], LangModel.OddsModel) = {
+    val scrubbed = graft.Caches.register(Tables.documents(spark, dir)
+      .withColumn("text", Pii.redactText(col("text"))).cache())
+    gateModels(dir, scrubbed)
+  }
+
+  private def gateModels(dir: String, scrubbed: DataFrame)
+      : (LangModel.BigramModel, Array[Long], LangModel.OddsModel) = {
+    val fpKey = (dir, IvfIndex.dataFingerprint(dir, "documents"))
+    gateModelMemo.getOrElseUpdate(fpKey, {
+      gateModelMemo.keys.filter(_._1 == dir)
+        .foreach(gateModelMemo.remove)
+      (LangModel.trainModelOn(scrubbed),
+        Sampling.trainDsirOn(scrubbed, col("lang") === "en"),
+        LangModel.trainOddsOn(scrubbed))
+    })
+  }
+
+  /** Per-JVM memo for the checkpointed per-doc signal relation, keyed
+    * like the models — a deterministic function of the corpus files,
+    * computed once per fingerprint (a repeated build, or cutoff
+    * training followed by a build, scores the corpus once). */
+  private val gateSignalMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), DataFrame]
+
+  /** Scrub → (memoized) model training → the ONE scan projection that
+    * computes every text-derived signal — gate scores, dedup
+    * fingerprint, the near-dup minhash SIGNATURE, and the pack length
+    * — eagerly materialized with lineage CUT (localCheckpoint): the
+    * cutoff jobs and the whole downstream pipeline read checkpointed
+    * blocks with tiny closures instead of re-shipping megabyte model
+    * literals per action (cache() alone measured 2× slower: six
+    * driver actions each reserialized the model-laden plan). After
+    * this projection `text` is GONE — no later stage ever shuffles
+    * the corpus body, only ~200 B of signals per doc (the q50
+    * no-text-shuffle audit, held by the whole composition). The
+    * final blocks stay persisted behind the returned lazy frames —
+    * LRU-evictable, the connectedComponents convention. */
+  private def gateSignals(spark: SparkSession, dir: String): DataFrame = {
+    val fpKey = (dir, IvfIndex.dataFingerprint(dir, "documents"))
+    gateSignalMemo.getOrElseUpdate(fpKey, {
+      gateSignalMemo.keys.filter(_._1 == dir)
+        .foreach(gateSignalMemo.remove)
+      val scrubbed = graft.Caches.register(Tables.documents(spark, dir)
+        .withColumn("text", Pii.redactText(col("text"))).cache())
+      val (ppxM, dsirT, oddsM) = gateModels(dir, scrubbed)
+      scrubbed.select(
+        col("doc_id"), col("lang"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        qualityScore(col("text")).as("quality"),
+        gopherKeep(col("text")).as("g_shape"),
+        gopherRepetitionKeep(col("text")).as("g_rep"),
+        LangModel.scoreColumn(ppxM, col("text")).as("ppx"),
+        org.apache.spark.sql.graft.TextExpressions
+          .dsirScoreMicros(col("text"), dsirT.toIndexedSeq).as("dsir"),
+        LangModel.oddsScoreColumn(oddsM, col("text")).as("odds"),
+        fingerprint(col("text")).as("fp"),
+        org.apache.spark.sql.graft.TextExpressions
+          .minHashSig(col("text"), 3, 16).as("sig"))
+        .localCheckpoint()
+    })
+  }
+
+  /** Exact order-statistic cutoffs over the checkpointed signal
+    * relation: keep the best `pct`% of scored docs per signal, ties
+    * at the cutoff included (see the corpus-relative note in
+    * [[corpusBuild]]'s body). */
+  private def cutoffsOf(flaggedC: DataFrame, ppxKeepPct: Int,
+      dsirKeepPct: Int, oddsKeepPct: Int): GateCutoffs = {
+    def cut(c: String, pct: Int, low: Boolean): Option[Long] = {
+      val scored = flaggedC.where(col(c).isNotNull)
+      val n = scored.count()
+      if (n == 0) None
+      else {
+        val k = math.max(1L, n * pct / 100).toInt
+        val ranked =
+          if (low) scored.orderBy(col(c), col("doc_id")).limit(k)
+            .agg(max(col(c)))
+          else scored.orderBy(col(c).desc, col("doc_id")).limit(k)
+            .agg(min(col(c)))
+        Some(ranked.first().getLong(0))
+      }
+    }
+    GateCutoffs(cut("ppx", ppxKeepPct, low = true),
+      cut("dsir", dsirKeepPct, low = false),
+      cut("odds", oddsKeepPct, low = false))
+  }
+
   def curate(spark: SparkSession, dir: String, minQuality: Double = 0.5,
       quotaPerLang: Int = 100, salt: String = "curate"): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -126,41 +243,6 @@ object Curation {
       domainCap: Int = 100,
       packBudget: Int = 2048,
       packBlocks: Int = 8): Map[String, DataFrame] = {
-    val scrubbed = graft.Caches.register(Tables.documents(spark, dir)
-      .withColumn("text", Pii.redactText(col("text"))).cache())
-    // train-once memo, the IvfIndex.trainCached discipline: the three
-    // reference models are deterministic functions of the corpus
-    // files, so a warm JVM (Bench min-of-N, a long-lived build server)
-    // trains them once per (dir, data fingerprint) and rebuilds many
-    // times — ~2/3 of a cold build is model training. The fingerprint
-    // supersedes stale entries on corpus refresh.
-    val fpKey = (dir, IvfIndex.dataFingerprint(dir, "documents"))
-    val (ppxM, dsirT, oddsM) = gateModelMemo.getOrElseUpdate(fpKey, {
-      gateModelMemo.keys.filter(_._1 == dir)
-        .foreach(gateModelMemo.remove)
-      (LangModel.trainModelOn(scrubbed),
-        Sampling.trainDsirOn(scrubbed, col("lang") === "en"),
-        LangModel.trainOddsOn(scrubbed))
-    })
-    // ONE scan projection computes every text-derived signal — gate
-    // scores, dedup fingerprint, the near-dup minhash SIGNATURE, and
-    // the pack length — and then `text` is GONE: no later stage (fp
-    // window, component joins, cap, mixture, packing) ever shuffles
-    // the corpus body, only ~200 B of signals per doc (the q50
-    // no-text-shuffle audit, held by the whole composition).
-    val flagged = scrubbed.select(
-      col("doc_id"), col("lang"), col("source"),
-      tokenCount(col("text")).cast("long").as("n_tokens"),
-      qualityScore(col("text")).as("quality"),
-      gopherKeep(col("text")).as("g_shape"),
-      gopherRepetitionKeep(col("text")).as("g_rep"),
-      LangModel.scoreColumn(ppxM, col("text")).as("ppx"),
-      org.apache.spark.sql.graft.TextExpressions
-        .dsirScoreMicros(col("text"), dsirT.toIndexedSeq).as("dsir"),
-      LangModel.oddsScoreColumn(oddsM, col("text")).as("odds"),
-      fingerprint(col("text")).as("fp"),
-      org.apache.spark.sql.graft.TextExpressions
-        .minHashSig(col("text"), 3, 16).as("sig"))
     // The three model gates are CORPUS-RELATIVE, not absolute: ppx
     // scales with the trained vocabulary (v rides every smoothed
     // term), and dsir/odds recentre as the corpus mix shifts — a
@@ -170,40 +252,13 @@ object Curation {
     // cutoff is an EXACT order statistic (the q79 percentile-cutoff
     // pattern): keep the best `pct`% of scored docs, ties at the
     // cutoff included, NULL (unscoreable) passes — deterministic and
-    // replayable in SQL at any scale.
-    // ONE eager materialization, lineage CUT: every signal (including
-    // the three model scores, whose expression trees carry the
-    // collected model tables) computes exactly once; the cutoff jobs
-    // and the whole downstream pipeline read checkpointed blocks with
-    // tiny closures instead of re-shipping megabyte model literals
-    // per action. (cache() alone measured 2× slower: six driver
-    // actions each reserialized the model-laden plan.) The final
-    // blocks stay persisted behind the returned lazy frames —
-    // LRU-evictable, the connectedComponents convention.
-    val flaggedC = flagged.localCheckpoint()
-    def keepLowCut(c: String, pct: Int): Option[Long] = {
-      val scored = flaggedC.where(col(c).isNotNull)
-      val n = scored.count()
-      if (n == 0) None
-      else {
-        val k = math.max(1L, n * pct / 100).toInt
-        Some(scored.orderBy(col(c), col("doc_id")).limit(k)
-          .agg(max(col(c))).first().getLong(0))
-      }
-    }
-    def keepHighCut(c: String, pct: Int): Option[Long] = {
-      val scored = flaggedC.where(col(c).isNotNull)
-      val n = scored.count()
-      if (n == 0) None
-      else {
-        val k = math.max(1L, n * pct / 100).toInt
-        Some(scored.orderBy(col(c).desc, col("doc_id")).limit(k)
-          .agg(min(col(c))).first().getLong(0))
-      }
-    }
-    val ppxCut = keepLowCut("ppx", ppxKeepPct)
-    val dsirCut = keepHighCut("dsir", dsirKeepPct)
-    val oddsCut = keepHighCut("odds", oddsKeepPct)
+    // replayable in SQL at any scale. Streams freeze these cutoffs
+    // from a reference corpus instead ([[trainGateCutoffs]]).
+    val flaggedC = gateSignals(spark, dir)
+    val cuts = cutoffsOf(flaggedC, ppxKeepPct, dsirKeepPct, oddsKeepPct)
+    val ppxCut = cuts.maxPpxMicros
+    val dsirCut = cuts.minDsirMicros
+    val oddsCut = cuts.minOddsMicros
     val gated = flaggedC.where(
       col("quality") >= minQuality && col("g_shape") && col("g_rep") &&
         (col("ppx").isNull ||
@@ -259,6 +314,21 @@ object Curation {
       "near" -> near, "sem" -> sem, "capped" -> capped,
       "epochs" -> epochs, "manifest" -> manifest)
   }
+
+  /** q113: the build's SHARD REPORT — the audit view a training run
+    * reads before consuming the packed corpus: per pack block, the
+    * packed (doc, epoch) row count, distinct documents, total tokens,
+    * and occupied bins. One aggregation over [[corpusBuild]]'s
+    * manifest; block sizing skew (the thing that makes one shard
+    * finish late at 100 TB) is read straight off `total_tokens`. */
+  def buildReport(spark: SparkSession, dir: String): DataFrame =
+    corpusBuild(spark, dir)
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("bin")).as("n_bins"))
+      .orderBy("block")
 
   /** Near-dup canonical selection — the decision a dedup pipeline
     * actually ships: for every near-dup cluster (MinHash-LSH pairs →

@@ -36,9 +36,9 @@ class PlanAuditSpec extends SparkSpec {
     "q95_containment_pairs",
     // q103: the 1-row class-totals broadcast (q64's total pattern)
     "q103_odds_quality",
-    // q112: inherits q89's 1-row max-source-count broadcast and q103's
-    // class-totals broadcast through the composed pipeline
-    "q112_corpus_build")
+    // q112/q113: inherit q89's 1-row max-source-count broadcast and
+    // q103's class-totals broadcast through the composed pipeline
+    "q112_corpus_build", "q113_build_report")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -274,7 +274,9 @@ class PlanAuditSpec extends SparkSpec {
     // join), cap window, mixture, packing window, output sort. Each
     // stage's own shuffle shape is audited by its standalone query;
     // this records the composition's total
-    "q112_corpus_build" -> 82)
+    "q112_corpus_build" -> 82,
+    // q113: q112's chain + the per-block rollup agg + its sort
+    "q113_build_report" -> 84)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

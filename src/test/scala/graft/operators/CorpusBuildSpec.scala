@@ -68,6 +68,38 @@ class CorpusBuildSpec extends SparkSpec {
     assert(slots.length == slots.toSet.size, "overlapping pack slots")
   }
 
+  test("build report reconciles exactly with the manifest") {
+    val manifest = stages("manifest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))
+    val report = Curation.buildReport(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val byBlock = manifest.groupBy(_._3)
+    assert(report.keySet == byBlock.keySet)
+    byBlock.foreach { case (b, rs) =>
+      assert(report(b) == ((rs.length.toLong,
+        rs.map(_._1).distinct.length.toLong, rs.map(_._4).sum,
+        rs.map(_._5).distinct.length.toLong)), s"block $b")
+    }
+  }
+
+  test("trainGateCutoffs freezes faithfully: absolute re-gating with " +
+    "the frozen thresholds reproduces the build's percentile gate") {
+    val dir = "/root/testdata/sf0.01"
+    val cuts = Curation.trainGateCutoffs(spark, dir)
+    assert(cuts.maxPpxMicros.isDefined && cuts.minDsirMicros.isDefined
+      && cuts.minOddsMicros.isDefined)
+    val refrozen = stages("flagged").where(
+      col("quality") >= 0.5 && col("g_shape") && col("g_rep") &&
+        (col("ppx").isNull || col("ppx") <= cuts.maxPpxMicros.get) &&
+        (col("dsir").isNull || col("dsir") >= cuts.minDsirMicros.get) &&
+        (col("odds").isNull || col("odds") >= cuts.minOddsMicros.get))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(refrozen == ids("gated"))
+  }
+
   test("a corpus the gates empty out yields an empty manifest, not a " +
     "crash") {
     // every doc sits far under the Gopher 50-token floor, so the shape
