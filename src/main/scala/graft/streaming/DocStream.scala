@@ -81,6 +81,37 @@ object DocStream {
     * ([[graft.operators.LangModel.trainOdds]]) ships inside the scoring
     * expression; docs scoring BELOW `minOddsMicros` drop; empty docs
     * (NULL score) pass. */
+  /** [[curate]] with EVERY gate wired from the artifacts a reference
+    * corpus froze — the streaming twin of the batch
+    * [[graft.operators.Curation.corpusBuild]]'s gate stage: scrub +
+    * quality + Gopher shape + repetition + DSIR + odds + perplexity,
+    * models from [[graft.operators.Curation.trainGateModels]] and
+    * thresholds from [[graft.operators.Curation.trainGateCutoffs]]
+    * (a stream cannot rank against data it has not seen, so it gates
+    * against the reference corpus's frozen order statistics — the
+    * train-then-freeze discipline). A signal the reference could not
+    * score (None cutoff) gates nothing, matching the batch NULL-pass
+    * contract. PipelineSpec pins the streamed survivor set equal to
+    * the batch build's gated+exact stages on the same corpus. */
+  def curateFrozen(docs: DataFrame, refDir: String,
+      minQuality: Double = 0.5, watermark: String = "24 hours",
+      ppxKeepPct: Int = 90, dsirKeepPct: Int = 90,
+      oddsKeepPct: Int = 90): DataFrame = {
+    val spark = docs.sparkSession
+    val (ppxM, dsirT, oddsM) =
+      graft.operators.Curation.trainGateModels(spark, refDir)
+    val cuts = graft.operators.Curation.trainGateCutoffs(spark, refDir,
+      ppxKeepPct, dsirKeepPct, oddsKeepPct)
+    curate(docs, minQuality, watermark, scrubPii = true,
+      ppxModel = Some(ppxM),
+      maxPpxMicros = cuts.maxPpxMicros.getOrElse(Long.MaxValue),
+      gopherGate = true, repetitionGate = true,
+      dsirScores = Some(dsirT),
+      minDsirMicros = cuts.minDsirMicros.getOrElse(Long.MinValue),
+      oddsModel = Some(oddsM),
+      minOddsMicros = cuts.minOddsMicros.getOrElse(Long.MinValue))
+  }
+
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       watermark: String = "24 hours", scrubPii: Boolean = false,
       ppxModel: Option[graft.operators.LangModel.BigramModel] = None,

@@ -194,6 +194,46 @@ class PipelineSpec extends SparkSpec {
     assert(got == batchIds, s"streaming $got != batch $batchIds")
   }
 
+  test("curateFrozen: the full frozen-gate stream equals the batch " +
+    "build's gated+exact stages on the same corpus") {
+    // stream the sf0.01 corpus through the streaming twin, with the
+    // same corpus as the frozen reference — the streamed survivor set
+    // must be the batch build's percentile-gated set after exact
+    // dedup (the stream's watermarked fp-dedup at one batch = the
+    // batch min-doc_id-per-fp rule, compared on fingerprint SETS so
+    // in-batch arrival order cannot matter)
+    val dir = "/root/testdata/sf0.01"
+    val src = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3),
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    val mem = MemoryStream[(Long, String, String, String,
+      java.sql.Timestamp)]
+    val q = DocStream.curateFrozen(
+        mem.toDF().toDF("doc_id", "lang", "source", "text", "ts"), dir)
+      .writeStream.format("memory").queryName("frozen_curated")
+      .outputMode("append").start()
+    mem.addData(src.toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("frozen_curated").select("doc_id", "fp")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stages = graft.operators.Curation.corpusBuildStages(spark, dir)
+    val gated = stages("gated").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val exact = stages("exact").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet.subsetOf(gated),
+      "stream passed a doc the batch gates dropped")
+    assert(got.map(_._2).toSet ==
+      stages("exact").select("fp").collect().map(_.getString(0)).toSet,
+      "fingerprint sets diverge")
+    assert(got.length == exact.size,
+      s"stream kept ${got.length}, batch exact kept ${exact.size}")
+    graft.Caches.releaseAll()
+  }
+
   test("curate(blocklist): any-hit drop equals the batch keep flag") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val clean = "the story of the sea and the wind is told again here"
