@@ -289,6 +289,18 @@ object SparkEntry {
     "q112_corpus_build" -> ((s, d) => Curation.corpusBuild(s, d)),
     // q113: the build's per-block shard report (size/skew audit)
     "q113_build_report" -> ((s, d) => Curation.buildReport(s, d)),
+    // q114: hybrid lexical+vector retrieval fused by Reciprocal Rank
+    // Fusion — the ES/OpenSearch hybrid-search combiner over the green
+    // q68 BM25 and q26 ANN lists
+    "q114_hybrid_rrf" -> ((s, d) => Ranking.hybridRrf(s, d)),
+    // q115: cluster-balanced diversity sample — k-means cells (q82's
+    // measured Lloyd) capped per cell by deterministic hash rank
+    "q115_cluster_sample" -> ((s, d) => Sampling.clusterBalancedSample(s, d)),
+    // q116: SCD Type-2 dimension history from the CDC change feed —
+    // the Kimball extension of the reference's last-wins dim upsert
+    "q116_scd2_history" -> ((s, d) => Warehouse.scd2History(s, d)),
+    // q117: first/last-touch conversion attribution (as-of composition)
+    "q117_attribution" -> ((s, d) => Sessionize.attribution(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -1882,6 +1894,153 @@ object SparkEntry {
     // corpusBuildSql)
     "q112_corpus_build" -> corpusBuildManifestSql,
     "q113_build_report" -> corpusBuildReportSql,
+    // q114: RRF fusion of the q68 BM25 list and the q26 cosine list —
+    // ranks come from each list's already-rounded (score, id) order,
+    // each contribution is one IEEE division 1/(60+rank), the fused sum
+    // adds lex + vec in fixed textual order, rounded to 6 dp
+    "q114_hybrid_rrf" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, len(toks) AS dl,
+                  len(list_filter(toks, s -> s = 'spark'))  AS tf0,
+                  len(list_filter(toks, s -> s = 'vector')) AS tf1
+           FROM t),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS avgdl,
+                  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                    AS df0,
+                  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                    AS df1
+           FROM f),
+         lex AS (
+           SELECT doc_id,
+                  floor((ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                            * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+                            / (CAST(tf0 AS DOUBLE)
+                               + 1.2 * (1.0 - 0.75
+                                        + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                        + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                            * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+                            / (CAST(tf1 AS DOUBLE)
+                               + 1.2 * (1.0 - 0.75
+                                        + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) * 10000 + 0.5) / 10000 AS score
+           FROM f, s
+           WHERE tf0 > 0 OR tf1 > 0
+           ORDER BY score DESC, doc_id
+           LIMIT 50),
+         lexr AS (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+           FROM lex),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         sv AS (
+           SELECT vec_id,
+                  floor((list_reduce(list_transform(list_zip(embedding, qe),
+                    p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_transform(embedding,
+                       v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_transform(qe,
+                         v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))))
+                    * 1000000 + 0.5) / 1000000 AS score
+           FROM embeddings, q WHERE vec_id <> 0
+           ORDER BY score DESC, vec_id
+           LIMIT 50),
+         vecr AS (
+           SELECT vec_id AS doc_id,
+                  row_number() OVER (ORDER BY score DESC, vec_id) AS vec_rank
+           FROM sv),
+         u AS (
+           SELECT doc_id, lex_rank, CAST(NULL AS BIGINT) AS vec_rank
+           FROM lexr
+           UNION ALL
+           SELECT doc_id, CAST(NULL AS BIGINT) AS lex_rank, vec_rank
+           FROM vecr),
+         g AS (
+           SELECT doc_id, min(lex_rank) AS lex_rank,
+                  min(vec_rank) AS vec_rank
+           FROM u GROUP BY doc_id)
+         SELECT doc_id, lex_rank, vec_rank,
+                floor((coalesce(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+                     + coalesce(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0))
+                      * 1000000 + 0.5) / 1000000 AS rrf
+         FROM g ORDER BY rrf DESC, doc_id LIMIT 20""",
+    // q115: the q82 measured-cell Lloyd assignment, then ≤24 vectors
+    // per cell by the q48 salted-hash order
+    "q115_cluster_sample" -> {
+      val (prefix, afSql) = ivfCtes(
+        "SELECT CAST(LEAST(4096, GREATEST(16, (COUNT(*) + 127) // 128))" +
+          " AS INT) FROM embeddings", 3)
+      s"""WITH $prefix,
+         af AS ($afSql),
+         r AS (
+           SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+               ORDER BY ('0x' || substr(md5('csamp:' || vec_id), 1, 15))::BIGINT,
+                        vec_id) AS rk
+           FROM af)
+         SELECT cell, vec_id FROM r WHERE rk <= 24
+         ORDER BY cell, vec_id"""
+    },
+    // q116: SCD2 — null-safe transition filter in (ts, seq) order per
+    // key, half-open validity from lead(); epoch micros on both sides
+    "q116_scd2_history" ->
+      """WITH c AS (
+           SELECT user_id AS key, ts::TIMESTAMP AS ts, event_id AS seq,
+                  CAST(props->>'k' AS BIGINT) AS attr
+           FROM events
+           WHERE event_type IN ('signup', 'purchase', 'click', 'view')),
+         p AS (
+           SELECT key, ts, seq, attr,
+                  lag(attr) OVER w AS prev_attr,
+                  row_number() OVER w AS rn
+           FROM c WINDOW w AS (PARTITION BY key ORDER BY ts, seq)),
+         v AS (SELECT key, ts, seq, attr FROM p
+               WHERE rn = 1 OR attr IS DISTINCT FROM prev_attr),
+         f AS (
+           SELECT key,
+                  row_number() OVER w AS version,
+                  attr,
+                  epoch_us(ts) AS valid_from_us,
+                  lead(epoch_us(ts)) OVER w AS valid_to_us
+           FROM v WINDOW w AS (PARTITION BY key ORDER BY ts, seq))
+         SELECT key, version, attr, valid_from_us, valid_to_us,
+                CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+         FROM f ORDER BY key, version""",
+    // q117: purchases ASOF-joined to the per-(user, ts)-deduped touch
+    // feed (last touch) + the per-user first touch
+    "q117_attribution" ->
+      """WITH tch AS (
+           SELECT user_id, ts::TIMESTAMP AS ts, max(event_id) AS last_touch_event,
+                  max_by(event_type, event_id) AS last_touch_type
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1, 2),
+         p AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+               WHERE event_type = 'purchase'),
+         lt AS (
+           SELECT p.user_id, p.event_id, p.ts,
+                  tch.last_touch_event, tch.last_touch_type
+           FROM p ASOF LEFT JOIN tch
+             ON p.user_id = tch.user_id AND p.ts >= tch.ts),
+         ft AS (
+           SELECT p.event_id AS pe, t.event_id AS first_touch_event,
+                  t.event_type AS first_touch_type
+           FROM p JOIN (SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+                               event_type
+                        FROM events
+                        WHERE event_type IN ('click', 'view')) t
+             ON p.user_id = t.user_id AND t.ts <= p.ts
+           QUALIFY row_number() OVER (PARTITION BY p.event_id
+             ORDER BY t.ts, t.event_id) = 1)
+         SELECT lt.user_id, lt.event_id, epoch_us(lt.ts) AS ts_us,
+                last_touch_event, last_touch_type,
+                first_touch_event, first_touch_type
+         FROM lt LEFT JOIN ft ON lt.event_id = ft.pe
+         ORDER BY user_id, event_id""",
     // q80/q81: BPE training replayed as 50 unrolled pair-count →
     // argmax → substitute rounds (the round-9 verdict's last
     // `no_oracle` rows; see bpeTrainCtes for the replace()-as-

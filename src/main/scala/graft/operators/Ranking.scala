@@ -96,6 +96,68 @@ object Ranking {
       .select(col("doc_id"), graft.functions.TextFunctions.roundStable(score, 4).as("score"))
   }
 
+  /** Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    * (Cormack et al., SIGIR 2009 — the standard ES/OpenSearch hybrid-
+    * search combiner): the BM25 top-`kEach` list and the cosine-ANN
+    * top-`kEach` list each contribute `1/(rrfK + rank)` and the fused
+    * score orders the final cut. RRF needs only RANKS, never the two
+    * engines' incomparable raw scores — which is exactly why serving
+    * stacks use it to merge a keyword index with a vector index.
+    *
+    * Scale shape: both input lists are k-bounded TakeOrdered heaps over
+    * map-only scoring scans (the [[bm25RankOn]] / `Similarity.topK`
+    * plans, unchanged); everything after operates on ≤ 2·kEach rows —
+    * the rank windows and the fusion aggregate are driver-trivial no
+    * matter the corpus size. At 100 TB the vector side swaps in the
+    * IVF/PQ partition-pruned scan and this fusion layer is untouched.
+    *
+    * Determinism contract: ranks are row_numbers over each list's
+    * already-rounded (score, id) order — the same order the green q68 /
+    * q26 oracles pin. Each contribution `1.0/(rrfK + rank)` is one IEEE
+    * division on exact integer operands; the fused sum adds the two
+    * terms in fixed textual order (lex + vec); rounded to 6 dp.
+    *
+    * Output: (doc_id, lex_rank, vec_rank, rrf), ranks null when the doc
+    * appears in only one list, ordered by (rrf desc, doc_id), top-`topN`.
+    */
+  def hybridRrf(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "vector"), queryId: Long = 0L,
+      kEach: Int = 50, rrfK: Int = 60, topN: Int = 20): DataFrame =
+    rrfFuse(
+      bm25Rank(spark, dir, terms, topN = kEach),
+      Similarity.topK(spark, dir, queryId, k = kEach)
+        .withColumnRenamed("vec_id", "doc_id"),
+      rrfK, topN)
+
+  /** The fusion core of [[hybridRrf]]: two (doc_id, score) candidate
+    * LISTS (already k-bounded — this layer must never see a corpus
+    * relation) → fused (doc_id, lex_rank, vec_rank, rrf) top-`topN`. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame,
+      rrfK: Int = 60, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // single-partition windows are fine HERE ONLY: both inputs are
+    // k-bounded lists, not corpus relations
+    val lexRanked = lex.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("score"), col("doc_id")))
+        .cast("long").as("lex_rank"),
+      lit(null).cast("long").as("vec_rank"))
+    val vecRanked = vec.select(col("doc_id"),
+      lit(null).cast("long").as("lex_rank"),
+      row_number().over(Window.orderBy(desc("score"), col("doc_id")))
+        .cast("long").as("vec_rank"))
+    val contrib = (r: Column) =>
+      coalesce(lit(1.0) / (lit(rrfK).cast("double") + r.cast("double")),
+        lit(0.0))
+    lexRanked.unionByName(vecRanked)
+      .groupBy("doc_id")
+      .agg(min("lex_rank").as("lex_rank"), min("vec_rank").as("vec_rank"))
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        graft.functions.TextFunctions.roundStable(
+          contrib(col("lex_rank")) + contrib(col("vec_rank")), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(topN)
+  }
+
   /** A4 in the reference's TRUE serving order. The reference's ES
     * returned detail hits in relevance-score order
     * (`PublisherMapperImpl.java:112-159`); the engine's `detailByItem`

@@ -139,6 +139,44 @@ object Sampling {
       .orderBy("source", "doc_id")
   }
 
+  /** Cluster-balanced diversity sample: k-means-cluster the embedding
+    * space (the q82/q38 integer-exact Lloyd, corpus-relative cell count)
+    * and keep at most `cap` vectors per cluster, chosen by the same
+    * deterministic salted-hash order as [[stratifiedSample]]. This is
+    * the embedding-space analog of [[domainCap]] — the "semantic
+    * diversity sampling" stage of the public curation literature (D4 /
+    * SemDeDup-adjacent: dense regions of near-identical content get
+    * capped, sparse regions keep everything), with clusters MEASURED
+    * from the corpus instead of read from a `source` column.
+    *
+    * Scale shape: training is [[IvfIndex.trainCached]] (train-once
+    * memoized); assignment is the map-only [[IvfIndex.cellExpr]] kernel
+    * riding the scan; the per-cluster cut is the k-bounded
+    * [[graft.functions.MinKLongAggregator]] — cap-sized shuffle bytes
+    * per cell, no window ever sorts a whole cluster (the [[domainCap]]
+    * argument, verbatim: one mega-cluster cannot pin a task). */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+      cap: Int = 24, iters: Int = 3, salt: String = "csamp"): DataFrame = {
+    import spark.implicits._
+    val nCells = Similarity.measuredCells(
+      Tables.embeddings(spark, dir).count())
+    val cents = IvfIndex.trainCached(spark, dir, nCells, iters)
+    val agg = new graft.functions.MinKLongAggregator(cap)
+    IvfIndex.assign(Tables.embeddings(spark, dir), cents)
+      .select(col("cell"),
+        md5Long(concat(lit(s"$salt:"), col("vec_id").cast("string")))
+          .as("h"),
+        col("vec_id"))
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, h, id) => (h, id) }
+      .agg(agg.toColumn.name("kept"))
+      .toDF("cell", "kept")
+      .select(col("cell"), explode(col("kept")).as("pair"))
+      .select(col("cell"), col("pair._2").as("vec_id"))
+      .orderBy("cell", "vec_id")
+  }
+
   /** Leakage-safe train/val/test split: the split label is keyed on
     * SOURCE, not doc_id, so every document from a domain lands in the
     * same split — near-duplicates within a site (boilerplate, templated

@@ -231,6 +231,56 @@ object Sessionize {
   def cohorts(spark: SparkSession, dir: String): DataFrame =
     cohortsOn(Tables.events(spark, dir))
 
+  /** Conversion attribution: every purchase credited to the user's
+    * LAST touch (click/view) at or before the purchase AND the user's
+    * FIRST touch at or before it — the two standard attribution models
+    * of behavior analytics. Both are point-in-time lookups, so they
+    * compile to [[AsofJoin]]'s union-window shape (tag the two sides,
+    * one running window per key), NOT a θ-join: last touch is a running
+    * `last(ignoreNulls)`, first touch a running `min` — BOTH ride the
+    * same single window, so the whole operator is ONE shuffle on
+    * user_id and linear work.
+    *
+    * Determinism: at equal ts, touches sort before purchases (inclusive
+    * as-of, the DuckDB `ASOF ... >=` convention) and same-ts touches
+    * order by event_id, so "last" is the max-event_id touch and "first"
+    * the struct-min on (ts, event_id). Timestamps surface as epoch
+    * micros. A purchase with no touch at or before it gets nulls. */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOn(Tables.events(spark, dir))
+
+  /** [[attribution]] over an explicit
+    * (user_id, event_id, ts, event_type) relation. */
+  def attributionOn(events: DataFrame): DataFrame = {
+    val touches = events.where(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("__t"),
+        lit(0).as("__side"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast(touches.schema("__t").dataType).as("__t"),
+        lit(1).as("__side"))
+    // ONE window computes both models: running min(__t) = first touch so
+    // far, running last(__t) = latest touch so far. Touches sort before
+    // purchases at equal ts (inclusive as-of, the AsofJoin convention);
+    // same-ts touches order by event_id, so "last" is the max-event_id
+    // touch — deterministic without a separate dedup pass.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("__side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionByName(purchases)
+      .withColumn("__first", min(col("__t")).over(w))
+      .withColumn("__last", last(col("__t"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("__last.event_id").as("last_touch_event"),
+        col("__last.event_type").as("last_touch_type"),
+        col("__first.event_id").as("first_touch_event"),
+        col("__first.event_type").as("first_touch_type"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** [[cohorts]] over an explicit (user_id, ts) relation. */
   def cohortsOn(events: DataFrame): DataFrame = {
     val ev = events

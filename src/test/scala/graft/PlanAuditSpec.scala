@@ -38,7 +38,10 @@ class PlanAuditSpec extends SparkSpec {
     "q103_odds_quality",
     // q112/q113: inherit q89's 1-row max-source-count broadcast and
     // q103's class-totals broadcast through the composed pipeline
-    "q112_corpus_build", "q113_build_report")
+    "q112_corpus_build", "q113_build_report",
+    // q114: inherits q68's 1-row corpus-stats broadcast and q26's 1-row
+    // query-vector broadcast through the two fused lists
+    "q114_hybrid_rrf")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -276,7 +279,22 @@ class PlanAuditSpec extends SparkSpec {
     // this records the composition's total
     "q112_corpus_build" -> 82,
     // q113: q112's chain + the per-block rollup agg + its sort
-    "q113_build_report" -> 84)
+    "q113_build_report" -> 84,
+    // q114: both candidate lists are k-bounded TakeOrdered heaps over
+    // map-only scans; the rank windows and the fusion aggregate run on
+    // ≤2·kEach rows behind SinglePartition exchanges (not counted as
+    // hash/range shuffles, and bounded by kEach by construction)
+    "q114_hybrid_rrf" -> 0,
+    // q115: the k-bounded MinK per-cell aggregation + the output sort
+    // (assignment is the in-expression CellArgmax on the scan)
+    "q115_cluster_sample" -> 2,
+    // q116: ONE key shuffle feeds both windows (the transition filter
+    // preserves partitioning/sort, so the lead window adds no
+    // exchange) + the output sort
+    "q116_scd2_history" -> 2,
+    // q117: ONE user-keyed shuffle for the shared first/last-touch
+    // window + the output sort
+    "q117_attribution" -> 2)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

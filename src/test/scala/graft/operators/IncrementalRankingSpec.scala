@@ -209,4 +209,48 @@ class IncrementalRankingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(scores(1L) > scores(2L))
   }
+
+  // —— hybrid RRF fusion (q114) ——
+
+  test("rrfFuse: hand-traced ranks, contributions and tie-break") {
+    // lex list: 10 (rank 1), 20 (rank 2); vec list: 20 (rank 1), 30 (rank 2)
+    val lex = Seq((10L, 5.0), (20L, 3.0)).toDF("doc_id", "score")
+    val vec = Seq((20L, 0.9), (30L, 0.5)).toDF("doc_id", "score")
+    val got = Ranking.rrfFuse(lex, vec, rrfK = 60, topN = 10)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getDouble(3)))
+      .toSeq
+    def rrf(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got == Seq(
+      (20L, Some(2L), Some(1L), rrf(1.0 / 62 + 1.0 / 61)), // both lists win
+      (10L, Some(1L), None, rrf(1.0 / 61)),
+      (30L, None, Some(2L), rrf(1.0 / 62))))
+  }
+
+  test("rrfFuse: equal rrf ties break on doc_id; topN cuts") {
+    // two docs each rank 1 in exactly one list → identical rrf
+    val lex = Seq((7L, 1.0)).toDF("doc_id", "score")
+    val vec = Seq((3L, 1.0)).toDF("doc_id", "score")
+    val got = Ranking.rrfFuse(lex, vec, rrfK = 60, topN = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+  }
+
+  test("rrfFuse: list ranks come from rounded (score desc, id) order") {
+    // equal scores within a list rank by doc_id ascending
+    val lex = Seq((5L, 2.0), (1L, 2.0), (9L, 1.0)).toDF("doc_id", "score")
+    val vec = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val got = Ranking.rrfFuse(lex, vec, rrfK = 60, topN = 10)
+      .select("doc_id", "lex_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 5L -> 2L, 9L -> 3L))
+  }
+
+  test("hybridRrf runs end-to-end on the test tables") {
+    val got = Ranking.hybridRrf(spark, sf, topN = 20).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    val rrfs = got.map(_.getDouble(3)).toSeq
+    assert(rrfs == rrfs.sorted(Ordering[Double].reverse))
+  }
 }
