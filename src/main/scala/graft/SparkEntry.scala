@@ -301,6 +301,9 @@ object SparkEntry {
     "q116_scd2_history" -> ((s, d) => Warehouse.scd2History(s, d)),
     // q117: first/last-touch conversion attribution (as-of composition)
     "q117_attribution" -> ((s, d) => Sessionize.attribution(s, d)),
+    // q118: n-gram novelty — the per-doc fraction of first-occurrence
+    // shingles (mosaic-duplicate signal pairwise dedup can't see)
+    "q118_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2041,6 +2044,35 @@ object SparkEntry {
                 first_touch_event, first_touch_type
          FROM lt LEFT JOIN ft ON lt.event_id = ft.pe
          ORDER BY user_id, event_id""",
+    // q118: the q22 shingle identity (3-gram, short-text fallback,
+    // md5-60 hash) → per-shingle min-doc_id owner → per-doc novel
+    // fraction in integer micros (Long floor division on both sides)
+    "q118_ngram_novelty" ->
+      raw"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                      s -> len(s) > 0) AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             END) AS shingles
+           FROM t),
+         u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         tok AS (SELECT doc_id,
+                        ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+                 FROM u),
+         own AS (SELECT h, min(doc_id) AS owner FROM tok GROUP BY h),
+         per AS (
+           SELECT tok.doc_id, count(*) AS n_shingles,
+                  CAST(sum(CASE WHEN own.owner = tok.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+           FROM tok JOIN own USING (h)
+           GROUP BY tok.doc_id)
+         SELECT doc_id, n_shingles, n_novel,
+                (n_novel * 1000000) // n_shingles AS novelty_micros
+         FROM per ORDER BY doc_id""",
     // q80/q81: BPE training replayed as 50 unrolled pair-count →
     // argmax → substitute rounds (the round-9 verdict's last
     // `no_oracle` rows; see bpeTrainCtes for the replace()-as-

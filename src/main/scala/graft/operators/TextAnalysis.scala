@@ -24,6 +24,44 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("token"))
       .limit(100)
 
+  /** N-gram novelty: per document, how many of its distinct k-gram
+    * shingles occur FIRST in this document (first occurrence = smallest
+    * doc_id over the corpus — the q60/q100 canonical-occurrence rule).
+    * A document that merely recombines n-grams the corpus has already
+    * seen scores near zero even when no single document matches it —
+    * the "mosaic duplicate" blind spot of pairwise dedup, and the
+    * per-doc form of the duplicate-mass accounting in the public
+    * substring-dedup literature (Lee et al.). Feeds gates/curricula
+    * like the other quality signals.
+    *
+    * Scale shape: the q22 skeleton minus its pair join — shingles ride
+    * as 60-bit hashed identities ([[org.apache.spark.sql.graft
+    * .ShingleHashSet]], map-only kernel; text never shuffles), one agg
+    * on the hash key finds each shingle's owner, one hash-key join back
+    * and a per-doc agg. The ratio is integer fixed-point (micros, Long
+    * floor-division) — engine-exact. Every doc has ≥1 shingle (the
+    * kernel's short-text fallback), so no zero division. */
+  def ngramNovelty(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    ngramNoveltyOn(Tables.documents(spark, dir), k)
+
+  /** [[ngramNovelty]] over an explicit (doc_id, text) relation. */
+  def ngramNoveltyOn(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.TextExpressions
+    val idx = graft.Caches.register(
+      docs.select(col("doc_id"),
+        explode(TextExpressions.shingleHashSet(col("text"), k)).as("h"))
+        .cache())
+    val owners = idx.groupBy("h").agg(min("doc_id").as("owner"))
+    idx.join(owners, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_shingles").as("novelty_micros"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document token accounting: whitespace tokens, BPE-ish sub-tokens,
     * distinct tokens — the budgeting pass of a training-data pipeline. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =

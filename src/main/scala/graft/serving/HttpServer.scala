@@ -187,6 +187,28 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       graft.operators.FuzzyJoin.fuzzyTermSearch(spark, dataDir, q,
         maxDist = dist, topN = topN)
     })
+    server.createContext("/hybridSearch", handler { p =>
+      // hybrid lexical+vector search fused by Reciprocal Rank Fusion
+      // (q114): BM25 over `q` terms merges with cosine-ANN around
+      // `vecId` on rank positions only
+      val q = p.getOrElse("q",
+        throw new IllegalArgumentException("q required"))
+      val vecId = p.getOrElse("vecId",
+        throw new IllegalArgumentException("vecId required")).toLong
+      val kEach = p.getOrElse("kEach", "50").toInt
+      val topN = p.getOrElse("topN", "20").toInt
+      if (kEach <= 0 || kEach > 1000)
+        throw new IllegalArgumentException("kEach must be in 1..1000")
+      if (topN <= 0 || topN > 1000)
+        throw new IllegalArgumentException("topN must be in 1..1000")
+      val terms = q.split("\\s+").filter(_.nonEmpty).toSeq
+      if (terms.isEmpty)
+        throw new IllegalArgumentException("q must contain a term")
+      if (terms.size > 16) // the /searchRanked fold-width cap
+        throw new IllegalArgumentException("q is limited to 16 terms")
+      graft.operators.Ranking.hybridRrf(spark, dataDir, terms, vecId,
+        kEach = kEach, topN = topN)
+    })
     server.createContext("/rerankSearch", handler { p =>
       val vecId = p.getOrElse("vecId",
         throw new IllegalArgumentException("vecId required")).toLong

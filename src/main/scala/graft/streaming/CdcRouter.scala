@@ -1,9 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** One CDC change for the streaming SCD2 twin. */
+case class Scd2Change(key: Long, ts: java.sql.Timestamp, seq: Long,
+    attr: Option[Long])
+
+/** An OPENED SCD2 version (append-mode emission: `valid_to` of a
+  * version is the NEXT version's `valid_from`, derivable at read time
+  * with one lead window — an appended row can't be retro-closed). */
+case class Scd2Version(key: Long, version: Long, attr: Option[Long],
+    valid_from_us: Long)
+
+/** Per-key SCD2 state: the open version's number and value. */
+case class Scd2State(version: Long, attr: Option[Long])
 
 /** CDC ingest & routing — Structured Streaming re-expression of the
   * reference's `ods_BaseDBApp` (/root/reference SparkSreaming_realtime
@@ -108,6 +122,46 @@ object CdcRouter {
         PartitionedUpsert.upsert(incoming, s"$dimDir/$t", "bucket", Seq("id"))
       }
     } finally routed.unpersist()
+  }
+
+  /** STREAMING SCD Type-2 twin of `Warehouse.scd2History`: keyed state
+    * holds each dimension key's open version; every batch folds its
+    * changes in (ts, seq) order and emits one [[Scd2Version]] per
+    * TRANSITION (null-safe value comparison — the batch operator's
+    * rule). Repeats emit nothing; state carries the open value across
+    * batches, so a repeat arriving epochs later is still suppressed.
+    *
+    * Input contract: per-key changes must arrive in (ts, seq) order
+    * ACROSS batches (within a batch any order is fine — the fold
+    * sorts). That is exactly a CDC log's delivery contract (Maxwell
+    * publishes a row's changes to one Kafka partition in commit order,
+    * the reference's §1.4 consumption model) — NOT an extra assumption.
+    *
+    * Emission is append-mode: a version row is immutable once emitted;
+    * `valid_to`/`is_current` derive at read time with one lead window
+    * over (key, version) — the same relation the batch operator emits
+    * eagerly. */
+  def scd2Stream(changes: Dataset[Scd2Change]): Dataset[Scd2Version] = {
+    import changes.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[Scd2Change], state: GroupState[Scd2State]) => {
+          val sorted = it.toSeq.sortBy(c => (micros(c.ts), c.seq))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Scd2Version]
+          sorted.foreach { c =>
+            if (!cur.exists(_.attr == c.attr)) {
+              val v = cur.map(_.version + 1L).getOrElse(1L)
+              cur = Some(Scd2State(v, c.attr))
+              out += Scd2Version(key, v, c.attr, micros(c.ts))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+        })
   }
 
   /** Read a dim table back (bucket layout column dropped). Call INSIDE

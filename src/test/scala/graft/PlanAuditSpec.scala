@@ -294,7 +294,11 @@ class PlanAuditSpec extends SparkSpec {
     "q116_scd2_history" -> 2,
     // q117: ONE user-keyed shuffle for the shared first/last-touch
     // window + the output sort
-    "q117_attribution" -> 2)
+    "q117_attribution" -> 2,
+    // q118: the q22 skeleton minus its pair join — one hash-key owner
+    // agg (the join back reuses its exchange), the per-doc agg, the
+    // output sort; shingle hashing is map-only on the scan
+    "q118_ngram_novelty" -> 3)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -697,4 +697,35 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(err.getMessage.contains("duplicated segments"))
   }
+
+  test("ngram novelty: first-occurrence fractions, hand-traced") {
+    import spark.implicits._
+    // doc1 {abc,bcd} both first here; doc2 {abc,bce} — abc already
+    // owned by doc1; doc3 short-text fallback shingle, fresh
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"),
+      (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNoveltyOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 1L, 1L, 1000000L)), s"got $got")
+  }
+
+  test("ngram novelty: ownership is min doc_id, ratio floor-divides") {
+    import spark.implicits._
+    val docs = Seq(
+      (30L, "a b c"),         // {abc} owned by 10 → 0/1
+      (10L, "a b c"),         // {abc} first here → 1/1
+      (20L, "a b c p q"))     // {abc,bcp,cpq}: 2 of 3 novel → ⌊2e6/3⌋
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNoveltyOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == Map(10L -> 1000000L, 20L -> 666666L, 30L -> 0L),
+      s"got $got")
+  }
 }

@@ -106,6 +106,16 @@ class HttpServerSpec extends SparkSpec {
       assert(c16 == 400)
       val (c17, _) = get(s"$base/fuzzySearch?q=abc&dist=9") // bad dist
       assert(c17 == 400)
+
+      // hybrid RRF search: fused list carries both rank columns
+      val (c18, hy) = get(s"$base/hybridSearch?q=spark+vector&vecId=0&topN=5")
+      assert(c18 == 200 && hy.contains("\"rrf\""), hy.take(200))
+      assert(hy.contains("\"lex_rank\"") && hy.contains("\"vec_rank\""),
+        hy.take(300))
+      val (c19, _) = get(s"$base/hybridSearch?q=spark") // missing vecId
+      assert(c19 == 400)
+      val (c20, _) = get(s"$base/hybridSearch?q=spark&vecId=0&kEach=0")
+      assert(c20 == 400) // bad kEach
     } finally srv.stop()
   }
 }

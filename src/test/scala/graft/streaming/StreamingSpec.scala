@@ -558,6 +558,33 @@ class StreamingSpec extends SparkSpec {
       s"streaming pack diverged from batch:\n missing=${expected -- got}\n extra=${got -- expected}")
   }
 
+  test("scd2Stream: one version per transition across batches == batch twin") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[Scd2Change]
+    val q = CdcRouter.scd2Stream(mem.toDS()).writeStream
+      .format("memory").queryName("scd2s").outputMode("append").start()
+    val b1 = Seq(
+      Scd2Change(1L, t("2024-01-01 00:00:00"), 1L, Some(5L)),
+      Scd2Change(1L, t("2024-01-02 00:00:00"), 2L, Some(5L)), // repeat
+      Scd2Change(2L, t("2024-01-01 00:00:00"), 3L, None))     // null opens v1
+    val b2 = Seq(
+      Scd2Change(1L, t("2024-01-03 00:00:00"), 4L, Some(5L)), // repeat ACROSS batch
+      Scd2Change(1L, t("2024-01-04 00:00:00"), 5L, Some(7L)), // transition
+      Scd2Change(2L, t("2024-01-02 00:00:00"), 6L, Some(3L)), // null → 3
+      Scd2Change(2L, t("2024-01-03 00:00:00"), 7L, None))     // 3 → null
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val got = spark.table("scd2s").as[Scd2Version].collect()
+      .sortBy(v => (v.key, v.version)).toSeq
+    val want = graft.operators.Warehouse.scd2HistoryOn(
+        (b1 ++ b2).map(c => (c.key, c.ts, c.seq, c.attr))
+          .toDF("key", "ts", "seq", "attr"))
+      .select("key", "version", "attr", "valid_from_us")
+      .as[Scd2Version].collect().toSeq
+    assert(got == want, s"stream $got != batch $want")
+    assert(got.map(v => (v.key, v.version)).toSet.size == got.size)
+  }
+
   test("CdcRouter typed payload parse binds a fact table's bean") {
     import org.apache.spark.sql.types._
     implicit val enc: org.apache.spark.sql.Encoder[OrderInfoCdc] =
