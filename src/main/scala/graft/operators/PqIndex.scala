@@ -58,9 +58,14 @@ object PqIndex {
     for (_ <- 1 to iters) {
       val codes = VectorExpressions
         .pqAssignNative(col("embedding"), flatten(cents, m, k, d), m, k)
+      // codes projects BELOW the explode (own select): as a sibling of
+      // the generator it would land in the Project above Generate and
+      // re-run the m·k·d assignment per exploded row — the IvfIndex
+      // trainOn trap, ×dim work
       val sums = emb
-        .select(posexplode(col("embedding")).as(Seq("gpos", "v")),
-          codes.as("codes"))
+        .select(codes.as("codes"), col("embedding"))
+        .select(col("codes"),
+          posexplode(col("embedding")).as(Seq("gpos", "v")))
         .select((col("gpos") / d).cast("int").as("s"),
           pmod(col("gpos"), lit(d)).as("pos"),
           expr("codes[cast(gpos / " + d + " as int)]").as("cell"),
