@@ -304,6 +304,9 @@ object SparkEntry {
     // q118: n-gram novelty — the per-doc fraction of first-occurrence
     // shingles (mosaic-duplicate signal pairwise dedup can't see)
     "q118_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
+    // q119: per-node triangle counts on the undirected item graph
+    // (degree-ordered orientation — each triangle found exactly once)
+    "q119_triangles" -> ((s, d) => GraphRank.triangles(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2073,6 +2076,49 @@ object SparkEntry {
          SELECT doc_id, n_shingles, n_novel,
                 (n_novel * 1000000) // n_shingles AS novelty_micros
          FROM per ORDER BY doc_id""",
+    // q119: the same degree-ordered orientation — wedge join closed by
+    // the oriented (v, w) edge, each triangle once, corners exploded
+    // back to per-node counts; all exact integers
+    "q119_triangles" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  CAST(props->>'k' AS BIGINT) AS k
+           FROM events WHERE props->>'k' IS NOT NULL),
+         tr AS (
+           SELECT k AS src, lead(k) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS dst
+           FROM ev),
+         und AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM tr WHERE dst IS NOT NULL AND src <> dst),
+         deg AS (
+           SELECT node, count(*) AS degree FROM (
+             SELECT a AS node FROM und
+             UNION ALL SELECT b AS node FROM und) t
+           GROUP BY node),
+         o AS (
+           SELECT CASE WHEN (da.degree < db.degree)
+                         OR (da.degree = db.degree AND a < b)
+                       THEN a ELSE b END AS u,
+                  CASE WHEN (da.degree < db.degree)
+                         OR (da.degree = db.degree AND a < b)
+                       THEN b ELSE a END AS v
+           FROM und JOIN deg da ON da.node = und.a
+                    JOIN deg db ON db.node = und.b),
+         tri AS (
+           SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+         corners AS (
+           SELECT node, count(*) AS triangles FROM (
+             SELECT x AS node FROM tri
+             UNION ALL SELECT y AS node FROM tri
+             UNION ALL SELECT z AS node FROM tri) t
+           GROUP BY node)
+         SELECT deg.node, deg.degree,
+                coalesce(corners.triangles, CAST(0 AS BIGINT)) AS triangles
+         FROM deg LEFT JOIN corners USING (node)
+         ORDER BY node""",
     // q80/q81: BPE training replayed as 50 unrolled pair-count →
     // argmax → substitute rounds (the round-9 verdict's last
     // `no_oracle` rows; see bpeTrainCtes for the replace()-as-

@@ -298,7 +298,14 @@ class PlanAuditSpec extends SparkSpec {
     // q118: the q22 skeleton minus its pair join — one hash-key owner
     // agg (the join back reuses its exchange), the per-doc agg, the
     // output sort; shingle hashing is map-only on the scan
-    "q118_ngram_novelty" -> 3)
+    "q118_ngram_novelty" -> 3,
+    // q119: the count is inflated by PRINTING — the cached deg/o
+    // carriers' build plans (und distinct + degree agg + orientation
+    // joins) print once per reference (deg ×3, o ×3) though each
+    // builds once at runtime; the executed work is the two carrier
+    // builds + wedge join + closing join + corner agg + final join +
+    // sort
+    "q119_triangles" -> 34)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

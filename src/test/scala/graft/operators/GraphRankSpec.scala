@@ -76,4 +76,39 @@ class GraphRankSpec extends SparkSpec {
     assert(out.forall(_._2 >= GraphRank.TeleportMicros),
       "rank below teleport floor")
   }
+
+  // —— triangle counting (q119) ——
+
+  private def evRows(rows: Seq[(Long, Int, Long, Long)]): DataFrame = {
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    rows.map { case (u, sec, eid, k) => (u, t(sec), eid, k) }
+      .toDF("user_id", "ts", "event_id", "k")
+  }
+
+  test("triangles: one triangle + a pendant edge, hand-traced") {
+    // user 7 walks 1→2→3→1 (triangle); user 8 walks 3→4 (pendant);
+    // user 9 walks 5→5 (self-loop, dropped — node 5 has no edge at all)
+    val got = GraphRank.trianglesOn(evRows(Seq(
+        (7L, 1, 1L, 1L), (7L, 2, 2L, 2L), (7L, 3, 3L, 3L), (7L, 4, 4L, 1L),
+        (8L, 1, 5L, 3L), (8L, 2, 6L, 4L),
+        (9L, 1, 7L, 5L), (9L, 2, 8L, 5L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 0L)),
+      s"got $got")
+  }
+
+  test("triangles: shared-edge pair counted once per triangle per corner") {
+    // K4 minus edge (3,4): triangles (1,2,3) and (1,2,4); both directed
+    // directions of (1,2) collapse to ONE undirected edge
+    val got = GraphRank.trianglesOn(evRows(Seq(
+        (1L, 1, 1L, 1L), (1L, 2, 2L, 2L),   // 1→2
+        (2L, 1, 3L, 2L), (2L, 2, 4L, 1L),   // 2→1 (same undirected edge)
+        (3L, 1, 5L, 1L), (3L, 2, 6L, 3L),   // 1–3
+        (4L, 1, 7L, 1L), (4L, 2, 8L, 4L),   // 1–4
+        (5L, 1, 9L, 2L), (5L, 2, 10L, 3L),  // 2–3
+        (6L, 1, 11L, 2L), (6L, 2, 12L, 4L)))) // 2–4
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $got")
+  }
 }
