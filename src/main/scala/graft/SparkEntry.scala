@@ -307,6 +307,9 @@ object SparkEntry {
     // q119: per-node triangle counts on the undirected item graph
     // (degree-ordered orientation — each triangle found exactly once)
     "q119_triangles" -> ((s, d) => GraphRank.triangles(s, d)),
+    // q120: trailing-window rate anomalies — the z-score test cleared
+    // of divisions/sqrt so both engines decide on exact integers
+    "q120_rate_anomaly" -> ((s, d) => EventRates.rateAnomalies(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2119,6 +2122,28 @@ object SparkEntry {
                 coalesce(corners.triangles, CAST(0 AS BIGINT)) AS triangles
          FROM deg LEFT JOIN corners USING (node)
          ORDER BY node""",
+    // q120: same integer-cleared z-test, same trailing observed-bucket
+    // frame (ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    "q120_rate_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, h, cnt,
+                  sum(cnt) OVER w AS s,
+                  sum(cnt * cnt) OVER w AS q,
+                  count(*) OVER w AS n
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+                cnt, n AS n_window,
+                CASE WHEN n < 12 THEN NULL
+                     WHEN (n * cnt - s) * (n * cnt - s)
+                          > 9 * (n * q - s * s) THEN 1 ELSE 0 END
+                  AS is_anomaly
+         FROM st ORDER BY event_type, hour_s""",
     // q80/q81: BPE training replayed as 50 unrolled pair-count →
     // argmax → substitute rounds (the round-9 verdict's last
     // `no_oracle` rows; see bpeTrainCtes for the replace()-as-

@@ -33,6 +33,58 @@ object EventRates {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Trailing-window rate-anomaly flags — the ops-monitoring query every
+    * event warehouse runs (is this hour's volume a spike/collapse vs the
+    * recent past?), in a form BOTH engines replay bit-for-bit: the
+    * classic z-score test |x − μ| > k·σ is algebraically cleared of
+    * divisions and square roots,
+    *   (n·x − S)² > k²·(n·Q − S²),
+    * with S = Σcnt, Q = Σcnt² over the `windowHours` PRIOR observed
+    * buckets — every operand an exact Long, so no float mean/stddev ever
+    * materializes (a double σ would put an ulp on the decision
+    * boundary). Hours with fewer than `minWindow` prior buckets get a
+    * null verdict instead of a confident flag on thin history.
+    *
+    * The trailing frame is over OBSERVED buckets (rows), not calendar
+    * hours — a type that vanishes for a day compares against its last
+    * `windowHours` active hours (documented contract; a dense hour grid
+    * would need a generated time dimension). Overflow bound: the test
+    * multiplies three counts — safe while per-bucket counts stay below
+    * ~2×10⁶ per key at k=3 (cube-root of Long range / window), far above
+    * any hourly per-type volume this schema ships.
+    *
+    * Scale shape: one (type, hour) aggregation, then ONE key-partitioned
+    * window over the (types × hours) bucket relation — corpus-sized
+    * input collapses to bucket-sized before any window sorts. */
+  def rateAnomalies(spark: SparkSession, dir: String,
+      windowHours: Int = 24, minWindow: Int = 12, k: Int = 3): DataFrame =
+    rateAnomaliesOn(Tables.events(spark, dir), windowHours, minWindow, k)
+
+  /** [[rateAnomalies]] over an explicit (ts, event_type) relation. */
+  def rateAnomaliesOn(events: DataFrame,
+      windowHours: Int = 24, minWindow: Int = 12, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowHours >= minWindow && minWindow >= 2 && k >= 1)
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(-windowHours, -1)
+    hourly
+      .withColumn("s", sum("cnt").over(w))
+      .withColumn("q", sum(expr("cnt * cnt")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+        col("cnt"), col("n").as("n_window"),
+        when(col("n") < minWindow, lit(null).cast("int"))
+          .otherwise(
+            (expr("(n * cnt - s) * (n * cnt - s)") >
+              expr(s"${k.toLong * k} * (n * q - s * s)")).cast("int"))
+          .as("is_anomaly"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** Top-k per group via window ranking (no reference counterpart; the
     * canonical "top N per key" shape): 3 most frequent tokens per lang. */
   def topTokensPerLang(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {

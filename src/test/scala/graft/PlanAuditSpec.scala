@@ -305,7 +305,11 @@ class PlanAuditSpec extends SparkSpec {
     // builds once at runtime; the executed work is the two carrier
     // builds + wedge join + closing join + corner agg + final join +
     // sort
-    "q119_triangles" -> 34)
+    "q119_triangles" -> 34,
+    // q120: the (type, hour) bucket agg, the type-keyed trailing
+    // window, the output sort — corpus collapses to buckets before
+    // anything sorts
+    "q120_rate_anomaly" -> 3)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -114,4 +114,39 @@ class EventAnalyticsSpec extends SparkSpec {
       s"not monotone: $rows")
     assert(rows.head._3 > 0, "expected some users to reach step 1")
   }
+
+  // —— trailing-window rate anomalies (q120) ——
+
+  /** `cnt` click events inside hour bucket `hour` of 2024-01-01. */
+  private def bucket(hour: Int, cnt: Int): Seq[(java.sql.Timestamp, String)] =
+    (0 until cnt).map(i =>
+      (t(f"2024-01-01 $hour%02d:${i % 60}%02d:${i / 60}%02d"), "click"))
+
+  private def anomaliesOf(buckets: Seq[(Int, Int)], minWindow: Int) =
+    EventRates.rateAnomaliesOn(
+        buckets.flatMap { case (h, c) => bucket(h, c) }
+          .toDF("ts", "event_type"),
+        windowHours = 3, minWindow = minWindow)
+      .collect()
+      .map(r => (r.getString(1).substring(11, 13).toInt,
+        Option(r.get(4)).map(_.asInstanceOf[Int])))
+      .toSeq
+
+  test("rate anomalies: spike over a flat window flags; thin history null") {
+    val got = anomaliesOf(
+      Seq((0, 10), (1, 10), (2, 10), (3, 10), (4, 100)), minWindow = 2)
+    // h0: no history → null; h1: 1 < minWindow → null; h2/h3: zero
+    // deviation over zero variance → 0; h4: (3·100−30)² > 9·0 → 1
+    assert(got == Seq(0 -> None, 1 -> None, 2 -> Some(0), 3 -> Some(0),
+      4 -> Some(1)), s"got $got")
+  }
+
+  test("rate anomalies: in-band wobble passes, collapse flags") {
+    // window h0..h2 for h3: S=36, Q=440, n=3 → 9·(nQ−S²)=216
+    // x=13: (39−36)²=9 ≤ 216 → 0;  then x=1 at h4 (window h1..h3:
+    // S=39, Q=509, n=3 → 9·(nQ−S²)=54): (3−39)²=1296 > 54 → 1
+    val got = anomaliesOf(
+      Seq((0, 10), (1, 14), (2, 12), (3, 13), (4, 1)), minWindow = 3)
+    assert(got.drop(3) == Seq(3 -> Some(0), 4 -> Some(1)), s"got $got")
+  }
 }
