@@ -2105,12 +2105,16 @@ object SparkEntry {
                        THEN a ELSE b END AS u,
                   CASE WHEN (da.degree < db.degree)
                          OR (da.degree = db.degree AND a < b)
-                       THEN b ELSE a END AS v
+                       THEN b ELSE a END AS v,
+                  CASE WHEN (da.degree < db.degree)
+                         OR (da.degree = db.degree AND a < b)
+                       THEN db.degree ELSE da.degree END AS dv
            FROM und JOIN deg da ON da.node = und.a
                     JOIN deg db ON db.node = und.b),
          tri AS (
            SELECT e1.u AS x, e1.v AS y, e2.v AS z
-           FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+           FROM o e1 JOIN o e2 ON e1.u = e2.u
+                 AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
                 JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
          corners AS (
            SELECT node, count(*) AS triangles FROM (

@@ -163,14 +163,22 @@ object GraphRank {
       .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // o carries the HEAD's degree (dv): the wedge pair below must order
+    // its two endpoints in the SAME (degree, id) total order the
+    // orientation uses — ordering by id alone misses every triangle
+    // whose closing edge has inverted degree order (caught by the
+    // brute-force property test)
     val o = graft.Caches.register(
       withDeg.select(
         when(aFirst, col("a")).otherwise(col("b")).as("u"),
-        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
         .cache())
     val e1 = o.as("e1"); val e2 = o.as("e2"); val e3 = o.as("e3")
     val tri = e1.join(e2,
-        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
       .select(col("e1.u").as("x"), col("e1.v").as("y"),
         col("e2.v").as("z"))
       .join(e3, col("y") === col("e3.u") && col("z") === col("e3.v"))

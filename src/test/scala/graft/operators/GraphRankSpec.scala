@@ -98,6 +98,33 @@ class GraphRankSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("triangles equal the brute-force C(n,3) count on random graphs") {
+    val rnd = new scala.util.Random(7)
+    // random walks over 12 nodes → a dense-ish undirected graph
+    val rows = (0 until 50).flatMap { u =>
+      val walk = Seq.fill(2 + rnd.nextInt(4))(1L + rnd.nextInt(12))
+      walk.zipWithIndex.map { case (k, i) =>
+        (u.toLong, i + 1, u.toLong * 100 + i, k)
+      }
+    }
+    val got = GraphRank.trianglesOn(evRows(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // brute force: rebuild the undirected edge set, try all C(n,3)
+    val edges = rows.groupBy(_._1).values.flatMap { ev =>
+      ev.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).collect {
+        case Seq(a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val want = nodes.map { n =>
+      n -> nodes.combinations(3).count { case Seq(x, y, z) =>
+        Seq(x, y, z).contains(n) &&
+          edges((x, y)) && edges((x, z)) && edges((y, z))
+      }.toLong
+    }.toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("triangles: shared-edge pair counted once per triangle per corner") {
     // K4 minus edge (3,4): triangles (1,2,3) and (1,2,4); both directed
     // directions of (1,2) collapse to ONE undirected edge

@@ -133,6 +133,31 @@ class Scd2AttributionSpec extends SparkSpec {
       (3L, 32L, Some(31L), Some("click"), Some(30L), Some("view"))))
   }
 
+  test("attribution equals the brute-force reference on random logs") {
+    val rnd = new scala.util.Random(42)
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    val rows = (0 until 400).map { i =>
+      // few users + coarse ts → plenty of same-instant collisions
+      (rnd.nextInt(6).toLong, i.toLong,
+        new Timestamp(1704067200000L + rnd.nextInt(120) * 1000L),
+        types(rnd.nextInt(types.length)))
+    }
+    val got = attrOf(rows)
+    val want = rows.filter(_._4 == "purchase").map { p =>
+      val cand = rows.filter(r => r._1 == p._1 &&
+        (r._4 == "click" || r._4 == "view") && !r._3.after(p._3))
+      def key(r: (Long, Long, Timestamp, String)) = (r._3.getTime, r._2)
+      val last = if (cand.isEmpty) None else Some(cand.maxBy(key))
+      val first = if (cand.isEmpty) None else Some(cand.minBy(key))
+      (p._1, p._2, last.map(_._2), last.map(_._4),
+        first.map(_._2), first.map(_._4))
+    }.sortBy(p => (p._1, p._2))
+    assert(got.map(g => (g._1, g._2,
+      g._3.map(_.asInstanceOf[Long]), g._4.map(_.asInstanceOf[String]),
+      g._5.map(_.asInstanceOf[Long]), g._6.map(_.asInstanceOf[String])))
+      == want)
+  }
+
   test("attribution: users are independent; other types are not touches") {
     val got = attrOf(Seq(
       (4L, 40L, ts("2024-01-01 01:00:00"), "click"),

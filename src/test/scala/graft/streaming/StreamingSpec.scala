@@ -585,6 +585,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(v => (v.key, v.version)).toSet.size == got.size)
   }
 
+  test("scd2Stream == batch twin on random logs under random batch splits") {
+    val rnd = new scala.util.Random(11)
+    // global (ts, seq) order, then consecutive batch slices: per-key
+    // cross-batch order holds — the CDC delivery contract
+    val changes = (0 until 120).map { i =>
+      Scd2Change(rnd.nextInt(5).toLong,
+        new java.sql.Timestamp(1704067200000L + i * 1000L), i.toLong,
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(3).toLong))
+    }
+    val cuts = (Seq(0, changes.length) ++
+      Seq.fill(3)(rnd.nextInt(changes.length))).distinct.sorted
+    val mem = MemoryStream[Scd2Change]
+    val q = CdcRouter.scd2Stream(mem.toDS()).writeStream
+      .format("memory").queryName("scd2r").outputMode("append").start()
+    cuts.sliding(2).foreach { case Seq(a, b) =>
+      if (b > a) { mem.addData(changes.slice(a, b): _*); q.processAllAvailable() }
+    }
+    q.stop()
+    val got = spark.table("scd2r").as[Scd2Version].collect()
+      .sortBy(v => (v.key, v.version)).toSeq
+    val want = graft.operators.Warehouse.scd2HistoryOn(
+        changes.map(c => (c.key, c.ts, c.seq, c.attr))
+          .toDF("key", "ts", "seq", "attr"))
+      .select("key", "version", "attr", "valid_from_us")
+      .as[Scd2Version].collect().toSeq
+    assert(got == want,
+      s"stream ${got.length} rows != batch ${want.length} rows")
+  }
+
   test("CdcRouter typed payload parse binds a fact table's bean") {
     import org.apache.spark.sql.types._
     implicit val enc: org.apache.spark.sql.Encoder[OrderInfoCdc] =
