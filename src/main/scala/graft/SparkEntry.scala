@@ -310,6 +310,9 @@ object SparkEntry {
     // q120: trailing-window rate anomalies — the z-score test cleared
     // of divisions/sqrt so both engines decide on exact integers
     "q120_rate_anomaly" -> ((s, d) => EventRates.rateAnomalies(s, d)),
+    // q121: synchronous label-propagation communities (deterministic
+    // smallest-label tie-break, fixed rounds — oracle-unrollable)
+    "q121_label_prop" -> ((s, d) => GraphRank.labelPropagation(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2148,6 +2151,8 @@ object SparkEntry {
                           > 9 * (n * q - s * s) THEN 1 ELSE 0 END
                   AS is_anomaly
          FROM st ORDER BY event_type, hour_s""",
+    // q121: 5 unrolled synchronous LPA rounds (see labelPropSql)
+    "q121_label_prop" -> labelPropSql(5),
     // q80/q81: BPE training replayed as 50 unrolled pair-count →
     // argmax → substitute rounds (the round-9 verdict's last
     // `no_oracle` rows; see bpeTrainCtes for the replace()-as-
@@ -2697,6 +2702,37 @@ object SparkEntry {
   /** Generated oracle for q104: transition edges from per-user lead(),
     * then `iters` unrolled rank CTEs applying the exact integer update
     * `r' = 150000 + (85 · Σ floor(r·w / wout)) div 100`. */
+  /** q121 oracle: `iters` unrolled synchronous LPA rounds — per round,
+    * each node adopts the most frequent neighbor label (ties to the
+    * smallest label), replayed as a count + row_number per round. */
+  private def labelPropSql(iters: Int): String = {
+    val header = raw"""WITH ev AS (
+         SELECT user_id, ts, event_id, CAST(props->>'k' AS BIGINT) AS k
+         FROM events WHERE props->>'k' IS NOT NULL),
+       tr AS (
+         SELECT k AS src, lead(k) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS dst
+         FROM ev),
+       und AS (
+         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM tr WHERE dst IS NOT NULL AND src <> dst),
+       sym AS (SELECT a AS u, b AS v FROM und
+               UNION ALL SELECT b AS u, a AS v FROM und),
+       l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym)"""
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (
+         SELECT u AS node, lbl FROM (
+           SELECT s.u, l.lbl, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY s.u
+                    ORDER BY count(*) DESC, l.lbl) AS rn
+           FROM sym s JOIN l${i - 1} l ON s.v = l.node
+           GROUP BY s.u, l.lbl) t
+         WHERE rn = 1)"""
+    }
+    (header +: rounds).mkString(",\n") +
+      s"\nSELECT node, lbl AS label FROM l$iters ORDER BY node"
+  }
+
   private def pageRankSql(iters: Int): String = {
     val header = raw"""WITH e0 AS (
          SELECT user_id, ts, event_id,

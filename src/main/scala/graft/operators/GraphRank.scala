@@ -140,17 +140,24 @@ object GraphRank {
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")))
 
-  /** [[triangles]] over an explicit (user_id, ts, event_id, k) event
-    * relation (k-less events dropped, the [[pageRankOn]] rule). */
-  def trianglesOn(ev0: DataFrame): DataFrame = {
+  /** The undirected simple item graph both [[triangles]] and
+    * [[labelPropagation]] analyze: distinct per-user consecutive-k
+    * transitions, direction and self-loops dropped, (a < b) normalized. */
+  private def undirectedEdges(ev0: DataFrame): DataFrame = {
     val ev = ev0.where(col("k").isNotNull)
     val nxt = lead(col("k"), 1).over(
       Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
-    val und = ev.select(col("k").as("src"), nxt.as("dst"))
+    ev.select(col("k").as("src"), nxt.as("dst"))
       .where(col("dst").isNotNull && col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+  }
+
+  /** [[triangles]] over an explicit (user_id, ts, event_id, k) event
+    * relation (k-less events dropped, the [[pageRankOn]] rule). */
+  def trianglesOn(ev0: DataFrame): DataFrame = {
+    val und = undirectedEdges(ev0)
     // deg is read three times (two orientation joins + the final left
     // join) and o three times (e1/e2/e3): cache both carriers, or each
     // alias recomputes the whole upstream — 29 exchanges uncached vs 10
@@ -190,6 +197,90 @@ object GraphRank {
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .orderBy("node")
+  }
+
+  /** q121: community detection by SYNCHRONOUS label propagation
+    * (Raghavan et al., public literature) on the undirected item graph
+    * — `iters` fixed rounds of "adopt the most frequent label among
+    * your neighbors", every choice deterministic (ties break toward the
+    * SMALLEST label; synchronous update = a pure function of the
+    * previous round, which is the oracle-ability contract — the
+    * asynchronous variant's result depends on visit order). Labels
+    * start as the node's own id; every node of the edge set has ≥1
+    * neighbor by construction, so no keep-own fallback is reachable.
+    *
+    * Scale shape: the q104 loop discipline — the symmetric edge list
+    * materializes once (localCheckpoint), each round is ONE join
+    * (labels onto edge heads) + ONE two-level aggregation (label
+    * counts, then the (−cnt, lbl) struct-min argmax) behind
+    * checkpoint-truncated lineage. Output: (node, label), where equal
+    * labels = one community. */
+  def labelPropagation(spark: SparkSession, dir: String,
+      iters: Int = 5): DataFrame =
+    labelPropagationOn(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      iters)
+
+  /** [[labelPropagation]] over an explicit (user_id, ts, event_id, k)
+    * event relation. */
+  def labelPropagationOn(ev0: DataFrame, iters: Int = 5,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val und = undirectedEdges(ev0)
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    // the q104 measured dispatch: a small graph's scheduled rounds are
+    // pure overhead against a driver loop with identical tie rules
+    // (spec-pinned equal) — 12 s → ~1 s at sf1
+    if (sym.count() <= edgeBudget) {
+      val out = driverLpa(ev0.sparkSession, sym, iters)
+      releaseCheckpoint(sym)
+      return out
+    }
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var round = 0
+    while (round < iters) {
+      val next = sym
+        .join(labels, sym("v") === labels("node"))
+        .select(col("u"), col("lbl"))
+        .groupBy("u", "lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy("u")
+        .agg(min(struct((-col("cnt")).as("negCnt"), col("lbl").as("l")))
+          .as("m"))
+        .select(col("u").as("node"), col("m.l").as("lbl"))
+        .localCheckpoint()
+      releaseCheckpoint(labels)
+      labels = next
+      round += 1
+    }
+    val out = labels.select(col("node"), col("lbl").as("label"))
+      .orderBy("node")
+    releaseCheckpoint(sym)
+    out
+  }
+
+  /** The same synchronous update as the distributed loop, on collected
+    * arrays — identical by construction (exact counts, the same
+    * (−cnt, lbl) tie order). */
+  private def driverLpa(spark: SparkSession, sym: DataFrame,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val nbrs = sym.select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    (1 to iters).foreach { _ =>
+      lbl = nbrs.map { case (n, ns) =>
+        val counts = ns.groupBy(lbl).view.mapValues(_.size.toLong)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl.keys.toSeq.sorted.map(n => (n, lbl(n))).toDF("node", "label")
   }
 
   /** The same integer update as the distributed loop, on collected

@@ -309,7 +309,11 @@ class PlanAuditSpec extends SparkSpec {
     // q120: the (type, hour) bucket agg, the type-keyed trailing
     // window, the output sort — corpus collapses to buckets before
     // anything sorts
-    "q120_rate_anomaly" -> 3)
+    "q120_rate_anomaly" -> 3,
+    // q121: the audited plan is the final round's output sort — each
+    // round's join + two-level agg ran eagerly behind localCheckpoint
+    // (the q104 loop discipline)
+    "q121_label_prop" -> 1)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -716,6 +716,33 @@ class DedupSimilaritySpec extends SparkSpec {
       (3L, 1L, 1L, 1000000L)), s"got $got")
   }
 
+  test("ngram novelty equals brute-force first-occurrence on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(11))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    def shingles(text: String): Set[String] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val owner = docs.flatMap { case (id, t) => shingles(t).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = docs.map { case (id, t) =>
+      val sh = shingles(t)
+      val novel = sh.count(s => owner(s) == id).toLong
+      (id, sh.size.toLong, novel, novel * 1000000L / sh.size)
+    }
+    val got = TextAnalysis.ngramNoveltyOn(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("ngram novelty: ownership is min doc_id, ratio floor-divides") {
     import spark.implicits._
     val docs = Seq(

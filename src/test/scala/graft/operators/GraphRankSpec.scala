@@ -125,6 +125,60 @@ class GraphRankSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  // —— label propagation (q121) ——
+
+  /** Scala reference: synchronous LPA, most-frequent neighbor label,
+    * ties to the smallest label. */
+  private def lpaRef(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nbrs = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    (1 to iters).foreach { _ =>
+      lbl = nbrs.map { case (n, ns) =>
+        val counts = ns.groupBy(lbl).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("label propagation: clique converges, 2-cycle oscillates — " +
+      "both deterministic") {
+    // isolated triangle {1,2,3} reaches all-1 and stays; the isolated
+    // pair {7,8} oscillates with period 2 (synchronous LPA's documented
+    // behavior) — after 5 (odd) rounds the labels sit swapped
+    val got = GraphRank.labelPropagationOn(evRows(Seq(
+        (1L, 1, 1L, 1L), (1L, 2, 2L, 2L), (1L, 3, 3L, 3L), (1L, 4, 4L, 1L),
+        (2L, 1, 5L, 7L), (2L, 2, 6L, 8L))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 8L, 8L -> 7L),
+      s"got $got")
+    assert(got == lpaRef(Set((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L)), 5))
+  }
+
+  test("label propagation equals the reference on random graphs") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 60).flatMap { u =>
+      val walk = Seq.fill(2 + rnd.nextInt(4))(1L + rnd.nextInt(14))
+      walk.zipWithIndex.map { case (k, i) =>
+        (u.toLong, i + 1, u.toLong * 100 + i, k)
+      }
+    }
+    val edges = rows.groupBy(_._1).values.flatMap { ev =>
+      ev.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).collect {
+        case Seq(a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }
+    }.toSet
+    val got = GraphRank.labelPropagationOn(evRows(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lpaRef(edges, 5), s"got $got want ${lpaRef(edges, 5)}")
+    // the distributed loop (edgeBudget = 0 forces it) matches the
+    // driver dispatch exactly — the q104 two-path contract
+    val dist = GraphRank.labelPropagationOn(evRows(rows), edgeBudget = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == got, "driver and distributed LPA paths diverged")
+  }
+
   test("triangles: shared-edge pair counted once per triangle per corner") {
     // K4 minus edge (3,4): triangles (1,2,3) and (1,2,4); both directed
     // directions of (1,2) collapse to ONE undirected edge
