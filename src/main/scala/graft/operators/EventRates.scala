@@ -1,8 +1,21 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
+
+/** One FINALIZED hourly bucket for the streaming anomaly twin (what an
+  * append-mode watermarked `window(ts, '1 hour')` count emits). */
+case class RateBucket(event_type: String, hour: java.sql.Timestamp,
+    cnt: Long)
+
+/** A streamed anomaly verdict (None = thin history, the batch rule). */
+case class RateVerdict(event_type: String, hour_us: Long, cnt: Long,
+    n_window: Long, is_anomaly: Option[Int])
+
+/** Trailing per-type bucket history carried between micro-batches. */
+case class RateState(buckets: Seq[(Long, Long)])
 
 /** Time-windowed event statistics — the standard streaming-analytics
   * aggregation shape (tumbling event-time windows). The batch form below
@@ -83,6 +96,53 @@ object EventRates {
               expr(s"${k.toLong * k} * (n * q - s * s)")).cast("int"))
           .as("is_anomaly"))
       .orderBy("event_type", "hour_s")
+  }
+
+  /** STREAMING twin of [[rateAnomalies]]: verdicts over a stream of
+    * FINALIZED hourly buckets — compose `windowedCountsStream` (the
+    * watermarked append-mode hourly count, which emits a (type, hour)
+    * bucket exactly once, when the watermark closes it) into this
+    * keyed-state stage. Per event type the state carries the last
+    * `windowHours` buckets; each arriving bucket gets the SAME integer
+    * verdict as the batch operator — (n·x−S)² > k²·(n·Q−S²) over the
+    * trailing buckets, null under `minWindow` — then joins the trailing
+    * history itself.
+    *
+    * Input contract: per-type buckets arrive in hour order across
+    * batches (append-mode watermark aggregation emits exactly that —
+    * the scd2Stream delivery-contract argument); within a batch any
+    * order is fine, the fold sorts. */
+  def rateAnomalyStream(buckets: Dataset[RateBucket],
+      windowHours: Int = 24, minWindow: Int = 12, k: Int = 3)
+      : Dataset[RateVerdict] = {
+    import buckets.sparkSession.implicits._
+    require(windowHours >= minWindow && minWindow >= 2 && k >= 1)
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
+    buckets.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (tpe: String, it: Iterator[RateBucket],
+            state: GroupState[RateState]) => {
+          var hist = state.getOption.map(_.buckets).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[RateVerdict]
+          it.toSeq.sortBy(b => micros(b.hour)).foreach { b =>
+            val n = hist.size.toLong
+            val verdict =
+              if (n < minWindow) None
+              else {
+                val s = hist.map(_._2).sum
+                val q = hist.map(h => h._2 * h._2).sum
+                val lhs = n * b.cnt - s
+                Some(if (lhs * lhs > k.toLong * k * (n * q - s * s)) 1
+                  else 0)
+              }
+            out += RateVerdict(tpe, micros(b.hour), b.cnt, n, verdict)
+            hist = (hist :+ (micros(b.hour), b.cnt)).takeRight(windowHours)
+          }
+          state.update(RateState(hist))
+          out.result().iterator
+        })
   }
 
   /** Top-k per group via window ranking (no reference counterpart; the

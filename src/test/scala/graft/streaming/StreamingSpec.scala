@@ -614,6 +614,43 @@ class StreamingSpec extends SparkSpec {
       s"stream ${got.length} rows != batch ${want.length} rows")
   }
 
+  test("rateAnomalyStream == the batch verdict formula under random splits") {
+    import graft.operators.{EventRates, RateBucket, RateVerdict}
+    val rnd = new scala.util.Random(3)
+    val hours = (0 until 40).map { i =>
+      ("click", new java.sql.Timestamp(1704067200000L + i * 3600000L),
+        (8 + rnd.nextInt(5) + (if (i % 13 == 0) 60 else 0)).toLong)
+    }
+    val (wh, mw, k) = (6, 3, 3)
+    val mem = MemoryStream[RateBucket]
+    val q = EventRates.rateAnomalyStream(mem.toDS(), wh, mw, k)
+      .writeStream.format("memory").queryName("ranom")
+      .outputMode("append").start()
+    val cuts = (Seq(0, hours.length) ++ Seq.fill(4)(rnd.nextInt(hours.length)))
+      .distinct.sorted
+    cuts.sliding(2).foreach { case Seq(a, b) =>
+      if (b > a) {
+        mem.addData(hours.slice(a, b).map(h => RateBucket(h._1, h._2, h._3)): _*)
+        q.processAllAvailable()
+      }
+    }
+    q.stop()
+    val got = spark.table("ranom").as[RateVerdict].collect()
+      .sortBy(_.hour_us).toSeq
+    // independent reference: the batch formula over the trailing buckets
+    val want = hours.zipWithIndex.map { case ((t, hr, cnt), i) =>
+      val hist = hours.slice(math.max(0, i - wh), i).map(_._3)
+      val n = hist.size.toLong
+      val verdict = if (n < mw) None else {
+        val s = hist.sum; val qq = hist.map(c => c * c).sum
+        Some(if ((n * cnt - s) * (n * cnt - s) > k.toLong * k * (n * qq - s * s)) 1 else 0)
+      }
+      RateVerdict(t, hr.getTime * 1000L, cnt, n, verdict)
+    }
+    assert(got == want)
+    assert(got.count(_.is_anomaly.contains(1)) >= 2, "expected spikes flagged")
+  }
+
   test("CdcRouter typed payload parse binds a fact table's bean") {
     import org.apache.spark.sql.types._
     implicit val enc: org.apache.spark.sql.Encoder[OrderInfoCdc] =
