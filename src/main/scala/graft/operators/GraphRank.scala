@@ -147,11 +147,15 @@ object GraphRank {
     val ev = ev0.where(col("k").isNotNull)
     val nxt = lead(col("k"), 1).over(
       Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+    // materialize: every caller reads this relation 2–3× (sym union
+    // branches, degree agg + orientation join) — without the checkpoint
+    // each branch re-runs the 1M-event window + distinct
     ev.select(col("k").as("src"), nxt.as("dst"))
       .where(col("dst").isNotNull && col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint()
   }
 
   /** [[triangles]] over an explicit (user_id, ts, event_id, k) event
@@ -235,7 +239,9 @@ object GraphRank {
     // the q104 measured dispatch: a small graph's scheduled rounds are
     // pure overhead against a driver loop with identical tie rules
     // (spec-pinned equal) — 12 s → ~1 s at sf1
-    if (sym.count() <= edgeBudget) {
+    val nEdges = sym.count() // also materializes sym: und is now dead
+    releaseCheckpoint(und)
+    if (nEdges <= edgeBudget) {
       val out = driverLpa(ev0.sparkSession, sym, iters)
       releaseCheckpoint(sym)
       return out
