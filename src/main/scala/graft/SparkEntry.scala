@@ -313,6 +313,9 @@ object SparkEntry {
     // q121: synchronous label-propagation communities (deterministic
     // smallest-label tie-break, fixed rounds — oracle-unrollable)
     "q121_label_prop" -> ((s, d) => GraphRank.labelPropagation(s, d)),
+    // q122: top length-3 item journeys (path mining over per-user
+    // consecutive k sequences; self-transitions kept)
+    "q122_top_paths" -> ((s, d) => Sessionize.topPaths(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2153,6 +2156,23 @@ object SparkEntry {
          FROM st ORDER BY event_type, hour_s""",
     // q121: 5 unrolled synchronous LPA rounds (see labelPropSql)
     "q121_label_prop" -> labelPropSql(5),
+    // q122: two leads over the same user window, count per path tuple,
+    // ties order by the path
+    "q122_top_paths" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_id,
+                  CAST(props->>'k' AS BIGINT) AS k
+           FROM events WHERE props->>'k' IS NOT NULL),
+         st AS (
+           SELECT k AS p1,
+                  lead(k, 1) OVER w AS p2,
+                  lead(k, 2) OVER w AS p3
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT p1, p2, p3, count(*) AS cnt
+         FROM st WHERE p2 IS NOT NULL AND p3 IS NOT NULL
+         GROUP BY p1, p2, p3
+         ORDER BY cnt DESC, p1, p2, p3 LIMIT 50""",
     // q80/q81: BPE training replayed as 50 unrolled pair-count →
     // argmax → substitute rounds (the round-9 verdict's last
     // `no_oracle` rows; see bpeTrainCtes for the replace()-as-

@@ -281,6 +281,45 @@ object Sessionize {
       .orderBy("user_id", "event_id")
   }
 
+  /** q122: top item JOURNEYS — the most frequent length-`len` windows
+    * of each user's consecutive `props.k` sequence (self-transitions
+    * kept: a→a→b is a real journey, unlike the simple-graph view the
+    * q104/q119/q121 family takes). The path-mining query behind "what
+    * flows lead here" dashboards.
+    *
+    * Scale shape: ONE user-keyed window shuffle computes all `len−1`
+    * leads (same window frame → one Window operator), then a count
+    * aggregation on the path tuple (map-side combine) and a k-bounded
+    * TakeOrdered — no per-user collect, no explode of sequences.
+    * Deterministic: ties order by the path itself. */
+  def topPaths(spark: SparkSession, dir: String, len: Int = 3,
+      topN: Int = 50): DataFrame =
+    topPathsOn(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      len, topN)
+
+  /** [[topPaths]] over an explicit (user_id, ts, event_id, k) event
+    * relation. */
+  def topPathsOn(ev0: DataFrame, len: Int = 3, topN: Int = 50): DataFrame = {
+    require(len >= 2 && topN > 0)
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val ev = ev0.where(col("k").isNotNull)
+    val steps = (2 to len).foldLeft(ev) { (d, i) =>
+      d.withColumn(s"p$i", lead(col("k"), i - 1).over(byUser))
+    }
+    val pathCols = col("k").as("p1") +: (2 to len).map(i => col(s"p$i"))
+    steps
+      .select(pathCols: _*)
+      .where((2 to len).map(i => col(s"p$i").isNotNull).reduce(_ && _))
+      .groupBy((1 to len).map(i => col(s"p$i")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt") +: (1 to len).map(i => col(s"p$i")): _*)
+      .limit(topN)
+  }
+
   /** [[cohorts]] over an explicit (user_id, ts) relation. */
   def cohortsOn(events: DataFrame): DataFrame = {
     val ev = events

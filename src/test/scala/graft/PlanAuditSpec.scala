@@ -313,7 +313,10 @@ class PlanAuditSpec extends SparkSpec {
     // q121: the audited plan is the final round's output sort — each
     // round's join + two-level agg ran eagerly behind localCheckpoint
     // (the q104 loop discipline)
-    "q121_label_prop" -> 1)
+    "q121_label_prop" -> 1,
+    // q122: ONE user-keyed window shuffle (both leads share the frame)
+    // + the path-count agg; the top-N is a TakeOrdered heap
+    "q122_top_paths" -> 2)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -115,6 +115,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.head._3 > 0, "expected some users to reach step 1")
   }
 
+  // —— path mining (q122) ——
+
+  test("topPaths: sliding windows per user, self-transitions kept") {
+    def ev(u: Long, sec: Int, eid: Long, k: Long) =
+      (u, t(f"2024-01-01 10:00:$sec%02d"), eid, k)
+    val got = Sessionize.topPathsOn(Seq(
+        ev(1L, 1, 1L, 1L), ev(1L, 2, 2L, 2L), ev(1L, 3, 3L, 3L),
+        ev(1L, 4, 4L, 2L), ev(1L, 5, 5L, 3L),     // windows 123,232,323
+        ev(2L, 1, 6L, 5L), ev(2L, 2, 7L, 5L),
+        ev(2L, 3, 8L, 5L), ev(2L, 4, 9L, 7L),     // windows 555,557
+        ev(3L, 1, 10L, 1L), ev(3L, 2, 11L, 2L),
+        ev(3L, 3, 12L, 3L))                       // window 123 → cnt 2
+        .toDF("user_id", "ts", "event_id", "k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, 2L),
+      (2L, 3L, 2L, 1L), (3L, 2L, 3L, 1L),
+      (5L, 5L, 5L, 1L), (5L, 5L, 7L, 1L)), s"got $got")
+  }
+
   // —— trailing-window rate anomalies (q120) ——
 
   /** `cnt` click events inside hour bucket `hour` of 2024-01-01. */
