@@ -128,4 +128,15 @@ class CorpusBuildSpec extends SparkSpec {
     assert(m.count() > 0L)
     graft.Caches.releaseAll()
   }
+
+  test("corpusBuild memoizes the manifest as a build artifact — " +
+      "repeat and post-clear rebuilds agree row-for-row") {
+    def rows() = Curation.corpusBuild(spark, sf).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    val first = rows()
+    assert(rows() == first)      // memo hit: the same checkpointed frame
+    Curation.clearManifestMemo()
+    assert(rows() == first)      // fresh build: deterministic artifact
+    graft.Caches.releaseAll()
+  }
 }
