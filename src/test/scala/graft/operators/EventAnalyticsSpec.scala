@@ -115,6 +115,42 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.head._3 > 0, "expected some users to reach step 1")
   }
 
+  test("funnel equals the brute-force minimal-time reference on random logs") {
+    val rnd = new scala.util.Random(21)
+    val types = Seq("view", "click", "purchase", "error")
+    val steps = Seq("view", "click", "purchase")
+    // coarse seconds → plenty of same-instant ties exercising the
+    // strictly-after rule
+    val rows = (0 until 500).map { _ =>
+      (rnd.nextInt(40).toLong,
+        t(f"2024-01-01 10:00:${rnd.nextInt(50)}%02d"),
+        types(rnd.nextInt(types.length)))
+    }
+    val got = Sessionize.funnelOn(
+        rows.toDF("user_id", "ts", "event_type"), steps)
+      .as[(Long, String, Long)].collect().toSeq
+    val byUser = rows.groupBy(_._1)
+    val reached = Array.fill(steps.length)(0L)
+    byUser.values.foreach { evs =>
+      var prev: Option[java.sql.Timestamp] = None
+      var i = 0
+      var stalled = false
+      while (i < steps.length && !stalled) {
+        val cand = evs.filter(e => e._3 == steps(i) &&
+          prev.forall(p => e._2.after(p)))
+        if (cand.isEmpty) stalled = true
+        else {
+          prev = Some(cand.map(_._2).minBy(_.getTime))
+          reached(i) += 1
+          i += 1
+        }
+      }
+    }
+    val want = steps.zipWithIndex
+      .map { case (s, i) => (i + 1L, s, reached(i)) }
+    assert(got == want, s"got $got want $want")
+  }
+
   // —— path mining (q122) ——
 
   test("topPaths: sliding windows per user, self-transitions kept") {

@@ -94,6 +94,35 @@ class Scd2AttributionSpec extends SparkSpec {
       (4L, 1L, Some(8L), 1)))
   }
 
+  test("scd2 equals the brute-force fold on random change logs") {
+    val rnd = new scala.util.Random(31)
+    // coarse ts → same-instant changes exercising the seq tie rule;
+    // small attr domain → plenty of repeats; None is a value
+    val rows = (0 until 300).map { i =>
+      (rnd.nextInt(7).toLong,
+        ts(f"2024-01-01 10:00:${rnd.nextInt(40)}%02d"),
+        i.toLong,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(3).toLong))
+    }
+    val got = historyOf(rows)
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (key, evs) =>
+        val sorted = evs.sortBy(e => (e._2.getTime, e._3))
+        val trans = sorted.foldLeft(Seq.empty[(Timestamp, Option[Long])]) {
+          (acc, e) =>
+            if (acc.lastOption.exists(_._2 == e._4)) acc
+            else acc :+ (e._2, e._4)
+        }
+        trans.zipWithIndex.map { case ((from, attr), i) =>
+          val to = trans.lift(i + 1).map(_._1.getTime * 1000L)
+          (key, i + 1L, attr, from.getTime * 1000L, to,
+            if (to.isEmpty) 1 else 0)
+        }
+    }
+    assert(got.map(g => (g._1, g._2, g._3.map(_.asInstanceOf[Long]),
+      g._4, g._5.map(_.asInstanceOf[Long]), g._6)) == want)
+  }
+
   // —— attribution (q117) ——
 
   private def attrOf(rows: Seq[(Long, Long, Timestamp, String)]) =
