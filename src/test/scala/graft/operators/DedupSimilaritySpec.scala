@@ -698,6 +698,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("duplicated segments"))
   }
 
+  test("cdc dedup equals the brute-force first-occurrence reference " +
+      "on random corpora") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5LongScala
+    val p = Dedup.CdcModulus
+    val rnd = new scala.util.Random(17)
+    // a vocab with genuine boundary tokens so multi-segment docs occur
+    val boundary = (0 to 3000).map(i => s"t$i")
+      .filter(t => md5LongScala(t) % p == 0).take(3)
+    val plain = (0 to 3000).map(i => s"w$i")
+      .filter(t => md5LongScala(t) % p != 0).take(12)
+    val vocab = (boundary ++ plain).toIndexedSeq
+    val docs = (0 until 30).map { i =>
+      (i.toLong,
+        Seq.fill(3 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    def segs(text: String): Seq[(String, Long)] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toList
+      val out = scala.collection.mutable.ListBuffer[(String, Long)]()
+      var seg = List.empty[String]
+      toks.zipWithIndex.foreach { case (w, i) =>
+        seg :+= w
+        if (md5LongScala(w) % p == 0 || i == toks.length - 1) {
+          out += ((seg.mkString(" "), md5LongScala(seg.mkString(" "))))
+          seg = Nil
+        }
+      }
+      out.toSeq
+    }
+    val occ = docs.flatMap { case (id, t) =>
+      segs(t).zipWithIndex.map { case ((s, h), idx) => (id, idx, s, h) }
+    }
+    val canon = occ.groupBy(_._4).filter(_._2.size >= 2)
+      .view.mapValues(_.map(o => o._1 * 1000000L + o._2).min).toMap
+    val want = docs.map { case (id, t) =>
+      val mine = segs(t).zipWithIndex
+      val kept = mine.filter { case ((_, h), idx) =>
+        canon.get(h).forall(_ == id * 1000000L + idx)
+      }
+      (id, kept.map(_._1._1).mkString(" "),
+        (mine.size - kept.size).toLong)
+    }
+    val got = Dedup.cdcDedupOn(docs.toDF("doc_id", "text"), p, 10000)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("ngram novelty: first-occurrence fractions, hand-traced") {
     import spark.implicits._
     // doc1 {abc,bcd} both first here; doc2 {abc,bce} — abc already
