@@ -26,4 +26,15 @@ object Caches {
     var df = reg.poll()
     while (df != null) { df.unpersist(blocking = false); df = reg.poll() }
   }
+
+  /** Release the storage behind a `localCheckpoint`'d frame. UNLIKE
+    * [[releaseAll]]'s cached frames, a checkpointed frame has its
+    * lineage CUT — once its blocks are dropped it cannot recompute, so
+    * this is only safe when no caller will action the frame again (the
+    * GraphRank/Dedup loop contract, and the memo-eviction contract:
+    * an evicted memo entry's frame must not be held across eviction). */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

@@ -100,8 +100,13 @@ object Curation {
   private def gateSignals(spark: SparkSession, dir: String): DataFrame = {
     val fpKey = (dir, IvfIndex.dataFingerprint(dir, "documents"))
     gateSignalMemo.getOrElseUpdate(fpKey, {
+      // evicted = the corpus was rewritten in place: release the stale
+      // fingerprint's checkpointed blocks instead of leaving them to
+      // RDD GC timing (no caller may hold an evicted frame — the
+      // fingerprint it was built from no longer exists on disk)
       gateSignalMemo.keys.filter(_._1 == dir)
-        .foreach(gateSignalMemo.remove)
+        .foreach(k => gateSignalMemo.remove(k)
+          .foreach(graft.Caches.releaseCheckpoint))
       val scrubbed = graft.Caches.register(Tables.documents(spark, dir)
         .withColumn("text", Pii.redactText(col("text"))).cache())
       val (ppxM, dsirT, oddsM) = gateModels(dir, scrubbed)
@@ -237,8 +242,13 @@ object Curation {
       s"$minQuality|$ppxKeepPct|$dsirKeepPct|$oddsKeepPct|" +
         s"$nearThreshold|$semThreshold|$domainCap|$packBudget|$packBlocks")
     manifestMemo.getOrElseUpdate(key, {
+      // release evicted manifests' checkpoint blocks eagerly (the
+      // gateSignalMemo eviction rule): a long-lived serving JVM that
+      // rebuilds after corpus rewrites must reclaim storage
+      // deterministically, not on RDD-GC timing
       manifestMemo.keys.filter(_._1 == dir).filterNot(_ == key)
-        .foreach(manifestMemo.remove)
+        .foreach(k => manifestMemo.remove(k)
+          .foreach(graft.Caches.releaseCheckpoint))
       corpusBuildStages(spark, dir, minQuality, ppxKeepPct,
         dsirKeepPct, oddsKeepPct, nearThreshold, semThreshold,
         domainCap, packBudget, packBlocks)("manifest")
@@ -252,8 +262,12 @@ object Curation {
 
   /** Test hook: drop the memoized manifests (the IvfIndex.clearMemos
     * convention) — the model/signal memos stay, they are fingerprint-
-    * safe on their own. */
-  def clearManifestMemo(): Unit = manifestMemo.clear()
+    * safe on their own. Releases the dropped manifests' checkpoint
+    * blocks, so a frame obtained from [[corpusBuild]] before the clear
+    * must not be actioned again (rebuild instead). */
+  def clearManifestMemo(): Unit =
+    manifestMemo.keys.foreach(k => manifestMemo.remove(k)
+      .foreach(graft.Caches.releaseCheckpoint))
 
   /** [[corpusBuild]] with every intermediate stage observable — the
     * spec/debug window into the composition: keys `flagged`, `gated`,

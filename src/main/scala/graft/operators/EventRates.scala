@@ -111,9 +111,13 @@ object EventRates {
     * Input contract: per-type buckets arrive in hour order across
     * batches (append-mode watermark aggregation emits exactly that —
     * the scd2Stream delivery-contract argument); within a batch any
-    * order is fine, the fold sorts. */
+    * order is fine, the fold sorts. Enforced like scd2Stream: a bucket
+    * at or below the newest bucket hour already folded is DROPPED and
+    * counted on `lateDrops` instead of silently polluting the trailing
+    * window out of order. */
   def rateAnomalyStream(buckets: Dataset[RateBucket],
-      windowHours: Int = 24, minWindow: Int = 12, k: Int = 3)
+      windowHours: Int = 24, minWindow: Int = 12, k: Int = 3,
+      lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[RateVerdict] = {
     import buckets.sparkSession.implicits._
     require(windowHours >= minWindow && minWindow >= 2 && k >= 1)
@@ -127,18 +131,24 @@ object EventRates {
           var hist = state.getOption.map(_.buckets).getOrElse(Seq.empty)
           val out = Seq.newBuilder[RateVerdict]
           it.toSeq.sortBy(b => micros(b.hour)).foreach { b =>
-            val n = hist.size.toLong
-            val verdict =
-              if (n < minWindow) None
-              else {
-                val s = hist.map(_._2).sum
-                val q = hist.map(h => h._2 * h._2).sum
-                val lhs = n * b.cnt - s
-                Some(if (lhs * lhs > k.toLong * k * (n * q - s * s)) 1
-                  else 0)
-              }
-            out += RateVerdict(tpe, micros(b.hour), b.cnt, n, verdict)
-            hist = (hist :+ (micros(b.hour), b.cnt)).takeRight(windowHours)
+            // late check folds as buckets do (not a pre-pass), so a
+            // within-batch duplicate hour is caught too
+            if (hist.nonEmpty && micros(b.hour) <= hist.last._1)
+              lateDrops.foreach(_.add(1L))
+            else {
+              val n = hist.size.toLong
+              val verdict =
+                if (n < minWindow) None
+                else {
+                  val s = hist.map(_._2).sum
+                  val q = hist.map(h => h._2 * h._2).sum
+                  val lhs = n * b.cnt - s
+                  Some(if (lhs * lhs > k.toLong * k * (n * q - s * s)) 1
+                    else 0)
+                }
+              out += RateVerdict(tpe, micros(b.hour), b.cnt, n, verdict)
+              hist = (hist :+ (micros(b.hour), b.cnt)).takeRight(windowHours)
+            }
           }
           state.update(RateState(hist))
           out.result().iterator

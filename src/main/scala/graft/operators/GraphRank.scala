@@ -42,9 +42,7 @@ object GraphRank {
     * helper's contract: only safe when the frame is never referenced
     * again). */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    graft.Caches.releaseCheckpoint(df)
 
   /** Edge count at or below which [[pageRank]] runs the rank loop on
     * the driver instead of scheduling `iters` join rounds — the q53
@@ -143,25 +141,36 @@ object GraphRank {
   /** The undirected simple item graph both [[triangles]] and
     * [[labelPropagation]] analyze: distinct per-user consecutive-k
     * transitions, direction and self-loops dropped, (a < b) normalized. */
-  private def undirectedEdges(ev0: DataFrame): DataFrame = {
+  private def undirectedEdges(ev0: DataFrame): DataFrame =
+    // materialize with lineage CUT: the LPA loop below reads this
+    // relation 2–3× (sym union branches) and then re-derives labels
+    // from sym round after round — the eager localCheckpoint is
+    // released explicitly once sym materializes
+    undirectedEdgesPlan(ev0).localCheckpoint()
+
+  /** The lazy undirected-edge plan [[undirectedEdges]] checkpoints:
+    * distinct per-user consecutive-k transitions, (a < b) normalized. */
+  private def undirectedEdgesPlan(ev0: DataFrame): DataFrame = {
     val ev = ev0.where(col("k").isNotNull)
     val nxt = lead(col("k"), 1).over(
       Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
-    // materialize: every caller reads this relation 2–3× (sym union
-    // branches, degree agg + orientation join) — without the checkpoint
-    // each branch re-runs the 1M-event window + distinct
     ev.select(col("k").as("src"), nxt.as("dst"))
       .where(col("dst").isNotNull && col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint()
   }
 
   /** [[triangles]] over an explicit (user_id, ts, event_id, k) event
     * relation (k-less events dropped, the [[pageRankOn]] rule). */
   def trianglesOn(ev0: DataFrame): DataFrame = {
-    val und = undirectedEdges(ev0)
+    // CACHE, not localCheckpoint: the edge set is read 2–3× within one
+    // execution (degree agg + orientation join), but unlike the loop
+    // operators nothing here can release it before the caller actions
+    // the returned lazy frame — a registered cache is host-released
+    // (Caches.releaseAll) and recompute-safe, where an unreleased
+    // checkpoint would pin its blocks until RDD GC (round-10 advice)
+    val und = graft.Caches.register(undirectedEdgesPlan(ev0).cache())
     // deg is read three times (two orientation joins + the final left
     // join) and o three times (e1/e2/e3): cache both carriers, or each
     // alias recomputes the whole upstream — 29 exchanges uncached vs 10

@@ -129,14 +129,38 @@ object Ranking {
         .withColumnRenamed("vec_id", "doc_id"),
       rrfK, topN)
 
+  /** Ceiling on either [[rrfFuse]] input's PROVABLE row bound. The
+    * fusion layer single-partition-sorts its inputs, which is only
+    * sane for k-bounded candidate lists; 100k rows sort in
+    * milliseconds on one task, and no real `kEach` approaches it. */
+  val MaxFuseListRows = 100000L
+
   /** The fusion core of [[hybridRrf]]: two (doc_id, score) candidate
     * LISTS (already k-bounded — this layer must never see a corpus
-    * relation) → fused (doc_id, lex_rank, vec_rank, rrf) top-`topN`. */
+    * relation) → fused (doc_id, lex_rank, vec_rank, rrf) top-`topN`.
+    *
+    * The k-bounded precondition is MECHANICAL, not conventional: each
+    * input's analyzed plan must PROVE a row bound ≤ [[MaxFuseListRows]]
+    * (`maxRows` — a `limit()`/TakeOrdered anywhere under projections
+    * provides it). An unbounded relation fails loudly at plan time
+    * (zero execution cost) instead of silently funneling a corpus
+    * through a single-task sort — the fuzzyPairs/cdcDedup
+    * loud-failure discipline. */
   def rrfFuse(lex: DataFrame, vec: DataFrame,
       rrfK: Int = 60, topN: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    def requireBounded(df: DataFrame, side: String): Unit = {
+      val mr = df.queryExecution.analyzed.maxRows
+      require(mr.exists(_ <= MaxFuseListRows),
+        s"rrfFuse: the $side input does not prove a row bound <= " +
+          s"$MaxFuseListRows (plan maxRows = ${mr.getOrElse("unbounded")})" +
+          " — pass a limit()-bounded candidate list (bm25Rank/topK " +
+          "shapes); fusing a corpus relation would single-task sort it")
+    }
+    requireBounded(lex, "lex")
+    requireBounded(vec, "vec")
     // single-partition windows are fine HERE ONLY: both inputs are
-    // k-bounded lists, not corpus relations
+    // k-bounded lists, not corpus relations (require-guarded above)
     val lexRanked = lex.select(col("doc_id"),
       row_number().over(Window.orderBy(desc("score"), col("doc_id")))
         .cast("long").as("lex_rank"),

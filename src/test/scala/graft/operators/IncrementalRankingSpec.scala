@@ -212,6 +212,25 @@ class IncrementalRankingSpec extends SparkSpec {
 
   // —— hybrid RRF fusion (q114) ——
 
+  test("rrfFuse: refuses an input with no proven row bound (corpus relation)") {
+    val corpus = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), lit(1.0).as("score"))
+    val bounded = corpus.limit(5)
+    val e = intercept[IllegalArgumentException] {
+      Ranking.rrfFuse(corpus, bounded)
+    }
+    assert(e.getMessage.contains("k-bounded") ||
+      e.getMessage.contains("row bound"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Ranking.rrfFuse(bounded, corpus)
+    }
+    assert(e2.getMessage.contains("vec"), e2.getMessage)
+    // limit()-bounded relations (even projected/renamed) still pass
+    assert(Ranking.rrfFuse(
+      bounded, bounded.withColumnRenamed("score", "s")
+        .withColumnRenamed("s", "score")).count() > 0)
+  }
+
   test("rrfFuse: hand-traced ranks, contributions and tie-break") {
     // lex list: 10 (rank 1), 20 (rank 2); vec list: 20 (rank 1), 30 (rank 2)
     val lex = Seq((10L, 5.0), (20L, 3.0)).toDF("doc_id", "score")

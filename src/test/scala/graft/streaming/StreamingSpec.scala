@@ -651,6 +651,68 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_.is_anomaly.contains(1)) >= 2, "expected spikes flagged")
   }
 
+  test("scd2Stream: cross-batch late changes drop with metric, history intact") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val drops = spark.sparkContext.longAccumulator("scd2_late_drops")
+    val mem = MemoryStream[Scd2Change]
+    val q = CdcRouter.scd2Stream(mem.toDS(), Some(drops)).writeStream
+      .format("memory").queryName("scd2late").outputMode("append").start()
+    val b1 = Seq( // within-batch disorder is fine: the fold sorts
+      Scd2Change(1L, t("2024-01-03 00:00:00"), 5L, Some(7L)),
+      Scd2Change(1L, t("2024-01-01 00:00:00"), 1L, Some(5L)))
+    val b2 = Seq(
+      Scd2Change(1L, t("2024-01-02 00:00:00"), 3L, Some(9L)), // LATE: below (01-03, 5)
+      Scd2Change(1L, t("2024-01-03 00:00:00"), 5L, Some(7L)), // duplicate replay of newest
+      Scd2Change(1L, t("2024-01-04 00:00:00"), 6L, Some(8L))) // in-order transition
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val got = spark.table("scd2late").as[Scd2Version].collect()
+      .sortBy(_.version).toSeq
+    // the late Some(9) must NOT appear anywhere; versions stay dense
+    assert(got.map(v => (v.version, v.attr)) ==
+      Seq((1L, Some(5L)), (2L, Some(7L)), (3L, Some(8L))), got.toString)
+    assert(drops.value == 2L, s"expected 2 late drops, got ${drops.value}")
+  }
+
+  test("scd2Stream: a repeat advances the watermark (older change after it is late)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val drops = spark.sparkContext.longAccumulator("scd2_late_drops2")
+    val mem = MemoryStream[Scd2Change]
+    val q = CdcRouter.scd2Stream(mem.toDS(), Some(drops)).writeStream
+      .format("memory").queryName("scd2late2").outputMode("append").start()
+    mem.addData(
+      Scd2Change(9L, t("2024-01-01 00:00:00"), 1L, Some(5L)),
+      Scd2Change(9L, t("2024-01-05 00:00:00"), 2L, Some(5L))) // repeat, no emission
+    q.processAllAvailable()
+    mem.addData( // older than the REPEAT (not than the emitted version):
+      Scd2Change(9L, t("2024-01-03 00:00:00"), 3L, Some(6L))) // still late
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("scd2late2").as[Scd2Version].collect().toSeq
+    assert(got.map(v => (v.version, v.attr)) == Seq((1L, Some(5L))))
+    assert(drops.value == 1L)
+  }
+
+  test("rateAnomalyStream: stale and duplicate-hour buckets drop with metric") {
+    import graft.operators.{EventRates, RateBucket, RateVerdict}
+    val drops = spark.sparkContext.longAccumulator("rate_late_drops")
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 3600000L)
+    val mem = MemoryStream[RateBucket]
+    val q = EventRates.rateAnomalyStream(mem.toDS(), 6, 3, 3, Some(drops))
+      .writeStream.format("memory").queryName("ranomlate")
+      .outputMode("append").start()
+    mem.addData(RateBucket("c", ts(0), 5L), RateBucket("c", ts(1), 6L))
+    q.processAllAvailable()
+    mem.addData(
+      RateBucket("c", ts(1), 9L), // duplicate hour across batches → drop
+      RateBucket("c", ts(0), 9L), // stale hour → drop
+      RateBucket("c", ts(2), 7L)) // in-order → folds
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ranomlate").as[RateVerdict].collect()
+      .sortBy(_.hour_us).toSeq
+    assert(got.map(_.cnt) == Seq(5L, 6L, 7L), got.toString)
+    assert(drops.value == 2L, s"expected 2 late drops, got ${drops.value}")
+  }
+
   test("CdcRouter typed payload parse binds a fact table's bean") {
     import org.apache.spark.sql.types._
     implicit val enc: org.apache.spark.sql.Encoder[OrderInfoCdc] =
