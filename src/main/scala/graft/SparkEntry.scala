@@ -316,6 +316,10 @@ object SparkEntry {
     // q122: top length-3 item journeys (path mining over per-user
     // consecutive k sequences; self-transitions kept)
     "q122_top_paths" -> ((s, d) => Sessionize.topPaths(s, d)),
+    // q123: q120 over a DENSE calendar-hour grid — silent hours are
+    // explicit cnt=0 rows the z-test can flag (collapse detection)
+    "q123_rate_anomaly_dense" ->
+      ((s, d) => EventRates.rateAnomaliesDense(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2145,6 +2149,40 @@ object SparkEntry {
                   sum(cnt * cnt) OVER w AS q,
                   count(*) OVER w AS n
            FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY h
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+                cnt, n AS n_window,
+                CASE WHEN n < 12 THEN NULL
+                     WHEN (n * cnt - s) * (n * cnt - s)
+                          > 9 * (n * q - s * s) THEN 1 ELSE 0 END
+                  AS is_anomaly
+         FROM st ORDER BY event_type, hour_s""",
+    // q123: the q120 z-test over a dense per-type calendar-hour grid —
+    // generate_series from each type's first hour to the global last
+    // hour, missing hours count 0
+    "q123_rate_anomaly_dense" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT event_type, min(h) AS hmin FROM hourly GROUP BY 1),
+         gmax AS (SELECT max(h) AS hmax FROM hourly),
+         grid AS (
+           SELECT s.event_type,
+                  unnest(generate_series(s.hmin, g.hmax,
+                                         INTERVAL 1 HOUR)) AS h
+           FROM span s CROSS JOIN gmax g),
+         dense AS (
+           SELECT g.event_type, g.h, coalesce(hourly.cnt, 0) AS cnt
+           FROM grid g LEFT JOIN hourly
+             ON hourly.event_type = g.event_type AND hourly.h = g.h),
+         st AS (
+           SELECT event_type, h, cnt,
+                  sum(cnt) OVER w AS s,
+                  sum(cnt * cnt) OVER w AS q,
+                  count(*) OVER w AS n
+           FROM dense
            WINDOW w AS (PARTITION BY event_type ORDER BY h
                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
          SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,

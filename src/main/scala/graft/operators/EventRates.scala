@@ -98,6 +98,68 @@ object EventRates {
       .orderBy("event_type", "hour_s")
   }
 
+  /** q123: [[rateAnomalies]] over a DENSE CALENDAR-HOUR grid — the
+    * production-correct twin of the observed-bucket form for corpora
+    * with gaps (round-10 verdict #3): a type that goes quiet no longer
+    * compares its next burst against a stale last-active window, and
+    * its silent hours surface as explicit cnt = 0 rows the z-test can
+    * FLAG (collapse detection — an ops monitor's first requirement,
+    * which the observed-bucket frame structurally cannot express).
+    *
+    * Grid contract: per event type, every calendar hour from that
+    * type's FIRST observed hour (it cannot be judged before it exists)
+    * through the GLOBAL last observed hour (so a vanished type keeps
+    * producing zero rows while the corpus is still live); missing
+    * hours count 0. The trailing frame is then truly `windowHours`
+    * CALENDAR hours, and `n_window` = hours since the type appeared,
+    * capped at `windowHours`.
+    *
+    * Scale shape: the corpus collapses to (type, hour) buckets FIRST
+    * (the q120 aggregation); the grid is types × hours — `sequence`
+    * + explode over a per-type (hmin, global hmax) relation that is
+    * type-count-sized with a broadcast 1-row global max, so nothing
+    * corpus-sized ever joins the grid. One keyed left join densifies,
+    * one per-type window scores. Same integer-cleared z-test, same
+    * overflow bound as [[rateAnomaliesOn]]. */
+  def rateAnomaliesDense(spark: SparkSession, dir: String,
+      windowHours: Int = 24, minWindow: Int = 12, k: Int = 3): DataFrame =
+    rateAnomaliesDenseOn(Tables.events(spark, dir), windowHours,
+      minWindow, k)
+
+  /** [[rateAnomaliesDense]] over an explicit (ts, event_type) relation. */
+  def rateAnomaliesDenseOn(events: DataFrame,
+      windowHours: Int = 24, minWindow: Int = 12, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowHours >= minWindow && minWindow >= 2 && k >= 1)
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = hourly.groupBy("event_type").agg(min("h").as("hmin"))
+    val gmax = hourly.agg(max("h").as("hmax")) // 1 row, broadcast
+    val grid = span.crossJoin(broadcast(gmax))
+      .select(col("event_type"),
+        explode(sequence(col("hmin"), col("hmax"),
+          expr("interval 1 hour"))).as("h"))
+    val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(-windowHours, -1)
+    dense
+      .withColumn("s", sum("cnt").over(w))
+      .withColumn("q", sum(expr("cnt * cnt")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+        col("cnt"), col("n").as("n_window"),
+        when(col("n") < minWindow, lit(null).cast("int"))
+          .otherwise(
+            (expr("(n * cnt - s) * (n * cnt - s)") >
+              expr(s"${k.toLong * k} * (n * q - s * s)")).cast("int"))
+          .as("is_anomaly"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** STREAMING twin of [[rateAnomalies]]: verdicts over a stream of
     * FINALIZED hourly buckets — compose `windowedCountsStream` (the
     * watermarked append-mode hourly count, which emits a (type, hour)
@@ -148,6 +210,69 @@ object EventRates {
                 }
               out += RateVerdict(tpe, micros(b.hour), b.cnt, n, verdict)
               hist = (hist :+ (micros(b.hour), b.cnt)).takeRight(windowHours)
+            }
+          }
+          state.update(RateState(hist))
+          out.result().iterator
+        })
+  }
+
+  /** STREAMING twin of [[rateAnomaliesDense]]: before folding an
+    * arriving bucket, every missing calendar hour since the type's
+    * last folded bucket is folded as an explicit cnt = 0 bucket —
+    * emitting its verdict row exactly like the batch grid. Late and
+    * duplicate-hour buckets drop with metric ([[rateAnomalyStream]]'s
+    * rule).
+    *
+    * Parity domain: per type, the stream matches the batch grid for
+    * every hour up to that type's newest ARRIVED bucket. Trailing
+    * silence (the batch grid's zero rows between a type's last bucket
+    * and the global corpus max) cannot be emitted by an input-driven
+    * fold — flagging a type that stops sending entirely needs an
+    * event-time timer (GroupStateTimeout) fired off OTHER types'
+    * watermark progress, a deliberate non-goal here: the batch dense
+    * form is the collapse audit, the stream form is the live scorer. */
+  def rateAnomalyStreamDense(buckets: Dataset[RateBucket],
+      windowHours: Int = 24, minWindow: Int = 12, k: Int = 3,
+      lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[RateVerdict] = {
+    import buckets.sparkSession.implicits._
+    require(windowHours >= minWindow && minWindow >= 2 && k >= 1)
+    val HourUs = 3600L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
+    buckets.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (tpe: String, it: Iterator[RateBucket],
+            state: GroupState[RateState]) => {
+          var hist = state.getOption.map(_.buckets).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[RateVerdict]
+          def fold(hourUs: Long, cnt: Long): Unit = {
+            val n = hist.size.toLong
+            val verdict =
+              if (n < minWindow) None
+              else {
+                val s = hist.map(_._2).sum
+                val q = hist.map(h => h._2 * h._2).sum
+                val lhs = n * cnt - s
+                Some(if (lhs * lhs > k.toLong * k * (n * q - s * s)) 1
+                  else 0)
+              }
+            out += RateVerdict(tpe, hourUs, cnt, n, verdict)
+            hist = (hist :+ (hourUs, cnt)).takeRight(windowHours)
+          }
+          it.toSeq.sortBy(b => micros(b.hour)).foreach { b =>
+            val hUs = micros(b.hour)
+            if (hist.nonEmpty && hUs <= hist.last._1)
+              lateDrops.foreach(_.add(1L))
+            else {
+              // densify: fold the silent hours as zeros first
+              if (hist.nonEmpty) {
+                var h = hist.last._1 + HourUs
+                while (h < hUs) { fold(h, 0L); h += HourUs }
+              }
+              fold(hUs, b.cnt)
             }
           }
           state.update(RateState(hist))

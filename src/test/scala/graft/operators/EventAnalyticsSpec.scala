@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Funnel (q105) and cohort retention (q106) hand traces. */
 class EventAnalyticsSpec extends SparkSpec {
@@ -206,5 +207,51 @@ class EventAnalyticsSpec extends SparkSpec {
     val got = anomaliesOf(
       Seq((0, 10), (1, 14), (2, 12), (3, 13), (4, 1)), minWindow = 3)
     assert(got.drop(3) == Seq(3 -> Some(0), 4 -> Some(1)), s"got $got")
+  }
+
+  private def denseAnomaliesOf(buckets: Seq[(Int, Int)], minWindow: Int) =
+    EventRates.rateAnomaliesDenseOn(
+        buckets.flatMap { case (h, c) => bucket(h, c) }
+          .toDF("ts", "event_type"),
+        windowHours = 3, minWindow = minWindow)
+      .collect()
+      .map(r => (r.getString(1).substring(11, 13).toInt, r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Int])))
+      .toSeq
+
+  test("dense rate anomalies: silent hours are zero rows and a vanished type flags") {
+    // observed h0..h2 steady, then silence: the dense grid runs to the
+    // LAST observed hour of the corpus (h5 via the second type below),
+    // so h3/h4/h5 exist as cnt=0 rows and the zero collapse FLAGS —
+    // exactly what the observed-bucket form cannot express
+    val quiet = Seq((0, 10), (1, 11), (2, 10)).flatMap { case (h, c) =>
+      bucket(h, c) }
+    val alive = (0 to 5).flatMap(h => (0 until 2).map(i =>
+      (t(f"2024-01-01 $h%02d:30:${i}%02d"), "other")))
+    val got = EventRates.rateAnomaliesDenseOn(
+        (quiet ++ alive).toDF("ts", "event_type"),
+        windowHours = 3, minWindow = 2)
+      .where(col("event_type") === "click").collect()
+      .map(r => (r.getString(1).substring(11, 13).toInt, r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Int])))
+      .toSeq
+    // h3: window {10,11,10}(h0..h2): n=3,S=31,Q=321:
+    // (0−31)²=961 > 9·(963−961)=18 → 1
+    assert(got.map(g => (g._1, g._2)) ==
+      Seq((0, 10L), (1, 11L), (2, 10L), (3, 0L), (4, 0L), (5, 0L)),
+      s"got $got")
+    assert(got(3)._3 == Some(1), s"collapse must flag: $got")
+  }
+
+  test("dense rate anomalies: a mid-gap burst judges against zeros, not stale history") {
+    // h0..h1 at 10, h2..h3 silent, h4 back at 10: the dense window for
+    // h4 is {10,0,0} → (3·10−10)²=400 > 9·(3·100−100)=1800? no → 0…
+    // compute: S=10, Q=100, n=3: lhs=(30−10)=20, 400 ≤ 9·200=1800 → 0;
+    // but h5 at 40 against {0,0,10}: (120−10)²=12100 > 1800 → 1
+    val got = denseAnomaliesOf(
+      Seq((0, 10), (1, 10), (4, 10), (5, 40)), minWindow = 3)
+    assert(got == Seq((0, 10L, None), (1, 10L, None), (2, 0L, None),
+      (3, 0L, Some(0)), (4, 10L, Some(0)), (5, 40L, Some(1))),
+      s"got $got")
   }
 }

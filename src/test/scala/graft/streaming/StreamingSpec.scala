@@ -713,6 +713,58 @@ class StreamingSpec extends SparkSpec {
     assert(drops.value == 2L, s"expected 2 late drops, got ${drops.value}")
   }
 
+  test("rateAnomalyStreamDense == batch dense grid on the arrived domain") {
+    import graft.operators.{EventRates, RateBucket, RateVerdict}
+    val rnd = new scala.util.Random(7)
+    val base = 1704067200000L
+    // two types with random silent hours (the gaps are the point)
+    val buckets =
+      (0 until 40).filter(_ => rnd.nextInt(3) > 0)
+        .map(i => ("a", i, (5 + rnd.nextInt(4)).toLong)) ++
+      (0 until 40).filter(_ => rnd.nextInt(4) > 0)
+        .map(i => ("b", i, (50 + rnd.nextInt(10)).toLong))
+    val all = buckets.sortBy(b => (b._2, b._1))
+    val (wh, mw, k) = (6, 3, 3)
+    val mem = MemoryStream[RateBucket]
+    val q = EventRates.rateAnomalyStreamDense(mem.toDS(), wh, mw, k)
+      .writeStream.format("memory").queryName("rdense")
+      .outputMode("append").start()
+    val cuts = (Seq(0, all.length) ++ Seq.fill(4)(rnd.nextInt(all.length)))
+      .distinct.sorted
+    cuts.sliding(2).foreach { case Seq(a, b) =>
+      if (b > a) {
+        mem.addData(all.slice(a, b).map { case (t, i, c) =>
+          RateBucket(t, new java.sql.Timestamp(base + i * 3600000L), c) }: _*)
+        q.processAllAvailable()
+      }
+    }
+    q.stop()
+    val got = spark.table("rdense").as[RateVerdict].collect()
+      .map(v => (v.event_type, v.hour_us, v.cnt, v.n_window, v.is_anomaly))
+      .toSet
+    // batch dense twin over the same mass, expanded back to raw events
+    val events = all.flatMap { case (t, i, c) =>
+      (0 until c.toInt).map(j =>
+        (new java.sql.Timestamp(base + i * 3600000L + j * 1000L), t))
+    }.toDF("ts", "event_type")
+    val maxArrived = all.groupBy(_._1).view
+      .mapValues(bs => (base + bs.map(_._2).max * 3600000L) * 1000L).toMap
+    val batch = EventRates.rateAnomaliesDenseOn(events, wh, mw, k)
+      .collect().map { r =>
+        val hourUs = java.sql.Timestamp.valueOf(r.getString(1))
+          .getTime * 1000L
+        (r.getString(0), hourUs, r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Int]))
+      }
+      // the stream cannot emit a type's TRAILING silence (needs timers);
+      // everything up to each type's newest arrived bucket must match
+      .filter { case (t, h, _, _, _) => h <= maxArrived(t) }.toSet
+    assert(got == batch,
+      s"stream-only=${got -- batch}\nbatch-only=${batch -- got}")
+    assert(got.exists(v => v._3 == 0L && v._5.contains(1)),
+      "expected at least one zero-hour collapse flag in the domain")
+  }
+
   test("CdcRouter typed payload parse binds a fact table's bean") {
     import org.apache.spark.sql.types._
     implicit val enc: org.apache.spark.sql.Encoder[OrderInfoCdc] =
