@@ -320,6 +320,13 @@ object SparkEntry {
     // explicit cnt=0 rows the z-test can flag (collapse detection)
     "q123_rate_anomaly_dense" ->
       ((s, d) => EventRates.rateAnomaliesDense(s, d)),
+    // q124/q125: convergence diagnostics for the iterative family —
+    // per-round L1 rank delta / label flips (both dispatch paths
+    // bit-identical; the fixed-iteration contract stays on q104/q121)
+    "q124_rank_convergence" ->
+      ((s, d) => GraphRank.pageRankConvergence(s, d)),
+    "q125_lpa_convergence" ->
+      ((s, d) => GraphRank.labelPropagationConvergence(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2194,6 +2201,9 @@ object SparkEntry {
          FROM st ORDER BY event_type, hour_s""",
     // q121: 5 unrolled synchronous LPA rounds (see labelPropSql)
     "q121_label_prop" -> labelPropSql(5),
+    // q124/q125: per-round deltas over the same unrolled CTE chains
+    "q124_rank_convergence" -> pageRankConvergenceSql(10),
+    "q125_lpa_convergence" -> labelPropConvergenceSql(5),
     // q122: two leads over the same user window, count per path tuple,
     // ties order by the path
     "q122_top_paths" ->
@@ -2763,7 +2773,9 @@ object SparkEntry {
   /** q121 oracle: `iters` unrolled synchronous LPA rounds — per round,
     * each node adopts the most frequent neighbor label (ties to the
     * smallest label), replayed as a count + row_number per round. */
-  private def labelPropSql(iters: Int): String = {
+  /** The shared unrolled-LPA CTE chain (l0..l`iters`) — used by the
+    * q121 final-labels oracle and the q125 per-round flip oracle. */
+  private def labelPropCtes(iters: Int): String = {
     val header = raw"""WITH ev AS (
          SELECT user_id, ts, event_id, CAST(props->>'k' AS BIGINT) AS k
          FROM events WHERE props->>'k' IS NOT NULL),
@@ -2787,11 +2799,30 @@ object SparkEntry {
            GROUP BY s.u, l.lbl) t
          WHERE rn = 1)"""
     }
-    (header +: rounds).mkString(",\n") +
-      s"\nSELECT node, lbl AS label FROM l$iters ORDER BY node"
+    (header +: rounds).mkString(",\n")
   }
 
-  private def pageRankSql(iters: Int): String = {
+  private def labelPropSql(iters: Int): String =
+    labelPropCtes(iters) +
+      s"\nSELECT node, lbl AS label FROM l$iters ORDER BY node"
+
+  /** q125 oracle: per unrolled round, flips vs the previous round's
+    * labels and the surviving community count. */
+  private def labelPropConvergenceSql(iters: Int): String = {
+    val deltas = (1 to iters).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+           CAST(sum(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END)
+                AS BIGINT) AS flips,
+           CAST(count(DISTINCT a.lbl) AS BIGINT) AS n_communities
+         FROM l$i a JOIN l${i - 1} b USING (node)"""
+    }.mkString("\n         UNION ALL\n         ")
+    labelPropCtes(iters) +
+      s"\nSELECT * FROM (\n         $deltas) ORDER BY round"
+  }
+
+  /** The shared unrolled-PageRank CTE chain (r0..r`iters`) — used by
+    * the q104 final-ranks oracle and the q124 per-round L1 oracle. */
+  private def pageRankCtes(iters: Int): String = {
     val header = raw"""WITH e0 AS (
          SELECT user_id, ts, event_id,
                 CAST(props->>'k' AS BIGINT) AS k
@@ -2819,8 +2850,25 @@ object SparkEntry {
                   JOIN outw o ON o.src = e.src
            GROUP BY e.dst) c USING (node))"""
     }
-    (header +: rounds).mkString(",\n       ") +
+    (header +: rounds).mkString(",\n       ")
+  }
+
+  private def pageRankSql(iters: Int): String =
+    pageRankCtes(iters) +
       s"\n       SELECT node, r AS rank_micros FROM r$iters ORDER BY node"
+
+  /** q124 oracle: per unrolled round, the L1 rank delta (micros) and
+    * the moved-node count vs the previous round. */
+  private def pageRankConvergenceSql(iters: Int): String = {
+    val deltas = (1 to iters).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+           CAST(sum(abs(a.r - b.r)) AS BIGINT) AS l1_delta_micros,
+           CAST(sum(CASE WHEN a.r <> b.r THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_nodes
+         FROM r$i a JOIN r${i - 1} b USING (node)"""
+    }.mkString("\n         UNION ALL\n         ")
+    pageRankCtes(iters) +
+      s"\n       SELECT * FROM (\n         $deltas) ORDER BY round"
   }
 
   /** Generated oracle for q101: one CTE per gram size (the nine Gopher

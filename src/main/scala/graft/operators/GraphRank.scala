@@ -71,19 +71,8 @@ object GraphRank {
   def pageRankOn(ev0: DataFrame, iters: Int = 10,
       edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val ev = ev0.where(col("k").isNotNull)
-    val spark = ev.sparkSession
-    val nxt = lead(col("k"), 1).over(
-      Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
-    val trans = ev.select(col("k").as("src"), nxt.as("dst"))
-      .where(col("dst").isNotNull)
-    val edges = trans.groupBy("src", "dst").agg(count(lit(1)).as("w"))
-    val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
-    // static across rounds: materialize ONCE with the out-weight riding
-    // along, so each iteration joins a block-backed relation
-    val edgesN = edges.join(outw, Seq("src")).localCheckpoint()
-    val nodes = ev.select(col("k").as("node")).distinct()
-      .localCheckpoint()
+    val spark = ev0.sparkSession
+    val (edgesN, nodes) = rankGraph(ev0)
     if (edgesN.count() <= edgeBudget) {
       val out = driverRank(spark, edgesN, nodes, iters)
       releaseCheckpoint(edgesN)
@@ -93,15 +82,7 @@ object GraphRank {
     var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
     var round = 0
     while (round < iters) {
-      val contrib = edgesN
-        .join(ranks, edgesN("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("(r * w) div wout").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("s"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(TeleportMicros) +
-            expr(s"($DampingPct * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+      val next = rankStep(edgesN, nodes, ranks).localCheckpoint()
       releaseCheckpoint(ranks)
       ranks = next
       round += 1
@@ -111,6 +92,201 @@ object GraphRank {
     releaseCheckpoint(edgesN)
     releaseCheckpoint(nodes)
     out
+  }
+
+  /** The static rank-loop relations: weighted edges with the source's
+    * total out-weight riding along, and the node set — both
+    * materialized ONCE with lineage cut (each iteration joins a
+    * block-backed relation), released by the caller. */
+  private def rankGraph(ev0: DataFrame): (DataFrame, DataFrame) = {
+    val ev = ev0.where(col("k").isNotNull)
+    val nxt = lead(col("k"), 1).over(
+      Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+    val trans = ev.select(col("k").as("src"), nxt.as("dst"))
+      .where(col("dst").isNotNull)
+    val edges = trans.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+    val edgesN = edges.join(outw, Seq("src")).localCheckpoint()
+    val nodes = ev.select(col("k").as("node")).distinct()
+      .localCheckpoint()
+    (edgesN, nodes)
+  }
+
+  /** ONE synchronous rank round (lazy): contributions in, damped
+    * teleport out — the exact integer arithmetic both dispatch paths
+    * and the unrolled oracle replay. */
+  private def rankStep(edgesN: DataFrame, nodes: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = edgesN
+      .join(ranks, edgesN("src") === ranks("node"))
+      .select(col("dst").as("node"), expr("(r * w) div wout").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("s"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(TeleportMicros) +
+          expr(s"($DampingPct * coalesce(s, 0L)) div 100")).as("r"))
+  }
+
+  /** q124: PageRank CONVERGENCE diagnostic — per round, the L1
+    * distance Σ|r_i − r_{i−1}| (micros) and the count of nodes whose
+    * rank moved, round 1 measured against the uniform 10⁶-micros
+    * start. At 100 TB "did my 10 fixed rounds actually converge" is
+    * the first question a user asks of the iterative family
+    * (round-10 verdict #6); this emits the answer as a relation while
+    * [[pageRank]] keeps its fixed-iteration pure-function contract
+    * (the oracle-ability rule — convergence detection inside the loop
+    * would make the result depend on a per-round action anyway, which
+    * the loop already pays for materialization, so the diagnostic is
+    * ~free: ONE node-keyed join + one 1-row aggregate per round).
+    *
+    * Both dispatch paths ([[DriverRankEdgeBudget]]) produce
+    * bit-identical rows — exact Long arithmetic, order-free sums. */
+  def pageRankConvergence(spark: SparkSession, dir: String,
+      iters: Int = 10,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
+    pageRankConvergenceOn(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      iters, edgeBudget)
+
+  /** [[pageRankConvergence]] over an explicit event relation. */
+  def pageRankConvergenceOn(ev0: DataFrame, iters: Int = 10,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = ev0.sparkSession
+    import spark.implicits._
+    val (edgesN, nodes) = rankGraph(ev0)
+    val rows =
+      if (edgesN.count() <= edgeBudget)
+        driverRankTrace(edgesN, nodes, iters)
+      else {
+        var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var round = 1
+        while (round <= iters) {
+          val next = rankStep(edgesN, nodes, ranks).localCheckpoint()
+          val d = next
+            .join(ranks.select(col("node"), col("r").as("rp")), "node")
+            .agg(sum(abs(col("r") - col("rp"))).as("l1"),
+              sum(when(col("r") =!= col("rp"), 1L).otherwise(0L)).as("mv"))
+            .collect()(0) // 1 row per round — bounded driver traffic
+          buf += ((round.toLong, d.getLong(0), d.getLong(1)))
+          releaseCheckpoint(ranks)
+          ranks = next
+          round += 1
+        }
+        releaseCheckpoint(ranks)
+        buf.toSeq
+      }
+    releaseCheckpoint(edgesN)
+    releaseCheckpoint(nodes)
+    rows.toDF("round", "l1_delta_micros", "moved_nodes").orderBy("round")
+  }
+
+  /** The driver-dispatch twin of the distributed convergence loop —
+    * the [[driverRank]] arithmetic with the per-round diff folded in. */
+  private def driverRankTrace(edgesN: DataFrame, nodes: DataFrame,
+      iters: Int): Seq[(Long, Long, Long)] = {
+    val es = edgesN.select("src", "dst", "w", "wout").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ns = nodes.select("node").collect().map(_.getLong(0))
+    var r = ns.map(_ -> 1000000L).toMap
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var round = 1
+    while (round <= iters) {
+      val s = new scala.collection.mutable.HashMap[Long, Long]()
+        .withDefaultValue(0L)
+      es.foreach { case (src, dst, w, wout) =>
+        s(dst) += r(src) * w / wout
+      }
+      val nextR = ns.map(n =>
+        n -> (TeleportMicros + DampingPct * s(n) / 100L)).toMap
+      buf += ((round.toLong,
+        ns.map(n => math.abs(nextR(n) - r(n))).sum,
+        ns.count(n => nextR(n) != r(n)).toLong))
+      r = nextR
+      round += 1
+    }
+    buf.toSeq
+  }
+
+  /** q125: label-propagation convergence — per round, how many nodes
+    * FLIPPED label and how many distinct communities remain. The
+    * [[pageRankConvergence]] rationale, for [[labelPropagation]]:
+    * "are 5 rounds enough / is it oscillating" read off a relation
+    * (a 2-cycle's steady oscillation shows as flips that never reach
+    * zero — the known synchronous-LPA behavior, spec-pinned). */
+  def labelPropagationConvergence(spark: SparkSession, dir: String,
+      iters: Int = 5,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
+    labelPropagationConvergenceOn(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      iters, edgeBudget)
+
+  /** [[labelPropagationConvergence]] over an explicit event relation. */
+  def labelPropagationConvergenceOn(ev0: DataFrame, iters: Int = 5,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = ev0.sparkSession
+    import spark.implicits._
+    val und = undirectedEdges(ev0)
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val nEdges = sym.count()
+    releaseCheckpoint(und)
+    val rows =
+      if (nEdges <= edgeBudget)
+        driverLpaTrace(sym, iters)
+      else {
+        var labels = sym.select(col("u").as("node")).distinct()
+          .withColumn("lbl", col("node"))
+          .localCheckpoint()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var round = 1
+        while (round <= iters) {
+          val next = lpaStep(sym, labels).localCheckpoint()
+          val d = next
+            .join(labels.select(col("node"), col("lbl").as("lp")), "node")
+            .agg(sum(when(col("lbl") =!= col("lp"), 1L).otherwise(0L))
+                .as("flips"),
+              countDistinct(col("lbl")).as("ncomm"))
+            .collect()(0)
+          buf += ((round.toLong, d.getLong(0), d.getLong(1)))
+          releaseCheckpoint(labels)
+          labels = next
+          round += 1
+        }
+        releaseCheckpoint(labels)
+        buf.toSeq
+      }
+    releaseCheckpoint(sym)
+    rows.toDF("round", "flips", "n_communities").orderBy("round")
+  }
+
+  /** Driver-dispatch twin of the distributed LPA convergence loop
+    * (the [[driverLpa]] arithmetic + per-round diff). */
+  private def driverLpaTrace(sym: DataFrame, iters: Int)
+      : Seq[(Long, Long, Long)] = {
+    val nbrs = sym.select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    (1 to iters).foreach { i =>
+      val next = nbrs.map { case (n, ns) =>
+        val counts = ns.groupBy(lbl).view.mapValues(_.size.toLong)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+      buf += ((i.toLong,
+        next.count { case (n, l) => lbl(n) != l }.toLong,
+        next.values.toSet.size.toLong))
+      lbl = next
+    }
+    buf.toSeq
   }
 
   /** q119: per-node triangle counts on the UNDIRECTED item-transition
@@ -260,15 +436,7 @@ object GraphRank {
       .localCheckpoint()
     var round = 0
     while (round < iters) {
-      val next = sym
-        .join(labels, sym("v") === labels("node"))
-        .select(col("u"), col("lbl"))
-        .groupBy("u", "lbl").agg(count(lit(1)).as("cnt"))
-        .groupBy("u")
-        .agg(min(struct((-col("cnt")).as("negCnt"), col("lbl").as("l")))
-          .as("m"))
-        .select(col("u").as("node"), col("m.l").as("lbl"))
-        .localCheckpoint()
+      val next = lpaStep(sym, labels).localCheckpoint()
       releaseCheckpoint(labels)
       labels = next
       round += 1
@@ -278,6 +446,19 @@ object GraphRank {
     releaseCheckpoint(sym)
     out
   }
+
+  /** ONE synchronous label-propagation round (lazy): most-frequent
+    * neighbor label, ties to the smallest — the (−cnt, lbl) struct-min
+    * argmax all paths and the unrolled oracle share. */
+  private def lpaStep(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym
+      .join(labels, sym("v") === labels("node"))
+      .select(col("u"), col("lbl"))
+      .groupBy("u", "lbl").agg(count(lit(1)).as("cnt"))
+      .groupBy("u")
+      .agg(min(struct((-col("cnt")).as("negCnt"), col("lbl").as("l")))
+        .as("m"))
+      .select(col("u").as("node"), col("m.l").as("lbl"))
 
   /** The same synchronous update as the distributed loop, on collected
     * arrays — identical by construction (exact counts, the same

@@ -179,6 +179,52 @@ class GraphRankSpec extends SparkSpec {
     assert(dist == got, "driver and distributed LPA paths diverged")
   }
 
+  test("pageRankConvergence hand trace against the q104 walk") {
+    // r0=(1e6,1e6,1e6) → r1=(575000,1000000,575000): nodes 1,3 move
+    // by 425000 each → l1=850000, moved=2
+    // r1 → r2=(575000,819375,394375): node2 by 180625, node3 by
+    // 180625 → l1=361250, moved=2
+    val got = GraphRank.pageRankConvergenceOn(walk, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 850000L, 2L), (2L, 361250L, 2L)), s"got $got")
+  }
+
+  test("convergence diagnostics: driver and distributed paths bit-equal " +
+      "on the sf corpus") {
+    def ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val prD = GraphRank.pageRankConvergenceOn(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val prC = GraphRank.pageRankConvergenceOn(ev, edgeBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(prD.size == 10 && prD == prC,
+      s"pagerank convergence paths diverge:\n d=$prD\n c=$prC")
+    // the trace is genuinely converging on this corpus
+    assert(prD.last._2 < prD.head._2, s"no L1 decay: $prD")
+    val lpD = GraphRank.labelPropagationConvergenceOn(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val lpC = GraphRank.labelPropagationConvergenceOn(ev, edgeBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(lpD.size == 5 && lpD == lpC,
+      s"lpa convergence paths diverge:\n d=$lpD\n c=$lpC")
+  }
+
+  test("lpaConvergence: clique flips reach zero, a 2-cycle's never do") {
+    // triangle {1,2,3}: l0=(1,2,3) → (2,1,1) flips=3,comm=2 →
+    // (1,1,1) flips=1,comm=1 → steady flips=0; pair {7,8} swaps every
+    // round (flips=2) — the oscillation is VISIBLE in the trace
+    val tri = GraphRank.labelPropagationConvergenceOn(evRows(Seq(
+        (1L, 1, 1L, 1L), (1L, 2, 2L, 2L), (1L, 3, 3L, 3L), (1L, 4, 4L, 1L))),
+        iters = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(tri == Seq((3L, 2L), (1L, 1L), (0L, 1L), (0L, 1L)), s"tri $tri")
+    val pair = GraphRank.labelPropagationConvergenceOn(evRows(Seq(
+        (2L, 1, 5L, 7L), (2L, 2, 6L, 8L))), iters = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(pair == Seq((2L, 2L), (2L, 2L), (2L, 2L)), s"pair $pair")
+  }
+
   test("triangles: shared-edge pair counted once per triangle per corner") {
     // K4 minus edge (3,4): triangles (1,2,3) and (1,2,4); both directed
     // directions of (1,2) collapse to ONE undirected edge
