@@ -327,6 +327,10 @@ object SparkEntry {
       ((s, d) => GraphRank.pageRankConvergence(s, d)),
     "q125_lpa_convergence" ->
       ((s, d) => GraphRank.labelPropagationConvergence(s, d)),
+    // q126: exact longest-common-token-substring per CDC-candidate
+    // pair (suffix-automaton kernel; oracle replays it with an
+    // algorithmically independent diagonal-run window)
+    "q126_lcs_pairs" -> ((s, d) => Dedup.lcsPairs(s, d)),
   )
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
@@ -2204,6 +2208,43 @@ object SparkEntry {
     // q124/q125: per-round deltas over the same unrolled CTE chains
     "q124_rank_convergence" -> pageRankConvergenceSql(10),
     "q125_lpa_convergence" -> labelPropConvergenceSql(5),
+    // q126: candidates = pairs sharing a duplicated CDC segment (the
+    // q98/q99 CTE chain), then the exact LCS via an ALGORITHMICALLY
+    // INDEPENDENT method from the Spark kernel's suffix automaton:
+    // token-position matches grouped by diagonal i−j, longest
+    // consecutive-i island per pair (gaps-and-islands window) — two
+    // different exact algorithms agreeing is the strongest oracle form
+    "q126_lcs_pairs" -> (cdcSegmentsSql +
+      raw""",
+         sd AS (SELECT DISTINCT seg_h, doc_id FROM segs),
+         dup AS (SELECT seg_h FROM sd GROUP BY seg_h
+                 HAVING count(*) >= 2),
+         cand AS (SELECT sd.seg_h, sd.doc_id FROM sd JOIN dup USING (seg_h)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM cand a JOIN cand b
+             ON a.seg_h = b.seg_h AND a.doc_id < b.doc_id),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(1, len(toks) + 1)) AS pos
+           FROM t),
+         m AS (
+           SELECT p.id1, p.id2, ta.pos AS i, tb.pos AS j
+           FROM pairs p
+           JOIN tok ta ON ta.doc_id = p.id1
+           JOIN tok tb ON tb.doc_id = p.id2 AND tb.tok = ta.tok),
+         runs AS (
+           SELECT id1, id2, i - j AS diag, i,
+                  i - row_number() OVER (PARTITION BY id1, id2, i - j
+                                         ORDER BY i) AS grp
+           FROM m),
+         lcs AS (
+           SELECT id1, id2, CAST(max(cnt) AS BIGINT) AS lcs_tokens
+           FROM (SELECT id1, id2, diag, grp, count(*) AS cnt
+                 FROM runs GROUP BY id1, id2, diag, grp)
+           GROUP BY id1, id2)
+         SELECT id1, id2, lcs_tokens FROM lcs
+         WHERE lcs_tokens >= 4 ORDER BY id1, id2"""),
     // q122: two leads over the same user window, count per path tuple,
     // ties order by the path
     "q122_top_paths" ->

@@ -838,7 +838,114 @@ case class OddsScoreMicros(child: Expression,
       : OddsScoreMicros = copy(child = c)
 }
 
+/** Exact longest-common-TOKEN-substring kernel: a suffix automaton
+  * (Blumer et al. 1985; the e-maxx/cp-algorithms construction — public
+  * literature) built over the LEFT document's token sequence, walked
+  * once by the RIGHT document's tokens. O(n) states / O(n + m) time
+  * per pair with transitions on interned token ids — the bounded-
+  * memory exact pass the k-gram (q69) and CDC-segment (q98–q100)
+  * approximations cannot give: it finds the true longest duplicated
+  * token run even when it crosses every CDC boundary.
+  *
+  * Token convention: whitespace split, empties dropped — the
+  * TextFunctions.tokens / TextKernel rule, so the DuckDB oracle's
+  * regexp_split_to_array tokenization matches bitwise. Tokens of the
+  * right document unseen in the left intern to −1, which has no
+  * transition anywhere, so unknown-token collisions cannot fake a
+  * match. */
+private[graft] object LcsKernel {
+  def lcsTokens(a: Array[String], b: Array[String]): Long = {
+    if (a.isEmpty || b.isEmpty) return 0L
+    // intern left tokens to dense ids; right maps through (unknown → −1)
+    val ids = new java.util.HashMap[String, Integer](a.length * 2)
+    val ai = new Array[Int](a.length)
+    var t = 0
+    while (t < a.length) {
+      var id = ids.get(a(t))
+      if (id == null) { id = ids.size(); ids.put(a(t), id) }
+      ai(t) = id; t += 1
+    }
+    // suffix automaton over ai
+    val maxStates = 2 * a.length + 5
+    val len = new Array[Int](maxStates)
+    val link = new Array[Int](maxStates)
+    val next = new Array[java.util.HashMap[Integer, Integer]](maxStates)
+    next(0) = new java.util.HashMap[Integer, Integer]()
+    link(0) = -1
+    var last = 0; var size = 1
+    var i = 0
+    while (i < ai.length) {
+      val c: Integer = ai(i)
+      val cur = size; size += 1
+      next(cur) = new java.util.HashMap[Integer, Integer]()
+      len(cur) = len(last) + 1
+      var p = last
+      while (p != -1 && !next(p).containsKey(c)) {
+        next(p).put(c, cur); p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q = next(p).get(c).intValue()
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          link(clone) = link(q)
+          next(clone) =
+            new java.util.HashMap[Integer, Integer](next(q))
+          while (p != -1 && {
+            val v = next(p).get(c); v != null && v.intValue() == q
+          }) { next(p).put(c, clone); p = link(p) }
+          link(q) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+      i += 1
+    }
+    // walk the right document: classic longest-match scan
+    var v = 0; var l = 0; var best = 0
+    var j = 0
+    while (j < b.length) {
+      val idObj = ids.get(b(j))
+      val c: Integer = if (idObj == null) Integer.valueOf(-1) else idObj
+      while (v != 0 && !next(v).containsKey(c)) {
+        v = link(v); l = len(v)
+      }
+      if (next(v).containsKey(c)) {
+        v = next(v).get(c).intValue(); l += 1
+      } // else: v == 0 with no transition — l is already 0
+      else l = 0
+      if (l > best) best = l
+      j += 1
+    }
+    best.toLong
+  }
+}
+
+/** `lcs_tokens(left_text, right_text)` → exact longest common token
+  * run (Long; 0 when either side is empty). Runs once per CANDIDATE
+  * PAIR, not per corpus row — eval cost dominates, so CodegenFallback
+  * (the BpeEncode rule) rather than a giant generated body. */
+case class LcsTokens(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lcs_tokens"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LcsKernel.lcsTokens(
+      a.asInstanceOf[UTF8String].toString.split("\\s+").filter(_.nonEmpty),
+      b.asInstanceOf[UTF8String].toString.split("\\s+").filter(_.nonEmpty))
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LcsTokens =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
+  def lcsTokens(a: Column, b: Column): Column =
+    ExpressionUtils.column(LcsTokens(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def gopherRepetitionStats(text: Column): Column =
     ExpressionUtils.column(
       GopherRepetitionStats(ExpressionUtils.expression(text)))

@@ -358,6 +358,74 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Ceiling on CDC-candidate pairs [[lcsPairs]] will ship both texts
+    * for — the audit-view guard family (q102's rule): pair generation
+    * over shared duplicated segments is the one quadratic-output
+    * object here, so it fails loudly with direction instead of
+    * silently shuffling text for an unbounded pair set. */
+  val MaxLcsPairs = 2000000L
+
+  /** q126: EXACT longest-common-token-substring audit — the upgrade
+    * path past both substring-dedup approximations (round-10 verdict
+    * #7): q69 sees only fixed 8-token grams, q98–q100 only whole CDC
+    * segments; this reports, for every document pair sharing at least
+    * one duplicated CDC segment, the TRUE longest duplicated token
+    * run (suffix-automaton kernel, [[
+    * org.apache.spark.sql.graft.LcsKernel]]) — exact even when the
+    * run crosses every CDC boundary (spec-pinned against brute-force
+    * DP on random corpora; Lee et al. 2022's substring-dedup
+    * semantics at pair granularity).
+    *
+    * Candidate contract: pairs must share a COMPLETE duplicated
+    * segment (the q99 dictionary — shift-tolerant, recall bounded by
+    * the CDC granularity exactly like q100's dedup policy); within a
+    * candidate pair the reported length is exact, and `minLen` cuts
+    * the audit to runs worth acting on.
+    *
+    * Scale shape: candidates come from the 8 B seg-hash dictionary
+    * (bounded by real duplication mass); document text shuffles ONLY
+    * for candidate pairs, behind the loud [[MaxLcsPairs]] guard
+    * (`limit(cap+1).count()` — early-terminating, never a full
+    * count of a blown-up pair set); the kernel is O(|a|+|b|) time and
+    * O(|a|) memory per pair with no corpus-wide suffix structure —
+    * block-local exactness at bounded executor memory. */
+  def lcsPairs(spark: SparkSession, dir: String, minLen: Int = 4,
+      p: Int = CdcModulus): DataFrame =
+    lcsPairsOn(Tables.documents(spark, dir), minLen, p, MaxLcsPairs)
+
+  /** [[lcsPairs]] with the cap injectable for specs. */
+  private[operators] def lcsPairsOn(docs: DataFrame, minLen: Int,
+      p: Int, maxPairs: Long): DataFrame = {
+    require(minLen >= 1, "minLen must be >= 1")
+    val sd = cdcSegmentRelation(docs, p)
+      .select("seg_h", "doc_id").distinct()
+    val dup = sd.groupBy("seg_h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("seg_h")
+    // read twice by the self-join below — cache the carrier
+    val cand = graft.Caches.register(sd.join(dup, "seg_h").cache())
+    val pairs = graft.Caches.register(
+      cand.as("a").join(cand.as("b"),
+          col("a.seg_h") === col("b.seg_h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+        .cache())
+    val nPairs = pairs.limit((maxPairs + 1).toInt).count()
+    require(nPairs <= maxPairs,
+      s"lcsPairs: more than $maxPairs candidate pairs share duplicated " +
+        "CDC segments — dedup boilerplate first (q83/q100) or raise " +
+        "MaxLcsPairs with the cluster memory to back the text shuffle")
+    pairs
+      .join(docs.select(col("doc_id").as("id1"), col("text").as("t1")),
+        "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("text").as("t2")),
+        "id2")
+      .select(col("id1"), col("id2"),
+        TextExpressions.lcsTokens(col("t1"), col("t2")).as("lcs_tokens"))
+      .where(col("lcs_tokens") >= minLen)
+      .orderBy("id1", "id2")
+  }
+
   /** q95: DIRECTED shingle-set containment pairs — the asymmetric
     * near-dup case symmetric Jaccard structurally misses: a short
     * document quoted wholesale inside a much longer one has

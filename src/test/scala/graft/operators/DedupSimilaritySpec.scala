@@ -792,6 +792,125 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  /** Brute-force exact LCS (token DP, O(n·m)) — the independent
+    * reference for the suffix-automaton kernel. */
+  private def bruteLcs(a: Seq[String], b: Seq[String]): Long = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    var best = 0
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      if (a(i - 1) == b(j - 1)) {
+        dp(i)(j) = dp(i - 1)(j - 1) + 1
+        if (dp(i)(j) > best) best = dp(i)(j)
+      }
+    best.toLong
+  }
+
+  test("lcs_tokens equals brute-force DP on random token pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.TextExpressions
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def randToks(n: Int): Seq[String] =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val cases = (0 until 60).map { i =>
+      val a = randToks(rnd.nextInt(30))
+      val b0 = randToks(rnd.nextInt(30))
+      // half the cases: splice a slice of a into b (planted long run)
+      val b =
+        if (i % 2 == 0 && a.nonEmpty) {
+          val from = rnd.nextInt(a.length)
+          val slice = a.slice(from, from + 1 + rnd.nextInt(a.length - from))
+          val at = if (b0.isEmpty) 0 else rnd.nextInt(b0.length)
+          b0.take(at) ++ slice ++ b0.drop(at)
+        } else b0
+      (i.toLong, a.mkString(" "), b.mkString(" "))
+    } ++ Seq(
+      (100L, "", "a b c"),          // empty left
+      (101L, "a b c", ""),          // empty right
+      (102L, "a b c d", "a b c d"), // identical
+      (103L, "a a a a", "a a a"),   // repeated symbol
+      (104L, "a b c", "x y z"))     // fully disjoint (unknown tokens)
+    val got = cases.toDF("id", "t1", "t2")
+      .select(col("id"),
+        TextExpressions.lcsTokens(col("t1"), col("t2")).as("lcs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (id, t1, t2) =>
+      val want = bruteLcs(t1.split("\\s+").filter(_.nonEmpty).toSeq,
+        t2.split("\\s+").filter(_.nonEmpty).toSeq)
+      assert(got(id) == want,
+        s"case $id: kernel ${got(id)} != brute $want for '$t1' vs '$t2'")
+    }
+  }
+
+  test("lcs pairs: the exact run crosses CDC boundaries past segment " +
+      "granularity") {
+    import spark.implicits._
+    val Seq(a, b, c, d, e, f, x, y) = cdcPlainToks.slice(200, 208)
+    val bt = cdcBoundaryTok
+    // doc1/doc2 share the full run "a b bt c d e f" (7 tokens) ACROSS
+    // a CDC boundary; the only shared COMPLETE segment is [c d e f]
+    // (4 tokens — their first segments differ at the head). A
+    // segment-granular audit reports 4; the exact kernel must find 7.
+    val docs = Seq(
+      (1L, s"$x $a $b $bt $c $d $e $f"),
+      (2L, s"$y $a $b $bt $c $d $e $f")).toDF("doc_id", "text")
+    val got = Dedup.lcsPairsOn(docs, minLen = 2, Dedup.CdcModulus, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 7L)), s"got ${got.toSeq}")
+  }
+
+  test("lcsPairs equals the brute-force candidate+DP reference on " +
+      "random corpora") {
+    import spark.implicits._
+    val p = Dedup.CdcModulus
+    val rnd = new scala.util.Random(29)
+    val boundary = (0 to 3000).map(i => s"t$i")
+      .filter(t => md5LongScala(t) % p == 0).take(3)
+    val plain = (0 to 3000).map(i => s"w$i")
+      .filter(t => md5LongScala(t) % p != 0).take(10)
+    val vocab = (boundary ++ plain).toIndexedSeq
+    val docs = (0 until 25).map { i =>
+      (i.toLong,
+        Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    // reference candidate rule: pairs sharing >= 1 duplicated segment
+    def segHashes(text: String): Set[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toList
+      val out = scala.collection.mutable.ListBuffer[Long]()
+      var seg = List.empty[String]
+      toks.zipWithIndex.foreach { case (w, i) =>
+        seg :+= w
+        if (md5LongScala(w) % p == 0 || i == toks.length - 1) {
+          out += md5LongScala(seg.mkString(" ")); seg = Nil
+        }
+      }
+      out.toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> segHashes(t) }.toMap
+    val dupSegs = docs.flatMap(d => byDoc(d._1).toSeq).groupBy(identity)
+      .filter(_._2.size >= 2).keySet
+    val minLen = 2
+    val want = (for {
+      (i, ti) <- docs; (j, tj) <- docs
+      if i < j && (byDoc(i) & byDoc(j) & dupSegs).nonEmpty
+      l = bruteLcs(ti.split(" ").toSeq, tj.split(" ").toSeq)
+      if l >= minLen
+    } yield (i, j, l)).sortBy(t => (t._1, t._2))
+    val got = Dedup.lcsPairsOn(docs.toDF("doc_id", "text"), minLen, p,
+        1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(want.nonEmpty, "degenerate fixture: no candidate pairs")
+    // over-cap pair set fails loudly instead of shuffling text
+    val err = intercept[IllegalArgumentException] {
+      Dedup.lcsPairsOn(docs.toDF("doc_id", "text"), minLen, p, 0L)
+        .count()
+    }
+    assert(err.getMessage.contains("candidate pairs"))
+  }
+
   test("ngram novelty: ownership is min doc_id, ratio floor-divides") {
     import spark.implicits._
     val docs = Seq(
