@@ -22,6 +22,11 @@ import graft.operators.Api
   *       engine-native form of the reference's ES score ordering)
   *   GET /fuzzySearch?q=goldenrod+lavender+spring&dist=2&topN=20
   *       (extension: typo-tolerant item lookup — ES match+fuzziness)
+  *   GET /funnel?steps=view,click,purchase        (q105)
+  *   GET /anomalies?windowHours=24&minWindow=12&k=3&dense=0|1 (q120/q123)
+  *   GET /paths?len=3&topN=50                     (q122)
+  *   GET /communities?iters=5                     (q121)
+  *   GET /convergence?algo=pagerank|lpa&iters=10  (q124/q125)
   *
   * The Spark driver hosts the server; each request compiles to a
   * DataFrame program that Catalyst plans and the cluster executes —
@@ -208,6 +213,71 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
         throw new IllegalArgumentException("q is limited to 16 terms")
       graft.operators.Ranking.hybridRrf(spark, dataDir, terms, vecId,
         kEach = kEach, topN = topN)
+    })
+    server.createContext("/funnel", handler { p =>
+      // strict-order funnel counts (q105) over the event warehouse —
+      // the reference's REST-served-analytics shape applied to the
+      // behavioral family (steps configurable per request)
+      val steps = p.getOrElse("steps", "view,click,purchase")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (steps.isEmpty)
+        throw new IllegalArgumentException("steps must contain a step")
+      if (steps.size > 8) // each step compiles a window column
+        throw new IllegalArgumentException("steps is limited to 8")
+      graft.operators.Sessionize.funnel(spark, dataDir, steps)
+    })
+    server.createContext("/anomalies", handler { p =>
+      // trailing-window rate anomalies (q120); dense=1 switches to the
+      // calendar-hour grid (q123) whose zero rows flag collapses
+      val wh = p.getOrElse("windowHours", "24").toInt
+      val mw = p.getOrElse("minWindow", "12").toInt
+      val k = p.getOrElse("k", "3").toInt
+      if (wh > 8760)
+        throw new IllegalArgumentException("windowHours is limited to 8760")
+      // wh/mw/k coherence checks live in the operator's require (→ 400)
+      p.getOrElse("dense", "0") match {
+        case "1" => graft.operators.EventRates
+          .rateAnomaliesDense(spark, dataDir, wh, mw, k)
+        case "0" => graft.operators.EventRates
+          .rateAnomalies(spark, dataDir, wh, mw, k)
+        case other =>
+          throw new IllegalArgumentException(s"dense must be 0|1, got '$other'")
+      }
+    })
+    server.createContext("/paths", handler { p =>
+      // top item journeys (q122): k-bounded TakeOrdered, never a scan
+      // of the path space
+      val len = p.getOrElse("len", "3").toInt
+      val topN = p.getOrElse("topN", "50").toInt
+      if (len < 2 || len > 8)
+        throw new IllegalArgumentException("len must be in 2..8")
+      if (topN <= 0 || topN > 1000)
+        throw new IllegalArgumentException("topN must be in 1..1000")
+      graft.operators.Sessionize.topPaths(spark, dataDir, len, topN)
+    })
+    server.createContext("/communities", handler { p =>
+      // label-propagation communities (q121); node-sized response
+      // bounded by the global MaxRows truncation
+      val iters = p.getOrElse("iters", "5").toInt
+      if (iters < 1 || iters > 50)
+        throw new IllegalArgumentException("iters must be in 1..50")
+      graft.operators.GraphRank.labelPropagation(spark, dataDir, iters)
+    })
+    server.createContext("/convergence", handler { p =>
+      // per-round convergence diagnostics (q124/q125) — "did N rounds
+      // converge" served next to the analytics they audit
+      val iters = p.getOrElse("iters", "10").toInt
+      if (iters < 1 || iters > 50)
+        throw new IllegalArgumentException("iters must be in 1..50")
+      p.getOrElse("algo", "pagerank") match {
+        case "pagerank" => graft.operators.GraphRank
+          .pageRankConvergence(spark, dataDir, iters)
+        case "lpa" => graft.operators.GraphRank
+          .labelPropagationConvergence(spark, dataDir, iters)
+        case other =>
+          throw new IllegalArgumentException(
+            s"algo must be pagerank|lpa, got '$other'")
+      }
     })
     server.createContext("/rerankSearch", handler { p =>
       val vecId = p.getOrElse("vecId",

@@ -116,6 +116,49 @@ class HttpServerSpec extends SparkSpec {
       assert(c19 == 400)
       val (c20, _) = get(s"$base/hybridSearch?q=spark&vecId=0&kEach=0")
       assert(c20 == 400) // bad kEach
+
+      // behavioral analytics family (round-10 verdict #5): funnel,
+      // anomalies (observed + dense), paths, communities, convergence
+      val (c21, fn) = get(s"$base/funnel")
+      assert(c21 == 200 && fn.contains("\"step\"") &&
+        fn.contains("\"n_users\""), fn.take(200))
+      assert(fn.split("\\},\\{").length == 3) // one row per default step
+      val (c22, fn2) = get(s"$base/funnel?steps=view,purchase")
+      assert(c22 == 200 && fn2.split("\\},\\{").length == 2)
+      val (c23, _) = get(s"$base/funnel?steps=" + ("x," * 9)) // > 8 steps
+      assert(c23 == 400)
+
+      val (c24, an) = get(s"$base/anomalies?windowHours=6&minWindow=3")
+      assert(c24 == 200 && an.contains("\"n_window\""), an.take(200))
+      val (c25, and2) = get(
+        s"$base/anomalies?windowHours=6&minWindow=3&dense=1")
+      assert(c25 == 200 && and2.contains("\"n_window\""), and2.take(200))
+      // the dense grid never has FEWER rows than the observed buckets
+      assert(and2.split("\\},\\{").length >= an.split("\\},\\{").length)
+      val (c26, _) = get(s"$base/anomalies?windowHours=2&minWindow=12")
+      assert(c26 == 400) // operator require → 400 (wh < mw)
+      val (c27, _) = get(s"$base/anomalies?dense=2")
+      assert(c27 == 400)
+
+      val (c28, pa) = get(s"$base/paths?len=2&topN=5")
+      assert(c28 == 200 && pa.contains("\"p1\"") && pa.contains("\"cnt\""),
+        pa.take(200))
+      assert(pa.split("\\},\\{").length == 5)
+      val (c29, _) = get(s"$base/paths?len=1")
+      assert(c29 == 400)
+
+      val (c30, cm) = get(s"$base/communities?iters=2")
+      assert(c30 == 200 && cm.contains("\"label\""), cm.take(200))
+      val (c31, _) = get(s"$base/communities?iters=0")
+      assert(c31 == 400)
+
+      val (c32, cv) = get(s"$base/convergence?algo=pagerank&iters=3")
+      assert(c32 == 200 && cv.contains("\"l1_delta_micros\""), cv.take(200))
+      assert(cv.split("\\},\\{").length == 3) // one row per round
+      val (c33, cl) = get(s"$base/convergence?algo=lpa&iters=2")
+      assert(c33 == 200 && cl.contains("\"flips\""), cl.take(200))
+      val (c34, _) = get(s"$base/convergence?algo=bfs")
+      assert(c34 == 400)
     } finally srv.stop()
   }
 }
