@@ -333,6 +333,47 @@ object SparkEntry {
     "q126_lcs_pairs" -> ((s, d) => Dedup.lcsPairs(s, d)),
   )
 
+  /** Queries whose headline bench time can be a per-JVM memo read
+    * (trained centroids/codebooks, the inverted file, gate models,
+    * the build manifest). Bench re-runs these in its `cold` section
+    * with [[clearAllMemos]] before every sample, so the TRUE
+    * build/train cost gets a tracked number (round-10 verdict #2)
+    * while the headline keeps measuring the serving path. */
+  val coldQueries: Seq[String] = Seq(
+    "q38_ivf_search", "q56_ivf_file_search", "q82_semantic_dedup_ivf",
+    "q108_pq_codes", "q110_ivfpq_search", "q112_corpus_build",
+    "q113_build_report", "q115_cluster_sample")
+
+  /** Drop every per-JVM train/build memo (cold-path benching; also
+    * what a corpus-rewrite simulation wants). */
+  def clearAllMemos(): Unit = {
+    Curation.clearManifestMemo()
+    Curation.clearGateMemos()
+    IvfIndex.clearMemos()
+    PqIndex.clearMemos()
+  }
+
+  /** Driver-dispatch queries re-run with the dispatch budget zeroed,
+    * so the DISTRIBUTED plan — the one that executes at 100 TB — gets
+    * a tracked number instead of a driver-JIT lottery (round-10
+    * verdict #2). Results are spec-pinned bit-identical to the
+    * headline entries; only the execution path differs. */
+  val distributedVariants: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q53_neardup_components" -> ((s, d) =>
+        Dedup.connectedComponents(
+          Dedup.minhashLshPairs(s, d, ordered = false), edgeBudget = 0L)),
+      "q104_pagerank" -> ((s, d) =>
+        GraphRank.pageRank(s, d, edgeBudget = 0L)),
+      "q107_fuzzy_clusters" -> ((s, d) =>
+        FuzzyJoin.fuzzyClusters(s, d, edgeBudget = 0L)),
+      "q121_label_prop" -> ((s, d) =>
+        GraphRank.labelPropagation(s, d, edgeBudget = 0L)),
+      "q124_rank_convergence" -> ((s, d) =>
+        GraphRank.pageRankConvergence(s, d, edgeBudget = 0L)),
+      "q125_lpa_convergence" -> ((s, d) =>
+        GraphRank.labelPropagationConvergence(s, d, edgeBudget = 0L)))
+
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
   // sides; sums of integers are CAST to BIGINT (DuckDB widens to HUGEINT);
   // money SUMs are cent-exact on both sides (TextFunctions.moneySum:

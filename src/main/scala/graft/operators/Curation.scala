@@ -269,6 +269,16 @@ object Curation {
     manifestMemo.keys.foreach(k => manifestMemo.remove(k)
       .foreach(graft.Caches.releaseCheckpoint))
 
+  /** Cold-bench hook: drop the trained gate models AND the
+    * checkpointed per-doc signal relation (releasing its blocks), so
+    * the next build pays the full train+score cost — the memos are
+    * fingerprint-safe and never need this for correctness. */
+  def clearGateMemos(): Unit = {
+    gateModelMemo.clear()
+    gateSignalMemo.keys.foreach(k => gateSignalMemo.remove(k)
+      .foreach(graft.Caches.releaseCheckpoint))
+  }
+
   /** [[corpusBuild]] with every intermediate stage observable — the
     * spec/debug window into the composition: keys `flagged`, `gated`,
     * `exact`, `near`, `sem`, `capped`, `epochs`, `manifest`. */

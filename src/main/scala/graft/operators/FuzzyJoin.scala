@@ -183,16 +183,18 @@ object FuzzyJoin {
     * are minimum keys, `cluster` is the smallest key in the whole
     * fuzzy cluster — a deterministic, meaningful canonical. */
   def fuzzyClusters(spark: SparkSession, dir: String,
-      maxDist: Int = 2): DataFrame =
+      maxDist: Int = 2,
+      edgeBudget: Long = Dedup.DriverCcEdgeBudget): DataFrame =
     fuzzyClustersOn(
       Tables.part(spark, dir)
         .select(col("p_partkey").as("key"), col("p_name").as("name")),
-      maxDist)
+      maxDist, edgeBudget = edgeBudget)
       .orderBy("key")
 
   /** [[fuzzyClusters]] over an explicit (key, name) relation. */
   def fuzzyClustersOn(rel: DataFrame, maxDist: Int = 2,
-      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+      maxBroadcastGrams: Long = MaxBroadcastGrams,
+      edgeBudget: Long = Dedup.DriverCcEdgeBudget): DataFrame = {
     val base = rel.select(col("key"), col("name"))
     val groups = graft.Caches.register(
       base.groupBy("name").agg(min(col("key")).as("nid")).cache())
@@ -204,7 +206,7 @@ object FuzzyJoin {
       .join(groups.select(col("name").as("b_name"), col("nid").as("id2")),
         Seq("b_name"))
       .select(col("id1"), col("id2"))
-    val comps = Dedup.connectedComponents(edges)
+    val comps = Dedup.connectedComponents(edges, edgeBudget = edgeBudget)
       .select(col("doc_id").as("nid"), col("comp"))
     base.join(groups, Seq("name"))
       .join(comps, Seq("nid"), "left")

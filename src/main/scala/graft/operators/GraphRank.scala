@@ -405,12 +405,13 @@ object GraphRank {
     * checkpoint-truncated lineage. Output: (node, label), where equal
     * labels = one community. */
   def labelPropagation(spark: SparkSession, dir: String,
-      iters: Int = 5): DataFrame =
+      iters: Int = 5,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
     labelPropagationOn(
       Tables.events(spark, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")),
-      iters)
+      iters, edgeBudget)
 
   /** [[labelPropagation]] over an explicit (user_id, ts, event_id, k)
     * event relation. */

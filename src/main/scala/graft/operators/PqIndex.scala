@@ -102,6 +102,11 @@ object PqIndex {
       (dir, m, k, iters, IvfIndex.dataFingerprint(dir)),
       train(spark, dir, m, k, iters))
 
+  /** Test/cold-bench hook: drop the trained codebooks (the
+    * IvfIndex.clearMemos convention — plain values, nothing to
+    * unpersist). */
+  def clearMemos(): Unit = memo.clear()
+
   /** q108: every vector's PQ codes — map-only encode under the trained
     * codebook, one row per (vector, subspace) (the q23 exploded-array
     * convention the hash gate wants). */
