@@ -2249,7 +2249,8 @@ object SparkEntry {
     // q124/q125: per-round deltas over the same unrolled CTE chains
     "q124_rank_convergence" -> pageRankConvergenceSql(10),
     "q125_lpa_convergence" -> labelPropConvergenceSql(5),
-    // q126: candidates = pairs sharing a duplicated CDC segment (the
+    // q126: candidates = each later occurrence paired with its shared
+    // duplicated CDC segment's FIRST owner (the canonical rule — the
     // q98/q99 CTE chain), then the exact LCS via an ALGORITHMICALLY
     // INDEPENDENT method from the Spark kernel's suffix automaton:
     // token-position matches grouped by diagonal i−j, longest
@@ -2258,13 +2259,12 @@ object SparkEntry {
     "q126_lcs_pairs" -> (cdcSegmentsSql +
       raw""",
          sd AS (SELECT DISTINCT seg_h, doc_id FROM segs),
-         dup AS (SELECT seg_h FROM sd GROUP BY seg_h
-                 HAVING count(*) >= 2),
-         cand AS (SELECT sd.seg_h, sd.doc_id FROM sd JOIN dup USING (seg_h)),
+         canon AS (SELECT seg_h, min(doc_id) AS c FROM sd
+                   GROUP BY seg_h HAVING count(*) >= 2),
          pairs AS (
-           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           FROM cand a JOIN cand b
-             ON a.seg_h = b.seg_h AND a.doc_id < b.doc_id),
+           SELECT DISTINCT canon.c AS id1, sd.doc_id AS id2
+           FROM sd JOIN canon USING (seg_h)
+           WHERE sd.doc_id > canon.c),
          tok AS (
            SELECT doc_id, unnest(toks) AS tok,
                   unnest(range(1, len(toks) + 1)) AS pos

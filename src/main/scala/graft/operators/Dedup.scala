@@ -380,10 +380,20 @@ object Dedup {
     * segment (the q99 dictionary — shift-tolerant, recall bounded by
     * the CDC granularity exactly like q100's dedup policy); within a
     * candidate pair the reported length is exact, and `minLen` cuts
-    * the audit to runs worth acting on.
+    * the audit to runs worth acting on. DEFAULT pairing is CANONICAL:
+    * each later occurrence pairs with the segment's FIRST owner
+    * (min doc_id — the q100 first-occurrence policy in pair form, and
+    * exactly the pair a dedup action needs: later-vs-canonical).
+    * `allPairs = true` gives the full clique audit — but that output
+    * is QUADRATIC in clone-group size: the sf1 scale run measured
+    * 3.47M all-pairs vs 18.4k canonical pairs on the clone-heavy 10×
+    * corpus (189×), so the clique form lives behind the same loud
+    * guard and the canonical form is the scale path.
     *
     * Scale shape: candidates come from the 8 B seg-hash dictionary
-    * (bounded by real duplication mass); document text shuffles ONLY
+    * (bounded by real duplication mass); canonical pairing is LINEAR
+    * in duplicated-segment occurrences (one keyed join against the
+    * min-owner relation — no self-join); document text shuffles ONLY
     * for candidate pairs, behind the loud [[MaxLcsPairs]] guard
     * (`limit(cap+1).count()` — early-terminating, never a full
     * count of a blown-up pair set); the kernel is O(|a|+|b|) time and
@@ -393,23 +403,28 @@ object Dedup {
       p: Int = CdcModulus): DataFrame =
     lcsPairsOn(Tables.documents(spark, dir), minLen, p, MaxLcsPairs)
 
-  /** [[lcsPairs]] with the cap injectable for specs. */
+  /** [[lcsPairs]] with the cap and pairing mode injectable. */
   private[operators] def lcsPairsOn(docs: DataFrame, minLen: Int,
-      p: Int, maxPairs: Long): DataFrame = {
+      p: Int, maxPairs: Long, allPairs: Boolean = false): DataFrame = {
     require(minLen >= 1, "minLen must be >= 1")
     val sd = cdcSegmentRelation(docs, p)
       .select("seg_h", "doc_id").distinct()
-    val dup = sd.groupBy("seg_h").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2).select("seg_h")
-    // read twice by the self-join below — cache the carrier
-    val cand = graft.Caches.register(sd.join(dup, "seg_h").cache())
-    val pairs = graft.Caches.register(
-      cand.as("a").join(cand.as("b"),
-          col("a.seg_h") === col("b.seg_h") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
-        .cache())
+    val canon = sd.groupBy("seg_h")
+      .agg(min("doc_id").as("c"), count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("seg_h", "c")
+    val pairs0 =
+      if (allPairs) {
+        // clique audit: read twice by the self-join — cache the carrier
+        val cand = graft.Caches.register(
+          sd.join(canon.select("seg_h"), "seg_h").cache())
+        cand.as("a").join(cand.as("b"),
+            col("a.seg_h") === col("b.seg_h") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      } else
+        sd.join(canon, "seg_h").where(col("doc_id") > col("c"))
+          .select(col("c").as("id1"), col("doc_id").as("id2"))
+    val pairs = graft.Caches.register(pairs0.distinct().cache())
     val nPairs = pairs.limit((maxPairs + 1).toInt).count()
     require(nPairs <= maxPairs,
       s"lcsPairs: more than $maxPairs candidate pairs share duplicated " +

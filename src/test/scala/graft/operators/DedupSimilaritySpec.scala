@@ -891,18 +891,39 @@ class DedupSimilaritySpec extends SparkSpec {
     val dupSegs = docs.flatMap(d => byDoc(d._1).toSeq).groupBy(identity)
       .filter(_._2.size >= 2).keySet
     val minLen = 2
-    val want = (for {
-      (i, ti) <- docs; (j, tj) <- docs
-      if i < j && (byDoc(i) & byDoc(j) & dupSegs).nonEmpty
-      l = bruteLcs(ti.split(" ").toSeq, tj.split(" ").toSeq)
-      if l >= minLen
-    } yield (i, j, l)).sortBy(t => (t._1, t._2))
+    val text = docs.toMap
+    def lcsOf(i: Long, j: Long) =
+      bruteLcs(text(i).split(" ").toSeq, text(j).split(" ").toSeq)
+    // CANONICAL rule (the default): later occurrence vs the shared
+    // duplicated segment's min owner
+    val canonOf = dupSegs.map(h =>
+      h -> docs.collect { case (id, t) if byDoc(id)(h) => id }.min).toMap
+    val wantCanon = (for {
+      (id, _) <- docs; h <- byDoc(id) & dupSegs
+      c = canonOf(h) if id > c
+    } yield (c, id)).distinct
+      .map { case (i, j) => (i, j, lcsOf(i, j)) }
+      .filter(_._3 >= minLen)
+      .sortBy(t => (t._1, t._2))
     val got = Dedup.lcsPairsOn(docs.toDF("doc_id", "text"), minLen, p,
         1000000L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq
-    assert(got == want, s"got $got\nwant $want")
-    assert(want.nonEmpty, "degenerate fixture: no candidate pairs")
+    assert(got == wantCanon, s"got $got\nwant $wantCanon")
+    assert(wantCanon.nonEmpty, "degenerate fixture: no candidate pairs")
+    // the CLIQUE audit (allPairs = true): every pair sharing a dup seg
+    val wantAll = (for {
+      (i, _) <- docs; (j, _) <- docs
+      if i < j && (byDoc(i) & byDoc(j) & dupSegs).nonEmpty
+      l = lcsOf(i, j) if l >= minLen
+    } yield (i, j, l)).sortBy(t => (t._1, t._2))
+    val gotAll = Dedup.lcsPairsOn(docs.toDF("doc_id", "text"), minLen, p,
+        1000000L, allPairs = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(gotAll == wantAll, s"gotAll $gotAll\nwantAll $wantAll")
+    // canonical ⊆ clique, and strictly smaller on clone groups > 2
+    assert(wantCanon.toSet.subsetOf(wantAll.toSet))
     // over-cap pair set fails loudly instead of shuffling text
     val err = intercept[IllegalArgumentException] {
       Dedup.lcsPairsOn(docs.toDF("doc_id", "text"), minLen, p, 0L)
