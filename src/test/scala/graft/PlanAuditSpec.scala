@@ -41,7 +41,10 @@ class PlanAuditSpec extends SparkSpec {
     "q112_corpus_build", "q113_build_report",
     // q114: inherits q68's 1-row corpus-stats broadcast and q26's 1-row
     // query-vector broadcast through the two fused lists
-    "q114_hybrid_rrf")
+    "q114_hybrid_rrf",
+    // q123: the 1-row global-max-hour relation broadcasts into the
+    // per-type span (crossJoin(broadcast(gmax)) — the q68 shape)
+    "q123_rate_anomaly_dense")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -316,7 +319,19 @@ class PlanAuditSpec extends SparkSpec {
     "q121_label_prop" -> 1,
     // q122: ONE user-keyed window shuffle (both leads share the frame)
     // + the path-count agg; the top-N is a TakeOrdered heap
-    "q122_top_paths" -> 2)
+    "q122_top_paths" -> 2,
+    // q123: q120's bucket agg + window exchanges plus the span
+    // aggregation behind the dense grid (the 1-row global max rides a
+    // broadcast, not a shuffle)
+    "q123_rate_anomaly_dense" -> 3,
+    // q124/q125: the audited plan is the collected trace relation +
+    // its output sort (driver dispatch at spec scale) — the
+    // distributed loop's per-round joins are spec-pinned bit-equal
+    "q124_rank_convergence" -> 1,
+    "q125_lpa_convergence" -> 1,
+    // q126: seg-hash distinct + canon agg + canonical pair join +
+    // pair distinct + two text joinbacks + output sort, all on keys
+    "q126_lcs_pairs" -> 5)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,
