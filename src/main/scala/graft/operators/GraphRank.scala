@@ -97,9 +97,18 @@ object GraphRank {
   /** The static rank-loop relations: weighted edges with the source's
     * total out-weight riding along, and the node set — both
     * materialized ONCE with lineage cut (each iteration joins a
-    * block-backed relation), released by the caller. */
+    * block-backed relation), released by the caller.
+    *
+    * The k-projection itself materializes FIRST: the edge window and
+    * the node distinct both read it, and without the checkpoint each
+    * re-runs the source scan + the `get_json_object` parse — measured
+    * 9 s of the 22 s q104 graph build at sf1 was the second parse.
+    * The projection's blocks release as soon as both derived
+    * relations exist. */
   private def rankGraph(ev0: DataFrame): (DataFrame, DataFrame) = {
     val ev = ev0.where(col("k").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("k"))
+      .localCheckpoint()
     val nxt = lead(col("k"), 1).over(
       Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
     val trans = ev.select(col("k").as("src"), nxt.as("dst"))
@@ -109,6 +118,7 @@ object GraphRank {
     val edgesN = edges.join(outw, Seq("src")).localCheckpoint()
     val nodes = ev.select(col("k").as("node")).distinct()
       .localCheckpoint()
+    releaseCheckpoint(ev)
     (edgesN, nodes)
   }
 
@@ -188,24 +198,19 @@ object GraphRank {
     * the [[driverRank]] arithmetic with the per-round diff folded in. */
   private def driverRankTrace(edgesN: DataFrame, nodes: DataFrame,
       iters: Int): Seq[(Long, Long, Long)] = {
-    val es = edgesN.select("src", "dst", "w", "wout").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val ns = nodes.select("node").collect().map(_.getLong(0))
-    var r = ns.map(_ -> 1000000L).toMap
+    val (ns, src, dst, w, wout) = rankArrays(edgesN, nodes)
+    var r = Array.fill(ns.length)(1000000L)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var round = 1
     while (round <= iters) {
-      val s = new scala.collection.mutable.HashMap[Long, Long]()
-        .withDefaultValue(0L)
-      es.foreach { case (src, dst, w, wout) =>
-        s(dst) += r(src) * w / wout
+      val next = rankRound(r, src, dst, w, wout)
+      var l1 = 0L; var moved = 0L; var i = 0
+      while (i < ns.length) {
+        if (next(i) != r(i)) { l1 += math.abs(next(i) - r(i)); moved += 1 }
+        i += 1
       }
-      val nextR = ns.map(n =>
-        n -> (TeleportMicros + DampingPct * s(n) / 100L)).toMap
-      buf += ((round.toLong,
-        ns.map(n => math.abs(nextR(n) - r(n))).sum,
-        ns.count(n => nextR(n) != r(n)).toLong))
-      r = nextR
+      buf += ((round.toLong, l1, moved))
+      r = next
       round += 1
     }
     buf.toSeq
@@ -267,23 +272,78 @@ object GraphRank {
     rows.toDF("round", "flips", "n_communities").orderBy("round")
   }
 
+  /** CSR carrier for the driver LPA loop: nodes = distinct symmetric-
+    * edge sources (every endpoint appears as a source — sym carries
+    * both directions), neighbor lists as one flat index array. The
+    * boxed groupBy-per-node formulation paid per-round Map rebuilds
+    * at the edge-budget ceiling; this is the same rule on primitives. */
+  private def lpaArrays(sym: DataFrame)
+      : (Array[Long], Array[Int], Array[Int]) = {
+    val rows = sym.select("u", "v").collect()
+    val ns = rows.map(_.getLong(0)).distinct.sorted
+    val idx = new java.util.HashMap[java.lang.Long, Integer](ns.length * 2)
+    var i = 0
+    while (i < ns.length) { idx.put(ns(i), i); i += 1 }
+    val off = new Array[Int](ns.length + 1)
+    rows.foreach(r => off(idx.get(r.getLong(0)).intValue() + 1) += 1)
+    i = 0
+    while (i < ns.length) { off(i + 1) += off(i); i += 1 }
+    val cur = off.clone()
+    val nbr = new Array[Int](rows.length)
+    rows.foreach { r =>
+      val u = idx.get(r.getLong(0)).intValue()
+      nbr(cur(u)) = idx.get(r.getLong(1)).intValue()
+      cur(u) += 1
+    }
+    (ns, off, nbr)
+  }
+
+  /** ONE driver LPA round — the [[lpaStep]] rule verbatim: most
+    * frequent neighbor label, ties to the smallest. */
+  private def lpaRound(ns: Array[Long], off: Array[Int], nbr: Array[Int],
+      lbl: Array[Long]): Array[Long] = {
+    val out = new Array[Long](ns.length)
+    val counts = new java.util.HashMap[java.lang.Long, Integer]()
+    var u = 0
+    while (u < ns.length) {
+      counts.clear()
+      var j = off(u)
+      while (j < off(u + 1)) {
+        val l: java.lang.Long = lbl(nbr(j))
+        val c = counts.get(l)
+        counts.put(l, if (c == null) 1 else c.intValue() + 1)
+        j += 1
+      }
+      var bestL = Long.MaxValue; var bestC = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.intValue(); val l = e.getKey.longValue()
+        if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+      }
+      out(u) = bestL
+      u += 1
+    }
+    out
+  }
+
   /** Driver-dispatch twin of the distributed LPA convergence loop
     * (the [[driverLpa]] arithmetic + per-round diff). */
   private def driverLpaTrace(sym: DataFrame, iters: Int)
       : Seq[(Long, Long, Long)] = {
-    val nbrs = sym.select("u", "v").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    var lbl = nbrs.keys.map(n => n -> n).toMap
+    val (ns, off, nbr) = lpaArrays(sym)
+    var lbl = ns.clone()
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     (1 to iters).foreach { i =>
-      val next = nbrs.map { case (n, ns) =>
-        val counts = ns.groupBy(lbl).view.mapValues(_.size.toLong)
-        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      val next = lpaRound(ns, off, nbr, lbl)
+      var flips = 0L
+      val set = new java.util.HashSet[java.lang.Long]()
+      var k = 0
+      while (k < ns.length) {
+        if (next(k) != lbl(k)) flips += 1
+        set.add(next(k)); k += 1
       }
-      buf += ((i.toLong,
-        next.count { case (n, l) => lbl(n) != l }.toLong,
-        next.values.toSet.size.toLong))
+      buf += ((i.toLong, flips, set.size.toLong))
       lbl = next
     }
     buf.toSeq
@@ -467,17 +527,55 @@ object GraphRank {
   private def driverLpa(spark: SparkSession, sym: DataFrame,
       iters: Int): DataFrame = {
     import spark.implicits._
-    val nbrs = sym.select("u", "v").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    var lbl = nbrs.keys.map(n => n -> n).toMap
-    (1 to iters).foreach { _ =>
-      lbl = nbrs.map { case (n, ns) =>
-        val counts = ns.groupBy(lbl).view.mapValues(_.size.toLong)
-        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
-      }
+    val (ns, off, nbr) = lpaArrays(sym)
+    var lbl = ns.clone()
+    (1 to iters).foreach(_ => lbl = lpaRound(ns, off, nbr, lbl))
+    ns.indices.map(i => (ns(i), lbl(i))).toDF("node", "label")
+  }
+
+  /** Dense-index carrier for the driver rank loop: node ids interned
+    * to array positions, edges as parallel primitive arrays. The
+    * boxed-Map formulation rebuilt a 1M-entry immutable Map per round
+    * at the edge-budget ceiling (measured 12.2 s at sf1); the array
+    * sweep is the same exact Long arithmetic (integer sums are
+    * order-free) at a fraction of the driver time. */
+  private def rankArrays(edgesN: DataFrame, nodes: DataFrame)
+      : (Array[Long], Array[Int], Array[Int], Array[Long], Array[Long]) = {
+    val ns = nodes.select("node").collect().map(_.getLong(0))
+    val idx = new java.util.HashMap[java.lang.Long, Integer](ns.length * 2)
+    var i = 0
+    while (i < ns.length) { idx.put(ns(i), i); i += 1 }
+    val rows = edgesN.select("src", "dst", "w", "wout").collect()
+    val src = new Array[Int](rows.length)
+    val dst = new Array[Int](rows.length)
+    val w = new Array[Long](rows.length)
+    val wout = new Array[Long](rows.length)
+    var j = 0
+    while (j < rows.length) {
+      val r = rows(j)
+      src(j) = idx.get(r.getLong(0)).intValue()
+      dst(j) = idx.get(r.getLong(1)).intValue()
+      w(j) = r.getLong(2); wout(j) = r.getLong(3)
+      j += 1
     }
-    lbl.keys.toSeq.sorted.map(n => (n, lbl(n))).toDF("node", "label")
+    (ns, src, dst, w, wout)
+  }
+
+  /** ONE driver rank round over the dense arrays — the [[rankStep]]
+    * arithmetic verbatim. */
+  private def rankRound(r: Array[Long], src: Array[Int], dst: Array[Int],
+      w: Array[Long], wout: Array[Long]): Array[Long] = {
+    val s = new Array[Long](r.length)
+    var j = 0
+    while (j < src.length) {
+      s(dst(j)) += r(src(j)) * w(j) / wout(j); j += 1
+    }
+    val out = new Array[Long](r.length)
+    var i = 0
+    while (i < r.length) {
+      out(i) = TeleportMicros + DampingPct * s(i) / 100L; i += 1
+    }
+    out
   }
 
   /** The same integer update as the distributed loop, on collected
@@ -486,22 +584,11 @@ object GraphRank {
   private def driverRank(spark: SparkSession, edgesN: DataFrame,
       nodes: DataFrame, iters: Int): DataFrame = {
     import spark.implicits._
-    val es = edgesN.select("src", "dst", "w", "wout").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val ns = nodes.select("node").collect().map(_.getLong(0))
-    var r = ns.map(_ -> 1000000L).toMap
+    val (ns, src, dst, w, wout) = rankArrays(edgesN, nodes)
+    var r = Array.fill(ns.length)(1000000L)
     var round = 0
-    while (round < iters) {
-      val s = new scala.collection.mutable.HashMap[Long, Long]()
-        .withDefaultValue(0L)
-      es.foreach { case (src, dst, w, wout) =>
-        s(dst) += r(src) * w / wout
-      }
-      r = ns.map(n =>
-        n -> (TeleportMicros + DampingPct * s(n) / 100L)).toMap
-      round += 1
-    }
-    ns.sorted.map(n => (n, r(n))).toSeq
+    while (round < iters) { r = rankRound(r, src, dst, w, wout); round += 1 }
+    ns.indices.map(i => (ns(i), r(i))).sortBy(_._1)
       .toDF("node", "rank_micros")
   }
 }
