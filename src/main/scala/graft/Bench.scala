@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,8 +52,10 @@ object Bench {
         (times.min < fastCutoff && times.size < fastRuns))
       while (wantMore) {
         val t0 = System.nanoTime()
+        // NonFatal only: after an OOM/fatal JVM error the remaining
+        // samples would run in a corrupted JVM and report garbage
         try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
+        catch { case NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failed = true
         }
@@ -77,7 +80,7 @@ object Bench {
       pre()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+        catch { case NonFatal(e) =>
           System.err.println(s"[bench] variant failed: ${e.getMessage}")
           false
         }

@@ -425,6 +425,11 @@ object Dedup {
         sd.join(canon, "seg_h").where(col("doc_id") > col("c"))
           .select(col("c").as("id1"), col("doc_id").as("id2"))
     val pairs = graft.Caches.register(pairs0.distinct().cache())
+    // the guard materializes maxPairs+1 as a limit(), so a cap raised
+    // past Int range would wrap negative in .toInt — fail loudly instead
+    require(maxPairs < Int.MaxValue,
+      s"lcsPairs: maxPairs=$maxPairs must stay below Int.MaxValue " +
+        s"(${Int.MaxValue}) — the early-terminating guard is an Int limit")
     val nPairs = pairs.limit((maxPairs + 1).toInt).count()
     require(nPairs <= maxPairs,
       s"lcsPairs: more than $maxPairs candidate pairs share duplicated " +

@@ -24,6 +24,15 @@ case class RateState(buckets: Seq[(Long, Long)])
   */
 object EventRates {
 
+  /** Microseconds per calendar hour. */
+  val HourUs: Long = 3600L * 1000000L
+
+  /** Default horizon for the streaming gap guard: a per-type jump of
+    * more than 2 years of calendar hours is a corrupt timestamp, not a
+    * quiet service — drop it with a metric instead of letting one bad
+    * row zero-fill unboundedly and poison the per-key high-watermark. */
+  val DefaultMaxGapHours: Int = 2 * 8760
+
   /** Tumbling 1-hour windows × event_type: count + value rollup. */
   def hourlyStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -176,13 +185,27 @@ object EventRates {
     * order is fine, the fold sorts. Enforced like scd2Stream: a bucket
     * at or below the newest bucket hour already folded is DROPPED and
     * counted on `lateDrops` instead of silently polluting the trailing
-    * window out of order. */
+    * window out of order. A bucket jumping MORE than `maxGapHours`
+    * calendar hours past the newest folded bucket is also dropped
+    * (counted on `gapDrops`): a corrupt far-future timestamp would
+    * otherwise permanently advance the per-key high-watermark and
+    * silently lateness-drop every genuine bucket after it — the
+    * MaxLcsPairs loud-guard discipline applied to time.
+    *
+    * Both drop accumulators are AT-LEAST-ONCE metrics (updated inside
+    * a transformation — task retries / speculation can re-apply them);
+    * they monitor contract violations and never affect the emitted
+    * rows, which are exact (state-store commit is per-epoch
+    * transactional). */
   def rateAnomalyStream(buckets: Dataset[RateBucket],
       windowHours: Int = 24, minWindow: Int = 12, k: Int = 3,
-      lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
+      lateDrops: Option[org.apache.spark.util.LongAccumulator] = None,
+      maxGapHours: Int = DefaultMaxGapHours,
+      gapDrops: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[RateVerdict] = {
     import buckets.sparkSession.implicits._
     require(windowHours >= minWindow && minWindow >= 2 && k >= 1)
+    require(maxGapHours >= 1, "maxGapHours must be >= 1")
     def micros(t: java.sql.Timestamp): Long =
       (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
     buckets.groupByKey(_.event_type)
@@ -197,6 +220,9 @@ object EventRates {
             // within-batch duplicate hour is caught too
             if (hist.nonEmpty && micros(b.hour) <= hist.last._1)
               lateDrops.foreach(_.add(1L))
+            else if (hist.nonEmpty &&
+                micros(b.hour) - hist.last._1 > maxGapHours * HourUs)
+              gapDrops.foreach(_.add(1L))
             else {
               val n = hist.size.toLong
               val verdict =
@@ -222,28 +248,51 @@ object EventRates {
     * last folded bucket is folded as an explicit cnt = 0 bucket —
     * emitting its verdict row exactly like the batch grid. Late and
     * duplicate-hour buckets drop with metric ([[rateAnomalyStream]]'s
-    * rule).
+    * rule), and a bucket jumping more than `maxGapHours` past the last
+    * folded hour drops on `gapDrops` instead of zero-filling
+    * unboundedly (one corrupt far-future timestamp would otherwise
+    * emit millions of rows in a single trigger AND poison the per-key
+    * high-watermark so every genuine bucket after it is "late").
     *
     * Parity domain: per type, the stream matches the batch grid for
-    * every hour up to that type's newest ARRIVED bucket. Trailing
-    * silence (the batch grid's zero rows between a type's last bucket
-    * and the global corpus max) cannot be emitted by an input-driven
-    * fold — flagging a type that stops sending entirely needs an
-    * event-time timer (GroupStateTimeout) fired off OTHER types'
-    * watermark progress, a deliberate non-goal here: the batch dense
-    * form is the collapse audit, the stream form is the live scorer. */
+    * every hour up to that type's newest ARRIVED bucket — and, with
+    * `trailingSilence = true`, beyond it: an event-time timer
+    * ([[GroupStateTimeout.EventTimeTimeout]]) re-arms one hour past
+    * each type's newest folded bucket, and when the GLOBAL watermark
+    * (driven by the OTHER types' arrivals) passes it, the silent
+    * type's missing hours fold as zeros up to the watermark — the
+    * live "type X went dark" collapse alert the batch grid expresses
+    * as trailing zero rows. Timer folds are capped at `maxGapHours`
+    * per firing (same guard, `gapDrops`-counted if truncated).
+    *
+    * `trailingSilence` requires an event-time watermark on `hour`
+    * (Spark rejects EventTimeTimeout without one) — this function
+    * applies `withWatermark("hour", watermarkDelay)` itself. Note the
+    * watermark also LATENESS-FILTERS input rows before the fold, so
+    * `lateDrops` then only sees disorder within the watermark's slack.
+    *
+    * Drop accumulators are at-least-once metrics ([[rateAnomalyStream]]
+    * 's caveat); emitted rows are exact. */
   def rateAnomalyStreamDense(buckets: Dataset[RateBucket],
       windowHours: Int = 24, minWindow: Int = 12, k: Int = 3,
-      lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
-      : Dataset[RateVerdict] = {
+      lateDrops: Option[org.apache.spark.util.LongAccumulator] = None,
+      maxGapHours: Int = DefaultMaxGapHours,
+      gapDrops: Option[org.apache.spark.util.LongAccumulator] = None,
+      trailingSilence: Boolean = false,
+      watermarkDelay: String = "0 seconds"): Dataset[RateVerdict] = {
     import buckets.sparkSession.implicits._
     require(windowHours >= minWindow && minWindow >= 2 && k >= 1)
-    val HourUs = 3600L * 1000000L
+    require(maxGapHours >= 1, "maxGapHours must be >= 1")
     def micros(t: java.sql.Timestamp): Long =
       (t.getTime / 1000L) * 1000000L + (t.getNanos / 1000L)
-    buckets.groupByKey(_.event_type)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(
+    val src =
+      if (trailingSilence) buckets.withWatermark("hour", watermarkDelay)
+      else buckets
+    val timeout =
+      if (trailingSilence) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (tpe: String, it: Iterator[RateBucket],
             state: GroupState[RateState]) => {
           var hist = state.getOption.map(_.buckets).getOrElse(Seq.empty)
@@ -262,20 +311,45 @@ object EventRates {
             out += RateVerdict(tpe, hourUs, cnt, n, verdict)
             hist = (hist :+ (hourUs, cnt)).takeRight(windowHours)
           }
-          it.toSeq.sortBy(b => micros(b.hour)).foreach { b =>
-            val hUs = micros(b.hour)
-            if (hist.nonEmpty && hUs <= hist.last._1)
-              lateDrops.foreach(_.add(1L))
-            else {
-              // densify: fold the silent hours as zeros first
-              if (hist.nonEmpty) {
-                var h = hist.last._1 + HourUs
-                while (h < hUs) { fold(h, 0L); h += HourUs }
+          // fold zeros for silent hours in (hist.last, untilUs]; the
+          // per-fire cap bounds a watermark poisoned by another type
+          def fillZeros(untilUs: Long): Unit = {
+            var h = hist.last._1 + HourUs
+            var left = maxGapHours
+            while (h <= untilUs && left > 0) {
+              fold(h, 0L); h += HourUs; left -= 1
+            }
+            if (h <= untilUs) gapDrops.foreach(_.add(1L))
+          }
+          if (state.hasTimedOut) {
+            // silent type: the global watermark passed its next
+            // expected hour — fold zeros up to the watermark
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            if (hist.nonEmpty) fillZeros(wmUs)
+          } else {
+            it.toSeq.sortBy(b => micros(b.hour)).foreach { b =>
+              val hUs = micros(b.hour)
+              if (hist.nonEmpty && hUs <= hist.last._1)
+                lateDrops.foreach(_.add(1L))
+              else if (hist.nonEmpty &&
+                  hUs - hist.last._1 > maxGapHours * HourUs)
+                gapDrops.foreach(_.add(1L))
+              else {
+                // densify: fold the silent hours as zeros first
+                if (hist.nonEmpty) fillZeros(hUs - HourUs)
+                fold(hUs, b.cnt)
               }
-              fold(hUs, b.cnt)
             }
           }
           state.update(RateState(hist))
+          if (trailingSilence && hist.nonEmpty) {
+            // re-arm one hour past the newest folded bucket (clamped
+            // above the current watermark — Spark rejects a timer at
+            // or below it)
+            val wmMs = state.getCurrentWatermarkMs()
+            val nextMs = (hist.last._1 + HourUs) / 1000L
+            state.setTimeoutTimestamp(math.max(nextMs, wmMs + 1L))
+          }
           out.result().iterator
         })
   }

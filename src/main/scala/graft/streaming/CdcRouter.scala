@@ -20,7 +20,17 @@ case class Scd2Version(key: Long, version: Long, attr: Option[Long],
   * last APPLIED change's (ts, seq) high-watermark — every processed
   * change advances it (repeats too), so a change regressing below it
   * is detectably late rather than silently folded against newer
-  * state. */
+  * state.
+  *
+  * STATE-SCHEMA COMPATIBILITY: the (lastTsUs, lastSeq) fields were
+  * added to this case class after its first release, which changes
+  * the flatMapGroupsWithState state encoder schema. A deployed
+  * `scd2Stream` query CANNOT restart from a checkpoint written
+  * before that change — Spark's state-schema validation rejects it
+  * (by design: silently misreading old state would corrupt version
+  * numbering). Restart such a query with a FRESH checkpoint
+  * directory and replay the CDC log from the source (the fold is
+  * deterministic, so a replay reproduces the same version history). */
 case class Scd2State(version: Long, attr: Option[Long],
     lastTsUs: Long, lastSeq: Long)
 
@@ -152,7 +162,15 @@ object CdcRouter {
     * Emission is append-mode: a version row is immutable once emitted;
     * `valid_to`/`is_current` derive at read time with one lead window
     * over (key, version) — the same relation the batch operator emits
-    * eagerly. */
+    * eagerly.
+    *
+    * `lateDrops` is an AT-LEAST-ONCE metric: accumulators updated
+    * inside a transformation are re-applied on task retry or
+    * speculative re-execution, so the counter can overstate (never
+    * understate) the true drop count. It is a monitoring signal
+    * ("nonzero ⇒ the delivery contract was violated, investigate"),
+    * not an exactly-once ledger — the EMITTED ROWS are exact either
+    * way, because the state-store commit is transactional per epoch. */
   def scd2Stream(changes: Dataset[Scd2Change],
       lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[Scd2Version] = {

@@ -765,6 +765,89 @@ class StreamingSpec extends SparkSpec {
       "expected at least one zero-hour collapse flag in the domain")
   }
 
+  test("rate streams: a far-future corrupt bucket drops on gapDrops, stream continues") {
+    import graft.operators.{EventRates, RateBucket, RateVerdict}
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 3600000L)
+    val gaps = spark.sparkContext.longAccumulator("rate_gap_drops")
+    val mem = MemoryStream[RateBucket]
+    // maxGapHours=100: hour 5000 jumps 4998 past hour 2 → corrupt
+    val q = EventRates.rateAnomalyStreamDense(mem.toDS(), 6, 3, 3,
+        None, maxGapHours = 100, gapDrops = Some(gaps))
+      .writeStream.format("memory").queryName("rgap")
+      .outputMode("append").start()
+    mem.addData(RateBucket("c", ts(0), 5L), RateBucket("c", ts(1), 6L),
+      RateBucket("c", ts(2), 5L))
+    q.processAllAvailable()
+    mem.addData(RateBucket("c", ts(5000), 9L)) // corrupt far-future
+    q.processAllAvailable()
+    mem.addData(RateBucket("c", ts(3), 7L)) // genuine — must still fold
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("rgap").as[RateVerdict].collect()
+      .sortBy(_.hour_us).toSeq
+    // no zero-fill blowup, no poisoned high-watermark: 4 genuine rows
+    assert(got.map(_.cnt) == Seq(5L, 6L, 5L, 7L), got.toString)
+    assert(gaps.value == 1L, s"expected 1 gap drop, got ${gaps.value}")
+  }
+
+  test("rateAnomalyStreamDense trailingSilence: a dark type matches the batch grid via timers") {
+    import graft.operators.{EventRates, RateBucket, RateVerdict}
+    val base = 1704067200000L
+    def ts(i: Int) = new java.sql.Timestamp(base + i * 3600000L)
+    // type b sends hours 0..9 then goes DARK; type a continues to 30.
+    // With trailingSilence the global watermark (driven by a) fires
+    // b's event-time timer and folds its silent hours as zeros — the
+    // batch grid's trailing-zero collapse rows, live.
+    val aCnt = (0 to 30).map(i => (i, (5 + i % 4).toLong))
+    val bCnt = (0 to 9).map(i => (i, (50 + i % 7).toLong))
+    val (wh, mw, k) = (6, 3, 3)
+    val mem = MemoryStream[RateBucket]
+    val q = EventRates.rateAnomalyStreamDense(mem.toDS(), wh, mw, k,
+        trailingSilence = true)
+      .writeStream.format("memory").queryName("rdark")
+      .outputMode("append").start()
+    // feed in hour order (watermark lateness-filters regressions)
+    val feed = (aCnt.map { case (i, c) => ("a", i, c) } ++
+      bCnt.map { case (i, c) => ("b", i, c) }).sortBy(_._2)
+    feed.grouped(8).foreach { chunk =>
+      mem.addData(chunk.map { case (t, i, c) => RateBucket(t, ts(i), c) }: _*)
+      q.processAllAvailable()
+    }
+    // timers fire strictly BELOW the watermark, so the grid's last hour
+    // needs the watermark pushed past it: one real bucket at hour 32
+    // advances the watermark, and a duplicate of it (dropped by the
+    // fold, no emission) runs one more batch AT that watermark — which
+    // deterministically fires the dark type's timer through hour 32.
+    val nudge = RateBucket("a", ts(32), 9L)
+    mem.addData(nudge); q.processAllAvailable()
+    mem.addData(nudge); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rdark").as[RateVerdict].collect()
+      .map(v => (v.event_type, v.hour_us, v.cnt, v.n_window, v.is_anomaly))
+      .toSet
+    // full batch dense grid over the same mass — including b's
+    // trailing zeros through the global max hour 30
+    // (a, 31) is absent on both sides: the nudge skipped it, so the
+    // stream densifies it as a zero and the grid generates it as one
+    val events = (aCnt.map { case (i, c) => ("a", i, c) } ++
+      Seq(("a", 32, 9L)) ++
+      bCnt.map { case (i, c) => ("b", i, c) }).flatMap { case (t, i, c) =>
+      (0 until c.toInt).map(j =>
+        (new java.sql.Timestamp(base + i * 3600000L + j * 1000L), t))
+    }.toDF("ts", "event_type")
+    val batch = EventRates.rateAnomaliesDenseOn(events, wh, mw, k)
+      .collect().map { r =>
+        val hourUs = java.sql.Timestamp.valueOf(r.getString(1))
+          .getTime * 1000L
+        (r.getString(0), hourUs, r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Int]))
+      }.toSet
+    assert(got == batch,
+      s"stream-only=${got -- batch}\nbatch-only=${batch -- got}")
+    // the point of the feature: b's collapse (cnt=0 anomaly) is LIVE
+    assert(got.exists(v => v._1 == "b" && v._3 == 0L && v._5.contains(1)),
+      "expected the dark type's zero hours flagged")
+  }
+
   test("CdcRouter typed payload parse binds a fact table's bean") {
     import org.apache.spark.sql.types._
     implicit val enc: org.apache.spark.sql.Encoder[OrderInfoCdc] =
