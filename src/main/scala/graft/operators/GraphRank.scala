@@ -71,8 +71,33 @@ object GraphRank {
   def pageRankOn(ev0: DataFrame, iters: Int = 10,
       edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val spark = ev0.sparkSession
     val (edgesN, nodes) = rankGraph(ev0)
+    rankLoop(ev0.sparkSession, edgesN, nodes, iters, edgeBudget)
+  }
+
+  /** [[pageRank]] over an explicit weighted edge relation
+    * `(src, dst, w)` and node set `(node)` — the entry the streaming
+    * twin uses: [[graft.streaming.GraphStream]] accumulates exactly
+    * these relations per epoch, and the loop (including the measured
+    * [[DriverRankEdgeBudget]] dispatch) is shared with the
+    * event-derived path, so both are bit-identical on the same graph.
+    * Edges are re-aggregated here (sum of `w` per (src, dst)), so
+    * per-epoch partial weights can be fed as-is. */
+  def pageRankOnGraph(edges: DataFrame, nodes: DataFrame,
+      iters: Int = 10,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val outw = e.groupBy("src").agg(sum(col("w")).as("wout"))
+    val edgesN = e.join(outw, Seq("src")).localCheckpoint()
+    val n = nodes.select("node").distinct().localCheckpoint()
+    rankLoop(edges.sparkSession, edgesN, n, iters, edgeBudget)
+  }
+
+  /** The shared rank loop (both dispatch paths). Owns — and releases —
+    * the materialized `edgesN`/`nodes` relations. */
+  private def rankLoop(spark: SparkSession, edgesN: DataFrame,
+      nodes: DataFrame, iters: Int, edgeBudget: Long): DataFrame = {
     if (edgesN.count() <= edgeBudget) {
       val out = driverRank(spark, edgesN, nodes, iters)
       releaseCheckpoint(edgesN)
@@ -478,7 +503,31 @@ object GraphRank {
   def labelPropagationOn(ev0: DataFrame, iters: Int = 5,
       edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val und = undirectedEdges(ev0)
+    lpaLoop(ev0.sparkSession, undirectedEdges(ev0), iters, edgeBudget)
+  }
+
+  /** [[labelPropagation]] over an explicit directed edge relation
+    * `(src, dst, …)` — the streaming twin's entry
+    * ([[pageRankOnGraph]]'s rationale): the undirected simple graph
+    * derives here exactly as [[undirectedEdgesPlan]] derives it from
+    * transitions (self-loops dropped, (a < b) normalized, distinct),
+    * and the loop + tie rules are shared, so batch and accumulated
+    * paths are bit-identical on the same edge set. Weights are
+    * ignored, as in the batch operator. */
+  def labelPropagationOnGraph(edges: DataFrame, iters: Int = 5,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    lpaLoop(edges.sparkSession, und, iters, edgeBudget)
+  }
+
+  /** The shared LPA loop (both dispatch paths). Owns — and releases —
+    * the materialized undirected edge relation. */
+  private def lpaLoop(spark: SparkSession, und: DataFrame, iters: Int,
+      edgeBudget: Long): DataFrame = {
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
@@ -488,7 +537,7 @@ object GraphRank {
     val nEdges = sym.count() // also materializes sym: und is now dead
     releaseCheckpoint(und)
     if (nEdges <= edgeBudget) {
-      val out = driverLpa(ev0.sparkSession, sym, iters)
+      val out = driverLpa(spark, sym, iters)
       releaseCheckpoint(sym)
       return out
     }

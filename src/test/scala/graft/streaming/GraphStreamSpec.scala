@@ -1,0 +1,157 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.GraphRank
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The streaming twin of the graph family (q104/q121): incremental
+  * edge accumulation + re-rank, pinned bit-equal to the batch
+  * operators on the accumulated event set — including across a
+  * checkpoint restart. */
+class GraphStreamSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // deterministic multi-user event fixture: 6 users × 40 events over a
+  // 12-item vocabulary, every 7th event k-less (dropped by projection),
+  // self-transitions and revisits included — the batch operator's
+  // full input surface
+  private def fixtureRows: Seq[(Long, Long, Long, String)] =
+    for (u <- 0L until 6L; i <- 0L until 40L) yield {
+      val eid = u * 1000L + i
+      val props =
+        if (i % 7L == 3L) """{"x":1}"""
+        else s"""{"k":${(u * 3L + i * i) % 12L}}"""
+      (u, 1704067200000000L + i * 60000000L + u * 7000L, eid, props)
+    }
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, String)]): DataFrame =
+    rows.toDF("user_id", "ts_us", "event_id", "props")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("event_id"), col("props"))
+
+  private def batchProjection(rows: Seq[(Long, Long, Long, String)]): DataFrame =
+    eventsDf(rows).select(col("user_id"), col("ts"), col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  private def rankRows(df: DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  test("accumulated rank + communities match the batch operators bit-for-bit") {
+    val outDir = Files.createTempDirectory("graph_stream").toString
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = GraphStream.transitionStream(
+        GraphStream.projectEvents(
+          mem.toDF().toDF("user_id", "ts_us", "event_id", "props")
+            .select(col("user_id"),
+              timestamp_micros(col("ts_us")).as("ts"),
+              col("event_id"), col("props"))))
+      .writeStream
+      .foreachBatch(GraphStream.edgeSinkEachBatch(outDir) _)
+      .outputMode("append").start()
+    // three batches, per-user time-ordered arrival (the parity contract)
+    fixtureRows.sortBy(_._2).grouped(90).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val batchEv = batchProjection(fixtureRows)
+    // both dispatch paths: the measured driver loop AND the distributed
+    // join loop (edgeBudget = 0) — bit-identical on stream and batch
+    for (budget <- Seq(GraphRank.DriverRankEdgeBudget, 0L)) {
+      assert(rankRows(GraphStream.rankSnapshot(spark, outDir,
+          edgeBudget = budget)) ==
+        rankRows(GraphRank.pageRankOn(batchEv, edgeBudget = budget)),
+        s"rank mismatch at edgeBudget=$budget")
+      assert(rankRows(GraphStream.communitiesSnapshot(spark, outDir,
+          edgeBudget = budget)) ==
+        rankRows(GraphRank.labelPropagationOn(batchEv,
+          edgeBudget = budget)),
+        s"communities mismatch at edgeBudget=$budget")
+    }
+  }
+
+  test("graph accumulation survives a checkpoint restart (state from the state store)") {
+    val base = Files.createTempDirectory("graph_cp").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"
+    val cp = s"$base/_cp"
+    new java.io.File(srcDir).mkdirs()
+
+    def writeBatch(name: String,
+        rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("user_id", "ts_us", "event_id", "props")
+        .write.json(s"$srcDir/$name")
+    val schema = "user_id LONG, ts_us LONG, event_id LONG, props STRING"
+    def startQuery() =
+      GraphStream.transitionStream(
+          GraphStream.projectEvents(
+            spark.readStream.schema(schema).json(s"$srcDir/*/")
+              .select(col("user_id"),
+                timestamp_micros(col("ts_us")).as("ts"),
+                col("event_id"), col("props"))))
+        .writeStream
+        .foreachBatch(GraphStream.edgeSinkEachBatch(outDir) _)
+        .option("checkpointLocation", cp)
+        .outputMode("append").start()
+
+    val ordered = fixtureRows.sortBy(_._2)
+    writeBatch("b1", ordered.take(130))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // the cross-batch bridge transitions (each user's last b1 event →
+    // first b2 event) exist ONLY if the per-user tails were recovered
+    // from the checkpointed state store
+    writeBatch("b2", ordered.drop(130)) // arrives while the query is down
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val batchEv = batchProjection(fixtureRows)
+    assert(rankRows(GraphStream.rankSnapshot(spark, outDir)) ==
+      rankRows(GraphRank.pageRankOn(batchEv)))
+    assert(rankRows(GraphStream.communitiesSnapshot(spark, outDir)) ==
+      rankRows(GraphRank.labelPropagationOn(batchEv)))
+  }
+
+  test("a regressing event drops with metric; epoch replay is idempotent") {
+    val outDir = Files.createTempDirectory("graph_late").toString
+    val late = spark.sparkContext.longAccumulator("graph_late_drops")
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = GraphStream.transitionStream(
+        GraphStream.projectEvents(
+          mem.toDF().toDF("user_id", "ts_us", "event_id", "props")
+            .select(col("user_id"),
+              timestamp_micros(col("ts_us")).as("ts"),
+              col("event_id"), col("props"))),
+        lateDrops = Some(late))
+      .writeStream
+      .foreachBatch(GraphStream.edgeSinkEachBatch(outDir) _)
+      .outputMode("append").start()
+    def ev(u: Long, tUs: Long, eid: Long, k: Long) =
+      (u, 1704067200000000L + tUs, eid, s"""{"k":$k}""")
+    mem.addData(ev(1, 0L, 1, 5), ev(1, 60000000L, 2, 6))
+    q.processAllAvailable()
+    // ts regression AND an equal-(ts,event_id) duplicate: both late
+    mem.addData(ev(1, 30000000L, 3, 7), ev(1, 60000000L, 2, 6))
+    q.processAllAvailable()
+    mem.addData(ev(1, 120000000L, 4, 8)) // genuine — still applies
+    q.processAllAvailable(); q.stop()
+    assert(late.value == 2L, s"expected 2 late drops, got ${late.value}")
+    // applied events only: 5→6→8
+    val edges = spark.read.parquet(s"$outDir/edges")
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(edges == Set((5L, 6L, 1L), (6L, 8L, 1L)), edges.toString)
+
+    // replay: re-running an epoch's sink call with the same id must
+    // converge (overwrite-own-partition), not double-count
+    val replay = Seq(graft.streaming.GraphDelta(9L, Some(6L), 8L)).toDS()
+    GraphStream.edgeSinkEachBatch(outDir)(replay, 99L)
+    GraphStream.edgeSinkEachBatch(outDir)(replay, 99L)
+    val w = spark.read.parquet(s"$outDir/edges")
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .where(col("src") === 6L && col("dst") === 8L)
+      .collect()(0).getLong(2)
+    assert(w == 2L, s"expected weight 2 (1 stream + 1 replayed epoch), got $w")
+  }
+}
