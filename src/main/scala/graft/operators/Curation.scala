@@ -239,8 +239,8 @@ object Curation {
     // build output itself. An in-place corpus rewrite changes the
     // fingerprint and forces a fresh build.
     val key = (dir, IvfIndex.dataFingerprint(dir, "documents"),
-      s"$minQuality|$ppxKeepPct|$dsirKeepPct|$oddsKeepPct|" +
-        s"$nearThreshold|$semThreshold|$domainCap|$packBudget|$packBlocks")
+      buildParamKey(minQuality, ppxKeepPct, dsirKeepPct, oddsKeepPct,
+        nearThreshold, semThreshold, domainCap, packBudget, packBlocks))
     manifestMemo.getOrElseUpdate(key, {
       // release evicted manifests' checkpoint blocks eagerly (the
       // gateSignalMemo eviction rule): a long-lived serving JVM that
@@ -259,6 +259,154 @@ object Curation {
   /** Per-JVM memo for the finished build manifest (see [[corpusBuild]]). */
   private val manifestMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Long, String), DataFrame]
+
+  private def buildParamKey(minQuality: Double, ppxKeepPct: Int,
+      dsirKeepPct: Int, oddsKeepPct: Int, nearThreshold: Double,
+      semThreshold: Double, domainCap: Int, packBudget: Int,
+      packBlocks: Int): String =
+    s"$minQuality|$ppxKeepPct|$dsirKeepPct|$oddsKeepPct|" +
+      s"$nearThreshold|$semThreshold|$domainCap|$packBudget|$packBlocks"
+
+  /** Sidecar name for the published-manifest identity (see
+    * [[publishBuild]]). */
+  private val BuildSidecar = "_build_manifest.json"
+
+  /** Publish [[corpusBuild]]'s manifest as a real block-partitioned
+    * parquet table under `outDir` — the cross-session/cross-host form
+    * of the per-JVM memo: a restartable build artifact another JVM can
+    * [[loadBuild]] without re-paying the train+score+dedup cost. The
+    * manifest is a pure function of (corpus fingerprint, build params),
+    * so the published identity is exactly the memo key, recorded in a
+    * `_build_manifest.json` sidecar.
+    *
+    * Publish protocol (the [[graft.streaming.DocStream]] sink
+    * discipline): data partitions go through
+    * [[graft.streaming.PartitionedUpsert]] (atomic per-partition swap —
+    * a committed copy of every partition exists at every instant), and
+    * the identity sidecar is written LAST via atomic tmp+rename. A
+    * crash anywhere in between leaves either the old sidecar (readers
+    * see the previous complete build) or none (readers rebuild) —
+    * never a sidecar pointing at half-published data. Blocks partition
+    * the table because that is the consumer's access pattern: a
+    * training shard reader pulls its own block's slice, prunable by
+    * partition. */
+  def publishBuild(spark: SparkSession, dir: String, outDir: String,
+      minQuality: Double = 0.5,
+      ppxKeepPct: Int = 90,
+      dsirKeepPct: Int = 90,
+      oddsKeepPct: Int = 90,
+      nearThreshold: Double = 0.5,
+      semThreshold: Double = 0.3,
+      domainCap: Int = 100,
+      packBudget: Int = 2048,
+      packBlocks: Int = 8): Unit = {
+    val manifest = corpusBuild(spark, dir, minQuality, ppxKeepPct,
+      dsirKeepPct, oddsKeepPct, nearThreshold, semThreshold, domainCap,
+      packBudget, packBlocks)
+    graft.streaming.PartitionedUpsert.upsert(manifest, outDir, "block",
+      Seq.empty)
+    val fp = IvfIndex.dataFingerprint(dir, "documents")
+    val params = buildParamKey(minQuality, ppxKeepPct, dsirKeepPct,
+      oddsKeepPct, nearThreshold, semThreshold, domainCap, packBudget,
+      packBlocks)
+    val json = s"""{"fingerprint":$fp,"params":"$params"}"""
+    val tmp = new java.io.File(outDir, s".$BuildSidecar.tmp")
+    val dst = new java.io.File(outDir, BuildSidecar)
+    java.nio.file.Files.write(tmp.toPath,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (!tmp.renameTo(dst)) {
+      dst.delete()
+      require(tmp.renameTo(dst), s"cannot publish $dst")
+    }
+  }
+
+  /** The published identity sidecar, or None if no complete build has
+    * been published under `outDir`. */
+  private def readSidecar(outDir: String): Option[(Long, String)] = {
+    val f = new java.io.File(outDir, BuildSidecar)
+    if (!f.exists()) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val re = """\{"fingerprint":(-?\d+),"params":"([^"]*)"\}""".r
+      s match {
+        case re(fp, params) => Some((fp.toLong, params))
+        case _ => None
+      }
+    }
+  }
+
+  /** Read a published build manifest back, VALIDATED against the
+    * corpus it claims to describe: the sidecar's (fingerprint, params)
+    * must match the current corpus at `dir` and the requested
+    * parameters — a stale manifest (corpus rewritten since the
+    * publish, or different build knobs) fails loudly instead of
+    * feeding a training run rows that no longer describe the data.
+    * Row-identical to the memoized [[corpusBuild]] (spec-pinned). */
+  def loadBuild(spark: SparkSession, dir: String, outDir: String,
+      minQuality: Double = 0.5,
+      ppxKeepPct: Int = 90,
+      dsirKeepPct: Int = 90,
+      oddsKeepPct: Int = 90,
+      nearThreshold: Double = 0.5,
+      semThreshold: Double = 0.3,
+      domainCap: Int = 100,
+      packBudget: Int = 2048,
+      packBlocks: Int = 8): DataFrame = {
+    val want = (IvfIndex.dataFingerprint(dir, "documents"),
+      buildParamKey(minQuality, ppxKeepPct, dsirKeepPct, oddsKeepPct,
+        nearThreshold, semThreshold, domainCap, packBudget, packBlocks))
+    val got = readSidecar(outDir)
+    require(got.contains(want),
+      s"loadBuild: no published manifest under $outDir matching the " +
+        s"corpus at $dir with these build parameters (published=" +
+        s"$got, wanted=$want) — run publishBuild, or fix the " +
+        "corpus/params mismatch")
+    // a gates-empty corpus publishes zero partitions (the sidecar alone
+    // IS the complete build) — parquet inference has nothing to read
+    val hasParts = Option(new java.io.File(outDir).listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("block=")))
+    if (!hasParts)
+      return spark.range(0).select(
+        col("id").as("doc_id"), col("id").as("epoch"),
+        col("id").as("block"), col("id").as("n_tokens"),
+        col("id").as("start_tok"), col("id").as("bin"))
+    // partition discovery restores `block` (inferred as INT — cast
+    // back) and appends it last — restore the manifest's column order
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("epoch"),
+        col("block").cast("long").as("block"), col("n_tokens"),
+        col("start_tok"), col("bin"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** The restartable build: read the published manifest if its
+    * identity matches (another session/host already paid the build),
+    * otherwise build, publish, and return it. The q112/q113 entries
+    * keep using [[corpusBuild]] directly — this is the deployment
+    * wrapper for multi-session corpus assembly. */
+  def corpusBuildPersistent(spark: SparkSession, dir: String,
+      outDir: String,
+      minQuality: Double = 0.5,
+      ppxKeepPct: Int = 90,
+      dsirKeepPct: Int = 90,
+      oddsKeepPct: Int = 90,
+      nearThreshold: Double = 0.5,
+      semThreshold: Double = 0.3,
+      domainCap: Int = 100,
+      packBudget: Int = 2048,
+      packBlocks: Int = 8): DataFrame = {
+    val want = (IvfIndex.dataFingerprint(dir, "documents"),
+      buildParamKey(minQuality, ppxKeepPct, dsirKeepPct, oddsKeepPct,
+        nearThreshold, semThreshold, domainCap, packBudget, packBlocks))
+    if (!readSidecar(outDir).contains(want))
+      publishBuild(spark, dir, outDir, minQuality, ppxKeepPct,
+        dsirKeepPct, oddsKeepPct, nearThreshold, semThreshold,
+        domainCap, packBudget, packBlocks)
+    loadBuild(spark, dir, outDir, minQuality, ppxKeepPct, dsirKeepPct,
+      oddsKeepPct, nearThreshold, semThreshold, domainCap, packBudget,
+      packBlocks)
+  }
 
   /** Test hook: drop the memoized manifests (the IvfIndex.clearMemos
     * convention) — the model/signal memos stay, they are fingerprint-

@@ -139,4 +139,66 @@ class CorpusBuildSpec extends SparkSpec {
     assert(rows() == first)      // fresh build: deterministic artifact
     graft.Caches.releaseAll()
   }
+
+  private def manifestRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "epoch", "block", "n_tokens", "start_tok", "bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sorted.toSeq
+
+  test("publishBuild + loadBuild round-trip the manifest row-for-row") {
+    val dir = "/root/testdata/sf0.01"
+    val out = java.nio.file.Files.createTempDirectory("cbpub").toString
+    Curation.publishBuild(spark, dir, out)
+    assert(manifestRows(Curation.loadBuild(spark, dir, out)) ==
+      manifestRows(Curation.corpusBuild(spark, dir)))
+    // schema round-trips too (block restored as LONG in manifest
+    // order; parquet drops the non-null flag, so nullability aside)
+    assert(Curation.loadBuild(spark, dir, out).schema
+        .map(f => (f.name, f.dataType)) ==
+      Curation.corpusBuild(spark, dir).schema
+        .map(f => (f.name, f.dataType)))
+    graft.Caches.releaseAll()
+  }
+
+  test("corpusBuildPersistent is restartable across sessions: a fresh " +
+      "JVM-equivalent reads the published table without rebuilding") {
+    // copy the corpus so we can prove the no-rebuild path: after the
+    // publish, DELETE the embeddings table — a rebuild would need it
+    // (the semantic stage), so a second persistent call succeeding
+    // proves it came from the published artifact alone
+    val src = "/root/testdata/sf0.01"
+    val base = java.nio.file.Files.createTempDirectory("cbpers").toString
+    val corpus = s"$base/corpus"; val out = s"$base/build"
+    new java.io.File(corpus).mkdirs()
+    for (t <- Seq("documents", "embeddings"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$corpus/$t.parquet"))
+    val first = manifestRows(
+      Curation.corpusBuildPersistent(spark, corpus, out))
+    assert(first.nonEmpty)
+    // "another session": all per-JVM memos gone, embeddings gone
+    Curation.clearManifestMemo()
+    Curation.clearGateMemos()
+    assert(new java.io.File(s"$corpus/embeddings.parquet").delete())
+    assert(manifestRows(
+      Curation.corpusBuildPersistent(spark, corpus, out)) == first)
+    graft.Caches.releaseAll()
+  }
+
+  test("loadBuild fails loudly on a params or corpus mismatch") {
+    val dir = "/root/testdata/sf0.01"
+    val out = java.nio.file.Files.createTempDirectory("cbstale").toString
+    Curation.publishBuild(spark, dir, out)
+    // different build knobs → the published identity must not satisfy
+    val e1 = intercept[IllegalArgumentException](
+      Curation.loadBuild(spark, dir, out, domainCap = 7))
+    assert(e1.getMessage.contains("publishBuild"))
+    // different corpus (the tiny sf) under the same outDir → stale
+    val e2 = intercept[IllegalArgumentException](
+      Curation.loadBuild(spark, sf, out))
+    assert(e2.getMessage.contains("mismatch"))
+    graft.Caches.releaseAll()
+  }
 }
