@@ -331,6 +331,14 @@ object SparkEntry {
     // pair (suffix-automaton kernel; oracle replays it with an
     // algorithmically independent diagonal-run window)
     "q126_lcs_pairs" -> ((s, d) => Dedup.lcsPairs(s, d)),
+    // q127: PMI collocation mining — top bigrams by the log-free
+    // fixed-point lift (monotone with PMI; 128-bit-exact both engines)
+    "q127_pmi_collocations" ->
+      ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    // q128: fuzzy entity linking — free-text bigram mentions resolved
+    // against the part-name catalog (cross-relation fuzzy dim join;
+    // best match per mention, no probe-side self-join)
+    "q128_fuzzy_link" -> ((s, d) => FuzzyJoin.fuzzyLink(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -2286,6 +2294,58 @@ object SparkEntry {
            GROUP BY id1, id2)
          SELECT id1, id2, lcs_tokens FROM lcs
          WHERE lcs_tokens >= 4 ORDER BY id1, id2"""),
+    // q127: unigram/bigram counts + 1-row totals; the lift is the same
+    // 128-bit integer expression (HUGEINT here, DECIMAL(38,0) in
+    // Spark) so both engines rank on exact integers, no libm
+    "q127_pmi_collocations" ->
+      raw"""WITH t AS (
+           SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS l
+           FROM documents),
+         u AS (SELECT unnest(l) AS w FROM t),
+         ucnt AS (SELECT w, count(*) AS n FROM u GROUP BY w),
+         tot AS (SELECT count(*) AS t FROM u),
+         bg AS (SELECT unnest(l[1:len(l)-1]) AS a,
+                       unnest(l[2:len(l)]) AS b
+                FROM t WHERE len(l) >= 2),
+         bcnt AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY a, b),
+         btot AS (SELECT count(*) AS bt FROM bg)
+         SELECT a, b, n_ab,
+                CAST((CAST(n_ab AS HUGEINT) * t * t * 1000000) //
+                     (CAST(ua.n AS HUGEINT) * ub.n * bt) AS BIGINT)
+                  AS lift_micros
+         FROM bcnt
+         JOIN ucnt ua ON ua.w = bcnt.a
+         JOIN ucnt ub ON ub.w = bcnt.b, tot, btot
+         WHERE n_ab >= 5
+         ORDER BY lift_micros DESC, a, b
+         LIMIT 100""",
+    // q128: quotient cross-join oracle — distinct mentions × distinct
+    // catalog names through DuckDB's own levenshtein, argmin per
+    // mention with the same (dist, name) tie-break
+    "q128_fuzzy_link" ->
+      raw"""WITH t AS (
+           SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS l
+           FROM documents),
+         m AS (SELECT unnest(l[1:len(l)-1]) || ' ' || unnest(l[2:len(l)])
+                 AS mention
+               FROM t WHERE len(l) >= 2),
+         mc AS (SELECT mention, count(*) AS n_occ FROM m GROUP BY mention),
+         d AS (SELECT DISTINCT p_name AS name FROM part),
+         cand AS (
+           SELECT mention, name,
+                  CAST(levenshtein(mention, name) AS BIGINT) AS dist
+           FROM mc, d),
+         best AS (
+           SELECT mention, name, dist,
+                  row_number() OVER (PARTITION BY mention
+                                     ORDER BY dist, name) AS rn
+           FROM cand WHERE dist <= 2)
+         SELECT best.mention, name, dist, n_occ
+         FROM best JOIN mc ON mc.mention = best.mention
+         WHERE rn = 1
+         ORDER BY best.mention""",
     // q122: two leads over the same user window, count per path tuple,
     // ties order by the path
     "q122_top_paths" ->

@@ -214,6 +214,165 @@ object FuzzyJoin {
         coalesce(col("comp"), col("nid")).as("cluster"))
   }
 
+  /** q128: fuzzy entity LINKING — the cross-relation form of the fuzzy
+    * join (the dirty-dimension lookup every record-linkage pipeline
+    * needs): free-text catalog-product mentions (consecutive token
+    * bigrams over `documents`) resolved against the canonical `part`
+    * name catalog at distance ≤ `maxDist`, best match per mention.
+    *
+    * Unlike q102/q107 this never pays a probe-side self-join: candidate
+    * machinery indexes BOTH relations with the same keys (common-order
+    * q-gram prefixes / deletion neighborhoods) but every join is
+    * side-crossing only, so candidate volume is probe×dim-bounded —
+    * mention↔mention proximity, however dense, costs nothing. The dim
+    * side of each key join is catalog-sized (its prefix/variant index
+    * broadcasts under AQE when small), so at 100 TB the probe side
+    * streams map-only into broadcast joins: the J1 dim-lookup shape with
+    * fuzzy keys. */
+  def fuzzyLink(spark: SparkSession, dir: String,
+      maxDist: Int = 2): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("l"))
+    // consecutive-token bigram mentions, counted on the quotient —
+    // the SAME bigram derivation as q127 (shared with its streaming
+    // twin, so the accumulated-counts snapshot is structurally pinned)
+    val mentions = TextAnalysis.bigrams(toks)
+      .select(concat(col("a"), lit(" "), col("b")).as("mention"))
+      .groupBy("mention").agg(count(lit(1)).as("n_occ"))
+    fuzzyLinkOn(mentions,
+      Tables.part(spark, dir).select(col("p_name").as("name")),
+      maxDist)
+  }
+
+  /** [[fuzzyLink]] over explicit relations: each distinct
+    * `probe(mention, n_occ)` resolved to its closest `dim(name)` within
+    * `maxDist` (ties → lexicographically smallest name); unresolvable
+    * mentions are absent. Output: (mention, name, dist, n_occ). */
+  def fuzzyLinkOn(probe: DataFrame, dim: DataFrame,
+      maxDist: Int = 2,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val m = graft.Caches.register(
+      probe.select(col("mention"), col("n_occ")).cache())
+    val dn = graft.Caches.register(
+      dim.select(col("name")).distinct().cache())
+    // exact hits are the equality join the quotient machinery excludes
+    val exact = m.select(col("mention"))
+      .join(dn, col("mention") === col("name"))
+      .select(col("mention"), col("name"), lit(0L).as("dist"))
+    val fuzzy = crossQuotientPairs(
+      m.select(col("mention").as("name")), dn, maxDist, maxBroadcastGrams)
+      .select(col("p_name").as("mention"), col("d_name").as("name"),
+        col("dist"))
+    // best match per mention: min distance, then smallest name — the
+    // window partitions on the mention quotient (vocab²-bounded, never
+    // corpus-sized), so no skewed single-reducer risk
+    val best = exact.union(fuzzy)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("mention").orderBy(col("dist"), col("name"))))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    best.join(m, Seq("mention"))
+      .select(col("mention"), col("name"), col("dist"), col("n_occ"))
+      .orderBy("mention")
+  }
+
+  /** The cross-relation candidate machinery: all (probe name, dim name)
+    * pairs within `maxDist` with the exact distance (≥ 1; equality is
+    * the caller's equi-join). Same two published filters as
+    * [[quotientPairs]] — ED-Join common-order prefix sharing for long
+    * strings, SymSpell deletion neighborhoods for short — but every
+    * key join crosses sides only, so probe-side mutual proximity never
+    * generates a candidate. The gram order is global (df over BOTH
+    * relations' occurrences): the prefix bound needs one total order
+    * shared by every string it prunes. */
+  private[graft] def crossQuotientPairs(probe: DataFrame, dim: DataFrame,
+      maxDist: Int, maxBroadcastGrams: Long): DataFrame = {
+    val prefixLen = maxDist * Q + 1
+    val longMin = Q * (maxDist + 1)
+    val shortMax = longMin - 1 + maxDist
+
+    // side-tagged union: every expensive carrier (gram info, rarity
+    // df, prefix, deletion variants) is computed and cached ONCE over
+    // both relations — the [[quotientPairs]] single-pass shape — and
+    // the cross-side joins filter the cached relation by tag. The same
+    // string may appear on both sides (an exact catalog mention); the
+    // (side, name) key keeps its two rows apart everywhere.
+    val sided = probe.select(col("name")).withColumn("side", lit("p"))
+      .union(dim.select(col("name")).withColumn("side", lit("d")))
+
+    // ---- LONG path ------------------------------------------------
+    val info = graft.Caches.register(
+      sided.where(length(col("name")) >= longMin)
+        .select(col("side"), col("name"),
+          array_sort(FuzzyExpressions.taggedQGramHashes(col("name"), Q))
+            .as("gs"))
+        .withColumn("glen", size(col("gs")).cast("long"))
+        .cache())
+    val grams = info.select(col("side"), col("name"),
+      explode(col("gs")).as("g"))
+    // gram rarity over BOTH relations' occurrences: the prefix bound
+    // needs one total order shared by every string it prunes
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val nGrams = df.count()
+    val dfSide =
+      if (nGrams <= maxBroadcastGrams) broadcast(df)
+      else {
+        System.err.println(
+          s"[graft] fuzzyLink: $nGrams distinct grams (> cap " +
+            s"$maxBroadcastGrams) — df side falls back to a shuffled join")
+        df.hint("shuffle_hash")
+      }
+    val prefix = graft.Caches.register(
+      grams.join(dfSide, Seq("g"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("side", "name").orderBy(col("df"), col("g"))))
+        .where(col("__rn") <= prefixLen)
+        .select(col("side"), col("name"), col("g"))
+        .cache())
+    val candLong = prefix.where(col("side") === "p").as("a")
+      .join(prefix.where(col("side") === "d").as("b"),
+        col("a.g") === col("b.g") && col("a.name") =!= col("b.name"))
+      .select(col("a.name").as("p_name"), col("b.name").as("d_name"))
+      .distinct()
+    val longPairs = candLong
+      .join(info.where(col("side") === "p")
+        .select(col("name").as("p_name"), col("gs").as("a_gs"),
+          col("glen").as("a_glen")), Seq("p_name"))
+      .join(info.where(col("side") === "d")
+        .select(col("name").as("d_name"), col("gs").as("b_gs"),
+          col("glen").as("b_glen")), Seq("d_name"))
+      .where(org.apache.spark.sql.graft.TextExpressions
+        .sortedIntersectCount(col("a_gs"), col("b_gs"))
+        >= greatest(col("a_glen"), col("b_glen")) - lit(maxDist * Q))
+      .select(col("p_name"), col("d_name"))
+
+    // ---- SHORT path ----------------------------------------------
+    val variants = graft.Caches.register(
+      sided.where(length(col("name")) <= shortMax)
+        .select(col("side"), col("name"),
+          explode(FuzzyExpressions.deletionNeighborhood(col("name"), maxDist))
+            .as("v"))
+        .cache())
+    val shortPairs = variants.where(col("side") === "p").as("a")
+      .join(variants.where(col("side") === "d").as("b"),
+        col("a.v") === col("b.v") && col("a.name") =!= col("b.name"))
+      .select(col("a.name").as("p_name"), col("b.name").as("d_name"))
+      .distinct()
+      // disjointness: pairs with BOTH members ≥ longMin are the long
+      // path's; this path owns the rest
+      .where(least(length(col("p_name")), length(col("d_name")))
+        < longMin)
+
+    // ---- verify ---------------------------------------------------
+    longPairs.union(shortPairs)
+      .where(abs(length(col("p_name")) - length(col("d_name"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("p_name"), col("d_name"), maxDist).cast("long"))
+      .where(col("dist") >= 0L)
+  }
+
   /** The fuzzy join on the name QUOTIENT: all (a_name < b_name) pairs
     * of the single-column `names` relation within `maxDist`, with the
     * exact distance (≥ 1 — self pairs are the expansion's job). */

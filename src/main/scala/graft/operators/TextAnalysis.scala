@@ -232,6 +232,76 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** q127: PMI collocation mining — the top-`topK` consecutive-token
+    * bigrams by pointwise mutual information (Church & Hanks 1990), the
+    * phrase-discovery pass a corpus pipeline runs before tokenizer
+    * training and n-gram feature design. No reference-repo counterpart
+    * (north-star extension).
+    *
+    * Log-free fixed point (the q64/q88 discipline): PMI =
+    * ln(p(ab)/(p(a)p(b))) is a strictly monotone transform of the LIFT
+    * `n_ab·T² / (n_a·n_b·B)`, so ranking by integer
+    * `lift_micros = (n_ab·T²·10⁶) div (n_a·n_b·B)` reproduces the PMI
+    * order engine-exactly with no libm on the decision boundary. The
+    * 128-bit intermediates (DECIMAL(38,0) here, HUGEINT in the oracle)
+    * are exact: the numerator tops out near 10²⁸ at sf10 corpus sizes,
+    * well inside 38 digits, and the quotient is micros-scaled so it
+    * fits BIGINT whenever `n_ab ≥ minCount`.
+    *
+    * Scale shape: two map-only tokenize passes (unigram and bigram
+    * explode — re-scanning beats caching corpus-sized token arrays),
+    * word-count hash-aggs with map-side combine on each, two 1-row
+    * broadcast totals, and the bigram⋈unigram equi-joins shuffle on the
+    * token key (vocab-sized right sides — AQE broadcasts them when they
+    * fit). The min-count filter runs BEFORE the joins so rare-bigram
+    * mass never shuffles. Final TakeOrdered is top-k, not a sort. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Long = 5L, topK: Int = 100): DataFrame =
+    pmiCollocationsOn(Tables.documents(spark, dir), minCount, topK)
+
+  /** [[pmiCollocations]] over an explicit (text) relation. */
+  def pmiCollocationsOn(docs: DataFrame,
+      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("l"))
+    val ucnt = toks.select(explode(col("l")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val bcnt = bigrams(toks)
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    pmiRank(ucnt, bcnt, minCount, topK)
+  }
+
+  /** Consecutive-token bigrams of a (l: array&lt;string&gt;) relation. */
+  private[graft] def bigrams(toks: DataFrame): DataFrame =
+    toks.where(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> named_struct('a', l[i-1], 'b', l[i]))")).as("ab"))
+      .select(col("ab.a").as("a"), col("ab.b").as("b"))
+
+  /** The ranking stage of [[pmiCollocations]], shared with the
+    * streaming twin so batch and snapshot are bit-identical: totals
+    * derive from the count relations themselves (T = Σn, B = Σn_ab —
+    * vocab-sized aggregates, NOT a rescan of the corpus), then the
+    * 128-bit fixed-point lift, top-k. */
+  def pmiRank(ucnt: DataFrame, bcnt: DataFrame,
+      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1L, "minCount must be >= 1")
+    require(topK > 0, "topK must be positive")
+    val tot = ucnt.agg(sum(col("n")).as("t")) // 1 row — broadcast scalar
+    val btot = bcnt.agg(sum(col("n_ab")).as("bt")) // 1 row — broadcast
+    bcnt.where(col("n_ab") >= minCount)
+      .join(ucnt.select(col("w").as("a"), col("n").as("na")), Seq("a"))
+      .join(ucnt.select(col("w").as("b"), col("n").as("nb")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(btot))
+      .withColumn("lift_micros", expr(
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * t * t * 1000000) div " +
+          "(CAST(na AS DECIMAL(38,0)) * nb * bt) AS BIGINT)"))
+      .select(col("a"), col("b"), col("n_ab"), col("lift_micros"))
+      .orderBy(desc("lift_micros"), col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Corpus stand-in blocklist for the gated q92 run — the REAL list is
     * a user-supplied artifact (C4 shipped a public "bad words" list);
     * these are arbitrary vocabulary members (plus a guaranteed miss) so

@@ -279,6 +279,25 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
             s"algo must be pagerank|lpa, got '$other'")
       }
     })
+    server.createContext("/collocations", handler { p =>
+      // PMI collocation mining (q127): top bigrams by the fixed-point
+      // lift — phrase discovery served next to the corpus it describes
+      val minCount = p.getOrElse("minCount", "5").toLong
+      val topK = p.getOrElse("topK", "100").toInt
+      if (topK > 1000)
+        throw new IllegalArgumentException("topK is limited to 1000")
+      // minCount/topK positivity checks live in the operator (→ 400)
+      graft.operators.TextAnalysis
+        .pmiCollocations(spark, dataDir, minCount, topK)
+    })
+    server.createContext("/entityLink", handler { p =>
+      // fuzzy entity linking (q128): free-text bigram mentions resolved
+      // against the part-name catalog at distance ≤ maxDist
+      val maxDist = p.getOrElse("maxDist", "2").toInt
+      if (maxDist < 1 || maxDist > 4)
+        throw new IllegalArgumentException("maxDist must be in 1..4")
+      graft.operators.FuzzyJoin.fuzzyLink(spark, dataDir, maxDist)
+    })
     server.createContext("/rerankSearch", handler { p =>
       val vecId = p.getOrElse("vecId",
         throw new IllegalArgumentException("vecId required")).toLong

@@ -44,7 +44,10 @@ class PlanAuditSpec extends SparkSpec {
     "q114_hybrid_rrf",
     // q123: the 1-row global-max-hour relation broadcasts into the
     // per-type span (crossJoin(broadcast(gmax)) — the q68 shape)
-    "q123_rate_anomaly_dense")
+    "q123_rate_anomaly_dense",
+    // q127: the 1-row token-total and bigram-total broadcasts (q64's
+    // total pattern, twice)
+    "q127_pmi_collocations")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -331,7 +334,18 @@ class PlanAuditSpec extends SparkSpec {
     "q125_lpa_convergence" -> 1,
     // q126: seg-hash distinct + canon agg + canonical pair join +
     // pair distinct + two text joinbacks + output sort, all on keys
-    "q126_lcs_pairs" -> 5)
+    "q126_lcs_pairs" -> 5,
+    // q127: two word-count aggs + the two vocab-keyed joins + the
+    // top-k sort; the 1-row totals ride broadcasts
+    "q127_pmi_collocations" -> 5,
+    // q128: the EXECUTED shape is q102's single-pass machinery (side-
+    // tagged: one df agg, one cached prefix/variant carrier) + the
+    // best-match window + linkback; the high count is a PRINT artifact
+    // — unlike q102, whose cached carriers scan raw tables (0 nested
+    // exchanges), q128's probe carrier is the mention-count AGG, and
+    // its one exchange reprints inside every nested InMemoryRelation
+    // reference. Carriers are cached; execution is single-pass.
+    "q128_fuzzy_link" -> 68)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

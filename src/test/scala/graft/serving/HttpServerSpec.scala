@@ -159,6 +159,23 @@ class HttpServerSpec extends SparkSpec {
       assert(c33 == 200 && cl.contains("\"flips\""), cl.take(200))
       val (c34, _) = get(s"$base/convergence?algo=bfs")
       assert(c34 == 400)
+
+      // corpus text analytics (round 12): collocations + entity linking
+      val (c35, co) = get(s"$base/collocations?minCount=1&topK=5")
+      assert(c35 == 200 && co.contains("\"lift_micros\""), co.take(200))
+      assert(co.split("\\},\\{").length == 5)
+      val (c36, _) = get(s"$base/collocations?topK=0") // operator require
+      assert(c36 == 400)
+      val (c37, _) = get(s"$base/collocations?topK=5000") // route cap
+      assert(c37 == 400)
+
+      val (c38, el) = get(s"$base/entityLink")
+      assert(c38 == 200 && el.contains("\"mention\"") &&
+        el.contains("\"dist\""), el.take(200))
+      val (c39, _) = get(s"$base/entityLink?maxDist=0")
+      assert(c39 == 400)
+      val (c40, _) = get(s"$base/entityLink?maxDist=9")
+      assert(c40 == 400)
     } finally srv.stop()
   }
 }

@@ -10,6 +10,11 @@ import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# parallel-bucket runs (tools/check_buckets.sh) cap each instance's
+# thread pool so N concurrent checks share the machine instead of
+# thrashing it; absent = DuckDB's default (all cores)
+if os.environ.get("GRAFT_CHECK_THREADS"):
+    con.execute(f"SET threads TO {int(os.environ['GRAFT_CHECK_THREADS'])}")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # driver testdata is one file per table; Spark-amplified corpora
