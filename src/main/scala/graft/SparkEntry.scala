@@ -339,6 +339,13 @@ object SparkEntry {
     // against the part-name catalog (cross-relation fuzzy dim join;
     // best match per mention, no probe-side self-join)
     "q128_fuzzy_link" -> ((s, d) => FuzzyJoin.fuzzyLink(s, d)),
+    // q129: positional phrase search (ES match_phrase) — in-array
+    // position filter, then one keyed (doc_id, pos−i) join per term
+    "q129_phrase_search" -> ((s, d) => Ranking.phraseSearch(s, d)),
+    // q130: more-like-this (ES more_like_this) — top-m query-doc terms
+    // by tf·idf_ppm, BM25-shaped integer scoring (128-bit fixed point,
+    // no float/libm on the ranking boundary)
+    "q130_more_like_this" -> ((s, d) => Ranking.moreLikeThis(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -2346,6 +2353,60 @@ object SparkEntry {
          FROM best JOIN mc ON mc.mention = best.mention
          WHERE rn = 1
          ORDER BY best.mention""",
+    // q129: aligned three-way slice zip — an algorithmically different
+    // formulation (the Spark side joins postings positionally)
+    "q129_phrase_search" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS l
+           FROM documents),
+         tg AS (SELECT doc_id,
+                       generate_subscripts(l[1:len(l)-2], 1) - 1 AS pos,
+                       unnest(l[1:len(l)-2]) AS a,
+                       unnest(l[2:len(l)-1]) AS b,
+                       unnest(l[3:len(l)])   AS c
+                FROM t WHERE len(l) >= 3)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+                CAST(min(pos) AS BIGINT) AS first_pos
+         FROM tg WHERE a = 'slow' AND b = 'hash' AND c = 'batch'
+         GROUP BY doc_id ORDER BY doc_id""",
+    // q130: same integer fixed-point scoring chain (HUGEINT here,
+    // DECIMAL(38,0) in Spark) — both engines rank on exact integers
+    "q130_more_like_this" ->
+      raw"""WITH tk AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                     t -> len(t) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM tk GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM tf GROUP BY doc_id),
+         tot AS (SELECT count(*) AS n_docs,
+                        CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         qt AS (SELECT term, (n_docs * 1000000) // df AS idf_ppm,
+                       row_number() OVER (
+                         ORDER BY (tf * ((n_docs * 1000000) // df)) DESC,
+                                  term) AS rn
+                FROM tf JOIN dft USING (term), tot WHERE doc_id = 1),
+         q AS (SELECT term, idf_ppm FROM qt WHERE rn <= 10),
+         cand AS (
+           SELECT tf.doc_id, q.idf_ppm,
+                  CAST((22 * CAST(tf.tf AS HUGEINT) * sum_dl * 1000000)
+                       // (10 * CAST(tf.tf AS HUGEINT) * sum_dl
+                           + 3 * sum_dl + 9 * dl.dl * n_docs)
+                    AS BIGINT) AS sat_micros
+           FROM tf JOIN q USING (term) JOIN dl USING (doc_id), tot
+           WHERE tf.doc_id <> 1)
+         SELECT doc_id,
+                CAST(SUM(CAST(idf_ppm AS HUGEINT) * sat_micros)
+                     // 1000000 AS BIGINT) AS score_micros,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM cand GROUP BY doc_id
+         ORDER BY score_micros DESC, doc_id
+         LIMIT 20""",
     // q122: two leads over the same user window, count per path tuple,
     // ties order by the path
     "q122_top_paths" ->

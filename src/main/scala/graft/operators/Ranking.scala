@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.tokens
@@ -225,5 +226,127 @@ object Ranking {
       .orderBy(desc("score"), col("l_orderkey"), col("l_linenumber"))
       .offset((pageNo - 1) * pageSize)
       .limit(pageSize)
+  }
+
+  /** q129: positional phrase search — the ES `match_phrase` query of
+    * the reference's serving index (exact consecutive-token
+    * occurrence), as a native relational plan. Output: one row per
+    * matching document — (doc_id, n_matches, first_pos), first_pos the
+    * 0-based token index of the earliest occurrence — ordered by
+    * doc_id.
+    *
+    * Scale shape: positional postings are generated ALREADY FILTERED —
+    * a (pos, term) transform + in-array filter runs inside the scan
+    * projection, so the explode emits only the phrase's own terms
+    * (per-doc cost = one tokenize + an array filter; the corpus's
+    * other tokens never become rows). Each later phrase term is one
+    * equi-join on the composite (doc_id, pos − i) key — the
+    * positional-intersection plan a phrase query runs against a
+    * persisted postings index. At 100 TB the postings relation is what
+    * you'd persist bucketed by term (the q56 file-IVF pattern); these
+    * joins are then k bounded index lookups instead of scans. */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("slow", "hash", "batch")): DataFrame =
+    phraseSearchOn(Tables.documents(spark, dir), phrase)
+
+  /** [[phraseSearch]] over an explicit (doc_id, text) relation. */
+  def phraseSearchOn(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val wanted = phrase.distinct
+    // (pos, term) postings of the phrase's terms only: position-tag and
+    // filter INSIDE the array, before anything becomes a row
+    val indexed = filter(
+      transform(tokens(col("text")),
+        (t, i) => struct(i.cast("long").as("pos"), t.as("term"))),
+      s => s.getField("term").isInCollection(wanted))
+    val p = graft.Caches.register(
+      docs.select(col("doc_id"), explode(indexed).as("e"))
+        .select(col("doc_id"), col("e.pos").as("pos"),
+          col("e.term").as("term"))
+        .cache())
+    val anchors = p.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    // term i must sit at anchor+i ⇔ its (pos − i) equals the anchor —
+    // every step a keyed equi-join, no inequality conditions anywhere
+    val matches = phrase.zipWithIndex.tail.foldLeft(anchors) {
+      case (acc, (t, i)) =>
+        acc.join(
+          p.where(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matches.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** q130: more-like-this — doc-to-doc retrieval (the ES
+    * `more_like_this` query): pick the query document's `m` most
+    * characteristic terms, then rank every other document sharing at
+    * least one by a BM25-shaped integer score. Output: top-`topN`
+    * (doc_id, score_micros, n_shared) by (score desc, doc_id).
+    *
+    * Log-free fixed point (the q127 discipline applied to retrieval
+    * scoring, so both engines rank on exact integers):
+    *  - term weight `idf_ppm = (N·10⁶) div df_t` — the log-free rarity
+    *    surrogate (strictly decreasing in df, like idf);
+    *  - characteristic terms: top-m by `tf_q · idf_ppm`, ties by term;
+    *  - BM25 tf saturation with k1 = 6/5, b = 3/4, cleared of its
+    *    divisions: tf(k1+1)/(tf + k1(1−b) + k1·b·dl/avgdl) with
+    *    avgdl = Σdl/N is exactly the rational
+    *    (22·tf·Σdl) / (10·tf·Σdl + 3·Σdl + 9·dl·N), held in micros;
+    *  - score_micros = (Σ_t idf_ppm · sat_micros) div 10⁶ — an exact
+    *    integer sum, so engine- and order-independent (no float, no
+    *    libm anywhere on the ranking boundary). 128-bit intermediates
+    *    (DECIMAL(38,0) / HUGEINT) keep the products exact at any SF.
+    *
+    * Scale shape: one tokenize pass into a (doc_id, term, tf) carrier
+    * (cached — read by dl, df, query-term selection, and scoring);
+    * corpus totals are a 1-row broadcast; the m query terms are an
+    * m-row broadcast probed into the inverted (term → doc) side of the
+    * carrier — only docs sharing a characteristic term ever shuffle;
+    * the top-N is a bounded heap, not a sort. */
+  def moreLikeThis(spark: SparkSession, dir: String,
+      queryDocId: Long = 1L, m: Int = 10, topN: Int = 20): DataFrame =
+    moreLikeThisOn(Tables.documents(spark, dir), queryDocId, m, topN)
+
+  /** [[moreLikeThis]] over an explicit (doc_id, text) relation. */
+  def moreLikeThisOn(docs: DataFrame, queryDocId: Long, m: Int,
+      topN: Int): DataFrame = {
+    require(m > 0, "moreLikeThis needs a positive m")
+    require(topN > 0, "moreLikeThis needs a positive topN")
+    val tf = graft.Caches.register(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .cache())
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl")) // 1 row — broadcast scalar
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // the query doc's vocabulary is dl-bounded (one doc!), so the
+    // unpartitioned top-m window never sees more than one doc's terms
+    val qTerms = tf.where(col("doc_id") === queryDocId)
+      .join(dft, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_ppm", expr("(n_docs * 1000000L) div df"))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy((col("tf") * col("idf_ppm")).desc, col("term").asc)))
+      .where(col("__rn") <= m)
+      .select(col("term"), col("idf_ppm"))
+    tf.where(col("doc_id") =!= queryDocId)
+      .join(broadcast(qTerms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("sat_micros", expr(
+        "CAST((CAST(22 AS DECIMAL(38,0)) * tf * sum_dl * 1000000) div " +
+          "(CAST(10 AS DECIMAL(38,0)) * tf * sum_dl + 3 * sum_dl " +
+          "+ 9 * dl * n_docs) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(
+        expr("CAST(SUM(CAST(idf_ppm AS DECIMAL(38,0)) * sat_micros) " +
+          "div 1000000 AS BIGINT)").as("score_micros"),
+        count(lit(1)).as("n_shared"))
+      .orderBy(desc("score_micros"), col("doc_id"))
+      .limit(topN)
   }
 }

@@ -290,6 +290,29 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       graft.operators.TextAnalysis
         .pmiCollocations(spark, dataDir, minCount, topK)
     })
+    server.createContext("/phraseSearch", handler { p =>
+      // positional phrase search (q129): ES match_phrase over the
+      // corpus — q is the space-separated phrase
+      val q = p.getOrElse("q", "slow hash batch")
+      val phrase = q.split("\\s+").filter(_.nonEmpty).toSeq
+      if (phrase.length > 8)
+        throw new IllegalArgumentException("phrase is limited to 8 terms")
+      // empty-phrase require lives in the operator (→ 400)
+      graft.operators.Ranking.phraseSearch(spark, dataDir, phrase)
+    })
+    server.createContext("/moreLikeThis", handler { p =>
+      // more-like-this (q130): doc-to-doc retrieval by characteristic
+      // terms, integer BM25-shaped scoring
+      val docId = p.getOrElse("docId", "1").toLong
+      val m = p.getOrElse("m", "10").toInt
+      val topN = p.getOrElse("topN", "20").toInt
+      if (m > 100)
+        throw new IllegalArgumentException("m is limited to 100")
+      if (topN > 1000)
+        throw new IllegalArgumentException("topN is limited to 1000")
+      // m/topN positivity checks live in the operator (→ 400)
+      graft.operators.Ranking.moreLikeThis(spark, dataDir, docId, m, topN)
+    })
     server.createContext("/entityLink", handler { p =>
       // fuzzy entity linking (q128): free-text bigram mentions resolved
       // against the part-name catalog at distance ≤ maxDist

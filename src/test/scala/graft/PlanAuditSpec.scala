@@ -47,7 +47,10 @@ class PlanAuditSpec extends SparkSpec {
     "q123_rate_anomaly_dense",
     // q127: the 1-row token-total and bigram-total broadcasts (q64's
     // total pattern, twice)
-    "q127_pmi_collocations")
+    "q127_pmi_collocations",
+    // q130: the 1-row corpus-totals broadcast (q64's total pattern),
+    // crossed into both the query-term selection and the scoring
+    "q130_more_like_this")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -345,7 +348,14 @@ class PlanAuditSpec extends SparkSpec {
     // exchanges), q128's probe carrier is the mention-count AGG, and
     // its one exchange reprints inside every nested InMemoryRelation
     // reference. Carriers are cached; execution is single-pass.
-    "q128_fuzzy_link" -> 68)
+    "q128_fuzzy_link" -> 68,
+    // q129: the postings carrier is built map-side (in-array position
+    // filter — no explode-then-shuffle), every positional join
+    // broadcasts or reuses the carrier: match agg + output sort only
+    "q129_phrase_search" -> 2,
+    // q130: tf carrier agg + dl/df/totals aggs + the doc-keyed scoring
+    // join + top-N; the 1-row totals and m-row query terms broadcast
+    "q130_more_like_this" -> 11)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -176,6 +176,20 @@ class HttpServerSpec extends SparkSpec {
       assert(c39 == 400)
       val (c40, _) = get(s"$base/entityLink?maxDist=9")
       assert(c40 == 400)
+
+      // retrieval (round 12): phrase search + more-like-this
+      val (c41, ph) = get(s"$base/phraseSearch?q=slow+hash")
+      assert(c41 == 200 && ph.contains("\"n_matches\"") &&
+        ph.contains("\"first_pos\""), ph.take(200))
+      val (c42, _) = get(s"$base/phraseSearch?q=" + ("a+" * 9).dropRight(1))
+      assert(c42 == 400) // route cap: > 8 terms
+      val (c43, ml) = get(s"$base/moreLikeThis?docId=1&m=5&topN=3")
+      assert(c43 == 200 && ml.contains("\"score_micros\""), ml.take(200))
+      assert(ml.split("\\},\\{").length == 3)
+      val (c44, _) = get(s"$base/moreLikeThis?m=0") // operator require
+      assert(c44 == 400)
+      val (c45, _) = get(s"$base/moreLikeThis?topN=5000") // route cap
+      assert(c45 == 400)
     } finally srv.stop()
   }
 }
