@@ -246,7 +246,7 @@ object Ranking {
     * you'd persist bucketed by term (the q56 file-IVF pattern); these
     * joins are then k bounded index lookups instead of scans. */
   def phraseSearch(spark: SparkSession, dir: String,
-      phrase: Seq[String] = Seq("slow", "hash", "batch")): DataFrame =
+      phrase: Seq[String] = Seq("query", "big", "part")): DataFrame =
     phraseSearchOn(Tables.documents(spark, dir), phrase)
 
   /** [[phraseSearch]] over an explicit (doc_id, text) relation. */
@@ -268,6 +268,111 @@ object Ranking {
       .select(col("doc_id"), col("pos"))
     // term i must sit at anchor+i ⇔ its (pos − i) equals the anchor —
     // every step a keyed equi-join, no inequality conditions anywhere
+    val matches = phrase.zipWithIndex.tail.foldLeft(anchors) {
+      case (acc, (t, i)) =>
+        acc.join(
+          p.where(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matches.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  // ---- q131: phrase search against a PERSISTED postings index ------
+
+  /** Default term-bucket count of the postings index. 64 keeps the
+    * bucket directory count filesystem-friendly at any vocabulary size
+    * while still pruning ~62/64 of the index for a 2-term phrase. */
+  val PostingsBuckets: Int = 64
+
+  private val postingsMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), String]
+
+  /** Forget memoized postings indexes (tests, cold benching). */
+  def clearMemos(): Unit = postingsMemo.clear()
+
+  /** Materialize the POSITIONAL POSTINGS index: every (doc_id, pos,
+    * term) row of the corpus, written partitioned by a crc32 term
+    * bucket. This is the storage layout a phrase/proximity service
+    * queries repeatedly — at 100 TB, [[phraseSearchFile]] reads only
+    * the phrase's own term-bucket directories FROM DISK via partition
+    * pruning (the q56 inverted-file pattern applied to text), instead
+    * of re-tokenizing the corpus per query. One shuffle-free pass:
+    * tokenize + posexplode + bucket tag are map-only, partitionBy
+    * splits the write. */
+  def buildPostingsFile(spark: SparkSession, dir: String, outPath: String,
+      nBuckets: Int = PostingsBuckets): Unit =
+    writePostings(Tables.documents(spark, dir), outPath, nBuckets)
+
+  /** [[buildPostingsFile]] over an explicit (doc_id, text) relation. */
+  private[graft] def writePostings(docs: DataFrame, outPath: String,
+      nBuckets: Int = PostingsBuckets): Unit =
+    docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("term"),
+        pmod(crc32(col("term")), lit(nBuckets.toLong)).as("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(outPath)
+
+  /** The materialized postings index for `dir`: built on first request,
+    * reused for the JVM lifetime — until the source data changes
+    * (fingerprint key, the [[IvfIndex.invertedFileCached]] discipline:
+    * a refresh writes a NEW directory, never overwrites one a
+    * concurrent search may be scanning). */
+  def postingsFileCached(spark: SparkSession, dir: String,
+      nBuckets: Int = PostingsBuckets): String = {
+    val fp = IvfIndex.dataFingerprint(dir, table = "documents")
+    val key = (dir, nBuckets, fp)
+    val v = postingsMemo.getOrElseUpdate(key, {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft-postings-$tag-b$nBuckets-f${java.lang.Long.toHexString(fp)}"
+      buildPostingsFile(spark, dir, p, nBuckets)
+      p
+    })
+    postingsMemo.keys
+      .filter(k => (k._1, k._2) == ((dir, nBuckets)) && k != key)
+      .foreach(postingsMemo.remove)
+    v
+  }
+
+  /** The crc32 term bucket, driver-side — java.util.zip.CRC32 over
+    * UTF-8 bytes is bit-identical to Spark's `crc32`. */
+  private def termBucket(term: String, nBuckets: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes("UTF-8"))
+    java.lang.Math.floorMod(c.getValue, nBuckets.toLong)
+  }
+
+  /** q131: [[phraseSearch]] served from the persisted postings index —
+    * same answer, different read path: the `bkt isin` filter prunes
+    * whole bucket directories at the scan (disk-level
+    * `PartitionFilters`), then the in-bucket `term isin` filter pushes
+    * into parquet. The corpus text is never touched. */
+  def phraseSearchIndexed(spark: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("query", "big", "part"),
+      nBuckets: Int = PostingsBuckets): DataFrame = {
+    val path = postingsFileCached(spark, dir, nBuckets)
+    phraseSearchFile(spark, path, phrase, nBuckets)
+  }
+
+  /** [[phraseSearchIndexed]] against an explicit index path. */
+  def phraseSearchFile(spark: SparkSession, indexPath: String,
+      phrase: Seq[String], nBuckets: Int = PostingsBuckets): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val wanted = phrase.distinct
+    val buckets = wanted.map(termBucket(_, nBuckets)).distinct
+    val p = graft.Caches.register(
+      spark.read.parquet(indexPath)
+        .where(col("bkt").isin(buckets: _*))   // partition pruning
+        .where(col("term").isInCollection(wanted)) // parquet pushdown
+        .select(col("doc_id"), col("pos"), col("term"))
+        .cache())
+    val anchors = p.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
     val matches = phrase.zipWithIndex.tail.foldLeft(anchors) {
       case (acc, (t, i)) =>
         acc.join(

@@ -293,7 +293,7 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     server.createContext("/phraseSearch", handler { p =>
       // positional phrase search (q129): ES match_phrase over the
       // corpus — q is the space-separated phrase
-      val q = p.getOrElse("q", "slow hash batch")
+      val q = p.getOrElse("q", "query big part")
       val phrase = q.split("\\s+").filter(_.nonEmpty).toSeq
       if (phrase.length > 8)
         throw new IllegalArgumentException("phrase is limited to 8 terms")

@@ -355,7 +355,11 @@ class PlanAuditSpec extends SparkSpec {
     "q129_phrase_search" -> 2,
     // q130: tf carrier agg + dl/df/totals aggs + the doc-keyed scoring
     // join + top-N; the 1-row totals and m-row query terms broadcast
-    "q130_more_like_this" -> 11)
+    "q130_more_like_this" -> 11,
+    // q131: q129's shape against the partition-pruned postings scan —
+    // match agg + output sort; the positional joins broadcast or reuse
+    // the pruned cached carrier
+    "q131_phrase_index_search" -> 2)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

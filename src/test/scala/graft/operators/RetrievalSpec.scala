@@ -71,6 +71,45 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  // ---------------- q131: persisted postings index -------------------
+
+  private def phraseFile(docs: Seq[(Long, String)],
+      p: Seq[String]): Seq[(Long, Long, Long)] = {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-postings-spec-").toString
+    Ranking.writePostings(docs.toDF("doc_id", "text"), idx)
+    val out = Ranking.phraseSearchFile(spark, idx, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.Caches.releaseAll()
+    out
+  }
+
+  test("q131 index read path equals the in-query plan and the brute") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpus = Gen.listOfN(25, doc)
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    for (docs <- samples(corpus, 3); p <- Seq(Seq("a", "b"),
+        Seq("b", "a", "c"), Seq("a", "a"))) {
+      assert(phraseFile(docs, p) === brutePhrase(docs, p),
+        s"phrase=$p docs=$docs")
+    }
+  }
+
+  test("q131 scan is partition-pruned to the phrase's term buckets") {
+    val docs = Seq(1L -> "a b c", 2L -> "c a b").toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-postings-spec-").toString
+    Ranking.writePostings(docs, idx)
+    val df = Ranking.phraseSearchFile(spark, idx, Seq("a", "b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+      s"no partition pruning in plan:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    graft.Caches.releaseAll()
+  }
+
   // ---------------- q130: more-like-this ----------------------------
 
   private def mlt(docs: Seq[(Long, String)], qId: Long, m: Int,

@@ -15,6 +15,13 @@ con = duckdb.connect()
 # thrashing it; absent = DuckDB's default (all cores)
 if os.environ.get("GRAFT_CHECK_THREADS"):
     con.execute(f"SET threads TO {int(os.environ['GRAFT_CHECK_THREADS'])}")
+# big-corpus gates (sf10): bound DuckDB's memory so heavy oracles spill
+# to disk instead of getting OOM-killed mid-bucket; absent = default
+if os.environ.get("GRAFT_CHECK_MEMLIMIT"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_CHECK_MEMLIMIT']}'")
+    # per-process spill dir: concurrent bucket instances sharing one
+    # temp_directory race on each other's spill files at cleanup
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # driver testdata is one file per table; Spark-amplified corpora
