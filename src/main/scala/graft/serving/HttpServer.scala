@@ -297,8 +297,17 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       val phrase = q.split("\\s+").filter(_.nonEmpty).toSeq
       if (phrase.length > 8)
         throw new IllegalArgumentException("phrase is limited to 8 terms")
-      // empty-phrase require lives in the operator (→ 400)
-      graft.operators.Ranking.phraseSearch(spark, dataDir, phrase)
+      // empty-phrase require lives in the operator (→ 400);
+      // mode=indexed serves from the persisted postings index (built
+      // once per corpus, memoized — the repeated-query path)
+      p.getOrElse("mode", "scan") match {
+        case "indexed" =>
+          graft.operators.Ranking.phraseSearchIndexed(spark, dataDir, phrase)
+        case "scan" =>
+          graft.operators.Ranking.phraseSearch(spark, dataDir, phrase)
+        case other =>
+          throw new IllegalArgumentException(s"unknown mode '$other'")
+      }
     })
     server.createContext("/moreLikeThis", handler { p =>
       // more-like-this (q130): doc-to-doc retrieval by characteristic

@@ -183,6 +183,10 @@ class HttpServerSpec extends SparkSpec {
         ph.contains("\"first_pos\""), ph.take(200))
       val (c42, _) = get(s"$base/phraseSearch?q=" + ("a+" * 9).dropRight(1))
       assert(c42 == 400) // route cap: > 8 terms
+      val (c42b, phi) = get(s"$base/phraseSearch?q=slow+hash&mode=indexed")
+      assert(c42b == 200 && phi == ph, phi.take(200)) // index ≡ scan
+      val (c42c, _) = get(s"$base/phraseSearch?mode=btree")
+      assert(c42c == 400)
       val (c43, ml) = get(s"$base/moreLikeThis?docId=1&m=5&topN=3")
       assert(c43 == 200 && ml.contains("\"score_micros\""), ml.take(200))
       assert(ml.split("\\},\\{").length == 3)
