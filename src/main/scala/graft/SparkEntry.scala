@@ -721,7 +721,31 @@ object SparkEntry {
                    / (s1.n_tok + s2.n_tok - cnt_inter)) * 10000 + 0.5) / 10000 >= $threshold
        ORDER BY id1, id2"""
 
-  def oracleSql: Map[String, String] = Map(
+  /** Queries whose oracle is an unrolled ITERATIVE chain (r1..r10,
+    * l1..l5, g2..g10): DuckDB inlines WITH-chains by default, so
+    * round N would recompute its whole prefix per reference —
+    * exponential work at big corpora (measured at sf10: q124's oracle
+    * out-spilled a 70 GB disk inlined, 7.7 s materialized). `AS
+    * MATERIALIZED` pins each CTE to ONE evaluation; a pure execution
+    * hint, bit-identical results. The q112/q113 build-chain oracles
+    * are deliberately NOT in the set: their cost is corpus-sized
+    * carrier CTEs, not an iterative prefix, and forcing those to
+    * materialize trades streaming pipelines for a 66 GB spill
+    * (measured at sf10 — inlined completes, materialized dies). */
+  private val materializedOracles = Set(
+    "q104_pagerank", "q121_label_prop", "q124_rank_convergence",
+    "q125_lpa_convergence",
+    "q80_bpe_merges", "q81_bpe_subtokens", "q91_bpe_encode_fixed",
+    "q93_tokenizer_fertility")
+
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
+  def oracleSql: Map[String, String] = rawOracleSql.map { case (k, v) =>
+    k -> (if (materializedOracles(k)) materializeCtes(v) else v)
+  }
+
+  private def rawOracleSql: Map[String, String] = Map(
     "q38_ivf_search" ->
       ivfSearchSql(cells = 8, iters = 2, nprobe = 3, k = 10, queryId = 0L),
     // q56 materializes the same assignment to disk before searching — the
