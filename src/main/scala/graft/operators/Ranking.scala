@@ -309,13 +309,18 @@ object Ranking {
   /** [[buildPostingsFile]] over an explicit (doc_id, text) relation. */
   private[graft] def writePostings(docs: DataFrame, outPath: String,
       nBuckets: Int = PostingsBuckets): Unit =
+    postingsPlan(docs, nBuckets)
+      .write.mode("overwrite").partitionBy("bkt").parquet(outPath)
+
+  /** The map-only postings projection both the build and the append
+    * write: (doc_id, pos, term, bkt). */
+  private def postingsPlan(docs: DataFrame, nBuckets: Int): DataFrame =
     docs
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "term")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("term"),
         pmod(crc32(col("term")), lit(nBuckets.toLong)).as("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(outPath)
 
   /** The materialized postings index for `dir`: built on first request,
     * reused for the JVM lifetime — until the source data changes
@@ -338,6 +343,20 @@ object Ranking {
       .foreach(postingsMemo.remove)
     v
   }
+
+  /** Incremental ingest: tokenize NEW documents and append their
+    * postings into the existing term-bucket partitions — the CDC path
+    * of a phrase-search service (the [[IvfIndex.appendToInvertedFile]]
+    * discipline applied to text). Appending files into `bkt=<b>/`
+    * directories is reader-safe: a concurrent [[phraseSearchFile]]
+    * lists files at query start and simply misses rows committed after
+    * that listing — no torn index. Works per micro-batch from
+    * `foreachBatch` for streaming ingest. Map-only: tokenize +
+    * posexplode + bucket tag, partitionBy splits the write. */
+  def appendToPostingsFile(newDocs: DataFrame, indexPath: String,
+      nBuckets: Int = PostingsBuckets): Unit =
+    postingsPlan(newDocs, nBuckets)
+      .write.mode("append").partitionBy("bkt").parquet(indexPath)
 
   /** The crc32 term bucket, driver-side — java.util.zip.CRC32 over
     * UTF-8 bytes is bit-identical to Spark's `crc32`. */

@@ -110,6 +110,30 @@ class RetrievalSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("q131 incremental append: late documents join their buckets") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpus = Gen.listOfN(30, doc)
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val docs = samples(corpus, 1).head
+    val (first, late) = docs.splitAt(18)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-postings-spec-").toString
+    Ranking.writePostings(first.toDF("doc_id", "text"), idx)
+    // the CDC path: late arrivals append into existing bkt partitions
+    Ranking.appendToPostingsFile(late.toDF("doc_id", "text"), idx)
+    val bktDirs = new java.io.File(idx).list().count(_.startsWith("bkt="))
+    assert(bktDirs <= Ranking.PostingsBuckets)
+    for (p <- Seq(Seq("a", "b"), Seq("b", "a", "c"), Seq("d"))) {
+      val got = Ranking.phraseSearchFile(spark, idx, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      graft.Caches.releaseAll()
+      assert(got === brutePhrase(docs, p), s"phrase=$p")
+    }
+  }
+
   // ---------------- q130: more-like-this ----------------------------
 
   private def mlt(docs: Seq[(Long, String)], qId: Long, m: Int,
