@@ -350,6 +350,10 @@ object SparkEntry {
     // (built once per corpus, memoized) — partition-pruned disk reads,
     // the corpus text never touched at query time
     "q131_phrase_index_search" -> ((s, d) => Ranking.phraseSearchIndexed(s, d)),
+    // q132: market-basket lift — item pairs by co-engagement lift over
+    // per-user baskets (q127's fixed-point discipline on catalog
+    // analytics; basket cap bounds the pair expansion)
+    "q132_basket_lift" -> ((s, d) => Sessionize.basketLift(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -2455,6 +2459,33 @@ object SparkEntry {
          FROM cand GROUP BY doc_id
          ORDER BY score_micros DESC, doc_id
          LIMIT 20""",
+    // q132: distinct (user,item) baskets with the same cap rule, pair
+    // counts via self-join on the quotient, same 128-bit integer lift
+    "q132_basket_lift" ->
+      raw"""WITH bi0 AS (
+           SELECT DISTINCT user_id,
+                  CAST(props->>'k' AS BIGINT) AS k
+           FROM events WHERE props->>'k' IS NOT NULL),
+         bs AS (SELECT user_id, count(*) AS n FROM bi0 GROUP BY user_id),
+         keep AS (SELECT user_id FROM bs WHERE n <= 256),
+         bi AS (SELECT bi0.user_id, bi0.k
+                FROM bi0 JOIN keep USING (user_id)),
+         tot AS (SELECT count(*) AS u FROM keep),
+         ic AS (SELECT k, count(*) AS n FROM bi GROUP BY k),
+         pc AS (
+           SELECT x.k AS item_a, y.k AS item_b, count(*) AS n_ab
+           FROM bi x JOIN bi y
+             ON x.user_id = y.user_id AND x.k < y.k
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, n_ab,
+                CAST((CAST(n_ab AS HUGEINT) * u * 1000000) //
+                     (CAST(ia.n AS HUGEINT) * ib.n) AS BIGINT) AS lift_ppm
+         FROM pc
+         JOIN ic ia ON ia.k = pc.item_a
+         JOIN ic ib ON ib.k = pc.item_b, tot
+         WHERE n_ab >= 5
+         ORDER BY lift_ppm DESC, item_a, item_b
+         LIMIT 100""",
     // q122: two leads over the same user window, count per path tuple,
     // ties order by the path
     "q122_top_paths" ->

@@ -333,4 +333,83 @@ object Sessionize {
       .agg(countDistinct(col("user_id")).as("active_users"))
       .orderBy("cohort_dt", "day_offset")
   }
+
+  /** Basket cap for [[basketLift]]: users engaging more distinct items
+    * than this are DROPPED (both engines, same rule) — the classic
+    * market-basket skew bound, since one bot/power user contributes
+    * |basket|² pairs. Scale-stable: a replica-amplified corpus repeats
+    * users, it does not grow their baskets. */
+  val MaxBasket: Int = 256
+
+  /** q132: market-basket lift — item pairs ranked by co-engagement
+    * lift over per-user baskets, the catalog-analytics twin of q127's
+    * token collocations (association-rule mining's lift measure,
+    * Agrawal et al.; no reference counterpart — north-star extension).
+    *
+    * Semantics: basket(u) = the set of distinct items u touched;
+    * users with |basket| > `maxBasket` are dropped (skew bound, same
+    * rule in the oracle); support n_ab = users whose basket contains
+    * BOTH a and b (a < b); lift = P(ab)/(P(a)·P(b)) over the U kept
+    * users. Log-free fixed point (the q127 discipline):
+    * `lift_ppm = (n_ab·U·10⁶) div (n_a·n_b)` — exact integers in both
+    * engines, 128-bit intermediates, no float on the ranking
+    * boundary. Output: top-`topK` (item_a, item_b, n_ab, lift_ppm) by
+    * (lift desc, a, b), pairs with n_ab ≥ `minCount`.
+    *
+    * Scale shape: ONE shuffle builds the distinct (user, item)
+    * relation, one user-keyed agg builds sorted basket arrays (cap
+    * applied BEFORE pair expansion), then pair generation is a
+    * map-only in-array combination expansion — |basket|²-bounded by
+    * the cap, never a self-join of the event log. Pair counts
+    * hash-agg with map-side combine; item counts are a vocab-sized
+    * relation (AQE-broadcastable); U is a 1-row broadcast; the top-K
+    * is a bounded heap. */
+  def basketLift(spark: SparkSession, dir: String, minCount: Long = 5L,
+      topK: Int = 100, maxBasket: Int = MaxBasket): DataFrame =
+    basketLiftOn(
+      Tables.events(spark, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      minCount, topK, maxBasket)
+
+  /** [[basketLift]] over an explicit (user_id, k) engagement relation. */
+  def basketLiftOn(ev0: DataFrame, minCount: Long = 5L, topK: Int = 100,
+      maxBasket: Int = MaxBasket): DataFrame = {
+    require(minCount >= 1L, "basketLift needs minCount >= 1")
+    require(topK > 0, "basketLift needs a positive topK")
+    require(maxBasket >= 2, "basketLift needs maxBasket >= 2")
+    val baskets = graft.Caches.register(
+      ev0.where(col("k").isNotNull)
+        .select(col("user_id"), col("k"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("k"))).as("items"))
+        .where(size(col("items")) <= maxBasket)
+        .cache())
+    val nu = baskets.agg(count(lit(1)).as("u")) // 1 row — broadcast
+    val ic = baskets
+      .select(explode(col("items")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    // in-array combination expansion: map-only, |basket|²-bounded by
+    // the cap — the event log never self-joins
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(items, (a, i) -> " +
+          "transform(slice(items, i + 2, size(items)), " +
+          "b -> named_struct('a', a, 'b', b))))")).as("p"))
+      .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+    pairs.where(col("n_ab") >= minCount)
+      .join(ic.select(col("k").as("item_a"), col("n").as("na")),
+        Seq("item_a"))
+      .join(ic.select(col("k").as("item_b"), col("n").as("nb")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nu))
+      .withColumn("lift_ppm", expr(
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * u * 1000000) div " +
+          "(CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("lift_ppm"))
+      .orderBy(desc("lift_ppm"), col("item_a"), col("item_b"))
+      .limit(topK)
+  }
 }

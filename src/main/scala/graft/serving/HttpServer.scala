@@ -290,6 +290,20 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       graft.operators.TextAnalysis
         .pmiCollocations(spark, dataDir, minCount, topK)
     })
+    server.createContext("/basketLift", handler { p =>
+      // market-basket lift (q132): item pairs by co-engagement lift
+      val minCount = p.getOrElse("minCount", "5").toLong
+      val topK = p.getOrElse("topK", "100").toInt
+      val maxBasket = p.getOrElse("maxBasket",
+        graft.operators.Sessionize.MaxBasket.toString).toInt
+      if (topK > 1000)
+        throw new IllegalArgumentException("topK is limited to 1000")
+      if (maxBasket > 4096)
+        throw new IllegalArgumentException("maxBasket is limited to 4096")
+      // positivity checks live in the operator (→ 400)
+      graft.operators.Sessionize
+        .basketLift(spark, dataDir, minCount, topK, maxBasket)
+    })
     server.createContext("/phraseSearch", handler { p =>
       // positional phrase search (q129): ES match_phrase over the
       // corpus — q is the space-separated phrase

@@ -50,7 +50,9 @@ class PlanAuditSpec extends SparkSpec {
     "q127_pmi_collocations",
     // q130: the 1-row corpus-totals broadcast (q64's total pattern),
     // crossed into both the query-term selection and the scoring
-    "q130_more_like_this")
+    "q130_more_like_this",
+    // q132: the 1-row kept-user-count broadcast (same pattern)
+    "q132_basket_lift")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -359,7 +361,10 @@ class PlanAuditSpec extends SparkSpec {
     // q131: q129's shape against the partition-pruned postings scan —
     // match agg + output sort; the positional joins broadcast or reuse
     // the pruned cached carrier
-    "q131_phrase_index_search" -> 2)
+    "q131_phrase_index_search" -> 2,
+    // q132: (user,item) distinct + basket agg into the cached carrier,
+    // item-count agg, pair-count agg, the two vocab-keyed joins, top-K
+    "q132_basket_lift" -> 7)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

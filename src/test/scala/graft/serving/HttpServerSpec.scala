@@ -194,6 +194,13 @@ class HttpServerSpec extends SparkSpec {
       assert(c44 == 400)
       val (c45, _) = get(s"$base/moreLikeThis?topN=5000") // route cap
       assert(c45 == 400)
+
+      val (c46, bl) = get(s"$base/basketLift?minCount=1&topK=5")
+      assert(c46 == 200 && bl.contains("\"lift_ppm\""), bl.take(200))
+      val (c47, _) = get(s"$base/basketLift?maxBasket=1") // operator require
+      assert(c47 == 400)
+      val (c48, _) = get(s"$base/basketLift?topK=5000") // route cap
+      assert(c48 == 400)
     } finally srv.stop()
   }
 }
