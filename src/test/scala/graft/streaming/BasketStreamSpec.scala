@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Sessionize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** The streaming twin of the market-basket family (q132): per-user
+  * stateful new-item extraction + accumulated pairs + the shared
+  * batch re-rank, pinned bit-equal to the batch operator on the
+  * streamed event set. */
+class BasketStreamSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // deterministic engagement fixture: 12 users over 9 items, with one
+  // power user (uid 99) touching every item — the cap case
+  private def fixture: Seq[BasketEvent] =
+    (for {
+      u <- 1L to 12L
+      j <- 0 until (3 + (u % 5)).toInt
+    } yield BasketEvent(u, ((u * 3 + j * j) % 9) + 1)) ++
+      (1L to 9L).map(k => BasketEvent(99L, k))
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Long)] = {
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    graft.Caches.releaseAll()
+    out
+  }
+
+  private val Cap = 6 // uid 99's 9 items cross it; everyone else is under
+
+  test("lift snapshot matches the batch operator bit-for-bit; " +
+      "the power user is dropped by both; replayed epoch converges") {
+    val outDir = Files.createTempDirectory("basket_stream").toString
+    val mem = MemoryStream[BasketEvent]
+    val q = mem.toDS()
+      .transform(BasketStream.basketDeltaStream(_, maxBasket = Cap))
+      .writeStream
+      .foreachBatch(BasketStream.basketSinkEachBatch(outDir) _)
+      .outputMode("append").start()
+    fixture.grouped(17).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val want = rows(Sessionize.basketLiftOn(
+      fixture.toDF("user_id", "k"), minCount = 1L, topK = 1000,
+      maxBasket = Cap))
+    val got = rows(BasketStream.liftSnapshot(spark, outDir,
+      minCount = 1L, topK = 1000, maxBasket = Cap))
+    assert(got == want && got.nonEmpty, s"got $got want $want")
+    // the power user contributed at most Cap+1 accumulated rows
+    val uid99 = spark.read.parquet(s"$outDir/pairs")
+      .where($"user_id" === 99L).count()
+    assert(uid99 == Cap + 1, s"state did not swallow past cap+1: $uid99")
+
+    // replay: same epoch id, same deltas → overwrite-own-partition
+    BasketStream.basketSinkEachBatch(outDir)(
+      Seq(BasketEvent(7L, 1L)).toDS(), 55L)
+    val once = rows(BasketStream.liftSnapshot(spark, outDir,
+      minCount = 1L, topK = 1000, maxBasket = Cap))
+    BasketStream.basketSinkEachBatch(outDir)(
+      Seq(BasketEvent(7L, 1L)).toDS(), 55L)
+    val twice = rows(BasketStream.liftSnapshot(spark, outDir,
+      minCount = 1L, topK = 1000, maxBasket = Cap))
+    assert(once == twice, "epoch replay changed the accumulated pairs")
+  }
+
+  test("cross-batch dedup: a pair seen in an earlier batch is not re-emitted") {
+    val outDir = Files.createTempDirectory("basket_dedup").toString
+    val mem = MemoryStream[BasketEvent]
+    val q = mem.toDS()
+      .transform(BasketStream.basketDeltaStream(_, maxBasket = Cap))
+      .writeStream
+      .foreachBatch(BasketStream.basketSinkEachBatch(outDir) _)
+      .outputMode("append").start()
+    mem.addData(BasketEvent(1L, 5L), BasketEvent(1L, 6L))
+    q.processAllAvailable()
+    mem.addData(BasketEvent(1L, 5L), BasketEvent(1L, 7L)) // 5 is old news
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.read.parquet(s"$outDir/pairs")
+      .select("user_id", "k").as[(Long, Long)].collect().sorted.toSeq
+    assert(pairs == Seq((1L, 5L), (1L, 6L), (1L, 7L)), s"got $pairs")
+  }
+
+  test("the accumulation survives a restart from its checkpoint") {
+    val base = Files.createTempDirectory("basket_cp").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val cp = s"$base/_cp"
+    new java.io.File(srcDir).mkdirs()
+    def writeBatch(name: String, ev: Seq[BasketEvent]): Unit =
+      ev.toDF("user_id", "k").write.json(s"$srcDir/$name")
+    def startQuery() =
+      spark.readStream.schema("user_id LONG, k LONG").json(s"$srcDir/*/")
+        .as[BasketEvent]
+        .transform(BasketStream.basketDeltaStream(_, maxBasket = Cap))
+        .writeStream
+        .foreachBatch(BasketStream.basketSinkEachBatch(outDir) _)
+        .option("checkpointLocation", cp)
+        .outputMode("append").start()
+
+    val (first, rest) = fixture.splitAt(20)
+    writeBatch("b1", first)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    writeBatch("b2", rest) // arrives while the query is down
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    assert(rows(BasketStream.liftSnapshot(spark, outDir,
+        minCount = 1L, topK = 1000, maxBasket = Cap)) ==
+      rows(Sessionize.basketLiftOn(fixture.toDF("user_id", "k"),
+        minCount = 1L, topK = 1000, maxBasket = Cap)))
+  }
+}
