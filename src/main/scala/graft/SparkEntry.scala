@@ -354,6 +354,10 @@ object SparkEntry {
     // per-user baskets (q127's fixed-point discipline on catalog
     // analytics; basket cap bounds the pair expansion)
     "q132_basket_lift" -> ((s, d) => Sessionize.basketLift(s, d)),
+    // q133: directional association rules — the support/confidence/
+    // lift triple (conf_ppm = n_ab·10⁶ div n_antecedent; both
+    // directions of each supported pair)
+    "q133_basket_rules" -> ((s, d) => Sessionize.basketRules(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -2485,6 +2489,39 @@ object SparkEntry {
          JOIN ic ib ON ib.k = pc.item_b, tot
          WHERE n_ab >= 5
          ORDER BY lift_ppm DESC, item_a, item_b
+         LIMIT 100""",
+    // q133: q132's CTE chain + a 2-direction union with per-direction
+    // confidence; same 128-bit integers
+    "q133_basket_rules" ->
+      raw"""WITH bi0 AS (
+           SELECT DISTINCT user_id,
+                  CAST(props->>'k' AS BIGINT) AS k
+           FROM events WHERE props->>'k' IS NOT NULL),
+         bs AS (SELECT user_id, count(*) AS n FROM bi0 GROUP BY user_id),
+         keep AS (SELECT user_id FROM bs WHERE n <= 256),
+         bi AS (SELECT bi0.user_id, bi0.k
+                FROM bi0 JOIN keep USING (user_id)),
+         tot AS (SELECT count(*) AS u FROM keep),
+         ic AS (SELECT k, count(*) AS n FROM bi GROUP BY k),
+         pc AS (
+           SELECT x.k AS item_a, y.k AS item_b, count(*) AS n_ab
+           FROM bi x JOIN bi y
+             ON x.user_id = y.user_id AND x.k < y.k
+           GROUP BY 1, 2
+           HAVING count(*) >= 5),
+         dr AS (
+           SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM pc
+           UNION ALL
+           SELECT item_b, item_a, n_ab FROM pc)
+         SELECT antecedent, consequent, n_ab,
+                CAST((CAST(n_ab AS HUGEINT) * 1000000) // ia.n AS BIGINT)
+                  AS conf_ppm,
+                CAST((CAST(n_ab AS HUGEINT) * u * 1000000) //
+                     (CAST(ia.n AS HUGEINT) * ic2.n) AS BIGINT) AS lift_ppm
+         FROM dr
+         JOIN ic ia ON ia.k = dr.antecedent
+         JOIN ic ic2 ON ic2.k = dr.consequent, tot
+         ORDER BY conf_ppm DESC, antecedent, consequent
          LIMIT 100""",
     // q122: two leads over the same user window, count per path tuple,
     // ties order by the path

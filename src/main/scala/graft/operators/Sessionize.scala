@@ -375,9 +375,31 @@ object Sessionize {
   /** [[basketLift]] over an explicit (user_id, k) engagement relation. */
   def basketLiftOn(ev0: DataFrame, minCount: Long = 5L, topK: Int = 100,
       maxBasket: Int = MaxBasket): DataFrame = {
-    require(minCount >= 1L, "basketLift needs minCount >= 1")
     require(topK > 0, "basketLift needs a positive topK")
-    require(maxBasket >= 2, "basketLift needs maxBasket >= 2")
+    val (_, nu, ic, pairs) = basketCore(ev0, minCount, maxBasket)
+    pairs
+      .join(ic.select(col("k").as("item_a"), col("n").as("na")),
+        Seq("item_a"))
+      .join(ic.select(col("k").as("item_b"), col("n").as("nb")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nu))
+      .withColumn("lift_ppm", expr(
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * u * 1000000) div " +
+          "(CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("lift_ppm"))
+      .orderBy(desc("lift_ppm"), col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  /** The shared basket machinery of [[basketLiftOn]] /
+    * [[basketRulesOn]]: capped per-user basket arrays (cached — read
+    * by U, the item counts, and the pair expansion), the 1-row kept-
+    * user count, vocab-sized item counts, and the min-count-filtered
+    * unordered pair supports. */
+  private def basketCore(ev0: DataFrame, minCount: Long, maxBasket: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(minCount >= 1L, "basket analytics need minCount >= 1")
+    require(maxBasket >= 2, "basket analytics need maxBasket >= 2")
     val baskets = graft.Caches.register(
       ev0.where(col("k").isNotNull)
         .select(col("user_id"), col("k"))
@@ -399,17 +421,55 @@ object Sessionize {
           "b -> named_struct('a', a, 'b', b))))")).as("p"))
       .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
-    pairs.where(col("n_ab") >= minCount)
-      .join(ic.select(col("k").as("item_a"), col("n").as("na")),
-        Seq("item_a"))
-      .join(ic.select(col("k").as("item_b"), col("n").as("nb")),
-        Seq("item_b"))
+      .where(col("n_ab") >= minCount)
+    (baskets, nu, ic, pairs)
+  }
+
+  /** q133: association RULES — the directional form of [[basketLift]]
+    * (the support / confidence / lift triple of Agrawal et al.'s
+    * market-basket framework): each supported pair emits both
+    * `a ⇒ b` and `b ⇒ a` with
+    * `conf_ppm = (n_ab·10⁶) div n_antecedent` (the estimated
+    * P(consequent | antecedent)) and the shared symmetric lift.
+    * Output: top-`topK` (antecedent, consequent, n_ab, conf_ppm,
+    * lift_ppm) by (conf desc, antecedent, consequent).
+    *
+    * Scale shape: [[basketCore]] verbatim (one cached capped-basket
+    * carrier, map-only pair expansion) + a 2× union of the SUPPORTED
+    * pair relation — output-bounded, the corpus is not touched again;
+    * the top-K is a bounded heap. */
+  def basketRules(spark: SparkSession, dir: String, minCount: Long = 5L,
+      topK: Int = 100, maxBasket: Int = MaxBasket): DataFrame =
+    basketRulesOn(
+      Tables.events(spark, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      minCount, topK, maxBasket)
+
+  /** [[basketRules]] over an explicit (user_id, k) relation. */
+  def basketRulesOn(ev0: DataFrame, minCount: Long = 5L, topK: Int = 100,
+      maxBasket: Int = MaxBasket): DataFrame = {
+    require(topK > 0, "basketRules needs a positive topK")
+    val (_, nu, ic, pairs) = basketCore(ev0, minCount, maxBasket)
+    val directed = pairs
+      .select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("n_ab"))
+      .union(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_ab")))
+    directed
+      .join(ic.select(col("k").as("antecedent"), col("n").as("na")),
+        Seq("antecedent"))
+      .join(ic.select(col("k").as("consequent"), col("n").as("nc")),
+        Seq("consequent"))
       .crossJoin(broadcast(nu))
+      .withColumn("conf_ppm", expr(
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000) div na AS BIGINT)"))
       .withColumn("lift_ppm", expr(
         "CAST((CAST(n_ab AS DECIMAL(38,0)) * u * 1000000) div " +
-          "(CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"))
-      .select(col("item_a"), col("item_b"), col("n_ab"), col("lift_ppm"))
-      .orderBy(desc("lift_ppm"), col("item_a"), col("item_b"))
+          "(CAST(na AS DECIMAL(38,0)) * nc) AS BIGINT)"))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("conf_ppm"), col("lift_ppm"))
+      .orderBy(desc("conf_ppm"), col("antecedent"), col("consequent"))
       .limit(topK)
   }
 }

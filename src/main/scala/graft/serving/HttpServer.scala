@@ -300,9 +300,16 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
         throw new IllegalArgumentException("topK is limited to 1000")
       if (maxBasket > 4096)
         throw new IllegalArgumentException("maxBasket is limited to 4096")
-      // positivity checks live in the operator (→ 400)
-      graft.operators.Sessionize
-        .basketLift(spark, dataDir, minCount, topK, maxBasket)
+      // positivity checks live in the operator (→ 400); mode=rules
+      // serves the directional support/confidence/lift triple (q133)
+      p.getOrElse("mode", "lift") match {
+        case "rules" => graft.operators.Sessionize
+          .basketRules(spark, dataDir, minCount, topK, maxBasket)
+        case "lift" => graft.operators.Sessionize
+          .basketLift(spark, dataDir, minCount, topK, maxBasket)
+        case other =>
+          throw new IllegalArgumentException(s"unknown mode '$other'")
+      }
     })
     server.createContext("/phraseSearch", handler { p =>
       // positional phrase search (q129): ES match_phrase over the

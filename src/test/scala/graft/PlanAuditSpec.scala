@@ -51,8 +51,8 @@ class PlanAuditSpec extends SparkSpec {
     // q130: the 1-row corpus-totals broadcast (q64's total pattern),
     // crossed into both the query-term selection and the scoring
     "q130_more_like_this",
-    // q132: the 1-row kept-user-count broadcast (same pattern)
-    "q132_basket_lift")
+    // q132/q133: the 1-row kept-user-count broadcast (same pattern)
+    "q132_basket_lift", "q133_basket_rules")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -364,7 +364,10 @@ class PlanAuditSpec extends SparkSpec {
     "q131_phrase_index_search" -> 2,
     // q132: (user,item) distinct + basket agg into the cached carrier,
     // item-count agg, pair-count agg, the two vocab-keyed joins, top-K
-    "q132_basket_lift" -> 7)
+    "q132_basket_lift" -> 7,
+    // q133: q132's core + the 2-direction union re-keying both
+    // vocab joins on the antecedent/consequent
+    "q133_basket_rules" -> 9)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -72,6 +72,69 @@ class BasketLiftSpec extends SparkSpec {
     intercept[IllegalArgumentException] { lift(ev, maxBasket = 1) }
   }
 
+  private def rules(ev: Seq[(Long, Long)], minCount: Long = 1L,
+      topK: Int = 1000, maxBasket: Int = Sessionize.MaxBasket)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val out = Sessionize
+      .basketRulesOn(ev.toDF("user_id", "k"), minCount, topK, maxBasket)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    graft.Caches.releaseAll()
+    out
+  }
+
+  /** Brute rules: both directions of every supported pair, BigInt. */
+  private def bruteRules(ev: Seq[(Long, Long)], minCount: Long = 1L,
+      topK: Int = 1000, maxBasket: Int = Sessionize.MaxBasket)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val baskets = ev.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted)
+      .filter(_._2.size <= maxBasket).toMap
+    val u = baskets.size.toLong
+    val ic = baskets.values.flatten.groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val pc = baskets.values.flatMap { items =>
+      for (i <- items.indices; j <- i + 1 until items.size)
+        yield (items(i), items(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    pc.toSeq.collect { case ((a, b), n) if n >= minCount =>
+      Seq((a, b, n), (b, a, n))
+    }.flatten.map { case (ant, cons, n) =>
+      (ant, cons, n,
+        (BigInt(n) * 1000000 / ic(ant)).toLong,
+        (BigInt(n) * u * 1000000 / (BigInt(ic(ant)) * ic(cons))).toLong)
+    }.sortBy { case (ant, cons, _, c, _) => (-c, ant, cons) }.take(topK)
+  }
+
+  test("q133 hand trace: directional confidence, symmetric lift") {
+    val ev = Seq(1L -> 10L, 1L -> 20L, 1L -> 30L,
+      2L -> 10L, 2L -> 20L, 3L -> 20L, 3L -> 30L,
+      4L -> 10L, 4L -> 20L, 4L -> 30L, 5L -> 99L)
+    // same baskets as the lift trace; confidence divides by the
+    // ANTECEDENT count, so 10⇒20 (3/3) ≠ 20⇒10 (3/4)
+    assert(rules(ev) === Seq(
+      (10L, 20L, 3L, 1000000L, 1250000L),
+      (30L, 20L, 3L, 1000000L, 1250000L),
+      (20L, 10L, 3L, 750000L, 1250000L),
+      (20L, 30L, 3L, 750000L, 1250000L),
+      (10L, 30L, 2L, 666666L, 1111111L),
+      (30L, 10L, 2L, 666666L, 1111111L)))
+  }
+
+  test("q133 random logs match the BigInt brute") {
+    val pair = for {
+      u <- Gen.chooseNum(1L, 12L)
+      k <- Gen.chooseNum(1L, 8L)
+    } yield (u, k)
+    val log = Gen.chooseNum(0, 120).flatMap(n => Gen.listOfN(n, pair))
+    for (ev <- samples(log, 6); cap <- Seq(3, 8)) {
+      assert(rules(ev, maxBasket = cap) === bruteRules(ev, maxBasket = cap),
+        s"cap=$cap ev=$ev")
+    }
+  }
+
   test("random engagement logs match the BigInt brute") {
     val pair = for {
       u <- Gen.chooseNum(1L, 12L)

@@ -201,6 +201,10 @@ class HttpServerSpec extends SparkSpec {
       assert(c47 == 400)
       val (c48, _) = get(s"$base/basketLift?topK=5000") // route cap
       assert(c48 == 400)
+      val (c49, br) = get(s"$base/basketLift?minCount=1&topK=5&mode=rules")
+      assert(c49 == 200 && br.contains("\"conf_ppm\""), br.take(200))
+      val (c50, _) = get(s"$base/basketLift?mode=apriori")
+      assert(c50 == 400)
     } finally srv.stop()
   }
 }
