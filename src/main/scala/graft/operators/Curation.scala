@@ -305,6 +305,22 @@ object Curation {
       packBudget, packBlocks)
     graft.streaming.PartitionedUpsert.upsert(manifest, outDir, "block",
       Seq.empty)
+    // PartitionedUpsert only swaps partitions PRESENT in the new
+    // manifest — a republish with fewer populated blocks (packBlocks
+    // reduced, a rewrite emptying a block, or a gates-empty corpus)
+    // would otherwise leave the previous build's block= directories on
+    // disk, and loadBuild (sidecar-validated, reads every block= dir)
+    // would silently mix the stale rows in. Remove them BEFORE the
+    // sidecar flips to the new identity, so the sidecar never
+    // describes a directory set containing another build's blocks.
+    val keep = manifest.select(col("block")).distinct().collect()
+      .map(r => "block=" + Option(r.get(0)).map(_.toString)
+        .getOrElse("__HIVE_DEFAULT_PARTITION__")).toSet
+    Option(new java.io.File(outDir).listFiles()).foreach(_.foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("block=") &&
+          !keep.contains(f.getName))
+        graft.AtomicSwap.deleteRecursively(f)
+    })
     val fp = IvfIndex.dataFingerprint(dir, "documents")
     val params = buildParamKey(minQuality, ppxKeepPct, dsirKeepPct,
       oddsKeepPct, nearThreshold, semThreshold, domainCap, packBudget,

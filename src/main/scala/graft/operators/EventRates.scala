@@ -323,7 +323,19 @@ object EventRates {
           }
           if (state.hasTimedOut) {
             // silent type: the global watermark passed its next
-            // expected hour — fold zeros up to the watermark
+            // expected hour — fold zeros up to and INCLUDING the
+            // watermark. This is safe because Spark's late-record
+            // filter for stateful ops drops rows AT the watermark too
+            // (WatermarkSupport builds `eventTime <= watermark`, not
+            // strictly-below — pinned empirically by the "exactly AT
+            // the watermark" spec): an hour-aligned bucket landing
+            // exactly on the watermark is undeliverable, so folding it
+            // as zero shadows nothing a reader could ever have seen.
+            // Parity contract: a type resuming with data at-or-below
+            // the watermark of its silent period gets those hours as
+            // zeros (the bucket is late by Spark's own rule); hours
+            // strictly above the watermark always fold with real
+            // counts.
             val wmUs = state.getCurrentWatermarkMs() * 1000L
             if (hist.nonEmpty) fillZeros(wmUs)
           } else {

@@ -170,11 +170,13 @@ object IvfIndex {
     * server that sees periodic data refreshes must not accrete one memo
     * entry (and one Centroids object) per refresh forever. */
   private def memoSwap[A](memo: TrieMap[(String, Int, Int, Long), A],
-      key: (String, Int, Int, Long))(build: => A): A = {
+      key: (String, Int, Int, Long),
+      onEvict: Seq[A] => Unit = (_: Seq[A]) => ())(build: => A): A = {
     val v = memo.getOrElseUpdate(key, build)
-    memo.keys.filter(k =>
+    val stale = memo.keys.filter(k =>
       (k._1, k._2, k._3) == ((key._1, key._2, key._3)) && k != key)
-      .foreach(memo.remove)
+      .flatMap(memo.remove).toSeq
+    onEvict(stale)
     v
   }
 
@@ -196,14 +198,19 @@ object IvfIndex {
     * versions; the index path embeds the fingerprint, so a rebuild after
     * a refresh writes a NEW directory instead of overwriting files a
     * concurrent search may still be scanning (the superseded directory
-    * is left for in-flight readers; one per refresh, tmp-dir lifetime).
+    * outlives its memo key by one full refresh, then [[graft.IndexGc]]
+    * reaps it — in-flight readers keep their files, long-lived
+    * refresh-heavy servers don't leak disk).
     * Returns (indexPath, centroids) — everything [[searchInvertedFile]]
     * needs. */
   def invertedFileCached(spark: SparkSession, dir: String, cells: Int = 16,
       iters: Int = 3): (String, Centroids) = {
     val fp = dataFingerprint(dir)
     val cents = trainCachedFp(spark, dir, cells, iters, fp)
-    val path = memoSwap(indexMemo, (dir, cells, iters, fp)) {
+    // superseded index directories go to the deferred reaper (deleted
+    // one full refresh after their key leaves the memo — see IndexGc)
+    val path = memoSwap(indexMemo, (dir, cells, iters, fp),
+      stale => graft.IndexGc.retire(s"ivf:$dir:$cells:$iters", stale)) {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val p = sys.props("java.io.tmpdir") +
         s"/graft-ivf-$tag-c$cells-i$iters-f${java.lang.Long.toHexString(fp)}"

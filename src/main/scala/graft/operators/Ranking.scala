@@ -338,9 +338,13 @@ object Ranking {
       buildPostingsFile(spark, dir, p, nBuckets)
       p
     })
-    postingsMemo.keys
+    // evict superseded-fingerprint keys AND hand their directories to
+    // the deferred reaper: deleted one full refresh later, so a scan
+    // that obtained the old path before this refresh keeps its files
+    val stale = postingsMemo.keys
       .filter(k => (k._1, k._2) == ((dir, nBuckets)) && k != key)
-      .foreach(postingsMemo.remove)
+      .flatMap(postingsMemo.remove).toSeq
+    graft.IndexGc.retire(s"postings:$dir:$nBuckets", stale)
     v
   }
 

@@ -173,47 +173,90 @@ object Sessionize {
     * funnel bounds anyway) and re-folds the exact batch rule per
     * update. The spec pins the stream's final answer equal to
     * [[funnelOn]] over the union of batches, including the
-    * retroactive-late-click case. */
+    * retroactive-late-click case.
+    *
+    * State BOUND: with `evictHorizonMs` set, the stream watermarks
+    * `ts` (by `watermarkDelay`) and arms an event-time timer per user
+    * at `last funnel event + horizon`; when the global watermark
+    * passes it, the user's final [[FunnelProgress]] is emitted once
+    * more (idempotent for the last-wins keyed consumers Update mode
+    * implies) and the buffer is EVICTED — state is then bounded by the
+    * number of users active within one horizon, not the stream's
+    * lifetime, and the `maxBuffered` cap becomes a per-horizon
+    * sanity guard instead of a kill switch. Inside the horizon the
+    * answers are unchanged (spec-pinned); events for a user arriving
+    * after their eviction start a fresh funnel — the horizon IS the
+    * funnel window, the same contract the batch oracle expresses by
+    * bounding its input relation. Without `evictHorizonMs` the
+    * original unbounded-lifetime semantics are kept (no watermark, no
+    * late filtering, full retroactivity). */
   def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
-      maxBuffered: Int = 100000): Dataset[FunnelProgress] = {
+      maxBuffered: Int = 100000,
+      evictHorizonMs: Option[Long] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(evictHorizonMs.forall(_ > 0L), "horizon must be positive")
     val stepIdx = steps.zipWithIndex.toMap
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.NoTimeout)(
+    // the exact batch fold: t1 = min step-0 time; t_{i+1} = min
+    // step-i time STRICTLY after t_i
+    def reach(all: Seq[(Long, Int)]): Long = {
+      var reached = 0L
+      var prev = Long.MinValue
+      var i = 0
+      var stalled = false
+      while (i < steps.length && !stalled) {
+        val cand = all.collect {
+          case (t, s) if s == i && (i == 0 || t > prev) => t
+        }
+        if (cand.isEmpty) stalled = true
+        else { prev = cand.min; reached = i + 1L }
+        i += 1
+      }
+      reached
+    }
+    val src =
+      if (evictHorizonMs.isDefined)
+        events.withWatermark("ts", watermarkDelay)
+      else events
+    val timeout =
+      if (evictHorizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
         (user: Long, it: Iterator[FunnelEvent],
             state: GroupState[FunnelBuf]) => {
-          val fresh = it.flatMap { e =>
-            stepIdx.get(e.event_type).map { i =>
-              val micros = e.ts.getTime * 1000L +
-                (e.ts.getNanos % 1000000) / 1000L
-              (micros, i)
-            }
-          }.toSeq
-          if (fresh.isEmpty) Iterator.empty
-          else {
-            val all = (state.getOption.map(_.times).getOrElse(Seq.empty)
-              ++ fresh).sorted
-            require(all.size <= maxBuffered,
-              s"user $user exceeds $maxBuffered buffered funnel events " +
-                "— bound the funnel horizon upstream")
-            state.update(FunnelBuf(all))
-            // the exact batch fold: t1 = min step-0 time; t_{i+1} =
-            // min step-i time STRICTLY after t_i
-            var reached = 0L
-            var prev = Long.MinValue
-            var i = 0
-            var stalled = false
-            while (i < steps.length && !stalled) {
-              val cand = all.collect {
-                case (t, s) if s == i && (i == 0 || t > prev) => t
+          if (state.hasTimedOut) {
+            // horizon passed the user's last funnel event: finalize
+            // (re-emit the standing answer) and evict the buffer
+            val fin = reach(state.get.times)
+            state.remove()
+            Iterator.single(FunnelProgress(user, fin))
+          } else {
+            val fresh = it.flatMap { e =>
+              stepIdx.get(e.event_type).map { i =>
+                val micros = e.ts.getTime * 1000L +
+                  (e.ts.getNanos % 1000000) / 1000L
+                (micros, i)
               }
-              if (cand.isEmpty) stalled = true
-              else { prev = cand.min; reached = i + 1L }
-              i += 1
+            }.toSeq
+            if (fresh.isEmpty) Iterator.empty
+            else {
+              val all = (state.getOption.map(_.times).getOrElse(Seq.empty)
+                ++ fresh).sorted
+              require(all.size <= maxBuffered,
+                s"user $user exceeds $maxBuffered buffered funnel events " +
+                  "— bound the funnel horizon upstream")
+              state.update(FunnelBuf(all))
+              evictHorizonMs.foreach { hz =>
+                // re-arm at last-event + horizon, clamped above the
+                // current watermark (Spark rejects a timer at/below it)
+                val lastMs = all.last._1 / 1000L
+                state.setTimeoutTimestamp(
+                  math.max(lastMs + hz, state.getCurrentWatermarkMs() + 1L))
+              }
+              Iterator.single(FunnelProgress(user, reach(all)))
             }
-            Iterator.single(FunnelProgress(user, reached))
           }
         })
   }

@@ -187,6 +187,46 @@ class CorpusBuildSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  private def blockDirs(out: String): Set[String] =
+    Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("block="))
+      .map(_.getName).toSet
+
+  test("republish with fewer blocks removes the stale block= " +
+      "partitions (no silent mixing on loadBuild)") {
+    val dir = "/root/testdata/sf0.01"
+    val out = java.nio.file.Files.createTempDirectory("cbshrink").toString
+    Curation.publishBuild(spark, dir, out)
+    val wide = blockDirs(out)
+    assert(wide.size > 2, s"expected >2 blocks from the default build: $wide")
+    // republish the SAME corpus packed into 2 blocks over the same
+    // outDir: PartitionedUpsert only swaps block=0/1, so without
+    // explicit cleanup the other 6 directories would survive and
+    // loadBuild would mix the old build's rows in
+    Curation.publishBuild(spark, dir, out, packBlocks = 2)
+    val narrow = blockDirs(out)
+    assert(narrow.subsetOf(wide) && narrow.size <= 2 &&
+      !wide.subsetOf(narrow), s"stale partitions survived: $narrow")
+    assert(manifestRows(Curation.loadBuild(spark, dir, out,
+        packBlocks = 2)) ==
+      manifestRows(Curation.corpusBuild(spark, dir, packBlocks = 2)))
+    // republish a gates-empty corpus over the same outDir: the sidecar
+    // alone is the complete build — every block= dir must go, and
+    // loadBuild must see zero rows, not the previous build's
+    import spark.implicits._
+    val empty = java.nio.file.Files.createTempDirectory("cbshrinke").toString
+    Seq((0L, "en", "s", "tiny doc one"), (1L, "en", "s", "tiny doc two"))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$empty/documents.parquet")
+    Seq((0L, Array(0.1f, 0.2f), 0), (1L, Array(0.2f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$empty/embeddings.parquet")
+    Curation.publishBuild(spark, empty, out)
+    assert(blockDirs(out).isEmpty, s"empty build left ${blockDirs(out)}")
+    assert(Curation.loadBuild(spark, empty, out).count() == 0L)
+    graft.Caches.releaseAll()
+  }
+
   test("loadBuild fails loudly on a params or corpus mismatch") {
     val dir = "/root/testdata/sf0.01"
     val out = java.nio.file.Files.createTempDirectory("cbstale").toString

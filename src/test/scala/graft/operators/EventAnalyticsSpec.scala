@@ -107,6 +107,43 @@ class EventAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: evictHorizonMs bounds state — horizon " +
+      "passage finalizes and evicts, later events start a fresh funnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Sessionize.funnelStream(
+        mem.toDS().toDF("user_id", "ts", "event_type").as[FunnelEvent],
+        steps, evictHorizonMs = Some(2L * 3600000L))
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("update").start()
+    try {
+      // u1 reaches step 2 inside the horizon; u9 drives the watermark
+      mem.addData((1L, t("2024-01-01 00:00:00"), "view"),
+        (1L, t("2024-01-01 01:00:00"), "click"),
+        (9L, t("2024-01-01 00:00:00"), "view"))
+      q.processAllAvailable()
+      // watermark → 01:00; u1's timer stands at 03:00 (last + 2h)
+      mem.addData((9L, t("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      // watermark → 10:00; this batch fires u1's timer: final answer 2
+      // re-emitted (last-wins idempotent), buffer evicted
+      mem.addData((9L, t("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      // post-eviction: u1's purchase (above the watermark) folds
+      // against an EMPTY buffer — a fresh funnel, reach 0 — proving
+      // the view/click state is gone, not just capped
+      mem.addData((1L, t("2024-01-01 11:00:00"), "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("funnel_evict").as[(Long, Long)].collect()
+    val u1 = rows.filter(_._1 == 1L).map(_._2).sorted.toSeq
+    assert(u1 == Seq(0L, 2L, 2L), s"u1 rows: $u1")
+    // inside-horizon answers unchanged: u9 only ever has views
+    assert(rows.filter(_._1 == 9L).map(_._2).toSet == Set(1L))
+  }
+
   test("funnel totals are monotone non-increasing on the sf corpus") {
     val rows = Sessionize.funnel(spark, sf)
       .as[(Long, String, Long)].collect().toSeq

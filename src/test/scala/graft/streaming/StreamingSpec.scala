@@ -848,6 +848,44 @@ class StreamingSpec extends SparkSpec {
       "expected the dark type's zero hours flagged")
   }
 
+  test("rateAnomalyStreamDense trailingSilence: the watermark-boundary " +
+      "hour folds as zero because Spark drops a bucket exactly AT the " +
+      "watermark as late (the documented parity contract)") {
+    import graft.operators.{EventRates, RateBucket, RateVerdict}
+    val base = 1704067200000L
+    def ts(i: Int) = new java.sql.Timestamp(base + i * 3600000L)
+    val mem = MemoryStream[RateBucket]
+    val q = EventRates.rateAnomalyStreamDense(mem.toDS(), 6, 3, 3,
+        trailingSilence = true)
+      .writeStream.format("memory").queryName("rboundary")
+      .outputMode("append").start()
+    // batch 1: b alive through hour 2, a through hour 5 → the
+    // watermark lands EXACTLY on the hour-5 boundary (0s delay,
+    // hour-aligned buckets)
+    mem.addData((0 to 5).map(i => RateBucket("a", ts(i), 5L)) ++
+      (0 to 2).map(i => RateBucket("b", ts(i), 40L)): _*)
+    q.processAllAvailable()
+    // batch 2: a duplicate 'a' bucket (dropped by the fold, emits
+    // nothing, leaves the watermark at hour 5) runs the batch that
+    // fires b's timer with wm == hour 5 → zeros fold through hour 5
+    // INCLUSIVE, because Spark's stateful late filter is
+    // `eventTime <= watermark`: an hour-5 bucket can never arrive
+    mem.addData(RateBucket("a", ts(5), 5L)); q.processAllAvailable()
+    // batch 3: b resumes with a bucket exactly at the watermark —
+    // Spark (not the fold) drops it as late; the zero row stands and
+    // no duplicate hour-5 row appears. A bucket strictly above the
+    // watermark in the same batch folds with its real count.
+    mem.addData(RateBucket("b", ts(5), 999L), RateBucket("b", ts(6), 41L))
+    q.processAllAvailable()
+    q.stop()
+    def h(i: Int) = (base + i * 3600000L) * 1000L
+    val b = spark.table("rboundary").as[RateVerdict].collect()
+      .filter(_.event_type == "b").map(v => (v.hour_us, v.cnt)).sorted
+    assert(b.toSeq == Seq(h(0) -> 40L, h(1) -> 40L, h(2) -> 40L,
+      h(3) -> 0L, h(4) -> 0L, h(5) -> 0L, h(6) -> 41L),
+      s"boundary contract broken: ${b.toSeq}")
+  }
+
   test("CdcRouter typed payload parse binds a fact table's bean") {
     import org.apache.spark.sql.types._
     implicit val enc: org.apache.spark.sql.Encoder[OrderInfoCdc] =
