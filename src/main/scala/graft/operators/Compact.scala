@@ -27,4 +27,76 @@ object Compact {
       .mode("overwrite").parquet(tmp)
     graft.AtomicSwap.publish(tmp, dir)
   }
+
+  /** Epoch id of the folded BASE partition of an accumulated sink.
+    * Real epoch ids are Spark batch ids (always >= 0), so the base can
+    * never collide with a replayed epoch's overwrite. */
+  val BaseEpoch: Long = -1L
+
+  /** Compact an ACCUMULATED epoch-partitioned sink directory
+    * ([[graft.streaming.GraphStream]] edges/nodes,
+    * [[graft.streaming.BasketStream]] pairs,
+    * [[graft.streaming.DocStream]] corpus dirs) — the unbounded term
+    * of the accumulated-sink story: one `epoch=<id>` directory per
+    * micro-batch is ~17k directories/day/topic at a 5 s trigger, and
+    * every snapshot re-lists and re-reads all of them.
+    *
+    * Folds every epoch partition EXCEPT `keepEpoch` (the in-flight
+    * epoch — the only one a crash can replay, because batch N starts
+    * only after batch N-1 committed) into the single `epoch=-1` base
+    * partition via `fold` (sum partials for additive relations,
+    * `identity` for exactly-once row sets), then atomically swaps the
+    * rebuilt directory in ([[graft.AtomicSwap]] — a committed copy
+    * exists at every instant; call [[recoverAccumulated]] before
+    * reading if a writer may have crashed mid-swap). Non-epoch regular
+    * files beside the partitions (the DocStream rolling sketches
+    * `_bloom.bf` / `_segbloom.bf`) are carried into the new layout
+    * unchanged.
+    *
+    * Replay interaction (the subtle part, spec-pinned): a compacted
+    * base no longer has the folded epochs' directories, but the only
+    * replayable epoch is `keepEpoch`, which is NEVER folded — its
+    * partition survives verbatim, so a replayed batch overwrites it
+    * exactly as in the uncompacted layout and snapshots converge
+    * bit-equal. Run from the sink's own foreachBatch (single writer —
+    * no epoch can land between the listing and the swap); snapshots
+    * racing the swap's rename pair can briefly see the directory
+    * absent, the documented AtomicSwap window. */
+  def compactAccumulated(spark: SparkSession, dir: String,
+      keepEpoch: Long, fold: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+      targetPartitions: Int = 1): Unit = {
+    import java.io.File
+    graft.AtomicSwap.recover(dir)
+    val root = new File(dir)
+    if (!root.exists()) return
+    val entries = Option(root.listFiles()).toSeq.flatten
+    val epochDirs = entries.filter(f =>
+      f.isDirectory && f.getName.startsWith("epoch="))
+    val foldable = epochDirs.filterNot(_.getName == s"epoch=$keepEpoch")
+    // fewer than two foldable partitions: the fold would only rewrite
+    // the base it already has
+    if (foldable.size < 2) return
+    val tmp = new File(s"$dir.compact.tmp")
+    if (tmp.exists()) graft.AtomicSwap.deleteRecursively(tmp)
+    val folded = fold(
+      spark.read.parquet(foldable.map(_.getAbsolutePath): _*))
+    folded.repartition(targetPartitions).write
+      .mode("overwrite").parquet(s"$tmp/epoch=$BaseEpoch")
+    val keep = new File(root, s"epoch=$keepEpoch")
+    if (keep.exists())
+      spark.read.parquet(keep.getAbsolutePath)
+        .write.mode("overwrite").parquet(s"$tmp/epoch=$keepEpoch")
+    // carry the sibling metadata files (rolling sketches) verbatim
+    entries.filter(_.isFile).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new File(tmp, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    graft.AtomicSwap.publish(tmp.getPath, dir)
+  }
+
+  /** Heal a crashed [[compactAccumulated]] swap — call before reading
+    * an accumulated sink directory whose writer may have died. */
+  def recoverAccumulated(dir: String): Unit = graft.AtomicSwap.recover(dir)
 }

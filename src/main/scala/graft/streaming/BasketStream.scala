@@ -93,11 +93,23 @@ object BasketStream {
 
   /** foreachBatch sink: append this epoch's new (user, item) pairs
     * under `outDir`, overwriting its own epoch partition (replay-safe).
-    * Usage: `.writeStream.foreachBatch(BasketStream.basketSinkEachBatch(dir) _)`. */
-  def basketSinkEachBatch(outDir: String)
-      (batch: Dataset[BasketEvent], epochId: Long): Unit =
+    * Usage: `.writeStream.foreachBatch(BasketStream.basketSinkEachBatch(dir) _)`.
+    *
+    * `compactEvery > 0` folds the committed epoch partitions into the
+    * `epoch=-1` base every that-many epochs
+    * ([[graft.operators.Compact.compactAccumulated]], identity fold —
+    * the delta stream emits each (user, item) pair exactly once across
+    * batches, so the base is a plain concatenation). The in-flight
+    * epoch is never folded: crash-replay overwrites its own partition
+    * and [[liftSnapshot]] converges (spec-pinned). */
+  def basketSinkEachBatch(outDir: String, compactEvery: Int = 0)
+      (batch: Dataset[BasketEvent], epochId: Long): Unit = {
     batch.toDF()
       .write.mode("overwrite").parquet(s"$outDir/pairs/epoch=$epochId")
+    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+      graft.operators.Compact.compactAccumulated(batch.sparkSession,
+        s"$outDir/pairs", epochId, identity)
+  }
 
   /** Market-basket lift over everything streamed into `outDir` so far
     * — bit-identical to [[graft.operators.Sessionize.basketLiftOn]]
@@ -106,9 +118,11 @@ object BasketStream {
     * filter — same fixed point, same ties; spec-pinned). */
   def liftSnapshot(spark: SparkSession, outDir: String,
       minCount: Long = 5L, topK: Int = 100,
-      maxBasket: Int = graft.operators.Sessionize.MaxBasket): DataFrame =
+      maxBasket: Int = graft.operators.Sessionize.MaxBasket): DataFrame = {
+    graft.operators.Compact.recoverAccumulated(s"$outDir/pairs")
     graft.operators.Sessionize.basketLiftOn(
       spark.read.parquet(s"$outDir/pairs")
         .select(col("user_id"), col("k")),
       minCount, topK, maxBasket)
+  }
 }

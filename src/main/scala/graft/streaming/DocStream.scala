@@ -238,12 +238,16 @@ object DocStream {
     * Cross-JVM single-ownership is the caller's responsibility, same as
     * for any checkpointed foreachBatch sink. */
   def incrementalDedupSinkEachBatch(outDir: String,
-      expectedCorpusDocs: Long = 1000000L, fpp: Double = 0.01)
+      expectedCorpusDocs: Long = 1000000L, fpp: Double = 0.01,
+      compactEvery: Int = 0)
       (batch: DataFrame, epochId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.util.sketch.BloomFilter
     assertSingleWriter(batch.sparkSession, outDir)
     new java.io.File(outDir).mkdirs()
+    // heal a compaction swap a previous run crashed inside before
+    // listing the corpus epochs
+    graft.operators.Compact.recoverAccumulated(outDir)
     // within-batch dedup: newDocsWithBloom compares batch-vs-corpus only
     val uniq = batch
       .where(col("text").isNotNull)
@@ -272,6 +276,15 @@ object DocStream {
       publishBloom(bloom, outDir)
       rows.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
     } finally rows.unpersist(blocking = false)
+    // fold committed epochs into the epoch=-1 base (identity: each
+    // corpus row is exactly-once); the in-flight epoch is never
+    // folded, so replay still overwrites its own partition and the
+    // corpusEpochDirs exclusion rule keeps working (the base's name
+    // never equals epoch=<current>). The rolling sketch files ride
+    // into the rebuilt layout verbatim.
+    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+      graft.operators.Compact.compactAccumulated(batch.sparkSession,
+        outDir, epochId, identity)
   }
 
   /** Continuous SUBSTRING dedup sink (foreachBatch) — the streaming
@@ -311,11 +324,13 @@ object DocStream {
     * like the doc sink. */
   def cdcDedupSinkEachBatch(outDir: String,
       p: Int = graft.operators.Dedup.CdcModulus,
-      expectedCorpusSegments: Long = 10000000L, fpp: Double = 0.01)
+      expectedCorpusSegments: Long = 10000000L, fpp: Double = 0.01,
+      compactEvery: Int = 0)
       (batch: DataFrame, epochId: Long): Unit = {
     import org.apache.spark.util.sketch.BloomFilter
     assertSingleWriter(batch.sparkSession, outDir)
     new java.io.File(outDir).mkdirs()
+    graft.operators.Compact.recoverAccumulated(outDir)
     val sess = batch.sparkSession
     val docs = batch.where(col("text").isNotNull)
     val segs = graft.operators.Dedup.cdcSegmentRelation(docs, p)
@@ -387,6 +402,10 @@ object DocStream {
       }
       rows.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
     } finally rows.unpersist(blocking = false)
+    // same compaction contract as the doc-level sink (identity fold)
+    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+      graft.operators.Compact.compactAccumulated(batch.sparkSession,
+        outDir, epochId, identity)
   }
 
   /** Every OTHER epoch's partition dir under `outDir`: a replayed epoch

@@ -70,6 +70,42 @@ class BasketStreamSpec extends SparkSpec {
     assert(once == twice, "epoch replay changed the accumulated pairs")
   }
 
+  test("compaction bounds the pairs partitions; lift snapshot " +
+      "bit-equal; replay straddling a compaction converges") {
+    val outDir = Files.createTempDirectory("basket_compact").toString
+    val mem = MemoryStream[BasketEvent]
+    val q = mem.toDS()
+      .transform(BasketStream.basketDeltaStream(_, maxBasket = Cap))
+      .writeStream
+      .foreachBatch(BasketStream.basketSinkEachBatch(outDir,
+        compactEvery = 3) _)
+      .outputMode("append").start()
+    fixture.grouped(9).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val parts = new java.io.File(s"$outDir/pairs").list()
+      .filter(_.startsWith("epoch=")).toSeq.sorted
+    assert(parts.contains("epoch=-1") && parts.size <= 4,
+      s"pairs partitions not compacted: $parts")
+    // the compacted pair set answers bit-equal to the batch operator
+    val want = rows(Sessionize.basketLiftOn(
+      fixture.map(e => (e.user_id, e.k)).toDF("user_id", "k"),
+      minCount = 1L, topK = 1000, maxBasket = Cap))
+    assert(rows(BasketStream.liftSnapshot(spark, outDir,
+      minCount = 1L, topK = 1000, maxBasket = Cap)) == want)
+    // crash-replay straddling a compaction: epoch 9 triggers the fold
+    BasketStream.basketSinkEachBatch(outDir, compactEvery = 3)(
+      Seq(BasketEvent(7L, 1L)).toDS(), 9L)
+    val once = rows(BasketStream.liftSnapshot(spark, outDir,
+      minCount = 1L, topK = 1000, maxBasket = Cap))
+    BasketStream.basketSinkEachBatch(outDir, compactEvery = 3)(
+      Seq(BasketEvent(7L, 1L)).toDS(), 9L)
+    val twice = rows(BasketStream.liftSnapshot(spark, outDir,
+      minCount = 1L, topK = 1000, maxBasket = Cap))
+    assert(once == twice, "replay across a compaction changed the lift")
+  }
+
   test("cross-batch dedup: a pair seen in an earlier batch is not re-emitted") {
     val outDir = Files.createTempDirectory("basket_dedup").toString
     val mem = MemoryStream[BasketEvent]

@@ -113,6 +113,56 @@ class GraphStreamSpec extends SparkSpec {
       rankRows(GraphRank.labelPropagationOn(batchEv)))
   }
 
+  test("compaction folds committed epochs into the base; snapshots " +
+      "bit-equal, replay straddling a compaction converges") {
+    val outDir = Files.createTempDirectory("graph_compact").toString
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = GraphStream.transitionStream(
+        GraphStream.projectEvents(
+          mem.toDF().toDF("user_id", "ts_us", "event_id", "props")
+            .select(col("user_id"),
+              timestamp_micros(col("ts_us")).as("ts"),
+              col("event_id"), col("props"))))
+      .writeStream
+      .foreachBatch(GraphStream.edgeSinkEachBatch(outDir,
+        compactEvery = 2) _)
+      .outputMode("append").start()
+    // 6 epochs; compactions at 2 and 4 → the partition count stays
+    // bounded by base + epochs-since-last-compact, not epoch count
+    fixtureRows.sortBy(_._2).grouped(40).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def parts(sub: String) = new java.io.File(s"$outDir/$sub").list()
+      .filter(_.startsWith("epoch=")).toSeq.sorted
+    for (sub <- Seq("edges", "nodes"))
+      assert(parts(sub).contains("epoch=-1") && parts(sub).size <= 3,
+        s"$sub partitions not compacted: ${parts(sub)}")
+    // the compacted layout answers bit-equal to the batch operators
+    val batchEv = batchProjection(fixtureRows)
+    assert(rankRows(GraphStream.rankSnapshot(spark, outDir)) ==
+      rankRows(GraphRank.pageRankOn(batchEv)))
+    assert(rankRows(GraphStream.communitiesSnapshot(spark, outDir)) ==
+      rankRows(GraphRank.labelPropagationOn(batchEv)))
+    // crash-replay straddling a compaction: epoch 6 triggers a fold;
+    // replaying it re-runs write + fold — the in-flight epoch is never
+    // folded, so both land identically
+    val replay = Seq(graft.streaming.GraphDelta(9L, Some(6L), 8L)).toDS()
+    GraphStream.edgeSinkEachBatch(outDir, compactEvery = 2)(replay, 6L)
+    val once = rankRows(GraphStream.rankSnapshot(spark, outDir))
+    GraphStream.edgeSinkEachBatch(outDir, compactEvery = 2)(replay, 6L)
+    val twice = rankRows(GraphStream.rankSnapshot(spark, outDir))
+    assert(once == twice, "replay across a compaction changed the rank")
+    // an explicit full fold (no in-flight epoch) is snapshot-invariant
+    graft.operators.Compact.compactAccumulated(spark, s"$outDir/edges",
+      keepEpoch = Long.MinValue,
+      _.groupBy("src", "dst").agg(sum(col("w")).as("w")))
+    graft.operators.Compact.compactAccumulated(spark, s"$outDir/nodes",
+      keepEpoch = Long.MinValue, _.distinct())
+    assert(rankRows(GraphStream.rankSnapshot(spark, outDir)) == twice,
+      "full compaction changed the snapshot")
+  }
+
   test("a regressing event drops with metric; epoch replay is idempotent") {
     val outDir = Files.createTempDirectory("graph_late").toString
     val late = spark.sparkContext.longAccumulator("graph_late_drops")

@@ -341,6 +341,34 @@ class StreamingSpec extends SparkSpec {
     assert(bloomFile.exists(), "sketch not re-published after rebuild")
   }
 
+  test("incremental dedup sink compaction: epoch dirs fold into the " +
+      "base, dedup answers and crash-replay unchanged") {
+    val out = tmpDir("increm-compact")
+    def sink(rows: Seq[(Long, String)], epoch: Long): Unit =
+      DocStream.incrementalDedupSinkEachBatch(out, compactEvery = 2)(
+        rows.toDF("doc_id", "text"), epoch)
+    sink(Seq((1L, "alpha beta"), (2L, "gamma delta")), 0L)
+    sink(Seq((3L, "alpha beta"), (4L, "epsilon zeta")), 1L)
+    sink(Seq((5L, "brand new")), 2L) // folds epochs 0,1 → epoch=-1
+    def dirs = new java.io.File(out).list()
+      .filter(_.startsWith("epoch=")).toSeq.sorted
+    assert(dirs == Seq("epoch=-1", "epoch=2"), s"got $dirs")
+    assert(new java.io.File(out, "_bloom.bf").exists(),
+      "rolling sketch lost in the rebuilt layout")
+    def ids = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet
+    assert(ids == Set(1L, 2L, 4L, 5L), s"got $ids")
+    // the folded base still dedups: a content dup of a FOLDED doc and
+    // one of the fresh epoch both drop under a new epoch id
+    sink(Seq((6L, "alpha beta"), (7L, "brand new")), 3L)
+    assert(ids == Set(1L, 2L, 4L, 5L), s"folded corpus missed a dup")
+    // crash-replay straddling the compaction: epoch 2 re-delivered
+    // overwrites its own (never-folded) partition, then re-runs the
+    // fold — same answers
+    sink(Seq((5L, "brand new")), 2L)
+    assert(ids == Set(1L, 2L, 4L, 5L), s"replay changed the corpus")
+  }
+
   test("incremental dedup sink: second concurrent writer rejected, " +
       "null text dropped") {
     val out = tmpDir("increm-own")
