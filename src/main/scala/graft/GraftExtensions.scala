@@ -1,19 +1,35 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graft.{CosineSimilarity, GramHashes, Int8Quantize, MinHashSig, ShingleSet, SimHashSig}
 
-/** SQL surface for the engine's native expressions, registered through
-  * the standard `SparkSessionExtensions` mechanism so `spark.sql(...)`
-  * and the function registry see them like built-ins:
+/** SQL surface for the engine's native expressions AND operator
+  * families, registered through the standard `SparkSessionExtensions`
+  * mechanism so `spark.sql(...)` and the function registries see them
+  * like built-ins:
   *
   *   spark.sql.extensions=graft.GraftExtensions   (GraftSession sets it)
   *
   *   SELECT cosine_similarity(a.embedding, b.embedding) FROM ...
   *   SELECT shingle_set(text, 3), minhash_sig(text, 3, 16) FROM docs
-  */
+  *
+  * Scalar expressions bind directly; the parameterizable operator
+  * families are TABLE-VALUED functions (Spark's table-function
+  * registry, the `range(...)` mechanism) that read the corpus
+  * directory registered by [[GraftSession.sqlSurface]] and expand to
+  * the same logical plan the Scala registry function builds —
+  *
+  *   SELECT * FROM phrase_search('query big part')
+  *   SELECT * FROM more_like_this(1, 10, 20) JOIN documents USING (doc_id)
+  *
+  * — the reference's ES-DSL query composition
+  * (PublisherMapperImpl.java:65-109) re-expressed as SQL over
+  * Catalyst plans. Literal arguments only (they parameterize plan
+  * CONSTRUCTION, exactly like the ES DSL's request body); omitted
+  * trailing arguments take the operator's Scala defaults. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intArg(e: Expression, fn: String): Int = e match {
@@ -21,6 +37,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal int argument, got $other")
   }
+
+  private def strArg(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string argument, got $other")
+  }
+
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  /** `args(i)` parsed by `f`, or `dflt` when the trailing argument was
+    * omitted — TVF arguments mirror the Scala defaults. */
+  private def at[A](args: Seq[Expression], i: Int,
+      f: Expression => A, dflt: A): A =
+    if (args.length > i) f(args(i)) else dflt
+
+  private def registerTvf(ext: SparkSessionExtensions, name: String)
+      (build: (SparkSession, String, Seq[Expression]) => DataFrame): Unit =
+    ext.injectTableFunction((new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (args: Seq[Expression]) => {
+        val spark = SparkSession.active
+        val dir = spark.conf.getOption(GraftSession.SqlDirKey).getOrElse(
+          throw new IllegalArgumentException(
+            s"$name: no corpus registered for the SQL surface — call " +
+              "GraftSession.sqlSurface(spark, dir) first"))
+        build(spark, dir, args).queryExecution.logical
+      }: LogicalPlan))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -51,5 +100,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
       (args: Seq[Expression]) =>
         GramHashes(args(0), intArg(args(1), "gram_hashes"))))
+
+    // ---- table-valued operator families (GraftSession.sqlSurface) ----
+    import graft.operators._
+    registerTvf(ext, "phrase_search")((s, d, a) =>
+      if (a.isEmpty) Ranking.phraseSearch(s, d)
+      else Ranking.phraseSearch(s, d,
+        strArg(a(0), "phrase_search").trim.split("\\s+").toSeq))
+    registerTvf(ext, "phrase_search_indexed")((s, d, a) =>
+      if (a.isEmpty) Ranking.phraseSearchIndexed(s, d)
+      else Ranking.phraseSearchIndexed(s, d,
+        strArg(a(0), "phrase_search_indexed").trim.split("\\s+").toSeq))
+    registerTvf(ext, "more_like_this")((s, d, a) =>
+      Ranking.moreLikeThis(s, d,
+        at(a, 0, longArg(_, "more_like_this"), 1L),
+        at(a, 1, intArg(_, "more_like_this"), 10),
+        at(a, 2, intArg(_, "more_like_this"), 20)))
+    registerTvf(ext, "bm25_search")((s, d, a) =>
+      Ranking.bm25Rank(s, d,
+        terms = at(a, 0, strArg(_, "bm25_search").trim.split("\\s+").toSeq,
+          Seq("spark", "vector")),
+        topN = at(a, 1, intArg(_, "bm25_search"), 50)))
+    registerTvf(ext, "basket_lift")((s, d, a) =>
+      Sessionize.basketLift(s, d,
+        at(a, 0, longArg(_, "basket_lift"), 5L),
+        at(a, 1, intArg(_, "basket_lift"), 100)))
+    registerTvf(ext, "basket_rules")((s, d, a) =>
+      Sessionize.basketRules(s, d,
+        at(a, 0, longArg(_, "basket_rules"), 5L),
+        at(a, 1, intArg(_, "basket_rules"), 100)))
+    registerTvf(ext, "ann_topk")((s, d, a) =>
+      Similarity.topK(s, d,
+        at(a, 0, longArg(_, "ann_topk"), 0L),
+        at(a, 1, intArg(_, "ann_topk"), 10)))
+    registerTvf(ext, "fuzzy_link")((s, d, a) =>
+      FuzzyJoin.fuzzyLink(s, d, at(a, 0, intArg(_, "fuzzy_link"), 2)))
+    registerTvf(ext, "page_rank")((s, d, a) =>
+      GraphRank.pageRank(s, d, at(a, 0, intArg(_, "page_rank"), 10)))
+    registerTvf(ext, "funnel")((s, d, a) =>
+      if (a.isEmpty) Sessionize.funnel(s, d)
+      else Sessionize.funnel(s, d, a.map(strArg(_, "funnel"))))
   }
 }

@@ -25,6 +25,34 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
+  /** Session-conf key naming the scale-factor directory the SQL
+    * table-valued functions read (see [[sqlSurface]]). */
+  val SqlDirKey = "graft.sql.dir"
+
+  /** Register the engine's SQL surface on `spark` for the tables under
+    * `dir`: every source table as a temp view (`events` normalized to
+    * micros timestamps, like every operator sees it) plus the corpus
+    * binding for the table-valued operator functions injected by
+    * [[GraftExtensions]] (`phrase_search`, `more_like_this`,
+    * `bm25_search`, `basket_lift`, `basket_rules`, `ann_topk`,
+    * `fuzzy_link`, `page_rank`, `funnel`, `phrase_search_indexed`).
+    * After this one call a user composes the engine from plain SQL —
+    *
+    *   SELECT d.text, m.score FROM more_like_this(1, 10, 20) m
+    *   JOIN documents d USING (doc_id)
+    *
+    * — the ES-DSL composition surface of the reference
+    * (PublisherMapperImpl.java:65-109), re-expressed as Spark SQL.
+    * Spec-pinned equal to the Scala registry functions. */
+  def sqlSurface(spark: SparkSession, dir: String): Unit = {
+    spark.conf.set(SqlDirKey, dir)
+    Tables.names.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, dir)
+               else Tables(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
+  }
+
   /** Fully-qualified class name of Spark's RocksDB state store provider
     * (ships with Spark ≥3.2; rocksdbjni is on the classpath). */
   val RocksDBProvider: String =

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The SQL surface (GraftSession.sqlSurface + the table-valued
+  * functions in GraftExtensions): a user composes the engine from
+  * plain SQL — the reference's ES-DSL composition re-expressed — and
+  * every TVF answers exactly like its Scala registry function. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] = {
+    val out = df.collect().map(_.toSeq.map {
+      case a: Array[_] => a.toSeq
+      case x => x
+    }.toSeq).toSeq
+    graft.Caches.releaseAll()
+    out
+  }
+
+  private lazy val surface: Unit = GraftSession.sqlSurface(spark, sf)
+
+  test("every source table is a queryable view") {
+    surface
+    for (t <- Tables.names) {
+      val viaSql = spark.sql(s"SELECT count(*) AS n FROM $t")
+        .collect()(0).getLong(0)
+      val direct =
+        if (t == "events") Tables.events(spark, sf).count()
+        else Tables(spark, sf, t).count()
+      assert(viaSql == direct && viaSql > 0L, s"table $t")
+    }
+    // the normalized events view carries real timestamps, not raw nanos
+    assert(spark.sql("SELECT ts FROM events").schema("ts")
+      .dataType.typeName.startsWith("timestamp"))
+  }
+
+  test("TVFs answer exactly like the Scala registry functions") {
+    surface
+    val pins: Seq[(String, DataFrame)] = Seq(
+      "SELECT * FROM phrase_search('query big part')" ->
+        operators.Ranking.phraseSearch(spark, sf),
+      "SELECT * FROM phrase_search_indexed('query big part')" ->
+        operators.Ranking.phraseSearchIndexed(spark, sf),
+      "SELECT * FROM more_like_this(1, 10, 20)" ->
+        operators.Ranking.moreLikeThis(spark, sf),
+      "SELECT * FROM bm25_search('spark vector', 50)" ->
+        operators.Ranking.bm25Rank(spark, sf),
+      "SELECT * FROM basket_lift(5, 100)" ->
+        operators.Sessionize.basketLift(spark, sf),
+      "SELECT * FROM basket_rules(5, 100)" ->
+        operators.Sessionize.basketRules(spark, sf),
+      "SELECT * FROM ann_topk(0, 10)" ->
+        operators.Similarity.topK(spark, sf),
+      "SELECT * FROM page_rank(10)" ->
+        operators.GraphRank.pageRank(spark, sf),
+      "SELECT * FROM funnel('view', 'click', 'purchase')" ->
+        operators.Sessionize.funnel(spark, sf))
+    for ((sql, scala) <- pins) {
+      val got = rows(spark.sql(sql))
+      val want = rows(scala)
+      assert(got == want && got.nonEmpty, s"$sql: got $got want $want")
+    }
+    // trailing arguments take the Scala defaults
+    assert(rows(spark.sql("SELECT * FROM more_like_this(1)")) ==
+      rows(operators.Ranking.moreLikeThis(spark, sf)))
+    assert(rows(spark.sql("SELECT * FROM basket_lift()")) ==
+      rows(operators.Sessionize.basketLift(spark, sf)))
+  }
+
+  test("TVF results compose with views in one SQL statement") {
+    surface
+    val got = spark.sql(
+      """SELECT m.doc_id, length(d.text) AS len
+        |FROM more_like_this(1, 10, 20) m
+        |JOIN documents d USING (doc_id)
+        |ORDER BY m.doc_id""".stripMargin).collect()
+    val want = operators.Ranking.moreLikeThis(spark, sf)
+      .select("doc_id")
+      .join(Tables.documents(spark, sf), "doc_id")
+      .selectExpr("doc_id", "length(text) AS len")
+      .orderBy("doc_id").collect()
+    graft.Caches.releaseAll()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq &&
+      got.nonEmpty)
+  }
+
+  test("a TVF without a registered corpus fails loudly; non-literal " +
+      "arguments are rejected") {
+    surface
+    val saved = spark.conf.get(GraftSession.SqlDirKey)
+    spark.conf.unset(GraftSession.SqlDirKey)
+    try {
+      val e = intercept[Exception](
+        spark.sql("SELECT * FROM phrase_search('a')").collect())
+      assert(e.getMessage.contains("sqlSurface"),
+        s"wrong message: ${e.getMessage}")
+    } finally spark.conf.set(GraftSession.SqlDirKey, saved)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM more_like_this(rand())").collect())
+    assert(e2.getMessage.contains("literal"),
+      s"wrong message: ${e2.getMessage}")
+  }
+}
