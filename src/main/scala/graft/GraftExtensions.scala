@@ -140,5 +140,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerTvf(ext, "funnel")((s, d, a) =>
       if (a.isEmpty) Sessionize.funnel(s, d)
       else Sessionize.funnel(s, d, a.map(strArg(_, "funnel"))))
+    registerTvf(ext, "bfs_hops")((s, d, a) =>
+      GraphRank.bfsHops(s, d,
+        at(a, 0, longArg(_, "bfs_hops"), 0L),
+        at(a, 1, intArg(_, "bfs_hops"), 6)))
+    registerTvf(ext, "next_items")((s, d, a) =>
+      GraphRank.nextItems(s, d, at(a, 0, intArg(_, "next_items"), 3)))
   }
 }

@@ -358,6 +358,15 @@ object SparkEntry {
     // lift triple (conf_ppm = n_ab·10⁶ div n_antecedent; both
     // directions of each supported pair)
     "q133_basket_rules" -> ((s, d) => Sessionize.basketRules(s, d)),
+    // q134: BFS hop distance from a seed item over the directed k-
+    // transition graph — the frontier-expansion shape (one keyed join
+    // + one anti-join per round, vocabulary-bounded), driver dispatch
+    // under the q104 edge budget
+    "q134_bfs_hops" -> ((s, d) => GraphRank.bfsHops(s, d)),
+    // q135: next-item table — top-3 successors per item by transition
+    // count with the exact integer conditional probability
+    // prob_ppm = (w·10⁶) div wout (Markov reading of the q104 edges)
+    "q135_next_items" -> ((s, d) => GraphRank.nextItems(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -401,7 +410,9 @@ object SparkEntry {
       "q124_rank_convergence" -> ((s, d) =>
         GraphRank.pageRankConvergence(s, d, edgeBudget = 0L)),
       "q125_lpa_convergence" -> ((s, d) =>
-        GraphRank.labelPropagationConvergence(s, d, edgeBudget = 0L)))
+        GraphRank.labelPropagationConvergence(s, d, edgeBudget = 0L)),
+      "q134_bfs_hops" -> ((s, d) =>
+        GraphRank.bfsHops(s, d, edgeBudget = 0L)))
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
   // sides; sums of integers are CAST to BIGINT (DuckDB widens to HUGEINT);
@@ -2523,6 +2534,54 @@ object SparkEntry {
          JOIN ic ic2 ON ic2.k = dr.consequent, tot
          ORDER BY conf_ppm DESC, antecedent, consequent
          LIMIT 100""",
+    // q134: level-synchronous BFS as a recursive CTE — UNION (not ALL)
+    // dedups (node, dist) pairs so cycles terminate; min(dist) per node
+    // is exactly the frontier loop's first-discovery depth
+    "q134_bfs_hops" ->
+      raw"""WITH RECURSIVE e0 AS (
+           SELECT user_id, ts, event_id,
+                  CAST(props->>'k' AS BIGINT) AS k
+           FROM events WHERE props->>'k' IS NOT NULL),
+         tr AS (
+           SELECT k AS src,
+                  lead(k) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+           FROM e0),
+         e AS (SELECT DISTINCT src, dst FROM tr WHERE dst IS NOT NULL),
+         bfs AS (
+           SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+           UNION
+           SELECT e.dst, bfs.dist + 1
+           FROM bfs JOIN e ON e.src = bfs.node
+           WHERE bfs.dist < 6)
+         SELECT node, CAST(min(dist) AS BIGINT) AS dist
+         FROM bfs GROUP BY node ORDER BY dist, node""",
+    // q135: the q104 edge aggregation + one src-partitioned window;
+    // prob_ppm integer floor division, ties (w desc, dst asc)
+    "q135_next_items" ->
+      raw"""WITH e0 AS (
+           SELECT user_id, ts, event_id,
+                  CAST(props->>'k' AS BIGINT) AS k
+           FROM events WHERE props->>'k' IS NOT NULL),
+         tr AS (
+           SELECT k AS src,
+                  lead(k) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+           FROM e0),
+         e AS (
+           SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+           FROM tr WHERE dst IS NOT NULL GROUP BY src, dst),
+         outw AS (
+           SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+         ranked AS (
+           SELECT e.src, e.dst, e.w,
+                  CAST((e.w * 1000000) // o.wout AS BIGINT) AS prob_ppm,
+                  CAST(row_number() OVER (
+                    PARTITION BY e.src ORDER BY e.w DESC, e.dst)
+                    AS BIGINT) AS rnk
+           FROM e JOIN outw o ON o.src = e.src)
+         SELECT src, dst, w, prob_ppm, rnk FROM ranked
+         WHERE rnk <= 3 ORDER BY src, rnk""",
     // q122: two leads over the same user window, count per path tuple,
     // ties order by the path
     "q122_top_paths" ->

@@ -640,4 +640,168 @@ object GraphRank {
     ns.indices.map(i => (ns(i), r(i))).sortBy(_._1)
       .toDF("node", "rank_micros")
   }
+
+  // ---- q134: BFS hop distances -----------------------------------
+
+  /** q134: multi-hop reachability — BFS hop distance from `seed` over
+    * the DIRECTED `props.k` transition graph of `events`, bounded at
+    * `maxDepth`. Output: (node, dist) for every node FIRST reachable
+    * within `maxDepth` hops (the seed itself at 0), ordered
+    * (dist, node). The "how far is everything from this item" query
+    * of catalog navigation — and the one classic distributed-graph
+    * shape (frontier expansion) the family lacked next to PageRank,
+    * LPA, and triangles.
+    *
+    * Scale shape: the textbook frontier loop — per round ONE keyed
+    * equi-join frontier⋈edges plus one anti-join against the settled
+    * set, both on item keys; the frontier is VOCABULARY-bounded,
+    * never event-bounded (the event log is touched once, to build the
+    * distinct edge set), and the loop stops as soon as a round
+    * discovers nothing. Small graphs dispatch to a driver adjacency
+    * BFS under the measured [[DriverRankEdgeBudget]] (the q104 rule;
+    * identical integers on both paths — spec-pinned). */
+  def bfsHops(spark: SparkSession, dir: String, seed: Long = 0L,
+      maxDepth: Int = 6,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
+    bfsHopsOn(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      seed, maxDepth, edgeBudget)
+
+  /** [[bfsHops]] over an explicit (user_id, ts, event_id, k) event
+    * relation (k-less events dropped — the [[pageRankOn]] rule). */
+  def bfsHopsOn(ev0: DataFrame, seed: Long, maxDepth: Int = 6,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val ev = ev0.where(col("k").isNotNull)
+    val nxt = lead(col("k"), 1).over(
+      Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+    val edges = ev.select(col("k").as("src"), nxt.as("dst"))
+      .where(col("dst").isNotNull)
+      .select("src", "dst").distinct().localCheckpoint()
+    bfsLoop(ev0.sparkSession, edges, seed, maxDepth, edgeBudget)
+  }
+
+  /** [[bfsHops]] over an explicit (src, dst[, w]) edge relation — the
+    * streaming twin's entry ([[graft.streaming.GraphStream]]
+    * accumulates per-epoch edge partials; reachability only needs the
+    * distinct arcs). Shared loop → bit-identical to the event path. */
+  def bfsHopsOnGraph(edges: DataFrame, seed: Long, maxDepth: Int = 6,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val e = edges.select("src", "dst").distinct().localCheckpoint()
+    bfsLoop(edges.sparkSession, e, seed, maxDepth, edgeBudget)
+  }
+
+  /** The shared BFS (both dispatch paths). Owns — and releases — the
+    * materialized distinct-edge relation. */
+  private def bfsLoop(spark: SparkSession, edges: DataFrame, seed: Long,
+      maxDepth: Int, edgeBudget: Long): DataFrame = {
+    import spark.implicits._
+    if (edges.count() <= edgeBudget) {
+      val out = driverBfs(spark, edges, seed, maxDepth)
+      releaseCheckpoint(edges)
+      return out
+    }
+    var settled = Seq((seed, 0L)).toDF("node", "dist").localCheckpoint()
+    var frontier = settled
+    var depth = 1
+    var done = false
+    while (depth <= maxDepth && !done) {
+      val nxt = frontier.join(edges, frontier("node") === edges("src"))
+        .select(edges("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(depth.toLong).as("dist"))
+        .localCheckpoint()
+      if (nxt.count() == 0L) { releaseCheckpoint(nxt); done = true }
+      else {
+        val merged = settled.unionByName(nxt).localCheckpoint()
+        if (!(frontier eq settled)) releaseCheckpoint(frontier)
+        releaseCheckpoint(settled)
+        settled = merged
+        frontier = nxt
+        depth += 1
+      }
+    }
+    if (!(frontier eq settled)) releaseCheckpoint(frontier)
+    releaseCheckpoint(edges)
+    settled.orderBy("dist", "node")
+  }
+
+  /** Driver-side adjacency BFS — first-discovery depth is exactly the
+    * distributed loop's min depth (both are level-synchronous). */
+  private def driverBfs(spark: SparkSession, edges: DataFrame,
+      seed: Long, maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val adj = edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, es) => (s, es.map(_._2)) }
+    val dist = scala.collection.mutable.HashMap(seed -> 0L)
+    var frontier: Seq[Long] = Seq(seed)
+    var d = 1L
+    while (frontier.nonEmpty && d <= maxDepth) {
+      frontier = frontier
+        .flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = d)
+      d += 1
+    }
+    dist.toSeq.toDF("node", "dist").orderBy("dist", "node")
+  }
+
+  // ---- q135: next-item transition table ---------------------------
+
+  /** q135: next-item recommendation table — for each source item the
+    * top-`topK` successors by transition count, with the EXACT
+    * integer conditional probability `prob_ppm = (w·10⁶) div wout`
+    * and a deterministic rank (count desc, dst asc). The Markov-chain
+    * reading of the q104 edge relation: "users who engaged k=X next
+    * engaged …", served as a relation.
+    *
+    * Scale shape: the q104 edge aggregation (vocabulary-bounded, the
+    * event log read once) + ONE window partitioned by src — no
+    * iteration, no driver dispatch, nothing floating on the ranking
+    * boundary. */
+  def nextItems(spark: SparkSession, dir: String,
+      topK: Int = 3): DataFrame =
+    nextItemsOn(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      topK)
+
+  /** [[nextItems]] over an explicit (user_id, ts, event_id, k) event
+    * relation. */
+  def nextItemsOn(ev0: DataFrame, topK: Int = 3): DataFrame = {
+    val ev = ev0.where(col("k").isNotNull)
+    val nxt = lead(col("k"), 1).over(
+      Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+    val edges = ev.select(col("k").as("src"), nxt.as("dst"))
+      .where(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    nextItemsCore(edges, topK)
+  }
+
+  /** [[nextItems]] over an explicit (src, dst, w) edge relation (the
+    * streaming twin's entry; per-epoch partials re-aggregated). */
+  def nextItemsOnGraph(edges: DataFrame, topK: Int = 3): DataFrame =
+    nextItemsCore(
+      edges.groupBy("src", "dst").agg(sum(col("w")).as("w")), topK)
+
+  private def nextItemsCore(edges0: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    // the vocab-bounded edge carrier feeds BOTH the out-weight agg and
+    // the scoring join — cache it so the event-log window+agg runs
+    // once, not per branch (the minhashLshPairs carrier rule)
+    val edges = graft.Caches.register(edges0.cache())
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+    edges.join(outw, Seq("src"))
+      .select(col("src"), col("dst"), col("w"),
+        expr("(w * 1000000L) div wout").as("prob_ppm"),
+        row_number().over(Window.partitionBy("src")
+          .orderBy(col("w").desc, col("dst"))).cast("long").as("rnk"))
+      .where(col("rnk") <= topK)
+      .orderBy("src", "rnk")
+  }
 }

@@ -279,6 +279,23 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
             s"algo must be pagerank|lpa, got '$other'")
       }
     })
+    server.createContext("/bfsHops", handler { p =>
+      // q134: BFS hop distances from a seed item over the transition
+      // graph — "how far is everything from this item"
+      val seed = p.getOrElse("seed", "0").toLong
+      val depth = p.getOrElse("depth", "6").toInt
+      if (depth < 1 || depth > 32)
+        throw new IllegalArgumentException("depth must be in 1..32")
+      graft.operators.GraphRank.bfsHops(spark, dataDir, seed, depth)
+    })
+    server.createContext("/nextItems", handler { p =>
+      // q135: next-item table — top-K successors per item with the
+      // exact integer conditional probability
+      val topK = p.getOrElse("topK", "3").toInt
+      if (topK < 1 || topK > 100)
+        throw new IllegalArgumentException("topK must be in 1..100")
+      graft.operators.GraphRank.nextItems(spark, dataDir, topK)
+    })
     server.createContext("/collocations", handler { p =>
       // PMI collocation mining (q127): top bigrams by the fixed-point
       // lift — phrase discovery served next to the corpus it describes

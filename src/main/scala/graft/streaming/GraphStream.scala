@@ -190,4 +190,25 @@ object GraphStream {
     graft.operators.GraphRank.labelPropagationOnGraph(edges, iters,
       edgeBudget)
   }
+
+  /** BFS hop distances over everything streamed into `outDir` so far
+    * — bit-identical to [[graft.operators.GraphRank.bfsHopsOn]] over
+    * the same events (shared loop; spec-pinned). */
+  def hopsSnapshot(spark: SparkSession, outDir: String, seed: Long = 0L,
+      maxDepth: Int = 6,
+      edgeBudget: Long =
+        graft.operators.GraphRank.DriverRankEdgeBudget): DataFrame = {
+    val (edges, _) = accumulatedGraph(spark, outDir)
+    graft.operators.GraphRank.bfsHopsOnGraph(edges, seed, maxDepth,
+      edgeBudget)
+  }
+
+  /** Next-item table over everything streamed into `outDir` so far —
+    * bit-identical to [[graft.operators.GraphRank.nextItemsOn]] over
+    * the same events (shared core; spec-pinned). */
+  def nextItemsSnapshot(spark: SparkSession, outDir: String,
+      topK: Int = 3): DataFrame = {
+    val (edges, _) = accumulatedGraph(spark, outDir)
+    graft.operators.GraphRank.nextItemsOnGraph(edges, topK)
+  }
 }

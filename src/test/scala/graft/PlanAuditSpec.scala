@@ -367,7 +367,17 @@ class PlanAuditSpec extends SparkSpec {
     "q132_basket_lift" -> 7,
     // q133: q132's core + the 2-direction union re-keying both
     // vocab joins on the antecedent/consequent
-    "q133_basket_rules" -> 9)
+    "q133_basket_rules" -> 9,
+    // q134 is iterative like q53: the audited plan is the post-
+    // checkpoint settled set + output sort (per-round keyed join +
+    // anti-join shuffles run during construction, bounded by depth)
+    "q134_bfs_hops" -> 1,
+    // q135: user window → (src,dst) agg into the CACHED edge carrier,
+    // then out-weight agg (broadcast back), src window, output sort.
+    // The count over 6 is the q128 print artifact: the carrier's two
+    // build exchanges reprint inside each nested InMemoryRelation
+    // reference; execution builds the carrier once.
+    "q135_next_items" -> 7)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -54,7 +54,11 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM page_rank(10)" ->
         operators.GraphRank.pageRank(spark, sf),
       "SELECT * FROM funnel('view', 'click', 'purchase')" ->
-        operators.Sessionize.funnel(spark, sf))
+        operators.Sessionize.funnel(spark, sf),
+      "SELECT * FROM bfs_hops(0, 6)" ->
+        operators.GraphRank.bfsHops(spark, sf),
+      "SELECT * FROM next_items(3)" ->
+        operators.GraphRank.nextItems(spark, sf))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

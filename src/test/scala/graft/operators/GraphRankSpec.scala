@@ -225,6 +225,60 @@ class GraphRankSpec extends SparkSpec {
     assert(pair == Seq((2L, 2L), (2L, 2L), (2L, 2L)), s"pair $pair")
   }
 
+  test("bfs hops: hand trace with a cycle, a depth bound, and an " +
+      "unreachable node; both dispatch paths agree") {
+    // directed chain with a back-edge: 0→1→2→3→1 (cycle), plus 9→0
+    // (node 9 reaches 0 but 0 never reaches 9 — direction matters)
+    val ev = evRows(Seq(
+      (7L, 1, 1L, 0L), (7L, 2, 2L, 1L), (7L, 3, 3L, 2L),
+      (7L, 4, 4L, 3L), (7L, 5, 5L, 1L),
+      (8L, 1, 6L, 9L), (8L, 2, 7L, 0L)))
+    def hops(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val want = Seq(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L)
+    assert(hops(GraphRank.bfsHopsOn(ev, seed = 0L)) == want)
+    // the cycle's revisit of node 1 keeps its FIRST depth; node 9
+    // never appears (unreachable by direction)
+    assert(hops(GraphRank.bfsHopsOn(ev, seed = 0L, edgeBudget = 0L))
+      == want, "distributed frontier loop diverged from driver BFS")
+    // depth bound truncates the frontier, both paths
+    val short = Seq(0L -> 0L, 1L -> 1L, 2L -> 2L)
+    assert(hops(GraphRank.bfsHopsOn(ev, seed = 0L, maxDepth = 2)) == short)
+    assert(hops(GraphRank.bfsHopsOn(ev, seed = 0L, maxDepth = 2,
+      edgeBudget = 0L)) == short)
+    // a seed with no outgoing edges is still reported at distance 0
+    assert(hops(GraphRank.bfsHopsOn(ev, seed = 3L, maxDepth = 1))
+      == Seq(3L -> 0L, 1L -> 1L))
+  }
+
+  test("bfs hops: both dispatch paths agree on the sf corpus") {
+    val a = GraphRank.bfsHops(spark, sf).collect().map(_.toSeq).toSeq
+    val b = GraphRank.bfsHops(spark, sf, edgeBudget = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("next items: hand trace with a count tie and the topK cut") {
+    // user 7: 1→2, 2→1, 1→2 (w(1→2)=2); user 8: 1→3 (w=1), 3→1;
+    // wout(1)=3 → prob(1→2)=666666 ppm, prob(1→3)=333333 ppm
+    val ev = evRows(Seq(
+      (7L, 1, 1L, 1L), (7L, 2, 2L, 2L), (7L, 3, 3L, 1L),
+      (7L, 4, 4L, 2L),
+      (8L, 1, 5L, 1L), (8L, 2, 6L, 3L), (8L, 3, 7L, 1L)))
+    val got = GraphRank.nextItemsOn(ev, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 2L, 2L, 666666L, 1L),
+      (2L, 1L, 1L, 1000000L, 1L), (3L, 1L, 1L, 1000000L, 1L)),
+      s"got $got")
+    // topK=2 admits the tied-below successor; equal counts order by dst
+    val k2 = GraphRank.nextItemsOn(ev, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .toSeq
+    assert(k2 == Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 1L, 1L),
+      (3L, 1L, 1L)), s"got $k2")
+  }
+
   test("triangles: shared-edge pair counted once per triangle per corner") {
     // K4 minus edge (3,4): triangles (1,2,3) and (1,2,4); both directed
     // directions of (1,2) collapse to ONE undirected edge

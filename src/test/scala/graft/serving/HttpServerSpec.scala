@@ -205,6 +205,17 @@ class HttpServerSpec extends SparkSpec {
       assert(c49 == 200 && br.contains("\"conf_ppm\""), br.take(200))
       val (c50, _) = get(s"$base/basketLift?mode=apriori")
       assert(c50 == 400)
+
+      // graph navigation (round 13): BFS hops + next-item table
+      val (c51, bh) = get(s"$base/bfsHops?seed=0&depth=6")
+      assert(c51 == 200 && bh.contains("\"node\"") &&
+        bh.contains("\"dist\""), bh.take(200))
+      val (c52, _) = get(s"$base/bfsHops?depth=0") // route cap
+      assert(c52 == 400)
+      val (c53, ni) = get(s"$base/nextItems?topK=2")
+      assert(c53 == 200 && ni.contains("\"prob_ppm\""), ni.take(200))
+      val (c54, _) = get(s"$base/nextItems?topK=0") // route cap
+      assert(c54 == 400)
     } finally srv.stop()
   }
 }

@@ -71,7 +71,16 @@ class GraphStreamSpec extends SparkSpec {
         rankRows(GraphRank.labelPropagationOn(batchEv,
           edgeBudget = budget)),
         s"communities mismatch at edgeBudget=$budget")
+      assert(rankRows(GraphStream.hopsSnapshot(spark, outDir,
+          edgeBudget = budget)) ==
+        rankRows(GraphRank.bfsHopsOn(batchEv, seed = 0L,
+          edgeBudget = budget)),
+        s"hops mismatch at edgeBudget=$budget")
     }
+    assert(GraphStream.nextItemsSnapshot(spark, outDir)
+        .collect().map(_.toSeq).toSeq ==
+      GraphRank.nextItemsOn(batchEv).collect().map(_.toSeq).toSeq,
+      "next-items mismatch")
   }
 
   test("graph accumulation survives a checkpoint restart (state from the state store)") {
