@@ -146,5 +146,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         at(a, 1, intArg(_, "bfs_hops"), 6)))
     registerTvf(ext, "next_items")((s, d, a) =>
       GraphRank.nextItems(s, d, at(a, 0, intArg(_, "next_items"), 3)))
+    registerTvf(ext, "personalized_rank")((s, d, a) =>
+      GraphRank.personalizedRank(s, d,
+        at(a, 0, longArg(_, "personalized_rank"), 0L),
+        at(a, 1, intArg(_, "personalized_rank"), 10)))
   }
 }

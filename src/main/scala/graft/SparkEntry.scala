@@ -367,6 +367,10 @@ object SparkEntry {
     // count with the exact integer conditional probability
     // prob_ppm = (w·10⁶) div wout (Markov reading of the q104 edges)
     "q135_next_items" -> ((s, d) => GraphRank.nextItems(s, d)),
+    // q136: personalized PageRank — q104's integer walk with all
+    // teleport mass at the seed (seeded random-walk relevance); same
+    // shared loop, dispatch, and exact-Long arithmetic
+    "q136_personalized_rank" -> ((s, d) => GraphRank.personalizedRank(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -412,7 +416,9 @@ object SparkEntry {
       "q125_lpa_convergence" -> ((s, d) =>
         GraphRank.labelPropagationConvergence(s, d, edgeBudget = 0L)),
       "q134_bfs_hops" -> ((s, d) =>
-        GraphRank.bfsHops(s, d, edgeBudget = 0L)))
+        GraphRank.bfsHops(s, d, edgeBudget = 0L)),
+      "q136_personalized_rank" -> ((s, d) =>
+        GraphRank.personalizedRank(s, d, edgeBudget = 0L)))
 
   // DuckDB-runnable oracle SQL. Conventions: counts stay BIGINT on both
   // sides; sums of integers are CAST to BIGINT (DuckDB widens to HUGEINT);
@@ -753,7 +759,7 @@ object SparkEntry {
     * (measured at sf10 — inlined completes, materialized dies). */
   private val materializedOracles = Set(
     "q104_pagerank", "q121_label_prop", "q124_rank_convergence",
-    "q125_lpa_convergence",
+    "q125_lpa_convergence", "q136_personalized_rank",
     "q80_bpe_merges", "q81_bpe_subtokens", "q91_bpe_encode_fixed",
     "q93_tokenizer_fertility")
 
@@ -2918,6 +2924,8 @@ object SparkEntry {
     // one generated CTE per round (r1..r10), the q82 unrolled-oracle
     // pattern.
     "q104_pagerank" -> pageRankSql(10),
+    // q136: the seeded-teleport variant of the same unrolled chain
+    "q136_personalized_rank" -> personalizedRankSql(10, seed = 0L),
     // q105: per-user minimal step times — min(view), then min(click)
     // STRICTLY after it, then min(purchase) after that; count non-null
     // per step. NULL propagation in the CASE matches Spark's when().
@@ -3234,6 +3242,47 @@ object SparkEntry {
   private def pageRankSql(iters: Int): String =
     pageRankCtes(iters) +
       s"\n       SELECT node, r AS rank_micros FROM r$iters ORDER BY node"
+
+  /** q136 oracle: q104's unrolled chain with the teleport mass
+    * concentrated at the seed (150000·|V| there, 0 elsewhere) and the
+    * walk started at the seed (10⁶·|V|). */
+  private def personalizedRankSql(iters: Int, seed: Long): String = {
+    val header = raw"""WITH e0 AS (
+         SELECT user_id, ts, event_id,
+                CAST(props->>'k' AS BIGINT) AS k
+         FROM events),
+       tr AS (
+         SELECT k AS src,
+                lead(k) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst
+         FROM e0),
+       e AS (
+         SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+         FROM tr WHERE dst IS NOT NULL GROUP BY src, dst),
+       outw AS (
+         SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+       nodes AS (SELECT DISTINCT k AS node FROM e0),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       r0 AS (
+         SELECT node,
+                CAST(CASE WHEN node = $seed THEN 1000000 * n
+                     ELSE 0 END AS BIGINT) AS r
+         FROM nodes, nn)"""
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         SELECT n.node,
+                CAST(CASE WHEN n.node = $seed THEN 150000 * nn.n
+                     ELSE 0 END
+                     + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS node, SUM((r.r * e.w) // o.wout) AS s
+           FROM e JOIN r${i - 1} r ON r.node = e.src
+                  JOIN outw o ON o.src = e.src
+           GROUP BY e.dst) c USING (node), nn)"""
+    }
+    (header +: rounds).mkString(",\n       ") +
+      s"\n       SELECT node, r AS rank_micros FROM r$iters ORDER BY node"
+  }
 
   /** q124 oracle: per unrolled round, the L1 rank delta (micros) and
     * the moved-node count vs the previous round. */

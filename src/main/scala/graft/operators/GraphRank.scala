@@ -94,20 +94,77 @@ object GraphRank {
     rankLoop(edges.sparkSession, edgesN, n, iters, edgeBudget)
   }
 
+  /** q136: PERSONALIZED PageRank — q104's integer walk with ALL
+    * teleport mass re-entering at `seed` instead of uniformly
+    * (`TeleportMicros · |V|` at the seed — the same total mass, so
+    * rank magnitudes stay comparable with q104's): "importance from
+    * this item's point of view", the standard seeded random-walk
+    * relevance of recommendation graphs. Same shared loop, same
+    * measured dispatch, same exact-Long arithmetic; a seed that is
+    * not a graph node yields the all-zero fixed point (teleport
+    * matches nothing) rather than a silent fallback. */
+  def personalizedRank(spark: SparkSession, dir: String, seed: Long = 0L,
+      iters: Int = 10,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
+    personalizedRankOn(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      seed, iters, edgeBudget)
+
+  /** [[personalizedRank]] over an explicit (user_id, ts, event_id, k)
+    * event relation. */
+  def personalizedRankOn(ev0: DataFrame, seed: Long, iters: Int = 10,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val (edgesN, nodes) = rankGraph(ev0)
+    rankLoop(ev0.sparkSession, edgesN, nodes, iters, edgeBudget,
+      Some(seed))
+  }
+
+  /** [[personalizedRank]] over an explicit weighted edge relation and
+    * node set (the streaming twin's entry — the [[pageRankOnGraph]]
+    * contract with a seed). */
+  def personalizedRankOnGraph(edges: DataFrame, nodes: DataFrame,
+      seed: Long, iters: Int = 10,
+      edgeBudget: Long = DriverRankEdgeBudget): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val outw = e.groupBy("src").agg(sum(col("w")).as("wout"))
+    val edgesN = e.join(outw, Seq("src")).localCheckpoint()
+    val n = nodes.select("node").distinct().localCheckpoint()
+    rankLoop(edges.sparkSession, edgesN, n, iters, edgeBudget, Some(seed))
+  }
+
   /** The shared rank loop (both dispatch paths). Owns — and releases —
-    * the materialized `edgesN`/`nodes` relations. */
+    * the materialized `edgesN`/`nodes` relations. `seed = None` is
+    * q104's uniform-teleport PageRank; `Some(s)` is the PERSONALIZED
+    * variant (q136): all teleport mass — `TeleportMicros · |V|`, the
+    * same total the uniform walk distributes — re-enters at the seed,
+    * and the walk starts there (`10⁶ · |V|` at the seed, 0 elsewhere),
+    * so total mass matches q104's Σ r₀ = 10⁶·|V| and every update
+    * stays exact-Long. */
   private def rankLoop(spark: SparkSession, edgesN: DataFrame,
-      nodes: DataFrame, iters: Int, edgeBudget: Long): DataFrame = {
+      nodes: DataFrame, iters: Int, edgeBudget: Long,
+      seed: Option[Long] = None): DataFrame = {
+    val nNodes = nodes.count()
     if (edgesN.count() <= edgeBudget) {
-      val out = driverRank(spark, edgesN, nodes, iters)
+      val out = driverRank(spark, edgesN, nodes, iters, seed)
       releaseCheckpoint(edgesN)
       releaseCheckpoint(nodes)
       return out
     }
-    var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    val r0 = seed match {
+      case None => nodes.withColumn("r", lit(1000000L))
+      case Some(s) => nodes.withColumn("r",
+        when(col("node") === s, lit(1000000L * nNodes))
+          .otherwise(lit(0L)))
+    }
+    var ranks = r0.localCheckpoint()
     var round = 0
     while (round < iters) {
-      val next = rankStep(edgesN, nodes, ranks).localCheckpoint()
+      val next = rankStep(edgesN, nodes, ranks, seed, nNodes)
+        .localCheckpoint()
       releaseCheckpoint(ranks)
       ranks = next
       round += 1
@@ -149,16 +206,24 @@ object GraphRank {
 
   /** ONE synchronous rank round (lazy): contributions in, damped
     * teleport out — the exact integer arithmetic both dispatch paths
-    * and the unrolled oracle replay. */
+    * and the unrolled oracle replay. Uniform teleport for q104;
+    * seed-concentrated (`TeleportMicros · |V|` at the seed, 0
+    * elsewhere) for the personalized walk. */
   private def rankStep(edgesN: DataFrame, nodes: DataFrame,
-      ranks: DataFrame): DataFrame = {
+      ranks: DataFrame, seed: Option[Long] = None,
+      nNodes: Long = 0L): DataFrame = {
     val contrib = edgesN
       .join(ranks, edgesN("src") === ranks("node"))
       .select(col("dst").as("node"), expr("(r * w) div wout").as("c"))
       .groupBy("node").agg(sum(col("c")).as("s"))
+    val teleport = seed match {
+      case None => lit(TeleportMicros)
+      case Some(s) => when(col("node") === s,
+        lit(TeleportMicros * nNodes)).otherwise(lit(0L))
+    }
     nodes.join(contrib, Seq("node"), "left")
       .select(col("node"),
-        (lit(TeleportMicros) +
+        (teleport +
           expr(s"($DampingPct * coalesce(s, 0L)) div 100")).as("r"))
   }
 
@@ -611,9 +676,12 @@ object GraphRank {
   }
 
   /** ONE driver rank round over the dense arrays — the [[rankStep]]
-    * arithmetic verbatim. */
+    * arithmetic verbatim (`uniform` = q104's teleport; otherwise all
+    * teleport mass at `seedIdx`, none anywhere when the seed is not a
+    * graph node — exactly the distributed `when(node === s)`). */
   private def rankRound(r: Array[Long], src: Array[Int], dst: Array[Int],
-      w: Array[Long], wout: Array[Long]): Array[Long] = {
+      w: Array[Long], wout: Array[Long], uniform: Boolean = true,
+      seedIdx: Int = -1): Array[Long] = {
     val s = new Array[Long](r.length)
     var j = 0
     while (j < src.length) {
@@ -622,7 +690,10 @@ object GraphRank {
     val out = new Array[Long](r.length)
     var i = 0
     while (i < r.length) {
-      out(i) = TeleportMicros + DampingPct * s(i) / 100L; i += 1
+      val tp =
+        if (uniform) TeleportMicros
+        else if (i == seedIdx) TeleportMicros * r.length else 0L
+      out(i) = tp + DampingPct * s(i) / 100L; i += 1
     }
     out
   }
@@ -631,12 +702,22 @@ object GraphRank {
     * arrays — bit-identical by construction (exact Long arithmetic,
     * order-free sums). */
   private def driverRank(spark: SparkSession, edgesN: DataFrame,
-      nodes: DataFrame, iters: Int): DataFrame = {
+      nodes: DataFrame, iters: Int,
+      seed: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val (ns, src, dst, w, wout) = rankArrays(edgesN, nodes)
-    var r = Array.fill(ns.length)(1000000L)
+    val seedIdx = seed.map(s => ns.indexOf(s)).getOrElse(-1)
+    var r = seed match {
+      case None => Array.fill(ns.length)(1000000L)
+      case Some(_) =>
+        Array.tabulate(ns.length)(i =>
+          if (i == seedIdx) 1000000L * ns.length else 0L)
+    }
     var round = 0
-    while (round < iters) { r = rankRound(r, src, dst, w, wout); round += 1 }
+    while (round < iters) {
+      r = rankRound(r, src, dst, w, wout, uniform = seed.isEmpty, seedIdx)
+      round += 1
+    }
     ns.indices.map(i => (ns(i), r(i))).sortBy(_._1)
       .toDF("node", "rank_micros")
   }

@@ -279,6 +279,16 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
             s"algo must be pagerank|lpa, got '$other'")
       }
     })
+    server.createContext("/personalizedRank", handler { p =>
+      // q136: seeded random-walk relevance — importance from one
+      // item's point of view
+      val seed = p.getOrElse("seed", "0").toLong
+      val iters = p.getOrElse("iters", "10").toInt
+      if (iters < 1 || iters > 50)
+        throw new IllegalArgumentException("iters must be in 1..50")
+      graft.operators.GraphRank.personalizedRank(spark, dataDir, seed,
+        iters)
+    })
     server.createContext("/bfsHops", handler { p =>
       // q134: BFS hop distances from a seed item over the transition
       // graph — "how far is everything from this item"

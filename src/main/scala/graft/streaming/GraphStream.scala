@@ -191,6 +191,19 @@ object GraphStream {
       edgeBudget)
   }
 
+  /** Personalized PageRank over everything streamed into `outDir` so
+    * far — bit-identical to
+    * [[graft.operators.GraphRank.personalizedRankOn]] over the same
+    * events (shared loop; spec-pinned). */
+  def personalizedSnapshot(spark: SparkSession, outDir: String,
+      seed: Long = 0L, iters: Int = 10,
+      edgeBudget: Long =
+        graft.operators.GraphRank.DriverRankEdgeBudget): DataFrame = {
+    val (edges, nodes) = accumulatedGraph(spark, outDir)
+    graft.operators.GraphRank.personalizedRankOnGraph(edges, nodes, seed,
+      iters, edgeBudget)
+  }
+
   /** BFS hop distances over everything streamed into `outDir` so far
     * — bit-identical to [[graft.operators.GraphRank.bfsHopsOn]] over
     * the same events (shared loop; spec-pinned). */

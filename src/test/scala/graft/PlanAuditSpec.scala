@@ -377,7 +377,11 @@ class PlanAuditSpec extends SparkSpec {
     // The count over 6 is the q128 print artifact: the carrier's two
     // build exchanges reprint inside each nested InMemoryRelation
     // reference; execution builds the carrier once.
-    "q135_next_items" -> 7)
+    "q135_next_items" -> 7,
+    // q136: q104's audited shape (the measured driver path collects;
+    // the distributed loop's per-round shuffles run during
+    // construction behind checkpoints)
+    "q136_personalized_rank" -> 0)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

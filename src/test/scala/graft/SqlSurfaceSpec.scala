@@ -58,7 +58,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM bfs_hops(0, 6)" ->
         operators.GraphRank.bfsHops(spark, sf),
       "SELECT * FROM next_items(3)" ->
-        operators.GraphRank.nextItems(spark, sf))
+        operators.GraphRank.nextItems(spark, sf),
+      "SELECT * FROM personalized_rank(0, 10)" ->
+        operators.GraphRank.personalizedRank(spark, sf))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

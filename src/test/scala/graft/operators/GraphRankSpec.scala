@@ -225,6 +225,34 @@ class GraphRankSpec extends SparkSpec {
     assert(pair == Seq((2L, 2L), (2L, 2L), (2L, 2L)), s"pair $pair")
   }
 
+  test("personalized rank: hand trace of two seeded integer rounds") {
+    // seed 1, n = 3: r0 = (3e6, 0, 0); teleport = 450000 at the seed
+    // round 1: s(2) = 3e6/2, s(3) = 3e6/2 → (450000, 1275000, 1275000)
+    val r1 = GraphRank.personalizedRankOn(walk, seed = 1L, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 450000L, 2L -> 1275000L, 3L -> 1275000L),
+      s"round 1: $r1")
+    // round 2: s(1) = 1275000/2; s(2) = 450000/2 + 1275000/2 = 862500;
+    // s(3) = 450000/2 → (450000 + 541875, 733125, 191250)
+    val r2 = GraphRank.personalizedRankOn(walk, seed = 1L, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 991875L, 2L -> 733125L, 3L -> 191250L),
+      s"round 2: $r2")
+    // a seed outside the graph has nowhere to teleport: the all-zero
+    // fixed point, not a silent uniform fallback
+    val r9 = GraphRank.personalizedRankOn(walk, seed = 99L, iters = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(r9 == Set(0L), s"missing-seed ranks: $r9")
+  }
+
+  test("personalized rank: both dispatch paths agree on the sf corpus") {
+    val a = GraphRank.personalizedRank(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val b = GraphRank.personalizedRank(spark, sf, edgeBudget = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bfs hops: hand trace with a cycle, a depth bound, and an " +
       "unreachable node; both dispatch paths agree") {
     // directed chain with a back-edge: 0→1→2→3→1 (cycle), plus 9→0

@@ -216,6 +216,10 @@ class HttpServerSpec extends SparkSpec {
       assert(c53 == 200 && ni.contains("\"prob_ppm\""), ni.take(200))
       val (c54, _) = get(s"$base/nextItems?topK=0") // route cap
       assert(c54 == 400)
+      val (c55, pr) = get(s"$base/personalizedRank?seed=0&iters=5")
+      assert(c55 == 200 && pr.contains("\"rank_micros\""), pr.take(200))
+      val (c56, _) = get(s"$base/personalizedRank?iters=0") // route cap
+      assert(c56 == 400)
     } finally srv.stop()
   }
 }

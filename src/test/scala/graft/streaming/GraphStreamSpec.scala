@@ -76,6 +76,11 @@ class GraphStreamSpec extends SparkSpec {
         rankRows(GraphRank.bfsHopsOn(batchEv, seed = 0L,
           edgeBudget = budget)),
         s"hops mismatch at edgeBudget=$budget")
+      assert(rankRows(GraphStream.personalizedSnapshot(spark, outDir,
+          edgeBudget = budget)) ==
+        rankRows(GraphRank.personalizedRankOn(batchEv, seed = 0L,
+          edgeBudget = budget)),
+        s"personalized-rank mismatch at edgeBudget=$budget")
     }
     assert(GraphStream.nextItemsSnapshot(spark, outDir)
         .collect().map(_.toSeq).toSeq ==
