@@ -150,5 +150,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraphRank.personalizedRank(s, d,
         at(a, 0, longArg(_, "personalized_rank"), 0L),
         at(a, 1, intArg(_, "personalized_rank"), 10)))
+    registerTvf(ext, "hll_users")((s, d, _) => Sketches.hllUsers(s, d))
+    registerTvf(ext, "hll_daily")((s, d, _) => Sketches.hllUsersDaily(s, d))
+    registerTvf(ext, "heavy_hitters")((s, d, a) =>
+      Sketches.heavyHitters(s, d,
+        at(a, 0, longArg(_, "heavy_hitters"), Sketches.DefaultPhiPpm),
+        at(a, 1, intArg(_, "heavy_hitters"), Sketches.DefaultMgK)))
   }
 }

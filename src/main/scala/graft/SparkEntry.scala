@@ -371,6 +371,19 @@ object SparkEntry {
     // teleport mass at the seed (seeded random-walk relevance); same
     // shared loop, dispatch, and exact-Long arithmetic
     "q136_personalized_rank" -> ((s, d) => GraphRank.personalizedRank(s, d)),
+    // q137: HLL distinct users per event type + the cross-type union
+    // derived by MERGING per-type registers (not rescanning events),
+    // audited against the exact distinct (err_ppm). All-integer raw
+    // estimator — both engines compute identical registers + estimate
+    "q137_hll_users" -> ((s, d) => Sketches.hllUsers(s, d)),
+    // q138: the persisted-sketch rollup — day-grain registers built
+    // once; per-(type, day) estimates AND per-type all-days rollups
+    // from the same register relation (max re-aggregation)
+    "q138_hll_daily" -> ((s, d) => Sketches.hllUsersDaily(s, d)),
+    // q139: deterministic heavy hitters over the props.k catalog —
+    // Misra-Gries candidate pass (bounded memory, map-only) + exact
+    // verification of the candidate superset, so output is exact
+    "q139_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -2926,6 +2939,99 @@ object SparkEntry {
     "q104_pagerank" -> pageRankSql(10),
     // q136: the seeded-teleport variant of the same unrolled chain
     "q136_personalized_rank" -> personalizedRankSql(10, seed = 0L),
+    // q137/q138: HLL registers recomputed verbatim — the shared md5-60
+    // hash, j = h mod 256, rho = 1 + trailing zeros of h div 256 via
+    // the branch-free bit_count form; estimate in HUGEINT (Spark:
+    // DECIMAL(38,0)) with the exact-rational alpha 7213·m/(10000·m+10790)
+    "q137_hll_users" ->
+      raw"""WITH e AS (
+           SELECT event_type,
+                  ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                  1, 15))::BIGINT AS h,
+                  user_id
+           FROM events),
+         hr AS (
+           SELECT event_type, h % 256 AS j,
+                  CASE WHEN (h // 256) = 0 THEN 53
+                       ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1
+                  END AS rho
+           FROM e),
+         regs AS (SELECT event_type, j, max(rho) AS rho
+                  FROM hr GROUP BY 1, 2),
+         rall AS (SELECT 'ALL' AS event_type, j, max(rho) AS rho
+                  FROM regs GROUP BY 2),
+         r AS (SELECT * FROM regs UNION ALL SELECT * FROM rall),
+         s AS (SELECT event_type,
+                      sum(CAST(1::BIGINT << (62 - rho) AS HUGEINT))
+                        + (256 - count(*))
+                          * CAST(4611686018427387904 AS HUGEINT) AS ssum,
+                      256 - count(*) AS vz
+               FROM r GROUP BY 1),
+         raw AS (SELECT event_type, vz,
+                        CAST((CAST(7213 AS HUGEINT) * 256 * 256 * 256
+                              * CAST(4611686018427387904 AS HUGEINT))
+                             // (2570790 * ssum) AS BIGINT) AS est_raw
+                 FROM s),
+         est AS (SELECT event_type,
+                        CASE WHEN vz > 0 AND 2 * est_raw < 1280
+                             THEN CAST((${Sketches.lcTableSql})[vz + 1]
+                                       AS BIGINT)
+                             ELSE est_raw END AS est_distinct
+                 FROM raw),
+         ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+                FROM e GROUP BY 1
+                UNION ALL
+                SELECT 'ALL', count(DISTINCT user_id) FROM e)
+         SELECT est.event_type, est_distinct, exact_distinct,
+                CAST(CAST(abs(est_distinct - exact_distinct) AS HUGEINT)
+                     * 1000000 // exact_distinct AS BIGINT) AS err_ppm
+         FROM est JOIN ex ON est.event_type = ex.event_type
+         ORDER BY est.event_type""",
+    "q138_hll_daily" ->
+      raw"""WITH e AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+                  ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                  1, 15))::BIGINT AS h
+           FROM events),
+         hr AS (
+           SELECT event_type, dt, h % 256 AS j,
+                  CASE WHEN (h // 256) = 0 THEN 53
+                       ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1
+                  END AS rho
+           FROM e),
+         regs AS (SELECT event_type, dt, j, max(rho) AS rho
+                  FROM hr GROUP BY 1, 2, 3),
+         rall AS (SELECT event_type, 'ALL' AS dt, j, max(rho) AS rho
+                  FROM regs GROUP BY 1, 3),
+         r AS (SELECT * FROM regs UNION ALL SELECT * FROM rall),
+         s AS (SELECT event_type, dt,
+                      sum(CAST(1::BIGINT << (62 - rho) AS HUGEINT))
+                        + (256 - count(*))
+                          * CAST(4611686018427387904 AS HUGEINT) AS ssum,
+                      256 - count(*) AS vz
+               FROM r GROUP BY 1, 2),
+         raw AS (SELECT event_type, dt, vz,
+                        CAST((CAST(7213 AS HUGEINT) * 256 * 256 * 256
+                              * CAST(4611686018427387904 AS HUGEINT))
+                             // (2570790 * ssum) AS BIGINT) AS est_raw
+                 FROM s)
+         SELECT event_type, dt,
+                CASE WHEN vz > 0 AND 2 * est_raw < 1280
+                     THEN CAST((${Sketches.lcTableSql})[vz + 1] AS BIGINT)
+                     ELSE est_raw END AS est_distinct
+         FROM raw ORDER BY event_type, dt""",
+    // q139: the sketch pass is candidate generation only — the output
+    // contract is the exact threshold count, so the oracle is the
+    // plain group-by + having it is guaranteed to equal
+    "q139_heavy_hitters" ->
+      raw"""WITH e AS (
+           SELECT CAST(props->>'k' AS BIGINT) AS item FROM events
+           WHERE props->>'k' IS NOT NULL),
+         c AS (SELECT item, count(*) AS cnt FROM e GROUP BY item),
+         tot AS (SELECT count(*) AS n FROM e)
+         SELECT item, cnt FROM c, tot
+         WHERE cnt * 1000000 > n * 10500
+         ORDER BY cnt DESC, item""",
     // q105: per-user minimal step times — min(view), then min(click)
     // STRICTLY after it, then min(purchase) after that; count non-null
     // per step. NULL propagation in the CASE matches Spark's when().

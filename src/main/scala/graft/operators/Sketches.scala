@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Cardinality / frequency sketches — the approximate-aggregation layer a
+  * 100 TB engine needs where exact answers force a full shuffle of the
+  * key universe. No reference-repo counterpart (north-star extension):
+  * the reference's only distinct is the Redis DAU set (SURVEY §2.5 J5),
+  * which holds every member; these operators bound state/shuffle at a
+  * constant independent of cardinality.
+  *
+  * Two families:
+  *
+  *  - HyperLogLog distinct-count (Flajolet et al. 2007), expressed
+  *    RELATIONALLY: the register table `(scope, j, max(rho))` IS the
+  *    sketch, built by an ordinary hash-aggregate — map-side partial max
+  *    caps every task's shuffle contribution at m=256 rows per scope,
+  *    versus an exact distinct that shuffles every unique key. Because
+  *    `max` is idempotent/commutative/associative, register tables are
+  *    REUSABLE: persist them at a fine grain (per day) and answer any
+  *    coarser distinct (per month, global, cross-scope unions) by
+  *    re-aggregating 256-row groups — no rescan of the fact table
+  *    (q138). The estimate is pure integer arithmetic on the registers
+  *    (exact-rational alpha, 128-bit intermediates), so DuckDB ranks on
+  *    identical integers — no libm on the oracle boundary.
+  *
+  *  - Deterministic heavy hitters: a Misra–Gries (1982) candidate pass
+  *    (bounded memory, map-only, mapPartitions — genuine per-partition
+  *    imperative logic) followed by an EXACT counting pass restricted to
+  *    the candidates. MG guarantees every key with frequency > n/(k+1)
+  *    survives some partition's summary, so with k ≥ 1e6/phiPpm the
+  *    candidate set is a superset of the true heavy hitters and the
+  *    verified output is EXACT — independent of partitioning and merge
+  *    order (which is what makes it oracle-checkable; a raw sketch's
+  *    counter values are not).
+  *
+  * HLL bit layout on the shared 60-bit md5 hash (`TextFunctions.md5Long`
+  * convention, replicable in any engine): register index j = h mod 256,
+  * rho = 1 + trailing zeros of (h div 256) — trailing (not leading)
+  * zeros give the same geometric law and have a branch-free cross-engine
+  * form `bit_count(((r) & -(r)) - 1) + 1`. The estimate is the RAW
+  * harmonic-mean estimator only (alpha_m = 7213·m / (10000·m + 10790),
+  * the published 0.7213/(1+1.079/m) as an exact rational); the
+  * small-range linear-counting correction needs ln() and is deliberately
+  * left to the consumer — q137 therefore also reports the exact count
+  * and the signed error so accuracy is measured, not asserted.
+  */
+object Sketches {
+
+  /** Register count m = 2^p. 256 registers ≈ 6.5% standard error —
+    * 1 KB per scope, the classic production operating point. */
+  val P: Int = 8
+  val M: Int = 1 << P
+
+  /** 2^62 — the fixed-point one: register rho contributes 2^(62−rho). */
+  private val One62 = "CAST(4611686018427387904 AS DECIMAL(38,0))"
+
+  /** Linear-counting table: lc[v] = round(m·ln(m/v)) for v zero
+    * registers, v in 1..m (index 0 is an unused placeholder — the LC
+    * path requires v > 0). ln() runs ONCE on the driver to derive these
+    * plan-time constants (the md5-derived-minhash-constants discipline);
+    * both engines evaluate the same integer literals, so no libm sits on
+    * the query boundary. */
+  val LcTable: IndexedSeq[Long] =
+    0L +: (1 to M).map(v => Math.round(M * Math.log(M.toDouble / v)))
+
+  /** The table as a DuckDB list literal (1-indexed, same as Spark's
+    * element_at) — interpolated into the oracle SQL by SparkEntry. */
+  def lcTableSql: String = LcTable.mkString("[", ", ", "]")
+
+  /** Map-only projection: value → (j, rho). `value` must be a string
+    * column (callers cast); hash = md5-60 of "hll:"+value. Shared with
+    * the streaming twin ([[graft.streaming.SketchStream]]) so stream
+    * and batch hash identically. */
+  private[graft] def jRho(df: DataFrame, scopeCols: Seq[String],
+      value: Column): DataFrame =
+    df.select(scopeCols.map(col) :+ value.as("v"): _*)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("hll:"), col("v"))), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("j", expr(s"h % $M"))
+      .withColumn("rho", expr(
+        s"CAST(CASE WHEN (h div $M) = 0 THEN ${60 - P + 1} " +
+          s"ELSE bit_count(((h div $M) & -(h div $M)) - 1) + 1 END AS INT)"))
+      .select(scopeCols.map(col) :+ col("j") :+ col("rho"): _*)
+
+  /** The sketch as a relation: one row per (scope, register) observed.
+    * ONE hash-aggregate; partial max bounds shuffle at m rows per scope
+    * per task regardless of input cardinality. */
+  def hllRegisters(df: DataFrame, scopeCols: Seq[String],
+      value: Column): DataFrame =
+    jRho(df, scopeCols, value)
+      .groupBy((scopeCols :+ "j").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+
+  /** Merge registers to a coarser scope (drop grouping columns) — the
+    * sketch-algebra step: max re-aggregation, no fact-table rescan. */
+  def hllMerge(regs: DataFrame, scopeCols: Seq[String]): DataFrame =
+    regs.groupBy((scopeCols :+ "j").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+
+  /** HLL estimate per scope from a register relation. All-integer: raw
+    * S = Σ 2^(62−rho) over observed registers + 2^62 per absent one;
+    * raw est = (7213·m³·2^62) div ((10000·m+10790)·S) in DECIMAL(38,0);
+    * below the published 2.5m small-range threshold with v > 0 zero
+    * registers, the linear-counting value lc[v] (a plan-time integer
+    * table — see [[LcTable]]) replaces it, as in Flajolet et al. §4. */
+  def hllEstimate(regs: DataFrame, scopeCols: Seq[String]): DataFrame =
+    regs.groupBy(scopeCols.map(col): _*)
+      .agg(
+        sum(expr(
+          "CAST(shiftleft(CAST(1 AS BIGINT), 62 - rho) AS DECIMAL(38,0))"))
+          .as("sobs"),
+        count(lit(1)).as("nreg"))
+      .withColumn("ssum",
+        expr(s"sobs + CAST($M - nreg AS DECIMAL(38,0)) * $One62"))
+      .withColumn("est_raw", expr(
+        s"CAST((CAST(7213 AS DECIMAL(38,0)) * $M * $M * $M * $One62) " +
+          s"div (${10000L * M + 10790} * ssum) AS BIGINT)"))
+      .withColumn("est_distinct", expr(
+        s"CASE WHEN $M - nreg > 0 AND 2 * est_raw < ${5L * M} " +
+          s"THEN element_at(array(${LcTable.mkString(", ")}), " +
+          s"CAST($M - nreg + 1 AS INT)) ELSE est_raw END"))
+      .select(scopeCols.map(col) :+ col("est_distinct"): _*)
+
+  /** q137: HLL distinct users per event type PLUS the cross-type union
+    * ('ALL' — derived by MERGING the per-type registers, not rescanning
+    * events; union cardinality is not computable from per-type exact
+    * counts without a rescan, but sketches compose), audited against
+    * the exact distinct with a ppm error column. At 100 TB the two
+    * exact columns are dropped and only the register aggregate runs. */
+  def hllUsers(spark: SparkSession, dir: String): DataFrame =
+    hllUsersOn(Tables.events(spark, dir))
+
+  /** [[hllUsers]] over an explicit (event_type, user_id) relation. */
+  def hllUsersOn(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      col("user_id").cast("string").as("uid"))
+    val regs = hllRegisters(ev, Seq("event_type"), col("uid"))
+    // 5 types × ≤256 rows — cache the carrier, both branches reuse it
+    graft.Caches.register(regs.cache())
+    val all = hllMerge(regs.withColumn("event_type", lit("ALL")),
+      Seq("event_type"))
+    val est = hllEstimate(regs, Seq("event_type"))
+      .union(hllEstimate(all, Seq("event_type")))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("uid")).as("exact_distinct"))
+      .union(ev.agg(countDistinct(col("uid")).as("exact_distinct"))
+        .withColumn("event_type", lit("ALL"))
+        .select(col("event_type"), col("exact_distinct")))
+    est.join(exact, Seq("event_type"))
+      .withColumn("err_ppm", expr(
+        "CAST(CAST(abs(est_distinct - exact_distinct) AS DECIMAL(38,0)) " +
+          "* 1000000 div exact_distinct AS BIGINT)"))
+      .orderBy("event_type")
+  }
+
+  /** q138: the persisted-sketch rollup pattern — ONE day-grain register
+    * build, then per-(type, day) estimates AND per-type 30-day rollups
+    * ('ALL' day sentinel) from the same register relation. This is how
+    * a warehouse serves distinct-count dashboards at 100 TB: store
+    * 256-row register groups per partition, answer any time-range
+    * distinct by max-merging register rows — never rescanning facts. */
+  def hllUsersDaily(spark: SparkSession, dir: String): DataFrame =
+    hllUsersDailyOn(Tables.events(spark, dir))
+
+  /** [[hllUsersDaily]] over an explicit (event_type, ts, user_id)
+    * relation. */
+  def hllUsersDailyOn(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+      col("user_id").cast("string").as("uid"))
+    val regs = hllRegisters(ev, Seq("event_type", "dt"), col("uid"))
+    // types × days × ≤256 rows — the persisted sketch table
+    graft.Caches.register(regs.cache())
+    val rollup = hllMerge(regs.withColumn("dt", lit("ALL")),
+      Seq("event_type", "dt"))
+    hllEstimate(regs, Seq("event_type", "dt"))
+      .union(hllEstimate(rollup, Seq("event_type", "dt")))
+      .orderBy("event_type", "dt")
+  }
+
+  /** Default heavy-hitter threshold: 1.05% of occurrences (phi in ppm). */
+  val DefaultPhiPpm: Long = 10500L
+
+  /** Default Misra–Gries summary size; k ≥ 1e6/phi keeps the guarantee. */
+  val DefaultMgK: Int = 128
+
+  /** q139: frequent items over the event stream's `props.k` catalog —
+    * every item carrying > phi of all occurrences, with its EXACT
+    * count. Two passes: (1) map-only Misra–Gries per partition (k
+    * counters of bounded memory; the union of partition summaries is a
+    * guaranteed superset of the true heavy hitters for k ≥ 1/phi), (2)
+    * exact counts of the ≤ k·partitions candidates via a broadcast
+    * semi-filter + hash-agg — only candidate occurrences are counted,
+    * so the aggregate's key domain is candidate-bounded, never
+    * catalog-bounded. Output is exact ⇒ independent of partitioning and
+    * MG merge order, which is what makes a sketch oracle-checkable. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      phiPpm: Long = DefaultPhiPpm, k: Int = DefaultMgK): DataFrame = {
+    val items = Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+    heavyHittersOn(items, "item", phiPpm, k)
+  }
+
+  /** [[heavyHitters]] over an explicit single-column relation. */
+  def heavyHittersOn(df: DataFrame, itemCol: String,
+      phiPpm: Long, k: Int): DataFrame = {
+    require(phiPpm >= 1 && phiPpm <= 1000000L, "phiPpm in [1, 1e6]")
+    require(k + 1 >= 1000000L / phiPpm,
+      s"k=$k too small for phi=$phiPpm ppm: the Misra-Gries superset " +
+        s"guarantee needs k >= ${1000000L / phiPpm}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals: Dataset[Long] = df.select(col(itemCol).cast("long")).as[Long]
+    val cand = vals.mapPartitions(it => misraGries(it, k)).toDF(itemCol)
+      .distinct()
+    val tot = df.agg(count(lit(1)).as("n")) // 1 row — broadcast scalar
+    df.join(broadcast(cand), itemCol) // map-only candidate filter
+      .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .where(col("cnt") * lit(1000000L) > col("n") * lit(phiPpm))
+      .select(col(itemCol), col("cnt"))
+      .orderBy(desc("cnt"), col(itemCol))
+  }
+
+  /** Misra–Gries summary of one partition: at most k counters; every
+    * value with partition frequency > n_p/(k+1) survives. Decrement-all
+    * is amortized O(1) per element (each decrement round consumes k+1
+    * units of accumulated count mass). Returns surviving KEYS only —
+    * counts are sketch-order-dependent and deliberately discarded. */
+  private[operators] def misraGries(it: Iterator[Long],
+      k: Int): Iterator[Long] = {
+    val m = scala.collection.mutable.HashMap.empty[Long, Long]
+    while (it.hasNext) {
+      val x = it.next()
+      m.get(x) match {
+        case Some(c) => m.update(x, c + 1L)
+        case None if m.size < k => m.update(x, 1L)
+        case None =>
+          // decrement every counter; evict the ones that hit zero
+          m.mapValuesInPlace((_, v) => v - 1L)
+          m.filterInPlace((_, v) => v > 0L)
+      }
+    }
+    m.keysIterator.toArray.iterator
+  }
+}

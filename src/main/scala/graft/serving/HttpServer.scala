@@ -306,6 +306,22 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
         throw new IllegalArgumentException("topK must be in 1..100")
       graft.operators.GraphRank.nextItems(spark, dataDir, topK)
     })
+    server.createContext("/distinctUsers", handler { p =>
+      // q137: HLL distinct-user estimates per event type + cross-type
+      // union, with the exact-count audit columns
+      graft.operators.Sketches.hllUsers(spark, dataDir)
+    })
+    server.createContext("/heavyHitters", handler { p =>
+      // q139: exact frequent items via the Misra-Gries candidate pass
+      val phiPpm = p.getOrElse("phiPpm",
+        graft.operators.Sketches.DefaultPhiPpm.toString).toLong
+      val k = p.getOrElse("k",
+        graft.operators.Sketches.DefaultMgK.toString).toInt
+      if (k > 4096)
+        throw new IllegalArgumentException("k is limited to 4096")
+      // phi range + the k >= 1/phi guarantee guard live in the operator
+      graft.operators.Sketches.heavyHitters(spark, dataDir, phiPpm, k)
+    })
     server.createContext("/collocations", handler { p =>
       // PMI collocation mining (q127): top bigrams by the fixed-point
       // lift — phrase discovery served next to the corpus it describes

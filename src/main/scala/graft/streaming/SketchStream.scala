@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Sketches
+
+/** Streaming twin of the HLL distinct-count family (q137/q138): live
+  * per-key register maintenance with O(m) = 256 ints of state per key —
+  * the sketch answer to the reference's Redis DAU set (SURVEY §2.5 J5),
+  * which holds EVERY member seen. An exact streaming distinct
+  * ([[DauStream]]) carries state proportional to the cardinality it
+  * counts; this twin's state is a CONSTANT per key, so "distinct users
+  * ever, by type" stays serveable no matter how long the stream lives.
+  *
+  * Register updates are max-folds of the same (j, rho) projection the
+  * batch operator uses ([[Sketches.jRho]] — shared, so stream and batch
+  * hash identically). Because max is commutative/idempotent, arrival
+  * order, micro-batch boundaries, AND replayed epochs cannot change the
+  * final registers: the snapshot is pinned bit-equal to
+  * [[Sketches.hllRegisters]] over all events streamed so far, and the
+  * estimate rides the shared [[Sketches.hllEstimate]] stage.
+  *
+  * `NoTimeout` is deliberate and safe HERE (contrast
+  * `Sessionize.funnelStream`'s horizon eviction): state per key is a
+  * fixed 1 KB and the key domain is the event-type vocabulary, so total
+  * state is bounded by design, not by traffic. Keying by a high-
+  * cardinality column would need the usual event-time eviction. */
+object SketchStream {
+
+  /** One group's live sketch: register array indexed by j (0 where the
+    * register is unobserved — rho is always ≥ 1). */
+  case class HllRegs(event_type: String, regs: Array[Int])
+
+  /** Update-mode register maintenance over an (event_type, user_id)
+    * stream: emits each updated group's full register array per
+    * micro-batch (1 row × 256 ints — emission is sketch-sized, never
+    * event-sized). */
+  def hllUserStream(events: DataFrame): Dataset[HllRegs] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val jr = Sketches
+      .jRho(
+        events.select(col("event_type"),
+          col("user_id").cast("string").as("uid")),
+        Seq("event_type"), col("uid"))
+      .select(col("event_type"), col("j").cast("int").as("j"), col("rho"))
+      .as[(String, Int, Int)]
+    jr.groupByKey(_._1)
+      .flatMapGroupsWithState[HllRegs, HllRegs](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Int, Int)],
+            state: GroupState[HllRegs]) =>
+          val regs = state.getOption.map(_.regs.clone())
+            .getOrElse(new Array[Int](Sketches.M))
+          var changed = state.getOption.isEmpty
+          rows.foreach { case (_, j, rho) =>
+            if (rho > regs(j)) { regs(j) = rho; changed = true }
+          }
+          if (changed) {
+            val snap = HllRegs(key, regs)
+            state.update(snap)
+            Iterator.single(snap)
+          } else Iterator.empty
+      }
+  }
+
+  /** The latest emissions as a register RELATION (event_type, j, rho) —
+    * the bridge back into the shared batch stages. `latest` must hold
+    * one row per event_type (the last emission per key). */
+  def snapshotRegisters(latest: DataFrame): DataFrame =
+    latest
+      .select(col("event_type"), posexplode(col("regs")).as(Seq("j", "rho")))
+      .where(col("rho") > 0)
+      .select(col("event_type"), col("j").cast("long").as("j"), col("rho"))
+
+  /** Distinct-user estimates over everything streamed so far — the
+    * SHARED estimate stage, so bit-equal to
+    * [[Sketches.hllEstimate]]([[Sketches.hllRegisters]](batch)). */
+  def estimateSnapshot(latest: DataFrame): DataFrame =
+    Sketches.hllEstimate(snapshotRegisters(latest), Seq("event_type"))
+      .orderBy("event_type")
+}

@@ -52,7 +52,9 @@ class PlanAuditSpec extends SparkSpec {
     // crossed into both the query-term selection and the scoring
     "q130_more_like_this",
     // q132/q133: the 1-row kept-user-count broadcast (same pattern)
-    "q132_basket_lift", "q133_basket_rules")
+    "q132_basket_lift", "q133_basket_rules",
+    // q139: the 1-row occurrence-total broadcast (q64's total pattern)
+    "q139_heavy_hitters")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -381,7 +383,16 @@ class PlanAuditSpec extends SparkSpec {
     // q136: q104's audited shape (the measured driver path collects;
     // the distributed loop's per-round shuffles run during
     // construction behind checkpoints)
-    "q136_personalized_rank" -> 0)
+    "q136_personalized_rank" -> 0,
+    // q137: register hash-agg + merged-'ALL' re-agg + 2 estimate aggs
+    // + the two exact-distinct audit branches (2 exchanges each) +
+    // join + sort; at 100 TB only the register/estimate path runs
+    "q137_hll_users" -> 9,
+    // q138: day-grain register agg + rollup re-agg + 2 estimate aggs
+    // + union sort — the audit-free sketch path
+    "q138_hll_daily" -> 6,
+    // q139: candidate distinct + candidate-bounded count agg + sort
+    "q139_heavy_hitters" -> 3)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -60,7 +60,13 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM next_items(3)" ->
         operators.GraphRank.nextItems(spark, sf),
       "SELECT * FROM personalized_rank(0, 10)" ->
-        operators.GraphRank.personalizedRank(spark, sf))
+        operators.GraphRank.personalizedRank(spark, sf),
+      "SELECT * FROM hll_users()" ->
+        operators.Sketches.hllUsers(spark, sf),
+      "SELECT * FROM hll_daily()" ->
+        operators.Sketches.hllUsersDaily(spark, sf),
+      "SELECT * FROM heavy_hitters(10500, 128)" ->
+        operators.Sketches.heavyHitters(spark, sf))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

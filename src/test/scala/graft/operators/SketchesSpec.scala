@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions.md5LongScala
+import org.apache.spark.sql.functions._
+
+/** Sketches (q137–q139): HLL registers/estimate against an independent
+  * driver-side BigInt reference, the merge algebra, accuracy bounds,
+  * Misra–Gries hand traces + the superset guarantee, and exact-output
+  * parity for heavy hitters. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // —— independent HLL reference (plain Scala, no DataFrame plan) ——
+
+  private def refJRho(v: String): (Long, Int) = {
+    val h = md5LongScala("hll:" + v)
+    val rest = h / Sketches.M
+    val rho =
+      if (rest == 0L) 60 - Sketches.P + 1
+      else java.lang.Long.numberOfTrailingZeros(rest) + 1
+    (h % Sketches.M, rho)
+  }
+
+  private def refRegisters(vs: Seq[String]): Map[Long, Int] =
+    vs.map(refJRho).groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+
+  private def refEstimate(regs: Map[Long, Int]): Long = {
+    val m = Sketches.M
+    val s = regs.values.map(r => BigInt(1) << (62 - r)).sum +
+      (BigInt(m) - regs.size) * (BigInt(1) << 62)
+    val raw = (BigInt(7213) * m * m * m * (BigInt(1) << 62)) /
+      (BigInt(10000L * m + 10790) * s)
+    val vz = m - regs.size
+    if (vz > 0 && 2 * raw < BigInt(5 * m)) Sketches.LcTable(vz)
+    else raw.toLong
+  }
+
+  test("hll registers equal the independent md5/trailing-zero reference") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+    val got = Sketches
+      .hllRegisters(ev, Seq("event_type"), col("uid"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val byType = ev.collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+    val want = byType.flatMap { case (t, rows) =>
+      refRegisters(rows.map(_._2).toSeq).map { case (j, rho) =>
+        (t, j) -> rho
+      }
+    }
+    assert(got == want)
+  }
+
+  test("register tables merge associatively: split halves re-aggregate " +
+    "to the whole-corpus sketch") {
+    val vs = (0 until 3000).map(i => s"user-$i")
+    val (a, b) = vs.splitAt(1300)
+    // duplicate overlap across the halves: unions must not double-count
+    val regsA = refRegisters(a ++ b.take(200))
+    val regsB = refRegisters(b)
+    val merged = (regsA.keySet ++ regsB.keySet).map { j =>
+      j -> math.max(regsA.getOrElse(j, 0), regsB.getOrElse(j, 0))
+    }.toMap
+    assert(merged == refRegisters(vs ++ b.take(200)))
+    // and the relational hllMerge computes the same thing
+    val df = (a.map(("x", _)) ++ b.map(("y", _))).toDF("half", "v")
+    val regs = Sketches.hllRegisters(df, Seq("half"), col("v"))
+    val got = Sketches
+      .hllMerge(regs.withColumn("half", lit("ALL")), Seq("half"))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(got == refRegisters(vs))
+  }
+
+  test("hll estimate equals the BigInt reference on both the raw and " +
+    "linear-counting paths") {
+    // small scope → LC path; large scope → raw path
+    val small = (0 until 80).map(i => ("s", s"v$i"))
+    val large = (0 until 5000).map(i => ("l", s"v$i"))
+    val df = (small ++ large).toDF("scope", "v")
+    val est = Sketches
+      .hllEstimate(
+        Sketches.hllRegisters(df, Seq("scope"), col("v")), Seq("scope"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val refS = refEstimate(refRegisters(small.map(_._2)))
+    val refL = refEstimate(refRegisters(large.map(_._2)))
+    assert(est == Map("s" -> refS, "l" -> refL))
+    // the small scope actually exercised linear counting: near-exact
+    assert(math.abs(refS - 80) <= 8, s"LC estimate $refS far from 80")
+    // the large scope is in the raw regime: within 3σ = 3·1.04/√256
+    assert(math.abs(refL - 5000) <= 5000 * 20 / 100, s"raw $refL vs 5000")
+  }
+
+  test("q137 audit columns: estimate within 3 sigma of exact at sf") {
+    val rows = Sketches.hllUsers(spark, sf).collect()
+    graft.Caches.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact) <= math.max(2, exact * 20 / 100),
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+  }
+
+  // —— Misra–Gries / heavy hitters ——
+
+  test("misra-gries hand trace: k=2 over a 3-symbol stream") {
+    // stream 1 1 2 3 1 2: MG(k=2) — {1:2} {1:2,2:1} full→decrement on 3
+    // → {1:1}, then {1:2} {1:2,2:1}; survivors {1,2}
+    val out = Sketches
+      .misraGries(Iterator(1L, 1L, 2L, 3L, 1L, 2L), k = 2).toSet
+    assert(out == Set(1L, 2L))
+    // all-distinct stream: the decrement on 3 cancels 1 and 2, so only
+    // the trailing 4 survives
+    val out2 = Sketches.misraGries(Iterator(1L, 2L, 3L, 4L), k = 2).toSet
+    assert(out2 == Set(4L))
+  }
+
+  test("misra-gries superset guarantee: every key with freq > n/(k+1) " +
+    "survives, under adversarial ordering") {
+    val rnd = new scala.util.Random(13)
+    // skewed stream: key i has weight ~ 1/(i+1)
+    val stream = Seq.fill(5000)(math.min(99L,
+      (math.pow(rnd.nextDouble(), 3) * 100).toLong))
+    for (order <- Seq(stream, stream.sorted, stream.sortBy(-_))) {
+      val k = 16
+      val heavy = order.groupBy(identity).collect {
+        case (x, xs) if xs.size > order.size / (k + 1) => x
+      }.toSet
+      val cand = Sketches.misraGries(order.iterator, k).toSet
+      assert(heavy.subsetOf(cand),
+        s"missing ${heavy -- cand} from MG candidates")
+    }
+  }
+
+  test("heavyHittersOn equals the brute-force threshold count, at any " +
+    "partitioning") {
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(4000)(
+      (math.pow(rnd.nextDouble(), 2) * 50).toLong)
+    val phiPpm = 30000L // 3%
+    val brute = data.groupBy(identity).toSeq
+      .collect { case (x, xs)
+        if xs.size.toLong * 1000000L > data.size.toLong * phiPpm =>
+        (x, xs.size.toLong)
+      }
+      .sortBy { case (x, c) => (-c, x) }
+    for (parts <- Seq(1, 3, 32)) {
+      val df = spark.createDataset(data).repartition(parts).toDF("item")
+      val got = Sketches.heavyHittersOn(df, "item", phiPpm, k = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == brute, s"parts=$parts")
+    }
+  }
+
+  test("heavy hitters guardrails: k too small for phi is refused") {
+    val df = Seq(1L).toDF("item")
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHittersOn(df, "item", phiPpm = 1000L, k = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHittersOn(df, "item", phiPpm = 0L, k = 64)
+    }
+  }
+}

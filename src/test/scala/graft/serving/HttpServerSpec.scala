@@ -220,6 +220,15 @@ class HttpServerSpec extends SparkSpec {
       assert(c55 == 200 && pr.contains("\"rank_micros\""), pr.take(200))
       val (c56, _) = get(s"$base/personalizedRank?iters=0") // route cap
       assert(c56 == 400)
+      val (c57, du) = get(s"$base/distinctUsers")
+      assert(c57 == 200 && du.contains("\"est_distinct\"")
+        && du.contains("\"ALL\""), du.take(200))
+      val (c58, hh) = get(s"$base/heavyHitters?phiPpm=10500&k=128")
+      assert(c58 == 200 && hh.contains("\"cnt\""), hh.take(200))
+      val (c59, _) = get(s"$base/heavyHitters?phiPpm=1000&k=64") // MG guard
+      assert(c59 == 400)
+      val (c60, _) = get(s"$base/heavyHitters?k=99999") // route cap
+      assert(c60 == 400)
     } finally srv.stop()
   }
 }

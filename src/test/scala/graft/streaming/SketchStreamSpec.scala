@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Sketches
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Streaming twin of the HLL distinct family (q137): O(m)-state
+  * register maintenance pinned bit-equal to the batch sketch, across
+  * micro-batch boundaries, duplicate deliveries, and a checkpoint
+  * restart. */
+class SketchStreamSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // overlapping user sets per type: the per-type sketches differ and the
+  // merged union is not the sum of the parts
+  private def fixture: Seq[(String, Long)] =
+    (0L until 300L).map(u => ("view", u)) ++
+      (150L until 500L).map(u => ("click", u)) ++
+      (0L until 40L).map(u => ("buy", u * 7))
+
+  private def runStream(chunks: Seq[Seq[(String, Long)]],
+      checkpoint: Option[String] = None,
+      acc: ConcurrentHashMap[String, Array[Int]] =
+        new ConcurrentHashMap[String, Array[Int]](),
+      emissions: AtomicInteger = new AtomicInteger())
+      : (ConcurrentHashMap[String, Array[Int]], AtomicInteger) = {
+    val mem = MemoryStream[(String, Long)]
+    val base = mem.toDF().toDF("event_type", "user_id")
+      .transform(SketchStream.hllUserStream(_).toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach { r =>
+          emissions.incrementAndGet()
+          acc.put(r.getString(0), r.getSeq[Int](1).toArray)
+        }
+      }
+    val q = checkpoint.fold(base)(c => base.option("checkpointLocation", c))
+      .start()
+    chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    (acc, emissions)
+  }
+
+  private def latestDf(acc: ConcurrentHashMap[String, Array[Int]])
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    acc.asScala.toSeq.map { case (t, r) => SketchStream.HllRegs(t, r) }
+      .toDF()
+  }
+
+  private def batchRegs(ev: Seq[(String, Long)]): DataFrame =
+    Sketches.hllRegisters(
+      ev.toDF("event_type", "user_id")
+        .select(col("event_type"), col("user_id").cast("string").as("uid")),
+      Seq("event_type"), col("uid"))
+
+  test("stream registers and estimates are bit-equal to the batch " +
+    "sketch, whatever the micro-batch chunking") {
+    for (chunk <- Seq(7, 113, 1000)) {
+      val (acc, _) = runStream(fixture.grouped(chunk).toSeq)
+      val got = SketchStream.snapshotRegisters(latestDf(acc))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val want = batchRegs(fixture)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(got == want, s"chunk=$chunk")
+      val gotEst = SketchStream.estimateSnapshot(latestDf(acc))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val wantEst = Sketches.hllEstimate(batchRegs(fixture),
+          Seq("event_type"))
+        .orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(gotEst == wantEst)
+    }
+  }
+
+  test("duplicate delivery is absorbed silently: replaying every event " +
+    "emits nothing and changes nothing") {
+    val (acc, emissions) = runStream(Seq(fixture))
+    val afterFirst = emissions.get()
+    val snapBefore = SketchStream.snapshotRegisters(latestDf(acc))
+      .collect().toSet
+    // same events again, same accumulators: max-fold is idempotent, so
+    // no register moves and the operator emits zero rows
+    runStream(Seq(fixture, fixture), acc = acc, emissions = emissions)
+    // the second run re-emits on ITS first batch (fresh state), but its
+    // duplicate second batch must be silent
+    val perBatch = emissions.get() - afterFirst
+    assert(perBatch <= 3, s"duplicate batch emitted: $perBatch emissions")
+    assert(SketchStream.snapshotRegisters(latestDf(acc)).collect().toSet
+      == snapBefore)
+  }
+
+  test("checkpoint restart resumes the registers: half before a stop, " +
+    "half after, final state equals the one-shot batch sketch") {
+    val ckpt = Files.createTempDirectory("hll_ckpt").toString
+    val (a, b) = fixture.splitAt(fixture.size / 2)
+    val acc = new ConcurrentHashMap[String, Array[Int]]()
+    val mem = MemoryStream[(String, Long)]
+    def start() = mem.toDF().toDF("event_type", "user_id")
+      .transform(SketchStream.hllUserStream(_).toDF())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach { r =>
+          acc.put(r.getString(0), r.getSeq[Int](1).toArray)
+        }
+      }.start()
+    val q1 = start()
+    mem.addData(a: _*); q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    mem.addData(b: _*); q2.processAllAvailable(); q2.stop()
+    val got = SketchStream.snapshotRegisters(latestDf(acc))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val want = batchRegs(fixture)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+}
