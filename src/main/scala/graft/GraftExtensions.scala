@@ -156,5 +156,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Sketches.heavyHitters(s, d,
         at(a, 0, longArg(_, "heavy_hitters"), Sketches.DefaultPhiPpm),
         at(a, 1, intArg(_, "heavy_hitters"), Sketches.DefaultMgK)))
+    registerTvf(ext, "zorder_layout")((s, d, a) =>
+      Warehouse.zorderLayout(s, d,
+        at(a, 0, intArg(_, "zorder_layout"), Warehouse.ZShift)))
   }
 }

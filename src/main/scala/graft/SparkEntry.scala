@@ -384,6 +384,10 @@ object SparkEntry {
     // Misra-Gries candidate pass (bounded memory, map-only) + exact
     // verification of the candidate superset, so output is exact
     "q139_heavy_hitters" -> ((s, d) => Sketches.heavyHitters(s, d)),
+    // q140: Z-order layout report — bit-interleaved (user, item) keys,
+    // map-only quadrant file assignment (no global sort), per-file
+    // min/max footer stats showing BOTH dimensions bounded
+    "q140_zorder_layout" -> ((s, d) => Warehouse.zorderLayout(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -3032,6 +3036,21 @@ object SparkEntry {
          SELECT item, cnt FROM c, tot
          WHERE cnt * 1000000 > n * 10500
          ORDER BY cnt DESC, item""",
+    // q140: the interleave is the SAME generated shift/mask sum on
+    // both sides (Warehouse.zorderTermsSql), so file ids and footer
+    // stats are integer-identical
+    "q140_zorder_layout" ->
+      raw"""WITH e AS (
+           SELECT user_id, CAST(props->>'k' AS BIGINT) AS item
+           FROM events WHERE props->>'k' IS NOT NULL),
+         z AS (SELECT user_id, item,
+                      ${Warehouse.zorderTermsSql("user_id", "item")} AS zkey
+               FROM e)
+         SELECT zkey // ${1L << Warehouse.ZShift} AS file_id,
+                count(*) AS cnt,
+                min(user_id) AS u_min, max(user_id) AS u_max,
+                min(item) AS i_min, max(item) AS i_max
+         FROM z GROUP BY 1 ORDER BY 1""",
     // q105: per-user minimal step times — min(view), then min(click)
     // STRICTLY after it, then min(purchase) after that; count non-null
     // per step. NULL propagation in the CASE matches Spark's when().

@@ -105,6 +105,95 @@ object Warehouse {
       .orderBy("key", "version")
   }
 
+  // ——— Z-order data layout (multi-dimensional clustering) ———
+
+  /** Bits per dimension in the interleaved key. 21 bits cover values
+    * up to 2,097,151 — the event `user_id` domain through sf100 and the
+    * whole `props.k` catalog; a wider domain needs a wider key (bits
+    * above `ZBits` would alias distant values into one quadrant). */
+  val ZBits: Int = 21
+
+  /** Default quadrant shift: file = zkey >> 10, i.e. a 32×32-aligned
+    * rectangle of (x, y) space per file. */
+  val ZShift: Int = 10
+
+  /** The bit-interleave as a SQL arithmetic string — SHARED with the
+    * DuckDB oracle (SparkEntry interpolates the same string), so both
+    * engines evaluate literally identical shift/mask sums. `x` takes
+    * the odd bit positions (major), `y` the even. */
+  def zorderTermsSql(x: String, y: String, bits: Int = ZBits): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i + 1})",
+      s"((($y >> $i) & 1) << ${2 * i})")).mkString(" + ")
+
+  /** q140: the Z-order layout report over the (user_id, item) event
+    * space — the multi-dimensional clustering pass (Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`) a 100 TB warehouse runs so that range
+    * predicates on EITHER dimension prune files. File assignment is
+    * `zkey >> shift`: a fixed z-curve quadrant (a 2^(shift/2)-square
+    * rectangle of key space) — MAP-ONLY, no global sort, embarrassingly
+    * parallel, and deterministic under any partitioning (contrast
+    * row_number-based file splits, which need a total order). The
+    * report is each file's row count and per-dimension min/max — the
+    * parquet-footer stats a scan planner would prune on; bounded
+    * bounding boxes on both dimensions are the whole point (a
+    * row-arrival layout bounds neither). */
+  def zorderLayout(spark: SparkSession, dir: String,
+      shift: Int = ZShift): DataFrame =
+    zorderLayoutOn(
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .where(col("item").isNotNull),
+      "user_id", "item", shift)
+
+  /** [[zorderLayout]] over an explicit two-dimension relation. */
+  def zorderLayoutOn(df: DataFrame, x: String, y: String,
+      shift: Int): DataFrame = {
+    require(shift >= 2 && shift <= 2 * ZBits && shift % 2 == 0,
+      "shift must be even, in [2, 2*ZBits] (square quadrants)")
+    df.withColumn("zkey", expr(zorderTermsSql(x, y)))
+      .withColumn("file_id", expr(s"zkey div ${1L << shift}"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("cnt"),
+        min(col(x)).as("u_min"), max(col(x)).as("u_max"),
+        min(col(y)).as("i_min"), max(col(y)).as("i_max"))
+      .orderBy("file_id")
+  }
+
+  /** The write path: cluster `df` into z-quadrant files on disk
+    * (`file_id=<q>` partitions). At cluster scale the same expression
+    * feeds `repartitionByRange(zkey)` + a sorted write; the partitioned
+    * form keeps the quadrant boundary VISIBLE to the reader — a
+    * predicate on either dimension becomes a `file_id IN (...)`
+    * partition filter (see the spec's pruning assertion). */
+  def zorderWrite(df: DataFrame, x: String, y: String, outDir: String,
+      shift: Int = ZShift): Unit =
+    df.withColumn("zkey", expr(zorderTermsSql(x, y)))
+      .withColumn("file_id", expr(s"zkey div ${1L << shift}"))
+      .drop("zkey")
+      .repartition(col("file_id"))
+      .write.mode("overwrite").partitionBy("file_id").parquet(outDir)
+
+  /** The quadrants a range predicate `x ∈ [xLo, xHi], y ∈ [yLo, yHi]`
+    * can touch — the reader-side pruning computation (driver-side over
+    * the quadrant grid, ≤ (range/cell)² cells). Pass `Long.MaxValue`
+    * bounds for an unconstrained dimension capped at `max+1`. */
+  def zorderQuadrants(xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+      shift: Int = ZShift): Seq[Long] = {
+    require(shift % 2 == 0, "shift must be even (square quadrants)")
+    val cell = 1L << (shift / 2) // quadrant side in each dimension
+    (for {
+      qx <- xLo / cell to xHi / cell
+      qy <- yLo / cell to yHi / cell
+    } yield interleaveScala(qx * cell, qy * cell) >> shift).distinct.sorted
+  }
+
+  /** Driver-side twin of [[zorderTermsSql]] for plan-time constants. */
+  def interleaveScala(x: Long, y: Long): Long =
+    (0 until ZBits).foldLeft(0L)((acc, i) =>
+      acc + (((x >> i) & 1L) << (2 * i + 1)) + (((y >> i) & 1L) << (2 * i)))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()

@@ -392,7 +392,9 @@ class PlanAuditSpec extends SparkSpec {
     // + union sort — the audit-free sketch path
     "q138_hll_daily" -> 6,
     // q139: candidate distinct + candidate-bounded count agg + sort
-    "q139_heavy_hitters" -> 3)
+    "q139_heavy_hitters" -> 3,
+    // q140: file-grain stats agg + sort — zkey/file_id are map-only
+    "q140_zorder_layout" -> 2)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -66,7 +66,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM hll_daily()" ->
         operators.Sketches.hllUsersDaily(spark, sf),
       "SELECT * FROM heavy_hitters(10500, 128)" ->
-        operators.Sketches.heavyHitters(spark, sf))
+        operators.Sketches.heavyHitters(spark, sf),
+      "SELECT * FROM zorder_layout(10)" ->
+        operators.Warehouse.zorderLayout(spark, sf))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

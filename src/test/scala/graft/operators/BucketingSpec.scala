@@ -30,4 +30,100 @@ class BucketingSpec extends SparkSpec {
     val b = plain.collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  // ——— Z-order layout (q140) ———
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("z-key interleave: hand trace and SQL ≡ Scala on random values") {
+    // user=5 (101b) on odd bits → 2+32=34; item=3 (011b) on even → 1+4=5
+    assert(Warehouse.interleaveScala(5L, 3L) == 39L)
+    assert(Warehouse.interleaveScala(0L, 0L) == 0L)
+    val rnd = new scala.util.Random(99)
+    val pts = Seq.fill(200)((rnd.nextInt(1 << 21).toLong,
+      rnd.nextInt(1 << 21).toLong))
+    val got = pts.toDF("x", "y")
+      .withColumn("z", expr(Warehouse.zorderTermsSql("x", "y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == Warehouse.interleaveScala(x, y))
+    }
+  }
+
+  test("quadrant identity: zkey >> shift addresses the aligned " +
+    "2^(s/2)-square cell — interleave(x >> s/2, y >> s/2)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 500; shift <- Seq(4, 10, 16)) {
+      val (x, y) = (rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong)
+      assert((Warehouse.interleaveScala(x, y) >> shift) ==
+        Warehouse.interleaveScala(x >> (shift / 2), y >> (shift / 2)),
+        s"x=$x y=$y shift=$shift")
+    }
+  }
+
+  test("z-layout bounds BOTH dimensions per file; arrival order bounds " +
+    "neither — an item-range predicate prunes only under z") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+    val zRep = Warehouse.zorderLayoutOn(ev, "user_id", "item", shift = 10)
+      .collect().map(r => (r.getLong(4), r.getLong(5))) // (i_min, i_max)
+    // arrival-order baseline: files of equal size in event_id order
+    val n = ev.count()
+    val per = math.max(1L, n / zRep.length) // same file count
+    val naive = ev
+      .withColumn("file_id", expr(s"event_id div $per"))
+      .groupBy("file_id")
+      .agg(min(col("item")).as("i_min"), max(col("item")).as("i_max"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def overlapping(rep: Seq[(Long, Long)], lo: Long, hi: Long) =
+      rep.count { case (mn, mx) => mx >= lo && mn <= hi }
+    val (zTouch, nTouch) =
+      (overlapping(zRep.toSeq, 10, 19), overlapping(naive.toSeq, 10, 19))
+    assert(zTouch < nTouch,
+      s"z-layout must prune: z touches $zTouch of ${zRep.length}, " +
+        s"arrival $nTouch of ${naive.length}")
+    assert(zTouch <= zRep.length / 2, s"z pruning too weak: $zTouch")
+  }
+
+  test("zorderWrite: partitioned quadrants round-trip, and a range " +
+    "predicate becomes a partition filter over zorderQuadrants") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val rnd = new scala.util.Random(3)
+    val pts = Seq.fill(2000)((rnd.nextInt(200).toLong,
+      rnd.nextInt(100).toLong))
+    val df = pts.toDF("x", "y")
+    Warehouse.zorderWrite(df, "x", "y", dir)
+    val back = spark.read.parquet(dir)
+    assert(back.select("x", "y").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).sorted.toSeq == pts.sorted)
+    // reader-side pruning: quadrants for y ∈ [10, 19], x unconstrained
+    val quads = Warehouse.zorderQuadrants(0L, 255L, 10L, 19L)
+    val pruned = back.where(col("file_id").isin(quads: _*)
+      && col("y").between(10, 19))
+    val want = pts.filter { case (_, y) => y >= 10 && y <= 19 }.sorted
+    assert(pruned.select("x", "y").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).sorted.toSeq == want,
+      "quadrant pruning must not lose rows")
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("file_id"),
+      s"expected a partition filter on file_id, plan:\n$plan")
+    // and it actually pruned: the scan read fewer files than the table
+    // has (inputFiles ignores partition filters; the scan metric does
+    // not — it reports the post-pruning selection)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val all = back.inputFiles.length
+    val read = filesRead(pruned)
+    assert(read < all && read > 0, s"pruned scan read $read of $all")
+  }
 }
