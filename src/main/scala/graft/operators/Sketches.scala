@@ -215,11 +215,17 @@ object Sketches {
         s"guarantee needs k >= ${1000000L / phiPpm}")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals: Dataset[Long] = df.select(col(itemCol).cast("long")).as[Long]
-    val cand = vals.mapPartitions(it => misraGries(it, k)).toDF(itemCol)
-      .distinct()
-    val tot = df.agg(count(lit(1)).as("n")) // 1 row — broadcast scalar
-    df.join(broadcast(cand), itemCol) // map-only candidate filter
+    // BOTH passes traverse the item column (candidates, then exact
+    // counts), so materialize the 8-byte projection once — the carrier
+    // is one column, not the fact table, and spills past memory. This
+    // also pays the upstream extraction (a JSON path here) once.
+    val items = graft.Caches.register(
+      df.select(col(itemCol).cast("long").as(itemCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = items.as[Long].mapPartitions(it => misraGries(it, k))
+      .toDF(itemCol).distinct()
+    val tot = items.agg(count(lit(1)).as("n")) // 1 row — broadcast scalar
+    items.join(broadcast(cand), itemCol) // map-only candidate filter
       .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(tot))
       .where(col("cnt") * lit(1000000L) > col("n") * lit(phiPpm))
