@@ -159,5 +159,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerTvf(ext, "zorder_layout")((s, d, a) =>
       Warehouse.zorderLayout(s, d,
         at(a, 0, intArg(_, "zorder_layout"), Warehouse.ZShift)))
+    registerTvf(ext, "concurrent_orders")((s, d, a) =>
+      IntervalJoin.concurrentOrders(s, d,
+        at(a, 0, longArg(_, "concurrent_orders"),
+          IntervalJoin.OrderCellDays)))
   }
 }

@@ -388,6 +388,11 @@ object SparkEntry {
     // map-only quadrant file assignment (no global sort), per-file
     // min/max footer stats showing BOTH dimensions bounded
     "q140_zorder_layout" -> ((s, d) => Warehouse.zorderLayout(s, d)),
+    // q141: interval-overlap join via cell decomposition — concurrent
+    // fulfillment windows per customer; an equi-join on (customer,
+    // cell) + exact re-verify + first-shared-cell dedup, never an
+    // inequality-only NLJ/cartesian
+    "q141_concurrent_orders" -> ((s, d) => IntervalJoin.concurrentOrders(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -3051,6 +3056,30 @@ object SparkEntry {
                 min(user_id) AS u_min, max(user_id) AS u_max,
                 min(item) AS i_min, max(item) AS i_max
          FROM z GROUP BY 1 ORDER BY 1""",
+    // q141: DuckDB plans the inequality pair natively (IEJoin); the
+    // engine's cell decomposition must reproduce it pair-for-pair
+    "q141_concurrent_orders" ->
+      raw"""WITH ow0 AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                       AS BIGINT) AS d_ord,
+                  CAST(CAST(max(l_shipdate) AS DATE) - DATE '1970-01-01'
+                       AS BIGINT) AS d_ship
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           GROUP BY o_orderkey, o_custkey, o_orderdate),
+         ow AS (
+           SELECT o_orderkey, o_custkey,
+                  least(d_ord, d_ship) AS lo, greatest(d_ord, d_ship) AS hi
+           FROM ow0)
+         SELECT a.o_custkey,
+                a.o_orderkey AS a_orderkey, b.o_orderkey AS b_orderkey,
+                least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1
+                  AS overlap_days
+         FROM ow a JOIN ow b
+           ON a.o_custkey = b.o_custkey
+          AND a.o_orderkey < b.o_orderkey
+          AND a.lo <= b.hi AND b.lo <= a.hi
+         ORDER BY 1, 2, 3""",
     // q105: per-user minimal step times — min(view), then min(click)
     // STRICTLY after it, then min(purchase) after that; count non-null
     // per step. NULL propagation in the CASE matches Spark's when().

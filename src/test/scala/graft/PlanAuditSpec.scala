@@ -394,7 +394,10 @@ class PlanAuditSpec extends SparkSpec {
     // q139: candidate distinct + candidate-bounded count agg + sort
     "q139_heavy_hitters" -> 3,
     // q140: file-grain stats agg + sort — zkey/file_id are map-only
-    "q140_zorder_layout" -> 2)
+    "q140_zorder_layout" -> 2,
+    // q141: window agg (orders⋈lineitem) into the cached carrier +
+    // the (custkey, cell) equi-join sides + sort — never an NLJ
+    "q141_concurrent_orders" -> 5)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

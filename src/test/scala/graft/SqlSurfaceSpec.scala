@@ -68,7 +68,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM heavy_hitters(10500, 128)" ->
         operators.Sketches.heavyHitters(spark, sf),
       "SELECT * FROM zorder_layout(10)" ->
-        operators.Warehouse.zorderLayout(spark, sf))
+        operators.Warehouse.zorderLayout(spark, sf),
+      "SELECT * FROM concurrent_orders(128)" ->
+        operators.IntervalJoin.concurrentOrders(spark, sf))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)
