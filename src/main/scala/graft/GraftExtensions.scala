@@ -163,5 +163,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       IntervalJoin.concurrentOrders(s, d,
         at(a, 0, longArg(_, "concurrent_orders"),
           IntervalJoin.OrderCellDays)))
+    registerTvf(ext, "hist_quantiles")((s, d, _) =>
+      Sketches.histQuantiles(s, d))
+    registerTvf(ext, "quality_report")((s, d, _) =>
+      Checks.qualityReport(s, d))
   }
 }

@@ -393,6 +393,15 @@ object SparkEntry {
     // cell) + exact re-verify + first-shared-cell dedup, never an
     // inequality-only NLJ/cartesian
     "q141_concurrent_orders" -> ((s, d) => IntervalJoin.concurrentOrders(s, d)),
+    // q142: histogram-sketch quantiles (p50/p95/p99) per event type +
+    // SUM-merged 'ALL' rollup, audited against the exact order
+    // statistic — estimate and truth share one cumulative-walk code
+    // path at two grid resolutions
+    "q142_hist_quantiles" -> ((s, d) => Sketches.histQuantiles(s, d)),
+    // q143: Deequ-role data-quality report — one aggregation pass per
+    // table (completeness/compliance/uniqueness/freshness as integer
+    // ppm) + one broadcast anti-join per foreign key (orphan counts)
+    "q143_quality_report" -> ((s, d) => Checks.qualityReport(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -3080,6 +3089,112 @@ object SparkEntry {
           AND a.o_orderkey < b.o_orderkey
           AND a.lo <= b.hi AND b.lo <= a.hi
          ORDER BY 1, 2, 3""",
+    // q142: same fixed 1024×0.5 grid, same SUM-merged rollup, same
+    // ceil(n·q/100) cumulative walk at bucket and exact-value
+    // resolution; floor(value·10⁶) is IEEE-identical cross-engine
+    "q142_hist_quantiles" ->
+      raw"""WITH e AS (SELECT event_type, value FROM events),
+         regs AS (
+           SELECT event_type,
+                  least(greatest(CAST(floor(value * 1000000) AS BIGINT)
+                                 // 500000, 0), 1023) AS b,
+                  count(*) AS cnt
+           FROM e GROUP BY 1, 2),
+         rall AS (SELECT 'ALL' AS event_type, b, sum(cnt) AS cnt
+                  FROM regs GROUP BY 2),
+         r AS (SELECT * FROM regs UNION ALL SELECT * FROM rall),
+         cum AS (SELECT event_type, b,
+                        sum(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY b) AS cum,
+                        sum(cnt) OVER (PARTITION BY event_type) AS n
+                 FROM r),
+         est AS (SELECT event_type,
+                        min(CASE WHEN cum >= (n * 50 + 99) // 100
+                                 THEN b END) * 500000 AS p50_est_micros,
+                        min(CASE WHEN cum >= (n * 95 + 99) // 100
+                                 THEN b END) * 500000 AS p95_est_micros,
+                        min(CASE WHEN cum >= (n * 99 + 99) // 100
+                                 THEN b END) * 500000 AS p99_est_micros
+                 FROM cum GROUP BY 1),
+         vals AS (SELECT event_type,
+                         CAST(floor(value * 1000000) AS BIGINT) AS vfp,
+                         count(*) AS cnt
+                  FROM e GROUP BY 1, 2),
+         vall AS (SELECT 'ALL' AS event_type, vfp, sum(cnt) AS cnt
+                  FROM vals GROUP BY 2),
+         v AS (SELECT * FROM vals UNION ALL SELECT * FROM vall),
+         vcum AS (SELECT event_type, vfp,
+                         sum(cnt) OVER (PARTITION BY event_type
+                                        ORDER BY vfp) AS cum,
+                         sum(cnt) OVER (PARTITION BY event_type) AS n
+                  FROM v),
+         ex AS (SELECT event_type,
+                       min(CASE WHEN cum >= (n * 50 + 99) // 100
+                                THEN vfp END) AS p50_exact_micros,
+                       min(CASE WHEN cum >= (n * 95 + 99) // 100
+                                THEN vfp END) AS p95_exact_micros,
+                       min(CASE WHEN cum >= (n * 99 + 99) // 100
+                                THEN vfp END) AS p99_exact_micros
+                FROM vcum GROUP BY 1)
+         SELECT est.event_type,
+                p50_est_micros, p50_exact_micros,
+                p95_est_micros, p95_exact_micros,
+                p99_est_micros, p99_exact_micros
+         FROM est JOIN ex ON est.event_type = ex.event_type
+         ORDER BY est.event_type""",
+    // q143: every metric recomputed as plain SQL aggregates + anti-join
+    // orphan counts; all-integer (counts / ppm via integer division)
+    "q143_quality_report" ->
+      raw"""WITH evm AS (
+           SELECT count(*) AS n, count(DISTINCT event_id) AS dk,
+                  sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS nnu,
+                  sum(CASE WHEN event_type IS NOT NULL AND event_type <> ''
+                           THEN 1 ELSE 0 END) AS nnt,
+                  sum(CASE WHEN value >= 0.0 THEN 1 ELSE 0 END) AS vok,
+                  max(CAST(epoch_us(ts) AS BIGINT)) AS mts
+           FROM events),
+         om AS (
+           SELECT count(*) AS n, count(DISTINCT o_orderkey) AS dk,
+                  sum(CASE WHEN o_totalprice > 0.0 THEN 1 ELSE 0 END) AS pok
+           FROM orders),
+         lm AS (
+           SELECT count(*) AS n,
+                  sum(CASE WHEN l_quantity > 0.0 THEN 1 ELSE 0 END) AS qok,
+                  sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 1.0
+                           THEN 1 ELSE 0 END) AS dok
+           FROM lineitem),
+         rep AS (
+           SELECT 'events' AS entity, 'rows' AS metric,
+                  CAST(n AS BIGINT) AS value FROM evm
+           UNION ALL SELECT 'events', 'event_id_unique_ppm',
+                  CAST(dk * 1000000 // n AS BIGINT) FROM evm
+           UNION ALL SELECT 'events', 'user_id_complete_ppm',
+                  CAST(nnu * 1000000 // n AS BIGINT) FROM evm
+           UNION ALL SELECT 'events', 'event_type_complete_ppm',
+                  CAST(nnt * 1000000 // n AS BIGINT) FROM evm
+           UNION ALL SELECT 'events', 'value_nonneg_ppm',
+                  CAST(vok * 1000000 // n AS BIGINT) FROM evm
+           UNION ALL SELECT 'events', 'max_ts_micros', mts FROM evm
+           UNION ALL SELECT 'orders', 'rows', CAST(n AS BIGINT) FROM om
+           UNION ALL SELECT 'orders', 'o_orderkey_unique_ppm',
+                  CAST(dk * 1000000 // n AS BIGINT) FROM om
+           UNION ALL SELECT 'orders', 'totalprice_positive_ppm',
+                  CAST(pok * 1000000 // n AS BIGINT) FROM om
+           UNION ALL SELECT 'orders', 'orphan_custkey',
+                  (SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+           UNION ALL SELECT 'lineitem', 'rows', CAST(n AS BIGINT) FROM lm
+           UNION ALL SELECT 'lineitem', 'quantity_positive_ppm',
+                  CAST(qok * 1000000 // n AS BIGINT) FROM lm
+           UNION ALL SELECT 'lineitem', 'discount_in_unit_ppm',
+                  CAST(dok * 1000000 // n AS BIGINT) FROM lm
+           UNION ALL SELECT 'lineitem', 'orphan_orderkey',
+                  (SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey)))
+         SELECT entity, metric, value FROM rep
+         ORDER BY entity, metric""",
     // q105: per-user minimal step times — min(view), then min(click)
     // STRICTLY after it, then min(purchase) after that; count non-null
     // per step. NULL propagation in the CASE matches Spark's when().

@@ -182,6 +182,92 @@ object Sketches {
       .orderBy("event_type", "dt")
   }
 
+  // ——— mergeable histogram quantiles ———
+
+  /** Histogram bucket count and width (micros): 1024 × 0.5 covers the
+    * fixed range [0, 512) — out-of-range values clamp into the end
+    * buckets. A FIXED grid (not data-derived bounds) is what makes the
+    * register relation mergeable: counts SUM across any partition of
+    * the data (cf. HLL's max-merge), so day-grain histogram tables
+    * roll up to any coarser scope without rescans. */
+  val HistBuckets: Int = 1024
+  val HistWidthMicros: Long = 500000L
+
+  /** Histogram registers: one row per (scope, bucket) observed, count
+    * summed — ONE hash-aggregate, ≤ `buckets` rows per scope on the
+    * shuffle. `value` is a double column; fixed-point micros floor is
+    * IEEE-identical cross-engine. */
+  def histRegisters(df: DataFrame, scopeCols: Seq[String], value: Column,
+      widthMicros: Long = HistWidthMicros,
+      buckets: Int = HistBuckets): DataFrame =
+    df.select(scopeCols.map(col) :+ value.as("v"): _*)
+      .withColumn("b", expr(
+        s"least(greatest(CAST(floor(v * 1000000) AS BIGINT) " +
+          s"div $widthMicros, 0), ${buckets - 1})"))
+      .groupBy((scopeCols :+ "b").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The shared cumulative-walk quantile: for each percentile q, the
+    * smallest `key` whose cumulative count reaches rank
+    * ceil(n·q/100) — all-integer, used at BOTH resolutions (bucket
+    * grid → estimate; exact value grid → audit), so estimate and
+    * truth differ only by the grid. */
+  def cumQuantiles(counts: DataFrame, scopeCols: Seq[String],
+      keyCol: String, qs: Seq[Int], outPrefix: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(scopeCols.map(col): _*)
+      .orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(scopeCols.map(col): _*)))
+    val aggs = qs.map(q =>
+      min(when(expr(s"cum >= (n * $q + 99) div 100"), col(keyCol)))
+        .as(s"$outPrefix$q"))
+    cum.groupBy(scopeCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** q142: histogram-sketch quantiles of the event `value` stream per
+    * type + the 'ALL' rollup (SUM-merged registers, no rescan), each
+    * audited against the exact order statistic at the same rank. The
+    * exact side is NOT a global sort: values collapse to an exact
+    * value-grid count relation first (distinct fixed-point values are
+    * bounded — cent-quantized here), then the SAME cumulative walk
+    * runs at full resolution, so estimate and truth share one code
+    * path and the plan stays aggregation-shaped at any scale. */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame =
+    histQuantilesOn(Tables.events(spark, dir))
+
+  /** [[histQuantiles]] over an explicit (event_type, value) relation. */
+  def histQuantilesOn(events: DataFrame,
+      qs: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      "percentiles in [1, 100]")
+    val ev = events.select(col("event_type"), col("value"))
+    val regs = graft.Caches.register(
+      histRegisters(ev, Seq("event_type"), col("value")).cache())
+    val regsAll = regs.withColumn("event_type", lit("ALL"))
+      .groupBy("event_type", "b").agg(sum(col("cnt")).as("cnt"))
+    val est = cumQuantiles(regs.union(regsAll), Seq("event_type"), "b",
+      qs, "pb")
+    // exact audit at full value resolution — same walk, finer grid
+    val vals = graft.Caches.register(
+      ev.withColumn("vfp", expr("CAST(floor(value * 1000000) AS BIGINT)"))
+        .groupBy("event_type", "vfp").agg(count(lit(1)).as("cnt"))
+        .cache())
+    val valsAll = vals.withColumn("event_type", lit("ALL"))
+      .groupBy("event_type", "vfp").agg(sum(col("cnt")).as("cnt"))
+    val exact = cumQuantiles(vals.union(valsAll), Seq("event_type"),
+      "vfp", qs, "pe")
+    val estCols = qs.flatMap(q => Seq(
+      (col(s"pb$q") * lit(HistWidthMicros)).as(s"p${q}_est_micros"),
+      col(s"pe$q").as(s"p${q}_exact_micros")))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type") +: estCols: _*)
+      .orderBy("event_type")
+  }
+
   /** Default heavy-hitter threshold: 1.05% of occurrences (phi in ppm). */
   val DefaultPhiPpm: Long = 10500L
 

@@ -397,7 +397,12 @@ class PlanAuditSpec extends SparkSpec {
     "q140_zorder_layout" -> 2,
     // q141: window agg (orders⋈lineitem) into the cached carrier +
     // the (custkey, cell) equi-join sides + sort — never an NLJ
-    "q141_concurrent_orders" -> 5)
+    "q141_concurrent_orders" -> 5,
+    // q142: bucket + exact-value register aggs, rollup re-aggs, the
+    // two cumulative-walk windows, join + sort
+    "q142_hist_quantiles" -> 9,
+    // q143: three 1-row table aggs + two anti-join orphan counts
+    "q143_quality_report" -> 4)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

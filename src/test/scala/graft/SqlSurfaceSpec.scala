@@ -70,7 +70,11 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM zorder_layout(10)" ->
         operators.Warehouse.zorderLayout(spark, sf),
       "SELECT * FROM concurrent_orders(128)" ->
-        operators.IntervalJoin.concurrentOrders(spark, sf))
+        operators.IntervalJoin.concurrentOrders(spark, sf),
+      "SELECT * FROM hist_quantiles()" ->
+        operators.Sketches.histQuantiles(spark, sf),
+      "SELECT * FROM quality_report()" ->
+        operators.Checks.qualityReport(spark, sf))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

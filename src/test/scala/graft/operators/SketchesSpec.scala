@@ -104,6 +104,36 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  // —— histogram quantiles ——
+
+  test("histQuantiles hand trace: the ceil-rank walk at both grids, " +
+    "and the estimate brackets the exact value by one bucket") {
+    // 100 values 0.5, 1.5, ..., 99.5 for type a: p50 → rank 50 →
+    // value 49.5; bucket width 0.5 ⇒ est = floor(49.5e6/5e5)*5e5
+    val ev = (0 until 100).map(i => ("a", i + 0.5)).toDF("event_type", "value")
+    val row = Sketches.histQuantilesOn(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    graft.Caches.releaseAll()
+    val a = row("a")
+    assert(a.getLong(2) == 49500000L, s"p50 exact ${a.getLong(2)}")
+    assert(a.getLong(1) == 49500000L, s"p50 est ${a.getLong(1)}")
+    assert(a.getLong(4) == 94500000L && a.getLong(6) == 98500000L)
+    // the ALL rollup over one type equals the type itself
+    assert(row("ALL").toSeq.drop(1) == a.toSeq.drop(1))
+  }
+
+  test("histQuantiles on the sf corpus: every estimate lower-bounds " +
+    "its exact value within one bucket width") {
+    val rows = Sketches.histQuantiles(spark, sf).collect()
+    graft.Caches.releaseAll()
+    assert(rows.nonEmpty)
+    for (r <- rows; qi <- Seq(1, 3, 5)) {
+      val (est, exact) = (r.getLong(qi), r.getLong(qi + 1))
+      assert(est <= exact && exact < est + Sketches.HistWidthMicros,
+        s"${r.getString(0)} idx=$qi est=$est exact=$exact")
+    }
+  }
+
   // —— Misra–Gries / heavy hitters ——
 
   test("misra-gries hand trace: k=2 over a 3-symbol stream") {
