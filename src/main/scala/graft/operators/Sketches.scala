@@ -239,6 +239,20 @@ object Sketches {
   def histQuantiles(spark: SparkSession, dir: String): DataFrame =
     histQuantilesOn(Tables.events(spark, dir))
 
+  /** Quantile ESTIMATES from a histogram register relation
+    * (event_type, b, cnt) — per-type plus the SUM-merged 'ALL' rollup.
+    * Shared with the streaming twin
+    * ([[graft.streaming.SketchStream.quantileSnapshot]]) so stream and
+    * batch walk identical registers. */
+  def histEstimates(regs: DataFrame,
+      qs: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      "percentiles in [1, 100]")
+    val regsAll = regs.withColumn("event_type", lit("ALL"))
+      .groupBy("event_type", "b").agg(sum(col("cnt")).as("cnt"))
+    cumQuantiles(regs.union(regsAll), Seq("event_type"), "b", qs, "pb")
+  }
+
   /** [[histQuantiles]] over an explicit (event_type, value) relation. */
   def histQuantilesOn(events: DataFrame,
       qs: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
@@ -247,10 +261,7 @@ object Sketches {
     val ev = events.select(col("event_type"), col("value"))
     val regs = graft.Caches.register(
       histRegisters(ev, Seq("event_type"), col("value")).cache())
-    val regsAll = regs.withColumn("event_type", lit("ALL"))
-      .groupBy("event_type", "b").agg(sum(col("cnt")).as("cnt"))
-    val est = cumQuantiles(regs.union(regsAll), Seq("event_type"), "b",
-      qs, "pb")
+    val est = histEstimates(regs, qs)
     // exact audit at full value resolution — same walk, finer grid
     val vals = graft.Caches.register(
       ev.withColumn("vfp", expr("CAST(floor(value * 1000000) AS BIGINT)"))

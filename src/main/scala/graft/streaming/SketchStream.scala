@@ -80,4 +80,45 @@ object SketchStream {
   def estimateSnapshot(latest: DataFrame): DataFrame =
     Sketches.hllEstimate(snapshotRegisters(latest), Seq("event_type"))
       .orderBy("event_type")
+
+  // ——— histogram-quantile twin (SUM-mergeable → epoch partials) ———
+
+  /** foreachBatch sink for the histogram sketch: unlike HLL's
+    * idempotent max, histogram counts are ADDITIVE, so the replay-safe
+    * form is the accumulated-sink pattern — each epoch writes its own
+    * (event_type, b, cnt) partial under `outDir/hist/epoch=<id>`
+    * (overwrite-own-partition ⇒ a replayed batch converges), partials
+    * are register-sized (≤1024 rows/type), never event-sized.
+    * `compactEvery > 0` folds committed epochs into the `epoch=-1`
+    * base (sum fold) through
+    * [[graft.operators.Compact.compactAccumulated]]; the in-flight
+    * epoch is never folded, preserving replay idempotence. */
+  def histSinkEachBatch(outDir: String, compactEvery: Int = 0)
+      (batch: DataFrame, epochId: Long): Unit = {
+    Sketches
+      .histRegisters(batch.select(col("event_type"), col("value")),
+        Seq("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$outDir/hist/epoch=$epochId")
+    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+      graft.operators.Compact.compactAccumulated(batch.sparkSession,
+        s"$outDir/hist", epochId,
+        df => df.groupBy("event_type", "b").agg(sum(col("cnt")).as("cnt")))
+  }
+
+  /** Quantile estimates over everything streamed into `outDir` so far:
+    * sum-merge the epoch partials back to one register relation, then
+    * the SHARED [[Sketches.histEstimates]] walk — bit-equal to the
+    * batch estimate columns over the same events (spec-pinned,
+    * including across replay and compaction). */
+  def quantileSnapshot(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, qs: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    graft.operators.Compact.recoverAccumulated(s"$outDir/hist")
+    val regs = spark.read.parquet(s"$outDir/hist")
+      .groupBy("event_type", "b").agg(sum(col("cnt")).as("cnt"))
+    Sketches.histEstimates(regs, qs)
+      .select(col("event_type") +: qs.map(q =>
+        (col(s"pb$q") * lit(Sketches.HistWidthMicros))
+          .as(s"p${q}_est_micros")): _*)
+      .orderBy("event_type")
+  }
 }

@@ -98,6 +98,49 @@ class SketchStreamSpec extends SparkSpec {
       == snapBefore)
   }
 
+  test("histogram twin: epoch partials sum-merge to the batch " +
+    "estimates, bit-equal, across compaction and a replayed epoch") {
+    val outDir = Files.createTempDirectory("hist_stream").toString
+    val rnd = new scala.util.Random(5)
+    val types = Seq("view", "click", "buy")
+    val fixture = (0 until 4000).map(i =>
+      (types(rnd.nextInt(3)), rnd.nextDouble() * 120.0))
+    val mem = MemoryStream[(String, Double)]
+    val q = mem.toDF().toDF("event_type", "value")
+      .writeStream
+      .foreachBatch(SketchStream.histSinkEachBatch(outDir,
+        compactEvery = 2) _)
+      .outputMode("append").start()
+    fixture.grouped(700).foreach { c =>
+      mem.addData(c: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def est(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      graft.Caches.releaseAll()
+      out
+    }
+    val got = est(SketchStream.quantileSnapshot(spark, outDir))
+    val batch = fixture.toDF("event_type", "value")
+    val want = est(graft.operators.Sketches.histQuantilesOn(batch)
+      .select("event_type", "p50_est_micros", "p95_est_micros",
+        "p99_est_micros"))
+    assert(got == want && got.nonEmpty)
+    // compaction actually bounded the partitions
+    val dirs = new java.io.File(s"$outDir/hist").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(dirs < 6, s"$dirs epoch dirs survived compactEvery=2")
+    // replay the LAST epoch (the only legitimately replayable one —
+    // earlier epochs are already folded into the base): same id, same
+    // rows → overwrite-own-partition, snapshot unchanged
+    SketchStream.histSinkEachBatch(outDir)(
+      fixture.drop(3500).toDF("event_type", "value"), 5L)
+    assert(est(SketchStream.quantileSnapshot(spark, outDir)) == want,
+      "replayed epoch changed the accumulated registers")
+  }
+
   test("checkpoint restart resumes the registers: half before a stop, " +
     "half after, final state equals the one-shot batch sketch") {
     val ckpt = Files.createTempDirectory("hll_ckpt").toString
