@@ -167,5 +167,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Sketches.histQuantiles(s, d))
     registerTvf(ext, "quality_report")((s, d, _) =>
       Checks.qualityReport(s, d))
+    registerTvf(ext, "hll_overlap")((s, d, _) => Sketches.hllOverlap(s, d))
   }
 }

@@ -402,6 +402,10 @@ object SparkEntry {
     // table (completeness/compliance/uniqueness/freshness as integer
     // ppm) + one broadcast anti-join per foreign key (orphan counts)
     "q143_quality_report" -> ((s, d) => Checks.qualityReport(s, d)),
+    // q144: audience overlap — HLL set algebra: pairwise union
+    // registers from the SAME per-type register relation, intersection
+    // via inclusion-exclusion (clamped), exact audit column
+    "q144_hll_overlap" -> ((s, d) => Sketches.hllOverlap(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -3038,6 +3042,81 @@ object SparkEntry {
                      THEN CAST((${Sketches.lcTableSql})[vz + 1] AS BIGINT)
                      ELSE est_raw END AS est_distinct
          FROM raw ORDER BY event_type, dt""",
+    // q144: same register CTE as q137; per-pair UNION registers from
+    // the 2-member explode equi-join; both estimate paths (single,
+    // union) carry the LC correction; I-E overlap clamped at 0
+    "q144_hll_overlap" ->
+      raw"""WITH e AS (
+           SELECT event_type, user_id,
+                  ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                  1, 15))::BIGINT AS h
+           FROM events),
+         hr AS (
+           SELECT event_type, h % 256 AS j,
+                  CASE WHEN (h // 256) = 0 THEN 53
+                       ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1
+                  END AS rho
+           FROM e),
+         regs AS (SELECT event_type, j, max(rho) AS rho
+                  FROM hr GROUP BY 1, 2),
+         ty AS (SELECT DISTINCT event_type FROM regs),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+                   FROM ty a, ty b WHERE a.event_type < b.event_type),
+         pr AS (SELECT type_a, type_b, type_a AS t FROM pairs
+                UNION ALL SELECT type_a, type_b, type_b FROM pairs),
+         uregs AS (SELECT type_a, type_b, j, max(rho) AS rho
+                   FROM pr JOIN regs ON regs.event_type = pr.t
+                   GROUP BY 1, 2, 3),
+         us AS (SELECT type_a, type_b,
+                       sum(CAST(1::BIGINT << (62 - rho) AS HUGEINT))
+                         + (256 - count(*))
+                           * CAST(4611686018427387904 AS HUGEINT) AS ssum,
+                       256 - count(*) AS vz
+                FROM uregs GROUP BY 1, 2),
+         uraw AS (SELECT type_a, type_b, vz,
+                         CAST((CAST(7213 AS HUGEINT) * 256 * 256 * 256
+                               * CAST(4611686018427387904 AS HUGEINT))
+                              // (2570790 * ssum) AS BIGINT) AS est_raw
+                  FROM us),
+         uest AS (SELECT type_a, type_b,
+                         CASE WHEN vz > 0 AND 2 * est_raw < 1280
+                              THEN CAST((${Sketches.lcTableSql})[vz + 1]
+                                        AS BIGINT)
+                              ELSE est_raw END AS union_est
+                  FROM uraw),
+         s1 AS (SELECT event_type,
+                       sum(CAST(1::BIGINT << (62 - rho) AS HUGEINT))
+                         + (256 - count(*))
+                           * CAST(4611686018427387904 AS HUGEINT) AS ssum,
+                       256 - count(*) AS vz
+                FROM regs GROUP BY 1),
+         r1 AS (SELECT event_type, vz,
+                       CAST((CAST(7213 AS HUGEINT) * 256 * 256 * 256
+                             * CAST(4611686018427387904 AS HUGEINT))
+                            // (2570790 * ssum) AS BIGINT) AS est_raw
+                FROM s1),
+         est1 AS (SELECT event_type,
+                         CASE WHEN vz > 0 AND 2 * est_raw < 1280
+                              THEN CAST((${Sketches.lcTableSql})[vz + 1]
+                                        AS BIGINT)
+                              ELSE est_raw END AS est_distinct
+                  FROM r1),
+         m AS (SELECT DISTINCT event_type, user_id FROM events),
+         ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                       count(*) AS overlap_exact
+                FROM m x JOIN m y ON x.user_id = y.user_id
+                 AND x.event_type < y.event_type
+                GROUP BY 1, 2)
+         SELECT uest.type_a, uest.type_b, union_est,
+                greatest(a.est_distinct + b.est_distinct - union_est,
+                         0) AS overlap_est,
+                coalesce(overlap_exact, 0) AS overlap_exact
+         FROM uest
+         JOIN est1 a ON a.event_type = uest.type_a
+         JOIN est1 b ON b.event_type = uest.type_b
+         LEFT JOIN ex ON ex.type_a = uest.type_a
+                     AND ex.type_b = uest.type_b
+         ORDER BY 1, 2""",
     // q139: the sketch pass is candidate generation only — the output
     // contract is the exact threshold count, so the oracle is the
     // plain group-by + having it is guaranteed to equal

@@ -182,6 +182,59 @@ object Sketches {
       .orderBy("event_type", "dt")
   }
 
+  /** q144: audience overlap — HLL set algebra. Registers only UNION
+    * (max-merge), so the pairwise intersection comes from
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), clamped
+    * at 0 (sketch noise can push the difference negative). Every pair's
+    * union registers are derived from the SAME per-type register
+    * relation (explode the 2-member pair into an equi-join — no
+    * fact-table rescan, no OR-condition nested loop); the exact audit
+    * intersects the distinct (type, user) relation. I-E error grows
+    * with the union size, which is why the exact column ships. */
+  def hllOverlap(spark: SparkSession, dir: String): DataFrame =
+    hllOverlapOn(Tables.events(spark, dir))
+
+  /** [[hllOverlap]] over an explicit (event_type, user_id) relation. */
+  def hllOverlapOn(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      col("user_id").cast("string").as("uid"))
+    val regs = graft.Caches.register(
+      hllRegisters(ev, Seq("event_type"), col("uid")).cache())
+    val types = regs.select(col("event_type")).distinct()
+    // unordered type pairs — a broadcast product of two vocab-sized
+    // relations (benign BNLJ, the 1-row-total pattern's cousin)
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(broadcast(types.select(col("event_type").as("type_b"))))
+      .where(col("type_a") < col("type_b"))
+    val membership = pairs.select(col("type_a"), col("type_b"),
+      explode(array(col("type_a"), col("type_b"))).as("event_type"))
+    val unionRegs = membership.join(regs, Seq("event_type"))
+      .groupBy("type_a", "type_b", "j").agg(max(col("rho")).as("rho"))
+    val estU = hllEstimate(unionRegs, Seq("type_a", "type_b"))
+      .withColumnRenamed("est_distinct", "union_est")
+    val est1 = hllEstimate(regs, Seq("event_type"))
+    val estA = est1.select(col("event_type").as("type_a"),
+      col("est_distinct").as("est_a"))
+    val estB = est1.select(col("event_type").as("type_b"),
+      col("est_distinct").as("est_b"))
+    val m = ev.distinct()
+    val exact = m.select(col("event_type").as("type_a"),
+        col("uid"))
+      .join(m.select(col("event_type").as("type_b"), col("uid")), Seq("uid"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("overlap_exact"))
+    estU.join(estA, Seq("type_a")).join(estB, Seq("type_b"))
+      .withColumn("overlap_est",
+        greatest(col("est_a") + col("est_b") - col("union_est"), lit(0L)))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .withColumn("overlap_exact",
+        coalesce(col("overlap_exact"), lit(0L)))
+      .select(col("type_a"), col("type_b"), col("union_est"),
+        col("overlap_est"), col("overlap_exact"))
+      .orderBy("type_a", "type_b")
+  }
+
   // ——— mergeable histogram quantiles ———
 
   /** Histogram bucket count and width (micros): 1024 × 0.5 covers the

@@ -54,7 +54,9 @@ class PlanAuditSpec extends SparkSpec {
     // q132/q133: the 1-row kept-user-count broadcast (same pattern)
     "q132_basket_lift", "q133_basket_rules",
     // q139: the 1-row occurrence-total broadcast (q64's total pattern)
-    "q139_heavy_hitters")
+    "q139_heavy_hitters",
+    // q144: the vocab-sized type-pair product (5×5 broadcast)
+    "q144_hll_overlap")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -402,7 +404,10 @@ class PlanAuditSpec extends SparkSpec {
     // two cumulative-walk windows, join + sort
     "q142_hist_quantiles" -> 9,
     // q143: three 1-row table aggs + two anti-join orphan counts
-    "q143_quality_report" -> 4)
+    "q143_quality_report" -> 4,
+    // q144: register agg + per-pair union re-agg + three estimate
+    // aggs + the exact-intersection audit join + final joins/sort
+    "q144_hll_overlap" -> 14)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -74,7 +74,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM hist_quantiles()" ->
         operators.Sketches.histQuantiles(spark, sf),
       "SELECT * FROM quality_report()" ->
-        operators.Checks.qualityReport(spark, sf))
+        operators.Checks.qualityReport(spark, sf),
+      "SELECT * FROM hll_overlap()" ->
+        operators.Sketches.hllOverlap(spark, sf))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

@@ -104,6 +104,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll overlap: disjoint, nested, and partial intersections — " +
+    "exact column is exact, I-E estimate tracks it within sketch error") {
+    // a: 0..999; b: 500..1499 (overlap 500); c: 2000..2099 (disjoint
+    // from both); d: 0..99 (subset of a)
+    val ev = ((0 until 1000).map(i => ("a", i.toLong)) ++
+      (500 until 1500).map(i => ("b", i.toLong)) ++
+      (2000 until 2100).map(i => ("c", i.toLong)) ++
+      (0 until 100).map(i => ("d", i.toLong)))
+      .toDF("event_type", "user_id")
+    val rows = Sketches.hllOverlapOn(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.Caches.releaseAll()
+    val exact = Map(("a", "b") -> 500L, ("a", "c") -> 0L,
+      ("a", "d") -> 100L, ("b", "c") -> 0L, ("b", "d") -> 0L,
+      ("c", "d") -> 0L)
+    assert(rows.keySet == exact.keySet)
+    for ((pair, (_, est, ex)) <- rows) {
+      assert(ex == exact(pair), s"$pair exact")
+      // I-E error ≤ ~3σ of the union size (σ = 6.5% of ≤2000): ±400
+      assert(math.abs(est - ex) <= 400, s"$pair est=$est exact=$ex")
+    }
+    // the union estimate of the disjoint pair covers both sides
+    val (uAC, _, _) = rows(("a", "c"))
+    assert(uAC > 900, s"a∪c union_est=$uAC")
+  }
+
   // —— histogram quantiles ——
 
   test("histQuantiles hand trace: the ceil-rank walk at both grids, " +
