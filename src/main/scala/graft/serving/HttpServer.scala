@@ -322,6 +322,14 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       // phi range + the k >= 1/phi guarantee guard live in the operator
       graft.operators.Sketches.heavyHitters(spark, dataDir, phiPpm, k)
     })
+    server.createContext("/quantiles", handler { p =>
+      // q142: histogram-sketch p50/p95/p99 per event type + 'ALL'
+      val qs = p.getOrElse("q", "50,95,99").split(",").toSeq
+        .map(_.trim.toInt)
+      // percentile range checks live in the operator (→ 400)
+      graft.operators.Sketches.histQuantilesOn(
+        graft.Tables.events(spark, dataDir), qs)
+    })
     server.createContext("/collocations", handler { p =>
       // PMI collocation mining (q127): top bigrams by the fixed-point
       // lift — phrase discovery served next to the corpus it describes

@@ -229,6 +229,10 @@ class HttpServerSpec extends SparkSpec {
       assert(c59 == 400)
       val (c60, _) = get(s"$base/heavyHitters?k=99999") // route cap
       assert(c60 == 400)
+      val (c61, hq) = get(s"$base/quantiles?q=50,99")
+      assert(c61 == 200 && hq.contains("\"p99_est_micros\""), hq.take(200))
+      val (c62, _) = get(s"$base/quantiles?q=0") // operator range guard
+      assert(c62 == 400)
     } finally srv.stop()
   }
 }
