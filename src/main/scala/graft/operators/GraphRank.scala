@@ -147,7 +147,11 @@ object GraphRank {
   private def rankLoop(spark: SparkSession, edgesN: DataFrame,
       nodes: DataFrame, iters: Int, edgeBudget: Long,
       seed: Option[Long] = None): DataFrame = {
-    val nNodes = nodes.count()
+    // |V| is only consumed by the SEEDED teleport (initial mass and
+    // per-round re-entry); counting it unconditionally charged every
+    // uniform q104/q124 call — including the driver-dispatch path — an
+    // extra distributed job (round-13 verdict #1)
+    val nNodes = if (seed.isDefined) nodes.count() else 0L
     if (edgesN.count() <= edgeBudget) {
       val out = driverRank(spark, edgesN, nodes, iters, seed)
       releaseCheckpoint(edgesN)

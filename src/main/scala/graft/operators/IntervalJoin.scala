@@ -24,11 +24,19 @@ import graft.Tables
   * `cellWidth` near the typical interval length keeps the explode
   * factor at ~2 rows per interval.
   *
-  * Intervals are CLOSED ([lo, hi], touching endpoints overlap) on a
-  * non-negative integer axis (epoch days/seconds/micros — `div` vs
-  * floor-division divergence on negatives never arises). Rows with
-  * lo > hi are dropped as invalid (`sequence()` would reverse them). */
+  * Intervals are CLOSED ([lo, hi], touching endpoints overlap) on any
+  * integer axis: cell assignment uses FLOOR division (the pmod form —
+  * `(a - pmod(a, w)) div w`), so pre-epoch coordinates land in the
+  * correct negative cells rather than aliasing around zero the way
+  * truncate-toward-zero `div` would. Rows with lo > hi are dropped as
+  * invalid (`sequence()` would reverse them). */
 object IntervalJoin {
+
+  /** Floor-division SQL for possibly-negative integer axes: Spark's
+    * integer `div` truncates toward zero, which would merge cells −1
+    * and 0; `pmod` is always non-negative, making this exact floor. */
+  private def floorDiv(a: String, w: Long): String =
+    s"(($a - pmod($a, $w)) div $w)"
 
   /** Generic cell-bucketed overlap join. `keys` are optional extra
     * equi-join columns (same names on both sides — a keyed interval
@@ -42,15 +50,16 @@ object IntervalJoin {
       cellWidth: Long): DataFrame = {
     require(cellWidth > 0, "cellWidth must be positive")
     def cells(df: DataFrame, lo: String, hi: String) =
-      df.where(col(lo) >= 0 && col(lo) <= col(hi))
-        .withColumn("_cell",
-          explode(expr(s"sequence($lo div $cellWidth, $hi div $cellWidth)")))
+      df.where(col(lo) <= col(hi))
+        .withColumn("_cell", explode(expr(
+          s"sequence(${floorDiv(lo, cellWidth)}, ${floorDiv(hi, cellWidth)})")))
     cells(left, lLo, lHi)
       .join(cells(right, rLo, rHi), keys :+ "_cell")
       .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
       // exact dedup without a distinct: of all shared cells, only the
       // one holding the overlap's left edge emits the pair
-      .where(col("_cell") === expr(s"greatest($lLo, $rLo) div $cellWidth"))
+      .where(col("_cell") ===
+        expr(floorDiv(s"greatest($lLo, $rLo)", cellWidth)))
       .drop("_cell")
   }
 

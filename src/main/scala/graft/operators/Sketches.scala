@@ -360,9 +360,15 @@ object Sketches {
   def heavyHittersOn(df: DataFrame, itemCol: String,
       phiPpm: Long, k: Int): DataFrame = {
     require(phiPpm >= 1 && phiPpm <= 1000000L, "phiPpm in [1, 1e6]")
-    require(k + 1 >= 1000000L / phiPpm,
+    // CEILING division: the superset guarantee needs k+1 >= 1/phi
+    // exactly; truncating 1e6/phiPpm would admit a k one below the real
+    // bound whenever phiPpm does not divide 1e6 (phiPpm=10500 needs
+    // k+1 >= 95.24, i.e. 96) — and a too-small k silently DROPS items
+    // just above the threshold, violating the EXACT-output contract
+    val kMin = (1000000L + phiPpm - 1) / phiPpm - 1
+    require(k >= kMin,
       s"k=$k too small for phi=$phiPpm ppm: the Misra-Gries superset " +
-        s"guarantee needs k >= ${1000000L / phiPpm}")
+        s"guarantee needs k >= $kMin")
     val spark = df.sparkSession
     import spark.implicits._
     // BOTH passes traverse the item column (candidates, then exact

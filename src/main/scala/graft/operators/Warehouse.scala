@@ -126,6 +126,23 @@ object Warehouse {
       s"((($x >> $i) & 1) << ${2 * i + 1})",
       s"((($y >> $i) & 1) << ${2 * i})")).mkString(" + ")
 
+  /** zkey with a LIVE domain assertion: a value outside [0, 2^ZBits)
+    * (or null) would silently alias into a wrong quadrant — bits above
+    * `ZBits` are simply dropped by the interleave — and reader-side
+    * quadrant pruning would then skip files that DO contain matching
+    * rows. The assert is woven into the zkey itself (IF(assert IS
+    * NULL, ...)) so column pruning can never optimize the check away;
+    * it is map-only and costs two comparisons per row. The oracle
+    * interpolates only [[zorderTermsSql]] — for in-domain data the
+    * guarded expression is value-identical. */
+  private def zkeyGuardedSql(x: String, y: String): String = {
+    val lim = 1L << ZBits
+    s"IF(assert_true($x >= 0 AND $x < $lim AND $y >= 0 AND $y < $lim, " +
+      s"'z-order domain violated: $x/$y must be in [0, $lim) " +
+      s"(wider domains need a wider ZBits key)') IS NULL, " +
+      s"${zorderTermsSql(x, y)}, NULL)"
+  }
+
   /** q140: the Z-order layout report over the (user_id, item) event
     * space — the multi-dimensional clustering pass (Delta/Iceberg
     * `OPTIMIZE ZORDER BY`) a 100 TB warehouse runs so that range
@@ -152,7 +169,7 @@ object Warehouse {
       shift: Int): DataFrame = {
     require(shift >= 2 && shift <= 2 * ZBits && shift % 2 == 0,
       "shift must be even, in [2, 2*ZBits] (square quadrants)")
-    df.withColumn("zkey", expr(zorderTermsSql(x, y)))
+    df.withColumn("zkey", expr(zkeyGuardedSql(x, y)))
       .withColumn("file_id", expr(s"zkey div ${1L << shift}"))
       .groupBy("file_id")
       .agg(count(lit(1)).as("cnt"),
@@ -169,7 +186,7 @@ object Warehouse {
     * partition filter (see the spec's pruning assertion). */
   def zorderWrite(df: DataFrame, x: String, y: String, outDir: String,
       shift: Int = ZShift): Unit =
-    df.withColumn("zkey", expr(zorderTermsSql(x, y)))
+    df.withColumn("zkey", expr(zkeyGuardedSql(x, y)))
       .withColumn("file_id", expr(s"zkey div ${1L << shift}"))
       .drop("zkey")
       .repartition(col("file_id"))

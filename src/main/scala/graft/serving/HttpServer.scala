@@ -323,9 +323,18 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       graft.operators.Sketches.heavyHitters(spark, dataDir, phiPpm, k)
     })
     server.createContext("/quantiles", handler { p =>
-      // q142: histogram-sketch p50/p95/p99 per event type + 'ALL'
+      // q142: histogram-sketch p50/p95/p99 per event type + 'ALL'.
+      // Normalize BEFORE the operator: empty segments ("50,,99") and
+      // duplicates ("50,50" → duplicate pb50 aliases, an
+      // AnalysisException = HTTP 500) must surface as 400-class input
+      // errors, not planner failures
       val qs = p.getOrElse("q", "50,95,99").split(",").toSeq
-        .map(_.trim.toInt)
+        .map(_.trim).filter(_.nonEmpty).map { s =>
+          try s.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"bad percentile '$s'")
+          }
+        }.distinct
       // percentile range checks live in the operator (→ 400)
       graft.operators.Sketches.histQuantilesOn(
         graft.Tables.events(spark, dataDir), qs)

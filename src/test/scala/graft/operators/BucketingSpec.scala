@@ -89,6 +89,28 @@ class BucketingSpec extends SparkSpec {
     assert(zTouch <= zRep.length / 2, s"z pruning too weak: $zTouch")
   }
 
+  test("z-order domain guard is live: out-of-range or negative values " +
+    "fail loudly instead of silently aliasing into a wrong quadrant") {
+    import spark.implicits._
+    val over = Seq((1L << 21, 5L), (3L, 4L)).toDF("x", "y")
+    val neg = Seq((-1L, 5L)).toDF("x", "y")
+    for (bad <- Seq(over, neg)) {
+      val e = intercept[Exception] {
+        Warehouse.zorderLayoutOn(bad, "x", "y", shift = 10).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("z-order domain violated")),
+        s"wrong failure: $e")
+    }
+    // and the write path refuses too, leaving no partial layout behind
+    val dir = java.nio.file.Files.createTempDirectory("zguard").toString
+    intercept[Exception] {
+      Warehouse.zorderWrite(neg, "x", "y", dir)
+    }
+  }
+
   test("zorderWrite: partitioned quadrants round-trip, and a range " +
     "predicate becomes a partition filter over zorderQuadrants") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString

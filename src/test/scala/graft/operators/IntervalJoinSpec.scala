@@ -69,6 +69,32 @@ class IntervalJoinSpec extends SparkSpec {
     assert(join(ls, rs, keyed = true, 16L) == want)
   }
 
+  test("negative axes are exact: floor-division cells keep pre-epoch " +
+    "coordinates correct instead of aliasing around zero or dropping") {
+    // hand case straddling zero: [-5, 3] overlaps [-2, -1] and [0, 7];
+    // truncate-toward-zero cells would merge cells -1 and 0
+    val ls = Seq((1L, -5L, 3L), (2L, -30L, -20L))
+    val rs = Seq((10L, -2L, -1L), (11L, 0L, 7L), (12L, -21L, -19L))
+    val want = Set((1L, 10L), (1L, 11L), (2L, 12L))
+    for (cell <- Seq(1L, 4L, 7L, 100L))
+      assert(join(ls, rs, keyed = false, cell) == want, s"cell=$cell")
+    // randomized parity on a signed axis, multiplicity included
+    val rnd = new scala.util.Random(17)
+    def gen(n: Int) = (0 until n).map { i =>
+      val lo = rnd.nextInt(400).toLong - 200L
+      (i.toLong, lo, lo + rnd.nextInt(30).toLong)
+    }
+    val (la, rb) = (gen(100), gen(120))
+    for (cell <- Seq(3L, 16L, 1000L))
+      assert(join(la, rb, keyed = false, cell) == brute(la, rb),
+        s"cell=$cell")
+    val dup = IntervalJoin.overlapJoin(
+      la.toDF("a_id", "a_lo", "a_hi"), rb.toDF("b_id", "b_lo", "b_hi"),
+      Nil, "a_lo", "a_hi", "b_lo", "b_hi", 16L)
+      .groupBy("a_id", "b_id").count().where(col("count") > 1).count()
+    assert(dup == 0, "a negative-axis pair was emitted twice")
+  }
+
   test("the plan is an equi-join on (keys, cell): no nested-loop, no " +
     "cartesian, for the unkeyed case included") {
     val lf = (0 until 50).map(i => (i.toLong, i.toLong * 3, i.toLong * 3 + 10))

@@ -220,5 +220,26 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sketches.heavyHittersOn(df, "item", phiPpm = 0L, k = 64)
     }
+    // the bound is CEILED: phi=30% needs k+1 >= 3.33, i.e. k >= 3 —
+    // truncating division would wrongly accept k=2 and the MG pass
+    // could silently drop a true heavy hitter
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHittersOn(df, "item", phiPpm = 300000L, k = 2)
+    }
+    assert(Sketches.heavyHittersOn(df, "item", phiPpm = 300000L, k = 3)
+      .collect().nonEmpty)
+  }
+
+  test("ceiled MG bound is tight: at phi just under a divisor boundary " +
+    "the minimal ceiled k still catches every true heavy hitter") {
+    // phi = 10500 ppm → kMin = 95 (k+1 = 96 ≥ 95.24). 60 items at 1.2%
+    // (> phi) + filler: with k = 95 all must survive, exactly.
+    val heavyIds = (0L until 60L)
+    val data = heavyIds.flatMap(i => Seq.fill(120)(i)) ++
+      (0 until 2800).map(i => 1000L + i)
+    val df = spark.createDataset(data).toDF("item")
+    val got = Sketches.heavyHittersOn(df, "item", phiPpm = 10500L, k = 95)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == heavyIds.toSet)
   }
 }
