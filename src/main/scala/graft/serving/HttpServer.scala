@@ -32,7 +32,16 @@ import graft.operators.Api
   * DataFrame program that Catalyst plans and the cluster executes —
   * query serving is the engine itself, not a copy of the data.
   */
-class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
+class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
+    sketchDir: Option[String] = None) {
+
+  /** The accumulated sketch-sink directory (`SketchStream.hllSinkEachBatch`
+    * / `histSinkEachBatch` output) this server may serve estimates from —
+    * server-configured, never caller-supplied (an HTTP param naming an
+    * arbitrary filesystem path would be a read gadget). */
+  private def sketchDirOr400: String = sketchDir.getOrElse(
+    throw new IllegalArgumentException(
+      "source=sketch needs a sketch directory configured on this server"))
 
   private val server = JdkServer.create(new InetSocketAddress(port), 0)
 
@@ -308,8 +317,17 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     })
     server.createContext("/distinctUsers", handler { p =>
       // q137: HLL distinct-user estimates per event type + cross-type
-      // union, with the exact-count audit columns
-      graft.operators.Sketches.hllUsers(spark, dataDir)
+      // union, with the exact-count audit columns. source=sketch
+      // answers from the PERSISTED register table instead (max-merge
+      // of ≤ types × 256 rows — the sketch warehouse; never rescans
+      // events, so the answer is O(sketch) at any corpus size)
+      p.getOrElse("source", "events") match {
+        case "sketch" => graft.streaming.SketchStream
+          .hllTableEstimates(spark, sketchDirOr400)
+        case "events" => graft.operators.Sketches.hllUsers(spark, dataDir)
+        case other =>
+          throw new IllegalArgumentException(s"unknown source '$other'")
+      }
     })
     server.createContext("/heavyHitters", handler { p =>
       // q139: exact frequent items via the Misra-Gries candidate pass
@@ -319,8 +337,17 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
         graft.operators.Sketches.DefaultMgK.toString).toInt
       if (k > 4096)
         throw new IllegalArgumentException("k is limited to 4096")
-      // phi range + the k >= 1/phi guarantee guard live in the operator
-      graft.operators.Sketches.heavyHitters(spark, dataDir, phiPpm, k)
+      // phi range + the k >= 1/phi guarantee guard live in the
+      // operator; source=sketch re-ranks the persisted exact-count
+      // table (vocabulary-bounded) through the same threshold rule
+      p.getOrElse("source", "events") match {
+        case "sketch" => graft.streaming.SketchStream
+          .heavyHitterSnapshot(spark, sketchDirOr400, phiPpm)
+        case "events" =>
+          graft.operators.Sketches.heavyHitters(spark, dataDir, phiPpm, k)
+        case other =>
+          throw new IllegalArgumentException(s"unknown source '$other'")
+      }
     })
     server.createContext("/quantiles", handler { p =>
       // q142: histogram-sketch p50/p95/p99 per event type + 'ALL'.
@@ -335,9 +362,17 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0) {
               throw new IllegalArgumentException(s"bad percentile '$s'")
           }
         }.distinct
-      // percentile range checks live in the operator (→ 400)
-      graft.operators.Sketches.histQuantilesOn(
-        graft.Tables.events(spark, dataDir), qs)
+      // percentile range checks live in the operator (→ 400);
+      // source=sketch walks the persisted histogram register table
+      // (sum-merge of ≤ types × 1024 rows) instead of scanning events
+      p.getOrElse("source", "events") match {
+        case "sketch" => graft.streaming.SketchStream
+          .quantileSnapshot(spark, sketchDirOr400, qs)
+        case "events" => graft.operators.Sketches.histQuantilesOn(
+          graft.Tables.events(spark, dataDir), qs)
+        case other =>
+          throw new IllegalArgumentException(s"unknown source '$other'")
+      }
     })
     server.createContext("/collocations", handler { p =>
       // PMI collocation mining (q127): top bigrams by the fixed-point

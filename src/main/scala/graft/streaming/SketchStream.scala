@@ -81,6 +81,104 @@ object SketchStream {
     Sketches.hllEstimate(snapshotRegisters(latest), Seq("event_type"))
       .orderBy("event_type")
 
+  // ——— persisted HLL register sink (MAX-mergeable → epoch partials) ———
+
+  /** foreachBatch sink for the HLL sketch — the persisted register
+    * WAREHOUSE the q138 batch query demonstrates, closed end-to-end:
+    * each epoch writes its own (event_type, j, rho) register partial
+    * under `outDir/hllregs/epoch=<id>` (≤ m rows per type — partials
+    * are sketch-sized, never event-sized), and serving max-merges the
+    * table without ever rescanning events.
+    *
+    * Replay safety is STRONGER than the histogram sink's: overwrite-
+    * own-partition makes a same-id replay converge, and because the
+    * fold is MAX (idempotent, not merely associative), even a
+    * re-delivered batch landing under a NEW epoch id cannot move the
+    * merged registers — the sink is duplicate-immune at the algebra
+    * level, not just the partition-layout level (spec-pinned).
+    * `compactEvery > 0` folds committed epochs into the `epoch=-1`
+    * base (max fold) via
+    * [[graft.operators.Compact.compactAccumulated]]; the in-flight
+    * epoch is never folded. */
+  def hllSinkEachBatch(outDir: String, compactEvery: Int = 0)
+      (batch: DataFrame, epochId: Long): Unit = {
+    Sketches
+      .hllRegisters(
+        batch.select(col("event_type"),
+          col("user_id").cast("string").as("uid")),
+        Seq("event_type"), col("uid"))
+      .write.mode("overwrite").parquet(s"$outDir/hllregs/epoch=$epochId")
+    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+      graft.operators.Compact.compactAccumulated(batch.sparkSession,
+        s"$outDir/hllregs", epochId,
+        df => df.groupBy("event_type", "j").agg(max(col("rho")).as("rho")))
+  }
+
+  /** Distinct-user estimates over everything streamed into `outDir` so
+    * far: max-merge the persisted epoch partials back to one register
+    * relation, then the SHARED [[Sketches.hllEstimate]] stage —
+    * bit-equal to the batch estimate over the same events (spec-pinned
+    * across a checkpoint restart, a compaction, AND a duplicate
+    * delivery). This is what `/distinctUsers?source=sketch` serves:
+    * the answer comes from ≤ types × 256 register rows, never from
+    * the event log. */
+  def hllTableEstimates(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame = {
+    graft.operators.Compact.recoverAccumulated(s"$outDir/hllregs")
+    val regs = spark.read.parquet(s"$outDir/hllregs")
+      .groupBy("event_type", "j").agg(max(col("rho")).as("rho"))
+    Sketches.hllEstimate(regs, Seq("event_type")).orderBy("event_type")
+  }
+
+  // ——— heavy-hitter twin (exact counts → epoch partials) ———
+
+  /** foreachBatch sink for the heavy-hitter family (q139): each epoch
+    * writes its exact per-item counts under `outDir/hhcounts/epoch=<id>`
+    * — ADDITIVE partials like the histogram sink, so the replay-safe
+    * form is overwrite-own-partition + sum-fold compaction.
+    *
+    * Why exact counts and not merged Misra–Gries summaries: MG counter
+    * VALUES depend on arrival order (only the superset guarantee is
+    * order-free), so a summary-merging stream could not be pinned equal
+    * to the batch answer — and q139's item domain is the `props.k`
+    * catalog, so the partial relation is vocabulary-bounded (≤ |catalog|
+    * rows per epoch) regardless of traffic. The batch operator's MG
+    * pass exists to CANDIDATE-BOUND a catalog-sized aggregate at 100 TB;
+    * here the sink IS that bound, maintained incrementally. A
+    * high-cardinality item domain would swap this sink for per-epoch MG
+    * summaries + a final verification pass against the accumulated
+    * corpus — the same two-pass shape q139 runs in batch. */
+  def heavyHitterSinkEachBatch(outDir: String, itemCol: String = "item",
+      compactEvery: Int = 0)(batch: DataFrame, epochId: Long): Unit = {
+    batch.select(col(itemCol).cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$outDir/hhcounts/epoch=$epochId")
+    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+      graft.operators.Compact.compactAccumulated(batch.sparkSession,
+        s"$outDir/hhcounts", epochId,
+        df => df.groupBy("item").agg(sum(col("cnt")).as("cnt")))
+  }
+
+  /** Heavy hitters over everything streamed into `outDir` so far:
+    * sum-merge the epoch partials, then apply q139's EXACT threshold
+    * rule (`cnt · 10⁶ > n · phiPpm`) and ordering — so the snapshot is
+    * row-equal to [[Sketches.heavyHitters]] over the same events
+    * (spec-pinned, across restart / compaction / replay). */
+  def heavyHitterSnapshot(spark: org.apache.spark.sql.SparkSession,
+      outDir: String,
+      phiPpm: Long = Sketches.DefaultPhiPpm): DataFrame = {
+    require(phiPpm >= 1 && phiPpm <= 1000000L, "phiPpm in [1, 1e6]")
+    graft.operators.Compact.recoverAccumulated(s"$outDir/hhcounts")
+    val counts = spark.read.parquet(s"$outDir/hhcounts")
+      .groupBy("item").agg(sum(col("cnt")).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n")) // 1 row — broadcast
+    counts.crossJoin(broadcast(tot))
+      .where(col("cnt") * lit(1000000L) > col("n") * lit(phiPpm))
+      .select(col("item"), col("cnt"))
+      .orderBy(desc("cnt"), col("item"))
+  }
+
   // ——— histogram-quantile twin (SUM-mergeable → epoch partials) ———
 
   /** foreachBatch sink for the histogram sketch: unlike HLL's

@@ -233,6 +233,64 @@ class HttpServerSpec extends SparkSpec {
       assert(c61 == 200 && hq.contains("\"p99_est_micros\""), hq.take(200))
       val (c62, _) = get(s"$base/quantiles?q=0") // operator range guard
       assert(c62 == 400)
+      // percentile-list normalization: duplicates and empty segments
+      // must answer like the clean list, not 500 on a duplicate alias
+      val (c63, hqDup) = get(s"$base/quantiles?q=50,50,,99")
+      assert(c63 == 200 && hqDup == hq, hqDup.take(200))
+      val (c64, _) = get(s"$base/quantiles?q=50,abc") // bad int → 400
+      assert(c64 == 400)
+      // source=sketch without a configured sketch dir → 400, not 500
+      val (c65, _) = get(s"$base/distinctUsers?source=sketch")
+      assert(c65 == 400)
+      val (c66, _) = get(s"$base/distinctUsers?source=redis-ish")
+      assert(c66 == 400)
     } finally srv.stop()
+  }
+
+  test("sketch-table serving: /distinctUsers and /quantiles answer from " +
+    "the persisted register sinks, bit-equal to the batch estimates") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("srv_sketch").toString
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value"))
+    // two "epochs" through the real sink entry points
+    val Array(a, b) = ev.randomSplit(Array(0.5, 0.5), seed = 7)
+    val items = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions
+        .get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+    val Array(ia, ib) = items.randomSplit(Array(0.5, 0.5), seed = 7)
+    for ((part, ipart, id) <- Seq((a, ia, 0L), (b, ib, 1L))) {
+      graft.streaming.SketchStream.hllSinkEachBatch(dir)(part, id)
+      graft.streaming.SketchStream.histSinkEachBatch(dir)(part, id)
+      graft.streaming.SketchStream.heavyHitterSinkEachBatch(dir)(ipart, id)
+    }
+    val srv = new HttpServer(spark, sf, sketchDir = Some(dir)).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      val (c1, du) = get(s"$base/distinctUsers?source=sketch")
+      assert(c1 == 200, du.take(200))
+      val want = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(
+          ev.select(col("event_type"),
+            col("user_id").cast("string").as("uid")),
+          Seq("event_type"), col("uid")), Seq("event_type"))
+        .orderBy("event_type").toJSON.collect().mkString("[", ",", "]")
+      assert(du == want, s"sketch-served estimates diverged: ${du.take(200)}")
+      val (c2, hq) = get(s"$base/quantiles?q=50,99&source=sketch")
+      assert(c2 == 200 && hq.contains("\"p99_est_micros\""), hq.take(200))
+      val wantQ = graft.streaming.SketchStream
+        .quantileSnapshot(spark, dir, Seq(50, 99))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(hq == wantQ)
+      // heavy hitters from the persisted exact-count table: row-equal
+      // to the batch q139 operator over the same events
+      val (c3, hh) = get(s"$base/heavyHitters?source=sketch&phiPpm=10500")
+      assert(c3 == 200, hh.take(200))
+      val wantH = graft.operators.Sketches
+        .heavyHittersOn(items, "item", 10500L, 128)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(hh == wantH, s"sketch-served heavy hitters diverged")
+    } finally { srv.stop(); graft.Caches.releaseAll() }
   }
 }

@@ -141,6 +141,95 @@ class SketchStreamSpec extends SparkSpec {
       "replayed epoch changed the accumulated registers")
   }
 
+  test("persisted HLL register sink: estimates served from the table " +
+    "are bit-equal to batch, across a restart, compaction, a same-id " +
+    "replay, AND a duplicate delivery under a new epoch id") {
+    val outDir = Files.createTempDirectory("hll_sink").toString
+    val ckpt = Files.createTempDirectory("hll_sink_ckpt").toString
+    val mem = MemoryStream[(String, Long)]
+    def start() = mem.toDF().toDF("event_type", "user_id")
+      .writeStream
+      .foreachBatch(SketchStream.hllSinkEachBatch(outDir,
+        compactEvery = 2) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val chunks = fixture.grouped(120).toSeq
+    val (firstHalf, secondHalf) = chunks.splitAt(chunks.size / 2)
+    val q1 = start()
+    firstHalf.foreach { c => mem.addData(c: _*); q1.processAllAvailable() }
+    q1.stop()
+    val q2 = start() // checkpoint restart mid-stream
+    secondHalf.foreach { c => mem.addData(c: _*); q2.processAllAvailable() }
+    q2.stop()
+    def served() = {
+      val out = SketchStream.hllTableEstimates(spark, outDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.Caches.releaseAll()
+      out
+    }
+    val want = Sketches.hllEstimate(batchRegs(fixture), Seq("event_type"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(served() == want && want.nonEmpty)
+    // compaction actually bounded the partitions
+    val dirs = new java.io.File(s"$outDir/hllregs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(dirs < 5, s"$dirs epoch dirs survived compactEvery=2")
+    // same-id replay of the last epoch: overwrite-own-partition
+    val lastId = chunks.size.toLong - 1L
+    SketchStream.hllSinkEachBatch(outDir)(
+      chunks.last.toDF("event_type", "user_id"), lastId)
+    assert(served() == want, "same-id replay moved the registers")
+    // duplicate delivery under a NEW epoch id: max is idempotent, so
+    // the merged registers cannot move — the algebra-level immunity
+    // the additive histogram sink does NOT have
+    SketchStream.hllSinkEachBatch(outDir)(
+      chunks.head.toDF("event_type", "user_id"), lastId + 1L)
+    assert(served() == want, "new-id duplicate delivery changed estimates")
+  }
+
+  test("heavy-hitter twin: the snapshot re-ranks through the exact " +
+    "threshold rule, row-equal to batch q139, across restart, " +
+    "compaction, and a same-id replay") {
+    val outDir = Files.createTempDirectory("hh_sink").toString
+    val ckpt = Files.createTempDirectory("hh_ckpt").toString
+    val rnd = new scala.util.Random(13)
+    val data = Seq.fill(5000)((math.pow(rnd.nextDouble(), 2) * 60).toLong)
+    val phiPpm = 20000L
+    val mem = MemoryStream[Long]
+    def start() = mem.toDF().toDF("item")
+      .writeStream
+      .foreachBatch(SketchStream.heavyHitterSinkEachBatch(outDir,
+        compactEvery = 2) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val chunks = data.grouped(800).toSeq
+    val (h1, h2) = chunks.splitAt(3)
+    val q1 = start()
+    h1.foreach { c => mem.addData(c: _*); q1.processAllAvailable() }
+    q1.stop()
+    val q2 = start() // checkpoint restart mid-stream
+    h2.foreach { c => mem.addData(c: _*); q2.processAllAvailable() }
+    q2.stop()
+    def snap() = {
+      val out = SketchStream.heavyHitterSnapshot(spark, outDir, phiPpm)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      graft.Caches.releaseAll()
+      out
+    }
+    val want = Sketches.heavyHittersOn(
+      spark.createDataset(data).toDF("item"), "item", phiPpm, k = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap() == want && want.nonEmpty)
+    val dirs = new java.io.File(s"$outDir/hhcounts").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(dirs < 6, s"$dirs epoch dirs survived compactEvery=2")
+    // same-id replay of the last (in-flight) epoch converges
+    SketchStream.heavyHitterSinkEachBatch(outDir)(
+      chunks.last.toDF("item"), chunks.size.toLong - 1L)
+    assert(snap() == want, "replayed epoch changed the exact counts")
+  }
+
   test("checkpoint restart resumes the registers: half before a stop, " +
     "half after, final state equals the one-shot batch sketch") {
     val ckpt = Files.createTempDirectory("hll_ckpt").toString
