@@ -168,5 +168,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerTvf(ext, "quality_report")((s, d, _) =>
       Checks.qualityReport(s, d))
     registerTvf(ext, "hll_overlap")((s, d, _) => Sketches.hllOverlap(s, d))
+    registerTvf(ext, "zorder_scan")((s, d, a) =>
+      Warehouse.zorderScan(s, d,
+        at(a, 0, longArg(_, "zorder_scan"), 0L),
+        at(a, 1, longArg(_, "zorder_scan"), 0L),
+        at(a, 2, longArg(_, "zorder_scan"), 0L),
+        at(a, 3, longArg(_, "zorder_scan"), 0L)))
   }
 }

@@ -406,6 +406,12 @@ object SparkEntry {
     // registers from the SAME per-type register relation, intersection
     // via inclusion-exclusion (clamped), exact audit column
     "q144_hll_overlap" -> ((s, d) => Sketches.hllOverlap(s, d)),
+    // q145: the SERVED z-order range scan — reads the materialized
+    // z-layout through file_id IN (quadrants) partition pruning, exact
+    // predicate re-applied after the prune (a pruning bug fails loudly
+    // against the oracle's plain filter, never silently)
+    "q145_zorder_scan" ->
+      ((s, d) => Warehouse.zorderScan(s, d, 0L, 40L, 10L, 19L)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -418,7 +424,7 @@ object SparkEntry {
     "q38_ivf_search", "q56_ivf_file_search", "q82_semantic_dedup_ivf",
     "q108_pq_codes", "q110_ivfpq_search", "q112_corpus_build",
     "q113_build_report", "q115_cluster_sample",
-    "q131_phrase_index_search")
+    "q131_phrase_index_search", "q145_zorder_scan")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -428,6 +434,7 @@ object SparkEntry {
     IvfIndex.clearMemos()
     PqIndex.clearMemos()
     Ranking.clearMemos()
+    Warehouse.clearMemos()
   }
 
   /** Driver-dispatch queries re-run with the dispatch budget zeroed,
@@ -3117,6 +3124,18 @@ object SparkEntry {
          LEFT JOIN ex ON ex.type_a = uest.type_a
                      AND ex.type_b = uest.type_b
          ORDER BY 1, 2""",
+    // q145: the engine answers through the materialized z-layout +
+    // quadrant partition pruning; the oracle is the plain rectangle
+    // filter — if pruning ever skipped a quadrant holding matching
+    // rows, the row sets (and hash) would diverge
+    "q145_zorder_scan" ->
+      raw"""SELECT event_id, user_id,
+                CAST(props->>'k' AS BIGINT) AS item
+         FROM events
+         WHERE props->>'k' IS NOT NULL
+           AND user_id BETWEEN 0 AND 40
+           AND CAST(props->>'k' AS BIGINT) BETWEEN 10 AND 19
+         ORDER BY event_id""",
     // q139: the sketch pass is candidate generation only — the output
     // contract is the exact threshold count, so the oracle is the
     // plain group-by + having it is guaranteed to equal

@@ -92,4 +92,50 @@ object Checks {
       .select(col("entity"), col("metric"), col("value").cast("long"))
       .orderBy("entity", "metric")
   }
+
+  /** A declared bound on one metric — the verification-suite role:
+    * `value` must land in [min, max] or the drop is held back. */
+  case class Bound(metric: String, min: Long, max: Long) {
+    require(min <= max, s"bound on $metric: min $min > max $max")
+  }
+
+  /** Per-batch metric row for a DOCUMENT relation (doc_id, text, ...),
+    * the ingest-gate twin of [[qualityReport]]: ONE aggregation pass,
+    * all-integer (counts and ppm via `div`), so the gate verdict is
+    * deterministic under replay. */
+  def docReport(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("text").isNotNull && length(col("text")) > 0, 1L)
+        .otherwise(0L)).as("nnt"),
+      countDistinct(col("doc_id")).as("dk"),
+      coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("tl"))
+      .selectExpr("stack(4, " +
+        "'rows', n, " +
+        "'text_complete_ppm', CASE WHEN n = 0 THEN 1000000 " +
+        "ELSE nnt * 1000000 div n END, " +
+        "'doc_id_unique_ppm', CASE WHEN n = 0 THEN 1000000 " +
+        "ELSE dk * 1000000 div n END, " +
+        "'mean_text_len', CASE WHEN nnt = 0 THEN 0 ELSE tl div nnt END) " +
+        "AS (metric, value)")
+      .withColumn("entity", lit("documents"))
+      .select(col("entity"), col("metric"), col("value").cast("long"))
+
+  /** Evaluate declared [[Bound]]s against a (metric, value) report —
+    * one human-readable violation line per breached bound. The collect
+    * is the METRIC row set (a handful of rows by construction), never
+    * data. Metrics the report lacks are violations too: a gate that
+    * silently skips an undeclared metric is a gate that rots. */
+  def violations(report: DataFrame, bounds: Seq[Bound]): Seq[String] = {
+    val got = report.select(col("metric"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bounds.flatMap { b =>
+      got.get(b.metric) match {
+        case None => Some(s"${b.metric}: metric absent from report")
+        case Some(v) if v < b.min || v > b.max =>
+          Some(s"${b.metric}=$v outside [${b.min}, ${b.max}]")
+        case _ => None
+      }
+    }
+  }
 }

@@ -192,6 +192,79 @@ object Warehouse {
       .repartition(col("file_id"))
       .write.mode("overwrite").partitionBy("file_id").parquet(outDir)
 
+  private val zlayoutMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), String]
+
+  /** Forget memoized z-layouts (tests, cold benching). */
+  def clearMemos(): Unit = zlayoutMemo.clear()
+
+  /** The materialized z-order layout of the (user_id, item) event
+    * space for `dir`: built on first request, reused for the JVM
+    * lifetime until the source data changes (fingerprint key — the
+    * [[Ranking.postingsFileCached]] discipline: a refresh writes a NEW
+    * directory and retires the old one to the deferred reaper, never
+    * overwriting files a concurrent scan may hold). */
+  def zlayoutCached(spark: SparkSession, dir: String,
+      shift: Int = ZShift): String = {
+    val fp = IvfIndex.dataFingerprint(dir, table = "events")
+    val key = (dir, shift, fp)
+    val v = zlayoutMemo.getOrElseUpdate(key, {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft-zlayout-$tag-s$shift-f${java.lang.Long.toHexString(fp)}"
+      zorderWrite(
+        graft.Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .where(col("item").isNotNull),
+        "user_id", "item", p, shift)
+      p
+    })
+    val stale = zlayoutMemo.keys
+      .filter(k => (k._1, k._2) == ((dir, shift)) && k != key)
+      .flatMap(zlayoutMemo.remove).toSeq
+    graft.IndexGc.retire(s"zlayout:$dir:$shift", stale)
+    v
+  }
+
+  /** Quadrant-enumeration cap for [[zorderScan]]: past this, the
+    * rectangle covers so much of the space that partition pruning
+    * cannot help, and enumerating the grid driver-side would be the
+    * new cost — fall back to a plain filtered scan. */
+  val MaxPrunedQuadrants: Long = 4096L
+
+  /** q145: the SERVED z-order range scan — rows with `user_id ∈
+    * [uLo, uHi]` and `item ∈ [iLo, iHi]`, read from the materialized
+    * z-layout through `file_id IN (quadrants)` PARTITION pruning (the
+    * reader-side payoff [[zorderWrite]] exists for: the scan touches
+    * only the ≤ (range/32)² quadrant directories either predicate
+    * maps to, not the corpus). The exact predicate re-applies after
+    * pruning, so a pruning bug can only fail loudly (missing rows vs
+    * the oracle), never emit wrong rows. Rectangles wider than
+    * [[MaxPrunedQuadrants]] quadrants scan with the plain predicate —
+    * pruning can't help a scan that touches most files anyway. */
+  def zorderScan(spark: SparkSession, dir: String,
+      uLo: Long, uHi: Long, iLo: Long, iHi: Long,
+      shift: Int = ZShift): DataFrame = {
+    val lim = 1L << ZBits
+    require(0 <= uLo && uLo <= uHi && uHi < lim &&
+      0 <= iLo && iLo <= iHi && iHi < lim,
+      s"bounds must satisfy 0 <= lo <= hi < $lim in both dimensions")
+    val layout = spark.read.parquet(zlayoutCached(spark, dir, shift))
+    val cell = 1L << (shift / 2)
+    val nQuads = (uHi / cell - uLo / cell + 1) * (iHi / cell - iLo / cell + 1)
+    val base =
+      if (nQuads <= MaxPrunedQuadrants)
+        layout.where(col("file_id")
+          .isin(zorderQuadrants(uLo, uHi, iLo, iHi, shift): _*))
+      else layout
+    base
+      .where(col("user_id").between(uLo, uHi) &&
+        col("item").between(iLo, iHi))
+      .select(col("event_id"), col("user_id"), col("item"))
+      .orderBy("event_id")
+  }
+
   /** The quadrants a range predicate `x ∈ [xLo, xHi], y ∈ [yLo, yHi]`
     * can touch — the reader-side pruning computation (driver-side over
     * the quadrant grid, ≤ (range/cell)² cells). Pass `Long.MaxValue`

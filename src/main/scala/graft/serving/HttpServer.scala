@@ -374,6 +374,16 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
           throw new IllegalArgumentException(s"unknown source '$other'")
       }
     })
+    server.createContext("/zorderScan", handler { p =>
+      // q145: range scan served from the materialized z-order layout —
+      // the quadrant computation turns either dimension's predicate
+      // into file_id partition pruning; bounds guards live in the
+      // operator (→ 400)
+      def bound(k: String, dflt: Long) = p.get(k).map(_.toLong).getOrElse(dflt)
+      graft.operators.Warehouse.zorderScan(spark, dataDir,
+        bound("uLo", 0L), bound("uHi", 0L),
+        bound("iLo", 0L), bound("iHi", 0L))
+    })
     server.createContext("/collocations", handler { p =>
       // PMI collocation mining (q127): top bigrams by the fixed-point
       // lift — phrase discovery served next to the corpus it describes

@@ -595,4 +595,57 @@ object DocStream {
           out.iterator
         })
   }
+
+  /** Quality-gated publish sink (foreachBatch) — the Deequ
+    * verification-suite role wired into the ingest: each micro-batch's
+    * declarative metric row ([[graft.operators.Checks.docReport]], one
+    * aggregation pass, all-integer) is checked against the declared
+    * [[graft.operators.Checks.Bound]]s BEFORE the epoch publishes. A
+    * clean batch appends `epoch=<id>` like the other accumulated
+    * sinks; a violating batch is held back WHOLE under
+    * `outDir.quarantine/epoch=<id>` with a loud `.REASON.txt` naming
+    * every breached bound — data is never dropped silently and the
+    * corpus is never poisoned. The quarantine lives BESIDE the corpus
+    * directory (not inside it) so corpus readers and the compaction
+    * swap never see it. The q143 batch report stays the oracle
+    * surface; this is its circuit-breaker twin.
+    *
+    * Replay-deterministic: the verdict is a pure integer function of
+    * the batch content, so a replayed epoch re-evaluates to the same
+    * verdict and overwrites its own partition (corpus or quarantine),
+    * converging bit-equal. Publishing also clears any stale quarantine
+    * partition for the same epoch (and vice versa) so a bounds change
+    * between restarts cannot leave one epoch on both sides. */
+  def qualityGateSinkEachBatch(outDir: String,
+      bounds: Seq[graft.operators.Checks.Bound],
+      compactEvery: Int = 0)(batch: DataFrame, epochId: Long): Unit = {
+    import graft.operators.Checks
+    val rows = batch.persist()
+    try {
+      if (rows.isEmpty) return // nothing to gate, nothing to publish
+      val bad = Checks.violations(Checks.docReport(rows), bounds)
+      val corpusEpoch = new java.io.File(s"$outDir/epoch=$epochId")
+      val qEpoch = new java.io.File(s"$outDir.quarantine/epoch=$epochId")
+      if (bad.nonEmpty) {
+        rows.write.mode("overwrite").parquet(qEpoch.getPath)
+        java.nio.file.Files.write(
+          new java.io.File(s"${qEpoch.getPath}.REASON.txt").toPath,
+          (bad :+ "").mkString("\n").getBytes("UTF-8"))
+        if (corpusEpoch.exists())
+          graft.AtomicSwap.deleteRecursively(corpusEpoch)
+        System.err.println(s"[quality-gate] epoch $epochId HELD BACK " +
+          s"(${bad.size} violation(s)): ${bad.mkString("; ")}")
+      } else {
+        rows.write.mode("overwrite").parquet(corpusEpoch.getPath)
+        if (qEpoch.exists()) {
+          graft.AtomicSwap.deleteRecursively(qEpoch)
+          graft.AtomicSwap.deleteRecursively(
+            new java.io.File(s"${qEpoch.getPath}.REASON.txt"))
+        }
+        if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+          graft.operators.Compact.compactAccumulated(batch.sparkSession,
+            outDir, epochId, identity)
+      }
+    } finally rows.unpersist(blocking = false)
+  }
 }

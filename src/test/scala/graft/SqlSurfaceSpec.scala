@@ -76,7 +76,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM quality_report()" ->
         operators.Checks.qualityReport(spark, sf),
       "SELECT * FROM hll_overlap()" ->
-        operators.Sketches.hllOverlap(spark, sf))
+        operators.Sketches.hllOverlap(spark, sf),
+      "SELECT * FROM zorder_scan(0, 40, 10, 19)" ->
+        operators.Warehouse.zorderScan(spark, sf, 0L, 40L, 10L, 19L))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

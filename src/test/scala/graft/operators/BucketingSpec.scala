@@ -89,6 +89,57 @@ class BucketingSpec extends SparkSpec {
     assert(zTouch <= zRep.length / 2, s"z pruning too weak: $zTouch")
   }
 
+  test("zorderScan serves the rectangle from the cached layout with a " +
+    "live partition prune, row-equal to the plain filter") {
+    import spark.implicits._
+    val got = Warehouse.zorderScan(spark, sf, 0L, 40L, 10L, 19L)
+    val want = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull &&
+        col("user_id").between(0, 40) && col("item").between(10, 19))
+    assert(got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      want.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // the pruning is REAL: the scan's post-prune file selection is a
+    // strict subset of the layout's files
+    got.collect()
+    // the orderBy makes the plan adaptive: the scan leaves (and their
+    // metrics) live under the AQE node's final plan
+    def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Long =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scanFiles(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scanFiles(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+        case _ => p.children.map(scanFiles).sum
+      }
+    val read = scanFiles(got.queryExecution.executedPlan)
+    val all = spark.read.parquet(Warehouse.zlayoutCached(spark, sf))
+      .inputFiles.length
+    assert(read < all && read > 0, s"pruned scan read $read of $all files")
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [") && plan.contains("file_id"),
+      s"expected a file_id partition filter, plan:\n$plan")
+    // a rectangle wider than the quadrant cap falls back to the plain
+    // scan — same rows, no driver-side grid enumeration
+    val wide = Warehouse.zorderScan(spark, sf, 0L, (1L << 21) - 1,
+      0L, (1L << 21) - 1)
+    assert(wide.count() ==
+      graft.Tables.events(spark, sf)
+        .where(get_json_object(col("props"), "$.k").isNotNull).count())
+    // served bounds are validated
+    intercept[IllegalArgumentException] {
+      Warehouse.zorderScan(spark, sf, -1L, 5L, 0L, 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.zorderScan(spark, sf, 5L, 1L, 0L, 5L)
+    }
+  }
+
   test("z-order domain guard is live: out-of-range or negative values " +
     "fail loudly instead of silently aliasing into a wrong quadrant") {
     import spark.implicits._

@@ -242,6 +242,13 @@ class HttpServerSpec extends SparkSpec {
       // source=sketch without a configured sketch dir → 400, not 500
       val (c65, _) = get(s"$base/distinctUsers?source=sketch")
       assert(c65 == 400)
+      // z-order served range scan: rows come back through the pruned
+      // layout read; bad bounds → 400
+      val (c67, zs) = get(s"$base/zorderScan?uLo=0&uHi=40&iLo=10&iHi=19")
+      assert(c67 == 200 && zs.contains("\"event_id\"") &&
+        zs.contains("\"item\""), zs.take(200))
+      val (c68, _) = get(s"$base/zorderScan?uLo=9&uHi=1&iLo=0&iHi=5")
+      assert(c68 == 400)
       val (c66, _) = get(s"$base/distinctUsers?source=redis-ish")
       assert(c66 == 400)
     } finally srv.stop()

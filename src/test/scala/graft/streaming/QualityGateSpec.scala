@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Checks
+import graft.operators.Checks.Bound
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** The streaming quality circuit breaker: per-micro-batch declarative
+  * metrics gate each epoch's publish — a corrupted batch is held back
+  * whole with a loud reason, a clean one publishes, and replay
+  * converges (round-13 verdict #5). */
+class QualityGateSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val bounds = Seq(
+    Bound("text_complete_ppm", 900000L, 1000000L),
+    Bound("doc_id_unique_ppm", 1000000L, 1000000L),
+    Bound("mean_text_len", 10L, 100000L))
+
+  private def cleanDocs(from: Long, n: Long): Seq[(Long, String)] =
+    (from until from + n).map(i =>
+      (i, s"a perfectly reasonable document number $i with enough text"))
+
+  test("clean batches publish, a corrupted batch is held back whole " +
+    "with a loud reason, and the stream keeps going") {
+    val outDir = Files.createTempDirectory("qgate").toString + "/corpus"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(DocStream.qualityGateSinkEachBatch(outDir, bounds) _)
+      .outputMode("append").start()
+    mem.addData(cleanDocs(0, 50): _*); q.processAllAvailable()
+    // 12 of 30 docs have null-ish text → text_complete_ppm = 600000
+    val corrupt = cleanDocs(100, 18) ++ (200L until 212L).map(i => (i, ""))
+    mem.addData(corrupt: _*); q.processAllAvailable()
+    mem.addData(cleanDocs(300, 40): _*); q.processAllAvailable()
+    q.stop()
+    // corpus holds ONLY the clean epochs
+    val corpus = spark.read.parquet(outDir)
+    assert(corpus.count() == 90,
+      s"corpus has ${corpus.count()} docs; quarantined rows leaked in")
+    assert(!new java.io.File(s"$outDir/epoch=1").exists())
+    // the held-back epoch sits in quarantine, data intact, reason loud
+    val qdir = new java.io.File(s"$outDir.quarantine/epoch=1")
+    assert(qdir.exists(), "corrupted epoch was not quarantined")
+    assert(spark.read.parquet(qdir.getPath).count() == 30,
+      "quarantine must hold the WHOLE batch")
+    val reason = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"${qdir.getPath}.REASON.txt").toPath), "UTF-8")
+    assert(reason.contains("text_complete_ppm") &&
+      reason.contains("outside"), s"reason: $reason")
+  }
+
+  test("replay converges: same batch, same verdict, same partition — " +
+    "and a loosened bound re-publishes a quarantined epoch cleanly") {
+    val outDir = Files.createTempDirectory("qgate_rp").toString + "/corpus"
+    val clean = cleanDocs(0, 20).toDF("doc_id", "text")
+    val corrupt = (cleanDocs(50, 5) ++ (90L until 95L).map(i => (i, "")))
+      .toDF("doc_id", "text")
+    DocStream.qualityGateSinkEachBatch(outDir, bounds)(clean, 0L)
+    DocStream.qualityGateSinkEachBatch(outDir, bounds)(corrupt, 1L)
+    def corpusIds() = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val after = corpusIds()
+    // replay BOTH epochs (crash-recovery): verdicts re-evaluate
+    // identically, partitions overwrite, nothing moves
+    DocStream.qualityGateSinkEachBatch(outDir, bounds)(clean, 0L)
+    DocStream.qualityGateSinkEachBatch(outDir, bounds)(corrupt, 1L)
+    assert(corpusIds() == after, "replay changed the published corpus")
+    assert(new java.io.File(s"$outDir.quarantine/epoch=1").exists())
+    // operator change between restarts: loosened bounds → the replayed
+    // epoch publishes and its quarantine copy (and reason) are cleared
+    val loose = Seq(Bound("text_complete_ppm", 100000L, 1000000L))
+    DocStream.qualityGateSinkEachBatch(outDir, loose)(corrupt, 1L)
+    assert(corpusIds().size == 30, "loosened replay did not publish")
+    assert(!new java.io.File(s"$outDir.quarantine/epoch=1").exists(),
+      "stale quarantine partition survived a clean publish")
+    assert(!new java.io.File(s"$outDir.quarantine/epoch=1.REASON.txt")
+      .exists(), "stale reason file survived")
+  }
+
+  test("declared bounds on metrics the report lacks are violations, " +
+    "not silent skips; empty batches gate nothing and publish nothing") {
+    val df = cleanDocs(0, 3).toDF("doc_id", "text")
+    val v = Checks.violations(Checks.docReport(df),
+      Seq(Bound("rows", 1L, 10L), Bound("no_such_metric", 0L, 1L)))
+    assert(v == Seq("no_such_metric: metric absent from report"))
+    val outDir = Files.createTempDirectory("qgate_e").toString + "/corpus"
+    DocStream.qualityGateSinkEachBatch(outDir, bounds)(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L)
+    assert(!new java.io.File(outDir).exists() &&
+      !new java.io.File(s"$outDir.quarantine").exists(),
+      "an empty batch must publish nothing and quarantine nothing")
+  }
+}
