@@ -99,6 +99,111 @@ object TwinScaleGate {
       s"$bEpochs) lift=${if (gotLift == wantLift) "MATCH"
         else "MISMATCH"} rows=${wantLift.size}")
     require(gotLift == wantLift, "basket twin diverged from batch q132")
+
+    // ---- sketch sinks vs batch q137 / q142 / q139 -------------------
+    // (round-14 twins: persisted register/count tables, compacted,
+    // served without rescanning events)
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val sChunk = math.max(1, (ev.size + nChunks - 1) / nChunks)
+    val sOut = java.nio.file.Files
+      .createTempDirectory("twin_scale_sketch").toString
+    val sMem = MemoryStream[(String, Long, Double, Long)]
+    val sq = sMem.toDF().toDF("event_type", "user_id", "value", "item")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        streaming.SketchStream.hllSinkEachBatch(sOut, compactEvery)(b, id)
+        streaming.SketchStream.histSinkEachBatch(sOut, compactEvery)(b, id)
+        streaming.SketchStream.heavyHitterSinkEachBatch(sOut,
+          compactEvery = compactEvery)(b.where("item >= 0"), id)
+      }
+      .outputMode("append").start()
+    var sEpochs = 0
+    val t2 = System.nanoTime()
+    ev.grouped(sChunk).foreach { c =>
+      sMem.addData(c: _*); sq.processAllAvailable(); sEpochs += 1
+    }
+    sq.stop()
+    val sStreamSecs = (System.nanoTime() - t2) / 1e9
+    def pin(tag: String, got: Seq[Seq[Any]], want: Seq[Seq[Any]]): String = {
+      require(got == want && got.nonEmpty, s"$tag twin diverged from batch")
+      "MATCH"
+    }
+    val evDf = Tables.events(spark, sfDir)
+    val hllGot = streaming.SketchStream.hllTableEstimates(spark, sOut)
+      .collect().map(_.toSeq).toSeq
+    val hllWant = operators.Sketches.hllEstimate(
+      operators.Sketches.hllRegisters(
+        evDf.select(col("event_type"),
+          col("user_id").cast("string").as("uid")),
+        Seq("event_type"), col("uid")), Seq("event_type"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    val histGot = streaming.SketchStream.quantileSnapshot(spark, sOut)
+      .collect().map(_.toSeq).toSeq
+    val histWant = operators.Sketches.histQuantilesOn(
+        evDf.select(col("event_type"), col("value")))
+      .select(col("event_type"), col("p50_est_micros"),
+        col("p95_est_micros"), col("p99_est_micros"))
+      .collect().map(_.toSeq).toSeq
+    Caches.releaseAll()
+    val hhGot = streaming.SketchStream.heavyHitterSnapshot(spark, sOut)
+      .collect().map(_.toSeq).toSeq
+    val hhWant = operators.Sketches.heavyHitters(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    Caches.releaseAll()
+    println(s"[twin-scale] sketch: events=${ev.size} epochs=$sEpochs " +
+      s"streamSecs=${f"$sStreamSecs%.1f"} " +
+      s"hllDirs=${partDirs(s"$sOut/hllregs")} " +
+      s"histDirs=${partDirs(s"$sOut/hist")} " +
+      s"hhDirs=${partDirs(s"$sOut/hhcounts")} (uncompacted would be " +
+      s"$sEpochs each) hll=${pin("hll", hllGot, hllWant)} " +
+      s"hist=${pin("hist", histGot, histWant)} " +
+      s"heavyHitters=${pin("hh", hhGot, hhWant)} " +
+      s"(${hllWant.size}/${histWant.size}/${hhWant.size} rows)")
+
+    // ---- interval-join stream vs batch q141 -------------------------
+    val ow = operators.IntervalJoin.orderWindows(spark, sfDir)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    Caches.releaseAll()
+    // the declared length bound: derive from the data and print it —
+    // the twin's horizon contract made explicit
+    val maxLen = ow.map(w => w._4 - w._3).max
+    val iMem = MemoryStream[(Long, Long, Long, Long)]
+    val iq = streaming.IntervalJoinStream.concurrentOrdersStream(
+      iMem.toDF().toDF("o_orderkey", "o_custkey", "lo", "hi")
+        .select(col("o_custkey"), col("o_orderkey").as("orderkey"),
+          col("lo"), col("hi")),
+      maxLenDays = maxLen, latenessDays = 100000L)
+      .writeStream.format("memory").queryName("twin_ivjoin")
+      .outputMode("append").start()
+    val iChunk = math.max(1, (ow.size + nChunks - 1) / nChunks)
+    var iEpochs = 0
+    val t3 = System.nanoTime()
+    ow.grouped(iChunk).foreach { c =>
+      iMem.addData(c: _*); iq.processAllAvailable(); iEpochs += 1
+    }
+    iq.stop()
+    val iStreamSecs = (System.nanoTime() - t3) / 1e9
+    // distributed multiset compare (sf1 is millions of pairs — no
+    // driver-side sort): equal counts + empty symmetric exceptAll
+    val ivGot = spark.table("twin_ivjoin")
+    val ivWant = operators.IntervalJoin.concurrentOrders(spark, sfDir)
+    val (nGot, nWant) = (ivGot.count(), ivWant.count())
+    val diff = ivGot.exceptAll(ivWant).count() +
+      ivWant.exceptAll(ivGot).count()
+    Caches.releaseAll()
+    require(nGot == nWant && diff == 0 && nWant > 0,
+      s"interval twin diverged from batch q141: " +
+        s"got=$nGot want=$nWant symmetricDiff=$diff")
+    println(s"[twin-scale] interval: windows=${ow.size} " +
+      s"epochs=$iEpochs streamSecs=${f"$iStreamSecs%.1f"} " +
+      s"maxLenDays=$maxLen pairs=$nWant join=MATCH")
     spark.stop()
   }
 }

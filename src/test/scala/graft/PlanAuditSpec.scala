@@ -407,7 +407,10 @@ class PlanAuditSpec extends SparkSpec {
     "q143_quality_report" -> 4,
     // q144: register agg + per-pair union re-agg + three estimate
     // aggs + the exact-intersection audit join + final joins/sort
-    "q144_hll_overlap" -> 14)
+    "q144_hll_overlap" -> 14,
+    // q145: pruned layout scan + exact filter + output sort — the
+    // layout build is a memoized write job, not part of this plan
+    "q145_zorder_scan" -> 1)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,
