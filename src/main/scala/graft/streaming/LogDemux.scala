@@ -169,11 +169,25 @@ object LogDemux {
     * Epoch-keyed OVERWRITE makes the sink idempotent under foreachBatch
     * replay — a retried epoch rewrites its own directory instead of
     * appending duplicates; the epoch commit after this function returns
-    * is the "flush then commit offsets" of the reference (:177-180). */
-  def demuxEachBatch(outDir: String)(batch: DataFrame, epochId: Long): Unit = {
+    * is the "flush then commit offsets" of the reference (:177-180).
+    *
+    * `compactEvery > 0` folds committed epochs into each topic's
+    * `epoch=-1` base via
+    * [[graft.operators.Compact.compactAccumulated]] (identity fold —
+    * demuxed rows are exactly-once per epoch), run IN-BAND from this
+    * sink so no epoch can land between the listing and the swap — the
+    * coordinated variant; [[graft.operators.Compact.compactEpochs]]
+    * stays the stop-the-world form for OFFLINE rewrites of a stopped
+    * topic only. The in-flight epoch is never folded, preserving
+    * replay idempotence. */
+  def demuxEachBatch(outDir: String, compactEvery: Int = 0)
+      (batch: DataFrame, epochId: Long): Unit = {
     val parsed = parse(batch).persist()
     try branches(parsed).foreach { case (topic, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$topic/epoch=$epochId")
+      if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+        graft.operators.Compact.compactAccumulated(batch.sparkSession,
+          s"$outDir/$topic", epochId, identity)
     } finally parsed.unpersist()
   }
 }

@@ -89,6 +89,31 @@ class StreamingSpec extends SparkSpec {
       .exists(_.getName.startsWith("epoch=")))
   }
 
+  test("demux in-band compaction: coordinated fold from the sink keeps " +
+    "rows exact, bounds epoch dirs, and survives a replayed epoch") {
+    val out = tmpDir("demux_cmp")
+    def epochDirs(t: String): Int =
+      Option(new java.io.File(s"$out/$t").listFiles()).toSeq.flatten
+        .count(_.getName.startsWith("epoch="))
+    // six epochs through the live sink with compactEvery=2 — the
+    // COORDINATED variant (no stop-the-world compactEpochs needed)
+    for (e <- 0L to 5L) {
+      val b = Seq(pageLog(s"m$e", "home", null, 0, 0, 1000L + e))
+        .toDF("value")
+      LogDemux.demuxEachBatch(out, compactEvery = 2)(b, e)
+    }
+    val pages = spark.read.parquet(s"$out/DWD_PAGE_LOG")
+    assert(pages.count() == 6, "compaction lost or duplicated rows")
+    assert(epochDirs("DWD_PAGE_LOG") <= 3,
+      s"${epochDirs("DWD_PAGE_LOG")} epoch dirs survived compactEvery=2")
+    // replay the in-flight epoch (the only replayable one): overwrite-
+    // own-partition converges even against the compacted layout
+    LogDemux.demuxEachBatch(out, compactEvery = 2)(
+      Seq(pageLog("m5", "home", null, 0, 0, 1005L)).toDF("value"), 5L)
+    assert(spark.read.parquet(s"$out/DWD_PAGE_LOG").count() == 6,
+      "replayed epoch duplicated rows in the compacted layout")
+  }
+
   test("typed demux branches bind the bean case classes") {
     val raw = Seq(
       pageLog("m1", "good_detail", "home", nDisplays = 2, nActions = 1, ts = 1000L),
