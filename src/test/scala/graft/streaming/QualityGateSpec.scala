@@ -81,6 +81,43 @@ class QualityGateSpec extends SparkSpec {
       .exists(), "stale reason file survived")
   }
 
+  test("composed ingest: curate feeds the gate — a poisoned micro-batch " +
+    "is quarantined while curated clean batches publish") {
+    val outDir = Files.createTempDirectory("qgate_c").toString + "/corpus"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ts = java.sql.Timestamp.valueOf("2024-01-15 10:00:00")
+    val q = DocStream.curate(
+      mem.toDF().toDF("doc_id", "text", "ts"), minQuality = 0.0)
+      .select("doc_id", "text", "dt")
+      .writeStream
+      .foreachBatch(DocStream.qualityGateSinkEachBatch(outDir,
+        Seq(Bound("doc_id_unique_ppm", 1000000L, 1000000L),
+          Bound("mean_text_len", 30L, 100000L))) _)
+      .outputMode("append").start()
+    mem.addData(cleanDocs(0, 25).map { case (i, t) => (i, t, ts) }: _*)
+    q.processAllAvailable()
+    // a poisoned drop: DISTINCT texts (curate's fingerprint dedup must
+    // not collapse them) that survive curation but sit far below the
+    // declared mean-length floor
+    mem.addData((100L until 120L).map(i => (i, s"tiny doc $i", ts)): _*)
+    q.processAllAvailable()
+    mem.addData(cleanDocs(300, 10).map { case (i, t) => (i, t, ts) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(outDir).count() == 35,
+      "gate let a poisoned curated batch into the corpus")
+    // stateful curation can interleave no-data batches, so the poisoned
+    // epoch's id is discovered, not assumed
+    val qdirs = Option(new java.io.File(s"$outDir.quarantine").listFiles())
+      .toSeq.flatten.filter(f =>
+        f.isDirectory && f.getName.startsWith("epoch="))
+    assert(qdirs.size == 1, s"expected 1 quarantined epoch: $qdirs")
+    assert(spark.read.parquet(qdirs.head.getPath).count() == 20)
+    val reason = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"${qdirs.head.getPath}.REASON.txt").toPath), "UTF-8")
+    assert(reason.contains("mean_text_len"), reason)
+  }
+
   test("declared bounds on metrics the report lacks are violations, " +
     "not silent skips; empty batches gate nothing and publish nothing") {
     val df = cleanDocs(0, 3).toDF("doc_id", "text")
