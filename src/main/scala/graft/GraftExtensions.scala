@@ -168,6 +168,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerTvf(ext, "quality_report")((s, d, _) =>
       Checks.qualityReport(s, d))
     registerTvf(ext, "hll_overlap")((s, d, _) => Sketches.hllOverlap(s, d))
+    registerTvf(ext, "kmv_users")((s, d, _) => Sketches.kmvUsers(s, d))
+    registerTvf(ext, "kmv_overlap")((s, d, _) => Sketches.kmvOverlap(s, d))
+    registerTvf(ext, "bloom_lookup")((s, d, a) =>
+      BloomSkip.pointLookup(s, d, a.map(longArg(_, "bloom_lookup"))))
     registerTvf(ext, "zorder_scan")((s, d, a) =>
       Warehouse.zorderScan(s, d,
         at(a, 0, longArg(_, "zorder_scan"), 0L),

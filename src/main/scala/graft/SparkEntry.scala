@@ -412,6 +412,24 @@ object SparkEntry {
     // against the oracle's plain filter, never silently)
     "q145_zorder_scan" ->
       ((s, d) => Warehouse.zorderScan(s, d, 0L, 40L, 10L, 19L)),
+    // q146: KMV (theta) distinct users — the q137 surface re-answered
+    // by the second sketch family: the k smallest distinct hashes per
+    // type ARE the sketch, built bounded-memory (mapPartitions min-k,
+    // the MG shape), merged by union→re-top-k; nreg<k degenerates to
+    // the exact count for free (no LC table needed)
+    "q146_kmv_users" -> ((s, d) => Sketches.kmvUsers(s, d)),
+    // q147: audience overlap via theta-sketch membership counting —
+    // direct intersection/Jaccard from the union sample (error ∝ the
+    // intersection), vs q144's inclusion-exclusion (error ∝ the union);
+    // all pair sketches from ONE cached per-type register relation
+    "q147_kmv_overlap" -> ((s, d) => Sketches.kmvOverlap(s, d)),
+    // q148: the SERVED bloom point lookup — orders of 3 probe
+    // customers read through file_id IN (bloom candidates) partition
+    // pruning over the arrival-keyed layout (the case z-order/minmax
+    // stats can't prune); exact predicate re-applied, so fp only costs
+    // files, never rows — the oracle is the plain filter
+    "q148_bloom_lookup" ->
+      ((s, d) => BloomSkip.pointLookup(s, d, Seq(7L, 42L, 133L))),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -424,7 +442,7 @@ object SparkEntry {
     "q38_ivf_search", "q56_ivf_file_search", "q82_semantic_dedup_ivf",
     "q108_pq_codes", "q110_ivfpq_search", "q112_corpus_build",
     "q113_build_report", "q115_cluster_sample",
-    "q131_phrase_index_search", "q145_zorder_scan")
+    "q131_phrase_index_search", "q145_zorder_scan", "q148_bloom_lookup")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -435,6 +453,7 @@ object SparkEntry {
     PqIndex.clearMemos()
     Ranking.clearMemos()
     Warehouse.clearMemos()
+    BloomSkip.clearMemos()
   }
 
   /** Driver-dispatch queries re-run with the dispatch budget zeroed,
@@ -3124,6 +3143,124 @@ object SparkEntry {
          LEFT JOIN ex ON ex.type_a = uest.type_a
                      AND ex.type_b = uest.type_b
          ORDER BY 1, 2""",
+    // q146: KMV replay — both engines keep the 64 smallest distinct
+    // md5-60("kmv:"+uid) hashes per type (row_number over the distinct
+    // relation), merge the 'ALL' union by re-top-k, and evaluate the
+    // same all-integer estimator (k-1)·2^60 div h_k, with nreg<k
+    // degenerating to the exact count
+    "q146_kmv_users" ->
+      raw"""WITH e AS (
+           SELECT event_type, user_id,
+                  ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                  1, 15))::BIGINT AS h
+           FROM events),
+         dh AS (SELECT DISTINCT event_type, h FROM e),
+         rk AS (SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM dh),
+         regs AS (SELECT event_type, h FROM rk WHERE rn <= 64),
+         au AS (SELECT DISTINCT h FROM regs),
+         ark AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM au),
+         allk AS (SELECT 'ALL' AS event_type, h FROM ark WHERE rn <= 64),
+         r AS (SELECT * FROM regs UNION ALL SELECT * FROM allk),
+         s AS (SELECT event_type, count(*) AS nreg, max(h) AS hk
+               FROM r GROUP BY 1),
+         est AS (SELECT event_type,
+                        CASE WHEN nreg < 64 THEN nreg
+                             ELSE CAST(CAST(63 AS HUGEINT)
+                                       * 1152921504606846976
+                                       // greatest(hk, 1) AS BIGINT)
+                        END AS est_distinct
+                 FROM s),
+         ex AS (SELECT event_type,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM e GROUP BY 1
+                UNION ALL
+                SELECT 'ALL', count(DISTINCT user_id) FROM e)
+         SELECT est.event_type, est_distinct, exact_distinct,
+                CAST(CAST(abs(est_distinct - exact_distinct) AS HUGEINT)
+                     * 1000000 // exact_distinct AS BIGINT) AS err_ppm
+         FROM est JOIN ex ON est.event_type = ex.event_type
+         ORDER BY est.event_type""",
+    // q147: theta-sketch set algebra — per-pair union sample via
+    // explode+equi-join on the SAME per-type sketch CTE, membership
+    // flags via left joins back to the sketches, all-integer
+    // jaccard/intersection estimates + exact audit columns
+    "q147_kmv_overlap" ->
+      raw"""WITH e AS (
+           SELECT event_type, user_id,
+                  ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                  1, 15))::BIGINT AS h
+           FROM events),
+         dh AS (SELECT DISTINCT event_type, h FROM e),
+         rk AS (SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM dh),
+         regs AS (SELECT event_type, h FROM rk WHERE rn <= 64),
+         ty AS (SELECT DISTINCT event_type FROM regs),
+         pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+                   FROM ty a, ty b WHERE a.event_type < b.event_type),
+         pr AS (SELECT ta, tb, ta AS t FROM pairs
+                UNION ALL SELECT ta, tb, tb FROM pairs),
+         uall AS (SELECT DISTINCT ta, tb, h
+                  FROM pr JOIN regs ON regs.event_type = pr.t),
+         urk AS (SELECT ta, tb, h,
+                        row_number() OVER (PARTITION BY ta, tb
+                                           ORDER BY h) AS rn
+                 FROM uall),
+         ku AS (SELECT ta, tb, h FROM urk WHERE rn <= 64),
+         fl AS (SELECT ku.ta, ku.tb, ku.h,
+                       CASE WHEN ra.h IS NOT NULL THEN 1 ELSE 0 END AS ia,
+                       CASE WHEN rb.h IS NOT NULL THEN 1 ELSE 0 END AS ib
+                FROM ku
+                LEFT JOIN regs ra ON ra.event_type = ku.ta AND ra.h = ku.h
+                LEFT JOIN regs rb ON rb.event_type = ku.tb AND rb.h = ku.h),
+         st AS (SELECT ta, tb, count(*) AS kun,
+                       sum(ia * ib) AS matches, max(h) AS hk
+                FROM fl GROUP BY 1, 2),
+         um AS (SELECT ta, tb, kun, matches,
+                       CASE WHEN kun < 64 THEN kun
+                            ELSE CAST(CAST(63 AS HUGEINT)
+                                      * 1152921504606846976
+                                      // greatest(hk, 1) AS BIGINT)
+                       END AS union_est
+                FROM st),
+         ovl AS (SELECT ta, tb, union_est,
+                        CAST(CAST(matches AS HUGEINT) * 1000000
+                             // kun AS BIGINT) AS jaccard_ppm,
+                        CAST(CAST(matches AS HUGEINT) * union_est
+                             // kun AS BIGINT) AS overlap_est
+                 FROM um),
+         m AS (SELECT DISTINCT event_type, user_id FROM events),
+         exo AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                        count(*) AS overlap_exact
+                 FROM m x JOIN m y ON x.user_id = y.user_id
+                  AND x.event_type < y.event_type
+                 GROUP BY 1, 2),
+         exd AS (SELECT event_type, count(DISTINCT user_id) AS ed
+                 FROM e GROUP BY 1)
+         SELECT ovl.ta AS type_a, ovl.tb AS type_b, union_est,
+                overlap_est, coalesce(overlap_exact, 0) AS overlap_exact,
+                jaccard_ppm,
+                CAST(CAST(coalesce(overlap_exact, 0) AS HUGEINT) * 1000000
+                     // (ea.ed + eb.ed - coalesce(overlap_exact, 0))
+                     AS BIGINT) AS jaccard_exact_ppm
+         FROM ovl
+         LEFT JOIN exo ON exo.ta = ovl.ta AND exo.tb = ovl.tb
+         JOIN exd ea ON ea.event_type = ovl.ta
+         JOIN exd eb ON eb.event_type = ovl.tb
+         ORDER BY type_a, type_b""",
+    // q148: the engine answers through the bloom-indexed layout +
+    // candidate-file partition pruning; the oracle is the plain
+    // filter — a pruning bug (a skipped file holding a probe
+    // customer's order) fails the hash, never silently
+    "q148_bloom_lookup" ->
+      raw"""SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_custkey IN (7, 42, 133)
+         ORDER BY o_orderkey""",
     // q145: the engine answers through the materialized z-layout +
     // quadrant partition pruning; the oracle is the plain rectangle
     // filter — if pruning ever skipped a quadrant holding matching

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.md5LongScala
+
+/** Per-file Bloom data-skipping index — point-lookup pruning on a
+  * high-cardinality column whose values scatter across every file of a
+  * layout (the case neither z-order nor min/max footer stats can help:
+  * a hash-distributed key has every file's [min, max] spanning the
+  * whole domain). The Delta/Iceberg answer is a Bloom filter per file
+  * (Delta bloom filter indexes, Iceberg puffin blobs); ours keeps the
+  * engine's relational discipline: the index IS a relation
+  * `(file_id, bitpos)` — the distinct set bits of each file's filter —
+  * built map-side in one pass (project → explode g positions →
+  * distinct), mergeable by plain union-distinct (append N new files =
+  * append their rows), and PROBED with one equi-join: a key's g
+  * positions join the index and a file is a candidate iff all g match.
+  * False positives cost only extra files scanned (the exact predicate
+  * re-applies after the prune — a bug fails loudly against the plain
+  * oracle, never silently); false negatives are impossible by
+  * construction (every stored key set its bits).
+  *
+  * Scale story (the reason this exists at 100 TB): a point lookup on
+  * `o_custkey` without the index scans EVERY file — the layout is
+  * keyed by arrival (`o_orderkey % nFiles`), so no partition predicate
+  * applies. With the index, a customer's ~10 orders live in ≤ 10 of
+  * the layout's files and the scan touches candidates only: the prune
+  * factor GROWS with the corpus (files scale with volume at a fixed
+  * target file size; a key's file spread stays its row count). The
+  * index itself stays O(bits-per-key · keys) rows, partitionable by
+  * file_id, and the probe join touches only the g·|keys| bit positions
+  * requested (predicate pushdown on `bitpos`).
+  *
+  * No reference counterpart (north-star extension): the reference's
+  * only point lookup is the ES docvalue fetch (SURVEY §2.7 A4), which
+  * delegates skipping to Lucene's terms index. */
+object BloomSkip {
+
+  /** Bits per file filter: 2^18 = 32 KiB dense. At the 25k-row target
+    * file size that is ≥ 10 bits/key — ~2% false-positive rate at
+    * g = 2, CONSTANT across scale factors because files split to hold
+    * row count, not the other way around. */
+  val BloomBits: Int = 1 << 18
+
+  /** Hash functions per key. */
+  val GHashes: Int = 2
+
+  /** Target rows per layout file: files scale with volume, so
+    * bits-per-key (hence the fp rate) is scale-invariant. */
+  val TargetRowsPerFile: Long = 25000L
+
+  /** Floor on the file count — pruning needs many files relative to a
+    * key's spread even at tiny test scale. */
+  val MinFiles: Long = 64L
+
+  /** The g bit positions of one key — engine-side column form. Hash
+    * h_i = md5-60("bf<i>:" + key) mod bits (the shared md5-60
+    * convention; [[probePositions]] is the driver-side twin, so build
+    * and probe always agree). */
+  private def bitposCols(key: Column, bits: Int): Seq[Column] =
+    (0 until GHashes).map(i =>
+      conv(substring(md5(concat(lit(s"bf$i:"), key.cast("string"))),
+        1, 15), 16, 10).cast("long") % bits)
+
+  /** Driver-side twin of [[bitposCols]] for probe keys. */
+  def probePositions(key: Long, bits: Int = BloomBits): Seq[Long] =
+    (0 until GHashes).map(i => md5LongScala(s"bf$i:$key") % bits)
+
+  /** Build the index relation over a written layout: one row per
+    * (file_id, set bit). ONE pass: distinct keys per file → explode g
+    * positions → distinct. Output is ≤ min(bits, g·keys) rows per file
+    * and unions across file batches (append-friendly). */
+  def bloomIndexOn(layout: DataFrame, keyCol: String,
+      bits: Int = BloomBits): DataFrame = {
+    val pos = bitposCols(col(keyCol), bits)
+    layout.select(col("file_id"), col(keyCol)).distinct()
+      .select(col("file_id"), explode(array(pos: _*)).as("bitpos"))
+      .distinct()
+  }
+
+  /** Write `df` as an arrival-keyed layout (`file_id = fileKey mod
+    * nFiles` partitions — deterministic under any partitioning, no
+    * sort) plus its Bloom index relation at `<outDir>.bloomidx`.
+    * nFiles targets [[TargetRowsPerFile]] so the per-file key count —
+    * and with it the fp rate — is the same at sf0.001 and sf100. */
+  def bloomWrite(df: DataFrame, keyCol: String, fileKeyCol: String,
+      outDir: String, bits: Int = BloomBits): Long = {
+    val n = df.count()
+    val nFiles = math.max(MinFiles, (n + TargetRowsPerFile - 1) /
+      TargetRowsPerFile)
+    df.withColumn("file_id", col(fileKeyCol) % nFiles)
+      .repartition(col("file_id"))
+      .write.mode("overwrite").partitionBy("file_id").parquet(outDir)
+    val spark = df.sparkSession
+    bloomIndexOn(spark.read.parquet(outDir), keyCol, bits)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$outDir.bloomidx")
+    nFiles
+  }
+
+  private val layoutMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (String, Long)]
+
+  /** Forget memoized bloom layouts (tests, cold benching). */
+  def clearMemos(): Unit = layoutMemo.clear()
+
+  /** The materialized bloom-indexed layout of the `orders` table for
+    * `dir`: built on first request, fingerprint-keyed for the JVM
+    * lifetime (the [[Warehouse.zlayoutCached]] discipline — a refresh
+    * writes NEW directories and retires the old pair to the deferred
+    * reaper). Returns (layout path, nFiles). */
+  def layoutCached(spark: SparkSession, dir: String): (String, Long) = {
+    val fp = IvfIndex.dataFingerprint(dir, table = "orders")
+    val key = (dir, fp)
+    val v = layoutMemo.getOrElseUpdate(key, {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft-bloomlayout-$tag-f${java.lang.Long.toHexString(fp)}"
+      val nFiles = bloomWrite(graft.Tables(spark, dir, "orders"),
+        "o_custkey", "o_orderkey", p)
+      (p, nFiles)
+    })
+    val stale = layoutMemo.keys
+      .filter(k => k._1 == dir && k != key)
+      .flatMap(layoutMemo.remove).flatMap(x =>
+        Seq(x._1, s"${x._1}.bloomidx")).toSeq
+    graft.IndexGc.retire(s"bloomlayout:$dir", stale)
+    v
+  }
+
+  /** Probe cap: a point-lookup API, not a bulk semi-join (that path is
+    * a broadcast join against the table itself). */
+  val MaxProbeKeys: Int = 1024
+
+  /** The files that may contain any of `keys`, per the index: build
+    * the (key, gidx, bitpos) probe relation driver-side (g·|keys|
+    * rows), equi-join the index on `bitpos` (pushed to the scan), and
+    * keep files matching ALL g positions of at least one key. Result
+    * is driver-sized: ≤ |keys| · (spread + fp·nFiles) file ids. */
+  def candidateFiles(spark: SparkSession, idxPath: String,
+      keys: Seq[Long], bits: Int = BloomBits): Seq[Long] = {
+    import spark.implicits._
+    val probe = keys.distinct.flatMap(k =>
+      probePositions(k, bits).zipWithIndex.map { case (p, i) => (k, i, p) })
+      .toDF("key", "gidx", "bitpos")
+    val positions = probe.select("bitpos").as[Long].collect().distinct
+    spark.read.parquet(idxPath)
+      .where(col("bitpos").isin(positions: _*))
+      .join(broadcast(probe), Seq("bitpos"))
+      .groupBy("key", "file_id")
+      .agg(countDistinct(col("gidx")).as("g"))
+      .where(col("g") === GHashes)
+      .select(col("file_id").cast("long"))
+      .distinct().as[Long].collect().toSeq.sorted
+  }
+
+  /** q148: the SERVED bloom point lookup — all orders of the probe
+    * customers, read through `file_id IN (candidates)` partition
+    * pruning over the bloom-indexed layout. The exact `o_custkey IN`
+    * predicate re-applies after the prune, so the answer is oracle-
+    * equal to the plain filter regardless of the fp rate. */
+  def pointLookup(spark: SparkSession, dir: String,
+      keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty && keys.size <= MaxProbeKeys,
+      s"probe keys must be 1..$MaxProbeKeys")
+    val (path, _) = layoutCached(spark, dir)
+    val cands = candidateFiles(spark, s"$path.bloomidx", keys)
+    val layout = spark.read.parquet(path)
+    val pruned =
+      if (cands.isEmpty) layout.where(lit(false))
+      else layout.where(col("file_id").isin(cands: _*))
+    pruned
+      .where(col("o_custkey").isin(keys: _*))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+}

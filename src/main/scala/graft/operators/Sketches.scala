@@ -410,4 +410,221 @@ object Sketches {
     }
     m.keysIterator.toArray.iterator
   }
+
+  // ——— KMV (k-minimum-values / theta) distinct sketch ———
+  //
+  // The third sketch family, chosen for what HLL registers CANNOT do:
+  // set INTERSECTION. HLL only unions (max-merge), so q144's overlap
+  // goes through inclusion–exclusion and its error grows with the
+  // UNION size; a KMV sketch is a uniform hash-sample of the distinct
+  // universe (Bar-Yossef et al. 2002; Beyer et al. 2007 "On synopses
+  // for distinct-value estimation"), so intersections are estimated
+  // DIRECTLY from sample membership (the theta-sketch algebra) and the
+  // error scales with the intersection, not the union. Same relational
+  // discipline as HLL: the sketch IS a relation — the k smallest
+  // distinct hash values per scope — built bounded-memory (a
+  // mapPartitions min-k pass, the Misra–Gries shape) and merged by
+  // "union then re-top-k", which is idempotent/commutative/associative
+  // on SETS, so persisted sketch tables fold exactly like HLL registers.
+
+  /** Default KMV size: 64 minima ≈ 1/√(k−2) ≈ 12.7% standard error —
+    * deliberately small so the ESTIMATOR path (not the nreg<k exact
+    * path) is exercised at every test scale (sf0.01 has 150 distinct
+    * users per type). Production would run 1024–4096. */
+  val DefaultKmvK: Int = 64
+
+  /** Hash range R = 2^60 (md5-60, [[graft.functions.TextFunctions]]
+    * convention): the KMV estimator is (k−1)·R div h_(k). */
+  val KmvRange: Long = 1L << 60
+
+  /** The shared 60-bit hash, domain-separated from HLL's ("kmv:" vs
+    * "hll:") so the two sketch families never correlate. */
+  private[graft] def kmvHash(value: Column): Column =
+    conv(substring(md5(concat(lit("kmv:"), value)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Keep the k smallest DISTINCT `h` per scope group of `regs` — the
+    * merge step of the KMV algebra (union of sketches → re-top-k) and
+    * the global step of the two-level build. Input is sketch-sized
+    * (≤ k·partitions rows per scope from [[kmvRegisters]]' local pass,
+    * or ≤ k·members from a merge), so the window sort is tiny. */
+  def kmvTopK(regs: DataFrame, scopeCols: Seq[String],
+      k: Int = DefaultKmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(scopeCols.map(col): _*).orderBy(col("h"))
+    regs.select(scopeCols.map(col) :+ col("h"): _*).distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).drop("rn")
+  }
+
+  /** The KMV sketch as a relation: the k smallest distinct 60-bit
+    * hashes per scope. Two-level build (the MG two-pass shape): a
+    * bounded-memory per-partition min-k pass caps every task's
+    * contribution at k rows per scope — the shuffle carries
+    * k·partitions rows per scope, never the distinct universe (an
+    * exact distinct shuffles every unique key; this is the whole
+    * 100 TB argument) — then [[kmvTopK]] finishes globally. Output is
+    * the EXACT k smallest distinct hashes: deterministic under any
+    * partitioning, which is what makes a KMV relation oracle-checkable
+    * (contrast a merged HLL register value, which is also exact, vs an
+    * MG counter, which is not). */
+  def kmvRegisters(df: DataFrame, scopeCol: String, value: Column,
+      k: Int = DefaultKmvK): DataFrame = {
+    require(k >= 2 && k <= 65536, "kmv k in [2, 65536]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df
+      .select(col(scopeCol).cast("string").as("scope"),
+        kmvHash(value).as("h"))
+      .as[(String, Long)]
+    val local = hashed.mapPartitions(it => minKDistinct(it, k))
+      .toDF("scope", "h")
+    kmvTopK(local, Seq("scope"), k)
+      .select(col("scope").as(scopeCol), col("h"))
+  }
+
+  /** Per-partition bounded min-k distinct pass: one TreeSet of ≤ k
+    * hashes per scope seen in the partition (genuine imperative
+    * bounded-memory summary — the mapPartitions escape hatch used
+    * exactly as in [[misraGries]]). The k smallest distinct values of
+    * the whole data are a subset of the union of per-partition k
+    * smallest distinct values, so the global [[kmvTopK]] re-top-k is
+    * exact. */
+  private[operators] def minKDistinct(it: Iterator[(String, Long)],
+      k: Int): Iterator[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap
+      .empty[String, java.util.TreeSet[java.lang.Long]]
+    while (it.hasNext) {
+      val (s, h) = it.next()
+      val ts = m.getOrElseUpdate(s, new java.util.TreeSet[java.lang.Long]())
+      if (ts.size < k) ts.add(h)
+      else if (h < ts.last()) { if (ts.add(h)) ts.pollLast() }
+    }
+    m.iterator.flatMap { case (s, ts) =>
+      val arr = new Array[(String, Long)](ts.size)
+      val jt = ts.iterator(); var i = 0
+      while (jt.hasNext) { arr(i) = (s, jt.next().longValue()); i += 1 }
+      arr.iterator
+    }
+  }
+
+  /** KMV estimate per scope from a register relation. All-integer:
+    * with a full sketch (nreg = k), est = (k−1)·2^60 div h_(k) (the
+    * unbiased KMV estimator — h_(k) is the k-th smallest = max of the
+    * kept minima); with nreg < k the sketch saw the WHOLE distinct
+    * universe and nreg IS the exact answer (the small-range regime HLL
+    * needs a correction table for falls out of KMV for free). */
+  def kmvEstimate(regs: DataFrame, scopeCols: Seq[String],
+      k: Int = DefaultKmvK): DataFrame =
+    regs.groupBy(scopeCols.map(col): _*)
+      .agg(count(lit(1)).as("nreg"), max(col("h")).as("hk"))
+      .withColumn("est_distinct", expr(
+        s"CASE WHEN nreg < $k THEN nreg " +
+          s"ELSE CAST(CAST(${k - 1} AS DECIMAL(38,0)) * $KmvRange " +
+          s"div greatest(hk, 1) AS BIGINT) END"))
+      .select(scopeCols.map(col) :+ col("est_distinct"): _*)
+
+  /** q146: KMV distinct users per event type + the cross-type union
+    * derived by MERGING the per-type sketches (union → re-top-k, no
+    * fact rescan), audited against the exact distinct (err_ppm) — the
+    * q137 surface re-answered by the second sketch family, so the two
+    * estimators cross-check each other in one warehouse. */
+  def kmvUsers(spark: SparkSession, dir: String): DataFrame =
+    kmvUsersOn(Tables.events(spark, dir))
+
+  /** [[kmvUsers]] over an explicit (event_type, user_id) relation. */
+  def kmvUsersOn(events: DataFrame, k: Int = DefaultKmvK): DataFrame = {
+    val ev = events.select(col("event_type"),
+      col("user_id").cast("string").as("uid"))
+    val regs = graft.Caches.register(
+      kmvRegisters(ev, "event_type", col("uid"), k).cache())
+    val all = kmvTopK(regs.withColumn("event_type", lit("ALL")),
+      Seq("event_type"), k)
+    val est = kmvEstimate(regs, Seq("event_type"), k)
+      .union(kmvEstimate(all, Seq("event_type"), k))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("uid")).as("exact_distinct"))
+      .union(ev.agg(countDistinct(col("uid")).as("exact_distinct"))
+        .withColumn("event_type", lit("ALL"))
+        .select(col("event_type"), col("exact_distinct")))
+    est.join(exact, Seq("event_type"))
+      .withColumn("err_ppm", expr(
+        "CAST(CAST(abs(est_distinct - exact_distinct) AS DECIMAL(38,0)) " +
+          "* 1000000 div exact_distinct AS BIGINT)"))
+      .orderBy("event_type")
+  }
+
+  /** q147: audience overlap via the THETA-SKETCH algebra — the direct
+    * answer to q144's inclusion–exclusion weakness. For each type pair,
+    * the union sketch K_u = top-k of (S_a ∪ S_b) is a uniform sample of
+    * the union's distinct universe; every member's presence in S_a and
+    * S_b is checkable BY CONSTRUCTION (a sample hash below a sketch's
+    * threshold is in that sketch iff it was in that scope), so
+    * |A∩B| ≈ matches·est(A∪B)/|K_u| and Jaccard = matches/|K_u| come
+    * straight from membership counting — error ∝ the intersection,
+    * not the union. All pair sketches derive from the SAME cached
+    * per-type register relation (explode → equi-join, no fact rescan);
+    * exact audit columns ship as always. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapOn(Tables.events(spark, dir))
+
+  /** [[kmvOverlap]] over an explicit (event_type, user_id) relation. */
+  def kmvOverlapOn(events: DataFrame, k: Int = DefaultKmvK): DataFrame = {
+    val ev = events.select(col("event_type"),
+      col("user_id").cast("string").as("uid"))
+    val regs = graft.Caches.register(
+      kmvRegisters(ev, "event_type", col("uid"), k).cache())
+    val types = regs.select(col("event_type")).distinct()
+    // unordered type pairs — broadcast product of two vocab-sized sides
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(broadcast(types.select(col("event_type").as("type_b"))))
+      .where(col("type_a") < col("type_b"))
+    val membership = pairs.select(col("type_a"), col("type_b"),
+      explode(array(col("type_a"), col("type_b"))).as("event_type"))
+    val ku = kmvTopK(
+      membership.join(regs, Seq("event_type"))
+        .select(col("type_a"), col("type_b"), col("h")),
+      Seq("type_a", "type_b"), k)
+    val inA = regs.select(col("event_type").as("type_a"), col("h"),
+      lit(1).as("in_a"))
+    val inB = regs.select(col("event_type").as("type_b"), col("h"),
+      lit(1).as("in_b"))
+    val stats = ku
+      .join(inA, Seq("type_a", "h"), "left")
+      .join(inB, Seq("type_b", "h"), "left")
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("kun"),
+        sum(expr("CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END"))
+          .as("matches"),
+        max(col("h")).as("hk"))
+      .withColumn("union_est", expr(
+        s"CASE WHEN kun < $k THEN kun " +
+          s"ELSE CAST(CAST(${k - 1} AS DECIMAL(38,0)) * $KmvRange " +
+          s"div greatest(hk, 1) AS BIGINT) END"))
+      .withColumn("jaccard_ppm", expr(
+        "CAST(CAST(matches AS DECIMAL(38,0)) * 1000000 div kun AS BIGINT)"))
+      .withColumn("overlap_est", expr(
+        "CAST(CAST(matches AS DECIMAL(38,0)) * union_est div kun AS BIGINT)"))
+    val m = ev.distinct()
+    val exo = m.select(col("event_type").as("type_a"), col("uid"))
+      .join(m.select(col("event_type").as("type_b"), col("uid")), Seq("uid"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("overlap_exact"))
+    val exd = ev.groupBy("event_type")
+      .agg(countDistinct(col("uid")).as("ed"))
+    val exdA = exd.select(col("event_type").as("type_a"), col("ed").as("ea"))
+    val exdB = exd.select(col("event_type").as("type_b"), col("ed").as("eb"))
+    stats
+      .join(exo, Seq("type_a", "type_b"), "left")
+      .withColumn("overlap_exact", coalesce(col("overlap_exact"), lit(0L)))
+      .join(exdA, Seq("type_a")).join(exdB, Seq("type_b"))
+      .withColumn("jaccard_exact_ppm", expr(
+        "CAST(CAST(overlap_exact AS DECIMAL(38,0)) * 1000000 " +
+          "div (ea + eb - overlap_exact) AS BIGINT)"))
+      .select(col("type_a"), col("type_b"), col("union_est"),
+        col("overlap_est"), col("overlap_exact"),
+        col("jaccard_ppm"), col("jaccard_exact_ppm"))
+      .orderBy("type_a", "type_b")
+  }
 }

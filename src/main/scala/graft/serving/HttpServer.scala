@@ -321,12 +321,31 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       // answers from the PERSISTED register table instead (max-merge
       // of ≤ types × 256 rows — the sketch warehouse; never rescans
       // events, so the answer is O(sketch) at any corpus size)
+      // source=kmv answers the same surface through the second sketch
+      // family (q146 — KMV minima instead of HLL registers), so the
+      // two estimators cross-check each other from one endpoint
       p.getOrElse("source", "events") match {
         case "sketch" => graft.streaming.SketchStream
           .hllTableEstimates(spark, sketchDirOr400)
+        case "kmv-sketch" => graft.streaming.SketchStream
+          .kmvTableEstimates(spark, sketchDirOr400)
+        case "kmv" => graft.operators.Sketches.kmvUsers(spark, dataDir)
         case "events" => graft.operators.Sketches.hllUsers(spark, dataDir)
         case other =>
           throw new IllegalArgumentException(s"unknown source '$other'")
+      }
+    })
+    server.createContext("/audienceOverlap", handler { p =>
+      // pairwise audience intersection/Jaccard between event types:
+      // method=hll (q144, inclusion-exclusion — error grows with the
+      // union) or method=kmv (q147, theta-sketch membership counting —
+      // error grows with the intersection; the estimator of choice
+      // when overlaps are small relative to the audiences)
+      p.getOrElse("method", "kmv") match {
+        case "kmv" => graft.operators.Sketches.kmvOverlap(spark, dataDir)
+        case "hll" => graft.operators.Sketches.hllOverlap(spark, dataDir)
+        case other =>
+          throw new IllegalArgumentException(s"unknown method '$other'")
       }
     })
     server.createContext("/heavyHitters", handler { p =>
@@ -383,6 +402,19 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       graft.operators.Warehouse.zorderScan(spark, dataDir,
         bound("uLo", 0L), bound("uHi", 0L),
         bound("iLo", 0L), bound("iHi", 0L))
+    })
+    server.createContext("/pointLookup", handler { p =>
+      // q148: point lookup on o_custkey through the per-file bloom
+      // index — candidate-file pruning over the arrival-keyed layout;
+      // key-count cap and parse errors → 400
+      val keys = p.getOrElse("keys", "").split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty).map { s =>
+          try s.toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"bad key '$s'")
+          }
+        }.distinct
+      graft.operators.BloomSkip.pointLookup(spark, dataDir, keys)
     })
     server.createContext("/collocations", handler { p =>
       // PMI collocation mining (q127): top bigrams by the fixed-point

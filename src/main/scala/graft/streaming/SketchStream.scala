@@ -130,6 +130,49 @@ object SketchStream {
     Sketches.hllEstimate(regs, Seq("event_type")).orderBy("event_type")
   }
 
+  // ——— persisted KMV sketch sink (min-k mergeable → epoch partials) ———
+
+  /** foreachBatch sink for the KMV (theta) sketch — the second sketch
+    * family's persisted warehouse: each epoch writes its own k smallest
+    * distinct hashes per type under `outDir/kmvregs/epoch=<id>` (≤ k
+    * rows per type — sketch-sized partials). Min-k over SETS is
+    * idempotent/commutative/associative exactly like HLL's max, so the
+    * sink inherits the stronger replay guarantee: a re-delivered batch
+    * under a NEW epoch id cannot move the merged sketch (its hashes
+    * are already members — duplicate-immune at the algebra level).
+    * `compactEvery > 0` folds committed epochs into the `epoch=-1`
+    * base (union → re-top-k fold) via
+    * [[graft.operators.Compact.compactAccumulated]]; the in-flight
+    * epoch is never folded. */
+  def kmvSinkEachBatch(outDir: String, k: Int = Sketches.DefaultKmvK,
+      compactEvery: Int = 0)(batch: DataFrame, epochId: Long): Unit = {
+    Sketches
+      .kmvRegisters(
+        batch.select(col("event_type"),
+          col("user_id").cast("string").as("uid")),
+        "event_type", col("uid"), k)
+      .write.mode("overwrite").parquet(s"$outDir/kmvregs/epoch=$epochId")
+    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+      graft.operators.Compact.compactAccumulated(batch.sparkSession,
+        s"$outDir/kmvregs", epochId,
+        df => Sketches.kmvTopK(df, Seq("event_type"), k))
+  }
+
+  /** Distinct-user estimates over everything streamed into `outDir` so
+    * far: re-top-k the persisted epoch partials back to one sketch
+    * relation, then the SHARED [[Sketches.kmvEstimate]] stage —
+    * bit-equal to the batch estimate over the same events (spec-pinned
+    * across restart, compaction, and duplicate delivery). Serves
+    * `/distinctUsers?source=kmv-sketch`: the answer comes from
+    * ≤ types × k sketch rows, never from the event log. */
+  def kmvTableEstimates(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, k: Int = Sketches.DefaultKmvK): DataFrame = {
+    graft.operators.Compact.recoverAccumulated(s"$outDir/kmvregs")
+    val regs = Sketches.kmvTopK(
+      spark.read.parquet(s"$outDir/kmvregs"), Seq("event_type"), k)
+    Sketches.kmvEstimate(regs, Seq("event_type"), k).orderBy("event_type")
+  }
+
   // ——— heavy-hitter twin (exact counts → epoch partials) ———
 
   /** foreachBatch sink for the heavy-hitter family (q139): each epoch

@@ -77,8 +77,14 @@ class SqlSurfaceSpec extends SparkSpec {
         operators.Checks.qualityReport(spark, sf),
       "SELECT * FROM hll_overlap()" ->
         operators.Sketches.hllOverlap(spark, sf),
+      "SELECT * FROM kmv_users()" ->
+        operators.Sketches.kmvUsers(spark, sf),
+      "SELECT * FROM kmv_overlap()" ->
+        operators.Sketches.kmvOverlap(spark, sf),
       "SELECT * FROM zorder_scan(0, 40, 10, 19)" ->
-        operators.Warehouse.zorderScan(spark, sf, 0L, 40L, 10L, 19L))
+        operators.Warehouse.zorderScan(spark, sf, 0L, 40L, 10L, 19L),
+      "SELECT * FROM bloom_lookup(7, 42, 133)" ->
+        operators.BloomSkip.pointLookup(spark, sf, Seq(7L, 42L, 133L)))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

@@ -242,4 +242,114 @@ class SketchesSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == heavyIds.toSet)
   }
+
+  // —— KMV (theta) sketch: independent plain-Scala reference ——
+
+  private def refKmv(vs: Seq[String], k: Int): Seq[Long] =
+    vs.map(v => md5LongScala("kmv:" + v)).distinct.sorted.take(k)
+
+  private def refKmvEstimate(sketch: Seq[Long], k: Int): Long =
+    if (sketch.size < k) sketch.size.toLong
+    else ((BigInt(k - 1) * (BigInt(1) << 60)) /
+      BigInt(math.max(sketch.max, 1L))).toLong
+
+  test("kmv registers equal the independent min-k-distinct reference") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+    val got = Sketches
+      .kmvRegisters(ev, "event_type", col("uid"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val want = ev.collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(rows => refKmv(rows.map(_._2).toSeq, Sketches.DefaultKmvK))
+      .toMap
+    assert(got == want)
+  }
+
+  test("kmv sketches merge associatively: union of half-corpus sketches " +
+    "re-tops-k to the whole-corpus sketch") {
+    val vs = (0 until 3000).map(i => s"user-$i")
+    val (a, b) = vs.splitAt(1300)
+    def regsOf(part: Seq[String]) = Sketches.kmvRegisters(
+      part.toDF("uid").withColumn("g", lit("all")), "g", col("uid"))
+    val merged = Sketches
+      .kmvTopK(regsOf(a).union(regsOf(b)), Seq("g"))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(merged == refKmv(vs, Sketches.DefaultKmvK))
+  }
+
+  test("kmv estimate: exact below k, BigInt-reference-equal and within " +
+    "3 sigma above k") {
+    val k = Sketches.DefaultKmvK
+    // below k: the sketch saw the whole universe — answer is exact
+    val small = (0 until 40).map(i => s"s-$i")
+    val smallEst = Sketches.kmvEstimate(
+      Sketches.kmvRegisters(
+        small.toDF("uid").withColumn("g", lit("x")), "g", col("uid")),
+      Seq("g"), k).collect().head.getLong(1)
+    assert(smallEst == 40L)
+    // above k: engine estimate is bit-equal to the independent
+    // reference, and within 3/sqrt(k-2) of the truth (~38% at k=64)
+    val n = 5000
+    val big = (0 until n).map(i => s"u-$i")
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvRegisters(
+        big.toDF("uid").withColumn("g", lit("x")), "g", col("uid")),
+      Seq("g"), k).collect().head.getLong(1)
+    assert(est == refKmvEstimate(refKmv(big, k), k))
+    val relErr = math.abs(est - n).toDouble / n
+    assert(relErr <= 3.0 / math.sqrt(k - 2.0),
+      s"kmv estimate $est vs $n: relErr $relErr")
+  }
+
+  test("minKDistinct is duplicate-proof: a re-seen hash at capacity " +
+    "must not evict the current maximum") {
+    // k=2, state {1,3}: feeding 3 again would evict 3 itself if the
+    // add-then-poll pair ignored the failed insert
+    val out = Sketches.minKDistinct(
+      Iterator(("a", 5L), ("a", 3L), ("a", 1L), ("a", 3L)), 2).toSeq
+    assert(out.map(_._2).sorted == Seq(1L, 3L))
+  }
+
+  test("theta overlap: membership counting reproduces the independent " +
+    "reference on nested / partial / disjoint audiences") {
+    val k = 16
+    // a = {0..99}, b = {50..149} (partial), c = {200..219} (disjoint
+    // from both, and below k so its sketch is complete)
+    val rows =
+      (0 until 100).map(i => ("a", i.toLong)) ++
+      (50 until 150).map(i => ("b", i.toLong)) ++
+      (200 until 220).map(i => ("c", i.toLong))
+    val ev = rows.toDF("event_type", "user_id")
+    val got = Sketches.kmvOverlapOn(ev, k).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // independent reference: sketches, union top-k, membership flags
+    val byType = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2.toString)).toMap
+    def pairRef(ta: String, tb: String) = {
+      val sa = refKmv(byType(ta), k).toSet
+      val sb = refKmv(byType(tb), k).toSet
+      val ku = (sa ++ sb).toSeq.sorted.take(k)
+      val matches = ku.count(h => sa(h) && sb(h))
+      val unionEst = refKmvEstimate(ku, k)
+      val exactA = byType(ta).distinct.map(_.toLong).toSet
+      val exactB = byType(tb).distinct.map(_.toLong).toSet
+      val ov = (exactA & exactB).size.toLong
+      (unionEst,
+        (BigInt(matches) * unionEst / ku.size).toLong,
+        ov,
+        (BigInt(matches) * 1000000 / ku.size).toLong,
+        BigInt(ov) * 1000000 / (exactA.size + exactB.size - ov))
+    }
+    for (pair <- Seq(("a", "b"), ("a", "c"), ("b", "c"))) {
+      val (ue, oe, ox, jp, jxp) = pairRef(pair._1, pair._2)
+      assert(got(pair) == ((ue, oe, ox, jp, jxp.toLong)),
+        s"pair $pair: got ${got(pair)}")
+    }
+    // the disjoint pairs must carry zero exact overlap
+    assert(got(("a", "c"))._3 == 0L && got(("b", "c"))._3 == 0L)
+  }
 }

@@ -251,6 +251,26 @@ class HttpServerSpec extends SparkSpec {
       assert(c68 == 400)
       val (c66, _) = get(s"$base/distinctUsers?source=redis-ish")
       assert(c66 == 400)
+      // the KMV estimator answers the same surface (q146)
+      val (c69, duK) = get(s"$base/distinctUsers?source=kmv")
+      assert(c69 == 200 && duK.contains("\"est_distinct\"")
+        && duK.contains("\"ALL\""), duK.take(200))
+      // pairwise audience overlap: theta membership (q147) vs HLL
+      // inclusion-exclusion (q144); bad method → 400
+      val (c70, aoK) = get(s"$base/audienceOverlap?method=kmv")
+      assert(c70 == 200 && aoK.contains("\"jaccard_ppm\""), aoK.take(200))
+      val (c71, aoH) = get(s"$base/audienceOverlap?method=hll")
+      assert(c71 == 200 && aoH.contains("\"union_est\""), aoH.take(200))
+      val (c72, _) = get(s"$base/audienceOverlap?method=guess")
+      assert(c72 == 400)
+      // bloom point lookup (q148): rows come back through the pruned
+      // layout read; bad/empty key lists → 400
+      val (c73, pl) = get(s"$base/pointLookup?keys=7,42")
+      assert(c73 == 200 && pl.contains("\"o_orderkey\""), pl.take(200))
+      val (c74, _) = get(s"$base/pointLookup?keys=7,abc")
+      assert(c74 == 400)
+      val (c75, _) = get(s"$base/pointLookup")
+      assert(c75 == 400)
     } finally srv.stop()
   }
 
@@ -271,6 +291,7 @@ class HttpServerSpec extends SparkSpec {
       graft.streaming.SketchStream.hllSinkEachBatch(dir)(part, id)
       graft.streaming.SketchStream.histSinkEachBatch(dir)(part, id)
       graft.streaming.SketchStream.heavyHitterSinkEachBatch(dir)(ipart, id)
+      graft.streaming.SketchStream.kmvSinkEachBatch(dir)(part, id)
     }
     val srv = new HttpServer(spark, sf, sketchDir = Some(dir)).start()
     val base = s"http://127.0.0.1:${srv.boundPort}"
@@ -298,6 +319,17 @@ class HttpServerSpec extends SparkSpec {
         .heavyHittersOn(items, "item", 10500L, 128)
         .toJSON.collect().mkString("[", ",", "]")
       assert(hh == wantH, s"sketch-served heavy hitters diverged")
+      // KMV sketch warehouse: served estimates bit-equal to the batch
+      // KMV over the same events
+      val (c4, duK) = get(s"$base/distinctUsers?source=kmv-sketch")
+      assert(c4 == 200, duK.take(200))
+      val wantK = graft.operators.Sketches.kmvEstimate(
+        graft.operators.Sketches.kmvRegisters(
+          ev.select(col("event_type"),
+            col("user_id").cast("string").as("uid")),
+          "event_type", col("uid")), Seq("event_type"))
+        .orderBy("event_type").toJSON.collect().mkString("[", ",", "]")
+      assert(duK == wantK, s"kmv-served estimates diverged: ${duK.take(200)}")
     } finally { srv.stop(); graft.Caches.releaseAll() }
   }
 }

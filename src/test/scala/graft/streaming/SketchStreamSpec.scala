@@ -188,6 +188,63 @@ class SketchStreamSpec extends SparkSpec {
     assert(served() == want, "new-id duplicate delivery changed estimates")
   }
 
+  test("persisted KMV sketch sink: estimates served from the table are " +
+    "bit-equal to batch, across a restart, compaction, a same-id " +
+    "replay, AND a duplicate delivery under a new epoch id") {
+    val outDir = Files.createTempDirectory("kmv_sink").toString
+    val ckpt = Files.createTempDirectory("kmv_sink_ckpt").toString
+    val mem = MemoryStream[(String, Long)]
+    def start() = mem.toDF().toDF("event_type", "user_id")
+      .writeStream
+      .foreachBatch(SketchStream.kmvSinkEachBatch(outDir,
+        compactEvery = 2) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val chunks = fixture.grouped(120).toSeq
+    val (firstHalf, secondHalf) = chunks.splitAt(chunks.size / 2)
+    val q1 = start()
+    firstHalf.foreach { c => mem.addData(c: _*); q1.processAllAvailable() }
+    q1.stop()
+    val q2 = start() // checkpoint restart mid-stream
+    secondHalf.foreach { c => mem.addData(c: _*); q2.processAllAvailable() }
+    q2.stop()
+    def served() = {
+      val out = SketchStream.kmvTableEstimates(spark, outDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.Caches.releaseAll()
+      out
+    }
+    val want = Sketches.kmvEstimate(
+      Sketches.kmvRegisters(
+        fixture.toDF("event_type", "user_id")
+          .select(col("event_type"),
+            col("user_id").cast("string").as("uid")),
+        "event_type", col("uid")),
+      Seq("event_type"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(served() == want && want.nonEmpty)
+    // the fixture exercises BOTH estimator regimes: 'buy' has 40 < k
+    // distinct users (exact path), 'view'/'click' have > k (minima path)
+    assert(want.exists(_._2 == 40L) &&
+      want.exists { case (t, e) => t != "buy" && e > 64L })
+    // compaction actually bounded the partitions
+    val dirs = new java.io.File(s"$outDir/kmvregs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(dirs < 5, s"$dirs epoch dirs survived compactEvery=2")
+    // same-id replay of the last epoch: overwrite-own-partition
+    val lastId = chunks.size.toLong - 1L
+    SketchStream.kmvSinkEachBatch(outDir)(
+      chunks.last.toDF("event_type", "user_id"), lastId)
+    assert(served() == want, "same-id replay moved the sketch")
+    // duplicate delivery under a NEW epoch id: min-k over sets is
+    // idempotent like HLL's max — re-delivered hashes are already
+    // members, so the merged sketch cannot move
+    SketchStream.kmvSinkEachBatch(outDir)(
+      chunks.head.toDF("event_type", "user_id"), lastId + 1L)
+    assert(served() == want, "new-id duplicate delivery changed estimates")
+  }
+
   test("heavy-hitter twin: the snapshot re-ranks through the exact " +
     "threshold rule, row-equal to batch q139, across restart, " +
     "compaction, and a same-id replay") {
