@@ -139,13 +139,22 @@ object BloomSkip {
     * keep files matching ALL g positions of at least one key. Result
     * is driver-sized: ≤ |keys| · (spread + fp·nFiles) file ids. */
   def candidateFiles(spark: SparkSession, idxPath: String,
-      keys: Seq[Long], bits: Int = BloomBits): Seq[Long] = {
+      keys: Seq[Long], bits: Int = BloomBits): Seq[Long] =
+    candidateFilesOn(spark.read.parquet(idxPath), keys, bits)
+
+  /** [[candidateFiles]] over an explicit index relation — also the
+    * probe stage of the STREAMED index
+    * ([[graft.streaming.BloomStream]]), whose index is a union of
+    * epoch partials rather than one file. */
+  def candidateFilesOn(idx: DataFrame, keys: Seq[Long],
+      bits: Int = BloomBits): Seq[Long] = {
+    val spark = idx.sparkSession
     import spark.implicits._
     val probe = keys.distinct.flatMap(k =>
       probePositions(k, bits).zipWithIndex.map { case (p, i) => (k, i, p) })
       .toDF("key", "gidx", "bitpos")
     val positions = probe.select("bitpos").as[Long].collect().distinct
-    spark.read.parquet(idxPath)
+    idx
       .where(col("bitpos").isin(positions: _*))
       .join(broadcast(probe), Seq("bitpos"))
       .groupBy("key", "file_id")

@@ -56,7 +56,9 @@ class PlanAuditSpec extends SparkSpec {
     // q139: the 1-row occurrence-total broadcast (q64's total pattern)
     "q139_heavy_hitters",
     // q144: the vocab-sized type-pair product (5×5 broadcast)
-    "q144_hll_overlap")
+    "q144_hll_overlap",
+    // q147: the same vocab-sized type-pair product as q144
+    "q147_kmv_overlap")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -410,7 +412,21 @@ class PlanAuditSpec extends SparkSpec {
     "q144_hll_overlap" -> 14,
     // q145: pruned layout scan + exact filter + output sort — the
     // layout build is a memoized write job, not part of this plan
-    "q145_zorder_scan" -> 1)
+    "q145_zorder_scan" -> 1,
+    // q146: local min-k pass shuffles only k·partitions rows/scope
+    // (the sketch build + 'ALL' re-top-k windows + 2 estimate aggs),
+    // plus the two exact-distinct audit branches + join + sort; at
+    // 100 TB only the sketch/estimate path runs
+    "q146_kmv_users" -> 10,
+    // q147: sketch build + per-pair union re-top-k + membership joins
+    // (all sketch-sized), the broadcast vocab×vocab pair product (the
+    // benign BNLJ), and the exact audit branches — the uid self-join
+    // SMJ is the audit, not the estimator
+    "q147_kmv_overlap" -> 21,
+    // q148: pruned layout scan + exact filter + output sort — the
+    // bloom probe join runs driver-side at plan build (candidate
+    // collection), like q145's quadrant computation
+    "q148_bloom_lookup" -> 1)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,
