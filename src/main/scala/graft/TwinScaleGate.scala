@@ -121,6 +121,8 @@ object TwinScaleGate {
         streaming.SketchStream.histSinkEachBatch(sOut, compactEvery)(b, id)
         streaming.SketchStream.heavyHitterSinkEachBatch(sOut,
           compactEvery = compactEvery)(b.where("item >= 0"), id)
+        streaming.SketchStream.kmvSinkEachBatch(sOut,
+          compactEvery = compactEvery)(b, id)
       }
       .outputMode("append").start()
     var sEpochs = 0
@@ -156,15 +158,27 @@ object TwinScaleGate {
     val hhWant = operators.Sketches.heavyHitters(spark, sfDir)
       .collect().map(_.toSeq).toSeq
     Caches.releaseAll()
+    val kmvGot = streaming.SketchStream.kmvTableEstimates(spark, sOut)
+      .collect().map(_.toSeq).toSeq
+    val kmvWant = operators.Sketches.kmvEstimate(
+      operators.Sketches.kmvRegisters(
+        evDf.select(col("event_type"),
+          col("user_id").cast("string").as("uid")),
+        "event_type", col("uid")), Seq("event_type"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    Caches.releaseAll()
     println(s"[twin-scale] sketch: events=${ev.size} epochs=$sEpochs " +
       s"streamSecs=${f"$sStreamSecs%.1f"} " +
       s"hllDirs=${partDirs(s"$sOut/hllregs")} " +
       s"histDirs=${partDirs(s"$sOut/hist")} " +
-      s"hhDirs=${partDirs(s"$sOut/hhcounts")} (uncompacted would be " +
+      s"hhDirs=${partDirs(s"$sOut/hhcounts")} " +
+      s"kmvDirs=${partDirs(s"$sOut/kmvregs")} (uncompacted would be " +
       s"$sEpochs each) hll=${pin("hll", hllGot, hllWant)} " +
       s"hist=${pin("hist", histGot, histWant)} " +
       s"heavyHitters=${pin("hh", hhGot, hhWant)} " +
-      s"(${hllWant.size}/${histWant.size}/${hhWant.size} rows)")
+      s"kmv=${pin("kmv", kmvGot, kmvWant)} " +
+      s"(${hllWant.size}/${histWant.size}/${hhWant.size}/" +
+      s"${kmvWant.size} rows)")
 
     // ---- interval-join stream vs batch q141 -------------------------
     val ow = operators.IntervalJoin.orderWindows(spark, sfDir)
@@ -204,6 +218,48 @@ object TwinScaleGate {
     println(s"[twin-scale] interval: windows=${ow.size} " +
       s"epochs=$iEpochs streamSecs=${f"$iStreamSecs%.1f"} " +
       s"maxLenDays=$maxLen pairs=$nWant join=MATCH")
+
+    // ---- stream-maintained bloom index vs the plain filter ----------
+    // (round-14 twin: epoch-scoped files + union-folded index; the
+    // lookup contract is the q148 oracle — the plain o_custkey filter)
+    val ords = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bmOut = java.nio.file.Files
+      .createTempDirectory("twin_scale_bloom").toString
+    val bmMem = MemoryStream[(Long, Long, Double)]
+    val bmq = bmMem.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .writeStream
+      .foreachBatch(streaming.BloomStream.sinkEachBatch(bmOut,
+        compactEvery = compactEvery) _)
+      .outputMode("append").start()
+    val bmChunk = math.max(1, (ords.size + nChunks - 1) / nChunks)
+    var bmEpochs = 0
+    val t4 = System.nanoTime()
+    ords.grouped(bmChunk).foreach { c =>
+      bmMem.addData(c: _*); bmq.processAllAvailable(); bmEpochs += 1
+    }
+    bmq.stop()
+    val bmStreamSecs = (System.nanoTime() - t4) / 1e9
+    val probeKeys = Seq(7L, 42L, 133L)
+    val bmGot = streaming.BloomStream.snapshotLookup(spark, bmOut, probeKeys)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val bmWant = ords.filter(r => probeKeys.contains(r._2)).sortBy(_._1)
+    val bmCands = streaming.BloomStream
+      .snapshotCandidates(spark, bmOut, probeKeys)
+    val bmFiles = bmEpochs.toLong * streaming.BloomStream.FilesPerEpoch
+    require(bmGot == bmWant && bmWant.nonEmpty,
+      s"bloom twin diverged: got=${bmGot.size} want=${bmWant.size}")
+    require(bmCands.size < bmFiles,
+      s"bloom twin did not prune: ${bmCands.size} of $bmFiles files")
+    println(s"[twin-scale] bloom: orders=${ords.size} epochs=$bmEpochs " +
+      s"streamSecs=${f"$bmStreamSecs%.1f"} " +
+      s"layoutDirs=${partDirs(s"$bmOut/bloomlayout")} " +
+      s"idxDirs=${partDirs(s"$bmOut/bloomidx")} " +
+      s"candidates=${bmCands.size}/$bmFiles rows=${bmWant.size} " +
+      s"lookup=MATCH")
     spark.stop()
   }
 }

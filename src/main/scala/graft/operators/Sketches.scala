@@ -568,12 +568,12 @@ object Sketches {
   def kmvOverlap(spark: SparkSession, dir: String): DataFrame =
     kmvOverlapOn(Tables.events(spark, dir))
 
-  /** [[kmvOverlap]] over an explicit (event_type, user_id) relation. */
-  def kmvOverlapOn(events: DataFrame, k: Int = DefaultKmvK): DataFrame = {
-    val ev = events.select(col("event_type"),
-      col("user_id").cast("string").as("uid"))
-    val regs = graft.Caches.register(
-      kmvRegisters(ev, "event_type", col("uid"), k).cache())
+  /** The theta set-algebra stage alone: pairwise overlap/Jaccard
+    * ESTIMATES from a per-scope KMV register relation — what a sketch
+    * WAREHOUSE evaluates over persisted minima without any source
+    * rescan ([[graft.streaming.SketchStream.kmvTableOverlap]] serves
+    * exactly this over the streamed sink). */
+  def kmvOverlapFromRegs(regs: DataFrame, k: Int = DefaultKmvK): DataFrame = {
     val types = regs.select(col("event_type")).distinct()
     // unordered type pairs — broadcast product of two vocab-sized sides
     val pairs = types.select(col("event_type").as("type_a"))
@@ -589,7 +589,7 @@ object Sketches {
       lit(1).as("in_a"))
     val inB = regs.select(col("event_type").as("type_b"), col("h"),
       lit(1).as("in_b"))
-    val stats = ku
+    ku
       .join(inA, Seq("type_a", "h"), "left")
       .join(inB, Seq("type_b", "h"), "left")
       .groupBy("type_a", "type_b")
@@ -605,6 +605,15 @@ object Sketches {
         "CAST(CAST(matches AS DECIMAL(38,0)) * 1000000 div kun AS BIGINT)"))
       .withColumn("overlap_est", expr(
         "CAST(CAST(matches AS DECIMAL(38,0)) * union_est div kun AS BIGINT)"))
+  }
+
+  /** [[kmvOverlap]] over an explicit (event_type, user_id) relation. */
+  def kmvOverlapOn(events: DataFrame, k: Int = DefaultKmvK): DataFrame = {
+    val ev = events.select(col("event_type"),
+      col("user_id").cast("string").as("uid"))
+    val regs = graft.Caches.register(
+      kmvRegisters(ev, "event_type", col("uid"), k).cache())
+    val stats = kmvOverlapFromRegs(regs, k)
     val m = ev.distinct()
     val exo = m.select(col("event_type").as("type_a"), col("uid"))
       .join(m.select(col("event_type").as("type_b"), col("uid")), Seq("uid"))

@@ -340,12 +340,18 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       // method=hll (q144, inclusion-exclusion — error grows with the
       // union) or method=kmv (q147, theta-sketch membership counting —
       // error grows with the intersection; the estimator of choice
-      // when overlaps are small relative to the audiences)
-      p.getOrElse("method", "kmv") match {
-        case "kmv" => graft.operators.Sketches.kmvOverlap(spark, dataDir)
-        case "hll" => graft.operators.Sketches.hllOverlap(spark, dataDir)
-        case other =>
-          throw new IllegalArgumentException(s"unknown method '$other'")
+      // when overlaps are small relative to the audiences).
+      // source=sketch answers from the PERSISTED KMV table instead —
+      // set algebra over ≤ types × k stored minima, never the events
+      (p.getOrElse("method", "kmv"), p.getOrElse("source", "events")) match {
+        case ("kmv", "sketch") => graft.streaming.SketchStream
+          .kmvTableOverlap(spark, sketchDirOr400)
+        case ("kmv", "events") =>
+          graft.operators.Sketches.kmvOverlap(spark, dataDir)
+        case ("hll", "events") =>
+          graft.operators.Sketches.hllOverlap(spark, dataDir)
+        case (m, s) => throw new IllegalArgumentException(
+          s"unknown method/source '$m'/'$s'")
       }
     })
     server.createContext("/heavyHitters", handler { p =>

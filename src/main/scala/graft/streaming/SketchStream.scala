@@ -173,6 +173,22 @@ object SketchStream {
     Sketches.kmvEstimate(regs, Seq("event_type"), k).orderBy("event_type")
   }
 
+  /** Pairwise audience overlap/Jaccard estimates over the PERSISTED
+    * KMV sketch table — the set-algebra payoff of the sketch warehouse:
+    * the q147 estimate columns computed from ≤ types × k stored minima,
+    * never rescanning events (spec-pinned equal to the batch estimates
+    * over the same stream). Serves `/audienceOverlap?source=sketch`. */
+  def kmvTableOverlap(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, k: Int = Sketches.DefaultKmvK): DataFrame = {
+    graft.operators.Compact.recoverAccumulated(s"$outDir/kmvregs")
+    val regs = Sketches.kmvTopK(
+      spark.read.parquet(s"$outDir/kmvregs"), Seq("event_type"), k)
+    Sketches.kmvOverlapFromRegs(regs, k)
+      .select(col("type_a"), col("type_b"), col("union_est"),
+        col("overlap_est"), col("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
   // ——— heavy-hitter twin (exact counts → epoch partials) ———
 
   /** foreachBatch sink for the heavy-hitter family (q139): each epoch

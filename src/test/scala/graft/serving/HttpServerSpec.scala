@@ -330,6 +330,12 @@ class HttpServerSpec extends SparkSpec {
           "event_type", col("uid")), Seq("event_type"))
         .orderBy("event_type").toJSON.collect().mkString("[", ",", "]")
       assert(duK == wantK, s"kmv-served estimates diverged: ${duK.take(200)}")
+      // overlap set algebra over the persisted KMV table
+      val (c5, aoK) = get(s"$base/audienceOverlap?source=sketch")
+      assert(c5 == 200, aoK.take(200))
+      val wantO = graft.streaming.SketchStream.kmvTableOverlap(spark, dir)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(aoK == wantO, "sketch-served overlap diverged")
     } finally { srv.stop(); graft.Caches.releaseAll() }
   }
 }

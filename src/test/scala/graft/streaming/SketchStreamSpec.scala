@@ -243,6 +243,21 @@ class SketchStreamSpec extends SparkSpec {
     SketchStream.kmvSinkEachBatch(outDir)(
       chunks.head.toDF("event_type", "user_id"), lastId + 1L)
     assert(served() == want, "new-id duplicate delivery changed estimates")
+    // set algebra over the persisted table: overlap estimates equal
+    // the batch q147 estimate columns over the same events — computed
+    // from stored minima, never rescanning the stream
+    val ovGot = SketchStream.kmvTableOverlap(spark, outDir)
+      .collect().map(_.toSeq).toSeq
+    graft.Caches.releaseAll()
+    val ovWant = Sketches.kmvOverlapOn(
+        fixture.toDF("event_type", "user_id"))
+      .select(col("type_a"), col("type_b"), col("union_est"),
+        col("overlap_est"), col("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+      .collect().map(_.toSeq).toSeq
+    graft.Caches.releaseAll()
+    assert(ovGot == ovWant && ovGot.nonEmpty,
+      "table-served overlap diverged from the batch estimates")
   }
 
   test("heavy-hitter twin: the snapshot re-ranks through the exact " +
