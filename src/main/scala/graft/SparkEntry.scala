@@ -430,6 +430,12 @@ object SparkEntry {
     // files, never rows — the oracle is the plain filter
     "q148_bloom_lookup" ->
       ((s, d) => BloomSkip.pointLookup(s, d, Seq(7L, 42L, 133L))),
+    // q149: Count-Min point frequencies of the whole item catalog,
+    // audited against the exact counts — one-sided error by
+    // construction (est >= exact; the err column measures the
+    // collision overshoot); (d, w, cnt) registers are SUM-mergeable,
+    // so the streamed sink compacts like the histogram's
+    "q149_cms_counts" -> ((s, d) => Sketches.cmsCounts(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -3252,6 +3258,36 @@ object SparkEntry {
          JOIN exd ea ON ea.event_type = ovl.ta
          JOIN exd eb ON eb.event_type = ovl.tb
          ORDER BY type_a, type_b""",
+    // q149: CMS replay — both engines build the same (d, w) counter
+    // relation on md5-60("cms<d>:"+item) mod width and take the min
+    // over each item's d probed counters; the err column is the
+    // one-sided collision overshoot
+    "q149_cms_counts" ->
+      raw"""WITH e AS (
+           SELECT CAST(props->>'k' AS BIGINT) AS item FROM events
+           WHERE props->>'k' IS NOT NULL),
+         rng AS (SELECT unnest(range(4)) AS d),
+         hr AS (
+           SELECT d,
+                  ('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':'
+                                      || CAST(item AS VARCHAR)),
+                                  1, 15))::BIGINT % 2048 AS w
+           FROM e CROSS JOIN rng),
+         regs AS (SELECT d, w, count(*) AS cnt FROM hr GROUP BY 1, 2),
+         it AS (SELECT DISTINCT item FROM e),
+         pr AS (
+           SELECT item, d,
+                  ('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':'
+                                      || CAST(item AS VARCHAR)),
+                                  1, 15))::BIGINT % 2048 AS w
+           FROM it CROSS JOIN rng),
+         est AS (SELECT item, min(coalesce(cnt, 0)) AS est_cnt
+                 FROM pr LEFT JOIN regs USING (d, w) GROUP BY item),
+         ex AS (SELECT item, count(*) AS exact_cnt FROM e GROUP BY item)
+         SELECT est.item, est_cnt, exact_cnt,
+                est_cnt - exact_cnt AS err
+         FROM est JOIN ex ON est.item = ex.item
+         ORDER BY est.item""",
     // q148: the engine answers through the bloom-indexed layout +
     // candidate-file partition pruning; the oracle is the plain
     // filter — a pruning bug (a skipped file holding a probe

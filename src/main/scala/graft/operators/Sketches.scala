@@ -411,6 +411,99 @@ object Sketches {
     m.keysIterator.toArray.iterator
   }
 
+  // ——— Count–Min sketch (point-frequency estimates) ———
+  //
+  // The fourth sketch family, completing the approximate-aggregation
+  // layer: HLL answers "how many distinct", KMV answers set algebra,
+  // Misra–Gries + exact verify answers "which items are heavy", the
+  // histogram answers quantiles — Count–Min (Cormode & Muthukrishnan
+  // 2005) answers "how often does THIS item occur" for ANY item,
+  // heavy or not, from d·w counters regardless of traffic. Same
+  // relational discipline: the sketch IS a relation (d, w, cnt) built
+  // by ONE hash-aggregate with map-side partial sums (≤ d·w rows per
+  // scope on the shuffle), SUM-mergeable like the histogram registers
+  // (additive → the streaming sink is the accumulated-partials
+  // pattern), and the estimate — min over the d probed counters — is
+  // all-integer with a ONE-SIDED error (est ≥ exact always, over-count
+  // ≤ e·n/w with prob 1−e^−d), which the audit column makes assertable
+  // rather than asserted.
+
+  /** Counter rows (pairwise-independent hash families). */
+  val CmsDepth: Int = 4
+
+  /** Counters per row: err ≤ e·n/2048 ≈ 0.13% of total occurrences. */
+  val CmsWidth: Int = 2048
+
+  /** Row-d hash of an item — md5-60("cms<d>:"+item) mod width; the
+    * driver-side twin is [[cmsProbePositions]]. */
+  private def cmsHash(d: Int, item: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(s"cms$d:"), item.cast("string"))),
+      1, 15), 16, 10).cast("long") % width
+
+  /** Driver-side twin of [[cmsHash]] for probe keys. */
+  def cmsProbePositions(item: Long,
+      width: Int = CmsWidth): Seq[(Int, Long)] =
+    (0 until CmsDepth).map(d =>
+      (d, graft.functions.TextFunctions.md5LongScala(s"cms$d:$item") % width))
+
+  /** The CMS as a relation: one row per observed (d, w) counter. ONE
+    * hash-aggregate — the explode is map-only and partial sums cap the
+    * shuffle at d·w rows per task. */
+  def cmsRegisters(df: DataFrame, itemCol: String,
+      width: Int = CmsWidth): DataFrame =
+    df.select(explode(array((0 until CmsDepth).map(d =>
+        struct(lit(d).as("d"),
+          cmsHash(d, col(itemCol), width).as("w"))): _*)).as("dw"))
+      .select(col("dw.d").as("d"), col("dw.w").as("w"))
+      .groupBy("d", "w").agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency estimates for an item relation over a register
+    * relation: min over the d probed counters, 0 for never-seen items
+    * (an absent register IS a zero counter). Shared with the streaming
+    * snapshot ([[graft.streaming.SketchStream.cmsTableEstimates]]). */
+  def cmsEstimates(regs: DataFrame, items: DataFrame, itemCol: String,
+      width: Int = CmsWidth): DataFrame = {
+    val probe = items.select(col(itemCol),
+        explode(array((0 until CmsDepth).map(d =>
+          struct(lit(d).as("d"),
+            cmsHash(d, col(itemCol), width).as("w"))): _*)).as("dw"))
+      .select(col(itemCol), col("dw.d").as("d"), col("dw.w").as("w"))
+    probe.join(regs, Seq("d", "w"), "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
+  /** q149: Count–Min frequencies of the whole `props.k` catalog,
+    * audited against the exact counts — the err column is the
+    * one-sided collision overshoot (est − exact ≥ 0 BY CONSTRUCTION;
+    * the spec asserts it, the oracle hashes it). At 100 TB the exact
+    * branch drops and arbitrary items are answered from d·w counters;
+    * the catalog probe here doubles as accuracy measurement. */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+    cmsCountsOn(items, "item")
+  }
+
+  /** [[cmsCounts]] over an explicit single-column relation. */
+  def cmsCountsOn(df: DataFrame, itemCol: String,
+      width: Int = CmsWidth): DataFrame = {
+    // both the register build and the exact audit traverse the items —
+    // one persisted 8-byte carrier pays the upstream extraction once
+    // (the q139 discipline)
+    val items = graft.Caches.register(
+      df.select(col(itemCol).cast("long").as(itemCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val regs = cmsRegisters(items, itemCol, width)
+    val exact = items.groupBy(itemCol)
+      .agg(count(lit(1)).as("exact_cnt"))
+    cmsEstimates(regs, exact.select(col(itemCol)), itemCol, width)
+      .join(exact, Seq(itemCol))
+      .withColumn("err", col("est_cnt") - col("exact_cnt"))
+      .orderBy(itemCol)
+  }
+
   // ——— KMV (k-minimum-values / theta) distinct sketch ———
   //
   // The third sketch family, chosen for what HLL registers CANNOT do:

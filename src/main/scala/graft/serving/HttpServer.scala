@@ -409,6 +409,26 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         bound("uLo", 0L), bound("uHi", 0L),
         bound("iLo", 0L), bound("iHi", 0L))
     })
+    server.createContext("/itemFrequency", handler { p =>
+      // q149: Count-Min point frequencies for the requested items —
+      // source=sketch answers from the persisted counter table
+      // (depth x width sums, never the event log); source=events runs
+      // the batch operator's audited catalog scan
+      val items = p.getOrElse("items", "").split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty).map { s =>
+          try s.toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"bad item '$s'")
+          }
+        }.distinct
+      p.getOrElse("source", "events") match {
+        case "sketch" => graft.streaming.SketchStream
+          .cmsTableEstimates(spark, sketchDirOr400, items)
+        case "events" => graft.operators.Sketches.cmsCounts(spark, dataDir)
+        case other =>
+          throw new IllegalArgumentException(s"unknown source '$other'")
+      }
+    })
     server.createContext("/pointLookup", handler { p =>
       // q148: point lookup on o_custkey through the per-file bloom
       // index — candidate-file pruning over the arrival-keyed layout;

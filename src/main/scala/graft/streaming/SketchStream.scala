@@ -238,6 +238,43 @@ object SketchStream {
       .orderBy(desc("cnt"), col("item"))
   }
 
+  // ——— Count–Min sink (SUM-mergeable → epoch partials) ———
+
+  /** foreachBatch sink for the Count–Min sketch (q149): additive
+    * (d, w, cnt) counter partials, one per epoch under
+    * `outDir/cmsregs/epoch=<id>` (≤ depth·width rows — sketch-sized),
+    * replay-safe via overwrite-own-partition + sum-fold compaction —
+    * the histogram sink's contract, for point frequencies. */
+  def cmsSinkEachBatch(outDir: String, itemCol: String = "item",
+      compactEvery: Int = 0)(batch: DataFrame, epochId: Long): Unit = {
+    Sketches
+      .cmsRegisters(
+        batch.select(col(itemCol).cast("long").as("item"))
+          .where(col("item").isNotNull), "item")
+      .write.mode("overwrite").parquet(s"$outDir/cmsregs/epoch=$epochId")
+    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+      graft.operators.Compact.compactAccumulated(batch.sparkSession,
+        s"$outDir/cmsregs", epochId,
+        df => df.groupBy("d", "w").agg(sum(col("cnt")).as("cnt")))
+  }
+
+  /** Point-frequency estimates for `items` over everything streamed
+    * into `outDir` so far: sum-merge the epoch partials, then the
+    * SHARED [[Sketches.cmsEstimates]] stage — bit-equal to the batch
+    * estimate over the same events (spec-pinned across restart,
+    * compaction, and a same-id replay). Serves `/itemFrequency`: any
+    * item, answered from depth·width counters, never the event log. */
+  def cmsTableEstimates(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, items: Seq[Long]): DataFrame = {
+    require(items.nonEmpty && items.size <= 4096, "items must be 1..4096")
+    import spark.implicits._
+    graft.operators.Compact.recoverAccumulated(s"$outDir/cmsregs")
+    val regs = spark.read.parquet(s"$outDir/cmsregs")
+      .groupBy("d", "w").agg(sum(col("cnt")).as("cnt"))
+    Sketches.cmsEstimates(regs, items.distinct.toDF("item"), "item")
+      .orderBy("item")
+  }
+
   // ——— histogram-quantile twin (SUM-mergeable → epoch partials) ———
 
   /** foreachBatch sink for the histogram sketch: unlike HLL's

@@ -426,7 +426,10 @@ class PlanAuditSpec extends SparkSpec {
     // q148: pruned layout scan + exact filter + output sort — the
     // bloom probe join runs driver-side at plan build (candidate
     // collection), like q145's quadrant computation
-    "q148_bloom_lookup" -> 1)
+    "q148_bloom_lookup" -> 1,
+    // q149: counter hash-agg + catalog probe-min agg + the exact
+    // audit agg + join/sort; at 100 TB only the register path runs
+    "q149_cms_counts" -> 4)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -243,6 +243,59 @@ class SketchesSpec extends SparkSpec {
     assert(got == heavyIds.toSet)
   }
 
+  // —— Count–Min sketch: independent plain-Scala reference ——
+
+  private def refCmsRegs(items: Seq[Long]): Map[(Int, Long), Long] =
+    items.flatMap(i => Sketches.cmsProbePositions(i))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def refCmsEst(regs: Map[(Int, Long), Long], item: Long): Long =
+    Sketches.cmsProbePositions(item).map(p => regs.getOrElse(p, 0L)).min
+
+  test("cms registers and estimates equal the independent md5 reference") {
+    val data = (0 until 2000).map(i => (i * 7919L) % 37L) // skewed catalog
+    val df = spark.createDataset(data).toDF("item")
+    val gotRegs = Sketches.cmsRegisters(df, "item").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotRegs == refCmsRegs(data))
+    val gotEst = Sketches.cmsCountsOn(df, "item").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = data.distinct
+      .map(i => i -> refCmsEst(refCmsRegs(data), i)).toMap
+    assert(gotEst == want)
+  }
+
+  test("cms error is one-sided: est >= exact for every catalog item, " +
+    "and a never-seen item estimates 0 or collision mass only") {
+    val out = Sketches.cmsCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (item, est, exact, err) =>
+      assert(est >= exact && err == est - exact, s"item $item: $est < $exact")
+    }
+    // a probe far outside the catalog: its counters hold only
+    // collision mass (possibly 0) — never negative, never a crash
+    val regs = Sketches.cmsRegisters(
+      graft.Tables.events(spark, sf)
+        .select(get_json_object(col("props"), "$.k").cast("long")
+          .as("item")).where(col("item").isNotNull), "item")
+    val ghost = Sketches.cmsEstimates(regs,
+      Seq(987654321L).toDF("item"), "item").collect().head.getLong(1)
+    assert(ghost >= 0L)
+  }
+
+  test("cms registers merge additively: split halves sum-merge to the " +
+    "whole-stream counters") {
+    val data = (0 until 3000).map(i => (i * 131L) % 53L)
+    val (a, b) = data.splitAt(1700)
+    def regsOf(part: Seq[Long]) =
+      Sketches.cmsRegisters(spark.createDataset(part).toDF("item"), "item")
+    val merged = regsOf(a).union(regsOf(b))
+      .groupBy("d", "w").agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == refCmsRegs(data))
+  }
+
   // —— KMV (theta) sketch: independent plain-Scala reference ——
 
   private def refKmv(vs: Seq[String], k: Int): Seq[Long] =

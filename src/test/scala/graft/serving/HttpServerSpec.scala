@@ -263,6 +263,12 @@ class HttpServerSpec extends SparkSpec {
       assert(c71 == 200 && aoH.contains("\"union_est\""), aoH.take(200))
       val (c72, _) = get(s"$base/audienceOverlap?method=guess")
       assert(c72 == 400)
+      // CMS item frequencies (q149): the audited catalog scan; bad
+      // item lists → 400
+      val (c76, cf) = get(s"$base/itemFrequency")
+      assert(c76 == 200 && cf.contains("\"est_cnt\""), cf.take(200))
+      val (c77, _) = get(s"$base/itemFrequency?items=1,x")
+      assert(c77 == 400)
       // bloom point lookup (q148): rows come back through the pruned
       // layout read; bad/empty key lists → 400
       val (c73, pl) = get(s"$base/pointLookup?keys=7,42")
@@ -292,6 +298,7 @@ class HttpServerSpec extends SparkSpec {
       graft.streaming.SketchStream.histSinkEachBatch(dir)(part, id)
       graft.streaming.SketchStream.heavyHitterSinkEachBatch(dir)(ipart, id)
       graft.streaming.SketchStream.kmvSinkEachBatch(dir)(part, id)
+      graft.streaming.SketchStream.cmsSinkEachBatch(dir)(ipart, id)
     }
     val srv = new HttpServer(spark, sf, sketchDir = Some(dir)).start()
     val base = s"http://127.0.0.1:${srv.boundPort}"
@@ -336,6 +343,13 @@ class HttpServerSpec extends SparkSpec {
       val wantO = graft.streaming.SketchStream.kmvTableOverlap(spark, dir)
         .toJSON.collect().mkString("[", ",", "]")
       assert(aoK == wantO, "sketch-served overlap diverged")
+      // CMS frequencies from the persisted counter table
+      val (c6, cfK) = get(s"$base/itemFrequency?items=3,5,99&source=sketch")
+      assert(c6 == 200, cfK.take(200))
+      val wantC = graft.streaming.SketchStream
+        .cmsTableEstimates(spark, dir, Seq(3L, 5L, 99L))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(cfK == wantC, "sketch-served frequencies diverged")
     } finally { srv.stop(); graft.Caches.releaseAll() }
   }
 }

@@ -302,6 +302,46 @@ class SketchStreamSpec extends SparkSpec {
     assert(snap() == want, "replayed epoch changed the exact counts")
   }
 
+  test("cms sink: table-served frequencies are bit-equal to batch, " +
+    "across a restart, compaction, and a same-id replay") {
+    val outDir = Files.createTempDirectory("cms_sink").toString
+    val ckpt = Files.createTempDirectory("cms_ckpt").toString
+    val data = (0 until 4000).map(i => (i * 7919L) % 37L)
+    val mem = MemoryStream[Long]
+    def start() = mem.toDF().toDF("item")
+      .writeStream
+      .foreachBatch(SketchStream.cmsSinkEachBatch(outDir,
+        compactEvery = 2) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val chunks = data.grouped(700).toSeq
+    val (h1, h2) = chunks.splitAt(3)
+    val q1 = start()
+    h1.foreach { c => mem.addData(c: _*); q1.processAllAvailable() }
+    q1.stop()
+    val q2 = start() // checkpoint restart mid-stream
+    h2.foreach { c => mem.addData(c: _*); q2.processAllAvailable() }
+    q2.stop()
+    val probes = data.distinct.sorted
+    def served() = SketchStream.cmsTableEstimates(spark, outDir, probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = {
+      val regs = Sketches.cmsRegisters(
+        spark.createDataset(data).toDF("item"), "item")
+      Sketches.cmsEstimates(regs, probes.toDF("item"), "item")
+        .orderBy("item")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    assert(served() == want && want.nonEmpty)
+    val dirs = new java.io.File(s"$outDir/cmsregs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(dirs < 5, s"$dirs epoch dirs survived compactEvery=2")
+    // same-id replay of the last (in-flight) epoch converges
+    SketchStream.cmsSinkEachBatch(outDir)(
+      chunks.last.toDF("item"), chunks.size.toLong - 1L)
+    assert(served() == want, "replayed epoch changed the counters")
+  }
+
   test("checkpoint restart resumes the registers: half before a stop, " +
     "half after, final state equals the one-shot batch sketch") {
     val ckpt = Files.createTempDirectory("hll_ckpt").toString
