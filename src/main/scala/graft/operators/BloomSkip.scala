@@ -150,10 +150,11 @@ object BloomSkip {
       bits: Int = BloomBits): Seq[Long] = {
     val spark = idx.sparkSession
     import spark.implicits._
-    val probe = keys.distinct.flatMap(k =>
+    val probeRows = keys.distinct.flatMap(k =>
       probePositions(k, bits).zipWithIndex.map { case (p, i) => (k, i, p) })
-      .toDF("key", "gidx", "bitpos")
-    val positions = probe.select("bitpos").as[Long].collect().distinct
+    val probe = probeRows.toDF("key", "gidx", "bitpos")
+    // the positions are already driver-side — no job to recover them
+    val positions = probeRows.map(_._3).distinct
     idx
       .where(col("bitpos").isin(positions: _*))
       .join(broadcast(probe), Seq("bitpos"))

@@ -62,10 +62,18 @@ object Compact {
     * no epoch can land between the listing and the swap); snapshots
     * racing the swap's rename pair can briefly see the directory
     * absent, the documented AtomicSwap window. */
+  /** Optional `sortWithin`: cluster the folded base's rows by these
+    * columns INSIDE each written partition (applied after the
+    * repartition, so it survives into the parquet row groups) — for
+    * sinks whose readers skip on column statistics
+    * ([[graft.streaming.BloomStream]]'s `file_id`), where an unsorted
+    * fold would smear every row group's min/max across the whole
+    * domain and disable the skipping the sink exists for. */
   def compactAccumulated(spark: SparkSession, dir: String,
       keepEpoch: Long, fold: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame,
-      targetPartitions: Int = 1): Unit = {
+      targetPartitions: Int = 1,
+      sortWithin: Seq[String] = Nil): Unit = {
     import java.io.File
     graft.AtomicSwap.recover(dir)
     val root = new File(dir)
@@ -81,7 +89,11 @@ object Compact {
     if (tmp.exists()) graft.AtomicSwap.deleteRecursively(tmp)
     val folded = fold(
       spark.read.parquet(foldable.map(_.getAbsolutePath): _*))
-    folded.repartition(targetPartitions).write
+    val placed = folded.repartition(targetPartitions)
+    val clustered =
+      if (sortWithin.isEmpty) placed
+      else placed.sortWithinPartitions(sortWithin.map(col): _*)
+    clustered.write
       .mode("overwrite").parquet(s"$tmp/epoch=$BaseEpoch")
     val keep = new File(root, s"epoch=$keepEpoch")
     if (keep.exists())

@@ -424,7 +424,14 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       p.getOrElse("source", "events") match {
         case "sketch" => graft.streaming.SketchStream
           .cmsTableEstimates(spark, sketchDirOr400, items)
-        case "events" => graft.operators.Sketches.cmsCounts(spark, dataDir)
+        case "events" =>
+          // the audited catalog scan, restricted to the requested
+          // items when a list is given (same row contract as sketch;
+          // no list = the whole catalog)
+          val all = graft.operators.Sketches.cmsCounts(spark, dataDir)
+          if (items.isEmpty) all
+          else all.where(org.apache.spark.sql.functions.col("item")
+            .isin(items: _*))
         case other =>
           throw new IllegalArgumentException(s"unknown source '$other'")
       }

@@ -50,21 +50,36 @@ object BloomStream {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .withColumn("file_id",
         lit(epochId * filesPerEpoch) + col("o_orderkey") % filesPerEpoch)
+      // one cached pass feeds both writes; the index must NOT re-read
+      // the layout directory (see the ordering contract below)
+      .cache()
+    // ORDER MATTERS for live lookups: the INDEX partial commits BEFORE
+    // the layout files it describes. Index bits for not-yet-visible
+    // files are harmless (candidates for absent files match nothing);
+    // the reverse order would let a concurrent snapshotLookup see
+    // layout rows whose file is not yet indexed and silently prune
+    // them — a wrong answer, not a late one.
+    BloomSkip.bloomIndexOn(layout, "o_custkey")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$outDir/bloomidx/epoch=$epochId")
     layout.repartition(col("file_id"))
       .sortWithinPartitions("file_id")
       .write.mode("overwrite")
       .parquet(s"$outDir/bloomlayout/epoch=$epochId")
-    BloomSkip.bloomIndexOn(
-        spark.read.parquet(s"$outDir/bloomlayout/epoch=$epochId"),
-        "o_custkey")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$outDir/bloomidx/epoch=$epochId")
+    layout.unpersist()
     if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L) {
-      graft.operators.Compact.compactAccumulated(spark,
-        s"$outDir/bloomlayout", epochId, identity)
+      // same ordering under compaction: rebuild the index base first.
+      // The layout fold keeps rows verbatim but re-clusters them by
+      // file_id inside the written base (sortWithin), preserving the
+      // row-group statistics the pruned scan skips on — an unsorted
+      // fold would smear every row group's file_id min/max across the
+      // whole domain and turn lookups into full scans of settled data
       graft.operators.Compact.compactAccumulated(spark,
         s"$outDir/bloomidx", epochId,
         df => df.select(col("file_id"), col("bitpos")).distinct())
+      graft.operators.Compact.compactAccumulated(spark,
+        s"$outDir/bloomlayout", epochId, identity,
+        sortWithin = Seq("file_id"))
     }
   }
 
@@ -80,10 +95,16 @@ object BloomStream {
       s"probe keys must be 1..${BloomSkip.MaxProbeKeys}")
     graft.operators.Compact.recoverAccumulated(s"$outDir/bloomlayout")
     graft.operators.Compact.recoverAccumulated(s"$outDir/bloomidx")
+    // ORDER MATTERS under live ingest: snapshot the LAYOUT's file
+    // listing first, then read the index — the sink commits each
+    // epoch's index partial before its layout files, so every file
+    // visible in this listing is already indexed and the candidate set
+    // covers it (the reverse order could prune rows of an epoch that
+    // landed between the two reads)
+    val layout = spark.read.parquet(s"$outDir/bloomlayout")
     val idx = spark.read.parquet(s"$outDir/bloomidx")
       .select(col("file_id"), col("bitpos"))
     val cands = BloomSkip.candidateFilesOn(idx, keys)
-    val layout = spark.read.parquet(s"$outDir/bloomlayout")
     val pruned =
       if (cands.isEmpty) layout.where(lit(false))
       else layout.where(col("file_id").isin(cands: _*))

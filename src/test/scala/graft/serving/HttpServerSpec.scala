@@ -269,6 +269,16 @@ class HttpServerSpec extends SparkSpec {
       assert(c76 == 200 && cf.contains("\"est_cnt\""), cf.take(200))
       val (c77, _) = get(s"$base/itemFrequency?items=1,x")
       assert(c77 == 400)
+      // an explicit item list restricts the events-source answer to
+      // exactly those rows (same contract as source=sketch)
+      val (c78, cf1) = get(s"$base/itemFrequency?items=3,5")
+      val wantF = {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Sketches.cmsCounts(spark, sf)
+          .where(col("item").isin(3L, 5L))
+          .toJSON.collect().mkString("[", ",", "]")
+      }
+      assert(c78 == 200 && cf1 == wantF, cf1.take(200))
       // bloom point lookup (q148): rows come back through the pruned
       // layout read; bad/empty key lists → 400
       val (c73, pl) = get(s"$base/pointLookup?keys=7,42")

@@ -72,5 +72,19 @@ class BloomStreamSpec extends SparkSpec {
     // an absent key finds nothing, through fp-bounded candidates
     assert(BloomStream.snapshotLookup(spark, outDir, Seq(10000000L))
       .count() == 0L)
+    // the compacted base stays CLUSTERED by file_id inside each
+    // written file (the row-group statistics the pruned scan skips
+    // on) — an unsorted fold would smear every row group's min/max
+    // across the whole id domain
+    val byFile = spark.read.parquet(s"$outDir/bloomlayout/epoch=-1")
+      .select(input_file_name().as("f"), col("file_id").cast("long"),
+        monotonically_increasing_id().as("rid"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    byFile.foreach { case (f, rows) =>
+      val inOrder = rows.sortBy(_._3).map(_._2).toSeq
+      assert(inOrder == inOrder.sorted,
+        s"compacted base $f is not clustered by file_id")
+    }
   }
 }
