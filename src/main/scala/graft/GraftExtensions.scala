@@ -171,6 +171,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerTvf(ext, "kmv_users")((s, d, _) => Sketches.kmvUsers(s, d))
     registerTvf(ext, "kmv_overlap")((s, d, _) => Sketches.kmvOverlap(s, d))
     registerTvf(ext, "cms_counts")((s, d, _) => Sketches.cmsCounts(s, d))
+    registerTvf(ext, "price_quantiles")((s, d, _) =>
+      Sketches.priceQuantiles(s, d))
     registerTvf(ext, "bloom_lookup")((s, d, a) =>
       BloomSkip.pointLookup(s, d, a.map(longArg(_, "bloom_lookup"))))
     registerTvf(ext, "zorder_scan")((s, d, a) =>

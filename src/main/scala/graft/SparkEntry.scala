@@ -436,6 +436,12 @@ object SparkEntry {
     // collision overshoot); (d, w, cnt) registers are SUM-mergeable,
     // so the streamed sink compacts like the histogram's
     "q149_cms_counts" -> ((s, d) => Sketches.cmsCounts(s, d)),
+    // q150: the q142 histogram family generalized to an arbitrary
+    // numeric column — the grid derives from the column's own min/max
+    // (one bounded 1-row aggregate), then the identical SUM-mergeable
+    // register build + shared cumulative walk; estimates are bucket
+    // lower bounds, audited at cent resolution
+    "q150_price_quantiles" -> ((s, d) => Sketches.priceQuantiles(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -3258,6 +3264,64 @@ object SparkEntry {
          JOIN exd ea ON ea.event_type = ovl.ta
          JOIN exd eb ON eb.event_type = ovl.tb
          ORDER BY type_a, type_b""",
+    // q150: both engines derive the identical integer grid (lo, width)
+    // from the column's min/max, build the same bucket registers, and
+    // run the same ceil-rank cumulative walk at both resolutions
+    "q150_price_quantiles" ->
+      raw"""WITH e AS (
+           SELECT o_orderpriority,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+         g AS (SELECT min(c) AS lo,
+                      greatest(1, ((max(c) - min(c) + 1) + 1023) // 1024)
+                        AS width
+               FROM e),
+         regs AS (SELECT o_orderpriority, (c - lo) // width AS b,
+                         count(*) AS cnt
+                  FROM e CROSS JOIN g GROUP BY 1, 2),
+         rall AS (SELECT 'ALL' AS o_orderpriority, b, sum(cnt) AS cnt
+                  FROM regs GROUP BY 2),
+         r AS (SELECT * FROM regs UNION ALL SELECT * FROM rall),
+         cum AS (SELECT o_orderpriority, b,
+                        sum(cnt) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY b) AS cum,
+                        sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+                 FROM r),
+         est AS (SELECT o_orderpriority,
+                        min(CASE WHEN cum >= (n * 50 + 99) // 100
+                                 THEN b END) AS pb50,
+                        min(CASE WHEN cum >= (n * 95 + 99) // 100
+                                 THEN b END) AS pb95,
+                        min(CASE WHEN cum >= (n * 99 + 99) // 100
+                                 THEN b END) AS pb99
+                 FROM cum GROUP BY 1),
+         vals AS (SELECT o_orderpriority, c, count(*) AS cnt
+                  FROM e GROUP BY 1, 2),
+         vall AS (SELECT 'ALL' AS o_orderpriority, c, sum(cnt) AS cnt
+                  FROM vals GROUP BY 2),
+         v AS (SELECT * FROM vals UNION ALL SELECT * FROM vall),
+         vcum AS (SELECT o_orderpriority, c,
+                         sum(cnt) OVER (PARTITION BY o_orderpriority
+                                        ORDER BY c) AS cum,
+                         sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+                  FROM v),
+         ex AS (SELECT o_orderpriority,
+                       min(CASE WHEN cum >= (n * 50 + 99) // 100
+                                THEN c END) AS p50_exact_cents,
+                       min(CASE WHEN cum >= (n * 95 + 99) // 100
+                                THEN c END) AS p95_exact_cents,
+                       min(CASE WHEN cum >= (n * 99 + 99) // 100
+                                THEN c END) AS p99_exact_cents
+                FROM vcum GROUP BY 1)
+         SELECT est.o_orderpriority,
+                g.lo AS grid_lo_cents, g.width AS grid_width_cents,
+                g.lo + pb50 * g.width AS p50_est_cents, p50_exact_cents,
+                g.lo + pb95 * g.width AS p95_est_cents, p95_exact_cents,
+                g.lo + pb99 * g.width AS p99_est_cents, p99_exact_cents
+         FROM est
+         JOIN ex ON ex.o_orderpriority = est.o_orderpriority
+         CROSS JOIN g
+         ORDER BY est.o_orderpriority""",
     // q149: CMS replay — both engines build the same (d, w) counter
     // relation on md5-60("cms<d>:"+item) mod width and take the min
     // over each item's d probed counters; the err column is the

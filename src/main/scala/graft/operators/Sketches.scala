@@ -332,6 +332,64 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** Buckets for the AUTO-RANGED histogram ([[priceQuantilesOn]]). */
+  val AutoBuckets: Int = 1024
+
+  /** q150: histogram quantiles with a DATA-DERIVED integer grid — the
+    * q142 family generalized past its fixed [0, 512) range to any
+    * numeric column. One bounded 1-row aggregate derives (lo, width)
+    * from the column's own min/max (the measured-dispatch discipline:
+    * a 2-value driver constant, not a collect of data); the register
+    * build, the 'ALL' rollup, and the shared [[cumQuantiles]] walk are
+    * then exactly q142's — registers stay SUM-mergeable for any data
+    * sharing the grid, which the build prints into the output via the
+    * grid columns. Estimates are bucket lower bounds (est ≤ exact <
+    * est + width, spec-asserted); the exact audit walks the same code
+    * path at cent resolution. */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    priceQuantilesOn(Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")))
+
+  /** [[priceQuantiles]] over an explicit (o_orderpriority,
+    * o_totalprice) relation. */
+  def priceQuantilesOn(orders: DataFrame,
+      qs: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      "percentiles in [1, 100]")
+    // three passes share the fixed-point carrier (grid bounds,
+    // registers, exact audit) — persist the 2-column projection once
+    val cents = graft.Caches.register(
+      orders.select(col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bounds = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+      .collect().head // 1 row — a bounded grid constant, like a count
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L,
+      ((hi - lo + 1L) + AutoBuckets - 1) / AutoBuckets)
+    val regs = cents
+      .withColumn("b", expr(s"(c - $lo) div $width"))
+      .groupBy("o_orderpriority", "b").agg(count(lit(1)).as("cnt"))
+    val regsAll = regs.withColumn("o_orderpriority", lit("ALL"))
+      .groupBy("o_orderpriority", "b").agg(sum(col("cnt")).as("cnt"))
+    val est = cumQuantiles(regs.union(regsAll), Seq("o_orderpriority"),
+      "b", qs, "pb")
+    val vals = cents.groupBy("o_orderpriority", "c")
+      .agg(count(lit(1)).as("cnt"))
+    val valsAll = vals.withColumn("o_orderpriority", lit("ALL"))
+      .groupBy("o_orderpriority", "c").agg(sum(col("cnt")).as("cnt"))
+    val exact = cumQuantiles(vals.union(valsAll), Seq("o_orderpriority"),
+      "c", qs, "pe")
+    val outCols = qs.flatMap(q => Seq(
+      (lit(lo) + col(s"pb$q") * lit(width)).as(s"p${q}_est_cents"),
+      col(s"pe$q").as(s"p${q}_exact_cents")))
+    est.join(exact, Seq("o_orderpriority"))
+      .select(col("o_orderpriority") +:
+        (lit(lo).as("grid_lo_cents") +: lit(width).as("grid_width_cents") +:
+          outCols): _*)
+      .orderBy("o_orderpriority")
+  }
+
   /** Default heavy-hitter threshold: 1.05% of occurrences (phi in ppm). */
   val DefaultPhiPpm: Long = 10500L
 

@@ -409,6 +409,11 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         bound("uLo", 0L), bound("uHi", 0L),
         bound("iLo", 0L), bound("iHi", 0L))
     })
+    server.createContext("/priceQuantiles", handler { _ =>
+      // q150: auto-ranged histogram quantiles of o_totalprice per
+      // priority + 'ALL', with grid columns and the exact audit
+      graft.operators.Sketches.priceQuantiles(spark, dataDir)
+    })
     server.createContext("/itemFrequency", handler { p =>
       // q149: Count-Min point frequencies for the requested items —
       // source=sketch answers from the persisted counter table

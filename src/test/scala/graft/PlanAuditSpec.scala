@@ -429,7 +429,11 @@ class PlanAuditSpec extends SparkSpec {
     "q148_bloom_lookup" -> 1,
     // q149: counter hash-agg + catalog probe-min agg + the exact
     // audit agg + join/sort; at 100 TB only the register path runs
-    "q149_cms_counts" -> 4)
+    "q149_cms_counts" -> 4,
+    // q150: q142's shape on the auto grid — bucket + exact-value
+    // register aggs, 'ALL' re-aggs, two cumulative-walk windows,
+    // join + sort (the grid itself is a 1-row aggregate at build)
+    "q150_price_quantiles" -> 9)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

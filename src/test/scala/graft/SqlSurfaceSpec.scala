@@ -83,6 +83,8 @@ class SqlSurfaceSpec extends SparkSpec {
         operators.Sketches.kmvOverlap(spark, sf),
       "SELECT * FROM cms_counts()" ->
         operators.Sketches.cmsCounts(spark, sf),
+      "SELECT * FROM price_quantiles()" ->
+        operators.Sketches.priceQuantiles(spark, sf),
       "SELECT * FROM zorder_scan(0, 40, 10, 19)" ->
         operators.Warehouse.zorderScan(spark, sf, 0L, 40L, 10L, 19L),
       "SELECT * FROM bloom_lookup(7, 42, 133)" ->

@@ -243,6 +243,37 @@ class SketchesSpec extends SparkSpec {
     assert(got == heavyIds.toSet)
   }
 
+  // —— auto-ranged histogram quantiles (q150) ——
+
+  test("auto-grid quantiles: every estimate is the bucket lower bound " +
+    "of its exact value (est <= exact < est + width), on real money") {
+    val out = Sketches.priceQuantiles(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val width = r.getLong(2)
+      for (i <- Seq(3, 5, 7)) { // (est, exact) column pairs
+        val (est, exact) = (r.getLong(i), r.getLong(i + 1))
+        assert(est <= exact && exact < est + width,
+          s"${r.getString(0)}: est $est exact $exact width $width")
+      }
+    }
+  }
+
+  test("auto-grid degenerates exactly: a constant column gets width 1 " +
+    "and estimate == exact") {
+    val const = Seq.fill(500)(("P", 42.37)).toDF("o_orderpriority",
+      "o_totalprice")
+    val r = Sketches.priceQuantilesOn(const).collect()
+    assert(r.length == 2) // the scope and its 'ALL' rollup
+    r.foreach { row =>
+      assert(row.getLong(2) == 1L, "constant column must get width 1")
+      for (i <- Seq(3, 5, 7))
+        assert(row.getLong(i) == row.getLong(i + 1) &&
+          row.getLong(i) == 4237L)
+    }
+    graft.Caches.releaseAll()
+  }
+
   // —— Count–Min sketch: independent plain-Scala reference ——
 
   private def refCmsRegs(items: Seq[Long]): Map[(Int, Long), Long] =

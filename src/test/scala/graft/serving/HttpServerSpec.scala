@@ -263,6 +263,10 @@ class HttpServerSpec extends SparkSpec {
       assert(c71 == 200 && aoH.contains("\"union_est\""), aoH.take(200))
       val (c72, _) = get(s"$base/audienceOverlap?method=guess")
       assert(c72 == 400)
+      // auto-ranged money quantiles (q150)
+      val (c79, pqm) = get(s"$base/priceQuantiles")
+      assert(c79 == 200 && pqm.contains("\"p99_est_cents\"") &&
+        pqm.contains("\"grid_width_cents\""), pqm.take(200))
       // CMS item frequencies (q149): the audited catalog scan; bad
       // item lists → 400
       val (c76, cf) = get(s"$base/itemFrequency")
