@@ -175,6 +175,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Sketches.priceQuantiles(s, d))
     registerTvf(ext, "bloom_lookup")((s, d, a) =>
       BloomSkip.pointLookup(s, d, a.map(longArg(_, "bloom_lookup"))))
+    registerTvf(ext, "forget_key")((s, d, a) => {
+      val keys = a.map(longArg(_, "forget_key"))
+      require(keys.size >= 2, "forget_key(delKey, probeKey, ...)")
+      BloomSkip.forgetKey(s, d, keys.head, keys.tail)
+    })
     registerTvf(ext, "zorder_scan")((s, d, a) =>
       Warehouse.zorderScan(s, d,
         at(a, 0, longArg(_, "zorder_scan"), 0L),

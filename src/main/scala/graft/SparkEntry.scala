@@ -442,6 +442,14 @@ object SparkEntry {
     // register build + shared cumulative walk; estimates are bucket
     // lower bounds, audited at cent resolution
     "q150_price_quantiles" -> ((s, d) => Sketches.priceQuantiles(s, d)),
+    // q151: right-to-erasure through the skipping index — customer 7's
+    // rows deleted by rewriting ONLY the bloom-candidate files (the
+    // rest carried byte-identical, the index patched incrementally),
+    // then both the deleted and a surviving key probed through the
+    // patched index; the oracle (plain filter, key excluded) hashes
+    // the deletion's absence AND the survivors' presence
+    "q151_forget_key" ->
+      ((s, d) => BloomSkip.forgetKey(s, d, 7L, Seq(42L))),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -454,7 +462,8 @@ object SparkEntry {
     "q38_ivf_search", "q56_ivf_file_search", "q82_semantic_dedup_ivf",
     "q108_pq_codes", "q110_ivfpq_search", "q112_corpus_build",
     "q113_build_report", "q115_cluster_sample",
-    "q131_phrase_index_search", "q145_zorder_scan", "q148_bloom_lookup")
+    "q131_phrase_index_search", "q145_zorder_scan", "q148_bloom_lookup",
+    "q151_forget_key")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -3264,6 +3273,15 @@ object SparkEntry {
          JOIN exd ea ON ea.event_type = ovl.ta
          JOIN exd eb ON eb.event_type = ovl.tb
          ORDER BY type_a, type_b""",
+    // q151: the engine deletes through candidate-file rewrites and
+    // answers through the patched index; the oracle is the plain
+    // filter with the deleted key excluded — a leftover row of the
+    // deleted customer OR a lost row of the survivor fails the hash
+    "q151_forget_key" ->
+      raw"""SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_custkey IN (7, 42) AND o_custkey <> 7
+         ORDER BY o_orderkey""",
     // q150: both engines derive the identical integer grid (lo, width)
     // from the column's min/max, build the same bucket registers, and
     // run the same ceil-rank cumulative walk at both resolutions

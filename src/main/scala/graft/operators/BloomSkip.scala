@@ -103,7 +103,7 @@ object BloomSkip {
     scala.collection.concurrent.TrieMap.empty[(String, Long), (String, Long)]
 
   /** Forget memoized bloom layouts (tests, cold benching). */
-  def clearMemos(): Unit = layoutMemo.clear()
+  def clearMemos(): Unit = { layoutMemo.clear(); forgetMemo.clear() }
 
   /** The materialized bloom-indexed layout of the `orders` table for
     * `dir`: built on first request, fingerprint-keyed for the JVM
@@ -172,11 +172,18 @@ object BloomSkip {
     * equal to the plain filter regardless of the fp rate. */
   def pointLookup(spark: SparkSession, dir: String,
       keys: Seq[Long]): DataFrame = {
+    val (path, _) = layoutCached(spark, dir)
+    lookupIn(spark, path, keys)
+  }
+
+  /** [[pointLookup]] against an explicit layout path (also the probe
+    * stage over a post-deletion layout — see [[forgetKey]]). */
+  def lookupIn(spark: SparkSession, layoutPath: String,
+      keys: Seq[Long]): DataFrame = {
     require(keys.nonEmpty && keys.size <= MaxProbeKeys,
       s"probe keys must be 1..$MaxProbeKeys")
-    val (path, _) = layoutCached(spark, dir)
-    val cands = candidateFiles(spark, s"$path.bloomidx", keys)
-    val layout = spark.read.parquet(path)
+    val cands = candidateFiles(spark, s"$layoutPath.bloomidx", keys)
+    val layout = spark.read.parquet(layoutPath)
     val pruned =
       if (cands.isEmpty) layout.where(lit(false))
       else layout.where(col("file_id").isin(cands: _*))
@@ -184,5 +191,117 @@ object BloomSkip {
       .where(col("o_custkey").isin(keys: _*))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
+  }
+
+  // ——— targeted deletion (right-to-erasure) through the index ———
+
+  /** What [[deleteKeyFrom]] did: how much of the layout the deletion
+    * actually touched. `filesRewritten` is fp-dependent (candidates),
+    * `rowsDeleted` is exact. */
+  case class DeleteReport(filesTotal: Long, filesRewritten: Long,
+      rowsDeleted: Long)
+
+  /** Delete every row of `key` from a bloom-indexed layout by
+    * rewriting ONLY the candidate files the index names — the
+    * right-to-erasure path a 100 TB warehouse needs: a forget request
+    * must not rewrite the corpus, and without a skipping index it has
+    * no way to know which of the millions of files hold the user. All
+    * non-candidate files are carried over BYTE-IDENTICAL (copied
+    * verbatim — at cluster scale these are object-store pointer moves,
+    * not data movement; spec-asserted equal); candidate files are
+    * re-written without the key's rows, and the index is patched
+    * INCREMENTALLY (old rows for untouched files kept, rewritten
+    * files' partials recomputed) — never a full rebuild. Bloom
+    * correctness is preserved in the safe direction: a rewritten
+    * file's filter is rebuilt from its remaining keys, an untouched
+    * file's filter was already correct, and the deleted key can at
+    * worst remain as a false positive in an untouched file it never
+    * inhabited. Writes are copy-on-write into `outPath` (the source
+    * layout is immutable — a crashed delete leaves no torn state). */
+  def deleteKeyFrom(spark: SparkSession, layoutPath: String,
+      outPath: String, key: Long, bits: Int = BloomBits): DeleteReport = {
+    import java.io.File
+    import java.nio.file.{Files, StandardCopyOption}
+    val cands = candidateFiles(spark, s"$layoutPath.bloomidx",
+      Seq(key), bits).toSet
+    val root = new File(layoutPath)
+    val partDirs = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("file_id="))
+    val out = new File(outPath)
+    if (out.exists()) graft.AtomicSwap.deleteRecursively(out)
+    out.mkdirs()
+    def fidOf(d: File): Long = d.getName.stripPrefix("file_id=").toLong
+    // non-candidates: verbatim copy (pointer moves at cluster scale)
+    partDirs.filterNot(d => cands(fidOf(d))).foreach { d =>
+      val dst = new File(out, d.getName); dst.mkdirs()
+      Option(d.listFiles()).toSeq.flatten.filter(_.isFile).foreach { f =>
+        Files.copy(f.toPath, new File(dst, f.getName).toPath,
+          StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
+    // candidates: rewrite without the key, count what fell out
+    var deleted = 0L
+    val candDirs = partDirs.filter(d => cands(fidOf(d)))
+    candDirs.foreach { d =>
+      val rows = spark.read.parquet(d.getAbsolutePath)
+      val kept = rows.where(col("o_custkey") =!= key)
+      deleted += rows.count() - kept.count()
+      kept.repartition(1).write.mode("overwrite")
+        .parquet(new File(out, d.getName).getAbsolutePath)
+    }
+    // incremental index patch: keep untouched files' rows, recompute
+    // only the rewritten files' partials
+    val oldIdx = spark.read.parquet(s"$layoutPath.bloomidx")
+    val untouched =
+      if (cands.isEmpty) oldIdx
+      else oldIdx.where(!col("file_id").cast("long").isin(cands.toSeq: _*))
+    val rebuilt =
+      if (candDirs.isEmpty) untouched
+      else untouched.unionByName(
+        bloomIndexOn(
+          spark.read.parquet(out.getAbsolutePath)
+            .where(col("file_id").cast("long").isin(cands.toSeq: _*)),
+          "o_custkey", bits)
+          .select(col("file_id").cast(oldIdx.schema("file_id").dataType)
+            .as("file_id"), col("bitpos")))
+    rebuilt.repartition(1).write.mode("overwrite")
+      .parquet(s"$outPath.bloomidx")
+    DeleteReport(partDirs.size.toLong, candDirs.size.toLong, deleted)
+  }
+
+  private val forgetMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long),
+      (String, DeleteReport)]
+
+  /** The post-deletion layout for (dir, key): built copy-on-write from
+    * the cached layout on first request, fingerprint-memoized like
+    * [[layoutCached]]. Returns (layout path, report). */
+  def forgottenLayoutCached(spark: SparkSession, dir: String,
+      key: Long): (String, DeleteReport) = {
+    val fp = IvfIndex.dataFingerprint(dir, table = "orders")
+    val memoKey = (dir, key, fp)
+    val v = forgetMemo.getOrElseUpdate(memoKey, {
+      val (src, _) = layoutCached(spark, dir)
+      val p = s"$src.forget$key"
+      val report = deleteKeyFrom(spark, src, p, key)
+      (p, report)
+    })
+    val stale = forgetMemo.keys
+      .filter(k => k._1 == dir && k._2 == key && k != memoKey)
+      .flatMap(forgetMemo.remove).flatMap(x =>
+        Seq(x._1, s"${x._1}.bloomidx")).toSeq
+    graft.IndexGc.retire(s"bloomforget:$dir:$key", stale)
+    v
+  }
+
+  /** q151: the post-erasure lookup — delete customer `delKey`'s rows
+    * through the index (candidate files only), then probe both the
+    * deleted key and a surviving one through the PATCHED index. The
+    * oracle is the plain filter with the key excluded: the deleted
+    * rows' ABSENCE and the survivors' presence both ride the hash. */
+  def forgetKey(spark: SparkSession, dir: String, delKey: Long,
+      probeKeys: Seq[Long]): DataFrame = {
+    val (path, _) = forgottenLayoutCached(spark, dir, delKey)
+    lookupIn(spark, path, (delKey +: probeKeys).distinct)
   }
 }

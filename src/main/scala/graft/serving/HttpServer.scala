@@ -409,6 +409,24 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         bound("uLo", 0L), bound("uHi", 0L),
         bound("iLo", 0L), bound("iHi", 0L))
     })
+    server.createContext("/forget", handler { p =>
+      // q151: right-to-erasure through the skipping index — answers
+      // the post-deletion lookup for the deleted key + probes (the
+      // deletion is copy-on-write into a memoized layout version; the
+      // served q148 layout is untouched)
+      val key = p.get("key").map(_.toLong).getOrElse(
+        throw new IllegalArgumentException("key is required"))
+      val probes = p.getOrElse("probe", "").split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty).map { s =>
+          try s.toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"bad probe '$s'")
+          }
+        }.distinct
+      if (probes.isEmpty)
+        throw new IllegalArgumentException("probe list is required")
+      graft.operators.BloomSkip.forgetKey(spark, dataDir, key, probes)
+    })
     server.createContext("/priceQuantiles", handler { _ =>
       // q150: auto-ranged histogram quantiles of o_totalprice per
       // priority + 'ALL', with grid columns and the exact audit

@@ -433,7 +433,10 @@ class PlanAuditSpec extends SparkSpec {
     // q150: q142's shape on the auto grid — bucket + exact-value
     // register aggs, 'ALL' re-aggs, two cumulative-walk windows,
     // join + sort (the grid itself is a 1-row aggregate at build)
-    "q150_price_quantiles" -> 9)
+    "q150_price_quantiles" -> 9,
+    // q151: q148's pruned-scan shape over the post-deletion layout
+    // (the deletion itself is a memoized copy-on-write build job)
+    "q151_forget_key" -> 1)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -88,7 +88,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM zorder_scan(0, 40, 10, 19)" ->
         operators.Warehouse.zorderScan(spark, sf, 0L, 40L, 10L, 19L),
       "SELECT * FROM bloom_lookup(7, 42, 133)" ->
-        operators.BloomSkip.pointLookup(spark, sf, Seq(7L, 42L, 133L)))
+        operators.BloomSkip.pointLookup(spark, sf, Seq(7L, 42L, 133L)),
+      "SELECT * FROM forget_key(7, 42)" ->
+        operators.BloomSkip.forgetKey(spark, sf, 7L, Seq(42L)))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

@@ -263,6 +263,15 @@ class HttpServerSpec extends SparkSpec {
       assert(c71 == 200 && aoH.contains("\"union_est\""), aoH.take(200))
       val (c72, _) = get(s"$base/audienceOverlap?method=guess")
       assert(c72 == 400)
+      // right-to-erasure lookup (q151): deleted key absent, probe
+      // present; missing params → 400
+      val (c80, fg) = get(s"$base/forget?key=7&probe=42")
+      assert(c80 == 200 && fg.contains("\"o_custkey\":42") &&
+        !fg.contains("\"o_custkey\":7"), fg.take(200))
+      val (c81, _) = get(s"$base/forget?key=7")
+      assert(c81 == 400)
+      val (c82, _) = get(s"$base/forget?probe=42")
+      assert(c82 == 400)
       // auto-ranged money quantiles (q150)
       val (c79, pqm) = get(s"$base/priceQuantiles")
       assert(c79 == 200 && pqm.contains("\"p99_est_cents\"") &&
