@@ -152,6 +152,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         at(a, 1, intArg(_, "personalized_rank"), 10)))
     registerTvf(ext, "hll_users")((s, d, _) => Sketches.hllUsers(s, d))
     registerTvf(ext, "hll_daily")((s, d, _) => Sketches.hllUsersDaily(s, d))
+    registerTvf(ext, "hll_range")((s, d, a) =>
+      Sketches.hllUsersRange(s, d,
+        at(a, 0, strArg(_, "hll_range"), "2024-01-08"),
+        at(a, 1, strArg(_, "hll_range"), "2024-01-21")))
     registerTvf(ext, "heavy_hitters")((s, d, a) =>
       Sketches.heavyHitters(s, d,
         at(a, 0, longArg(_, "heavy_hitters"), Sketches.DefaultPhiPpm),

@@ -450,6 +450,12 @@ object SparkEntry {
     // the deletion's absence AND the survivors' presence
     "q151_forget_key" ->
       ((s, d) => BloomSkip.forgetKey(s, d, 7L, Seq(42L))),
+    // q152: the sketch warehouse's RANGE read — distinct users in a
+    // two-week window answered by max-merging the day-grain register
+    // table's rows for the range (any of the 2^days ranges from ONE
+    // stored relation, zero event rescans at serving time); exact
+    // audit + err_ppm as in q137
+    "q152_hll_range" -> ((s, d) => Sketches.hllUsersRange(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -3273,6 +3279,55 @@ object SparkEntry {
          JOIN exd ea ON ea.event_type = ovl.ta
          JOIN exd eb ON eb.event_type = ovl.tb
          ORDER BY type_a, type_b""",
+    // q152: q137's register replay restricted to the date range —
+    // merging stored day-grain registers for a range is identical to
+    // building registers over the range's rows (max is associative),
+    // so the oracle filters first and the integers match
+    "q152_hll_range" ->
+      raw"""WITH e AS (
+           SELECT event_type, user_id,
+                  ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                  1, 15))::BIGINT AS h
+           FROM events
+           WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08'
+             AND '2024-01-21'),
+         hr AS (
+           SELECT event_type, h % 256 AS j,
+                  CASE WHEN (h // 256) = 0 THEN 53
+                       ELSE bit_count(((h // 256) & -(h // 256)) - 1) + 1
+                  END AS rho
+           FROM e),
+         regs AS (SELECT event_type, j, max(rho) AS rho
+                  FROM hr GROUP BY 1, 2),
+         rall AS (SELECT 'ALL' AS event_type, j, max(rho) AS rho
+                  FROM regs GROUP BY 2),
+         r AS (SELECT * FROM regs UNION ALL SELECT * FROM rall),
+         s AS (SELECT event_type,
+                      sum(CAST(1::BIGINT << (62 - rho) AS HUGEINT))
+                        + (256 - count(*))
+                          * CAST(4611686018427387904 AS HUGEINT) AS ssum,
+                      256 - count(*) AS vz
+               FROM r GROUP BY 1),
+         raw AS (SELECT event_type, vz,
+                        CAST((CAST(7213 AS HUGEINT) * 256 * 256 * 256
+                              * CAST(4611686018427387904 AS HUGEINT))
+                             // (2570790 * ssum) AS BIGINT) AS est_raw
+                 FROM s),
+         est AS (SELECT event_type,
+                        CASE WHEN vz > 0 AND 2 * est_raw < 1280
+                             THEN CAST((${Sketches.lcTableSql})[vz + 1]
+                                       AS BIGINT)
+                             ELSE est_raw END AS est_distinct
+                 FROM raw),
+         ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+                FROM e GROUP BY 1
+                UNION ALL
+                SELECT 'ALL', count(DISTINCT user_id) FROM e)
+         SELECT est.event_type, est_distinct, exact_distinct,
+                CAST(CAST(abs(est_distinct - exact_distinct) AS HUGEINT)
+                     * 1000000 // exact_distinct AS BIGINT) AS err_ppm
+         FROM est JOIN ex ON est.event_type = ex.event_type
+         ORDER BY est.event_type""",
     // q151: the engine deletes through candidate-file rewrites and
     // answers through the patched index; the oracle is the plain
     // filter with the deleted key excluded — a leftover row of the

@@ -182,6 +182,49 @@ object Sketches {
       .orderBy("event_type", "dt")
   }
 
+  /** q152: the RANGE query a persisted sketch warehouse exists for —
+    * "distinct users in [from, to]" answered by max-merging the
+    * day-grain register table's rows for the range, never rescanning
+    * events. q138 proves the rollup algebra; this is the parametric
+    * serving shape on top of it (any of the 2^days possible ranges from
+    * ONE stored relation — the reason sketches are stored at fine grain
+    * and merged at read). Exact audit + err_ppm ship as in q137; at
+    * 100 TB the audit drops and only register rows are touched. */
+  def hllUsersRange(spark: SparkSession, dir: String,
+      from: String = "2024-01-08", to: String = "2024-01-21"): DataFrame =
+    hllUsersRangeOn(Tables.events(spark, dir), from, to)
+
+  /** [[hllUsersRange]] over an explicit (event_type, ts, user_id)
+    * relation. ISO dates compare lexically, so the range filter is a
+    * plain string BETWEEN on the register table's dt column. */
+  def hllUsersRangeOn(events: DataFrame, from: String,
+      to: String): DataFrame = {
+    require(from <= to, s"from '$from' must be <= to '$to' (ISO dates)")
+    val ev = events.select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+      col("user_id").cast("string").as("uid"))
+    // the day-grain sketch table (what a warehouse persists)
+    val regs = graft.Caches.register(
+      hllRegisters(ev, Seq("event_type", "dt"), col("uid")).cache())
+    val inRange = regs.where(col("dt").between(from, to))
+    val perType = hllMerge(inRange, Seq("event_type"))
+    val all = hllMerge(inRange.withColumn("event_type", lit("ALL")),
+      Seq("event_type"))
+    val est = hllEstimate(perType, Seq("event_type"))
+      .union(hllEstimate(all, Seq("event_type")))
+    val evR = ev.where(col("dt").between(from, to))
+    val exact = evR.groupBy("event_type")
+      .agg(countDistinct(col("uid")).as("exact_distinct"))
+      .union(evR.agg(countDistinct(col("uid")).as("exact_distinct"))
+        .withColumn("event_type", lit("ALL"))
+        .select(col("event_type"), col("exact_distinct")))
+    est.join(exact, Seq("event_type"))
+      .withColumn("err_ppm", expr(
+        "CAST(CAST(abs(est_distinct - exact_distinct) AS DECIMAL(38,0)) " +
+          "* 1000000 div exact_distinct AS BIGINT)"))
+      .orderBy("event_type")
+  }
+
   /** q144: audience overlap — HLL set algebra. Registers only UNION
     * (max-merge), so the pairwise intersection comes from
     * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), clamped
@@ -641,7 +684,7 @@ object Sketches {
     * the whole data are a subset of the union of per-partition k
     * smallest distinct values, so the global [[kmvTopK]] re-top-k is
     * exact. */
-  private[operators] def minKDistinct(it: Iterator[(String, Long)],
+  private[graft] def minKDistinct(it: Iterator[(String, Long)],
       k: Int): Iterator[(String, Long)] = {
     val m = scala.collection.mutable.HashMap
       .empty[String, java.util.TreeSet[java.lang.Long]]

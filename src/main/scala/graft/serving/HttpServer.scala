@@ -323,16 +323,31 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       // events, so the answer is O(sketch) at any corpus size)
       // source=kmv answers the same surface through the second sketch
       // family (q146 — KMV minima instead of HLL registers), so the
-      // two estimators cross-check each other from one endpoint
-      p.getOrElse("source", "events") match {
-        case "sketch" => graft.streaming.SketchStream
+      // two estimators cross-check each other from one endpoint.
+      // from/to (ISO dates) switch to the RANGE read (q152): merged
+      // day-grain registers, persisted-table or events-built
+      val range = (p.get("from"), p.get("to")) match {
+        case (Some(f), Some(t)) => Some((f, t))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "from and to must be given together")
+      }
+      (p.getOrElse("source", "events"), range) match {
+        case ("sketch", Some((f, t))) => graft.streaming.SketchStream
+          .hllRangeEstimates(spark, sketchDirOr400, f, t)
+        case ("events", Some((f, t))) =>
+          graft.operators.Sketches.hllUsersRange(spark, dataDir, f, t)
+        case ("sketch", None) => graft.streaming.SketchStream
           .hllTableEstimates(spark, sketchDirOr400)
-        case "kmv-sketch" => graft.streaming.SketchStream
+        case ("kmv-sketch", None) => graft.streaming.SketchStream
           .kmvTableEstimates(spark, sketchDirOr400)
-        case "kmv" => graft.operators.Sketches.kmvUsers(spark, dataDir)
-        case "events" => graft.operators.Sketches.hllUsers(spark, dataDir)
-        case other =>
-          throw new IllegalArgumentException(s"unknown source '$other'")
+        case ("kmv", None) =>
+          graft.operators.Sketches.kmvUsers(spark, dataDir)
+        case ("events", None) =>
+          graft.operators.Sketches.hllUsers(spark, dataDir)
+        case (other, r) => throw new IllegalArgumentException(
+          s"unknown source '$other'" +
+            (if (r.isDefined) " for a range query" else ""))
       }
     })
     server.createContext("/audienceOverlap", handler { p =>

@@ -130,6 +130,49 @@ object SketchStream {
     Sketches.hllEstimate(regs, Seq("event_type")).orderBy("event_type")
   }
 
+  /** foreachBatch sink for the DAY-GRAIN HLL warehouse (q138/q152's
+    * storage grain): per-epoch (event_type, dt, j, rho) partials,
+    * max-fold compaction on (event_type, dt, j) — same algebra-level
+    * duplicate immunity as [[hllSinkEachBatch]], at the grain that
+    * makes ANY date range answerable at read time. */
+  def hllDailySinkEachBatch(outDir: String, compactEvery: Int = 0)
+      (batch: DataFrame, epochId: Long): Unit = {
+    Sketches
+      .hllRegisters(
+        batch.select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+          col("user_id").cast("string").as("uid")),
+        Seq("event_type", "dt"), col("uid"))
+      .write.mode("overwrite").parquet(s"$outDir/hllregsdaily/epoch=$epochId")
+    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+      graft.operators.Compact.compactAccumulated(batch.sparkSession,
+        s"$outDir/hllregsdaily", epochId,
+        df => df.groupBy("event_type", "dt", "j")
+          .agg(max(col("rho")).as("rho")))
+  }
+
+  /** Distinct-user estimates for an ARBITRARY date range over the
+    * persisted day-grain register table: filter stored rows to
+    * [from, to], max-merge per type (+ the cross-type 'ALL'), shared
+    * estimate stage — bit-equal to [[Sketches.hllUsersRangeOn]]'s
+    * estimate column over the same events (spec-pinned). This is the
+    * sketch warehouse's read shape: any of the 2^days ranges from one
+    * stored relation, zero event rescans. */
+  def hllRangeEstimates(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, from: String, to: String): DataFrame = {
+    require(from <= to, s"from '$from' must be <= to '$to' (ISO dates)")
+    graft.operators.Compact.recoverAccumulated(s"$outDir/hllregsdaily")
+    val regs = spark.read.parquet(s"$outDir/hllregsdaily")
+      .where(col("dt").between(from, to))
+      .groupBy("event_type", "dt", "j").agg(max(col("rho")).as("rho"))
+    val perType = Sketches.hllMerge(regs, Seq("event_type"))
+    val all = Sketches.hllMerge(
+      regs.withColumn("event_type", lit("ALL")), Seq("event_type"))
+    Sketches.hllEstimate(perType, Seq("event_type"))
+      .union(Sketches.hllEstimate(all, Seq("event_type")))
+      .orderBy("event_type")
+  }
+
   // ——— persisted KMV sketch sink (min-k mergeable → epoch partials) ———
 
   /** foreachBatch sink for the KMV (theta) sketch — the second sketch

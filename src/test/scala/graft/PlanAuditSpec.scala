@@ -436,7 +436,11 @@ class PlanAuditSpec extends SparkSpec {
     "q150_price_quantiles" -> 9,
     // q151: q148's pruned-scan shape over the post-deletion layout
     // (the deletion itself is a memoized copy-on-write build job)
-    "q151_forget_key" -> 1)
+    "q151_forget_key" -> 1,
+    // q152: day-grain register agg + two merge re-aggs + 2 estimate
+    // aggs + the two exact-distinct audit branches + join + sort; at
+    // 100 TB only the register-merge path runs over stored rows
+    "q152_hll_range" -> 10)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

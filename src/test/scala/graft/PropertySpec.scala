@@ -499,4 +499,61 @@ class PropertySpec extends SparkSpec {
       assert(g == e, s"repetition kernel diverged on '$t'")
     }
   }
+
+  test("kmv min-k is split-invariant: any partition of any stream " +
+    "re-tops-k to the one-shot sketch (random data, random cut)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val caseGen = Gen.zip(
+      Gen.listOfN(400, Gen.chooseNum(0L, 150L)), // duplicates guaranteed
+      Gen.chooseNum(1, 399))
+    samples(caseGen, 8).foreach { case (vals, cut) =>
+      val vs = vals.map(v => s"u-$v")
+      val (a, b) = vs.splitAt(cut)
+      def regsOf(part: Seq[String]) =
+        if (part.isEmpty) operators.Sketches.kmvRegisters(
+          Seq("sentinel").toDF("uid").withColumn("g", lit("x")).limit(0),
+          "g", col("uid"), k = 16)
+        else operators.Sketches.kmvRegisters(
+          part.toDF("uid").withColumn("g", lit("x")), "g", col("uid"),
+          k = 16)
+      val merged = operators.Sketches
+        .kmvTopK(regsOf(a).union(regsOf(b)), Seq("g"), k = 16)
+        .collect().map(_.getLong(1)).sorted.toSeq
+      val whole = operators.Sketches
+        .kmvRegisters(vs.toDF("uid").withColumn("g", lit("x")),
+          "g", col("uid"), k = 16)
+        .collect().map(_.getLong(1)).sorted.toSeq
+      assert(merged == whole, s"cut=$cut diverged")
+    }
+  }
+
+  test("minKDistinct equals brute-force k-smallest-distinct on random " +
+    "multi-scope streams") {
+    val rowGen = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 60L))
+    val caseGen = Gen.listOfN(300, rowGen)
+    samples(caseGen, 10).foreach { rows =>
+      val got = operators.Sketches.minKDistinct(rows.iterator, 8)
+        .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val want = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted.take(8)).toMap
+      assert(got == want)
+    }
+  }
+
+  test("cms estimate dominates the true count on random skewed streams " +
+    "(one-sided error, any duplication profile)") {
+    val caseGen = Gen.listOfN(500,
+      Gen.frequency(5 -> Gen.chooseNum(0L, 5L), 1 -> Gen.chooseNum(6L, 400L)))
+    samples(caseGen, 6).foreach { items =>
+      val out = operators.Sketches.cmsCountsOn(
+        spark.createDataset(items).toDF("item"), "item").collect()
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+      out.foreach { r =>
+        assert(r.getLong(1) >= truth(r.getLong(0)),
+          s"cms under-counted item ${r.getLong(0)}")
+        assert(r.getLong(2) == truth(r.getLong(0)), "exact column wrong")
+      }
+      graft.Caches.releaseAll()
+    }
+  }
 }

@@ -65,6 +65,8 @@ class SqlSurfaceSpec extends SparkSpec {
         operators.Sketches.hllUsers(spark, sf),
       "SELECT * FROM hll_daily()" ->
         operators.Sketches.hllUsersDaily(spark, sf),
+      "SELECT * FROM hll_range('2024-01-08', '2024-01-21')" ->
+        operators.Sketches.hllUsersRange(spark, sf),
       "SELECT * FROM heavy_hitters(10500, 128)" ->
         operators.Sketches.heavyHitters(spark, sf),
       "SELECT * FROM zorder_layout(10)" ->

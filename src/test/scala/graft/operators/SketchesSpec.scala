@@ -243,6 +243,31 @@ class SketchesSpec extends SparkSpec {
     assert(got == heavyIds.toSet)
   }
 
+  // —— range rollup from day-grain registers (q152) ——
+
+  test("range rollup identity: merging day-grain registers for a range " +
+    "equals the sketch built from the range's rows, and excludes the " +
+    "rest") {
+    // 3 days; day 2 shares users with day 1, day 3 is disjoint
+    val rows =
+      (0L until 200L).map(u => ("view", "2024-01-01 10:00:00", u)) ++
+      (100L until 300L).map(u => ("view", "2024-01-02 10:00:00", u)) ++
+      (1000L until 1100L).map(u => ("view", "2024-01-03 10:00:00", u))
+    val ev = rows.toDF("event_type", "tss", "user_id")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = Sketches
+      .hllUsersRangeOn(ev, "2024-01-01", "2024-01-02")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    graft.Caches.releaseAll()
+    val want = Sketches.hllUsersOn(
+        ev.where(col("ts") < to_timestamp(lit("2024-01-03 00:00:00"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    graft.Caches.releaseAll()
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // day 3's 100 disjoint users are really excluded from the exact
+    assert(got.find(_._1 == "ALL").get._3 == 300L)
+  }
+
   // —— auto-ranged histogram quantiles (q150) ——
 
   test("auto-grid quantiles: every estimate is the bucket lower bound " +

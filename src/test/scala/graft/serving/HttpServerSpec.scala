@@ -251,6 +251,12 @@ class HttpServerSpec extends SparkSpec {
       assert(c68 == 400)
       val (c66, _) = get(s"$base/distinctUsers?source=redis-ish")
       assert(c66 == 400)
+      // range form on the events source (q152); half-ranges → 400
+      val (c83, duR) = get(
+        s"$base/distinctUsers?from=2024-01-08&to=2024-01-21")
+      assert(c83 == 200 && duR.contains("\"err_ppm\""), duR.take(200))
+      val (c84, _) = get(s"$base/distinctUsers?from=2024-01-08")
+      assert(c84 == 400)
       // the KMV estimator answers the same surface (q146)
       val (c69, duK) = get(s"$base/distinctUsers?source=kmv")
       assert(c69 == 200 && duK.contains("\"est_distinct\"")
@@ -308,7 +314,7 @@ class HttpServerSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("srv_sketch").toString
     val ev = graft.Tables.events(spark, sf)
-      .select(col("event_type"), col("user_id"), col("value"))
+      .select(col("event_type"), col("ts"), col("user_id"), col("value"))
     // two "epochs" through the real sink entry points
     val Array(a, b) = ev.randomSplit(Array(0.5, 0.5), seed = 7)
     val items = graft.Tables.events(spark, sf)
@@ -322,6 +328,7 @@ class HttpServerSpec extends SparkSpec {
       graft.streaming.SketchStream.heavyHitterSinkEachBatch(dir)(ipart, id)
       graft.streaming.SketchStream.kmvSinkEachBatch(dir)(part, id)
       graft.streaming.SketchStream.cmsSinkEachBatch(dir)(ipart, id)
+      graft.streaming.SketchStream.hllDailySinkEachBatch(dir)(part, id)
     }
     val srv = new HttpServer(spark, sf, sketchDir = Some(dir)).start()
     val base = s"http://127.0.0.1:${srv.boundPort}"
@@ -366,6 +373,14 @@ class HttpServerSpec extends SparkSpec {
       val wantO = graft.streaming.SketchStream.kmvTableOverlap(spark, dir)
         .toJSON.collect().mkString("[", ",", "]")
       assert(aoK == wantO, "sketch-served overlap diverged")
+      // range distinct from the persisted day-grain register table
+      val (c7, rg) = get(
+        s"$base/distinctUsers?source=sketch&from=2024-01-05&to=2024-01-20")
+      assert(c7 == 200, rg.take(200))
+      val wantR = graft.streaming.SketchStream
+        .hllRangeEstimates(spark, dir, "2024-01-05", "2024-01-20")
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(rg == wantR, "range-served estimates diverged")
       // CMS frequencies from the persisted counter table
       val (c6, cfK) = get(s"$base/itemFrequency?items=3,5,99&source=sketch")
       assert(c6 == 200, cfK.take(200))

@@ -188,6 +188,62 @@ class SketchStreamSpec extends SparkSpec {
     assert(served() == want, "new-id duplicate delivery changed estimates")
   }
 
+  test("day-grain HLL sink: range estimates served from the table are " +
+    "bit-equal to the batch range query, across a restart, compaction, " +
+    "and a duplicate delivery under a new epoch id") {
+    val outDir = Files.createTempDirectory("hlld_sink").toString
+    val ckpt = Files.createTempDirectory("hlld_ckpt").toString
+    // 3 days; day 2 overlaps day 1, day 3 disjoint — the range [d1, d2]
+    // must exclude day 3's users through the register algebra
+    val rows: Seq[(String, String, Long)] =
+      (0L until 200L).map(u => ("view", "2024-01-01 09:00:00", u)) ++
+      (100L until 300L).map(u => ("view", "2024-01-02 09:00:00", u)) ++
+      (0L until 150L).map(u => ("click", "2024-01-02 12:00:00", u * 3)) ++
+      (1000L until 1100L).map(u => ("view", "2024-01-03 09:00:00", u))
+    val mem = MemoryStream[(String, String, Long)]
+    def start() = mem.toDF().toDF("event_type", "tss", "user_id")
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.to_timestamp(col("tss")).as("ts"),
+        col("user_id"))
+      .writeStream
+      .foreachBatch(SketchStream.hllDailySinkEachBatch(outDir,
+        compactEvery = 2) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val chunks = rows.grouped(130).toSeq
+    val (h1, h2) = chunks.splitAt(chunks.size / 2)
+    val q1 = start()
+    h1.foreach { c => mem.addData(c: _*); q1.processAllAvailable() }
+    q1.stop()
+    val q2 = start() // checkpoint restart mid-stream
+    h2.foreach { c => mem.addData(c: _*); q2.processAllAvailable() }
+    q2.stop()
+    def served() = SketchStream
+      .hllRangeEstimates(spark, outDir, "2024-01-01", "2024-01-02")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batchEv = rows.toDF("event_type", "tss", "user_id")
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.to_timestamp(col("tss")).as("ts"),
+        col("user_id"))
+    val want = Sketches
+      .hllUsersRangeOn(batchEv, "2024-01-01", "2024-01-02")
+      .select(col("event_type"), col("est_distinct"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.Caches.releaseAll()
+    assert(served() == want && want.nonEmpty)
+    val dirs = new java.io.File(s"$outDir/hllregsdaily").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(dirs < 5, s"$dirs epoch dirs survived compactEvery=2")
+    // duplicate delivery under a NEW epoch id cannot move a max-merge
+    SketchStream.hllDailySinkEachBatch(outDir)(
+      chunks.head.toDF("event_type", "tss", "user_id")
+        .select(col("event_type"),
+          org.apache.spark.sql.functions.to_timestamp(col("tss")).as("ts"),
+          col("user_id")),
+      chunks.size.toLong)
+    assert(served() == want, "new-id duplicate delivery moved the range")
+  }
+
   test("persisted KMV sketch sink: estimates served from the table are " +
     "bit-equal to batch, across a restart, compaction, a same-id " +
     "replay, AND a duplicate delivery under a new epoch id") {
