@@ -154,8 +154,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerTvf(ext, "hll_daily")((s, d, _) => Sketches.hllUsersDaily(s, d))
     registerTvf(ext, "hll_range")((s, d, a) =>
       Sketches.hllUsersRange(s, d,
-        at(a, 0, strArg(_, "hll_range"), "2024-01-08"),
-        at(a, 1, strArg(_, "hll_range"), "2024-01-21")))
+        at(a, 0, strArg(_, "hll_range"), Sketches.DefaultRangeFrom),
+        at(a, 1, strArg(_, "hll_range"), Sketches.DefaultRangeTo)))
     registerTvf(ext, "heavy_hitters")((s, d, a) =>
       Sketches.heavyHitters(s, d,
         at(a, 0, longArg(_, "heavy_hitters"), Sketches.DefaultPhiPpm),

@@ -172,16 +172,22 @@ object BloomSkip {
     * equal to the plain filter regardless of the fp rate. */
   def pointLookup(spark: SparkSession, dir: String,
       keys: Seq[Long]): DataFrame = {
+    // validate BEFORE the memoized layout build — a bad key list must
+    // not pay (or cache) a multi-second build job on a cold JVM
+    requireProbeKeys(keys)
     val (path, _) = layoutCached(spark, dir)
     lookupIn(spark, path, keys)
   }
+
+  private def requireProbeKeys(keys: Seq[Long]): Unit =
+    require(keys.nonEmpty && keys.size <= MaxProbeKeys,
+      s"probe keys must be 1..$MaxProbeKeys")
 
   /** [[pointLookup]] against an explicit layout path (also the probe
     * stage over a post-deletion layout — see [[forgetKey]]). */
   def lookupIn(spark: SparkSession, layoutPath: String,
       keys: Seq[Long]): DataFrame = {
-    require(keys.nonEmpty && keys.size <= MaxProbeKeys,
-      s"probe keys must be 1..$MaxProbeKeys")
+    requireProbeKeys(keys)
     val cands = candidateFiles(spark, s"$layoutPath.bloomidx", keys)
     val layout = spark.read.parquet(layoutPath)
     val pruned =
@@ -239,15 +245,18 @@ object BloomSkip {
           StandardCopyOption.COPY_ATTRIBUTES)
       }
     }
-    // candidates: rewrite without the key, count what fell out
+    // candidates: rewrite without the key, count what fell out — read
+    // each candidate file from disk ONCE (cache the small partition;
+    // the counts and the rewrite reuse the cached rows)
     var deleted = 0L
     val candDirs = partDirs.filter(d => cands(fidOf(d)))
     candDirs.foreach { d =>
-      val rows = spark.read.parquet(d.getAbsolutePath)
+      val rows = spark.read.parquet(d.getAbsolutePath).cache()
       val kept = rows.where(col("o_custkey") =!= key)
       deleted += rows.count() - kept.count()
       kept.repartition(1).write.mode("overwrite")
         .parquet(new File(out, d.getName).getAbsolutePath)
+      rows.unpersist()
     }
     // incremental index patch: keep untouched files' rows, recompute
     // only the rewritten files' partials
@@ -275,7 +284,13 @@ object BloomSkip {
 
   /** The post-deletion layout for (dir, key): built copy-on-write from
     * the cached layout on first request, fingerprint-memoized like
-    * [[layoutCached]]. Returns (layout path, report). */
+    * [[layoutCached]] — but bounded to ONE cached version per dir: a
+    * forgotten layout is a TRANSITION artifact (a real deployment
+    * promotes it over the source via AtomicSwap), so caching every key
+    * a caller sweeps would pile full layout copies into tmpdir for the
+    * JVM lifetime. A new (key, fingerprint) evicts every other cached
+    * version for the dir and retires its directories to the deferred
+    * reaper. Returns (layout path, report). */
   def forgottenLayoutCached(spark: SparkSession, dir: String,
       key: Long): (String, DeleteReport) = {
     val fp = IvfIndex.dataFingerprint(dir, table = "orders")
@@ -287,10 +302,10 @@ object BloomSkip {
       (p, report)
     })
     val stale = forgetMemo.keys
-      .filter(k => k._1 == dir && k._2 == key && k != memoKey)
+      .filter(k => k._1 == dir && k != memoKey)
       .flatMap(forgetMemo.remove).flatMap(x =>
         Seq(x._1, s"${x._1}.bloomidx")).toSeq
-    graft.IndexGc.retire(s"bloomforget:$dir:$key", stale)
+    graft.IndexGc.retire(s"bloomforget:$dir", stale)
     v
   }
 
@@ -301,7 +316,11 @@ object BloomSkip {
     * rows' ABSENCE and the survivors' presence both ride the hash. */
   def forgetKey(spark: SparkSession, dir: String, delKey: Long,
       probeKeys: Seq[Long]): DataFrame = {
+    // validate BEFORE the memoized delete build — a bad probe list
+    // must not pay (and cache) the copy-on-write deletion
+    val probes = (delKey +: probeKeys).distinct
+    requireProbeKeys(probes)
     val (path, _) = forgottenLayoutCached(spark, dir, delKey)
-    lookupIn(spark, path, (delKey +: probeKeys).distinct)
+    lookupIn(spark, path, probes)
   }
 }

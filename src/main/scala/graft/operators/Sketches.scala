@@ -190,8 +190,15 @@ object Sketches {
     * ONE stored relation — the reason sketches are stored at fine grain
     * and merged at read). Exact audit + err_ppm ship as in q137; at
     * 100 TB the audit drops and only register rows are touched. */
+  /** q152's pinned default range (the middle two weeks of the test
+    * corpus) — shared with the `hll_range()` TVF so the SQL surface
+    * cannot silently diverge from the oracle-gated defaults. */
+  val DefaultRangeFrom: String = "2024-01-08"
+  val DefaultRangeTo: String = "2024-01-21"
+
   def hllUsersRange(spark: SparkSession, dir: String,
-      from: String = "2024-01-08", to: String = "2024-01-21"): DataFrame =
+      from: String = DefaultRangeFrom,
+      to: String = DefaultRangeTo): DataFrame =
     hllUsersRangeOn(Tables.events(spark, dir), from, to)
 
   /** [[hllUsersRange]] over an explicit (event_type, ts, user_id)
@@ -407,6 +414,8 @@ object Sketches {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bounds = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
       .collect().head // 1 row — a bounded grid constant, like a count
+    require(!bounds.isNullAt(0),
+      "priceQuantilesOn: empty input relation — no grid can be derived")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L,
       ((hi - lo + 1L) + AutoBuckets - 1) / AutoBuckets)

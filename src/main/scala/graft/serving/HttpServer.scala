@@ -345,9 +345,13 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
           graft.operators.Sketches.kmvUsers(spark, dataDir)
         case ("events", None) =>
           graft.operators.Sketches.hllUsers(spark, dataDir)
-        case (other, r) => throw new IllegalArgumentException(
-          s"unknown source '$other'" +
-            (if (r.isDefined) " for a range query" else ""))
+        case ("kmv" | "kmv-sketch", Some(_)) =>
+          throw new IllegalArgumentException(
+            "source 'kmv'/'kmv-sketch' does not support from/to — " +
+              "range reads merge day-grain HLL registers (drop the " +
+              "range params or use source=events|sketch)")
+        case (other, _) =>
+          throw new IllegalArgumentException(s"unknown source '$other'")
       }
     })
     server.createContext("/audienceOverlap", handler { p =>

@@ -101,18 +101,11 @@ object SketchStream {
     * [[graft.operators.Compact.compactAccumulated]]; the in-flight
     * epoch is never folded. */
   def hllSinkEachBatch(outDir: String, compactEvery: Int = 0)
-      (batch: DataFrame, epochId: Long): Unit = {
-    Sketches
-      .hllRegisters(
-        batch.select(col("event_type"),
-          col("user_id").cast("string").as("uid")),
-        Seq("event_type"), col("uid"))
-      .write.mode("overwrite").parquet(s"$outDir/hllregs/epoch=$epochId")
-    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
-      graft.operators.Compact.compactAccumulated(batch.sparkSession,
-        s"$outDir/hllregs", epochId,
-        df => df.groupBy("event_type", "j").agg(max(col("rho")).as("rho")))
-  }
+      (batch: DataFrame, epochId: Long): Unit =
+    hllRegSink(outDir, "hllregs", Seq("event_type"),
+      batch.select(col("event_type"),
+        col("user_id").cast("string").as("uid")),
+      epochId, compactEvery)
 
   /** Distinct-user estimates over everything streamed into `outDir` so
     * far: max-merge the persisted epoch partials back to one register
@@ -130,26 +123,35 @@ object SketchStream {
     Sketches.hllEstimate(regs, Seq("event_type")).orderBy("event_type")
   }
 
+  /** Shared write path of the two HLL register sinks: build the
+    * partial for `scopeCols`, overwrite the epoch partition, max-fold
+    * committed epochs on a cadence. Keeping this in ONE place means a
+    * fix to the write or compaction contract cannot silently miss one
+    * of the two grains. */
+  private def hllRegSink(outDir: String, sub: String,
+      scopeCols: Seq[String], projected: DataFrame, epochId: Long,
+      compactEvery: Int): Unit = {
+    Sketches.hllRegisters(projected, scopeCols, col("uid"))
+      .write.mode("overwrite").parquet(s"$outDir/$sub/epoch=$epochId")
+    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+      graft.operators.Compact.compactAccumulated(
+        projected.sparkSession, s"$outDir/$sub", epochId,
+        df => df.groupBy((scopeCols :+ "j").map(col): _*)
+          .agg(max(col("rho")).as("rho")))
+  }
+
   /** foreachBatch sink for the DAY-GRAIN HLL warehouse (q138/q152's
     * storage grain): per-epoch (event_type, dt, j, rho) partials,
     * max-fold compaction on (event_type, dt, j) — same algebra-level
     * duplicate immunity as [[hllSinkEachBatch]], at the grain that
     * makes ANY date range answerable at read time. */
   def hllDailySinkEachBatch(outDir: String, compactEvery: Int = 0)
-      (batch: DataFrame, epochId: Long): Unit = {
-    Sketches
-      .hllRegisters(
-        batch.select(col("event_type"),
-          date_format(col("ts"), "yyyy-MM-dd").as("dt"),
-          col("user_id").cast("string").as("uid")),
-        Seq("event_type", "dt"), col("uid"))
-      .write.mode("overwrite").parquet(s"$outDir/hllregsdaily/epoch=$epochId")
-    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
-      graft.operators.Compact.compactAccumulated(batch.sparkSession,
-        s"$outDir/hllregsdaily", epochId,
-        df => df.groupBy("event_type", "dt", "j")
-          .agg(max(col("rho")).as("rho")))
-  }
+      (batch: DataFrame, epochId: Long): Unit =
+    hllRegSink(outDir, "hllregsdaily", Seq("event_type", "dt"),
+      batch.select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        col("user_id").cast("string").as("uid")),
+      epochId, compactEvery)
 
   /** Distinct-user estimates for an ARBITRARY date range over the
     * persisted day-grain register table: filter stored rows to
