@@ -106,15 +106,20 @@ object TwinScaleGate {
     import org.apache.spark.sql.functions.{col, get_json_object}
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"), col("value"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        org.apache.spark.sql.functions
+          .unix_micros(col("ts").cast("timestamp")).as("tsu"))
       .collect().toSeq
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-        if (r.isNullAt(3)) -1L else r.getLong(3)))
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
     val sChunk = math.max(1, (ev.size + nChunks - 1) / nChunks)
     val sOut = java.nio.file.Files
       .createTempDirectory("twin_scale_sketch").toString
-    val sMem = MemoryStream[(String, Long, Double, Long)]
-    val sq = sMem.toDF().toDF("event_type", "user_id", "value", "item")
+    val sMem = MemoryStream[(String, Long, Double, Long, Long)]
+    val sq = sMem.toDF()
+      .toDF("event_type", "user_id", "value", "item", "tsu")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(col("tsu")))
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         streaming.SketchStream.hllSinkEachBatch(sOut, compactEvery)(b, id)
@@ -123,6 +128,8 @@ object TwinScaleGate {
           compactEvery = compactEvery)(b.where("item >= 0"), id)
         streaming.SketchStream.kmvSinkEachBatch(sOut,
           compactEvery = compactEvery)(b, id)
+        streaming.SketchStream.hllDailySinkEachBatch(sOut,
+          compactEvery)(b, id)
       }
       .outputMode("append").start()
     var sEpochs = 0
@@ -167,18 +174,32 @@ object TwinScaleGate {
         "event_type", col("uid")), Seq("event_type"))
       .orderBy("event_type").collect().map(_.toSeq).toSeq
     Caches.releaseAll()
+    // the day-grain warehouse: an arbitrary range served from stored
+    // registers, pinned to the batch range query (q152)
+    val (rFrom, rTo) = (operators.Sketches.DefaultRangeFrom,
+      operators.Sketches.DefaultRangeTo)
+    val rangeGot = streaming.SketchStream
+      .hllRangeEstimates(spark, sOut, rFrom, rTo)
+      .collect().map(_.toSeq).toSeq
+    val rangeWant = operators.Sketches
+      .hllUsersRangeOn(evDf, rFrom, rTo)
+      .select(col("event_type"), col("est_distinct"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    Caches.releaseAll()
     println(s"[twin-scale] sketch: events=${ev.size} epochs=$sEpochs " +
       s"streamSecs=${f"$sStreamSecs%.1f"} " +
       s"hllDirs=${partDirs(s"$sOut/hllregs")} " +
       s"histDirs=${partDirs(s"$sOut/hist")} " +
       s"hhDirs=${partDirs(s"$sOut/hhcounts")} " +
-      s"kmvDirs=${partDirs(s"$sOut/kmvregs")} (uncompacted would be " +
-      s"$sEpochs each) hll=${pin("hll", hllGot, hllWant)} " +
+      s"kmvDirs=${partDirs(s"$sOut/kmvregs")} " +
+      s"dailyDirs=${partDirs(s"$sOut/hllregsdaily")} (uncompacted " +
+      s"would be $sEpochs each) hll=${pin("hll", hllGot, hllWant)} " +
       s"hist=${pin("hist", histGot, histWant)} " +
       s"heavyHitters=${pin("hh", hhGot, hhWant)} " +
       s"kmv=${pin("kmv", kmvGot, kmvWant)} " +
+      s"hllRange=${pin("hllRange", rangeGot, rangeWant)} " +
       s"(${hllWant.size}/${histWant.size}/${hhWant.size}/" +
-      s"${kmvWant.size} rows)")
+      s"${kmvWant.size}/${rangeWant.size} rows)")
 
     // ---- interval-join stream vs batch q141 -------------------------
     val ow = operators.IntervalJoin.orderWindows(spark, sfDir)
