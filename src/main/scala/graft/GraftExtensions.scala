@@ -184,6 +184,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(keys.size >= 2, "forget_key(delKey, probeKey, ...)")
       BloomSkip.forgetKey(s, d, keys.head, keys.tail)
     })
+    // batched erasure: delete keys, then 0, then probe keys — the 0
+    // separator can never be a custkey (keys are 1-based)
+    registerTvf(ext, "forget_batch")((s, d, a) => {
+      val keys = a.map(longArg(_, "forget_batch"))
+      val sep = keys.indexOf(0L)
+      require(sep > 0 && sep < keys.size - 1,
+        "forget_batch(delKey..., 0, probeKey...)")
+      BloomSkip.forgetKeys(s, d, keys.take(sep), keys.drop(sep + 1))
+    })
     registerTvf(ext, "zorder_scan")((s, d, a) =>
       Warehouse.zorderScan(s, d,
         at(a, 0, longArg(_, "zorder_scan"), 0L),

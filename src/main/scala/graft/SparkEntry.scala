@@ -456,6 +456,16 @@ object SparkEntry {
     // stored relation, zero event rescans at serving time); exact
     // audit + err_ppm as in q137
     "q152_hll_range" -> ((s, d) => Sketches.hllUsersRange(s, d)),
+    // q153: BATCHED right-to-erasure — a compliance window's worth of
+    // keys (3 customers) deleted in ONE copy-on-write rewrite job over
+    // the UNION of their bloom-candidate files; untouched files are
+    // SHARED between layout versions through the manifest (a row, not
+    // an I/O — forget is O(candidates), never O(corpus)); then the
+    // deleted keys AND two survivors probe the patched index — every
+    // absence and every presence rides the hash
+    "q153_forget_batch" ->
+      ((s, d) => BloomSkip.forgetKeys(s, d, Seq(7L, 13L, 29L),
+        Seq(42L, 133L))),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -469,7 +479,7 @@ object SparkEntry {
     "q108_pq_codes", "q110_ivfpq_search", "q112_corpus_build",
     "q113_build_report", "q115_cluster_sample",
     "q131_phrase_index_search", "q145_zorder_scan", "q148_bloom_lookup",
-    "q151_forget_key")
+    "q151_forget_key", "q153_forget_batch")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -3336,6 +3346,17 @@ object SparkEntry {
       raw"""SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders
          WHERE o_custkey IN (7, 42) AND o_custkey <> 7
+         ORDER BY o_orderkey""",
+    // q153: the engine deletes the whole key batch in one rewrite job
+    // (manifest-shared non-candidates) and answers through the patched
+    // index; the oracle is the plain filter with the batch excluded —
+    // any leftover row of a deleted customer OR lost row of either
+    // survivor fails the hash
+    "q153_forget_batch" ->
+      raw"""SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_custkey IN (7, 13, 29, 42, 133)
+           AND o_custkey NOT IN (7, 13, 29)
          ORDER BY o_orderkey""",
     // q150: both engines derive the identical integer grid (lo, width)
     // from the column's min/max, build the same bucket registers, and

@@ -81,7 +81,8 @@ object BloomSkip {
 
   /** Write `df` as an arrival-keyed layout (`file_id = fileKey mod
     * nFiles` partitions — deterministic under any partitioning, no
-    * sort) plus its Bloom index relation at `<outDir>.bloomidx`.
+    * sort) plus its Bloom index relation at `<outDir>.bloomidx` and its
+    * file MANIFEST at `<outDir>.manifest` (see [[manifestOf]]).
     * nFiles targets [[TargetRowsPerFile]] so the per-file key count —
     * and with it the fp rate — is the same at sf0.001 and sf100. */
   def bloomWrite(df: DataFrame, keyCol: String, fileKeyCol: String,
@@ -96,35 +97,55 @@ object BloomSkip {
     bloomIndexOn(spark.read.parquet(outDir), keyCol, bits)
       .repartition(1)
       .write.mode("overwrite").parquet(s"$outDir.bloomidx")
+    // the version's manifest: every physical file dir it owns (a
+    // fresh build owns all of them; a post-erasure version shares
+    // most of them with its parent — see deleteKeysFrom)
+    Layouts.writeOwnManifest(spark, outDir)
     nFiles
   }
 
-  private val layoutMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), (String, Long)]
+  // ——— layout versions: the manifest indirection (see [[Layouts]]) —
+  // A bloom layout version is a [[Layouts]] manifest plus an index
+  // (`<version>.bloomidx`). The forwarders keep the bloom family's
+  // public surface in one place.
+
+  def manifestPath(versionPath: String): String =
+    Layouts.manifestPath(versionPath)
+
+  def manifestOf(spark: SparkSession, versionPath: String): Map[Long, String] =
+    Layouts.manifestOf(spark, versionPath)
+
+  def readFiles(spark: SparkSession, versionPath: String,
+      fids: Option[Set[Long]] = None): DataFrame =
+    Layouts.readFiles(spark, versionPath, fids)
+
+  private val layoutMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Layouts.Once[(String, Long)]]
 
   /** Forget memoized bloom layouts (tests, cold benching). */
-  def clearMemos(): Unit = { layoutMemo.clear(); forgetMemo.clear() }
+  def clearMemos(): Unit =
+    { layoutMemo.clear(); forgetMemo.clear(); Layouts.clearManifestMemo() }
 
   /** The materialized bloom-indexed layout of the `orders` table for
     * `dir`: built on first request, fingerprint-keyed for the JVM
     * lifetime (the [[Warehouse.zlayoutCached]] discipline — a refresh
-    * writes NEW directories and retires the old pair to the deferred
+    * writes NEW directories and retires the old trio to the deferred
     * reaper). Returns (layout path, nFiles). */
   def layoutCached(spark: SparkSession, dir: String): (String, Long) = {
     val fp = IvfIndex.dataFingerprint(dir, table = "orders")
     val key = (dir, fp)
-    val v = layoutMemo.getOrElseUpdate(key, {
+    val v = layoutMemo.getOrElseUpdate(key, new Layouts.Once({
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val p = sys.props("java.io.tmpdir") +
         s"/graft-bloomlayout-$tag-f${java.lang.Long.toHexString(fp)}"
       val nFiles = bloomWrite(graft.Tables(spark, dir, "orders"),
         "o_custkey", "o_orderkey", p)
       (p, nFiles)
-    })
+    })).value
     val stale = layoutMemo.keys
       .filter(k => k._1 == dir && k != key)
-      .flatMap(layoutMemo.remove).flatMap(x =>
-        Seq(x._1, s"${x._1}.bloomidx")).toSeq
+      .flatMap(layoutMemo.remove).flatMap(_.peek).flatMap(x =>
+        Seq(x._1, s"${x._1}.bloomidx", manifestPath(x._1))).toSeq
     graft.IndexGc.retire(s"bloomlayout:$dir", stale)
     v
   }
@@ -183,16 +204,18 @@ object BloomSkip {
     require(keys.nonEmpty && keys.size <= MaxProbeKeys,
       s"probe keys must be 1..$MaxProbeKeys")
 
-  /** [[pointLookup]] against an explicit layout path (also the probe
-    * stage over a post-deletion layout — see [[forgetKey]]). */
-  def lookupIn(spark: SparkSession, layoutPath: String,
+  /** [[pointLookup]] against an explicit layout version (also the
+    * probe stage over a post-deletion version — see [[forgetKeys]]).
+    * The candidate set prunes at the PATH level: only candidate
+    * directories are resolved through the manifest, so a non-candidate
+    * file costs neither a listing nor a footer read. */
+  def lookupIn(spark: SparkSession, versionPath: String,
       keys: Seq[Long]): DataFrame = {
     requireProbeKeys(keys)
-    val cands = candidateFiles(spark, s"$layoutPath.bloomidx", keys)
-    val layout = spark.read.parquet(layoutPath)
+    val cands = candidateFiles(spark, s"$versionPath.bloomidx", keys)
     val pruned =
-      if (cands.isEmpty) layout.where(lit(false))
-      else layout.where(col("file_id").isin(cands: _*))
+      if (cands.isEmpty) Layouts.emptyLike(spark, versionPath)
+      else readFiles(spark, versionPath, Some(cands.toSet))
     pruned
       .where(col("o_custkey").isin(keys: _*))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -201,112 +224,131 @@ object BloomSkip {
 
   // ——— targeted deletion (right-to-erasure) through the index ———
 
-  /** What [[deleteKeyFrom]] did: how much of the layout the deletion
-    * actually touched. `filesRewritten` is fp-dependent (candidates),
-    * `rowsDeleted` is exact. */
-  case class DeleteReport(filesTotal: Long, filesRewritten: Long,
-      rowsDeleted: Long)
+  /** What a deletion did — shared with the z-order erasure path
+    * ([[Warehouse.zorderDeleteUser]]); see [[Layouts.DeleteReport]]. */
+  type DeleteReport = Layouts.DeleteReport
+  val DeleteReport: Layouts.DeleteReport.type = Layouts.DeleteReport
 
-  /** Delete every row of `key` from a bloom-indexed layout by
-    * rewriting ONLY the candidate files the index names — the
+  /** Erasure batch cap — a compliance window's worth of keys, not a
+    * full-corpus rewrite in disguise. */
+  val MaxForgetKeys: Int = MaxProbeKeys
+
+  /** Delete every row of `keys` (a GDPR batch) from a bloom-indexed
+    * layout version in ONE distributed rewrite job — the
     * right-to-erasure path a 100 TB warehouse needs: a forget request
     * must not rewrite the corpus, and without a skipping index it has
-    * no way to know which of the millions of files hold the user. All
-    * non-candidate files are carried over BYTE-IDENTICAL (copied
-    * verbatim — at cluster scale these are object-store pointer moves,
-    * not data movement; spec-asserted equal); candidate files are
-    * re-written without the key's rows, and the index is patched
-    * INCREMENTALLY (old rows for untouched files kept, rewritten
-    * files' partials recomputed) — never a full rebuild. Bloom
+    * no way to know which of the millions of files hold the users.
+    *
+    * The shape (round-14 verdict #1, replacing the per-candidate-dir
+    * driver loop): ONE index probe unions all K keys' candidate files;
+    * ONE job reads `file_id ∈ candidates` through the manifest (path-
+    * level pruning), filters the keys out NULL-SAFE (a NULL-keyed row
+    * must survive an erasure — `isin` would three-value it away), and
+    * writes the kept rows partitioned by `file_id` into `outPath`,
+    * counting the deleted rows via the job's own `Observation` metrics
+    * (no second pass). Non-candidate files are SHARED: the new
+    * version's manifest points at the parent's physical directories —
+    * a manifest row, not an I/O — so a K-key forget costs O(candidate
+    * files), never O(corpus), and K keys cost ONE job, not K.
+    *
+    * The index is patched INCREMENTALLY (untouched files' rows kept,
+    * rewritten files' partials recomputed from `outPath` alone — which
+    * physically holds ONLY rewritten files); a candidate file whose
+    * every row was deleted vanishes from manifest and index. Bloom
     * correctness is preserved in the safe direction: a rewritten
     * file's filter is rebuilt from its remaining keys, an untouched
-    * file's filter was already correct, and the deleted key can at
-    * worst remain as a false positive in an untouched file it never
-    * inhabited. Writes are copy-on-write into `outPath` (the source
-    * layout is immutable — a crashed delete leaves no torn state). */
-  def deleteKeyFrom(spark: SparkSession, layoutPath: String,
-      outPath: String, key: Long, bits: Int = BloomBits): DeleteReport = {
-    import java.io.File
-    import java.nio.file.{Files, StandardCopyOption}
-    val cands = candidateFiles(spark, s"$layoutPath.bloomidx",
-      Seq(key), bits).toSet
-    val root = new File(layoutPath)
-    val partDirs = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("file_id="))
-    val out = new File(outPath)
-    if (out.exists()) graft.AtomicSwap.deleteRecursively(out)
-    out.mkdirs()
-    def fidOf(d: File): Long = d.getName.stripPrefix("file_id=").toLong
-    // non-candidates: verbatim copy (pointer moves at cluster scale)
-    partDirs.filterNot(d => cands(fidOf(d))).foreach { d =>
-      val dst = new File(out, d.getName); dst.mkdirs()
-      Option(d.listFiles()).toSeq.flatten.filter(_.isFile).foreach { f =>
-        Files.copy(f.toPath, new File(dst, f.getName).toPath,
-          StandardCopyOption.COPY_ATTRIBUTES)
-      }
-    }
-    // candidates: rewrite without the key, count what fell out — read
-    // each candidate file from disk ONCE (cache the small partition;
-    // the counts and the rewrite reuse the cached rows)
-    var deleted = 0L
-    val candDirs = partDirs.filter(d => cands(fidOf(d)))
-    candDirs.foreach { d =>
-      val rows = spark.read.parquet(d.getAbsolutePath).cache()
-      val kept = rows.where(col("o_custkey") =!= key)
-      deleted += rows.count() - kept.count()
-      kept.repartition(1).write.mode("overwrite")
-        .parquet(new File(out, d.getName).getAbsolutePath)
-      rows.unpersist()
-    }
+    * file's filter was already correct, and a deleted key can at worst
+    * linger as a false positive in a file it never inhabited. Writes
+    * are copy-on-write into `outPath` (the source version is
+    * immutable — a crashed delete leaves no torn state). */
+  def deleteKeysFrom(spark: SparkSession, versionPath: String,
+      outPath: String, keys: Seq[Long],
+      bits: Int = BloomBits): DeleteReport = {
+    require(keys.nonEmpty && keys.size <= MaxForgetKeys,
+      s"forget keys must be 1..$MaxForgetKeys")
+    val ks = keys.distinct
+    val mf = manifestOf(spark, versionPath)
+    val cands = candidateFiles(spark, s"$versionPath.bloomidx", ks, bits)
+      .toSet.intersect(mf.keySet)
+    // NULL-safe: isin is NULL for NULL keys; coalesce keeps them
+    val isDel = coalesce(col("o_custkey").isin(ks: _*), lit(false))
+    val (rewritten, deleted) =
+      Layouts.rewriteWithout(spark, versionPath, outPath, cands, isDel)
     // incremental index patch: keep untouched files' rows, recompute
     // only the rewritten files' partials
-    val oldIdx = spark.read.parquet(s"$layoutPath.bloomidx")
+    val oldIdx = spark.read.parquet(s"$versionPath.bloomidx")
     val untouched =
       if (cands.isEmpty) oldIdx
       else oldIdx.where(!col("file_id").cast("long").isin(cands.toSeq: _*))
     val rebuilt =
-      if (candDirs.isEmpty) untouched
+      if (rewritten.isEmpty) untouched
       else untouched.unionByName(
-        bloomIndexOn(
-          spark.read.parquet(out.getAbsolutePath)
-            .where(col("file_id").cast("long").isin(cands.toSeq: _*)),
-          "o_custkey", bits)
+        bloomIndexOn(spark.read.parquet(outPath), "o_custkey", bits)
           .select(col("file_id").cast(oldIdx.schema("file_id").dataType)
             .as("file_id"), col("bitpos")))
     rebuilt.repartition(1).write.mode("overwrite")
       .parquet(s"$outPath.bloomidx")
-    DeleteReport(partDirs.size.toLong, candDirs.size.toLong, deleted)
+    DeleteReport(mf.size.toLong, cands.size.toLong,
+      (mf.size - cands.size).toLong, deleted)
   }
 
-  private val forgetMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Long),
-      (String, DeleteReport)]
+  /** Single-key erasure — [[deleteKeysFrom]] with a batch of one. */
+  def deleteKeyFrom(spark: SparkSession, versionPath: String,
+      outPath: String, key: Long, bits: Int = BloomBits): DeleteReport =
+    deleteKeysFrom(spark, versionPath, outPath, Seq(key), bits)
 
-  /** The post-deletion layout for (dir, key): built copy-on-write from
-    * the cached layout on first request, fingerprint-memoized like
-    * [[layoutCached]] — but bounded to ONE cached version per dir: a
-    * forgotten layout is a TRANSITION artifact (a real deployment
-    * promotes it over the source via AtomicSwap), so caching every key
-    * a caller sweeps would pile full layout copies into tmpdir for the
-    * JVM lifetime. A new (key, fingerprint) evicts every other cached
-    * version for the dir and retires its directories to the deferred
-    * reaper. Returns (layout path, report). */
+  private val forgetMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[Long], Long), Layouts.Once[(String, DeleteReport)]]
+
+  /** Every forget BUILD lands in a fresh generation-suffixed path —
+    * never reuse a path a prior build used: an evicted version's
+    * directories live on under the reaper's grace for the readers that
+    * still hold them, and a same-keys re-request after an eviction
+    * must not clobber those files by rebuilding in place. */
+  private val forgetGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The post-deletion layout version for (dir, keys): built
+    * copy-on-write from the cached layout on first request,
+    * fingerprint-memoized like [[layoutCached]] — but bounded to ONE
+    * cached version per dir: a forgotten layout is a TRANSITION
+    * artifact (a real deployment promotes it over the source via
+    * AtomicSwap), so caching every batch a caller sweeps would pile
+    * layout versions into tmpdir for the JVM lifetime. A new
+    * (keys, fingerprint) evicts every other cached version for the
+    * dir and retires its directories to the deferred reaper — only
+    * the version's OWN directories, never the shared parent files.
+    * Returns (version path, report). */
   def forgottenLayoutCached(spark: SparkSession, dir: String,
-      key: Long): (String, DeleteReport) = {
+      keys: Seq[Long]): (String, DeleteReport) = {
+    val ks = keys.distinct.sorted
     val fp = IvfIndex.dataFingerprint(dir, table = "orders")
-    val memoKey = (dir, key, fp)
-    val v = forgetMemo.getOrElseUpdate(memoKey, {
+    val memoKey = (dir, ks, fp)
+    val v = forgetMemo.getOrElseUpdate(memoKey, new Layouts.Once({
       val (src, _) = layoutCached(spark, dir)
-      val p = s"$src.forget$key"
-      val report = deleteKeyFrom(spark, src, p, key)
+      val tag =
+        if (ks.size == 1) ks.head.toString
+        else "b" + java.lang.Long.toHexString(
+          graft.functions.TextFunctions.md5LongScala(ks.mkString(",")))
+      val p = s"$src.forget$tag-g${forgetGen.incrementAndGet()}"
+      val report = deleteKeysFrom(spark, src, p, ks)
       (p, report)
-    })
+    })).value
     val stale = forgetMemo.keys
       .filter(k => k._1 == dir && k != memoKey)
-      .flatMap(forgetMemo.remove).flatMap(x =>
-        Seq(x._1, s"${x._1}.bloomidx")).toSeq
+      .flatMap(forgetMemo.remove).flatMap(_.peek).flatMap(x =>
+        Seq(x._1, s"${x._1}.bloomidx", manifestPath(x._1))).toSeq
     graft.IndexGc.retire(s"bloomforget:$dir", stale)
     v
+  }
+
+  /** Whether the post-deletion version for (dir, keys) is already
+    * built and memoized — a repeat request can answer without paying
+    * (or gating on) a copy-on-write build. */
+  def isForgetMemoized(spark: SparkSession, dir: String,
+      keys: Seq[Long]): Boolean = {
+    val fp = IvfIndex.dataFingerprint(dir, table = "orders")
+    forgetMemo.get((dir, keys.distinct.sorted, fp))
+      .exists(_.peek.isDefined)
   }
 
   /** q151: the post-erasure lookup — delete customer `delKey`'s rows
@@ -315,12 +357,22 @@ object BloomSkip {
     * oracle is the plain filter with the key excluded: the deleted
     * rows' ABSENCE and the survivors' presence both ride the hash. */
   def forgetKey(spark: SparkSession, dir: String, delKey: Long,
+      probeKeys: Seq[Long]): DataFrame =
+    forgetKeys(spark, dir, Seq(delKey), probeKeys)
+
+  /** q153: BATCHED right-to-erasure — delete a whole compliance
+    * window's keys in ONE copy-on-write rewrite job (see
+    * [[deleteKeysFrom]]), then probe the deleted keys and the
+    * survivors through the patched version. The oracle is the plain
+    * filter with the batch excluded: every deleted key's absence and
+    * every survivor's presence ride the hash. */
+  def forgetKeys(spark: SparkSession, dir: String, delKeys: Seq[Long],
       probeKeys: Seq[Long]): DataFrame = {
     // validate BEFORE the memoized delete build — a bad probe list
     // must not pay (and cache) the copy-on-write deletion
-    val probes = (delKey +: probeKeys).distinct
+    val probes = (delKeys ++ probeKeys).distinct
     requireProbeKeys(probes)
-    val (path, _) = forgottenLayoutCached(spark, dir, delKey)
+    val (path, _) = forgottenLayoutCached(spark, dir, delKeys)
     lookupIn(spark, path, probes)
   }
 }

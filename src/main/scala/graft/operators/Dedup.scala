@@ -1034,39 +1034,63 @@ object Dedup {
       s"banded Hamming join is only lossless for maxHamming < bands " +
         s"(got $maxHamming >= $bands)")
     require(bits % bands == 0, s"bands must divide bits")
-    val w = bits / bands
     // cache: both sides of the band self-join derive from it
     val clusters = graft.Caches.register(simhashClusters(spark, dir, bits).cache())
+    bandedHammingPairs(clusters.withColumnRenamed("simhash", "sig"),
+      "sig", Nil, maxHamming, bands, bits)
+  }
+
+  /** The banded-Hamming candidate + verify tail over a CLUSTER
+    * relation `(sigCol, keep_id, n_members, scopeCols…)` — shared by
+    * q45 (simhash over token sets) and q154 (perceptual dHash over
+    * media payloads, scoped by media_type). The `bits`-bit signature
+    * splits into `bands` equal bit-bands; by pigeonhole any two
+    * signatures within Hamming `bands - 1` agree on a whole band, so
+    * candidates come from an equi-join on (scope…, band, band-bits),
+    * verified with an exact popcount of the XOR.
+    *
+    * hamming BEFORE distinct: the popcount filter is a few cycles per
+    * pair while distinct is a shuffle — filtering first means the dedup
+    * exchange carries only the pairs that survive (at sf0.1 that is the
+    * difference between shuffling ~800k band collisions and the handful
+    * of true near-dups; at 100 TB it is the plan's scale cost). The
+    * filter references both join sides, so Catalyst folds it into the
+    * join condition — rejected pairs die inside the join task.
+    * (scope…, id1, id2) functionally determines hamming/n1/n2 (keep_id
+    * is unique per cluster), so distinct over the output columns IS
+    * pair-dedup. Output: (scope…, id1, id2, hamming, n1, n2). */
+  def bandedHammingPairs(clusters: DataFrame, sigCol: String,
+      scopeCols: Seq[String], maxHamming: Int, bands: Int,
+      bits: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"banded Hamming join is only lossless for maxHamming < bands " +
+        s"(got $maxHamming >= $bands)")
+    require(bits % bands == 0, s"bands must divide bits")
+    val w = bits / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * w)
+        shiftright(col(sigCol), b * w)
           .bitwiseAND(lit((1L << w) - 1)).as("bval"))
     }
     val banded = clusters
-      .select(col("simhash"), col("keep_id"), col("n_members"),
-        explode(array(bandCols: _*)).as("bv"))
-      .select(col("simhash"), col("keep_id"), col("n_members"),
-        col("bv.band").as("band"), col("bv.bval").as("bval"))
-    // hamming BEFORE distinct: the popcount filter is a few cycles per
-    // pair while distinct is a shuffle — filtering first means the dedup
-    // exchange carries only the pairs that survive (at sf0.1 that is the
-    // difference between shuffling ~800k band collisions and the handful
-    // of true near-dups; at 100 TB it is the plan's scale cost). The
-    // filter references both join sides, so Catalyst folds it into the
-    // join condition — rejected pairs die inside the join task.
-    // (id1, id2) functionally determines hamming/n1/n2 (keep_id is unique
-    // per cluster), so distinct over the five columns IS pair-dedup.
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.keep_id") < col("y.keep_id"))
-      .select(col("x.keep_id").as("id1"), col("y.keep_id").as("id2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-          .cast("long").as("hamming"),
-        col("x.n_members").as("n1"), col("y.n_members").as("n2"))
+      .select((scopeCols.map(col) ++ Seq(col(sigCol), col("keep_id"),
+        col("n_members"), explode(array(bandCols: _*)).as("bv"))): _*)
+      .withColumn("band", col("bv.band"))
+      .withColumn("bval", col("bv.bval"))
+      .drop("bv")
+    val joinCond = (scopeCols :+ "band" :+ "bval")
+      .map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduce(_ && _) && col("x.keep_id") < col("y.keep_id")
+    val outCols = scopeCols.map(c => col(s"x.$c").as(c)) ++ Seq(
+      col("x.keep_id").as("id1"), col("y.keep_id").as("id2"),
+      bit_count(col(s"x.$sigCol").bitwiseXOR(col(s"y.$sigCol")))
+        .cast("long").as("hamming"),
+      col("x.n_members").as("n1"), col("y.n_members").as("n2"))
+    banded.as("x").join(banded.as("y"), joinCond)
+      .select(outCols: _*)
       .where(col("hamming") <= maxHamming)
       .distinct()
-      .select("id1", "id2", "hamming", "n1", "n2")
-      .orderBy("id1", "id2")
+      .orderBy((scopeCols :+ "id1" :+ "id2").map(col): _*)
   }
 
   /** Incremental (corpus-vs-batch) exact dedup: the rows of `incoming`

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-versioned file layouts — the machinery SHARED by the
+  * skipping-index family (the bloom layout of q148/q151/q153 and the
+  * z-order layout of q145/q155).
+  *
+  * A layout VERSION is a manifest (`<version>.manifest`: one row per
+  * `(file_id, physical dir)`). Copy-on-write maintenance (erasure,
+  * compaction) writes a NEW version whose manifest points at the
+  * parent's physical directories for every untouched file — SHARED,
+  * not copied — and at its own directory only for the files it
+  * rewrote. At 100 TB a maintenance pass therefore costs O(touched
+  * files), never O(corpus): the untouched petabytes are a manifest
+  * row, not an I/O. (This is the Iceberg/Delta snapshot-manifest
+  * discipline re-expressed relationally; on an object store the
+  * "shared file" is literally the same immutable object.) */
+object Layouts {
+
+  /** What a copy-on-write deletion did: `filesRewritten` is the
+    * candidate set the index named (fp-dependent), `filesShared` the
+    * untouched files the new manifest points at without copying,
+    * `rowsDeleted` exact (from the rewrite job's own metrics). */
+  case class DeleteReport(filesTotal: Long, filesRewritten: Long,
+      filesShared: Long, rowsDeleted: Long)
+
+  /** Build-once memo cell: `TrieMap.getOrElseUpdate` can race two
+    * builders on a cold key (round-14 advice — two concurrent
+    * requests both running a multi-second layout build into the SAME
+    * deterministic tmp path). Only one cell wins the CAS and its lazy
+    * val runs the builder exactly once; the loser blocks on the
+    * winner's cell. A builder that THROWS leaves the cell retryable
+    * (lazy-val failure semantics) — the copy-on-write writers
+    * delete-then-rebuild their target, so a retry over a torn
+    * directory is safe. */
+  private[operators] final class Once[V](builder: => V) {
+    @volatile private var done = false
+    lazy val value: V = { val v = builder; done = true; v }
+    def peek: Option[V] = if (done) Some(value) else None
+  }
+
+  def manifestPath(versionPath: String): String = s"$versionPath.manifest"
+
+  private val manifestMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Long, String]]
+
+  private[operators] def clearManifestMemo(): Unit = manifestMemo.clear()
+
+  /** The (file_id → physical dir) map of a layout version. Manifests
+    * are immutable per path (copy-on-write: a refresh lands in a NEW
+    * version path), so the driver-side map memoizes for the JVM
+    * lifetime. Pre-manifest layouts (hand-built fixtures) fall back to
+    * listing their own directory. */
+  def manifestOf(spark: SparkSession, versionPath: String): Map[Long, String] =
+    manifestMemo.getOrElseUpdate(manifestPath(versionPath), {
+      val mf = new java.io.File(manifestPath(versionPath))
+      if (mf.exists())
+        spark.read.parquet(mf.getAbsolutePath)
+          .select(col("file_id").cast("long"), col("path"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      else listFileDirs(new java.io.File(versionPath))
+    })
+
+  private[operators] def writeManifest(spark: SparkSession,
+      versionPath: String, entries: Map[Long, String]): Unit = {
+    import spark.implicits._
+    entries.toSeq.sortBy(_._1).toDF("file_id", "path")
+      .repartition(1).write.mode("overwrite")
+      .parquet(manifestPath(versionPath))
+    manifestMemo.remove(manifestPath(versionPath))
+  }
+
+  /** The `file_id=N` directories physically under `root`. */
+  private[operators] def listFileDirs(root: java.io.File): Map[Long, String] =
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("file_id="))
+      .map(d => d.getName.stripPrefix("file_id=").toLong ->
+        d.getAbsolutePath).toMap
+
+  /** Write the v1 manifest of a freshly written partitioned layout —
+    * every physical file dir it owns. */
+  private[operators] def writeOwnManifest(spark: SparkSession,
+      dir: String): Unit =
+    writeManifest(spark, dir, listFileDirs(new java.io.File(dir)))
+
+  /** Read a layout version THROUGH its manifest, optionally restricted
+    * to `fids` — path-level pruning: a file outside the selection is
+    * never even LISTED, let alone scanned. Directories group by their
+    * physical root (one `basePath` read per root, unioned), so a
+    * version reads seamlessly across the parent layouts it shares
+    * files with; the number of roots is the number of live versions,
+    * not the number of files. */
+  def readFiles(spark: SparkSession, versionPath: String,
+      fids: Option[Set[Long]] = None): DataFrame = {
+    val mf = manifestOf(spark, versionPath)
+    val picked = fids.fold(mf)(s => mf.view.filterKeys(s).toMap)
+    require(picked.nonEmpty, s"no files selected in $versionPath")
+    picked.values.toSeq.distinct
+      .groupBy(p => new java.io.File(p).getParent)
+      .toSeq.sortBy(_._1)
+      .map { case (root, dirs) =>
+        spark.read.option("basePath", root).parquet(dirs.sorted: _*)
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** An empty relation with the layout's schema (resolve one manifest
+    * file, scan nothing) — the no-candidates answer. */
+  private[operators] def emptyLike(spark: SparkSession,
+      versionPath: String): DataFrame = {
+    val any = manifestOf(spark, versionPath).keys.min
+    readFiles(spark, versionPath, Some(Set(any))).where(lit(false))
+  }
+
+  /** The ONE-job batched copy-on-write rewrite at the heart of
+    * right-to-erasure (round-14 verdict #1): read the `cands` files of
+    * `versionPath` through the manifest (path-level pruning), drop the
+    * rows matching `isDel` (the caller supplies a NULL-SAFE predicate
+    * — a NULL-keyed row must survive an erasure), write the kept rows
+    * partitioned by `file_id` into `outPath`, and count the deleted
+    * rows via the job's own `Observation` metrics (no second pass).
+    * Writes the new version's manifest: non-candidates SHARED with the
+    * parent, candidates re-pointed at `outPath`; a candidate file
+    * whose every row was deleted vanishes. Returns (materialized file
+    * map, exact deleted count). K keys, N candidate files — still ONE
+    * job; the old per-candidate-directory driver loop ran 3 jobs per
+    * directory. */
+  private[operators] def rewriteWithout(spark: SparkSession,
+      versionPath: String, outPath: String, cands: Set[Long],
+      isDel: Column): (Map[Long, String], Long) = {
+    val out = new java.io.File(outPath)
+    if (out.exists()) graft.AtomicSwap.deleteRecursively(out)
+    out.mkdirs()
+    var deleted = 0L
+    if (cands.nonEmpty) {
+      val obs = org.apache.spark.sql.Observation()
+      readFiles(spark, versionPath, Some(cands))
+        .observe(obs, sum(when(isDel, 1L).otherwise(0L)).as("rows_deleted"))
+        .where(!isDel)
+        .repartition(col("file_id"))
+        .write.mode("overwrite").partitionBy("file_id").parquet(outPath)
+      deleted = obs.get.get("rows_deleted") match {
+        case Some(l: Long) => l
+        case _             => 0L
+      }
+    }
+    val rewritten = listFileDirs(out)
+    writeManifest(spark, outPath,
+      (manifestOf(spark, versionPath) -- cands) ++ rewritten)
+    (rewritten, deleted)
+  }
+}

@@ -109,4 +109,69 @@ object Multimodal {
         }
       }
   }
+
+  // ——— perceptual-hash near-dup over the binary payload (q154) ———
+
+  /** Thumbnail size the dHash reads: the [[resized]] 64-byte buffer —
+    * the fixed-dimension normalization real image dHash gets from
+    * resizing (hashing at length-scaled positions instead would shift
+    * every sample under a one-byte edit; measured: the corpus's true
+    * near-dups land at Hamming ≥ 11 that way, 1–3 this way). */
+  val DhashBytes: Int = 64
+
+  /** dHash width: an 8×8 byte grid, 7 adjacent-comparison bits per
+    * row — 56 bits, sign-safe in a BIGINT on both engines. */
+  val DhashBits: Int = 56
+
+  /** The dHash as a SQL arithmetic string over a per-dialect byte
+    * accessor — the [[Warehouse.zorderTermsSql]] discipline: one
+    * generator feeds the engine AND the DuckDB oracle, so both
+    * evaluate literally identical comparison/shift sums. `byteAt(pos)`
+    * must yield the UNSIGNED value of the thumbnail's `pos`-th byte
+    * (1-based), 0 past the end (the zero-pad of [[resized]]). Bit
+    * (r, c) = 1 iff byte(r·8+c) < byte(r·8+c+1) — the gradient-sign
+    * hash of Krawetz's dHash, over bytes instead of luminance. */
+  def dhashTermsSql(byteAt: Int => String): String =
+    (for { r <- 0 until 8; c <- 0 until 7 } yield {
+      val w = 1L << (r * 7 + c)
+      s"(CASE WHEN ${byteAt(r * 8 + c + 1)} < ${byteAt(r * 8 + c + 2)} " +
+        s"THEN $w ELSE 0 END)"
+    }).mkString(" + ")
+
+  /** Engine-side byte accessor: true BINARY access over the resized
+    * payload (one byte → hex pair → int; codegen'd, no UDF). */
+  def byteAtSparkSql(colName: String)(pos: Int): String =
+    s"CAST(conv(hex(substring($colName, $pos, 1)), 16, 10) AS BIGINT)"
+
+  /** Oracle-side accessor (DuckDB): char access over the ASCII source
+    * text — value-equal to the byte access for an ASCII payload
+    * (ascii('') = 0 covers the zero-pad). */
+  def byteAtDuckSql(colName: String)(pos: Int): String =
+    s"ascii(substr($colName, $pos, 1))"
+
+  /** Per-payload perceptual signatures: (doc_id, media_type, dhash).
+    * Map-only over the blob scan — the hash is the ONLY thing that
+    * flows downstream; the 100 TB property is that the bytes never
+    * shuffle, exactly like [[decodeFeatures]]. */
+  def dhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    resized(mediaTable(spark, dir), DhashBytes)
+      .withColumn("dhash",
+        expr(dhashTermsSql(byteAtSparkSql("content_resized"))))
+      .select(col("doc_id"), col("media_type"), col("dhash"))
+
+  /** q154: perceptual near-dup over the media table — dHash signatures
+    * collapse to per-(media_type, hash) clusters, banded Hamming join
+    * proposes candidates (the q45 skeleton: pigeonhole on `bands`
+    * equal bit-bands, lossless for maxHamming < bands), exact popcount
+    * verifies. Pairs never cross media types (an image cannot near-dup
+    * an audio clip). Output: (media_type, id1, id2, hamming, n1, n2) —
+    * id1 < id2 are cluster keepers, n* the h=0 mass. */
+  def mediaNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val clusters = dhashSignatures(spark, dir)
+      .groupBy("media_type", "dhash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+    Dedup.bandedHammingPairs(clusters, "dhash", Seq("media_type"),
+      maxHamming, bands, DhashBits)
+  }
 }

@@ -45,6 +45,11 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
 
   private val server = JdkServer.create(new InetSocketAddress(port), 0)
 
+  /** At most ONE erasure (copy-on-write layout rewrite) builds at a
+    * time on this serving JVM; concurrent /forget requests for a not-
+    * yet-memoized batch get 503 instead of queueing I/O storms. */
+  private val forgetGate = new java.util.concurrent.Semaphore(1)
+
   /** Actual bound port (useful with port=0 → ephemeral). */
   def boundPort: Int = server.getAddress.getPort
 
@@ -88,6 +93,11 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       case c             => c.toString
     }
 
+  /** A request that would start an expensive build while another is in
+    * flight (or too soon after the last) → HTTP 503, retry later. */
+  private final class BusyException(msg: String)
+    extends RuntimeException(msg)
+
   private def handler(fn: Map[String, String] => DataFrame): HttpHandler =
     (ex: HttpExchange) =>
       try respond(ex, 200, asJson(fn(params(ex))))
@@ -96,6 +106,8 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         // IllegalArgumentException: both are the caller's fault → 400
         case e: IllegalArgumentException =>
           respond(ex, 400, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+        case e: BusyException =>
+          respond(ex, 503, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
         case e: Throwable =>
           respond(ex, 500,
             s"""{"error":"${jsonEscape(e.getClass.getSimpleName)}"}""")
@@ -429,22 +441,42 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         bound("iLo", 0L), bound("iHi", 0L))
     })
     server.createContext("/forget", handler { p =>
-      // q151: right-to-erasure through the skipping index — answers
-      // the post-deletion lookup for the deleted key + probes (the
-      // deletion is copy-on-write into a memoized layout version; the
-      // served q148 layout is untouched)
-      val key = p.get("key").map(_.toLong).getOrElse(
-        throw new IllegalArgumentException("key is required"))
-      val probes = p.getOrElse("probe", "").split(",").toSeq
-        .map(_.trim).filter(_.nonEmpty).map { s =>
-          try s.toLong catch {
-            case _: NumberFormatException =>
-              throw new IllegalArgumentException(s"bad probe '$s'")
-          }
-        }.distinct
+      // q151/q153: right-to-erasure through the skipping index —
+      // answers the post-deletion lookup for the deleted key(s) +
+      // probes (the deletion is copy-on-write into a memoized layout
+      // version; the served q148 layout is untouched). `key=` deletes
+      // one customer, `keys=a,b,c` a whole compliance batch in ONE
+      // rewrite job.
+      def longs(param: String): Seq[Long] =
+        p.getOrElse(param, "").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).map { s =>
+            try s.toLong catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(s"bad $param '$s'")
+            }
+          }.distinct
+      val delKeys = p.get("key").map(k => Seq(k.toLong))
+        .getOrElse(longs("keys"))
+      if (delKeys.isEmpty)
+        throw new IllegalArgumentException("key or keys is required")
+      val probes = longs("probe")
       if (probes.isEmpty)
         throw new IllegalArgumentException("probe list is required")
-      graft.operators.BloomSkip.forgetKey(spark, dataDir, key, probes)
+      // an erasure build is a copy-on-write rewrite — cap the serving
+      // JVM at ONE in-flight build (round-14 advice: an unauthenticated
+      // key sweep must not amplify into back-to-back layout rewrites).
+      // A memoized repeat of the SAME batch answers without the gate.
+      val memoized = graft.operators.BloomSkip
+        .isForgetMemoized(spark, dataDir, delKeys)
+      if (memoized) graft.operators.BloomSkip
+        .forgetKeys(spark, dataDir, delKeys, probes)
+      else if (!forgetGate.tryAcquire())
+        throw new BusyException(
+          "an erasure build is already in flight; retry later")
+      else
+        try graft.operators.BloomSkip
+          .forgetKeys(spark, dataDir, delKeys, probes)
+        finally forgetGate.release()
     })
     server.createContext("/priceQuantiles", handler { _ =>
       // q150: auto-ranged histogram quantiles of o_totalprice per
@@ -463,17 +495,23 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
               throw new IllegalArgumentException(s"bad item '$s'")
           }
         }.distinct
+      def catalogScan = {
+        val all = graft.operators.Sketches.cmsCounts(spark, dataDir)
+        if (items.isEmpty) all
+        else all.where(org.apache.spark.sql.functions.col("item")
+          .isin(items: _*))
+      }
       p.getOrElse("source", "events") match {
         case "sketch" => graft.streaming.SketchStream
           .cmsTableEstimates(spark, sketchDirOr400, items)
         case "events" =>
-          // the audited catalog scan, restricted to the requested
-          // items when a list is given (same row contract as sketch;
-          // no list = the whole catalog)
-          val all = graft.operators.Sketches.cmsCounts(spark, dataDir)
-          if (items.isEmpty) all
-          else all.where(org.apache.spark.sql.functions.col("item")
-            .isin(items: _*))
+          // the catalog scan PROJECTED to the sketch contract
+          // (item, est_cnt) — clients may switch sources without a
+          // schema change; the audit columns live under source=audit
+          catalogScan.select("item", "est_cnt")
+        case "audit" =>
+          // the full audited scan: (item, est_cnt, exact_cnt, err)
+          catalogScan
         case other =>
           throw new IllegalArgumentException(s"unknown source '$other'")
       }

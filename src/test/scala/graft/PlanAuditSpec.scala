@@ -440,7 +440,10 @@ class PlanAuditSpec extends SparkSpec {
     // q152: day-grain register agg + two merge re-aggs + 2 estimate
     // aggs + the two exact-distinct audit branches + join + sort; at
     // 100 TB only the register-merge path runs over stored rows
-    "q152_hll_range" -> 10)
+    "q152_hll_range" -> 10,
+    // q153: q151's pruned-scan shape over the batch-deleted version
+    // (the ONE-job batched rewrite is a memoized copy-on-write build)
+    "q153_forget_batch" -> 1)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -92,7 +92,10 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM bloom_lookup(7, 42, 133)" ->
         operators.BloomSkip.pointLookup(spark, sf, Seq(7L, 42L, 133L)),
       "SELECT * FROM forget_key(7, 42)" ->
-        operators.BloomSkip.forgetKey(spark, sf, 7L, Seq(42L)))
+        operators.BloomSkip.forgetKey(spark, sf, 7L, Seq(42L)),
+      "SELECT * FROM forget_batch(7, 13, 29, 0, 42, 133)" ->
+        operators.BloomSkip.forgetKeys(spark, sf, Seq(7L, 13L, 29L),
+          Seq(42L, 133L)))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

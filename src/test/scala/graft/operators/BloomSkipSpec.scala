@@ -12,6 +12,24 @@ class BloomSkipSpec extends SparkSpec {
   private lazy val orders = graft.Tables(spark, sf, "orders")
   private lazy val (layoutPath, nFiles) = BloomSkip.layoutCached(spark, sf)
 
+  /** Run `body` and return (result, number of Spark jobs it started).
+    * The listener bus is async — wait until the count stops moving. */
+  private def countJobs[A](body: => A): (A, Int) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val a = body
+      var last = -1
+      while (n.get != last) { last = n.get; Thread.sleep(200) }
+      (a, n.get)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("point lookup equals the plain filter, row for row") {
     val keys = Seq(7L, 42L, 133L)
     val got = BloomSkip.pointLookup(spark, sf, keys)
@@ -65,31 +83,35 @@ class BloomSkipSpec extends SparkSpec {
   }
 
   test("targeted deletion: only candidate files rewritten, the rest " +
-    "byte-identical, the key gone, survivors intact, index patched") {
+    "SHARED via the manifest, the key gone, survivors intact, index " +
+    "patched") {
     val delKey = 7L
     val out = s"$layoutPath.spec_forget"
     val report = BloomSkip.deleteKeyFrom(spark, layoutPath, out, delKey)
     // candidate-bounded rewrite: strictly fewer files touched than exist
     assert(report.filesRewritten < report.filesTotal &&
       report.filesTotal == nFiles)
+    assert(report.filesShared == report.filesTotal - report.filesRewritten)
     assert(report.rowsDeleted ==
       orders.where(col("o_custkey") === delKey).count())
-    // untouched partitions are BYTE-identical to the source
+    // untouched files are SHARED: the same physical path in both
+    // manifests (a manifest row, not a copy), and the new version's
+    // directory physically holds ONLY rewritten candidate files
     val cands = BloomSkip
       .candidateFiles(spark, s"$layoutPath.bloomidx", Seq(delKey)).toSet
-    def bytesOf(dir: String, fid: Long): Seq[(String, Long, Long)] =
-      Option(new java.io.File(s"$dir/file_id=$fid").listFiles()).toSeq
-        .flatten.filter(_.isFile).map { f =>
-          val crc = new java.util.zip.CRC32()
-          crc.update(java.nio.file.Files.readAllBytes(f.toPath))
-          (f.getName, f.length(), crc.getValue)
-        }.sortBy(_._1)
-    val untouchedFids = (0L until nFiles).filterNot(cands)
-    assert(untouchedFids.nonEmpty)
-    untouchedFids.foreach { fid =>
-      assert(bytesOf(layoutPath, fid) == bytesOf(out, fid),
-        s"untouched file_id=$fid changed")
+    val mfSrc = BloomSkip.manifestOf(spark, layoutPath)
+    val mfOut = BloomSkip.manifestOf(spark, out)
+    val shared = mfOut.filterNot { case (fid, _) => cands(fid) }
+    assert(shared.nonEmpty)
+    shared.foreach { case (fid, p) =>
+      assert(p == mfSrc(fid), s"untouched file_id=$fid copied, not shared")
     }
+    val ownDirs = Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("file_id="))
+      .map(_.getName.stripPrefix("file_id=").toLong).toSet
+    assert(ownDirs.subsetOf(cands),
+      s"non-candidate files materialized in the new version: " +
+        s"${ownDirs -- cands}")
     // the deleted key answers empty THROUGH the patched index; a
     // surviving customer answers exactly as before the deletion
     val post = BloomSkip.lookupIn(spark, out, Seq(delKey, 42L))
@@ -99,7 +121,8 @@ class BloomSkipSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(post.toSeq == before.toSeq && before.nonEmpty)
     // the patched index has no false negatives for the remaining data
-    val pairs = spark.read.parquet(out)
+    // (read the version THROUGH its manifest — shared files included)
+    val pairs = BloomSkip.readFiles(spark, out)
       .select(col("file_id").cast("long"), col("o_custkey"))
       .distinct().as[(Long, Long)].collect()
     val idx = spark.read.parquet(s"$out.bloomidx")
@@ -111,12 +134,82 @@ class BloomSkipSpec extends SparkSpec {
     assert(missing.isEmpty, s"patched index unset bits: ${missing.take(5).toSeq}")
   }
 
+  test("batched erasure (q153): K keys cost the SAME job count as one " +
+    "key, touch only the union-candidate files, and delete exactly " +
+    "the batch") {
+    val delKeys = Seq(7L, 13L, 29L)
+    // warm the manifest memo so both measured runs pay identical reads
+    BloomSkip.manifestOf(spark, layoutPath)
+    val (_, jobs1) = countJobs {
+      BloomSkip.deleteKeysFrom(spark, layoutPath,
+        s"$layoutPath.spec_batch1", Seq(7L))
+    }
+    val (reportK, jobsK) = countJobs {
+      BloomSkip.deleteKeysFrom(spark, layoutPath,
+        s"$layoutPath.spec_batchK", delKeys)
+    }
+    // the data rewrite is ONE write action; AQE materializes its
+    // exchanges as separate scheduler jobs, so the hard invariant is
+    // that the TOTAL job count is independent of K and of the
+    // candidate-set size (K=3 unions ~3x the candidate files) — the
+    // old driver loop ran 3 jobs PER candidate directory
+    assert(jobsK == jobs1,
+      s"job count must not scale with K or candidates: K=3 ran $jobsK " +
+        s"jobs vs K=1's $jobs1")
+    assert(jobsK <= 20, s"erasure ran $jobsK jobs — not a bounded pipeline")
+    // exact deletion accounting: the batch deletes the sum of its keys
+    assert(reportK.rowsDeleted ==
+      orders.where(col("o_custkey").isin(delKeys: _*)).count())
+    // the rewrite touched exactly the union-candidate set
+    val cands = BloomSkip
+      .candidateFiles(spark, s"$layoutPath.bloomidx", delKeys).toSet
+    assert(reportK.filesRewritten == cands.size &&
+      cands.size < reportK.filesTotal)
+    // all K keys gone, survivors intact, through the patched index
+    val outK = s"$layoutPath.spec_batchK"
+    val post = BloomSkip.lookupIn(spark, outK, delKeys :+ 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!post.exists(r => delKeys.contains(r._2)),
+      "a batched key still answers")
+    val before = BloomSkip.lookupIn(spark, layoutPath, Seq(42L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(post.toSeq == before.toSeq && before.nonEmpty)
+    // non-candidates shared with the source version
+    val mfSrc = BloomSkip.manifestOf(spark, layoutPath)
+    val mfOut = BloomSkip.manifestOf(spark, outK)
+    mfOut.filterNot { case (fid, _) => cands(fid) }.foreach {
+      case (fid, p) => assert(p == mfSrc(fid),
+        s"untouched file_id=$fid copied, not shared")
+    }
+  }
+
+  test("erasure is NULL-safe: a NULL-keyed row in a candidate file " +
+    "survives the rewrite and is not counted as deleted") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("bloomnull").toString + "/layout"
+    // o_orderkey 1 and 65 land in the SAME file (1 mod 64) — the NULL
+    // row shares a candidate file with the deleted key
+    val df = Seq(
+      (1L, Option(5L), 1.0), (65L, Option.empty[Long], 2.0),
+      (2L, Option(9L), 3.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    BloomSkip.bloomWrite(df, "o_custkey", "o_orderkey", dir)
+    val out = s"$dir.forget"
+    val report = BloomSkip.deleteKeysFrom(spark, dir, out, Seq(5L))
+    assert(report.rowsDeleted == 1L,
+      s"exactly the keyed row deletes, got ${report.rowsDeleted}")
+    val left = BloomSkip.readFiles(spark, out)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(left == Set(65L, 2L),
+      s"the NULL-keyed row must survive an erasure, got $left")
+  }
+
   test("deleting an absent key touches at most fp-bounded files and " +
     "changes no rows") {
     val out = s"$layoutPath.spec_forget_ghost"
     val report = BloomSkip.deleteKeyFrom(spark, layoutPath, out, 10000000L)
     assert(report.rowsDeleted == 0L && report.filesRewritten <= 8)
-    assert(spark.read.parquet(out).count() == orders.count())
+    assert(BloomSkip.readFiles(spark, out).count() == orders.count())
   }
 
   test("probe guards: empty and oversized key lists are refused") {

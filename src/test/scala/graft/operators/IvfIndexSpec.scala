@@ -144,6 +144,9 @@ class IvfIndexSpec extends SparkSpec {
   test("ivf GC: a superseded index directory is reaped one full " +
       "refresh after its key leaves the memo") {
     graft.IndexGc.reset(); IvfIndex.clearMemos()
+    // this test drives three refresh cycles in milliseconds — drop the
+    // wall-clock fence so the generation fence alone is under test
+    val grace0 = graft.IndexGc.graceMs; graft.IndexGc.graceMs = 0L
     val dir = java.nio.file.Files.createTempDirectory("ivfgc").toString
     def rewrite(n: Int): Unit = graft.Tables.embeddings(spark, sf)
       .limit(n).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -160,6 +163,7 @@ class IvfIndexSpec extends SparkSpec {
     assert(new java.io.File(p2).exists(), "p2 gets its grace refresh")
     assert(spark.read.parquet(p3).count() == 20L,
       "current index unaffected by the reap")
+    graft.IndexGc.graceMs = grace0
     IvfIndex.clearMemos(); graft.IndexGc.reset()
   }
 

@@ -137,6 +137,9 @@ class RetrievalSpec extends SparkSpec {
   test("q131 postings GC: a superseded index dies one full refresh " +
       "after its key leaves the memo; current readers are unaffected") {
     graft.IndexGc.reset(); Ranking.clearMemos()
+    // refresh cycles run in milliseconds here — drop the wall-clock
+    // fence so the generation fence alone is under test
+    val grace0 = graft.IndexGc.graceMs; graft.IndexGc.graceMs = 0L
     val dir = java.nio.file.Files.createTempDirectory("pgc").toString
     def rewrite(docs: Seq[(Long, String)]): Unit =
       docs.toDF("doc_id", "text").write.mode("overwrite")
@@ -167,6 +170,7 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     graft.Caches.releaseAll()
     assert(got == Seq(1L))
+    graft.IndexGc.graceMs = grace0
     Ranking.clearMemos(); graft.IndexGc.reset()
   }
 

@@ -278,6 +278,19 @@ class HttpServerSpec extends SparkSpec {
       assert(c81 == 400)
       val (c82, _) = get(s"$base/forget?probe=42")
       assert(c82 == 400)
+      // batched erasure (q153): all keys of the batch absent, probes
+      // present, in ONE rewrite
+      // the trailing comma disambiguates key 13 from key 133 in the
+      // serialized rows ({"o_orderkey":N,"o_custkey":K,"o_totalprice":…)
+      val (c86, fgb) = get(s"$base/forget?keys=7,13,29&probe=42,133")
+      assert(c86 == 200 && fgb.contains("\"o_custkey\":42,") &&
+        fgb.contains("\"o_custkey\":133,") &&
+        !fgb.contains("\"o_custkey\":7,") &&
+        !fgb.contains("\"o_custkey\":13,") &&
+        !fgb.contains("\"o_custkey\":29,"), fgb.take(200))
+      // a memoized repeat answers without the build gate
+      val (c87, fgb2) = get(s"$base/forget?keys=7,13,29&probe=42,133")
+      assert(c87 == 200 && fgb2 == fgb)
       // auto-ranged money quantiles (q150)
       val (c79, pqm) = get(s"$base/priceQuantiles")
       assert(c79 == 200 && pqm.contains("\"p99_est_cents\"") &&
@@ -289,15 +302,21 @@ class HttpServerSpec extends SparkSpec {
       val (c77, _) = get(s"$base/itemFrequency?items=1,x")
       assert(c77 == 400)
       // an explicit item list restricts the events-source answer to
-      // exactly those rows (same contract as source=sketch)
+      // exactly those rows, PROJECTED to the sketch contract
+      // (item, est_cnt) — clients may switch sources without a schema
+      // change; the audit columns answer under source=audit
       val (c78, cf1) = get(s"$base/itemFrequency?items=3,5")
       val wantF = {
         import org.apache.spark.sql.functions.col
         graft.operators.Sketches.cmsCounts(spark, sf)
-          .where(col("item").isin(3L, 5L))
+          .where(col("item").isin(3L, 5L)).select("item", "est_cnt")
           .toJSON.collect().mkString("[", ",", "]")
       }
       assert(c78 == 200 && cf1 == wantF, cf1.take(200))
+      assert(!cf1.contains("\"exact_cnt\""), cf1.take(200))
+      val (c85, cfa) = get(s"$base/itemFrequency?items=3,5&source=audit")
+      assert(c85 == 200 && cfa.contains("\"exact_cnt\"") &&
+        cfa.contains("\"err\""), cfa.take(200))
       // bloom point lookup (q148): rows come back through the pruned
       // layout read; bad/empty key lists → 400
       val (c73, pl) = get(s"$base/pointLookup?keys=7,42")
