@@ -193,6 +193,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "forget_batch(delKey..., 0, probeKey...)")
       BloomSkip.forgetKeys(s, d, keys.take(sep), keys.drop(sep + 1))
     })
+    registerTvf(ext, "media_neardup")((s, d, _) =>
+      Multimodal.mediaNearDup(s, d))
     registerTvf(ext, "zorder_scan")((s, d, a) =>
       Warehouse.zorderScan(s, d,
         at(a, 0, longArg(_, "zorder_scan"), 0L),

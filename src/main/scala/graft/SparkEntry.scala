@@ -466,6 +466,14 @@ object SparkEntry {
     "q153_forget_batch" ->
       ((s, d) => BloomSkip.forgetKeys(s, d, Seq(7L, 13L, 29L),
         Seq(42L, 133L))),
+    // q154: perceptual-hash near-dup over the media table's BINARY
+    // payloads — dHash over the resized 64-byte thumbnail (the fixed-
+    // dimension normalization real image dHash gets from resizing),
+    // exact-duplicate clusters (hamming 0) + banded-Hamming near-pairs
+    // (the q45 skeleton), never across media types; the oracle replays
+    // the identical comparison-sum bit arithmetic over the ASCII
+    // source text (char access ≡ byte access for an ASCII payload)
+    "q154_media_neardup" -> ((s, d) => Multimodal.mediaNearDup(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -3347,6 +3355,52 @@ object SparkEntry {
          FROM orders
          WHERE o_custkey IN (7, 42) AND o_custkey <> 7
          ORDER BY o_orderkey""",
+    // q154: both engines evaluate the LITERALLY IDENTICAL dHash
+    // comparison sum (one generator, Multimodal.dhashTermsSql, feeds
+    // engine and oracle — the zorderTermsSql discipline) over the
+    // 64-byte thumbnail: the engine reads the resized BINARY payload
+    // byte-by-byte, the oracle reads the ASCII source text char-by-
+    // char (value-equal; ascii('') = 0 covers the zero-pad), then the
+    // same cluster/band/verify replay as q45
+    "q154_media_neardup" ->
+      raw"""WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio'
+                       ELSE 'video' END AS media_type,
+                  substr(text, 1, 64) AS t64
+           FROM documents),
+         s AS (SELECT doc_id, media_type,
+                      CAST(${operators.Multimodal.dhashTermsSql(
+                        operators.Multimodal.byteAtDuckSql("t64"))}
+                        AS BIGINT) AS dhash
+               FROM d),
+         cl AS (SELECT media_type, dhash, min(doc_id) AS keep_id,
+                       count(*) AS n_members
+                FROM s GROUP BY 1, 2),
+         dup AS (SELECT media_type, keep_id AS id1, keep_id AS id2,
+                        CAST(0 AS BIGINT) AS hamming,
+                        n_members AS n1, n_members AS n2
+                 FROM cl WHERE n_members > 1),
+         bands AS (
+           SELECT media_type, dhash, keep_id, n_members, k.range AS band,
+                  (dhash // CAST(pow(2, k.range * 14) AS BIGINT)) % 16384
+                    AS bval
+           FROM cl, range(4) k),
+         cand AS (
+           SELECT DISTINCT x.media_type, x.keep_id AS id1,
+                  y.keep_id AS id2, x.dhash AS h1, y.dhash AS h2,
+                  x.n_members AS n1, y.n_members AS n2
+           FROM bands x JOIN bands y
+             ON x.media_type = y.media_type AND x.band = y.band
+            AND x.bval = y.bval AND x.keep_id < y.keep_id),
+         pairs AS (
+           SELECT media_type, id1, id2,
+                  CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming,
+                  n1, n2
+           FROM cand WHERE bit_count(xor(h1, h2)) <= 3)
+         SELECT * FROM (SELECT * FROM dup UNION ALL SELECT * FROM pairs)
+         ORDER BY media_type, id1, id2""",
     // q153: the engine deletes the whole key batch in one rewrite job
     // (manifest-shared non-candidates) and answers through the patched
     // index; the oracle is the plain filter with the batch excluded —

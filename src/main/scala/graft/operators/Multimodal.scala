@@ -160,18 +160,28 @@ object Multimodal {
       .select(col("doc_id"), col("media_type"), col("dhash"))
 
   /** q154: perceptual near-dup over the media table — dHash signatures
-    * collapse to per-(media_type, hash) clusters, banded Hamming join
-    * proposes candidates (the q45 skeleton: pigeonhole on `bands`
-    * equal bit-bands, lossless for maxHamming < bands), exact popcount
-    * verifies. Pairs never cross media types (an image cannot near-dup
-    * an audio clip). Output: (media_type, id1, id2, hamming, n1, n2) —
-    * id1 < id2 are cluster keepers, n* the h=0 mass. */
+    * collapse to per-(media_type, hash) clusters, then the report a
+    * media-dedup pass delivers: the EXACT-duplicate clusters (hamming
+    * 0 — `id1 = id2` = the keeper, n* the member count) plus the
+    * near-dup PAIRS from a banded Hamming join (the q45 skeleton via
+    * [[Dedup.bandedHammingPairs]]: pigeonhole on `bands` equal
+    * bit-bands, lossless for maxHamming < bands, exact popcount
+    * verify). Pairs never cross media types (an image cannot near-dup
+    * an audio clip). Output: (media_type, id1, id2, hamming, n1, n2),
+    * id1 < id2 for pair rows. */
   def mediaNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3,
       bands: Int = 4): DataFrame = {
-    val clusters = dhashSignatures(spark, dir)
+    // cache: the dup-cluster report and both band-join sides read it
+    val clusters = graft.Caches.register(dhashSignatures(spark, dir)
       .groupBy("media_type", "dhash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
-    Dedup.bandedHammingPairs(clusters, "dhash", Seq("media_type"),
-      maxHamming, bands, DhashBits)
+      .cache())
+    val dups = clusters.where(col("n_members") > 1)
+      .select(col("media_type"), col("keep_id").as("id1"),
+        col("keep_id").as("id2"), lit(0L).as("hamming"),
+        col("n_members").as("n1"), col("n_members").as("n2"))
+    val pairs = Dedup.bandedHammingPairs(clusters, "dhash",
+      Seq("media_type"), maxHamming, bands, DhashBits)
+    dups.unionByName(pairs).orderBy("media_type", "id1", "id2")
   }
 }

@@ -478,6 +478,12 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
           .forgetKeys(spark, dataDir, delKeys, probes)
         finally forgetGate.release()
     })
+    server.createContext("/mediaNearDup", handler { _ =>
+      // q154: perceptual-hash duplicate report over the media table —
+      // exact-dup clusters (hamming 0) + banded near-pairs, per
+      // media type
+      graft.operators.Multimodal.mediaNearDup(spark, dataDir)
+    })
     server.createContext("/priceQuantiles", handler { _ =>
       // q150: auto-ranged histogram quantiles of o_totalprice per
       // priority + 'ALL', with grid columns and the exact audit

@@ -443,7 +443,13 @@ class PlanAuditSpec extends SparkSpec {
     "q152_hll_range" -> 10,
     // q153: q151's pruned-scan shape over the batch-deleted version
     // (the ONE-job batched rewrite is a memoized copy-on-write build)
-    "q153_forget_batch" -> 1)
+    "q153_forget_batch" -> 1,
+    // q154: q45's banded-join shape over the cached dHash cluster
+    // carrier (cluster agg + band self-join + pair distinct + sort);
+    // the dHash itself is map-side — payload bytes never shuffle. The
+    // cached carrier's agg exchange PRINTS in three branches (the
+    // dup-cluster report + both band-join sides) but runs once
+    "q154_media_neardup" -> 6)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

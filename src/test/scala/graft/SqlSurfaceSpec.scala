@@ -95,7 +95,9 @@ class SqlSurfaceSpec extends SparkSpec {
         operators.BloomSkip.forgetKey(spark, sf, 7L, Seq(42L)),
       "SELECT * FROM forget_batch(7, 13, 29, 0, 42, 133)" ->
         operators.BloomSkip.forgetKeys(spark, sf, Seq(7L, 13L, 29L),
-          Seq(42L, 133L)))
+          Seq(42L, 133L)),
+      "SELECT * FROM media_neardup()" ->
+        operators.Multimodal.mediaNearDup(spark, sf))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)
