@@ -201,5 +201,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         at(a, 1, longArg(_, "zorder_scan"), 0L),
         at(a, 2, longArg(_, "zorder_scan"), 0L),
         at(a, 3, longArg(_, "zorder_scan"), 0L)))
+    registerTvf(ext, "zorder_forget")((s, d, a) => {
+      require(a.size == 5, "zorder_forget(user, uLo, uHi, iLo, iHi)")
+      val v = a.map(longArg(_, "zorder_forget"))
+      Warehouse.zorderForgetScan(s, d, v(0), v(1), v(2), v(3), v(4))
+    })
   }
 }

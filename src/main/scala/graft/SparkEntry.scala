@@ -474,6 +474,17 @@ object SparkEntry {
     // the identical comparison-sum bit arithmetic over the ASCII
     // source text (char access ≡ byte access for an ASCII payload)
     "q154_media_neardup" -> ((s, d) => Multimodal.mediaNearDup(s, d)),
+    // q155: right-to-erasure through the Z-ORDER layout (the second
+    // skipping index gets the same forget contract as the bloom path's
+    // q151 — a user's rows must not survive in the analytics layout):
+    // user 7's rows deleted by rewriting ONLY the quadrant files whose
+    // x-interval contains the user (candidates from quadrant GEOMETRY,
+    // the z-order twin of the bloom probe), untouched quadrants
+    // manifest-shared, then the q145 rectangle scan runs through the
+    // forgotten version — the oracle is the plain rectangle filter
+    // with the user excluded
+    "q155_zorder_forget" ->
+      ((s, d) => Warehouse.zorderForgetScan(s, d, 7L, 0L, 40L, 10L, 19L)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -487,7 +498,7 @@ object SparkEntry {
     "q108_pq_codes", "q110_ivfpq_search", "q112_corpus_build",
     "q113_build_report", "q115_cluster_sample",
     "q131_phrase_index_search", "q145_zorder_scan", "q148_bloom_lookup",
-    "q151_forget_key", "q153_forget_batch")
+    "q151_forget_key", "q153_forget_batch", "q155_zorder_forget")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -3509,6 +3520,19 @@ object SparkEntry {
          FROM orders
          WHERE o_custkey IN (7, 42, 133)
          ORDER BY o_orderkey""",
+    // q155: the engine deletes the user through quadrant-candidate
+    // rewrites and scans through the forgotten version; the oracle is
+    // the plain rectangle filter with the user excluded — a leftover
+    // row of the user OR a lost row of anyone else fails the hash
+    "q155_zorder_forget" ->
+      raw"""SELECT event_id, user_id,
+                CAST(props->>'k' AS BIGINT) AS item
+         FROM events
+         WHERE props->>'k' IS NOT NULL
+           AND user_id BETWEEN 0 AND 40
+           AND CAST(props->>'k' AS BIGINT) BETWEEN 10 AND 19
+           AND user_id <> 7
+         ORDER BY event_id""",
     // q145: the engine answers through the materialized z-layout +
     // quadrant partition pruning; the oracle is the plain rectangle
     // filter — if pruning ever skipped a quadrant holding matching

@@ -185,18 +185,22 @@ object Warehouse {
     * predicate on either dimension becomes a `file_id IN (...)`
     * partition filter (see the spec's pruning assertion). */
   def zorderWrite(df: DataFrame, x: String, y: String, outDir: String,
-      shift: Int = ZShift): Unit =
+      shift: Int = ZShift): Unit = {
     df.withColumn("zkey", expr(zkeyGuardedSql(x, y)))
       .withColumn("file_id", expr(s"zkey div ${1L << shift}"))
       .drop("zkey")
       .repartition(col("file_id"))
       .write.mode("overwrite").partitionBy("file_id").parquet(outDir)
+    // the version's manifest (the [[Layouts]] indirection): erasure
+    // writes successor versions that SHARE untouched quadrant files
+    Layouts.writeOwnManifest(df.sparkSession, outDir)
+  }
 
-  private val zlayoutMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), String]
+  private val zlayoutMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Long), Layouts.Once[String]]
 
   /** Forget memoized z-layouts (tests, cold benching). */
-  def clearMemos(): Unit = zlayoutMemo.clear()
+  def clearMemos(): Unit = { zlayoutMemo.clear(); zforgetMemo.clear() }
 
   /** The materialized z-order layout of the (user_id, item) event
     * space for `dir`: built on first request, reused for the JVM
@@ -208,7 +212,7 @@ object Warehouse {
       shift: Int = ZShift): String = {
     val fp = IvfIndex.dataFingerprint(dir, table = "events")
     val key = (dir, shift, fp)
-    val v = zlayoutMemo.getOrElseUpdate(key, {
+    val v = zlayoutMemo.getOrElseUpdate(key, new Layouts.Once({
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val p = sys.props("java.io.tmpdir") +
         s"/graft-zlayout-$tag-s$shift-f${java.lang.Long.toHexString(fp)}"
@@ -219,10 +223,11 @@ object Warehouse {
           .where(col("item").isNotNull),
         "user_id", "item", p, shift)
       p
-    })
+    })).value
     val stale = zlayoutMemo.keys
       .filter(k => (k._1, k._2) == ((dir, shift)) && k != key)
-      .flatMap(zlayoutMemo.remove).toSeq
+      .flatMap(zlayoutMemo.remove).flatMap(_.peek)
+      .flatMap(p => Seq(p, Layouts.manifestPath(p))).toSeq
     graft.IndexGc.retire(s"zlayout:$dir:$shift", stale)
     v
   }
@@ -245,19 +250,33 @@ object Warehouse {
     * pruning can't help a scan that touches most files anyway. */
   def zorderScan(spark: SparkSession, dir: String,
       uLo: Long, uHi: Long, iLo: Long, iHi: Long,
+      shift: Int = ZShift): DataFrame =
+    zorderScanIn(spark, zlayoutCached(spark, dir, shift),
+      uLo, uHi, iLo, iHi, shift)
+
+  /** [[zorderScan]] against an explicit layout VERSION — also the
+    * probe stage over a post-erasure version ([[zorderForgetScan]]).
+    * Reads THROUGH the manifest: quadrant pruning resolves only the
+    * candidate directories (path-level — a pruned quadrant is never
+    * listed), and a version shares untouched quadrant files with its
+    * parent. */
+  def zorderScanIn(spark: SparkSession, versionPath: String,
+      uLo: Long, uHi: Long, iLo: Long, iHi: Long,
       shift: Int = ZShift): DataFrame = {
     val lim = 1L << ZBits
     require(0 <= uLo && uLo <= uHi && uHi < lim &&
       0 <= iLo && iLo <= iHi && iHi < lim,
       s"bounds must satisfy 0 <= lo <= hi < $lim in both dimensions")
-    val layout = spark.read.parquet(zlayoutCached(spark, dir, shift))
+    val mf = Layouts.manifestOf(spark, versionPath)
     val cell = 1L << (shift / 2)
     val nQuads = (uHi / cell - uLo / cell + 1) * (iHi / cell - iLo / cell + 1)
     val base =
-      if (nQuads <= MaxPrunedQuadrants)
-        layout.where(col("file_id")
-          .isin(zorderQuadrants(uLo, uHi, iLo, iHi, shift): _*))
-      else layout
+      if (nQuads <= MaxPrunedQuadrants) {
+        val cands = zorderQuadrants(uLo, uHi, iLo, iHi, shift)
+          .toSet.intersect(mf.keySet)
+        if (cands.isEmpty) Layouts.emptyLike(spark, versionPath)
+        else Layouts.readFiles(spark, versionPath, Some(cands))
+      } else Layouts.readFiles(spark, versionPath, None)
     base
       .where(col("user_id").between(uLo, uHi) &&
         col("item").between(iLo, iHi))
@@ -283,6 +302,103 @@ object Warehouse {
   def interleaveScala(x: Long, y: Long): Long =
     (0 until ZBits).foldLeft(0L)((acc, i) =>
       acc + (((x >> i) & 1L) << (2 * i + 1)) + (((y >> i) & 1L) << (2 * i)))
+
+  /** Inverse of [[interleaveScala]]: the (x, y) a z-key encodes. */
+  def deinterleaveScala(z: Long): (Long, Long) =
+    (0 until ZBits).foldLeft((0L, 0L)) { case ((x, y), i) =>
+      (x | (((z >> (2 * i + 1)) & 1L) << i),
+        y | (((z >> (2 * i)) & 1L) << i))
+    }
+
+  // ——— right-to-erasure through the z-order layout (q155) —————————
+
+  /** The quadrant files of an EXISTING layout that can hold rows of
+    * `user` — candidate discovery from quadrant GEOMETRY, the z-order
+    * twin of the bloom index probe: each file is an aligned
+    * cell×cell rectangle of (user, item) space (origin =
+    * deinterleave(file_id << shift)), so a single user's rows live in
+    * the ≤ existing-files-with-x-interval-containing-u stripe. O(live
+    * files) driver-side — NOT the (1 × items/cell) grid enumeration,
+    * which overflows [[MaxPrunedQuadrants]] for an unconstrained item
+    * dimension. */
+  def zorderUserCandidates(fids: Set[Long], user: Long,
+      shift: Int = ZShift): Set[Long] = {
+    val cell = 1L << (shift / 2)
+    fids.filter { fid =>
+      val x0 = deinterleaveScala(fid << shift)._1
+      x0 <= user && user < x0 + cell
+    }
+  }
+
+  /** Delete every row of `user` from a z-order layout version by
+    * rewriting ONLY the quadrant-candidate files — the same
+    * copy-on-write [[Layouts.DeleteReport]] contract as the bloom
+    * path's q151/q153 (round-14 verdict #3: a user's rows must not
+    * survive a forget just because they live in the ANALYTICS layout),
+    * with candidates from quadrant geometry instead of bloom probing.
+    * One distributed rewrite job; untouched quadrants are manifest-
+    * shared; no index patch is needed — the manifest IS the quadrant
+    * index, and surviving rows keep their quadrants. */
+  def zorderDeleteUser(spark: SparkSession, versionPath: String,
+      outPath: String, user: Long,
+      shift: Int = ZShift): Layouts.DeleteReport = {
+    val mf = Layouts.manifestOf(spark, versionPath)
+    val cands = zorderUserCandidates(mf.keySet, user, shift)
+    // NULL-safe equality: a NULL-user row must survive an erasure
+    val (_, deleted) = Layouts.rewriteWithout(spark, versionPath,
+      outPath, cands, col("user_id") <=> lit(user))
+    Layouts.DeleteReport(mf.size.toLong, cands.size.toLong,
+      (mf.size - cands.size).toLong, deleted)
+  }
+
+  private val zforgetMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int, Long), Layouts.Once[(String, Layouts.DeleteReport)]]
+
+  private val zforgetGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The post-erasure z-layout version for (dir, user): copy-on-write
+    * from the cached layout, ONE cached version per dir (the
+    * [[BloomSkip.forgottenLayoutCached]] discipline: a forgotten
+    * layout is a transition artifact; builds land in fresh
+    * generation-suffixed paths so evicted versions die only through
+    * the reaper's grace, never under a reader). */
+  def zforgottenLayoutCached(spark: SparkSession, dir: String,
+      user: Long, shift: Int = ZShift): (String, Layouts.DeleteReport) = {
+    val fp = IvfIndex.dataFingerprint(dir, table = "events")
+    val memoKey = (dir, user, shift, fp)
+    val v = zforgetMemo.getOrElseUpdate(memoKey, new Layouts.Once({
+      val src = zlayoutCached(spark, dir, shift)
+      val p = s"$src.forget$user-g${zforgetGen.incrementAndGet()}"
+      val report = zorderDeleteUser(spark, src, p, user, shift)
+      (p, report)
+    })).value
+    val stale = zforgetMemo.keys
+      .filter(k => k._1 == dir && k != memoKey)
+      .flatMap(zforgetMemo.remove).flatMap(_.peek)
+      .flatMap(x => Seq(x._1, Layouts.manifestPath(x._1))).toSeq
+    graft.IndexGc.retire(s"zforget:$dir", stale)
+    v
+  }
+
+  /** Whether the post-erasure version for (dir, user) is already built
+    * and memoized — a repeat request answers without the build gate. */
+  def isZforgetMemoized(spark: SparkSession, dir: String, user: Long,
+      shift: Int = ZShift): Boolean = {
+    val fp = IvfIndex.dataFingerprint(dir, table = "events")
+    zforgetMemo.get((dir, user, shift, fp)).exists(_.peek.isDefined)
+  }
+
+  /** q155: the post-erasure z-order scan — delete `user`'s rows
+    * through quadrant-candidate rewrites, then run the q145 rectangle
+    * scan THROUGH the forgotten version. The oracle is the plain
+    * rectangle filter with the user excluded: the deleted rows'
+    * absence and every other row's presence ride the hash. */
+  def zorderForgetScan(spark: SparkSession, dir: String, user: Long,
+      uLo: Long, uHi: Long, iLo: Long, iHi: Long,
+      shift: Int = ZShift): DataFrame = {
+    val (path, _) = zforgottenLayoutCached(spark, dir, user, shift)
+    zorderScanIn(spark, path, uLo, uHi, iLo, iHi, shift)
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

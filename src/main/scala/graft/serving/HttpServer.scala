@@ -432,13 +432,27 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
     })
     server.createContext("/zorderScan", handler { p =>
       // q145: range scan served from the materialized z-order layout —
-      // the quadrant computation turns either dimension's predicate
-      // into file_id partition pruning; bounds guards live in the
-      // operator (→ 400)
+      // the quadrant computation prunes to candidate files at the PATH
+      // level through the version manifest; bounds guards live in the
+      // operator (→ 400). q155: `forgetUser=<u>` serves the same scan
+      // through the post-erasure version (user u's rows deleted by
+      // quadrant-candidate rewrites) — builds gate like /forget.
       def bound(k: String, dflt: Long) = p.get(k).map(_.toLong).getOrElse(dflt)
-      graft.operators.Warehouse.zorderScan(spark, dataDir,
-        bound("uLo", 0L), bound("uHi", 0L),
-        bound("iLo", 0L), bound("iHi", 0L))
+      val (uLo, uHi) = (bound("uLo", 0L), bound("uHi", 0L))
+      val (iLo, iHi) = (bound("iLo", 0L), bound("iHi", 0L))
+      p.get("forgetUser").map(_.toLong) match {
+        case None => graft.operators.Warehouse
+          .zorderScan(spark, dataDir, uLo, uHi, iLo, iHi)
+        case Some(u) =>
+          def scan() = graft.operators.Warehouse
+            .zorderForgetScan(spark, dataDir, u, uLo, uHi, iLo, iHi)
+          if (graft.operators.Warehouse.isZforgetMemoized(spark, dataDir, u))
+            scan()
+          else if (!forgetGate.tryAcquire())
+            throw new BusyException(
+              "an erasure build is already in flight; retry later")
+          else try scan() finally forgetGate.release()
+      }
     })
     server.createContext("/forget", handler { p =>
       // q151/q153: right-to-erasure through the skipping index —

@@ -444,6 +444,10 @@ class PlanAuditSpec extends SparkSpec {
     // q153: q151's pruned-scan shape over the batch-deleted version
     // (the ONE-job batched rewrite is a memoized copy-on-write build)
     "q153_forget_batch" -> 1,
+    // q155: q145's pruned-scan shape over the post-erasure z-layout
+    // version (the quadrant-candidate rewrite is a memoized
+    // copy-on-write build, not part of this plan)
+    "q155_zorder_forget" -> 1,
     // q154: q45's banded-join shape over the cached dHash cluster
     // carrier (cluster agg + band self-join + pair distinct + sort);
     // the dHash itself is map-side — payload bytes never shuffle. The

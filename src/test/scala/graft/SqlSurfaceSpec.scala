@@ -97,7 +97,10 @@ class SqlSurfaceSpec extends SparkSpec {
         operators.BloomSkip.forgetKeys(spark, sf, Seq(7L, 13L, 29L),
           Seq(42L, 133L)),
       "SELECT * FROM media_neardup()" ->
-        operators.Multimodal.mediaNearDup(spark, sf))
+        operators.Multimodal.mediaNearDup(spark, sf),
+      "SELECT * FROM zorder_forget(7, 0, 40, 10, 19)" ->
+        operators.Warehouse.zorderForgetScan(spark, sf, 7L, 0L, 40L,
+          10L, 19L))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

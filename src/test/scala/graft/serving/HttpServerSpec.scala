@@ -291,6 +291,12 @@ class HttpServerSpec extends SparkSpec {
       // a memoized repeat answers without the build gate
       val (c87, fgb2) = get(s"$base/forget?keys=7,13,29&probe=42,133")
       assert(c87 == 200 && fgb2 == fgb)
+      // erasure through the z-order layout (q155): the q145 rectangle
+      // with the forgotten user absent
+      val (c88, zf) = get(
+        s"$base/zorderScan?uLo=0&uHi=40&iLo=10&iHi=19&forgetUser=7")
+      assert(c88 == 200 && zf.contains("\"event_id\"") &&
+        !zf.contains("\"user_id\":7,"), zf.take(200))
       // auto-ranged money quantiles (q150)
       val (c79, pqm) = get(s"$base/priceQuantiles")
       assert(c79 == 200 && pqm.contains("\"p99_est_cents\"") &&
