@@ -174,6 +174,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerTvf(ext, "hll_overlap")((s, d, _) => Sketches.hllOverlap(s, d))
     registerTvf(ext, "kmv_users")((s, d, _) => Sketches.kmvUsers(s, d))
     registerTvf(ext, "kmv_overlap")((s, d, _) => Sketches.kmvOverlap(s, d))
+    registerTvf(ext, "kmv_range_overlap")((s, d, a) =>
+      Sketches.kmvOverlapRange(s, d,
+        at(a, 0, strArg(_, "kmv_range_overlap"), Sketches.DefaultRangeFrom),
+        at(a, 1, strArg(_, "kmv_range_overlap"), Sketches.DefaultRangeTo)))
     registerTvf(ext, "cms_counts")((s, d, _) => Sketches.cmsCounts(s, d))
     registerTvf(ext, "price_quantiles")((s, d, _) =>
       Sketches.priceQuantiles(s, d))

@@ -485,6 +485,15 @@ object SparkEntry {
     // with the user excluded
     "q155_zorder_forget" ->
       ((s, d) => Warehouse.zorderForgetScan(s, d, 7L, 0L, 40L, 10L, 19L)),
+    // q156: audience overlap for an ARBITRARY date range — the query
+    // only the KMV family answers from storage: q152's HLL day rollups
+    // serve range UNIONS but registers cannot intersect; here the
+    // day-grain KMV table's rows for the range re-top-k into per-type
+    // range sketches (min-k over sets is associative — merge-of-days ≡
+    // build-over-range, which the oracle pins by building directly
+    // over the range) and theta membership counting yields the
+    // intersection, error ∝ the intersection; exact audit as in q147
+    "q156_kmv_range_overlap" -> ((s, d) => Sketches.kmvOverlapRange(s, d)),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -3239,6 +3248,81 @@ object SparkEntry {
                      * 1000000 // exact_distinct AS BIGINT) AS err_ppm
          FROM est JOIN ex ON est.event_type = ex.event_type
          ORDER BY est.event_type""",
+    // q156: q147's theta replay restricted to the range — the oracle
+    // builds the range sketch DIRECTLY over the filtered events, which
+    // is exactly the merge-of-days ≡ build-over-range identity the
+    // engine's day-grain path must satisfy (min-k over sets is
+    // associative); a day-grain k mismatch or merge bug changes the
+    // final sketch and fails the hash
+    "q156_kmv_range_overlap" ->
+      raw"""WITH e AS (
+           SELECT event_type, user_id,
+                  ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                  1, 15))::BIGINT AS h
+           FROM events
+           WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08'
+             AND '2024-01-21'),
+         dh AS (SELECT DISTINCT event_type, h FROM e),
+         rk AS (SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM dh),
+         regs AS (SELECT event_type, h FROM rk WHERE rn <= 64),
+         ty AS (SELECT DISTINCT event_type FROM regs),
+         pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+                   FROM ty a, ty b WHERE a.event_type < b.event_type),
+         pr AS (SELECT ta, tb, ta AS t FROM pairs
+                UNION ALL SELECT ta, tb, tb FROM pairs),
+         uall AS (SELECT DISTINCT ta, tb, h
+                  FROM pr JOIN regs ON regs.event_type = pr.t),
+         urk AS (SELECT ta, tb, h,
+                        row_number() OVER (PARTITION BY ta, tb
+                                           ORDER BY h) AS rn
+                 FROM uall),
+         ku AS (SELECT ta, tb, h FROM urk WHERE rn <= 64),
+         fl AS (SELECT ku.ta, ku.tb, ku.h,
+                       CASE WHEN ra.h IS NOT NULL THEN 1 ELSE 0 END AS ia,
+                       CASE WHEN rb.h IS NOT NULL THEN 1 ELSE 0 END AS ib
+                FROM ku
+                LEFT JOIN regs ra ON ra.event_type = ku.ta AND ra.h = ku.h
+                LEFT JOIN regs rb ON rb.event_type = ku.tb AND rb.h = ku.h),
+         st AS (SELECT ta, tb, count(*) AS kun,
+                       sum(ia * ib) AS matches, max(h) AS hk
+                FROM fl GROUP BY 1, 2),
+         um AS (SELECT ta, tb, kun, matches,
+                       CASE WHEN kun < 64 THEN kun
+                            ELSE CAST(CAST(63 AS HUGEINT)
+                                      * 1152921504606846976
+                                      // greatest(hk, 1) AS BIGINT)
+                       END AS union_est
+                FROM st),
+         ovl AS (SELECT ta, tb, union_est,
+                        CAST(CAST(matches AS HUGEINT) * 1000000
+                             // kun AS BIGINT) AS jaccard_ppm,
+                        CAST(CAST(matches AS HUGEINT) * union_est
+                             // kun AS BIGINT) AS overlap_est
+                 FROM um),
+         m AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08'
+                 AND '2024-01-21'),
+         exo AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                        count(*) AS overlap_exact
+                 FROM m x JOIN m y ON x.user_id = y.user_id
+                  AND x.event_type < y.event_type
+                 GROUP BY 1, 2),
+         exd AS (SELECT event_type, count(DISTINCT user_id) AS ed
+                 FROM e GROUP BY 1)
+         SELECT ovl.ta AS type_a, ovl.tb AS type_b, union_est,
+                overlap_est, coalesce(overlap_exact, 0) AS overlap_exact,
+                jaccard_ppm,
+                CAST(CAST(coalesce(overlap_exact, 0) AS HUGEINT) * 1000000
+                     // (ea.ed + eb.ed - coalesce(overlap_exact, 0))
+                     AS BIGINT) AS jaccard_exact_ppm
+         FROM ovl
+         LEFT JOIN exo ON exo.ta = ovl.ta AND exo.tb = ovl.tb
+         JOIN exd ea ON ea.event_type = ovl.ta
+         JOIN exd eb ON eb.event_type = ovl.tb
+         ORDER BY type_a, type_b""",
     // q147: theta-sketch set algebra — per-pair union sample via
     // explode+equi-join on the SAME per-type sketch CTE, membership
     // flags via left joins back to the sketches, all-integer

@@ -810,13 +810,12 @@ object Sketches {
         "CAST(CAST(matches AS DECIMAL(38,0)) * union_est div kun AS BIGINT)"))
   }
 
-  /** [[kmvOverlap]] over an explicit (event_type, user_id) relation. */
-  def kmvOverlapOn(events: DataFrame, k: Int = DefaultKmvK): DataFrame = {
-    val ev = events.select(col("event_type"),
-      col("user_id").cast("string").as("uid"))
-    val regs = graft.Caches.register(
-      kmvRegisters(ev, "event_type", col("uid"), k).cache())
-    val stats = kmvOverlapFromRegs(regs, k)
+  /** The exact-audit tail shared by [[kmvOverlapOn]] (whole corpus)
+    * and [[kmvOverlapRangeOn]] (date range): join the theta estimates
+    * with the exact pairwise intersection and Jaccard over the same
+    * `(event_type, uid)` membership relation. At 100 TB the audit
+    * drops and only `stats` ships. */
+  private def overlapWithAudit(stats: DataFrame, ev: DataFrame): DataFrame = {
     val m = ev.distinct()
     val exo = m.select(col("event_type").as("type_a"), col("uid"))
       .join(m.select(col("event_type").as("type_b"), col("uid")), Seq("uid"))
@@ -838,5 +837,68 @@ object Sketches {
         col("overlap_est"), col("overlap_exact"),
         col("jaccard_ppm"), col("jaccard_exact_ppm"))
       .orderBy("type_a", "type_b")
+  }
+
+  /** [[kmvOverlap]] over an explicit (event_type, user_id) relation. */
+  def kmvOverlapOn(events: DataFrame, k: Int = DefaultKmvK): DataFrame = {
+    val ev = events.select(col("event_type"),
+      col("user_id").cast("string").as("uid"))
+    val regs = graft.Caches.register(
+      kmvRegisters(ev, "event_type", col("uid"), k).cache())
+    overlapWithAudit(kmvOverlapFromRegs(regs, k), ev)
+  }
+
+  // ——— day-grain KMV: range intersections (q156) ——————————————————
+
+  /** Composite-scope separator for the day-grain register build —
+    * never appears in an event type or an ISO date. */
+  private val ScopeSep = "\u0001"
+
+  /** Day-grain KMV register relation: the k smallest distinct hashes
+    * per (event_type, dt) — the storage grain that makes any date
+    * range answerable by union → re-top-k at read time (the q138/q152
+    * rollup discipline for the sketch family that can INTERSECT).
+    * Built through [[kmvRegisters]]' bounded-memory two-level pass on
+    * a composite scope. */
+  def kmvRegistersDaily(ev: DataFrame, k: Int = DefaultKmvK): DataFrame =
+    kmvRegisters(
+      ev.withColumn("scope_td",
+        concat_ws(ScopeSep, col("event_type"), col("dt"))),
+      "scope_td", col("uid"), k)
+      .select(substring_index(col("scope_td"), ScopeSep, 1).as("event_type"),
+        substring_index(col("scope_td"), ScopeSep, -1).as("dt"), col("h"))
+
+  /** q156: audience overlap for an ARBITRARY date range — the query
+    * only the KMV family can serve from storage ("distinct users in
+    * [from, to] present in BOTH event types"): q152's HLL range
+    * rollups answer range UNIONS (max is associative) but registers
+    * cannot intersect; here the day-grain KMV table's rows for the
+    * range re-top-k into per-type range sketches (min-k over sets is
+    * associative — merge-of-days ≡ build-over-range, which is exactly
+    * what the oracle pins) and the q147 theta membership counting
+    * yields the intersection directly. Exact audit ships as always;
+    * at 100 TB only the stored day rows are touched. */
+  def kmvOverlapRange(spark: SparkSession, dir: String,
+      from: String = DefaultRangeFrom, to: String = DefaultRangeTo,
+      k: Int = DefaultKmvK): DataFrame =
+    kmvOverlapRangeOn(Tables.events(spark, dir), from, to, k)
+
+  /** [[kmvOverlapRange]] over an explicit (event_type, ts, user_id)
+    * relation. */
+  def kmvOverlapRangeOn(events: DataFrame, from: String, to: String,
+      k: Int = DefaultKmvK): DataFrame = {
+    require(from <= to, s"from '$from' must be <= to '$to' (ISO dates)")
+    val ev = events.select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+      col("user_id").cast("string").as("uid"))
+    // the day-grain sketch table (what a warehouse persists)
+    val daily = graft.Caches.register(kmvRegistersDaily(ev, k).cache())
+    val rangeRegs = kmvTopK(
+      daily.where(col("dt").between(from, to))
+        .select(col("event_type"), col("h")),
+      Seq("event_type"), k)
+    overlapWithAudit(kmvOverlapFromRegs(rangeRegs, k),
+      ev.where(col("dt").between(from, to))
+        .select(col("event_type"), col("uid")))
   }
 }

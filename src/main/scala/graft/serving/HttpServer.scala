@@ -373,16 +373,30 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       // error grows with the intersection; the estimator of choice
       // when overlaps are small relative to the audiences).
       // source=sketch answers from the PERSISTED KMV table instead —
-      // set algebra over ≤ types × k stored minima, never the events
-      (p.getOrElse("method", "kmv"), p.getOrElse("source", "events")) match {
-        case ("kmv", "sketch") => graft.streaming.SketchStream
+      // set algebra over ≤ types × k stored minima, never the events.
+      // from=&to= (q156) restricts to a date range — answered by
+      // re-top-k over the DAY-GRAIN rows (the intersection query HLL
+      // rollups cannot serve); kmv only.
+      val range = (p.get("from"), p.get("to")) match {
+        case (None, None)       => None
+        case (Some(f), Some(t)) => Some((f, t))
+        case _ => throw new IllegalArgumentException(
+          "from and to must be given together")
+      }
+      (p.getOrElse("method", "kmv"), p.getOrElse("source", "events"),
+        range) match {
+        case ("kmv", "sketch", None) => graft.streaming.SketchStream
           .kmvTableOverlap(spark, sketchDirOr400)
-        case ("kmv", "events") =>
+        case ("kmv", "sketch", Some((f, t))) => graft.streaming
+          .SketchStream.kmvTableRangeOverlap(spark, sketchDirOr400, f, t)
+        case ("kmv", "events", None) =>
           graft.operators.Sketches.kmvOverlap(spark, dataDir)
-        case ("hll", "events") =>
+        case ("kmv", "events", Some((f, t))) =>
+          graft.operators.Sketches.kmvOverlapRange(spark, dataDir, f, t)
+        case ("hll", "events", None) =>
           graft.operators.Sketches.hllOverlap(spark, dataDir)
-        case (m, s) => throw new IllegalArgumentException(
-          s"unknown method/source '$m'/'$s'")
+        case (m, s, r) => throw new IllegalArgumentException(
+          s"unsupported method/source/range '$m'/'$s'/${r.isDefined}")
       }
     })
     server.createContext("/heavyHitters", handler { p =>

@@ -234,6 +234,52 @@ object SketchStream {
       .orderBy("type_a", "type_b")
   }
 
+  /** foreachBatch sink for the DAY-GRAIN KMV warehouse (q156's storage
+    * grain): per-epoch (event_type, dt, h) min-k partials under
+    * `outDir/kmvregsdaily/epoch=<id>`, re-top-k fold compaction on
+    * (event_type, dt) — min-k over SETS is idempotent, so the sink is
+    * duplicate-immune at the algebra level like [[kmvSinkEachBatch]],
+    * at the grain that makes any date-range INTERSECTION answerable at
+    * read time (what the HLL day sink can never serve). */
+  def kmvDailySinkEachBatch(outDir: String,
+      k: Int = Sketches.DefaultKmvK, compactEvery: Int = 0)
+      (batch: DataFrame, epochId: Long): Unit = {
+    Sketches
+      .kmvRegistersDaily(
+        batch.select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+          col("user_id").cast("string").as("uid")), k)
+      .write.mode("overwrite").parquet(s"$outDir/kmvregsdaily/epoch=$epochId")
+    if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
+      graft.operators.Compact.compactAccumulated(batch.sparkSession,
+        s"$outDir/kmvregsdaily", epochId,
+        df => Sketches.kmvTopK(df, Seq("event_type", "dt"), k))
+  }
+
+  /** Audience overlap/Jaccard estimates for an ARBITRARY date range
+    * over the persisted day-grain KMV table: filter stored day rows to
+    * [from, to], re-top-k into per-type range sketches (min-k over
+    * sets is associative — merge-of-days ≡ build-over-range), then the
+    * shared theta membership counting — the q156 estimate columns from
+    * ≤ types × days × k stored minima, never the event log
+    * (spec-pinned equal to the batch estimates over the same stream).
+    * Serves `/audienceOverlap?from=&to=&source=sketch`. */
+  def kmvTableRangeOverlap(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, from: String, to: String,
+      k: Int = Sketches.DefaultKmvK): DataFrame = {
+    require(from <= to, s"from '$from' must be <= to '$to' (ISO dates)")
+    graft.operators.Compact.recoverAccumulated(s"$outDir/kmvregsdaily")
+    val rangeRegs = Sketches.kmvTopK(
+      spark.read.parquet(s"$outDir/kmvregsdaily")
+        .where(col("dt").between(from, to))
+        .select(col("event_type"), col("h")),
+      Seq("event_type"), k)
+    Sketches.kmvOverlapFromRegs(rangeRegs, k)
+      .select(col("type_a"), col("type_b"), col("union_est"),
+        col("overlap_est"), col("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
   // ——— heavy-hitter twin (exact counts → epoch partials) ———
 
   /** foreachBatch sink for the heavy-hitter family (q139): each epoch

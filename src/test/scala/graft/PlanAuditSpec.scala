@@ -58,7 +58,9 @@ class PlanAuditSpec extends SparkSpec {
     // q144: the vocab-sized type-pair product (5×5 broadcast)
     "q144_hll_overlap",
     // q147: the same vocab-sized type-pair product as q144
-    "q147_kmv_overlap")
+    "q147_kmv_overlap",
+    // q156: q147's pair product over the range sketches
+    "q156_kmv_range_overlap")
 
   /** Max Exchange nodes allowed per query (recorded from the audited
     * plans at sf0.001 — see `runMain graft.Explain --scan`). */
@@ -444,6 +446,13 @@ class PlanAuditSpec extends SparkSpec {
     // q153: q151's pruned-scan shape over the batch-deleted version
     // (the ONE-job batched rewrite is a memoized copy-on-write build)
     "q153_forget_batch" -> 1,
+    // q156: q147's sketch-algebra shape (21) + the day-grain build's
+    // composite-scope re-top-k window + the range re-top-k window +
+    // the range-filtered audit branches; every added exchange runs
+    // over sketch-sized rows (≤ types × days × k) except the exact
+    // audit, which drops at 100 TB — only stored day rows feed the
+    // estimate path
+    "q156_kmv_range_overlap" -> 29,
     // q155: q145's pruned-scan shape over the post-erasure z-layout
     // version (the quadrant-candidate rewrite is a memoized
     // copy-on-write build, not part of this plan)

@@ -100,7 +100,9 @@ class SqlSurfaceSpec extends SparkSpec {
         operators.Multimodal.mediaNearDup(spark, sf),
       "SELECT * FROM zorder_forget(7, 0, 40, 10, 19)" ->
         operators.Warehouse.zorderForgetScan(spark, sf, 7L, 0L, 40L,
-          10L, 19L))
+          10L, 19L),
+      "SELECT * FROM kmv_range_overlap('2024-01-08', '2024-01-21')" ->
+        operators.Sketches.kmvOverlapRange(spark, sf))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

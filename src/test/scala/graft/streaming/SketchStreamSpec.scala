@@ -316,6 +316,69 @@ class SketchStreamSpec extends SparkSpec {
       "table-served overlap diverged from the batch estimates")
   }
 
+  test("day-grain KMV sink (q156): range overlap served from the table " +
+    "is bit-equal to the batch range query, across a restart, " +
+    "compaction, and a duplicate delivery under a new epoch id") {
+    val outDir = Files.createTempDirectory("kmvd_sink").toString
+    val ckpt = Files.createTempDirectory("kmvd_ckpt").toString
+    // 3 days, 2 types; view∩click is nonempty inside [d1, d2] and day
+    // 3's users must be excluded by the day-grain algebra
+    val rows: Seq[(String, String, Long)] =
+      (0L until 200L).map(u => ("view", "2024-01-01 09:00:00", u)) ++
+      (100L until 300L).map(u => ("view", "2024-01-02 09:00:00", u)) ++
+      (0L until 150L).map(u => ("click", "2024-01-02 12:00:00", u * 3)) ++
+      (1000L until 1100L).map(u => ("view", "2024-01-03 09:00:00", u)) ++
+      (1000L until 1100L).map(u => ("click", "2024-01-03 10:00:00", u))
+    def withTs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.to_timestamp(col("tss")).as("ts"),
+        col("user_id"))
+    val mem = MemoryStream[(String, String, Long)]
+    def start() = withTs(mem.toDF().toDF("event_type", "tss", "user_id"))
+      .writeStream
+      .foreachBatch(SketchStream.kmvDailySinkEachBatch(outDir,
+        compactEvery = 2) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val chunks = rows.grouped(140).toSeq
+    val (h1, h2) = chunks.splitAt(chunks.size / 2)
+    val q1 = start()
+    h1.foreach { c => mem.addData(c: _*); q1.processAllAvailable() }
+    q1.stop()
+    val q2 = start() // checkpoint restart mid-stream
+    h2.foreach { c => mem.addData(c: _*); q2.processAllAvailable() }
+    q2.stop()
+    def served() = {
+      val out = SketchStream
+        .kmvTableRangeOverlap(spark, outDir, "2024-01-01", "2024-01-02")
+        .collect().map(_.toSeq).toSeq
+      graft.Caches.releaseAll()
+      out
+    }
+    val want = Sketches
+      .kmvOverlapRangeOn(withTs(rows.toDF("event_type", "tss", "user_id")),
+        "2024-01-01", "2024-01-02")
+      .select(col("type_a"), col("type_b"), col("union_est"),
+        col("overlap_est"), col("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+      .collect().map(_.toSeq).toSeq
+    graft.Caches.releaseAll()
+    assert(served() == want && want.nonEmpty)
+    // the range really intersects: view∩click inside [d1, d2] > 0
+    assert(want.exists(r => r(3).asInstanceOf[Long] > 0L),
+      s"fixture produced no overlap: $want")
+    // compaction bounded the partitions
+    val dirs = new java.io.File(s"$outDir/kmvregsdaily").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(dirs < 5, s"$dirs epoch dirs survived compactEvery=2")
+    // duplicate delivery under a NEW epoch id: min-k over sets is
+    // idempotent — the range sketch cannot move
+    SketchStream.kmvDailySinkEachBatch(outDir)(
+      withTs(chunks.head.toDF("event_type", "tss", "user_id")),
+      chunks.size.toLong)
+    assert(served() == want, "new-id duplicate delivery moved the range")
+  }
+
   test("heavy-hitter twin: the snapshot re-ranks through the exact " +
     "threshold rule, row-equal to batch q139, across restart, " +
     "compaction, and a same-id replay") {
