@@ -205,6 +205,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         at(a, 1, longArg(_, "zorder_scan"), 0L),
         at(a, 2, longArg(_, "zorder_scan"), 0L),
         at(a, 3, longArg(_, "zorder_scan"), 0L)))
+    registerTvf(ext, "composed_lookup")((s, d, a) => {
+      require(a.size >= 3, "composed_lookup(from, to, key, ...)")
+      BloomSkip.lookupKeysInRange(s, d,
+        a.drop(2).map(longArg(_, "composed_lookup")),
+        strArg(a(0), "composed_lookup"), strArg(a(1), "composed_lookup"))
+    })
     registerTvf(ext, "zorder_forget")((s, d, a) => {
       require(a.size == 5, "zorder_forget(user, uLo, uHi, iLo, iHi)")
       val v = a.map(longArg(_, "zorder_forget"))

@@ -494,6 +494,16 @@ object SparkEntry {
     // over the range) and theta membership counting yields the
     // intersection, error ∝ the intersection; exact audit as in q147
     "q156_kmv_range_overlap" -> ((s, d) => Sketches.kmvOverlapRange(s, d)),
+    // q157: the COMPOSED skipping lookup — `o_custkey IN (...) AND
+    // o_orderdate IN [from, to]` answered by INTERSECTING the two
+    // per-file indexes of a date-clustered layout (bloom on the key ∩
+    // min/max stats on the date) before the scan: bloom alone scans a
+    // customer's whole multi-year history, stats alone scan every file
+    // of the window, the AND touches only files where both hold; the
+    // oracle is the plain conjunctive filter
+    "q157_composed_lookup" ->
+      ((s, d) => BloomSkip.lookupKeysInRange(s, d, Seq(7L, 42L),
+        "1995-01-01", "1996-06-30")),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -507,7 +517,8 @@ object SparkEntry {
     "q108_pq_codes", "q110_ivfpq_search", "q112_corpus_build",
     "q113_build_report", "q115_cluster_sample",
     "q131_phrase_index_search", "q145_zorder_scan", "q148_bloom_lookup",
-    "q151_forget_key", "q153_forget_batch", "q155_zorder_forget")
+    "q151_forget_key", "q153_forget_batch", "q155_zorder_forget",
+    "q157_composed_lookup")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -3595,6 +3606,18 @@ object SparkEntry {
                 est_cnt - exact_cnt AS err
          FROM est JOIN ex ON est.item = ex.item
          ORDER BY est.item""",
+    // q157: the engine answers through the intersected indexes of the
+    // date-clustered layout; the oracle is the plain conjunctive
+    // filter — an over-pruned file (a row the AND should return but a
+    // candidate set dropped) fails the hash, never silently
+    "q157_composed_lookup" ->
+      raw"""SELECT o_orderkey, o_custkey, o_totalprice,
+                strftime(o_orderdate, '%Y-%m-%d') AS odate
+         FROM orders
+         WHERE o_custkey IN (7, 42)
+           AND CAST(o_orderdate AS DATE) BETWEEN '1995-01-01'
+             AND '1996-06-30'
+         ORDER BY o_orderkey""",
     // q148: the engine answers through the bloom-indexed layout +
     // candidate-file partition pruning; the oracle is the plain
     // filter — a pruning bug (a skipped file holding a probe

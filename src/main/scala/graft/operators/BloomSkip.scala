@@ -123,8 +123,10 @@ object BloomSkip {
     .empty[(String, Long), Layouts.Once[(String, Long)]]
 
   /** Forget memoized bloom layouts (tests, cold benching). */
-  def clearMemos(): Unit =
-    { layoutMemo.clear(); forgetMemo.clear(); Layouts.clearManifestMemo() }
+  def clearMemos(): Unit = {
+    layoutMemo.clear(); forgetMemo.clear(); dateLayoutMemo.clear()
+    Layouts.clearManifestMemo()
+  }
 
   /** The materialized bloom-indexed layout of the `orders` table for
     * `dir`: built on first request, fingerprint-keyed for the JVM
@@ -219,6 +221,108 @@ object BloomSkip {
     pruned
       .where(col("o_custkey").isin(keys: _*))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  // ——— composed skipping: bloom ∩ date min/max (q157) ——————————————
+
+  /** Days per date-clustered file in the composed layout. */
+  val DateGrainDays: Int = 30
+
+  /** Write orders as a DATE-clustered layout (`file_id = days-since-
+    * epoch div grain` — the natural ingest layout of a fact table)
+    * carrying BOTH per-file indexes: the Bloom index on `o_custkey`
+    * and a min/max date stats relation at `<outDir>.minmax` (the
+    * parquet-footer-stats analog, kept as a RELATION so pruning is an
+    * expression over nFiles rows, not a footer walk over the corpus).
+    * This is the multi-index layout a real warehouse runs: time-range
+    * predicates prune through the stats, point keys through the
+    * bloom, and an AND-ed query through their INTERSECTION. */
+  def dateBloomWrite(df: DataFrame, outDir: String,
+      bits: Int = BloomBits): Unit = {
+    df.withColumn("file_id", expr(
+        s"datediff(o_orderdate, DATE'1970-01-01') div $DateGrainDays"))
+      .repartition(col("file_id"))
+      .write.mode("overwrite").partitionBy("file_id").parquet(outDir)
+    val spark = df.sparkSession
+    val layout = spark.read.parquet(outDir)
+    bloomIndexOn(layout, "o_custkey", bits)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$outDir.bloomidx")
+    layout.groupBy("file_id")
+      .agg(min(col("o_orderdate")).as("dmin"),
+        max(col("o_orderdate")).as("dmax"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$outDir.minmax")
+    Layouts.writeOwnManifest(spark, outDir)
+  }
+
+  private val dateLayoutMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Layouts.Once[String]]
+
+  /** The materialized date-clustered, doubly-indexed orders layout for
+    * `dir` — the [[layoutCached]] discipline. */
+  def dateLayoutCached(spark: SparkSession, dir: String): String = {
+    val fp = IvfIndex.dataFingerprint(dir, table = "orders")
+    val key = (dir, fp)
+    val v = dateLayoutMemo.getOrElseUpdate(key, new Layouts.Once({
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft-datebloom-$tag-f${java.lang.Long.toHexString(fp)}"
+      dateBloomWrite(graft.Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate")), p)
+      p
+    })).value
+    val stale = dateLayoutMemo.keys
+      .filter(k => k._1 == dir && k != key)
+      .flatMap(dateLayoutMemo.remove).flatMap(_.peek).flatMap(p =>
+        Seq(p, s"$p.bloomidx", s"$p.minmax", Layouts.manifestPath(p))).toSeq
+    graft.IndexGc.retire(s"datebloom:$dir", stale)
+    v
+  }
+
+  /** The files whose [dmin, dmax] interval overlaps [from, to], per
+    * the stats relation — driver-sized like [[candidateFilesOn]]'s
+    * output (the stats relation itself is nFiles rows, scanned
+    * distributed; only the surviving candidate ids collect). */
+  def dateCandidateFiles(spark: SparkSession, statsPath: String,
+      from: String, to: String): Seq[Long] = {
+    import spark.implicits._
+    spark.read.parquet(statsPath)
+      .where(col("dmax").cast("date") >= lit(from).cast("date") &&
+        col("dmin").cast("date") <= lit(to).cast("date"))
+      .select(col("file_id").cast("long"))
+      .as[Long].collect().toSeq.sorted
+  }
+
+  /** q157: the COMPOSED point-in-range lookup — `o_custkey ∈ keys AND
+    * o_orderdate ∈ [from, to]`, the AND-shaped query a multi-index
+    * warehouse answers by INTERSECTING its indexes before the scan:
+    * bloom candidates (which files can hold the keys) ∩ min/max
+    * candidates (which files overlap the dates). A customer's orders
+    * spread over years, so bloom alone scans their whole history; the
+    * date range spans many customers, so stats alone scan every file
+    * of the window; the intersection touches only the files where
+    * both hold (spec-asserted to be exactly the scanned set). The
+    * exact predicate re-applies after the prune — fp cost is files,
+    * never rows. */
+  def lookupKeysInRange(spark: SparkSession, dir: String,
+      keys: Seq[Long], from: String, to: String): DataFrame = {
+    requireProbeKeys(keys)
+    require(from <= to, s"from '$from' must be <= to '$to' (ISO dates)")
+    val path = dateLayoutCached(spark, dir)
+    val cands = candidateFiles(spark, s"$path.bloomidx", keys).toSet
+      .intersect(dateCandidateFiles(spark, s"$path.minmax", from, to).toSet)
+    val pruned =
+      if (cands.isEmpty) Layouts.emptyLike(spark, path)
+      else Layouts.readFiles(spark, path, Some(cands))
+    pruned
+      .where(col("o_custkey").isin(keys: _*) &&
+        col("o_orderdate").cast("date").between(
+          lit(from).cast("date"), lit(to).cast("date")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
       .orderBy("o_orderkey")
   }
 

@@ -553,7 +553,9 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
     server.createContext("/pointLookup", handler { p =>
       // q148: point lookup on o_custkey through the per-file bloom
       // index — candidate-file pruning over the arrival-keyed layout;
-      // key-count cap and parse errors → 400
+      // key-count cap and parse errors → 400. q157: `from=&to=` adds a
+      // date range — answered through the date-clustered layout by
+      // INTERSECTING the bloom and min/max indexes before the scan.
       val keys = p.getOrElse("keys", "").split(",").toSeq
         .map(_.trim).filter(_.nonEmpty).map { s =>
           try s.toLong catch {
@@ -561,7 +563,14 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
               throw new IllegalArgumentException(s"bad key '$s'")
           }
         }.distinct
-      graft.operators.BloomSkip.pointLookup(spark, dataDir, keys)
+      (p.get("from"), p.get("to")) match {
+        case (None, None) =>
+          graft.operators.BloomSkip.pointLookup(spark, dataDir, keys)
+        case (Some(f), Some(t)) => graft.operators.BloomSkip
+          .lookupKeysInRange(spark, dataDir, keys, f, t)
+        case _ => throw new IllegalArgumentException(
+          "from and to must be given together")
+      }
     })
     server.createContext("/collocations", handler { p =>
       // PMI collocation mining (q127): top bigrams by the fixed-point

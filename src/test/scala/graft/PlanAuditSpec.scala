@@ -453,6 +453,10 @@ class PlanAuditSpec extends SparkSpec {
     // audit, which drops at 100 TB — only stored day rows feed the
     // estimate path
     "q156_kmv_range_overlap" -> 29,
+    // q157: the q148 pruned-scan shape over the intersected candidate
+    // set of the date-clustered layout (both index probes run at plan
+    // build, driver-side)
+    "q157_composed_lookup" -> 1,
     // q155: q145's pruned-scan shape over the post-erasure z-layout
     // version (the quadrant-candidate rewrite is a memoized
     // copy-on-write build, not part of this plan)

@@ -102,7 +102,10 @@ class SqlSurfaceSpec extends SparkSpec {
         operators.Warehouse.zorderForgetScan(spark, sf, 7L, 0L, 40L,
           10L, 19L),
       "SELECT * FROM kmv_range_overlap('2024-01-08', '2024-01-21')" ->
-        operators.Sketches.kmvOverlapRange(spark, sf))
+        operators.Sketches.kmvOverlapRange(spark, sf),
+      "SELECT * FROM composed_lookup('1995-01-01', '1996-06-30', 7, 42)" ->
+        operators.BloomSkip.lookupKeysInRange(spark, sf, Seq(7L, 42L),
+          "1995-01-01", "1996-06-30"))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

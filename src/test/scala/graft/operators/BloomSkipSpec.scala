@@ -212,6 +212,40 @@ class BloomSkipSpec extends SparkSpec {
     assert(BloomSkip.readFiles(spark, out).count() == orders.count())
   }
 
+  test("q157 composed lookup: the scanned file set IS the bloom ∩ " +
+    "minmax intersection, strictly smaller than either index alone, " +
+    "and the rows equal the plain conjunctive filter") {
+    val keys = Seq(7L, 42L)
+    val (from, to) = ("1995-01-01", "1996-06-30")
+    val df = BloomSkip.lookupKeysInRange(spark, sf, keys, from, to)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val path = BloomSkip.dateLayoutCached(spark, sf)
+    val bloomC = BloomSkip
+      .candidateFiles(spark, s"$path.bloomidx", keys).toSet
+    val dateC = BloomSkip
+      .dateCandidateFiles(spark, s"$path.minmax", from, to).toSet
+    val inter = bloomC.intersect(dateC)
+    // the AND prunes strictly harder than either index alone: bloom
+    // candidates span the customers' multi-year history, date
+    // candidates span every customer of the window
+    assert(inter.nonEmpty && inter.size < bloomC.size &&
+      inter.size < dateC.size,
+      s"bloom ${bloomC.size} ∩ date ${dateC.size} = ${inter.size}")
+    // the scan LISTED exactly the intersection's directories
+    val listedFids = df.inputFiles.toSeq
+      .flatMap(f => "file_id=(\\d+)".r.findFirstMatchIn(f)
+        .map(_.group(1).toLong)).toSet
+    assert(listedFids == inter, s"scanned $listedFids, want $inter")
+    // and the answer is the plain conjunctive filter, row for row
+    val want = orders
+      .where(col("o_custkey").isin(keys: _*) &&
+        col("o_orderdate").cast("date").between(
+          lit(from).cast("date"), lit(to).cast("date")))
+      .select(col("o_orderkey"), col("o_custkey")).orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("probe guards: empty and oversized key lists are refused") {
     intercept[IllegalArgumentException] {
       BloomSkip.pointLookup(spark, sf, Seq.empty)
