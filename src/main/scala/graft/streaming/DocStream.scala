@@ -648,4 +648,56 @@ object DocStream {
       }
     } finally rows.unpersist(blocking = false)
   }
+
+  /** What a [[readmitQuarantine]] pass did. */
+  case class ReadmitReport(examined: Long, readmitted: Long, kept: Long)
+
+  /** Offline re-admission for COMMITTED quarantined epochs (round-14
+    * "what's missing" #6): the live gate re-converges on replay, but
+    * an epoch quarantined in a long-dead batch never replays — when
+    * the bounds later loosen (or the metric definition was the bug),
+    * this pass re-evaluates every `outDir.quarantine/epoch=<id>`
+    * against the CURRENT bounds and publishes the now-clean ones into
+    * their own corpus partitions. Same verdict function, same
+    * overwrite-own-partition contract as the live gate, so the pass is
+    * IDEMPOTENT (a second run examines only what the first kept) and
+    * crash-safe (publish lands before the quarantine copy clears; a
+    * crash between the two leaves the epoch on both sides, which the
+    * next run — or the live gate's own publish — reconciles). A
+    * still-violating epoch stays put with a refreshed REASON naming
+    * the bounds it still breaches. The per-epoch loop is driver-side
+    * by design: quarantined epochs are the rare exception path, not
+    * the corpus. */
+  def readmitQuarantine(spark: org.apache.spark.sql.SparkSession,
+      outDir: String,
+      bounds: Seq[graft.operators.Checks.Bound]): ReadmitReport = {
+    import graft.operators.Checks
+    val qRoot = new java.io.File(s"$outDir.quarantine")
+    val epochs = Option(qRoot.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .sortBy(_.getName.stripPrefix("epoch=").toLong)
+    var readmitted = 0L
+    var kept = 0L
+    epochs.foreach { q =>
+      val rows = spark.read.parquet(q.getPath).persist()
+      try {
+        val bad = Checks.violations(Checks.docReport(rows), bounds)
+        if (bad.isEmpty) {
+          rows.write.mode("overwrite").parquet(s"$outDir/${q.getName}")
+          graft.AtomicSwap.deleteRecursively(q)
+          graft.AtomicSwap.deleteRecursively(
+            new java.io.File(s"${q.getPath}.REASON.txt"))
+          System.err.println(
+            s"[quality-gate] ${q.getName} READMITTED under current bounds")
+          readmitted += 1
+        } else {
+          java.nio.file.Files.write(
+            new java.io.File(s"${q.getPath}.REASON.txt").toPath,
+            (bad :+ "").mkString("\n").getBytes("UTF-8"))
+          kept += 1
+        }
+      } finally rows.unpersist(blocking = false)
+    }
+    ReadmitReport(epochs.size.toLong, readmitted, kept)
+  }
 }

@@ -81,6 +81,53 @@ class QualityGateSpec extends SparkSpec {
       .exists(), "stale reason file survived")
   }
 
+  test("readmitQuarantine: a committed quarantined epoch re-admits " +
+    "under loosened bounds, the corpus equals the never-quarantined " +
+    "run, a second pass is a no-op, and a still-bad epoch stays") {
+    val outDir = Files.createTempDirectory("qgate_ra").toString + "/corpus"
+    val clean = cleanDocs(0, 20).toDF("doc_id", "text")
+    // epoch 1: borderline (would pass looser completeness bounds);
+    // epoch 2: hopeless (duplicate ids — violates under ANY bounds here)
+    val borderline = (cleanDocs(50, 15) ++ (90L until 95L).map(i => (i, "")))
+      .toDF("doc_id", "text")
+    val hopeless = (cleanDocs(600, 10) ++ cleanDocs(600, 10))
+      .toDF("doc_id", "text")
+    DocStream.qualityGateSinkEachBatch(outDir, bounds)(clean, 0L)
+    DocStream.qualityGateSinkEachBatch(outDir, bounds)(borderline, 1L)
+    DocStream.qualityGateSinkEachBatch(outDir, bounds)(hopeless, 2L)
+    assert(new java.io.File(s"$outDir.quarantine/epoch=1").exists())
+    assert(new java.io.File(s"$outDir.quarantine/epoch=2").exists())
+    // the bounds loosen (completeness floor drops); uniqueness stays
+    val loose = Seq(
+      Bound("text_complete_ppm", 100000L, 1000000L),
+      Bound("doc_id_unique_ppm", 1000000L, 1000000L))
+    val r1 = DocStream.readmitQuarantine(spark, outDir, loose)
+    assert(r1 == DocStream.ReadmitReport(2L, 1L, 1L), s"$r1")
+    // the borderline epoch published into its own partition; the
+    // corpus now equals a run where it was never quarantined
+    def corpusIds() = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val neverDir = Files.createTempDirectory("qgate_nv").toString + "/corpus"
+    DocStream.qualityGateSinkEachBatch(neverDir, loose)(clean, 0L)
+    DocStream.qualityGateSinkEachBatch(neverDir, loose)(borderline, 1L)
+    val never = spark.read.parquet(neverDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpusIds() == never,
+      "readmitted corpus diverged from the never-quarantined run")
+    assert(!new java.io.File(s"$outDir.quarantine/epoch=1").exists() &&
+      !new java.io.File(s"$outDir.quarantine/epoch=1.REASON.txt").exists())
+    // the hopeless epoch stays, reason refreshed to the CURRENT bounds
+    val reason = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$outDir.quarantine/epoch=2.REASON.txt").toPath),
+      "UTF-8")
+    assert(reason.contains("doc_id_unique_ppm"), s"reason: $reason")
+    // a second pass is a no-op
+    val before = corpusIds()
+    val r2 = DocStream.readmitQuarantine(spark, outDir, loose)
+    assert(r2 == DocStream.ReadmitReport(1L, 0L, 1L), s"$r2")
+    assert(corpusIds() == before, "an idempotent pass moved the corpus")
+  }
+
   test("composed ingest: curate feeds the gate — a poisoned micro-batch " +
     "is quarantined while curated clean batches publish") {
     val outDir = Files.createTempDirectory("qgate_c").toString + "/corpus"

@@ -89,6 +89,27 @@ class StreamingSpec extends SparkSpec {
       .exists(_.getName.startsWith("epoch=")))
   }
 
+  test("compactEpochs aborts LOUDLY when a writer races the " +
+    "compaction — no epoch is silently dropped") {
+    import spark.implicits._
+    val dir = tmpDir("cmpe_race") + "/topic"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/epoch=0")
+    Seq((2L, "b")).toDF("k", "v").write.parquet(s"$dir/epoch=1")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Compact.compactEpochs(spark, dir,
+        beforeSwap = () =>
+          Seq((3L, "c")).toDF("k", "v").write.parquet(s"$dir/epoch=2"))
+    }
+    assert(e.getMessage.contains("raced"), e.getMessage)
+    // the directory is untouched: all three epochs — the racer's
+    // included — still answer, and the tmp staging dir is gone
+    assert(spark.read.parquet(dir).count() == 3)
+    assert(!new java.io.File(s"$dir.compact.tmp").exists())
+    // with the writer stopped, the same compaction succeeds
+    graft.operators.Compact.compactEpochs(spark, dir)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("demux in-band compaction: coordinated fold from the sink keeps " +
     "rows exact, bounds epoch dirs, and survives a replayed epoch") {
     val out = tmpDir("demux_cmp")
