@@ -130,6 +130,8 @@ object TwinScaleGate {
           compactEvery = compactEvery)(b, id)
         streaming.SketchStream.hllDailySinkEachBatch(sOut,
           compactEvery)(b, id)
+        streaming.SketchStream.kmvDailySinkEachBatch(sOut,
+          compactEvery = compactEvery)(b, id)
       }
       .outputMode("append").start()
     var sEpochs = 0
@@ -186,6 +188,17 @@ object TwinScaleGate {
       .select(col("event_type"), col("est_distinct"))
       .orderBy("event_type").collect().map(_.toSeq).toSeq
     Caches.releaseAll()
+    // the day-grain KMV warehouse: range INTERSECTION served from
+    // stored minima, pinned to the batch range query (q156)
+    val kRangeGot = streaming.SketchStream
+      .kmvTableRangeOverlap(spark, sOut, rFrom, rTo)
+      .collect().map(_.toSeq).toSeq
+    val kRangeWant = operators.Sketches
+      .kmvOverlapRangeOn(evDf, rFrom, rTo)
+      .select(col("type_a"), col("type_b"), col("union_est"),
+        col("overlap_est"), col("jaccard_ppm"))
+      .orderBy("type_a", "type_b").collect().map(_.toSeq).toSeq
+    Caches.releaseAll()
     println(s"[twin-scale] sketch: events=${ev.size} epochs=$sEpochs " +
       s"streamSecs=${f"$sStreamSecs%.1f"} " +
       s"hllDirs=${partDirs(s"$sOut/hllregs")} " +
@@ -198,8 +211,9 @@ object TwinScaleGate {
       s"heavyHitters=${pin("hh", hhGot, hhWant)} " +
       s"kmv=${pin("kmv", kmvGot, kmvWant)} " +
       s"hllRange=${pin("hllRange", rangeGot, rangeWant)} " +
+      s"kmvRangeOverlap=${pin("kmvRangeOverlap", kRangeGot, kRangeWant)} " +
       s"(${hllWant.size}/${histWant.size}/${hhWant.size}/" +
-      s"${kmvWant.size}/${rangeWant.size} rows)")
+      s"${kmvWant.size}/${rangeWant.size}/${kRangeWant.size} rows)")
 
     // ---- interval-join stream vs batch q141 -------------------------
     val ow = operators.IntervalJoin.orderWindows(spark, sfDir)
