@@ -216,5 +216,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val v = a.map(longArg(_, "zorder_forget"))
       Warehouse.zorderForgetScan(s, d, v(0), v(1), v(2), v(3), v(4))
     })
+    // batched: users..., -1, uLo, uHi, iLo, iHi (-1 separates — user
+    // ids are non-negative, unlike the custkey TVFs' 0 sentinel,
+    // because user 0 exists in the events corpus)
+    registerTvf(ext, "zorder_forget_batch")((s, d, a) => {
+      val v = a.map(longArg(_, "zorder_forget_batch"))
+      val sep = v.indexOf(-1L)
+      require(sep > 0 && v.size - sep - 1 == 4,
+        "zorder_forget_batch(user..., -1, uLo, uHi, iLo, iHi)")
+      val b = v.drop(sep + 1)
+      Warehouse.zorderForgetScanBatch(s, d, v.take(sep),
+        b(0), b(1), b(2), b(3))
+    })
+    registerTvf(ext, "composed_forget")((s, d, a) => {
+      require(a.size >= 4, "composed_forget(from, to, delKey..., 0, probe...)")
+      val keys = a.drop(2).map(longArg(_, "composed_forget"))
+      val sep = keys.indexOf(0L)
+      require(sep > 0 && sep < keys.size - 1,
+        "composed_forget(from, to, delKey..., 0, probe...)")
+      BloomSkip.forgetKeysInRange(s, d, keys.take(sep),
+        keys.drop(sep + 1), strArg(a(0), "composed_forget"),
+        strArg(a(1), "composed_forget"))
+    })
   }
 }

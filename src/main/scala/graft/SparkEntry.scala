@@ -504,6 +504,25 @@ object SparkEntry {
     "q157_composed_lookup" ->
       ((s, d) => BloomSkip.lookupKeysInRange(s, d, Seq(7L, 42L),
         "1995-01-01", "1996-06-30")),
+    // q158: BATCHED erasure through the z-order layout — q153's
+    // one-job batching applied to the analytics layout: two users'
+    // x-stripes union into ONE rewrite (K users cost one job, not K),
+    // untouched quadrants manifest-shared, then the q145 rectangle
+    // scan through the forgotten version; oracle = plain rectangle
+    // filter with both users excluded
+    "q158_zorder_forget_batch" ->
+      ((s, d) => Warehouse.zorderForgetScanBatch(s, d, Seq(7L, 13L),
+        0L, 40L, 10L, 19L)),
+    // q159: erasure through the COMPOSED layout — the key batch
+    // deletes via bloom candidates with BOTH per-file indexes patched
+    // incrementally (bloom partials + min/max date stats recomputed
+    // for rewritten files only), then deleted keys and survivors probe
+    // through the intersected indexes of the patched version; with
+    // q151/q153 (arrival-bloom), q155/q158 (z-order) and this, EVERY
+    // layout the warehouse serves has the same forget contract
+    "q159_composed_forget" ->
+      ((s, d) => BloomSkip.forgetKeysInRange(s, d, Seq(7L, 42L),
+        Seq(13L, 133L), "1995-01-01", "1996-06-30")),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -518,7 +537,8 @@ object SparkEntry {
     "q113_build_report", "q115_cluster_sample",
     "q131_phrase_index_search", "q145_zorder_scan", "q148_bloom_lookup",
     "q151_forget_key", "q153_forget_batch", "q155_zorder_forget",
-    "q157_composed_lookup")
+    "q157_composed_lookup", "q158_zorder_forget_batch",
+    "q159_composed_forget")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -3606,6 +3626,31 @@ object SparkEntry {
                 est_cnt - exact_cnt AS err
          FROM est JOIN ex ON est.item = ex.item
          ORDER BY est.item""",
+    // q158: the engine deletes the user batch in one stripe-union
+    // rewrite and scans through the forgotten version; oracle = the
+    // q145 rectangle with both users excluded
+    "q158_zorder_forget_batch" ->
+      raw"""SELECT event_id, user_id,
+                CAST(props->>'k' AS BIGINT) AS item
+         FROM events
+         WHERE props->>'k' IS NOT NULL
+           AND user_id BETWEEN 0 AND 40
+           AND CAST(props->>'k' AS BIGINT) BETWEEN 10 AND 19
+           AND user_id NOT IN (7, 13)
+         ORDER BY event_id""",
+    // q159: the engine deletes the batch through the composed layout
+    // (both indexes patched) and answers through the intersected
+    // indexes of the patched version; oracle = the plain conjunctive
+    // filter with the batch excluded
+    "q159_composed_forget" ->
+      raw"""SELECT o_orderkey, o_custkey, o_totalprice,
+                strftime(o_orderdate, '%Y-%m-%d') AS odate
+         FROM orders
+         WHERE o_custkey IN (7, 42, 13, 133)
+           AND o_custkey NOT IN (7, 42)
+           AND CAST(o_orderdate AS DATE) BETWEEN '1995-01-01'
+             AND '1996-06-30'
+         ORDER BY o_orderkey""",
     // q157: the engine answers through the intersected indexes of the
     // date-clustered layout; the oracle is the plain conjunctive
     // filter — an over-pruned file (a row the AND should return but a

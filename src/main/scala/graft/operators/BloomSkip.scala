@@ -125,7 +125,7 @@ object BloomSkip {
   /** Forget memoized bloom layouts (tests, cold benching). */
   def clearMemos(): Unit = {
     layoutMemo.clear(); forgetMemo.clear(); dateLayoutMemo.clear()
-    Layouts.clearManifestMemo()
+    datedForgetMemo.clear(); Layouts.clearManifestMemo()
   }
 
   /** The materialized bloom-indexed layout of the `orders` table for
@@ -296,6 +296,111 @@ object BloomSkip {
       .as[Long].collect().toSeq.sorted
   }
 
+  /** [[lookupKeysInRange]] against an explicit date-layout VERSION —
+    * also the probe stage over a post-erasure version
+    * ([[forgetKeysInRange]]). */
+  def lookupKeysInRangeIn(spark: SparkSession, versionPath: String,
+      keys: Seq[Long], from: String, to: String): DataFrame = {
+    requireProbeKeys(keys)
+    require(from <= to, s"from '$from' must be <= to '$to' (ISO dates)")
+    val cands = candidateFiles(spark, s"$versionPath.bloomidx", keys).toSet
+      .intersect(
+        dateCandidateFiles(spark, s"$versionPath.minmax", from, to).toSet)
+      .intersect(Layouts.manifestOf(spark, versionPath).keySet)
+    val pruned =
+      if (cands.isEmpty) Layouts.emptyLike(spark, versionPath)
+      else Layouts.readFiles(spark, versionPath, Some(cands))
+    pruned
+      .where(col("o_custkey").isin(keys: _*) &&
+        col("o_orderdate").cast("date").between(
+          lit(from).cast("date"), lit(to).cast("date")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Erasure through the COMPOSED layout (q159): the q153 one-job
+    * batched rewrite via the bloom index, plus incremental patches of
+    * BOTH per-file indexes — the bloomidx patch comes from
+    * [[deleteKeysFrom]]; the min/max date stats recompute for the
+    * rewritten files only (a stale wider interval would merely cost
+    * false-positive candidates — the safe direction — but the patch
+    * keeps the stats exact, and a fully-deleted file's stats row
+    * drops with its manifest row). Every layout the warehouse serves
+    * now has the same forget contract: arrival-bloom (q151/q153),
+    * z-order (q155/q158), date-bloom (q159). */
+  def deleteKeysFromDated(spark: SparkSession, versionPath: String,
+      outPath: String, keys: Seq[Long],
+      bits: Int = BloomBits): DeleteReport = {
+    val oldMf = Layouts.manifestOf(spark, versionPath).keySet
+    val report = deleteKeysFrom(spark, versionPath, outPath, keys, bits)
+    val newMf = Layouts.manifestOf(spark, outPath)
+    val rewritten = Layouts.listFileDirs(new java.io.File(outPath)).keySet
+    // gone or rewritten: either way the old stats row must not survive
+    val touched = ((oldMf -- newMf.keySet) ++ rewritten).toSeq
+    val oldStats = spark.read.parquet(s"$versionPath.minmax")
+    val untouched =
+      if (touched.isEmpty) oldStats
+      else oldStats.where(!col("file_id").cast("long").isin(touched: _*))
+    val rebuilt =
+      if (rewritten.isEmpty) untouched
+      else untouched.unionByName(
+        spark.read.parquet(outPath).groupBy("file_id")
+          .agg(min(col("o_orderdate")).as("dmin"),
+            max(col("o_orderdate")).as("dmax"))
+          .select(col("file_id")
+            .cast(oldStats.schema("file_id").dataType).as("file_id"),
+            col("dmin"), col("dmax")))
+    rebuilt.repartition(1).write.mode("overwrite")
+      .parquet(s"$outPath.minmax")
+    report
+  }
+
+  private val datedForgetMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[Long], Long), Layouts.Once[(String, DeleteReport)]]
+
+  /** The post-erasure date-layout version for (dir, keys) — the
+    * [[forgottenLayoutCached]] discipline (one cached version per dir,
+    * fresh generation-suffixed build paths). */
+  def forgottenDateLayoutCached(spark: SparkSession, dir: String,
+      keys: Seq[Long]): (String, DeleteReport) = {
+    val ks = keys.distinct.sorted
+    val fp = IvfIndex.dataFingerprint(dir, table = "orders")
+    val memoKey = (dir, ks, fp)
+    val v = datedForgetMemo.getOrElseUpdate(memoKey, new Layouts.Once({
+      val src = dateLayoutCached(spark, dir)
+      val tag =
+        if (ks.size == 1) ks.head.toString
+        else "b" + java.lang.Long.toHexString(
+          graft.functions.TextFunctions.md5LongScala(ks.mkString(",")))
+      val p = s"$src.forget$tag-g${forgetGen.incrementAndGet()}"
+      val report = deleteKeysFromDated(spark, src, p, ks)
+      (p, report)
+    })).value
+    val stale = datedForgetMemo.keys
+      .filter(k => k._1 == dir && k != memoKey)
+      .flatMap(datedForgetMemo.remove).flatMap(_.peek).flatMap(x =>
+        Seq(x._1, s"${x._1}.bloomidx", s"${x._1}.minmax",
+          Layouts.manifestPath(x._1))).toSeq
+    graft.IndexGc.retire(s"datedforget:$dir", stale)
+    v
+  }
+
+  /** q159: the post-erasure composed lookup — delete the key batch
+    * through the bloom candidates (both indexes patched), then probe
+    * deleted keys and survivors through the intersected indexes of
+    * the patched version. The oracle is the plain conjunctive filter
+    * with the batch excluded. */
+  def forgetKeysInRange(spark: SparkSession, dir: String,
+      delKeys: Seq[Long], probeKeys: Seq[Long], from: String,
+      to: String): DataFrame = {
+    val probes = (delKeys ++ probeKeys).distinct
+    requireProbeKeys(probes)
+    require(from <= to, s"from '$from' must be <= to '$to' (ISO dates)")
+    val (path, _) = forgottenDateLayoutCached(spark, dir, delKeys)
+    lookupKeysInRangeIn(spark, path, probes, from, to)
+  }
+
   /** q157: the COMPOSED point-in-range lookup — `o_custkey ∈ keys AND
     * o_orderdate ∈ [from, to]`, the AND-shaped query a multi-index
     * warehouse answers by INTERSECTING its indexes before the scan:
@@ -308,23 +413,9 @@ object BloomSkip {
     * exact predicate re-applies after the prune — fp cost is files,
     * never rows. */
   def lookupKeysInRange(spark: SparkSession, dir: String,
-      keys: Seq[Long], from: String, to: String): DataFrame = {
-    requireProbeKeys(keys)
-    require(from <= to, s"from '$from' must be <= to '$to' (ISO dates)")
-    val path = dateLayoutCached(spark, dir)
-    val cands = candidateFiles(spark, s"$path.bloomidx", keys).toSet
-      .intersect(dateCandidateFiles(spark, s"$path.minmax", from, to).toSet)
-    val pruned =
-      if (cands.isEmpty) Layouts.emptyLike(spark, path)
-      else Layouts.readFiles(spark, path, Some(cands))
-    pruned
-      .where(col("o_custkey").isin(keys: _*) &&
-        col("o_orderdate").cast("date").between(
-          lit(from).cast("date"), lit(to).cast("date")))
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
-      .orderBy("o_orderkey")
-  }
+      keys: Seq[Long], from: String, to: String): DataFrame =
+    lookupKeysInRangeIn(spark, dateLayoutCached(spark, dir), keys,
+      from, to)
 
   // ——— targeted deletion (right-to-erasure) through the index ———
 

@@ -330,46 +330,63 @@ object Warehouse {
     }
   }
 
-  /** Delete every row of `user` from a z-order layout version by
-    * rewriting ONLY the quadrant-candidate files — the same
-    * copy-on-write [[Layouts.DeleteReport]] contract as the bloom
-    * path's q151/q153 (round-14 verdict #3: a user's rows must not
-    * survive a forget just because they live in the ANALYTICS layout),
-    * with candidates from quadrant geometry instead of bloom probing.
-    * One distributed rewrite job; untouched quadrants are manifest-
+  /** Delete every row of the `users` BATCH from a z-order layout
+    * version in ONE distributed rewrite — the same copy-on-write
+    * [[Layouts.DeleteReport]] contract as the bloom path's q151/q153
+    * (a user's rows must not survive a forget just because they live
+    * in the ANALYTICS layout), with candidates from quadrant geometry
+    * instead of bloom probing: the union of the K users' x-stripes.
+    * K users cost one job, not K; untouched quadrants are manifest-
     * shared; no index patch is needed — the manifest IS the quadrant
     * index, and surviving rows keep their quadrants. */
-  def zorderDeleteUser(spark: SparkSession, versionPath: String,
-      outPath: String, user: Long,
+  def zorderDeleteUsers(spark: SparkSession, versionPath: String,
+      outPath: String, users: Seq[Long],
       shift: Int = ZShift): Layouts.DeleteReport = {
+    require(users.nonEmpty && users.size <= BloomSkip.MaxForgetKeys,
+      s"forget users must be 1..${BloomSkip.MaxForgetKeys}")
+    val us = users.distinct
     val mf = Layouts.manifestOf(spark, versionPath)
-    val cands = zorderUserCandidates(mf.keySet, user, shift)
-    // NULL-safe equality: a NULL-user row must survive an erasure
+    val cands = us.flatMap(u => zorderUserCandidates(mf.keySet, u, shift))
+      .toSet
+    // NULL-safe: isin is NULL for NULL users; coalesce keeps them
+    val isDel = coalesce(col("user_id").isin(us: _*), lit(false))
     val (_, deleted) = Layouts.rewriteWithout(spark, versionPath,
-      outPath, cands, col("user_id") <=> lit(user))
+      outPath, cands, isDel)
     Layouts.DeleteReport(mf.size.toLong, cands.size.toLong,
       (mf.size - cands.size).toLong, deleted)
   }
 
+  /** Single-user erasure — [[zorderDeleteUsers]] with a batch of one. */
+  def zorderDeleteUser(spark: SparkSession, versionPath: String,
+      outPath: String, user: Long,
+      shift: Int = ZShift): Layouts.DeleteReport =
+    zorderDeleteUsers(spark, versionPath, outPath, Seq(user), shift)
+
   private val zforgetMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Int, Long), Layouts.Once[(String, Layouts.DeleteReport)]]
+    .empty[(String, Seq[Long], Int, Long), Layouts.Once[(String, Layouts.DeleteReport)]]
 
   private val zforgetGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** The post-erasure z-layout version for (dir, user): copy-on-write
+  /** The post-erasure z-layout version for (dir, users): copy-on-write
     * from the cached layout, ONE cached version per dir (the
     * [[BloomSkip.forgottenLayoutCached]] discipline: a forgotten
     * layout is a transition artifact; builds land in fresh
     * generation-suffixed paths so evicted versions die only through
     * the reaper's grace, never under a reader). */
   def zforgottenLayoutCached(spark: SparkSession, dir: String,
-      user: Long, shift: Int = ZShift): (String, Layouts.DeleteReport) = {
+      users: Seq[Long],
+      shift: Int = ZShift): (String, Layouts.DeleteReport) = {
+    val us = users.distinct.sorted
     val fp = IvfIndex.dataFingerprint(dir, table = "events")
-    val memoKey = (dir, user, shift, fp)
+    val memoKey = (dir, us, shift, fp)
     val v = zforgetMemo.getOrElseUpdate(memoKey, new Layouts.Once({
       val src = zlayoutCached(spark, dir, shift)
-      val p = s"$src.forget$user-g${zforgetGen.incrementAndGet()}"
-      val report = zorderDeleteUser(spark, src, p, user, shift)
+      val tag =
+        if (us.size == 1) us.head.toString
+        else "b" + java.lang.Long.toHexString(
+          graft.functions.TextFunctions.md5LongScala(us.mkString(",")))
+      val p = s"$src.forget$tag-g${zforgetGen.incrementAndGet()}"
+      val report = zorderDeleteUsers(spark, src, p, us, shift)
       (p, report)
     })).value
     val stale = zforgetMemo.keys
@@ -380,12 +397,14 @@ object Warehouse {
     v
   }
 
-  /** Whether the post-erasure version for (dir, user) is already built
-    * and memoized — a repeat request answers without the build gate. */
-  def isZforgetMemoized(spark: SparkSession, dir: String, user: Long,
-      shift: Int = ZShift): Boolean = {
+  /** Whether the post-erasure version for (dir, users) is already
+    * built and memoized — a repeat request answers without the build
+    * gate. */
+  def isZforgetMemoized(spark: SparkSession, dir: String,
+      users: Seq[Long], shift: Int = ZShift): Boolean = {
     val fp = IvfIndex.dataFingerprint(dir, table = "events")
-    zforgetMemo.get((dir, user, shift, fp)).exists(_.peek.isDefined)
+    zforgetMemo.get((dir, users.distinct.sorted, shift, fp))
+      .exists(_.peek.isDefined)
   }
 
   /** q155: the post-erasure z-order scan — delete `user`'s rows
@@ -395,8 +414,16 @@ object Warehouse {
     * absence and every other row's presence ride the hash. */
   def zorderForgetScan(spark: SparkSession, dir: String, user: Long,
       uLo: Long, uHi: Long, iLo: Long, iHi: Long,
+      shift: Int = ZShift): DataFrame =
+    zorderForgetScanBatch(spark, dir, Seq(user), uLo, uHi, iLo, iHi, shift)
+
+  /** q158: the BATCHED z-order erasure scan — a whole compliance
+    * window's users deleted in one stripe-union rewrite, then the
+    * rectangle scan through the forgotten version. */
+  def zorderForgetScanBatch(spark: SparkSession, dir: String,
+      users: Seq[Long], uLo: Long, uHi: Long, iLo: Long, iHi: Long,
       shift: Int = ZShift): DataFrame = {
-    val (path, _) = zforgottenLayoutCached(spark, dir, user, shift)
+    val (path, _) = zforgottenLayoutCached(spark, dir, users, shift)
     zorderScanIn(spark, path, uLo, uHi, iLo, iHi, shift)
   }
 

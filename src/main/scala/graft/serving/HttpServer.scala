@@ -454,13 +454,17 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       def bound(k: String, dflt: Long) = p.get(k).map(_.toLong).getOrElse(dflt)
       val (uLo, uHi) = (bound("uLo", 0L), bound("uHi", 0L))
       val (iLo, iHi) = (bound("iLo", 0L), bound("iHi", 0L))
-      p.get("forgetUser").map(_.toLong) match {
+      val forgetUsers = p.get("forgetUser").map(u => Seq(u.toLong))
+        .orElse(p.get("forgetUsers").map(_.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).map(_.toLong).distinct))
+      forgetUsers match {
         case None => graft.operators.Warehouse
           .zorderScan(spark, dataDir, uLo, uHi, iLo, iHi)
-        case Some(u) =>
+        case Some(us) =>
           def scan() = graft.operators.Warehouse
-            .zorderForgetScan(spark, dataDir, u, uLo, uHi, iLo, iHi)
-          if (graft.operators.Warehouse.isZforgetMemoized(spark, dataDir, u))
+            .zorderForgetScanBatch(spark, dataDir, us, uLo, uHi, iLo, iHi)
+          if (graft.operators.Warehouse
+              .isZforgetMemoized(spark, dataDir, us))
             scan()
           else if (!forgetGate.tryAcquire())
             throw new BusyException(
@@ -563,11 +567,30 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
               throw new IllegalArgumentException(s"bad key '$s'")
           }
         }.distinct
+      // q159: forget=a,b deletes those customers from the composed
+      // layout first (both indexes patched), then probes through the
+      // post-erasure version — builds gate like /forget
+      val del = p.getOrElse("forget", "").split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty).map { s =>
+          try s.toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"bad forget key '$s'")
+          }
+        }.distinct
       (p.get("from"), p.get("to")) match {
-        case (None, None) =>
+        case (None, None) if del.isEmpty =>
           graft.operators.BloomSkip.pointLookup(spark, dataDir, keys)
-        case (Some(f), Some(t)) => graft.operators.BloomSkip
-          .lookupKeysInRange(spark, dataDir, keys, f, t)
+        case (None, None) => throw new IllegalArgumentException(
+          "forget needs from and to (the composed layout)")
+        case (Some(f), Some(t)) if del.isEmpty => graft.operators
+          .BloomSkip.lookupKeysInRange(spark, dataDir, keys, f, t)
+        case (Some(f), Some(t)) =>
+          def scan() = graft.operators.BloomSkip
+            .forgetKeysInRange(spark, dataDir, del, keys, f, t)
+          if (!forgetGate.tryAcquire())
+            throw new BusyException(
+              "an erasure build is already in flight; retry later")
+          else try scan() finally forgetGate.release()
         case _ => throw new IllegalArgumentException(
           "from and to must be given together")
       }

@@ -457,6 +457,10 @@ class PlanAuditSpec extends SparkSpec {
     // set of the date-clustered layout (both index probes run at plan
     // build, driver-side)
     "q157_composed_lookup" -> 1,
+    // q158/q159: the same pruned-scan + sort shape over post-erasure
+    // versions (the batched rewrites are memoized copy-on-write builds)
+    "q158_zorder_forget_batch" -> 1,
+    "q159_composed_forget" -> 1,
     // q155: q145's pruned-scan shape over the post-erasure z-layout
     // version (the quadrant-candidate rewrite is a memoized
     // copy-on-write build, not part of this plan)

@@ -540,6 +540,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("batched erasure invariants on random layouts: exact accounting, " +
+    "survivors byte-exact, NULL keys immortal, re-delete is a no-op") {
+    import operators.{BloomSkip, Layouts}
+    // random orders-shaped tables with nullable keys and random batches
+    val rowGen = for {
+      ok <- Gen.chooseNum(0L, 4000L)
+      ck <- Gen.frequency(9 -> Gen.chooseNum(1L, 40L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))
+      tp <- Gen.chooseNum(1, 999999).map(_ / 100.0)
+    } yield (ok, ck, tp)
+    val caseGen = for {
+      rows <- Gen.listOfN(300, rowGen)
+      ks <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 45L)).map(_.distinct.take(6))
+    } yield (rows.distinctBy(_._1), ks)
+    samples(caseGen, 4).zipWithIndex.foreach { case ((rows, delKeys), i) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"eraseprop$i").toString + "/layout"
+      val df = rows.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      BloomSkip.bloomWrite(df, "o_custkey", "o_orderkey", dir)
+      val out = s"$dir.forget"
+      val report = BloomSkip.deleteKeysFrom(spark, dir, out, delKeys)
+      val want = rows.filterNot(_._2.exists(delKeys.contains))
+      // exact accounting incl. NULL-keyed rows (they must survive)
+      assert(report.rowsDeleted == (rows.size - want.size).toLong)
+      val got = Layouts.readFiles(spark, out)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) Option.empty[Long] else Option(r.getLong(1)),
+          r.getDouble(2))).toSet
+      assert(got == want.toSet, s"case $i: survivors diverged")
+      // the patched index still has no false negatives for survivors
+      val keysLeft = want.flatMap(_._2).distinct
+      if (keysLeft.nonEmpty) {
+        val found = BloomSkip.lookupIn(spark, out,
+          keysLeft.take(BloomSkip.MaxProbeKeys))
+          .select("o_orderkey").collect().map(_.getLong(0)).toSet
+        assert(found == want.filter(_._2.isDefined).map(_._1).toSet,
+          s"case $i: post-delete lookup lost or invented rows")
+      }
+      // deleting the same batch from the result is a no-op
+      val report2 = BloomSkip.deleteKeysFrom(spark, out,
+        s"$dir.forget2", delKeys)
+      assert(report2.rowsDeleted == 0L, s"case $i: re-delete moved rows")
+      assert(Layouts.readFiles(spark, s"$dir.forget2").count() ==
+        want.size.toLong)
+    }
+  }
+
   test("cms estimate dominates the true count on random skewed streams " +
     "(one-sided error, any duplication profile)") {
     val caseGen = Gen.listOfN(500,

@@ -105,7 +105,14 @@ class SqlSurfaceSpec extends SparkSpec {
         operators.Sketches.kmvOverlapRange(spark, sf),
       "SELECT * FROM composed_lookup('1995-01-01', '1996-06-30', 7, 42)" ->
         operators.BloomSkip.lookupKeysInRange(spark, sf, Seq(7L, 42L),
-          "1995-01-01", "1996-06-30"))
+          "1995-01-01", "1996-06-30"),
+      "SELECT * FROM zorder_forget_batch(7, 13, -1, 0, 40, 10, 19)" ->
+        operators.Warehouse.zorderForgetScanBatch(spark, sf,
+          Seq(7L, 13L), 0L, 40L, 10L, 19L),
+      "SELECT * FROM composed_forget('1995-01-01', '1996-06-30', " +
+        "7, 42, 0, 13, 133)" ->
+        operators.BloomSkip.forgetKeysInRange(spark, sf, Seq(7L, 42L),
+          Seq(13L, 133L), "1995-01-01", "1996-06-30"))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

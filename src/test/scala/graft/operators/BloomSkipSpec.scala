@@ -246,6 +246,55 @@ class BloomSkipSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("q159 erasure through the composed layout: both indexes " +
+    "patched, deleted keys gone through the intersected probe, " +
+    "survivors and untouched stats intact") {
+    val delKeys = Seq(7L, 42L)
+    val src = BloomSkip.dateLayoutCached(spark, sf)
+    val out = s"$src.spec_dforget"
+    val report = BloomSkip.deleteKeysFromDated(spark, src, out, delKeys)
+    assert(report.rowsDeleted ==
+      orders.where(col("o_custkey").isin(delKeys: _*)).count() &&
+      report.rowsDeleted > 0)
+    // the min/max stats patched: untouched files' rows IDENTICAL,
+    // rewritten files' rows equal a recompute from the surviving data
+    val oldStats = spark.read.parquet(s"$src.minmax")
+      .select(col("file_id").cast("long"), col("dmin"), col("dmax"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    val newStats = spark.read.parquet(s"$out.minmax")
+      .select(col("file_id").cast("long"), col("dmin"), col("dmax"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    val rewritten = Layouts.listFileDirs(new java.io.File(out)).keySet
+    val mfOut = BloomSkip.manifestOf(spark, out)
+    assert(newStats.keySet == mfOut.keySet,
+      "stats rows must track the manifest exactly")
+    (newStats.keySet -- rewritten).foreach { f =>
+      assert(newStats(f) == oldStats(f), s"untouched stats moved: $f")
+    }
+    val recomputed = BloomSkip.readFiles(spark, out)
+      .where(col("file_id").cast("long").isin(rewritten.toSeq: _*))
+      .groupBy(col("file_id").cast("long").as("f"))
+      .agg(min("o_orderdate").as("dmin"), max("o_orderdate").as("dmax"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    rewritten.foreach { f =>
+      assert(newStats(f) == recomputed(f), s"stale stats for $f")
+    }
+    // the probe through the patched version: deleted keys absent,
+    // survivors exactly the plain conjunctive filter
+    val (from, to) = ("1995-01-01", "1996-06-30")
+    val got = BloomSkip
+      .lookupKeysInRangeIn(spark, out, delKeys ++ Seq(13L, 133L), from, to)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(!got.exists(r => delKeys.contains(r._2)))
+    val want = orders
+      .where(col("o_custkey").isin(13L, 133L) &&
+        col("o_orderdate").cast("date").between(
+          lit(from).cast("date"), lit(to).cast("date")))
+      .select(col("o_orderkey"), col("o_custkey")).orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("probe guards: empty and oversized key lists are refused") {
     intercept[IllegalArgumentException] {
       BloomSkip.pointLookup(spark, sf, Seq.empty)

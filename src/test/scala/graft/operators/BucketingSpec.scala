@@ -197,6 +197,35 @@ class BucketingSpec extends SparkSpec {
     assert(!got.exists(_._2 == user))
   }
 
+  test("q158 batched z-order erasure: two users delete in ONE " +
+    "stripe-union rewrite, both gone, everyone else intact") {
+    import spark.implicits._
+    val src = Warehouse.zlayoutCached(spark, sf)
+    val users = Seq(7L, 13L)
+    val out = s"$src.spec_zbatch"
+    val report = Warehouse.zorderDeleteUsers(spark, src, out, users)
+    val mfSrc = Layouts.manifestOf(spark, src)
+    val union = users
+      .flatMap(u => Warehouse.zorderUserCandidates(mfSrc.keySet, u)).toSet
+    assert(report.filesRewritten == union.size && union.nonEmpty)
+    val exact = graft.Tables.events(spark, sf)
+      .where(get_json_object(col("props"), "$.k").isNotNull &&
+        col("user_id").isin(users: _*)).count()
+    assert(report.rowsDeleted == exact && exact > 0)
+    val got = Warehouse.zorderScanIn(spark, out, 0L, 40L, 10L, 19L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull && col("user_id").between(0, 40) &&
+        col("item").between(10, 19) && !col("user_id").isin(users: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want && want.nonEmpty)
+    assert(!got.exists(r => users.contains(r._2)))
+  }
+
   test("q155 pruning is strict on a multi-stripe layout: deleting a " +
     "user rewrites only their x-stripe's quadrants") {
     import spark.implicits._

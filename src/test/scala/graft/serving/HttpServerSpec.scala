@@ -297,6 +297,18 @@ class HttpServerSpec extends SparkSpec {
         s"$base/zorderScan?uLo=0&uHi=40&iLo=10&iHi=19&forgetUser=7")
       assert(c88 == 200 && zf.contains("\"event_id\"") &&
         !zf.contains("\"user_id\":7,"), zf.take(200))
+      // batched (q158): both users absent in one rewrite
+      val (c89, zfb) = get(
+        s"$base/zorderScan?uLo=0&uHi=40&iLo=10&iHi=19&forgetUsers=7,13")
+      assert(c89 == 200 && !zfb.contains("\"user_id\":7,") &&
+        !zfb.contains("\"user_id\":13,"), zfb.take(200))
+      // erasure through the composed layout (q159): deleted keys
+      // absent, survivors present, through the intersected indexes
+      val (c90, cfg) = get(s"$base/pointLookup?keys=13,133" +
+        "&from=1995-01-01&to=1996-06-30&forget=7,42")
+      assert(c90 == 200 && !cfg.contains("\"o_custkey\":7,") &&
+        !cfg.contains("\"o_custkey\":42,") &&
+        cfg.contains("\"o_custkey\":13,"), cfg.take(200))
       // auto-ranged money quantiles (q150)
       val (c79, pqm) = get(s"$base/priceQuantiles")
       assert(c79 == 200 && pqm.contains("\"p99_est_cents\"") &&
