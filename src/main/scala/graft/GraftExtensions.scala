@@ -228,6 +228,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Warehouse.zorderForgetScanBatch(s, d, v.take(sep),
         b(0), b(1), b(2), b(3))
     })
+    registerTvf(ext, "vacuumed_forget")((s, d, a) => {
+      val keys = a.map(longArg(_, "vacuumed_forget"))
+      val sep = keys.indexOf(0L)
+      require(sep > 0 && sep < keys.size - 1,
+        "vacuumed_forget(delKey..., 0, probe...)")
+      BloomSkip.vacuumedForget(s, d, keys.take(sep), keys.drop(sep + 1))
+    })
     registerTvf(ext, "composed_forget")((s, d, a) => {
       require(a.size >= 4, "composed_forget(from, to, delKey..., 0, probe...)")
       val keys = a.drop(2).map(longArg(_, "composed_forget"))

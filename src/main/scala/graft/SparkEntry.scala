@@ -523,6 +523,16 @@ object SparkEntry {
     "q159_composed_forget" ->
       ((s, d) => BloomSkip.forgetKeysInRange(s, d, Seq(7L, 42L),
         Seq(13L, 133L), "1995-01-01", "1996-06-30")),
+    // q160: GDPR-COMPLETE erasure — forget the batch, PROMOTE the
+    // post-erasure version into the lineage's version log, then VACUUM
+    // so the deleted users' bytes are PHYSICALLY gone (a forget's old
+    // bytes live on in pre-forget snapshots until they expire — the
+    // Iceberg expire-snapshots discipline with the compliance
+    // reading); probes answer through the retained version, and the
+    // spec sweeps every surviving parquet file for leftover keys
+    "q160_vacuumed_forget" ->
+      ((s, d) => BloomSkip.vacuumedForget(s, d, Seq(7L, 13L, 29L),
+        Seq(42L, 133L))),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -538,7 +548,7 @@ object SparkEntry {
     "q131_phrase_index_search", "q145_zorder_scan", "q148_bloom_lookup",
     "q151_forget_key", "q153_forget_batch", "q155_zorder_forget",
     "q157_composed_lookup", "q158_zorder_forget_batch",
-    "q159_composed_forget")
+    "q159_composed_forget", "q160_vacuumed_forget")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -3626,6 +3636,16 @@ object SparkEntry {
                 est_cnt - exact_cnt AS err
          FROM est JOIN ex ON est.item = ex.item
          ORDER BY est.item""",
+    // q160: after promote + vacuum, the retained version answers the
+    // same plain filter with the batch excluded (the physical-erasure
+    // sweep is spec-side: the oracle pins the READ, the spec pins that
+    // no deleted byte survives anywhere in the lineage)
+    "q160_vacuumed_forget" ->
+      raw"""SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_custkey IN (7, 13, 29, 42, 133)
+           AND o_custkey NOT IN (7, 13, 29)
+         ORDER BY o_orderkey""",
     // q158: the engine deletes the user batch in one stripe-union
     // rewrite and scans through the forgotten version; oracle = the
     // q145 rectangle with both users excluded

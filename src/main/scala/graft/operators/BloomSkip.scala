@@ -125,7 +125,8 @@ object BloomSkip {
   /** Forget memoized bloom layouts (tests, cold benching). */
   def clearMemos(): Unit = {
     layoutMemo.clear(); forgetMemo.clear(); dateLayoutMemo.clear()
-    datedForgetMemo.clear(); Layouts.clearManifestMemo()
+    datedForgetMemo.clear(); vacuumMemo.clear()
+    Layouts.clearManifestMemo()
   }
 
   /** The materialized bloom-indexed layout of the `orders` table for
@@ -544,6 +545,62 @@ object BloomSkip {
     val fp = IvfIndex.dataFingerprint(dir, table = "orders")
     forgetMemo.get((dir, keys.distinct.sorted, fp))
       .exists(_.peek.isDefined)
+  }
+
+  private val vacuumMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[Long], Long), Layouts.Once[String]]
+
+  /** q160: GDPR-COMPLETE erasure — forget the key batch, PROMOTE the
+    * post-erasure version by committing it to the lineage's version
+    * log, then VACUUM the lineage so the deleted users' bytes are
+    * PHYSICALLY gone: a forget rewrites candidates into a new version,
+    * but the old bytes live on in the pre-forget version until its
+    * snapshot expires ([[Layouts.vacuum]] — the Iceberg
+    * expire-snapshots discipline with the compliance reading). Only
+    * files the retained version shares survive; the spec sweeps every
+    * parquet file left in the lineage and asserts no deleted key
+    * remains anywhere on disk. The lineage is PRIVATE (its own v1
+    * build, not the shared q148 serving layout — vacuum deletes files,
+    * and the serving layout must never lose one under a concurrent
+    * reader); probes answer through the retained version, so the
+    * oracle is q153's plain filter with the batch excluded. */
+  def vacuumedForget(spark: SparkSession, dir: String,
+      delKeys: Seq[Long], probeKeys: Seq[Long]): DataFrame = {
+    val probes = (delKeys ++ probeKeys).distinct
+    requireProbeKeys(probes)
+    val ks = delKeys.distinct.sorted
+    val fp = IvfIndex.dataFingerprint(dir, table = "orders")
+    val memoKey = (dir, ks, fp)
+    val v = vacuumMemo.getOrElseUpdate(memoKey, new Layouts.Once({
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // pid + generation: the per-JVM counter alone COLLIDES across
+      // JVMs (a second process rebuilding lineage -g1 appends to the
+      // dead JVM's version log, and its vacuum then expires the OLD
+      // v2 — whose sidecar path equals the new v2's); the builder also
+      // wipes any husk at the path so a recycled pid cannot inherit a
+      // stale log
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft-vaclineage-$tag-f${java.lang.Long.toHexString(fp)}" +
+        s"-p${ProcessHandle.current().pid()}" +
+        s"-g${forgetGen.incrementAndGet()}"
+      if (new java.io.File(base).exists())
+        graft.AtomicSwap.deleteRecursively(new java.io.File(base))
+      val v1 = s"$base/v1"
+      bloomWrite(graft.Tables(spark, dir, "orders"),
+        "o_custkey", "o_orderkey", v1)
+      Layouts.commitVersion(s"$base/log", v1)
+      val v2 = s"$base/v2"
+      deleteKeysFrom(spark, v1, v2, ks)
+      Layouts.commitVersion(s"$base/log", v2)
+      Layouts.vacuum(spark, s"$base/log", keepLast = 1)
+      v2
+    })).value
+    val stale = vacuumMemo.keys
+      .filter(k => k._1 == dir && k != memoKey)
+      .flatMap(vacuumMemo.remove).flatMap(_.peek)
+      .map(p => new java.io.File(p).getParent).toSeq
+    graft.IndexGc.retire(s"vaclineage:$dir", stale)
+    lookupIn(spark, v, probes)
   }
 
   /** q151: the post-erasure lookup — delete customer `delKey`'s rows

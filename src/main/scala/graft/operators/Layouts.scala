@@ -114,6 +114,90 @@ object Layouts {
     readFiles(spark, versionPath, Some(Set(any))).where(lit(false))
   }
 
+  // ——— the version log + erasure-aware vacuum (q160) ————————————————
+
+  /** What a [[vacuum]] pass did. `filesShared` are expired-version
+    * files that SURVIVED because a retained manifest still references
+    * them. */
+  case class VacuumReport(versionsExpired: Long, filesDeleted: Long,
+      filesShared: Long)
+
+  /** Append `versionPath` to the lineage log at `logDir` (one small
+    * text file per version, atomic CREATE_NEW — the commit either
+    * exists whole or not at all). Returns the version id. */
+  def commitVersion(logDir: String, versionPath: String): Long = {
+    val d = new java.io.File(logDir)
+    d.mkdirs()
+    val id = versions(logDir).lastOption.map(_._1).getOrElse(0L) + 1L
+    java.nio.file.Files.write(
+      new java.io.File(d, f"v$id%06d.txt").toPath,
+      versionPath.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    id
+  }
+
+  /** The lineage's committed versions, oldest first. */
+  def versions(logDir: String): Seq[(Long, String)] =
+    Option(new java.io.File(logDir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.matches("v\\d+\\.txt"))
+      .sortBy(_.getName)
+      .map(f => (f.getName.stripPrefix("v").stripSuffix(".txt").toLong,
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .trim))
+
+  /** Expire every version of the lineage except the newest `keepLast`:
+    * delete the physical file directories ONLY the expired versions
+    * reference (a file shared into any RETAINED manifest survives —
+    * reference counting by manifest union, the Iceberg
+    * expire-snapshots discipline), plus the expired versions'
+    * sidecar files and log entries.
+    *
+    * The GDPR reading (round-15's completion of the erasure family):
+    * a forget rewrites candidates into a NEW version, but the deleted
+    * user's bytes LIVE ON in the pre-forget versions until they
+    * expire — erasure is not complete until vacuum runs. The spec
+    * asserts physical completeness: after vacuum, no surviving parquet
+    * file anywhere in the lineage holds a deleted key's row. Idempotent
+    * (a second pass expires nothing) and crash-safe (file dirs delete
+    * before log entries, so a crashed vacuum re-converges — a re-run
+    * skips already-deleted dirs). */
+  def vacuum(spark: SparkSession, logDir: String,
+      keepLast: Int = 1): VacuumReport = {
+    require(keepLast >= 1, "a lineage must retain at least one version")
+    val vs = versions(logDir)
+    val (expired, retained) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val keep = retained.flatMap(v => manifestOf(spark, v._2).values).toSet
+    var deleted = 0L
+    var shared = 0L
+    expired.foreach { case (id, p) =>
+      manifestOf(spark, p).values.toSeq.distinct.foreach { dir =>
+        if (keep(dir)) shared += 1
+        else {
+          val f = new java.io.File(dir)
+          if (f.exists()) {
+            graft.AtomicSwap.deleteRecursively(f)
+            deleted += 1
+          }
+        }
+      }
+      Seq(s"$p.bloomidx", s"$p.minmax", manifestPath(p)).foreach { side =>
+        val f = new java.io.File(side)
+        if (f.exists()) graft.AtomicSwap.deleteRecursively(f)
+      }
+      manifestMemo.remove(manifestPath(p))
+      // the version root may be an empty husk now — clear it, but only
+      // if no retained file still lives inside
+      val root = new java.io.File(p)
+      if (root.exists() &&
+        Option(root.listFiles()).toSeq.flatten
+          .forall(f => !keep(f.getAbsolutePath)))
+        graft.AtomicSwap.deleteRecursively(root)
+      java.nio.file.Files.deleteIfExists(
+        new java.io.File(logDir, f"v$id%06d.txt").toPath)
+    }
+    VacuumReport(expired.size.toLong, deleted, shared)
+  }
+
   /** The ONE-job batched copy-on-write rewrite at the heart of
     * right-to-erasure (round-14 verdict #1): read the `cands` files of
     * `versionPath` through the manifest (path-level pruning), drop the

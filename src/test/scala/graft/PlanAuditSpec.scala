@@ -461,6 +461,9 @@ class PlanAuditSpec extends SparkSpec {
     // versions (the batched rewrites are memoized copy-on-write builds)
     "q158_zorder_forget_batch" -> 1,
     "q159_composed_forget" -> 1,
+    // q160: the q153 pruned-scan shape over the VACUUMED lineage's
+    // retained version (build + promote + vacuum are memoized)
+    "q160_vacuumed_forget" -> 1,
     // q155: q145's pruned-scan shape over the post-erasure z-layout
     // version (the quadrant-candidate rewrite is a memoized
     // copy-on-write build, not part of this plan)

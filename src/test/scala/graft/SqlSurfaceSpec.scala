@@ -112,7 +112,10 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM composed_forget('1995-01-01', '1996-06-30', " +
         "7, 42, 0, 13, 133)" ->
         operators.BloomSkip.forgetKeysInRange(spark, sf, Seq(7L, 42L),
-          Seq(13L, 133L), "1995-01-01", "1996-06-30"))
+          Seq(13L, 133L), "1995-01-01", "1996-06-30"),
+      "SELECT * FROM vacuumed_forget(7, 13, 29, 0, 42, 133)" ->
+        operators.BloomSkip.vacuumedForget(spark, sf, Seq(7L, 13L, 29L),
+          Seq(42L, 133L)))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

@@ -295,6 +295,62 @@ class BloomSkipSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("q160 vacuum: pre-forget snapshot expires, shared files " +
+    "survive, the retained read stays exact, and NO deleted byte " +
+    "remains anywhere in the lineage") {
+    import java.nio.file.Files
+    val delKeys = Seq(7L, 13L)
+    val base = Files.createTempDirectory("vaclineage").toString
+    val (v1, v2, log) = (s"$base/v1", s"$base/v2", s"$base/log")
+    BloomSkip.bloomWrite(orders
+      .select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_custkey", "o_orderkey", v1)
+    Layouts.commitVersion(log, v1)
+    BloomSkip.deleteKeysFrom(spark, v1, v2, delKeys)
+    Layouts.commitVersion(log, v2)
+    val cands = BloomSkip
+      .candidateFiles(spark, s"$v1.bloomidx", delKeys).toSet
+    val report = Layouts.vacuum(spark, log, keepLast = 1)
+    // exactly v1 expired; its candidate files (the only ones v2 does
+    // NOT share) deleted; everything v2 references survived
+    assert(report.versionsExpired == 1L)
+    assert(report.filesDeleted == cands.size.toLong, s"$report")
+    val mf2 = Layouts.manifestOf(spark, v2)
+    assert(report.filesShared == (mf2.size - Layouts
+      .listFileDirs(new java.io.File(v2)).size).toLong)
+    mf2.values.foreach(p => assert(new java.io.File(p).exists(),
+      s"vacuum deleted a retained file: $p"))
+    assert(!new java.io.File(s"$v1.bloomidx").exists() &&
+      !new java.io.File(Layouts.manifestPath(v1)).exists(),
+      "expired sidecars survived")
+    // the retained read is still exact
+    val got = BloomSkip.lookupIn(spark, v2, delKeys :+ 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = orders.where(col("o_custkey") === 42L)
+      .select(col("o_orderkey"), col("o_custkey")).orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && want.nonEmpty)
+    // COMPLIANCE SWEEP: no parquet file left anywhere under the
+    // lineage holds a deleted key's row — the bytes are gone, not
+    // merely unreferenced
+    def parquets(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.flatMap(parquets)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val dataFiles = parquets(new java.io.File(base))
+      .filterNot(f => f.getAbsolutePath.contains(".bloomidx") ||
+        f.getAbsolutePath.contains(".manifest"))
+    assert(dataFiles.nonEmpty)
+    val leftovers = spark.read
+      .parquet(dataFiles.map(_.getAbsolutePath): _*)
+      .where(col("o_custkey").isin(delKeys: _*)).count()
+    assert(leftovers == 0L,
+      s"$leftovers deleted-key rows still physically on disk")
+    // a second vacuum is a no-op
+    assert(Layouts.vacuum(spark, log, keepLast = 1) ==
+      Layouts.VacuumReport(0L, 0L, 0L))
+  }
+
   test("probe guards: empty and oversized key lists are refused") {
     intercept[IllegalArgumentException] {
       BloomSkip.pointLookup(spark, sf, Seq.empty)
