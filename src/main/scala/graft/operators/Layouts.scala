@@ -145,6 +145,22 @@ object Layouts {
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           .trim))
 
+  /** Time travel: read the lineage AS OF version `id` — the version's
+    * manifest resolves files shared with any other version identically
+    * (they are the same immutable objects). A version vacuum expired
+    * fails LOUDLY with the retention explanation: its manifest is
+    * gone, and answering from a later version would silently serve the
+    * wrong snapshot. */
+  def readAsOf(spark: SparkSession, logDir: String, id: Long): DataFrame = {
+    val vs = versions(logDir)
+    val v = vs.find(_._1 == id).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $id is not in the lineage (live: " +
+          s"${vs.map(_._1).mkString(", ")}) — expired by vacuum or " +
+          "never committed"))
+    readFiles(spark, v._2, None)
+  }
+
   /** Expire every version of the lineage except the newest `keepLast`:
     * delete the physical file directories ONLY the expired versions
     * reference (a file shared into any RETAINED manifest survives —

@@ -351,6 +351,42 @@ class BloomSkipSpec extends SparkSpec {
       Layouts.VacuumReport(0L, 0L, 0L))
   }
 
+  test("time travel: as-of reads serve each snapshot exactly until " +
+    "vacuum expires it — then they fail LOUDLY, never partially") {
+    import java.nio.file.Files
+    val delKeys = Seq(7L)
+    val base = Files.createTempDirectory("vactt").toString
+    val (v1, v2, log) = (s"$base/v1", s"$base/v2", s"$base/log")
+    BloomSkip.bloomWrite(orders
+      .select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_custkey", "o_orderkey", v1)
+    Layouts.commitVersion(log, v1)
+    BloomSkip.deleteKeysFrom(spark, v1, v2, delKeys)
+    Layouts.commitVersion(log, v2)
+    val nAll = orders.count()
+    val nDel = orders.where(col("o_custkey").isin(delKeys: _*)).count()
+    // the pre-forget snapshot still shows the user; the post-forget
+    // snapshot never does — both reads through their own manifests
+    assert(Layouts.readAsOf(spark, log, 1L).count() == nAll)
+    assert(Layouts.readAsOf(spark, log, 1L)
+      .where(col("o_custkey").isin(delKeys: _*)).count() == nDel &&
+      nDel > 0)
+    assert(Layouts.readAsOf(spark, log, 2L).count() == nAll - nDel)
+    // retention: vacuum expires v1 — as-of 1 now fails loudly with
+    // the live-version list, as-of 2 is untouched
+    Layouts.vacuum(spark, log, keepLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      Layouts.readAsOf(spark, log, 1L)
+    }
+    assert(e.getMessage.contains("expired") &&
+      e.getMessage.contains("live: 2"), e.getMessage)
+    assert(Layouts.readAsOf(spark, log, 2L).count() == nAll - nDel)
+    // an uncommitted version id is the same loud failure
+    intercept[IllegalArgumentException] {
+      Layouts.readAsOf(spark, log, 99L)
+    }
+  }
+
   test("probe guards: empty and oversized key lists are refused") {
     intercept[IllegalArgumentException] {
       BloomSkip.pointLookup(spark, sf, Seq.empty)
