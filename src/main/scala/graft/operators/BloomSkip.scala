@@ -387,6 +387,15 @@ object BloomSkip {
     v
   }
 
+  /** Whether the post-erasure date-layout version for (dir, keys) is
+    * already built — a repeat request answers without the build gate. */
+  def isDatedForgetMemoized(spark: SparkSession, dir: String,
+      keys: Seq[Long]): Boolean = {
+    val fp = IvfIndex.dataFingerprint(dir, table = "orders")
+    datedForgetMemo.get((dir, keys.distinct.sorted, fp))
+      .exists(_.peek.isDefined)
+  }
+
   /** q159: the post-erasure composed lookup — delete the key batch
     * through the bloom candidates (both indexes patched), then probe
     * deleted keys and survivors through the intersected indexes of

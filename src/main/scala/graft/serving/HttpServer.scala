@@ -587,7 +587,10 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         case (Some(f), Some(t)) =>
           def scan() = graft.operators.BloomSkip
             .forgetKeysInRange(spark, dataDir, del, keys, f, t)
-          if (!forgetGate.tryAcquire())
+          if (graft.operators.BloomSkip
+              .isDatedForgetMemoized(spark, dataDir, del))
+            scan()
+          else if (!forgetGate.tryAcquire())
             throw new BusyException(
               "an erasure build is already in flight; retry later")
           else try scan() finally forgetGate.release()
