@@ -101,6 +101,7 @@ object BloomSkip {
     // fresh build owns all of them; a post-erasure version shares
     // most of them with its parent — see deleteKeysFrom)
     Layouts.writeOwnManifest(spark, outDir)
+    Layouts.writeSchemaSidecar(spark.read.parquet(outDir), outDir)
     nFiles
   }
 
@@ -148,7 +149,8 @@ object BloomSkip {
     val stale = layoutMemo.keys
       .filter(k => k._1 == dir && k != key)
       .flatMap(layoutMemo.remove).flatMap(_.peek).flatMap(x =>
-        Seq(x._1, s"${x._1}.bloomidx", manifestPath(x._1))).toSeq
+        Seq(x._1, s"${x._1}.bloomidx", manifestPath(x._1),
+          Layouts.schemaPath(x._1))).toSeq
     graft.IndexGc.retire(s"bloomlayout:$dir", stale)
     v
   }
@@ -256,6 +258,7 @@ object BloomSkip {
       .repartition(1)
       .write.mode("overwrite").parquet(s"$outDir.minmax")
     Layouts.writeOwnManifest(spark, outDir)
+    Layouts.writeSchemaSidecar(layout, outDir)
   }
 
   private val dateLayoutMemo = scala.collection.concurrent.TrieMap
@@ -278,7 +281,8 @@ object BloomSkip {
     val stale = dateLayoutMemo.keys
       .filter(k => k._1 == dir && k != key)
       .flatMap(dateLayoutMemo.remove).flatMap(_.peek).flatMap(p =>
-        Seq(p, s"$p.bloomidx", s"$p.minmax", Layouts.manifestPath(p))).toSeq
+        Seq(p, s"$p.bloomidx", s"$p.minmax", Layouts.manifestPath(p),
+          Layouts.schemaPath(p))).toSeq
     graft.IndexGc.retire(s"datebloom:$dir", stale)
     v
   }
@@ -368,21 +372,22 @@ object BloomSkip {
     val ks = keys.distinct.sorted
     val fp = IvfIndex.dataFingerprint(dir, table = "orders")
     val memoKey = (dir, ks, fp)
-    val v = datedForgetMemo.getOrElseUpdate(memoKey, new Layouts.Once({
-      val src = dateLayoutCached(spark, dir)
-      val tag =
-        if (ks.size == 1) ks.head.toString
-        else "b" + java.lang.Long.toHexString(
-          graft.functions.TextFunctions.md5LongScala(ks.mkString(",")))
-      val p = s"$src.forget$tag-g${forgetGen.incrementAndGet()}"
-      val report = deleteKeysFromDated(spark, src, p, ks)
-      (p, report)
-    })).value
+    val v = datedForgetMemo.getOrElseUpdate(memoKey, new Layouts.Once(
+      Layouts.withBuildGate {
+        val src = dateLayoutCached(spark, dir)
+        val tag =
+          if (ks.size == 1) ks.head.toString
+          else "b" + java.lang.Long.toHexString(
+            graft.functions.TextFunctions.md5LongScala(ks.mkString(",")))
+        val p = s"$src.forget$tag-g${forgetGen.incrementAndGet()}"
+        val report = deleteKeysFromDated(spark, src, p, ks)
+        (p, report)
+      })).value
     val stale = datedForgetMemo.keys
       .filter(k => k._1 == dir && k != memoKey)
       .flatMap(datedForgetMemo.remove).flatMap(_.peek).flatMap(x =>
         Seq(x._1, s"${x._1}.bloomidx", s"${x._1}.minmax",
-          Layouts.manifestPath(x._1))).toSeq
+          Layouts.manifestPath(x._1), Layouts.schemaPath(x._1))).toSeq
     graft.IndexGc.retire(s"datedforget:$dir", stale)
     v
   }
@@ -528,20 +533,22 @@ object BloomSkip {
     val ks = keys.distinct.sorted
     val fp = IvfIndex.dataFingerprint(dir, table = "orders")
     val memoKey = (dir, ks, fp)
-    val v = forgetMemo.getOrElseUpdate(memoKey, new Layouts.Once({
-      val (src, _) = layoutCached(spark, dir)
-      val tag =
-        if (ks.size == 1) ks.head.toString
-        else "b" + java.lang.Long.toHexString(
-          graft.functions.TextFunctions.md5LongScala(ks.mkString(",")))
-      val p = s"$src.forget$tag-g${forgetGen.incrementAndGet()}"
-      val report = deleteKeysFrom(spark, src, p, ks)
-      (p, report)
-    })).value
+    val v = forgetMemo.getOrElseUpdate(memoKey, new Layouts.Once(
+      Layouts.withBuildGate {
+        val (src, _) = layoutCached(spark, dir)
+        val tag =
+          if (ks.size == 1) ks.head.toString
+          else "b" + java.lang.Long.toHexString(
+            graft.functions.TextFunctions.md5LongScala(ks.mkString(",")))
+        val p = s"$src.forget$tag-g${forgetGen.incrementAndGet()}"
+        val report = deleteKeysFrom(spark, src, p, ks)
+        (p, report)
+      })).value
     val stale = forgetMemo.keys
       .filter(k => k._1 == dir && k != memoKey)
       .flatMap(forgetMemo.remove).flatMap(_.peek).flatMap(x =>
-        Seq(x._1, s"${x._1}.bloomidx", manifestPath(x._1))).toSeq
+        Seq(x._1, s"${x._1}.bloomidx", manifestPath(x._1),
+          Layouts.schemaPath(x._1))).toSeq
     graft.IndexGc.retire(s"bloomforget:$dir", stale)
     v
   }
@@ -580,7 +587,8 @@ object BloomSkip {
     val ks = delKeys.distinct.sorted
     val fp = IvfIndex.dataFingerprint(dir, table = "orders")
     val memoKey = (dir, ks, fp)
-    val v = vacuumMemo.getOrElseUpdate(memoKey, new Layouts.Once({
+    val v = vacuumMemo.getOrElseUpdate(memoKey, new Layouts.Once(
+      Layouts.withBuildGate {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       // pid + generation: the per-JVM counter alone COLLIDES across
       // JVMs (a second process rebuilding lineage -g1 appends to the

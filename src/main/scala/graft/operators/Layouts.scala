@@ -43,6 +43,36 @@ object Layouts {
 
   def manifestPath(versionPath: String): String = s"$versionPath.manifest"
 
+  /** Schema sidecar of a layout version: an empty single-file parquet
+    * carrying the layout's schema, so an EMPTY version (an erasure that
+    * deleted every candidate file's every row) can still answer
+    * [[readFiles]]/[[emptyLike]] with an empty relation instead of
+    * throwing — there is no data file left to resolve the schema from. */
+  def schemaPath(versionPath: String): String = s"$versionPath.schema"
+
+  /** Serializes copy-on-write layout BUILDS (erasure rewrites, takedown
+    * patches) across every operator on this JVM: two concurrent
+    * rewrites are an I/O storm the serving layer's 503 gate exists to
+    * shed, but the HTTP-side memoized-bypass check is inherently
+    * check-then-act (round-15 advice: a concurrent eviction between the
+    * check and the build re-runs the build OUTSIDE the gate). Owning
+    * the mutual exclusion HERE — around the build itself — closes that
+    * window for every caller. Reentrant, so a gated builder composing
+    * another gated builder on the same thread never self-deadlocks. */
+  private val buildGate = new java.util.concurrent.locks.ReentrantLock()
+
+  def withBuildGate[A](body: => A): A = {
+    buildGate.lock()
+    try body finally buildGate.unlock()
+  }
+
+  /** Write the version's schema sidecar (see [[schemaPath]]): an empty
+    * limit-0 projection of the layout, one tiny footer-only file. */
+  private[operators] def writeSchemaSidecar(layout: DataFrame,
+      versionPath: String): Unit =
+    layout.limit(0).repartition(1).write.mode("overwrite")
+      .parquet(schemaPath(versionPath))
+
   private val manifestMemo =
     scala.collection.concurrent.TrieMap.empty[String, Map[Long, String]]
 
@@ -96,7 +126,7 @@ object Layouts {
       fids: Option[Set[Long]] = None): DataFrame = {
     val mf = manifestOf(spark, versionPath)
     val picked = fids.fold(mf)(s => mf.view.filterKeys(s).toMap)
-    require(picked.nonEmpty, s"no files selected in $versionPath")
+    if (picked.isEmpty) return emptyLike(spark, versionPath)
     picked.values.toSeq.distinct
       .groupBy(p => new java.io.File(p).getParent)
       .toSeq.sortBy(_._1)
@@ -107,11 +137,23 @@ object Layouts {
   }
 
   /** An empty relation with the layout's schema (resolve one manifest
-    * file, scan nothing) — the no-candidates answer. */
+    * file, scan nothing) — the no-candidates answer. A version whose
+    * manifest is EMPTY (an erasure deleted every file) resolves the
+    * schema from its sidecar (round-15 advice: `.keys.min` on an empty
+    * manifest threw on every subsequent lookup). */
   private[operators] def emptyLike(spark: SparkSession,
       versionPath: String): DataFrame = {
-    val any = manifestOf(spark, versionPath).keys.min
-    readFiles(spark, versionPath, Some(Set(any))).where(lit(false))
+    val mf = manifestOf(spark, versionPath)
+    if (mf.nonEmpty) {
+      val any = mf.keys.min
+      readFiles(spark, versionPath, Some(Set(any))).where(lit(false))
+    } else {
+      val sp = new java.io.File(schemaPath(versionPath))
+      require(sp.exists(),
+        s"empty layout $versionPath has no schema sidecar — cannot " +
+          "build an empty relation (pre-sidecar hand-built fixture?)")
+      spark.read.parquet(sp.getAbsolutePath).where(lit(false))
+    }
   }
 
   // ——— the version log + erasure-aware vacuum (q160) ————————————————
@@ -177,40 +219,59 @@ object Layouts {
     * (a second pass expires nothing) and crash-safe (file dirs delete
     * before log entries, so a crashed vacuum re-converges — a re-run
     * skips already-deleted dirs). */
+  /** See [[vacuum]]. `inlineDelete = true` (the GDPR-complete default)
+    * physically deletes expired files IN THIS CALL — the compliance
+    * guarantee q160's spec sweeps for — and therefore REQUIRES
+    * exclusive access to the lineage: no concurrent [[readAsOf]] of a
+    * version being expired (round-15 advice — a reader mid-scan of a
+    * just-expired snapshot would lose files under it). The
+    * private-per-request lineages the batch queries build satisfy this
+    * by construction. `inlineDelete = false` is the SERVING mode:
+    * expired directories route through [[graft.IndexGc.retire]]'s
+    * wall-clock grace (scoped by `logDir`) so an in-flight reader that
+    * resolved its file list before the expiry finishes its scan; the
+    * bytes go at the reaper's next pass after the grace — physical
+    * erasure is eventual, bounded by `IndexGc.graceMs`. */
   def vacuum(spark: SparkSession, logDir: String,
-      keepLast: Int = 1): VacuumReport = {
+      keepLast: Int = 1, inlineDelete: Boolean = true): VacuumReport = {
     require(keepLast >= 1, "a lineage must retain at least one version")
     val vs = versions(logDir)
     val (expired, retained) = vs.splitAt(math.max(0, vs.size - keepLast))
     val keep = retained.flatMap(v => manifestOf(spark, v._2).values).toSet
     var deleted = 0L
     var shared = 0L
+    val deferred = scala.collection.mutable.ListBuffer.empty[String]
+    def remove(path: String): Unit =
+      if (inlineDelete) {
+        val f = new java.io.File(path)
+        if (f.exists()) graft.AtomicSwap.deleteRecursively(f)
+      } else deferred += path
     expired.foreach { case (id, p) =>
       manifestOf(spark, p).values.toSeq.distinct.foreach { dir =>
         if (keep(dir)) shared += 1
-        else {
-          val f = new java.io.File(dir)
-          if (f.exists()) {
-            graft.AtomicSwap.deleteRecursively(f)
-            deleted += 1
-          }
+        else if (new java.io.File(dir).exists()) {
+          remove(dir)
+          deleted += 1
         }
       }
-      Seq(s"$p.bloomidx", s"$p.minmax", manifestPath(p)).foreach { side =>
-        val f = new java.io.File(side)
-        if (f.exists()) graft.AtomicSwap.deleteRecursively(f)
-      }
+      Seq(s"$p.bloomidx", s"$p.minmax", schemaPath(p), manifestPath(p))
+        .foreach { side =>
+          if (new java.io.File(side).exists()) remove(side)
+        }
       manifestMemo.remove(manifestPath(p))
       // the version root may be an empty husk now — clear it, but only
-      // if no retained file still lives inside
+      // if no retained file still lives inside (deferred mode leaves
+      // the husk for the reaper alongside its contents)
       val root = new java.io.File(p)
-      if (root.exists() &&
+      if (inlineDelete && root.exists() &&
         Option(root.listFiles()).toSeq.flatten
           .forall(f => !keep(f.getAbsolutePath)))
         graft.AtomicSwap.deleteRecursively(root)
       java.nio.file.Files.deleteIfExists(
         new java.io.File(logDir, f"v$id%06d.txt").toPath)
     }
+    if (deferred.nonEmpty)
+      graft.IndexGc.retire(s"lineage:$logDir", deferred.toSeq)
     VacuumReport(expired.size.toLong, deleted, shared)
   }
 
@@ -249,6 +310,10 @@ object Layouts {
     val rewritten = listFileDirs(out)
     writeManifest(spark, outPath,
       (manifestOf(spark, versionPath) -- cands) ++ rewritten)
+    // schema sidecar: an erasure can empty the manifest entirely (every
+    // candidate file's every row deleted, nothing shared) — the sidecar
+    // keeps the empty version readable (see [[emptyLike]])
+    writeSchemaSidecar(emptyLike(spark, versionPath), outPath)
     (rewritten, deleted)
   }
 }

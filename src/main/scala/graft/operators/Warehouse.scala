@@ -194,6 +194,8 @@ object Warehouse {
     // the version's manifest (the [[Layouts]] indirection): erasure
     // writes successor versions that SHARE untouched quadrant files
     Layouts.writeOwnManifest(df.sparkSession, outDir)
+    Layouts.writeSchemaSidecar(
+      df.sparkSession.read.parquet(outDir), outDir)
   }
 
   private val zlayoutMemo = scala.collection.concurrent.TrieMap
@@ -227,7 +229,8 @@ object Warehouse {
     val stale = zlayoutMemo.keys
       .filter(k => (k._1, k._2) == ((dir, shift)) && k != key)
       .flatMap(zlayoutMemo.remove).flatMap(_.peek)
-      .flatMap(p => Seq(p, Layouts.manifestPath(p))).toSeq
+      .flatMap(p => Seq(p, Layouts.manifestPath(p),
+        Layouts.schemaPath(p))).toSeq
     graft.IndexGc.retire(s"zlayout:$dir:$shift", stale)
     v
   }
@@ -379,20 +382,22 @@ object Warehouse {
     val us = users.distinct.sorted
     val fp = IvfIndex.dataFingerprint(dir, table = "events")
     val memoKey = (dir, us, shift, fp)
-    val v = zforgetMemo.getOrElseUpdate(memoKey, new Layouts.Once({
-      val src = zlayoutCached(spark, dir, shift)
-      val tag =
-        if (us.size == 1) us.head.toString
-        else "b" + java.lang.Long.toHexString(
-          graft.functions.TextFunctions.md5LongScala(us.mkString(",")))
-      val p = s"$src.forget$tag-g${zforgetGen.incrementAndGet()}"
-      val report = zorderDeleteUsers(spark, src, p, us, shift)
-      (p, report)
-    })).value
+    val v = zforgetMemo.getOrElseUpdate(memoKey, new Layouts.Once(
+      Layouts.withBuildGate {
+        val src = zlayoutCached(spark, dir, shift)
+        val tag =
+          if (us.size == 1) us.head.toString
+          else "b" + java.lang.Long.toHexString(
+            graft.functions.TextFunctions.md5LongScala(us.mkString(",")))
+        val p = s"$src.forget$tag-g${zforgetGen.incrementAndGet()}"
+        val report = zorderDeleteUsers(spark, src, p, us, shift)
+        (p, report)
+      })).value
     val stale = zforgetMemo.keys
       .filter(k => k._1 == dir && k != memoKey)
       .flatMap(zforgetMemo.remove).flatMap(_.peek)
-      .flatMap(x => Seq(x._1, Layouts.manifestPath(x._1))).toSeq
+      .flatMap(x => Seq(x._1, Layouts.manifestPath(x._1),
+        Layouts.schemaPath(x._1))).toSeq
     graft.IndexGc.retire(s"zforget:$dir", stale)
     v
   }

@@ -146,25 +146,30 @@ class IvfIndexSpec extends SparkSpec {
     graft.IndexGc.reset(); IvfIndex.clearMemos()
     // this test drives three refresh cycles in milliseconds — drop the
     // wall-clock fence so the generation fence alone is under test
+    // try/finally: a mid-test failure must not leave the wall-clock
+    // reaper fence disabled for every later test in the JVM
     val grace0 = graft.IndexGc.graceMs; graft.IndexGc.graceMs = 0L
-    val dir = java.nio.file.Files.createTempDirectory("ivfgc").toString
-    def rewrite(n: Int): Unit = graft.Tables.embeddings(spark, sf)
-      .limit(n).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    rewrite(60)
-    val (p1, _) = IvfIndex.invertedFileCached(spark, dir, cells = 4, iters = 1)
-    rewrite(40)
-    val (p2, _) = IvfIndex.invertedFileCached(spark, dir, cells = 4, iters = 1)
-    assert(p2 != p1 && new java.io.File(p1).exists(),
-      "first refresh condemns only — in-flight searches keep p1")
-    rewrite(20)
-    val (p3, _) = IvfIndex.invertedFileCached(spark, dir, cells = 4, iters = 1)
-    assert(p3 != p2)
-    assert(!new java.io.File(p1).exists(), "p1 must be reaped now")
-    assert(new java.io.File(p2).exists(), "p2 gets its grace refresh")
-    assert(spark.read.parquet(p3).count() == 20L,
-      "current index unaffected by the reap")
-    graft.IndexGc.graceMs = grace0
-    IvfIndex.clearMemos(); graft.IndexGc.reset()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("ivfgc").toString
+      def rewrite(n: Int): Unit = graft.Tables.embeddings(spark, sf)
+        .limit(n).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      rewrite(60)
+      val (p1, _) = IvfIndex.invertedFileCached(spark, dir, cells = 4, iters = 1)
+      rewrite(40)
+      val (p2, _) = IvfIndex.invertedFileCached(spark, dir, cells = 4, iters = 1)
+      assert(p2 != p1 && new java.io.File(p1).exists(),
+        "first refresh condemns only — in-flight searches keep p1")
+      rewrite(20)
+      val (p3, _) = IvfIndex.invertedFileCached(spark, dir, cells = 4, iters = 1)
+      assert(p3 != p2)
+      assert(!new java.io.File(p1).exists(), "p1 must be reaped now")
+      assert(new java.io.File(p2).exists(), "p2 gets its grace refresh")
+      assert(spark.read.parquet(p3).count() == 20L,
+        "current index unaffected by the reap")
+    } finally {
+      graft.IndexGc.graceMs = grace0
+      IvfIndex.clearMemos(); graft.IndexGc.reset()
+    }
   }
 
   test("incremental append: new vectors join existing cells and are found") {

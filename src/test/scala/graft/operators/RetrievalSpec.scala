@@ -139,39 +139,44 @@ class RetrievalSpec extends SparkSpec {
     graft.IndexGc.reset(); Ranking.clearMemos()
     // refresh cycles run in milliseconds here — drop the wall-clock
     // fence so the generation fence alone is under test
+    // try/finally: a mid-test failure must not leave the wall-clock
+    // reaper fence disabled for every later test in the JVM
     val grace0 = graft.IndexGc.graceMs; graft.IndexGc.graceMs = 0L
-    val dir = java.nio.file.Files.createTempDirectory("pgc").toString
-    def rewrite(docs: Seq[(Long, String)]): Unit =
-      docs.toDF("doc_id", "text").write.mode("overwrite")
-        .parquet(s"$dir/documents.parquet")
-    rewrite(Seq(1L -> "a b c", 2L -> "c a b"))
-    val p1 = Ranking.postingsFileCached(spark, dir)
-    // memo hit: no eviction, so nothing may be reaped
-    assert(Ranking.postingsFileCached(spark, dir) == p1)
-    rewrite(Seq(1L -> "a b c", 2L -> "c a b", 3L -> "a b"))
-    val p2 = Ranking.postingsFileCached(spark, dir)
-    assert(p2 != p1 && new java.io.File(p1).exists(),
-      "first refresh must only CONDEMN the old directory — an " +
-        "in-flight reader may still hold its path")
-    // a reader that obtained p2 BEFORE the next refresh…
-    val held = Ranking.phraseSearchFile(spark, p2, Seq("a", "b"))
-    rewrite(Seq(1L -> "a b", 2L -> "b a"))
-    val p3 = Ranking.postingsFileCached(spark, dir)
-    assert(p3 != p2)
-    assert(!new java.io.File(p1).exists(),
-      "two refreshes past: the p1 directory must be reaped")
-    assert(new java.io.File(p2).exists(),
-      "p2 is condemned, not reaped — its readers get a full refresh")
-    // …still scans successfully after p1's reap, and the current
-    // index answers through the fresh path
-    assert(held.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
-    graft.Caches.releaseAll()
-    val got = Ranking.phraseSearchFile(spark, p3, Seq("a", "b"))
-      .collect().map(_.getLong(0)).toSeq
-    graft.Caches.releaseAll()
-    assert(got == Seq(1L))
-    graft.IndexGc.graceMs = grace0
-    Ranking.clearMemos(); graft.IndexGc.reset()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("pgc").toString
+      def rewrite(docs: Seq[(Long, String)]): Unit =
+        docs.toDF("doc_id", "text").write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+      rewrite(Seq(1L -> "a b c", 2L -> "c a b"))
+      val p1 = Ranking.postingsFileCached(spark, dir)
+      // memo hit: no eviction, so nothing may be reaped
+      assert(Ranking.postingsFileCached(spark, dir) == p1)
+      rewrite(Seq(1L -> "a b c", 2L -> "c a b", 3L -> "a b"))
+      val p2 = Ranking.postingsFileCached(spark, dir)
+      assert(p2 != p1 && new java.io.File(p1).exists(),
+        "first refresh must only CONDEMN the old directory — an " +
+          "in-flight reader may still hold its path")
+      // a reader that obtained p2 BEFORE the next refresh…
+      val held = Ranking.phraseSearchFile(spark, p2, Seq("a", "b"))
+      rewrite(Seq(1L -> "a b", 2L -> "b a"))
+      val p3 = Ranking.postingsFileCached(spark, dir)
+      assert(p3 != p2)
+      assert(!new java.io.File(p1).exists(),
+        "two refreshes past: the p1 directory must be reaped")
+      assert(new java.io.File(p2).exists(),
+        "p2 is condemned, not reaped — its readers get a full refresh")
+      // …still scans successfully after p1's reap, and the current
+      // index answers through the fresh path
+      assert(held.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      graft.Caches.releaseAll()
+      val got = Ranking.phraseSearchFile(spark, p3, Seq("a", "b"))
+        .collect().map(_.getLong(0)).toSeq
+      graft.Caches.releaseAll()
+      assert(got == Seq(1L))
+    } finally {
+      graft.IndexGc.graceMs = grace0
+      Ranking.clearMemos(); graft.IndexGc.reset()
+    }
   }
 
   // ---------------- q130: more-like-this ----------------------------
