@@ -245,5 +245,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         keys.drop(sep + 1), strArg(a(0), "composed_forget"),
         strArg(a(1), "composed_forget"))
     })
+    // document-corpus takedown family (q161–q165). Doc ids start at 0,
+    // so the batched separator is -1 (the zorder_forget_batch rule)
+    registerTvf(ext, "doc_takedown")((s, d, a) => {
+      val v = a.map(longArg(_, "doc_takedown"))
+      val sep = v.indexOf(-1L)
+      require(sep > 0 && sep < v.size - 1,
+        "doc_takedown(delId..., -1, probe...)")
+      DocForget.takedownScan(s, d, v.take(sep), v.drop(sep + 1))
+    })
+    registerTvf(ext, "takedown_pack")((s, d, a) =>
+      DocForget.takedownPack(s, d, a.map(longArg(_, "takedown_pack"))))
+    registerTvf(ext, "takedown_phrase")((s, d, a) => {
+      require(a.size >= 2, "takedown_phrase('the phrase', delId...)")
+      DocForget.takedownPhrase(s, d,
+        a.tail.map(longArg(_, "takedown_phrase")),
+        strArg(a(0), "takedown_phrase").trim.split("\\s+").toSeq)
+    })
+    registerTvf(ext, "takedown_ann")((s, d, a) => {
+      require(a.size >= 2, "takedown_ann(queryId, delId...)")
+      DocForget.takedownAnn(s, d, a.tail.map(longArg(_, "takedown_ann")),
+        queryId = longArg(a(0), "takedown_ann"))
+    })
+    registerTvf(ext, "takedown_report")((s, d, a) =>
+      DocForget.takedownReport(s, d, a.map(longArg(_, "takedown_report"))))
   }
 }

@@ -533,6 +533,42 @@ object SparkEntry {
     "q160_vacuumed_forget" ->
       ((s, d) => BloomSkip.vacuumedForget(s, d, Seq(7L, 13L, 29L),
         Seq(42L, 133L))),
+    // q161: right-to-erasure for the DOCUMENT corpus — the takedown
+    // batch deleted from the curated-corpus layout in one bloom-pruned
+    // rewrite (the q153 machinery keyed on doc_id), then the deleted
+    // ids and survivors probed through the patched per-file index; the
+    // oracle is the plain filter with the batch excluded
+    "q161_doc_takedown" ->
+      ((s, d) => DocForget.takedownScan(s, d, Seq(45L, 48L, 262L),
+        Seq(7L, 100L))),
+    // q162: the takedown propagated through the PACKED SHARDS — only
+    // the deleted docs' blocks rewrite, and their survivors REPACK
+    // (per-block prefix sums recomputed in the same job) so no shard
+    // carries a hole where a deleted doc's spans were; the oracle
+    // packs the corpus with the batch excluded — a stale offset or
+    // leftover span fails the hash
+    "q162_takedown_pack" ->
+      ((s, d) => DocForget.takedownPack(s, d, Seq(45L, 48L, 262L))),
+    // q163: the takedown propagated through the POSITIONAL POSTINGS —
+    // only the deleted docs' term buckets rewrite; the q131 phrase
+    // search through the patched index must lose the deleted docs'
+    // matches (45 and 262 match this phrase at sf0.01) and keep every
+    // other
+    "q163_takedown_phrase" ->
+      ((s, d) => DocForget.takedownPhrase(s, d, Seq(45L, 48L, 262L))),
+    // q164: the takedown propagated through the IVF INVERTED FILE —
+    // only the deleted vectors' cells rewrite (candidates from the
+    // index's own per-file bloom on vec_id, no assignment recompute);
+    // q56's probe path over the patched version, oracle = the same
+    // unrolled-Lloyd chain with the batch excluded from scoring
+    "q164_takedown_ann" ->
+      ((s, d) => DocForget.takedownAnn(s, d, Seq(45L, 48L, 262L))),
+    // q165: the takedown ACCOUNTING — exact per-artifact deleted-row
+    // counts from the rewrite jobs' own Observation metrics; the
+    // oracle recomputes every count from the source tables (too few =
+    // a leftover row somewhere, too many = a lost survivor)
+    "q165_takedown_report" ->
+      ((s, d) => DocForget.takedownReport(s, d, Seq(45L, 48L, 262L))),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -548,7 +584,9 @@ object SparkEntry {
     "q131_phrase_index_search", "q145_zorder_scan", "q148_bloom_lookup",
     "q151_forget_key", "q153_forget_batch", "q155_zorder_forget",
     "q157_composed_lookup", "q158_zorder_forget_batch",
-    "q159_composed_forget", "q160_vacuumed_forget")
+    "q159_composed_forget", "q160_vacuumed_forget",
+    "q161_doc_takedown", "q162_takedown_pack", "q163_takedown_phrase",
+    "q164_takedown_ann", "q165_takedown_report")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -560,6 +598,7 @@ object SparkEntry {
     Ranking.clearMemos()
     Warehouse.clearMemos()
     BloomSkip.clearMemos()
+    DocForget.clearMemos()
   }
 
   /** Driver-dispatch queries re-run with the dispatch budget zeroed,
@@ -856,9 +895,16 @@ object SparkEntry {
     ((init +: iterCtes).mkString(",\n"), afSql)
   }
 
+  /** `excludeIds` (q164): vectors DELETED from the inverted file by a
+    * takedown — excluded from scoring only. Training (the unrolled
+    * Lloyd chain) still sees them: a takedown patches cells, it never
+    * retrains the frozen coarse quantizer. */
   private def ivfSearchSql(cells: Int, iters: Int, nprobe: Int, k: Int,
-      queryId: Long): String = {
+      queryId: Long, excludeIds: Seq[Long] = Nil): String = {
     val (prefix, afSql) = ivfCtes(cells, iters)
+    val excl =
+      if (excludeIds.isEmpty) ""
+      else s"\n           AND e.vec_id NOT IN (${excludeIds.mkString(", ")})"
     val fin =
       s"""q AS (SELECT embedding AS qe FROM e WHERE vec_id = $queryId),
          probe AS (
@@ -870,7 +916,7 @@ object SparkEntry {
          af AS ($afSql)
          SELECT e.vec_id, floor((${cosSql("e.embedding", "q.qe")}) * 1000000 + 0.5) / 1000000 AS score
          FROM e JOIN af USING (vec_id) JOIN probe USING (cell) CROSS JOIN q
-         WHERE e.vec_id <> $queryId
+         WHERE e.vec_id <> $queryId$excl
          ORDER BY score DESC, e.vec_id LIMIT $k"""
     "WITH " + prefix + ",\n" + fin
   }
@@ -3646,6 +3692,88 @@ object SparkEntry {
          WHERE o_custkey IN (7, 13, 29, 42, 133)
            AND o_custkey NOT IN (7, 13, 29)
          ORDER BY o_orderkey""",
+    // q161: the engine deletes the doc batch from the curated-corpus
+    // layout (bloom-pruned one-job rewrite on doc_id) and probes
+    // through the patched index; the oracle is the plain filter with
+    // the batch excluded
+    "q161_doc_takedown" ->
+      raw"""SELECT doc_id, lang, source, n_chars
+         FROM documents
+         WHERE doc_id IN (45, 48, 262, 7, 100)
+           AND doc_id NOT IN (45, 48, 262)
+         ORDER BY doc_id""",
+    // q162: the engine rewrites only the deleted docs' pack blocks,
+    // repacking survivors in the same job; the oracle is q59's pack
+    // replay over the corpus with the batch excluded — any stale
+    // start_tok/bin or leftover row fails the hash
+    "q162_takedown_pack" ->
+      raw"""WITH d AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+                  ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT
+                    % 8 AS block
+           FROM documents
+           WHERE doc_id NOT IN (45, 48, 262)),
+         w AS (
+           SELECT doc_id, block, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY block ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                    AS start_tok
+           FROM d)
+         SELECT doc_id, block, n_tokens, start_tok,
+                CAST(block * 1099511627776 + start_tok // 2048 AS BIGINT)
+                  AS bin
+         FROM w ORDER BY doc_id""",
+    // q163: the engine rewrites only the deleted docs' term buckets
+    // and serves the q131 phrase search through the patched postings;
+    // the oracle is the q129 slice-zip replay with the batch excluded
+    "q163_takedown_phrase" ->
+      raw"""WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS l
+           FROM documents
+           WHERE doc_id NOT IN (45, 48, 262)),
+         tg AS (SELECT doc_id,
+                       generate_subscripts(l[1:len(l)-2], 1) - 1 AS pos,
+                       unnest(l[1:len(l)-2]) AS a,
+                       unnest(l[2:len(l)-1]) AS b,
+                       unnest(l[3:len(l)])   AS c
+                FROM t WHERE len(l) >= 3)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+                CAST(min(pos) AS BIGINT) AS first_pos
+         FROM tg WHERE a = 'query' AND b = 'big' AND c = 'part'
+         GROUP BY doc_id ORDER BY doc_id""",
+    // q164: the engine rewrites only the deleted vectors' cells and
+    // serves q56's probe path over the patched inverted file; the
+    // oracle is the same unrolled-Lloyd chain (training unchanged —
+    // takedowns never retrain the frozen quantizer) with the batch
+    // excluded from scoring
+    "q164_takedown_ann" ->
+      ivfSearchSql(cells = 8, iters = 2, nprobe = 3, k = 10,
+        queryId = 0L, excludeIds = Seq(45L, 48L, 262L)),
+    // q165: exact per-artifact deletion accounting — the engine
+    // reports its rewrite jobs' Observation counts; the oracle
+    // recomputes each from the source tables
+    "q165_takedown_report" ->
+      raw"""WITH del AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id IN (45, 48, 262))
+         SELECT 'corpus' AS artifact,
+                CAST(count(*) AS BIGINT) AS rows_deleted FROM del
+         UNION ALL
+         SELECT 'ivf', CAST(count(*) AS BIGINT)
+         FROM embeddings WHERE vec_id IN (45, 48, 262)
+         UNION ALL
+         SELECT 'pack', CAST(count(*) AS BIGINT) FROM del
+         UNION ALL
+         SELECT 'postings',
+                CAST(coalesce(sum(len(list_filter(
+                  regexp_split_to_array(text, '\s+'),
+                  t -> len(t) > 0))), 0) AS BIGINT)
+         FROM del
+         ORDER BY artifact""",
     // q158: the engine deletes the user batch in one stripe-union
     // rewrite and scans through the forgotten version; oracle = the
     // q145 rectangle with both users excluded

@@ -472,8 +472,8 @@ object BloomSkip {
     * are copy-on-write into `outPath` (the source version is
     * immutable — a crashed delete leaves no torn state). */
   def deleteKeysFrom(spark: SparkSession, versionPath: String,
-      outPath: String, keys: Seq[Long],
-      bits: Int = BloomBits): DeleteReport = {
+      outPath: String, keys: Seq[Long], bits: Int = BloomBits,
+      keyCol: String = "o_custkey"): DeleteReport = {
     require(keys.nonEmpty && keys.size <= MaxForgetKeys,
       s"forget keys must be 1..$MaxForgetKeys")
     val ks = keys.distinct
@@ -481,7 +481,7 @@ object BloomSkip {
     val cands = candidateFiles(spark, s"$versionPath.bloomidx", ks, bits)
       .toSet.intersect(mf.keySet)
     // NULL-safe: isin is NULL for NULL keys; coalesce keeps them
-    val isDel = coalesce(col("o_custkey").isin(ks: _*), lit(false))
+    val isDel = coalesce(col(keyCol).isin(ks: _*), lit(false))
     val (rewritten, deleted) =
       Layouts.rewriteWithout(spark, versionPath, outPath, cands, isDel)
     // incremental index patch: keep untouched files' rows, recompute
@@ -493,7 +493,7 @@ object BloomSkip {
     val rebuilt =
       if (rewritten.isEmpty) untouched
       else untouched.unionByName(
-        bloomIndexOn(spark.read.parquet(outPath), "o_custkey", bits)
+        bloomIndexOn(spark.read.parquet(outPath), keyCol, bits)
           .select(col("file_id").cast(oldIdx.schema("file_id").dataType)
             .as("file_id"), col("bitpos")))
     rebuilt.repartition(1).write.mode("overwrite")

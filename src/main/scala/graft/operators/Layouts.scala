@@ -287,19 +287,22 @@ object Layouts {
     * whose every row was deleted vanishes. Returns (materialized file
     * map, exact deleted count). K keys, N candidate files — still ONE
     * job; the old per-candidate-directory driver loop ran 3 jobs per
-    * directory. */
+    * directory. `transform` post-processes the kept rows INSIDE the
+    * same job (the doc-takedown repack recomputes per-block prefix
+    * sums there); it must preserve the `file_id` column. */
   private[operators] def rewriteWithout(spark: SparkSession,
       versionPath: String, outPath: String, cands: Set[Long],
-      isDel: Column): (Map[Long, String], Long) = {
+      isDel: Column,
+      transform: DataFrame => DataFrame = identity): (Map[Long, String], Long) = {
     val out = new java.io.File(outPath)
     if (out.exists()) graft.AtomicSwap.deleteRecursively(out)
     out.mkdirs()
     var deleted = 0L
     if (cands.nonEmpty) {
       val obs = org.apache.spark.sql.Observation()
-      readFiles(spark, versionPath, Some(cands))
-        .observe(obs, sum(when(isDel, 1L).otherwise(0L)).as("rows_deleted"))
-        .where(!isDel)
+      transform(readFiles(spark, versionPath, Some(cands))
+          .observe(obs, sum(when(isDel, 1L).otherwise(0L)).as("rows_deleted"))
+          .where(!isDel))
         .repartition(col("file_id"))
         .write.mode("overwrite").partitionBy("file_id").parquet(outPath)
       deleted = obs.get.get("rows_deleted") match {

@@ -35,7 +35,15 @@ object Packing {
   val BinStride: Long = 1L << 40
 
   def pack(spark: SparkSession, dir: String, budget: Int = 2048,
-      blocks: Int = 8, salt: String = "pack"): DataFrame = {
+      blocks: Int = 8, salt: String = "pack"): DataFrame =
+    packRelation(spark, dir, budget, blocks, salt).orderBy("doc_id")
+
+  /** [[pack]] without the presentation sort — the manifest relation a
+    * storage layout materializes (the doc-takedown bundle partitions it
+    * by block; a sort before a repartition would be wasted work). */
+  private[operators] def packRelation(spark: SparkSession, dir: String,
+      budget: Int = 2048, blocks: Int = 8,
+      salt: String = "pack"): DataFrame = {
     require(budget > 0 && blocks > 0, "budget and blocks must be positive")
     require(blocks.toLong < (1L << 23), "blocks must fit the bin-id stride")
     val d = Tables.documents(spark, dir)
@@ -49,7 +57,6 @@ object Packing {
       .withColumn("bin",
         col("block") * lit(BinStride) + expr(s"start_tok div $budget"))
       .select("doc_id", "block", "n_tokens", "start_tok", "bin")
-      .orderBy("doc_id")
   }
 
   /** Span-level packing — what the shard writer actually emits: a doc

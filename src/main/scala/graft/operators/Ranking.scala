@@ -264,10 +264,19 @@ object Ranking {
         .select(col("doc_id"), col("e.pos").as("pos"),
           col("e.term").as("term"))
         .cache())
+    phraseMatches(p, phrase)
+  }
+
+  /** The anchor-join phrase matcher shared by every read path (scan,
+    * persisted index, post-takedown layout): term i must sit at
+    * anchor+i ⇔ its (pos − i) equals the anchor — every step a keyed
+    * equi-join, no inequality conditions anywhere. `p` is a
+    * (doc_id, pos, term) postings relation already restricted to the
+    * phrase's terms. */
+  private[operators] def phraseMatches(p: DataFrame,
+      phrase: Seq[String]): DataFrame = {
     val anchors = p.where(col("term") === phrase.head)
       .select(col("doc_id"), col("pos"))
-    // term i must sit at anchor+i ⇔ its (pos − i) equals the anchor —
-    // every step a keyed equi-join, no inequality conditions anywhere
     val matches = phrase.zipWithIndex.tail.foldLeft(anchors) {
       case (acc, (t, i)) =>
         acc.join(
@@ -314,7 +323,7 @@ object Ranking {
 
   /** The map-only postings projection both the build and the append
     * write: (doc_id, pos, term, bkt). */
-  private def postingsPlan(docs: DataFrame, nBuckets: Int): DataFrame =
+  private[operators] def postingsPlan(docs: DataFrame, nBuckets: Int): DataFrame =
     docs
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "term")))
@@ -394,19 +403,15 @@ object Ranking {
         .where(col("term").isInCollection(wanted)) // parquet pushdown
         .select(col("doc_id"), col("pos"), col("term"))
         .cache())
-    val anchors = p.where(col("term") === phrase.head)
-      .select(col("doc_id"), col("pos"))
-    val matches = phrase.zipWithIndex.tail.foldLeft(anchors) {
-      case (acc, (t, i)) =>
-        acc.join(
-          p.where(col("term") === t)
-            .select(col("doc_id"), (col("pos") - i).as("pos")),
-          Seq("doc_id", "pos"))
-    }
-    matches.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
-      .orderBy("doc_id")
+    phraseMatches(p, phrase)
   }
+
+  /** The crc32 term buckets of a phrase, driver-side (see
+    * [[termBucket]]) — shared with the takedown path's bucket-pruned
+    * read over a manifest-versioned postings layout. */
+  private[operators] def phraseBuckets(phrase: Seq[String],
+      nBuckets: Int = PostingsBuckets): Seq[Long] =
+    phrase.distinct.map(termBucket(_, nBuckets)).distinct
 
   /** q130: more-like-this — doc-to-doc retrieval (the ES
     * `more_like_this` query): pick the query document's `m` most

@@ -22,6 +22,8 @@ import graft.operators.Api
   *       engine-native form of the reference's ES score ordering)
   *   GET /fuzzySearch?q=goldenrod+lavender+spring&dist=2&topN=20
   *       (extension: typo-tolerant item lookup — ES match+fuzziness)
+  *   GET /docTakedown?ids=45,48&probe=7&view=scan|pack|report
+  *       (q161/q162/q165: document-corpus right-to-erasure)
   *   GET /funnel?steps=view,click,purchase        (q105)
   *   GET /anomalies?windowHours=24&minWindow=12&k=3&dense=0|1 (q120/q123)
   *   GET /paths?len=3&topN=50                     (q122)
@@ -98,6 +100,28 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
   private final class BusyException(msg: String)
     extends RuntimeException(msg)
 
+  /** Load-shed an erasure/takedown build: a memoized repeat answers
+    * immediately; otherwise at most one build proceeds, the rest 503.
+    * This gate is UX-level only — build mutual exclusion itself is
+    * owned by `Layouts.withBuildGate` inside the operators (round-15
+    * advice: the memoized check here is inherently check-then-act). */
+  private def gatedBuild[A](memoized: => Boolean)(run: => A): A =
+    if (memoized) run
+    else if (!forgetGate.tryAcquire())
+      throw new BusyException(
+        "an erasure build is already in flight; retry later")
+    else try run finally forgetGate.release()
+
+  /** Comma-separated long list param; malformed entries → 400. */
+  private def longsParam(p: Map[String, String], name: String): Seq[Long] =
+    p.getOrElse(name, "").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty).map { s =>
+        try s.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"bad $name '$s'")
+        }
+      }.distinct
+
   private def handler(fn: Map[String, String] => DataFrame): HttpHandler =
     (ex: HttpExchange) =>
       try respond(ex, 200, asJson(fn(params(ex))))
@@ -164,17 +188,30 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         .select("embedding").collect()
       if (q.isEmpty)
         throw new IllegalArgumentException(s"unknown vecId $vecId")
+      // takedown=a,b (q164): serve through the post-takedown inverted
+      // file — the deleted vectors' cells patched, everything else
+      // manifest-shared; builds gate like /forget, exact mode only
+      val takedown = longsParam(p, "takedown")
       // mode=ivfpq: IVF-pruned, PQ-ADC-scored (the compressed serving
       // path, q110); default stays the exact-scored inverted file
-      p.getOrElse("mode", "exact") match {
-        case "ivfpq" =>
+      (p.getOrElse("mode", "exact"), takedown) match {
+        case ("ivfpq", Nil) =>
           graft.operators.PqIndex.ivfPqSearch(spark, dataDir,
             queryId = vecId, topK = k, nprobe = nprobe)
-        case "exact" =>
+        case ("exact", Nil) =>
           IvfIndex.searchInvertedFile(spark, annIndexPath, annCentroids,
             q(0).getSeq[Float](0).toArray, excludeId = Some(vecId),
             k = k, nprobe = nprobe)
-        case other =>
+        case ("exact", ids) =>
+          gatedBuild(graft.operators.DocForget
+              .isTakedownMemoized(spark, dataDir, ids)) {
+            graft.operators.DocForget.takedownAnn(spark, dataDir, ids,
+              queryId = vecId, k = k, nprobe = nprobe)
+          }
+        case ("ivfpq", _) =>
+          throw new IllegalArgumentException(
+            "takedown is served by the exact inverted file (drop mode)")
+        case (other, _) =>
           throw new IllegalArgumentException(s"unknown mode '$other'")
       }
     })
@@ -461,15 +498,11 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         case None => graft.operators.Warehouse
           .zorderScan(spark, dataDir, uLo, uHi, iLo, iHi)
         case Some(us) =>
-          def scan() = graft.operators.Warehouse
-            .zorderForgetScanBatch(spark, dataDir, us, uLo, uHi, iLo, iHi)
-          if (graft.operators.Warehouse
-              .isZforgetMemoized(spark, dataDir, us))
-            scan()
-          else if (!forgetGate.tryAcquire())
-            throw new BusyException(
-              "an erasure build is already in flight; retry later")
-          else try scan() finally forgetGate.release()
+          gatedBuild(graft.operators.Warehouse
+              .isZforgetMemoized(spark, dataDir, us)) {
+            graft.operators.Warehouse
+              .zorderForgetScanBatch(spark, dataDir, us, uLo, uHi, iLo, iHi)
+          }
       }
     })
     server.createContext("/forget", handler { p =>
@@ -498,17 +531,11 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       // JVM at ONE in-flight build (round-14 advice: an unauthenticated
       // key sweep must not amplify into back-to-back layout rewrites).
       // A memoized repeat of the SAME batch answers without the gate.
-      val memoized = graft.operators.BloomSkip
-        .isForgetMemoized(spark, dataDir, delKeys)
-      if (memoized) graft.operators.BloomSkip
-        .forgetKeys(spark, dataDir, delKeys, probes)
-      else if (!forgetGate.tryAcquire())
-        throw new BusyException(
-          "an erasure build is already in flight; retry later")
-      else
-        try graft.operators.BloomSkip
-          .forgetKeys(spark, dataDir, delKeys, probes)
-        finally forgetGate.release()
+      gatedBuild(graft.operators.BloomSkip
+          .isForgetMemoized(spark, dataDir, delKeys)) {
+        graft.operators.BloomSkip.forgetKeys(spark, dataDir, delKeys,
+          probes)
+      }
     })
     server.createContext("/mediaNearDup", handler { _ =>
       // q154: perceptual-hash duplicate report over the media table —
@@ -585,15 +612,11 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         case (Some(f), Some(t)) if del.isEmpty => graft.operators
           .BloomSkip.lookupKeysInRange(spark, dataDir, keys, f, t)
         case (Some(f), Some(t)) =>
-          def scan() = graft.operators.BloomSkip
-            .forgetKeysInRange(spark, dataDir, del, keys, f, t)
-          if (graft.operators.BloomSkip
-              .isDatedForgetMemoized(spark, dataDir, del))
-            scan()
-          else if (!forgetGate.tryAcquire())
-            throw new BusyException(
-              "an erasure build is already in flight; retry later")
-          else try scan() finally forgetGate.release()
+          gatedBuild(graft.operators.BloomSkip
+              .isDatedForgetMemoized(spark, dataDir, del)) {
+            graft.operators.BloomSkip
+              .forgetKeysInRange(spark, dataDir, del, keys, f, t)
+          }
         case _ => throw new IllegalArgumentException(
           "from and to must be given together")
       }
@@ -639,14 +662,52 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         throw new IllegalArgumentException("phrase is limited to 8 terms")
       // empty-phrase require lives in the operator (→ 400);
       // mode=indexed serves from the persisted postings index (built
-      // once per corpus, memoized — the repeated-query path)
-      p.getOrElse("mode", "scan") match {
-        case "indexed" =>
+      // once per corpus, memoized — the repeated-query path);
+      // takedown=a,b (q163) serves through the POST-TAKEDOWN postings
+      // layout — the deleted docs' term buckets patched, builds gated
+      val takedown = longsParam(p, "takedown")
+      (p.getOrElse("mode", "scan"), takedown) match {
+        case (_, ids) if ids.nonEmpty =>
+          gatedBuild(graft.operators.DocForget
+              .isTakedownMemoized(spark, dataDir, ids)) {
+            graft.operators.DocForget
+              .takedownPhrase(spark, dataDir, ids, phrase)
+          }
+        case ("indexed", _) =>
           graft.operators.Ranking.phraseSearchIndexed(spark, dataDir, phrase)
-        case "scan" =>
+        case ("scan", _) =>
           graft.operators.Ranking.phraseSearch(spark, dataDir, phrase)
-        case other =>
+        case (other, _) =>
           throw new IllegalArgumentException(s"unknown mode '$other'")
+      }
+    })
+    server.createContext("/docTakedown", handler { p =>
+      // q161/q162/q165: right-to-erasure for the DOCUMENT corpus —
+      // the batch deleted from the corpus layout, packed shards,
+      // corpus Bloom, postings and IVF in four one-job rewrites;
+      // view=scan probes deleted ids + survivors through the patched
+      // corpus index, view=pack returns the repacked shard manifest,
+      // view=report the exact per-artifact deletion accounting
+      val ids = longsParam(p, "ids")
+      if (ids.isEmpty)
+        throw new IllegalArgumentException("ids is required")
+      gatedBuild(graft.operators.DocForget
+          .isTakedownMemoized(spark, dataDir, ids)) {
+        p.getOrElse("view", "scan") match {
+          case "scan" =>
+            val probes = longsParam(p, "probe")
+            if (probes.isEmpty)
+              throw new IllegalArgumentException(
+                "probe list is required for view=scan")
+            graft.operators.DocForget.takedownScan(spark, dataDir, ids,
+              probes)
+          case "pack" =>
+            graft.operators.DocForget.takedownPack(spark, dataDir, ids)
+          case "report" =>
+            graft.operators.DocForget.takedownReport(spark, dataDir, ids)
+          case other =>
+            throw new IllegalArgumentException(s"unknown view '$other'")
+        }
       }
     })
     server.createContext("/moreLikeThis", handler { p =>

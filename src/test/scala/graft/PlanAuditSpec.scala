@@ -473,7 +473,22 @@ class PlanAuditSpec extends SparkSpec {
     // the dHash itself is map-side — payload bytes never shuffle. The
     // cached carrier's agg exchange PRINTS in three branches (the
     // dup-cluster report + both band-join sides) but runs once
-    "q154_media_neardup" -> 6)
+    "q154_media_neardup" -> 6,
+    // q161: q151's pruned-scan + sort shape over the post-takedown
+    // CORPUS layout (the four-artifact takedown is a memoized
+    // copy-on-write build, not part of this plan)
+    "q161_doc_takedown" -> 1,
+    // q162: full manifest read of the post-takedown pack layout + the
+    // presentation sort (the repack ran inside the build job)
+    "q162_takedown_pack" -> 1,
+    // q163: q131's anchor-join shape over the bucket-pruned
+    // post-takedown postings (the cached carrier's exchanges)
+    "q163_takedown_phrase" -> 2,
+    // q164: q56's shape — cell-pruned scan, map-only scoring, bounded
+    // top-k (TakeOrdered, no exchange)
+    "q164_takedown_ann" -> 0,
+    // q165: a four-row driver-local report + its sort
+    "q165_takedown_report" -> 1)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

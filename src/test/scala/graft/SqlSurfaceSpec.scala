@@ -115,7 +115,18 @@ class SqlSurfaceSpec extends SparkSpec {
           Seq(13L, 133L), "1995-01-01", "1996-06-30"),
       "SELECT * FROM vacuumed_forget(7, 13, 29, 0, 42, 133)" ->
         operators.BloomSkip.vacuumedForget(spark, sf, Seq(7L, 13L, 29L),
-          Seq(42L, 133L)))
+          Seq(42L, 133L)),
+      "SELECT * FROM doc_takedown(45, 48, -1, 7, 100)" ->
+        operators.DocForget.takedownScan(spark, sf, Seq(45L, 48L),
+          Seq(7L, 100L)),
+      "SELECT * FROM takedown_pack(45, 48)" ->
+        operators.DocForget.takedownPack(spark, sf, Seq(45L, 48L)),
+      "SELECT * FROM takedown_phrase('query big part', 45, 48)" ->
+        operators.DocForget.takedownPhrase(spark, sf, Seq(45L, 48L)),
+      "SELECT * FROM takedown_ann(0, 45, 48)" ->
+        operators.DocForget.takedownAnn(spark, sf, Seq(45L, 48L)),
+      "SELECT * FROM takedown_report(45, 48)" ->
+        operators.DocForget.takedownReport(spark, sf, Seq(45L, 48L)))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

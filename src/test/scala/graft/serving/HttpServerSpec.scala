@@ -309,6 +309,35 @@ class HttpServerSpec extends SparkSpec {
       assert(c90 == 200 && !cfg.contains("\"o_custkey\":7,") &&
         !cfg.contains("\"o_custkey\":42,") &&
         cfg.contains("\"o_custkey\":13,"), cfg.take(200))
+      // document-corpus takedown (q161/q165): deleted ids absent from
+      // the corpus probe, survivors present; the accounting view
+      // reports per-artifact deletions; missing params → 400
+      val (c91, dts) = get(s"$base/docTakedown?ids=45,48&probe=7,45")
+      assert(c91 == 200 && dts.contains("\"doc_id\":7,") &&
+        !dts.contains("\"doc_id\":45,"), dts.take(200))
+      val (c92, dtr) = get(s"$base/docTakedown?ids=45,48&view=report")
+      assert(c92 == 200 && dtr.contains("\"artifact\":\"corpus\"") &&
+        dtr.contains("\"rows_deleted\""), dtr.take(200))
+      val (c93, _) = get(s"$base/docTakedown?probe=7")
+      assert(c93 == 400)
+      val (c94, _) = get(s"$base/docTakedown?ids=45&view=scan")
+      assert(c94 == 400) // probe required for view=scan
+      // ANN through the patched inverted file (q164): the deleted
+      // vectors never come back (memo hit — same batch as above)
+      val (c95, annTd) = get(s"$base/annSearch?vecId=0&k=10&takedown=45,48")
+      assert(c95 == 200 && !annTd.contains("\"vec_id\":45,") &&
+        !annTd.contains("\"vec_id\":48,") && annTd.contains("\"score\""),
+        annTd.take(200))
+      val (c96, _) = get(s"$base/annSearch?vecId=0&mode=ivfpq&takedown=45")
+      assert(c96 == 400) // takedown is exact-mode only
+      // phrase search through the patched postings (q163): a doc that
+      // matched the phrase stops matching after its takedown (doc 10
+      // matches "query big part" at sf0.001) — LAST takedown call
+      // here: a new batch evicts the memoized one
+      val (c97, ph0) = get(s"$base/phraseSearch")
+      assert(c97 == 200 && ph0.contains("\"doc_id\":10,"), ph0.take(200))
+      val (c98, ph1) = get(s"$base/phraseSearch?takedown=10")
+      assert(c98 == 200 && !ph1.contains("\"doc_id\":10,"), ph1.take(200))
       // auto-ranged money quantiles (q150)
       val (c79, pqm) = get(s"$base/priceQuantiles")
       assert(c79 == 200 && pqm.contains("\"p99_est_cents\"") &&
