@@ -130,6 +130,15 @@ object BloomSkip {
     Layouts.clearManifestMemo()
   }
 
+  /** The served lineage log of a base layout: every version the
+    * warehouse served for this layout family — the base build (v1,
+    * committed idempotently: a restarted JVM re-running the
+    * fingerprint-keyed build must not duplicate it) and each forget
+    * version. Retention runs through [[Layouts.vacuumRetain]]'s
+    * manifest reference counting instead of hand-maintained stale
+    * lists, and [[lookupAsOf]] serves time travel over it. */
+  def lineageLogOf(versionPath: String): String = s"$versionPath.lineage"
+
   /** The materialized bloom-indexed layout of the `orders` table for
     * `dir`: built on first request, fingerprint-keyed for the JVM
     * lifetime (the [[Warehouse.zlayoutCached]] discipline — a refresh
@@ -144,13 +153,14 @@ object BloomSkip {
         s"/graft-bloomlayout-$tag-f${java.lang.Long.toHexString(fp)}"
       val nFiles = bloomWrite(graft.Tables(spark, dir, "orders"),
         "o_custkey", "o_orderkey", p)
+      Layouts.commitVersionIfAbsent(lineageLogOf(p), p)
       (p, nFiles)
     })).value
     val stale = layoutMemo.keys
       .filter(k => k._1 == dir && k != key)
       .flatMap(layoutMemo.remove).flatMap(_.peek).flatMap(x =>
         Seq(x._1, s"${x._1}.bloomidx", manifestPath(x._1),
-          Layouts.schemaPath(x._1))).toSeq
+          Layouts.schemaPath(x._1), lineageLogOf(x._1))).toSeq
     graft.IndexGc.retire(s"bloomlayout:$dir", stale)
     v
   }
@@ -276,13 +286,14 @@ object BloomSkip {
       dateBloomWrite(graft.Tables(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("o_orderdate")), p)
+      Layouts.commitVersionIfAbsent(lineageLogOf(p), p)
       p
     })).value
     val stale = dateLayoutMemo.keys
       .filter(k => k._1 == dir && k != key)
       .flatMap(dateLayoutMemo.remove).flatMap(_.peek).flatMap(p =>
         Seq(p, s"$p.bloomidx", s"$p.minmax", Layouts.manifestPath(p),
-          Layouts.schemaPath(p))).toSeq
+          Layouts.schemaPath(p), lineageLogOf(p))).toSeq
     graft.IndexGc.retire(s"datebloom:$dir", stale)
     v
   }
@@ -308,10 +319,10 @@ object BloomSkip {
       keys: Seq[Long], from: String, to: String): DataFrame = {
     requireProbeKeys(keys)
     require(from <= to, s"from '$from' must be <= to '$to' (ISO dates)")
-    val cands = candidateFiles(spark, s"$versionPath.bloomidx", keys).toSet
-      .intersect(
-        dateCandidateFiles(spark, s"$versionPath.minmax", from, to).toSet)
-      .intersect(Layouts.manifestOf(spark, versionPath).keySet)
+    val cands = Layouts.manifestEntriesFor(spark, versionPath,
+      candidateFiles(spark, s"$versionPath.bloomidx", keys).toSet
+        .intersect(dateCandidateFiles(spark, s"$versionPath.minmax",
+          from, to).toSet)).keySet
     val pruned =
       if (cands.isEmpty) Layouts.emptyLike(spark, versionPath)
       else Layouts.readFiles(spark, versionPath, Some(cands))
@@ -379,16 +390,17 @@ object BloomSkip {
           if (ks.size == 1) ks.head.toString
           else "b" + java.lang.Long.toHexString(
             graft.functions.TextFunctions.md5LongScala(ks.mkString(",")))
-        val p = s"$src.forget$tag-g${forgetGen.incrementAndGet()}"
+        val p = s"$src.forget$tag-p${ProcessHandle.current().pid()}" +
+          s"-g${forgetGen.incrementAndGet()}"
         val report = deleteKeysFromDated(spark, src, p, ks)
+        Layouts.commitVersion(lineageLogOf(src), p)
         (p, report)
       })).value
-    val stale = datedForgetMemo.keys
-      .filter(k => k._1 == dir && k != memoKey)
-      .flatMap(datedForgetMemo.remove).flatMap(_.peek).flatMap(x =>
-        Seq(x._1, s"${x._1}.bloomidx", s"${x._1}.minmax",
-          Layouts.manifestPath(x._1), Layouts.schemaPath(x._1))).toSeq
-    graft.IndexGc.retire(s"datedforget:$dir", stale)
+    datedForgetMemo.keys.filter(k => k._1 == dir && k != memoKey)
+      .foreach(datedForgetMemo.remove)
+    val base = dateLayoutCached(spark, dir)
+    Layouts.vacuumRetain(spark, lineageLogOf(base),
+      retainPaths = Set(base, v._1), inlineDelete = false)
     v
   }
 
@@ -477,9 +489,13 @@ object BloomSkip {
     require(keys.nonEmpty && keys.size <= MaxForgetKeys,
       s"forget keys must be 1..$MaxForgetKeys")
     val ks = keys.distinct
-    val mf = manifestOf(spark, versionPath)
-    val cands = candidateFiles(spark, s"$versionPath.bloomidx", ks, bits)
-      .toSet.intersect(mf.keySet)
+    // measured dispatch: the total is a count, the candidate
+    // intersection resolves only the probed ids — the driver never
+    // holds the full manifest of a huge layout
+    val mfTotal = Layouts.manifestFileCount(spark, versionPath)
+    val cands = Layouts.manifestEntriesFor(spark, versionPath,
+      candidateFiles(spark, s"$versionPath.bloomidx", ks, bits).toSet)
+      .keySet
     // NULL-safe: isin is NULL for NULL keys; coalesce keeps them
     val isDel = coalesce(col(keyCol).isin(ks: _*), lit(false))
     val (rewritten, deleted) =
@@ -498,8 +514,8 @@ object BloomSkip {
             .as("file_id"), col("bitpos")))
     rebuilt.repartition(1).write.mode("overwrite")
       .parquet(s"$outPath.bloomidx")
-    DeleteReport(mf.size.toLong, cands.size.toLong,
-      (mf.size - cands.size).toLong, deleted)
+    DeleteReport(mfTotal, cands.size.toLong,
+      mfTotal - cands.size, deleted)
   }
 
   /** Single-key erasure — [[deleteKeysFrom]] with a batch of one. */
@@ -523,11 +539,18 @@ object BloomSkip {
     * cached version per dir: a forgotten layout is a TRANSITION
     * artifact (a real deployment promotes it over the source via
     * AtomicSwap), so caching every batch a caller sweeps would pile
-    * layout versions into tmpdir for the JVM lifetime. A new
-    * (keys, fingerprint) evicts every other cached version for the
-    * dir and retires its directories to the deferred reaper — only
-    * the version's OWN directories, never the shared parent files.
-    * Returns (version path, report). */
+    * layout versions into tmpdir for the JVM lifetime. Every build
+    * COMMITS its version to the served lineage log, and retention of
+    * superseded versions runs through [[Layouts.vacuumRetain]]'s
+    * manifest reference counting (retain = base + live head): shared
+    * parent files survive because a retained manifest references
+    * them, the expired version's own directories go to the deferred
+    * reaper's wall-clock grace — and forget versions a DEAD JVM's
+    * memos left behind expire on the next pass too, which the old
+    * hand-maintained stale lists never could. Build paths carry the
+    * pid: the per-JVM generation counter alone collides across
+    * processes appending to the same on-disk lineage (the q160
+    * lesson). Returns (version path, report). */
   def forgottenLayoutCached(spark: SparkSession, dir: String,
       keys: Seq[Long]): (String, DeleteReport) = {
     val ks = keys.distinct.sorted
@@ -540,17 +563,74 @@ object BloomSkip {
           if (ks.size == 1) ks.head.toString
           else "b" + java.lang.Long.toHexString(
             graft.functions.TextFunctions.md5LongScala(ks.mkString(",")))
-        val p = s"$src.forget$tag-g${forgetGen.incrementAndGet()}"
+        val p = s"$src.forget$tag-p${ProcessHandle.current().pid()}" +
+          s"-g${forgetGen.incrementAndGet()}"
         val report = deleteKeysFrom(spark, src, p, ks)
+        Layouts.commitVersion(lineageLogOf(src), p)
         (p, report)
       })).value
-    val stale = forgetMemo.keys
-      .filter(k => k._1 == dir && k != memoKey)
-      .flatMap(forgetMemo.remove).flatMap(_.peek).flatMap(x =>
-        Seq(x._1, s"${x._1}.bloomidx", manifestPath(x._1),
-          Layouts.schemaPath(x._1))).toSeq
-    graft.IndexGc.retire(s"bloomforget:$dir", stale)
+    forgetMemo.keys.filter(k => k._1 == dir && k != memoKey)
+      .foreach(forgetMemo.remove)
+    val (base, _) = layoutCached(spark, dir)
+    Layouts.vacuumRetain(spark, lineageLogOf(base),
+      retainPaths = Set(base, v._1), inlineDelete = false)
     v
+  }
+
+  /** Time travel over the SERVED lineage: the q148 point lookup as of
+    * lineage version `id` — v1 answers with the pre-forget rows, a
+    * later version with that forget applied; an expired version fails
+    * with [[Layouts.VersionExpired]] (HTTP 410 through the server).
+    * This is what the version log buys real clients: an auditor can
+    * re-run yesterday's query against yesterday's snapshot while the
+    * head keeps moving. */
+  def lookupAsOf(spark: SparkSession, dir: String, version: Long,
+      keys: Seq[Long]): DataFrame = {
+    requireProbeKeys(keys)
+    val (base, _) = layoutCached(spark, dir)
+    val vs = Layouts.versions(lineageLogOf(base))
+    vs.find(_._1 == version) match {
+      case Some((_, path)) => lookupIn(spark, path, keys)
+      case None =>
+        // delegate the expired-vs-never-committed distinction (and its
+        // typed error) to readAsOf's rule
+        Layouts.readAsOf(spark, lineageLogOf(base), version)
+        throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** The served lineage's live versions, oldest first — the audit
+    * surface behind /timeTravel (no data read, just the log). */
+  def lineageVersions(spark: SparkSession, dir: String): DataFrame = {
+    val (base, _) = layoutCached(spark, dir)
+    import spark.implicits._
+    Layouts.versions(lineageLogOf(base))
+      .map { case (id, p) => (id, p, p == base) }
+      .toDF("version", "path", "is_base")
+      .orderBy("version")
+  }
+
+  /** Admin retention pass over the served lineage: keep the newest
+    * `keepLast` versions PLUS whatever the live memos serve (the base
+    * layout and the current forget head — expiring the serving base
+    * out from under q148 would be an outage, not a cleanup). Expired
+    * versions' unshared files go to the deferred reaper (never inline
+    * — a served lineage always has potential concurrent readers).
+    * Returns the one-row report. */
+  def vacuumServedLineage(spark: SparkSession, dir: String,
+      keepLast: Int = 1): DataFrame = {
+    require(keepLast >= 1 && keepLast <= 1024,
+      "keepLast must be in 1..1024")
+    val (base, _) = layoutCached(spark, dir)
+    val vs = Layouts.versions(lineageLogOf(base))
+    val pinned = forgetMemo.keys.filter(_._1 == dir)
+      .flatMap(forgetMemo.get).flatMap(_.peek).map(_._1).toSet + base
+    val retain = vs.takeRight(keepLast).map(_._2).toSet ++ pinned
+    val r = Layouts.vacuumRetain(spark, lineageLogOf(base), retain,
+      inlineDelete = false)
+    import spark.implicits._
+    Seq((r.versionsExpired, r.filesDeleted, r.filesShared))
+      .toDF("versions_expired", "files_deferred", "files_shared")
   }
 
   /** Whether the post-deletion version for (dir, keys) is already

@@ -183,8 +183,9 @@ object DocForget {
     * touching the source tables. */
   private def postingBucketsOf(spark: SparkSession, corpusPath: String,
       ids: Seq[Long]): Set[Long] = {
-    val cands = BloomSkip.candidateFiles(spark, s"$corpusPath.bloomidx",
-      ids).toSet.intersect(Layouts.manifestOf(spark, corpusPath).keySet)
+    val cands0 = BloomSkip.candidateFiles(spark, s"$corpusPath.bloomidx",
+      ids).toSet
+    val cands = Layouts.manifestEntriesFor(spark, corpusPath, cands0).keySet
     if (cands.isEmpty) return Set.empty
     Layouts.readFiles(spark, corpusPath, Some(cands))
       .where(col("doc_id").isin(ids: _*))
@@ -207,7 +208,10 @@ object DocForget {
     * rewrite — their prefix sums contained no deleted doc. */
   private def applyTakedown(spark: SparkSession, bundle: Bundle,
       ids: Seq[Long], tag: String): Takedown = {
-    val g = gen.incrementAndGet()
+    // pid + generation: per-JVM counters collide across processes
+    // (the q160 lesson) — a second JVM's takedown must not land in a
+    // dead JVM's still-referenced directories
+    val g = s"p${ProcessHandle.current().pid()}-g${gen.incrementAndGet()}"
     // corpus + ivf: the generic bloom-indexed erasure, keys swapped
     val corpus2 = s"${bundle.corpus}.takedown$tag-g$g"
     val rCorpus = BloomSkip.deleteKeysFrom(spark, bundle.corpus, corpus2,
@@ -217,11 +221,11 @@ object DocForget {
       keyCol = "vec_id")
     // pack: candidate blocks from the pack hash, survivors repacked
     val isDel = coalesce(col("doc_id").isin(ids: _*), lit(false))
-    val packMf = Layouts.manifestOf(spark, bundle.pack)
-    val packCands = ids
+    val packTotal = Layouts.manifestFileCount(spark, bundle.pack)
+    val packCands = Layouts.manifestEntriesFor(spark, bundle.pack, ids
       .map(id => java.lang.Math.floorMod(md5LongScala(s"pack:$id"),
         PackBlocks.toLong))
-      .toSet.intersect(packMf.keySet)
+      .toSet).keySet
     val pack2 = s"${bundle.pack}.takedown$tag-g$g"
     val repack: DataFrame => DataFrame = kept => {
       val w = org.apache.spark.sql.expressions.Window
@@ -238,18 +242,18 @@ object DocForget {
     }
     val (_, packDeleted) = Layouts.rewriteWithout(spark, bundle.pack,
       pack2, packCands, isDel, repack)
-    val rPack = Layouts.DeleteReport(packMf.size.toLong,
-      packCands.size.toLong, (packMf.size - packCands.size).toLong,
+    val rPack = Layouts.DeleteReport(packTotal,
+      packCands.size.toLong, packTotal - packCands.size,
       packDeleted)
     // postings: candidate buckets from the deleted docs' own terms
-    val postMf = Layouts.manifestOf(spark, bundle.postings)
-    val postCands = postingBucketsOf(spark, bundle.corpus, ids)
-      .intersect(postMf.keySet)
+    val postTotal = Layouts.manifestFileCount(spark, bundle.postings)
+    val postCands = Layouts.manifestEntriesFor(spark, bundle.postings,
+      postingBucketsOf(spark, bundle.corpus, ids)).keySet
     val postings2 = s"${bundle.postings}.takedown$tag-g$g"
     val (_, postDeleted) = Layouts.rewriteWithout(spark, bundle.postings,
       postings2, postCands, isDel)
-    val rPost = Layouts.DeleteReport(postMf.size.toLong,
-      postCands.size.toLong, (postMf.size - postCands.size).toLong,
+    val rPost = Layouts.DeleteReport(postTotal,
+      postCands.size.toLong, postTotal - postCands.size,
       postDeleted)
     // corpus Bloom: rebuilt from the survivors (see rebuildBloom)
     val bloom2 = s"$corpus2.bloom.bf"
@@ -314,8 +318,9 @@ object DocForget {
     val probes = (delIds ++ probeIds).distinct
     requireProbes(probes)
     val t = takedownCached(spark, dir, delIds)
-    val cands = BloomSkip.candidateFiles(spark, s"${t.corpus}.bloomidx",
-      probes).toSet.intersect(Layouts.manifestOf(spark, t.corpus).keySet)
+    val cands0 = BloomSkip.candidateFiles(spark, s"${t.corpus}.bloomidx",
+      probes).toSet
+    val cands = Layouts.manifestEntriesFor(spark, t.corpus, cands0).keySet
     Layouts.readFiles(spark, t.corpus, Some(cands))
       .where(col("doc_id").isin(probes: _*))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -344,8 +349,8 @@ object DocForget {
       phrase: Seq[String] = Seq("query", "big", "part")): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
     val t = takedownCached(spark, dir, delIds)
-    val bkts = Ranking.phraseBuckets(phrase).toSet
-      .intersect(Layouts.manifestOf(spark, t.postings).keySet)
+    val bkts = Layouts.manifestEntriesFor(spark, t.postings,
+      Ranking.phraseBuckets(phrase).toSet).keySet
     val p = graft.Caches.register(
       Layouts.readFiles(spark, t.postings, Some(bkts))
         .where(col("term").isInCollection(phrase.distinct))
@@ -374,9 +379,8 @@ object DocForget {
     // the frozen quantizer — memoized per (dir, cells, iters), the
     // same centroids the bundle's inverted file was assigned with
     val cents = IvfIndex.trainCached(spark, dir, IvfCells, IvfIters)
-    val probes = IvfIndex.probeCells(cents, qv, nprobe)
-      .map(_.toLong).toSet
-      .intersect(Layouts.manifestOf(spark, t.ivf).keySet)
+    val probes = Layouts.manifestEntriesFor(spark, t.ivf,
+      IvfIndex.probeCells(cents, qv, nprobe).map(_.toLong).toSet).keySet
     Layouts.readFiles(spark, t.ivf, Some(probes))
       .where(col("vec_id") =!= queryId)
       .select(col("vec_id"),

@@ -76,7 +76,58 @@ object Layouts {
   private val manifestMemo =
     scala.collection.concurrent.TrieMap.empty[String, Map[Long, String]]
 
-  private[operators] def clearManifestMemo(): Unit = manifestMemo.clear()
+  private val manifestCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private[operators] def clearManifestMemo(): Unit = {
+    manifestMemo.clear(); manifestCountMemo.clear()
+  }
+
+  /** Measured dispatch for manifest access (round-15 "what's wrong"
+    * #1): a manifest of up to this many files memoizes as a driver map
+    * (one row per file is honest at ~10⁵); above it — the 10⁶–10⁷
+    * files of a 100 TB layout — the driver map would be a multi-GB
+    * memo, so candidate selection stays RELATIONAL: the manifest
+    * parquet is filtered by the candidate ids (predicate pushdown) and
+    * only the selected rows ever reach the driver. The same
+    * [[graft.operators.GraphRank]] measured-dispatch discipline,
+    * applied to the metadata layer. Test hook: specs lower it to force
+    * the relational arm onto small layouts. */
+  @volatile var MaxDriverManifestFiles: Long = 100000L
+
+  /** The manifest's file count WITHOUT materializing the map — parquet
+    * row-count metadata when the map is not already memoized. */
+  def manifestFileCount(spark: SparkSession, versionPath: String): Long =
+    manifestMemo.get(manifestPath(versionPath)).map(_.size.toLong)
+      .getOrElse(manifestCountMemo.getOrElseUpdate(
+        manifestPath(versionPath), {
+          val mf = new java.io.File(manifestPath(versionPath))
+          if (mf.exists()) spark.read.parquet(mf.getAbsolutePath).count()
+          else listFileDirs(new java.io.File(versionPath)).size.toLong
+        }))
+
+  private def isDriverSized(spark: SparkSession, versionPath: String) =
+    manifestFileCount(spark, versionPath) <= MaxDriverManifestFiles
+
+  /** The manifest entries for `fids` only — the candidate-resolution
+    * read every pruned lookup and erasure runs. Driver-map arm for
+    * driver-sized manifests; relational filter-then-collect (bounded
+    * by |fids|, never by the file count) above the threshold. */
+  def manifestEntriesFor(spark: SparkSession, versionPath: String,
+      fids: Set[Long]): Map[Long, String] =
+    if (fids.isEmpty) Map.empty
+    else if (isDriverSized(spark, versionPath))
+      manifestOf(spark, versionPath).view.filterKeys(fids).toMap
+    else {
+      val mf = new java.io.File(manifestPath(versionPath))
+      require(mf.exists(),
+        s"$versionPath exceeds the driver-manifest threshold but has " +
+          "no manifest relation")
+      spark.read.parquet(mf.getAbsolutePath)
+        .where(col("file_id").cast("long").isin(fids.toSeq: _*))
+        .select(col("file_id").cast("long"), col("path"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
 
   /** The (file_id → physical dir) map of a layout version. Manifests
     * are immutable per path (copy-on-write: a refresh lands in a NEW
@@ -100,6 +151,7 @@ object Layouts {
       .repartition(1).write.mode("overwrite")
       .parquet(manifestPath(versionPath))
     manifestMemo.remove(manifestPath(versionPath))
+    manifestCountMemo.remove(manifestPath(versionPath))
   }
 
   /** The `file_id=N` directories physically under `root`. */
@@ -124,8 +176,13 @@ object Layouts {
     * not the number of files. */
   def readFiles(spark: SparkSession, versionPath: String,
       fids: Option[Set[Long]] = None): DataFrame = {
-    val mf = manifestOf(spark, versionPath)
-    val picked = fids.fold(mf)(s => mf.view.filterKeys(s).toMap)
+    // candidate reads resolve through the measured dispatch (only the
+    // picked rows reach the driver on a huge manifest); a FULL read
+    // (fids = None) is a maintenance pass and takes the whole map
+    val picked = fids match {
+      case Some(s) => manifestEntriesFor(spark, versionPath, s)
+      case None    => manifestOf(spark, versionPath)
+    }
     if (picked.isEmpty) return emptyLike(spark, versionPath)
     picked.values.toSeq.distinct
       .groupBy(p => new java.io.File(p).getParent)
@@ -143,17 +200,35 @@ object Layouts {
     * manifest threw on every subsequent lookup). */
   private[operators] def emptyLike(spark: SparkSession,
       versionPath: String): DataFrame = {
-    val mf = manifestOf(spark, versionPath)
-    if (mf.nonEmpty) {
-      val any = mf.keys.min
-      readFiles(spark, versionPath, Some(Set(any))).where(lit(false))
-    } else {
-      val sp = new java.io.File(schemaPath(versionPath))
-      require(sp.exists(),
-        s"empty layout $versionPath has no schema sidecar — cannot " +
-          "build an empty relation (pre-sidecar hand-built fixture?)")
-      spark.read.parquet(sp.getAbsolutePath).where(lit(false))
+    // resolve ONE file without materializing a huge manifest map
+    val one =
+      if (isDriverSized(spark, versionPath))
+        manifestOf(spark, versionPath).values.headOption
+      else {
+        val mf = new java.io.File(manifestPath(versionPath))
+        if (!mf.exists()) None
+        else spark.read.parquet(mf.getAbsolutePath)
+          .select(col("path")).limit(1).collect()
+          .headOption.map(_.getString(0))
+      }
+    one match {
+      case Some(p) =>
+        spark.read.option("basePath", new java.io.File(p).getParent)
+          .parquet(p).where(lit(false))
+      case None =>
+        emptyFromSidecar(spark, versionPath)
     }
+  }
+
+  /** The empty-manifest fallback: schema from the version's sidecar
+    * (see [[schemaPath]] — an erasure can delete every file). */
+  private def emptyFromSidecar(spark: SparkSession,
+      versionPath: String): DataFrame = {
+    val sp = new java.io.File(schemaPath(versionPath))
+    require(sp.exists(),
+      s"empty layout $versionPath has no schema sidecar — cannot " +
+        "build an empty relation (pre-sidecar hand-built fixture?)")
+    spark.read.parquet(sp.getAbsolutePath).where(lit(false))
   }
 
   // ——— the version log + erasure-aware vacuum (q160) ————————————————
@@ -178,6 +253,21 @@ object Layouts {
     id
   }
 
+  /** [[commitVersion]], idempotent on the PATH: a rebuild into the
+    * same deterministic path (a restarted JVM re-running a
+    * fingerprint-keyed base build) must not append a duplicate
+    * version. Returns the existing or new id. */
+  def commitVersionIfAbsent(logDir: String, versionPath: String): Long =
+    versions(logDir).find(_._2 == versionPath).map(_._1)
+      .getOrElse(commitVersion(logDir, versionPath))
+
+  /** A time-travel read of a version the lineage no longer retains —
+    * vacuum expired it. Its own exception type so a serving layer can
+    * answer HTTP 410 Gone (the snapshot existed and was reclaimed)
+    * instead of a generic 400. */
+  final class VersionExpired(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** The lineage's committed versions, oldest first. */
   def versions(logDir: String): Seq[(Long, String)] =
     Option(new java.io.File(logDir).listFiles()).toSeq.flatten
@@ -195,12 +285,20 @@ object Layouts {
     * wrong snapshot. */
   def readAsOf(spark: SparkSession, logDir: String, id: Long): DataFrame = {
     val vs = versions(logDir)
-    val v = vs.find(_._1 == id).getOrElse(
-      throw new IllegalArgumentException(
-        s"version $id is not in the lineage (live: " +
-          s"${vs.map(_._1).mkString(", ")}) — expired by vacuum or " +
-          "never committed"))
-    readFiles(spark, v._2, None)
+    vs.find(_._1 == id) match {
+      case Some(v) => readFiles(spark, v._2, None)
+      case None if vs.nonEmpty && id >= 1 && id < vs.last._1 =>
+        // ids are monotone, so a missing id below the head WAS
+        // committed once and has been expired (vacuum / retention)
+        throw new VersionExpired(
+          s"version $id expired from the lineage (live: " +
+            s"${vs.map(_._1).mkString(", ")}) — reclaimed by vacuum; " +
+            "raise the retention if time travel this far back is needed")
+      case None =>
+        throw new IllegalArgumentException(
+          s"version $id is not in the lineage (live: " +
+            s"${vs.map(_._1).mkString(", ")}) — never committed")
+    }
   }
 
   /** Expire every version of the lineage except the newest `keepLast`:
@@ -237,6 +335,32 @@ object Layouts {
     require(keepLast >= 1, "a lineage must retain at least one version")
     val vs = versions(logDir)
     val (expired, retained) = vs.splitAt(math.max(0, vs.size - keepLast))
+    vacuumImpl(spark, logDir, expired, retained, inlineDelete)
+  }
+
+  /** Retention by VERSION SET rather than recency — what a SERVED
+    * lineage needs: the base layout (the oldest version) stays pinned
+    * while superseded forget versions between it and the live head
+    * expire. `retainPaths` names the version paths that survive;
+    * everything else expires under the same reference-counting rule
+    * (a file shared into any retained manifest survives). This
+    * replaces the memo-eviction + explicit-stale-list pairs: the
+    * version log IS the ownership record, so cleanup is computed from
+    * manifests, not hand-maintained path lists — and versions left
+    * behind by a dead JVM's memos expire on the next pass too. */
+  def vacuumRetain(spark: SparkSession, logDir: String,
+      retainPaths: Set[String],
+      inlineDelete: Boolean = false): VacuumReport = {
+    val vs = versions(logDir)
+    val (retained, expired) = vs.partition(v => retainPaths(v._2))
+    require(retained.nonEmpty,
+      s"retention would empty the lineage at $logDir")
+    vacuumImpl(spark, logDir, expired, retained, inlineDelete)
+  }
+
+  private def vacuumImpl(spark: SparkSession, logDir: String,
+      expired: Seq[(Long, String)], retained: Seq[(Long, String)],
+      inlineDelete: Boolean): VacuumReport = {
     val keep = retained.flatMap(v => manifestOf(spark, v._2).values).toSet
     var deleted = 0L
     var shared = 0L
@@ -259,14 +383,17 @@ object Layouts {
           if (new java.io.File(side).exists()) remove(side)
         }
       manifestMemo.remove(manifestPath(p))
-      // the version root may be an empty husk now — clear it, but only
-      // if no retained file still lives inside (deferred mode leaves
-      // the husk for the reaper alongside its contents)
+      // the version root may be a husk of only-its-own files now —
+      // clear it (inline) or hand it WHOLE to the reaper (deferred;
+      // covers the contained dirs too), but only if no retained file
+      // still lives inside
       val root = new java.io.File(p)
-      if (inlineDelete && root.exists() &&
+      if (root.exists() &&
         Option(root.listFiles()).toSeq.flatten
-          .forall(f => !keep(f.getAbsolutePath)))
-        graft.AtomicSwap.deleteRecursively(root)
+          .forall(f => !keep(f.getAbsolutePath))) {
+        if (inlineDelete) graft.AtomicSwap.deleteRecursively(root)
+        else deferred += p
+      }
       java.nio.file.Files.deleteIfExists(
         new java.io.File(logDir, f"v$id%06d.txt").toPath)
     }
@@ -311,8 +438,27 @@ object Layouts {
       }
     }
     val rewritten = listFileDirs(out)
-    writeManifest(spark, outPath,
-      (manifestOf(spark, versionPath) -- cands) ++ rewritten)
+    // the successor manifest: measured dispatch again — a driver-sized
+    // parent goes through the map; a huge one stays relational (parent
+    // manifest relation minus candidates, union the rewritten rows —
+    // the driver never holds more than the candidate set)
+    if (isDriverSized(spark, versionPath))
+      writeManifest(spark, outPath,
+        (manifestOf(spark, versionPath) -- cands) ++ rewritten)
+    else {
+      import spark.implicits._
+      val parent = spark.read
+        .parquet(manifestPath(versionPath))
+        .select(col("file_id").cast("long").as("file_id"), col("path"))
+        .where(if (cands.isEmpty) lit(true)
+          else !col("file_id").isin(cands.toSeq: _*))
+      parent.unionByName(
+          rewritten.toSeq.toDF("file_id", "path"))
+        .repartition(1).sortWithinPartitions("file_id")
+        .write.mode("overwrite").parquet(manifestPath(outPath))
+      manifestMemo.remove(manifestPath(outPath))
+      manifestCountMemo.remove(manifestPath(outPath))
+    }
     // schema sidecar: an erasure can empty the manifest entirely (every
     // candidate file's every row deleted, nothing shared) — the sidecar
     // keeps the empty version readable (see [[emptyLike]])

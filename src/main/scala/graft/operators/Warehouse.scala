@@ -224,13 +224,14 @@ object Warehouse {
             get_json_object(col("props"), "$.k").cast("long").as("item"))
           .where(col("item").isNotNull),
         "user_id", "item", p, shift)
+      Layouts.commitVersionIfAbsent(BloomSkip.lineageLogOf(p), p)
       p
     })).value
     val stale = zlayoutMemo.keys
       .filter(k => (k._1, k._2) == ((dir, shift)) && k != key)
       .flatMap(zlayoutMemo.remove).flatMap(_.peek)
       .flatMap(p => Seq(p, Layouts.manifestPath(p),
-        Layouts.schemaPath(p))).toSeq
+        Layouts.schemaPath(p), BloomSkip.lineageLogOf(p))).toSeq
     graft.IndexGc.retire(s"zlayout:$dir:$shift", stale)
     v
   }
@@ -389,16 +390,17 @@ object Warehouse {
           if (us.size == 1) us.head.toString
           else "b" + java.lang.Long.toHexString(
             graft.functions.TextFunctions.md5LongScala(us.mkString(",")))
-        val p = s"$src.forget$tag-g${zforgetGen.incrementAndGet()}"
+        val p = s"$src.forget$tag-p${ProcessHandle.current().pid()}" +
+          s"-g${zforgetGen.incrementAndGet()}"
         val report = zorderDeleteUsers(spark, src, p, us, shift)
+        Layouts.commitVersion(BloomSkip.lineageLogOf(src), p)
         (p, report)
       })).value
-    val stale = zforgetMemo.keys
-      .filter(k => k._1 == dir && k != memoKey)
-      .flatMap(zforgetMemo.remove).flatMap(_.peek)
-      .flatMap(x => Seq(x._1, Layouts.manifestPath(x._1),
-        Layouts.schemaPath(x._1))).toSeq
-    graft.IndexGc.retire(s"zforget:$dir", stale)
+    zforgetMemo.keys.filter(k => k._1 == dir && k != memoKey)
+      .foreach(zforgetMemo.remove)
+    val base = zlayoutCached(spark, dir, shift)
+    Layouts.vacuumRetain(spark, BloomSkip.lineageLogOf(base),
+      retainPaths = Set(base, v._1), inlineDelete = false)
     v
   }
 

@@ -24,6 +24,8 @@ import graft.operators.Api
   *       (extension: typo-tolerant item lookup — ES match+fuzziness)
   *   GET /docTakedown?ids=45,48&probe=7&view=scan|pack|report
   *       (q161/q162/q165: document-corpus right-to-erasure)
+  *   GET /timeTravel?version=1&keys=7,42   (lineage as-of lookup; 410
+  *       when the version expired)  /lineage  /vacuumLayouts?keepLast=1
   *   GET /funnel?steps=view,click,purchase        (q105)
   *   GET /anomalies?windowHours=24&minWindow=12&k=3&dense=0|1 (q120/q123)
   *   GET /paths?len=3&topN=50                     (q122)
@@ -126,6 +128,11 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
     (ex: HttpExchange) =>
       try respond(ex, 200, asJson(fn(params(ex))))
       catch {
+        // a time-travel read of a vacuum-expired snapshot → 410 Gone:
+        // the version existed and was reclaimed by retention — a
+        // different contract than a malformed request
+        case e: graft.operators.Layouts.VersionExpired =>
+          respond(ex, 410, s"""{"error":"${jsonEscape(e.getMessage)}"}""")
         // NumberFormatException (malformed pageNo/pageSize) is an
         // IllegalArgumentException: both are the caller's fault → 400
         case e: IllegalArgumentException =>
@@ -536,6 +543,29 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         graft.operators.BloomSkip.forgetKeys(spark, dataDir, delKeys,
           probes)
       }
+    })
+    server.createContext("/timeTravel", handler { p =>
+      // time travel over the SERVED bloom-layout lineage: the q148
+      // point lookup as of version N — v1 pre-forget, later versions
+      // with their forgets applied; an expired version → 410 Gone
+      val version = p.getOrElse("version",
+        throw new IllegalArgumentException("version required")).toLong
+      val keys = longsParam(p, "keys")
+      if (keys.isEmpty)
+        throw new IllegalArgumentException("keys is required")
+      graft.operators.BloomSkip.lookupAsOf(spark, dataDir, version, keys)
+    })
+    server.createContext("/lineage", handler { _ =>
+      // the served lineage's live versions — the audit surface behind
+      // /timeTravel (log only, no data read)
+      graft.operators.BloomSkip.lineageVersions(spark, dataDir)
+    })
+    server.createContext("/vacuumLayouts", handler { p =>
+      // admin retention: expire all but the newest keepLast versions
+      // (live serving heads always pinned); unshared files go to the
+      // deferred reaper, never inline — readers keep their grace
+      graft.operators.BloomSkip.vacuumServedLineage(spark, dataDir,
+        p.getOrElse("keepLast", "1").toInt)
     })
     server.createContext("/mediaNearDup", handler { _ =>
       // q154: perceptual-hash duplicate report over the media table —
