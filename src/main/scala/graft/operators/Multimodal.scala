@@ -154,7 +154,16 @@ object Multimodal {
     * flows downstream; the 100 TB property is that the bytes never
     * shuffle, exactly like [[decodeFeatures]]. */
   def dhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    resized(mediaTable(spark, dir), DhashBytes)
+    dhashSignaturesOn(mediaTable(spark, dir))
+
+  /** [[dhashSignatures]] over an explicit (doc_id, media_type,
+    * content) relation — also the per-epoch projection of the
+    * stream-maintained signature table
+    * ([[graft.streaming.MediaStream]]): a signature is a PURE function
+    * of the payload, so the stream and the batch share one generator
+    * and cannot diverge. */
+  def dhashSignaturesOn(media: DataFrame): DataFrame =
+    resized(media, DhashBytes)
       .withColumn("dhash",
         expr(dhashTermsSql(byteAtSparkSql("content_resized"))))
       .select(col("doc_id"), col("media_type"), col("dhash"))
@@ -170,9 +179,27 @@ object Multimodal {
     * an audio clip). Output: (media_type, id1, id2, hamming, n1, n2),
     * id1 < id2 for pair rows. */
   def mediaNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame =
+    mediaNearDupOn(dhashSignatures(spark, dir), maxHamming, bands)
+
+  /** [[mediaNearDup]] over an explicit signature relation — also the
+    * serving stage of the stream-maintained signature table. The
+    * LOSSLESS-BAND guard lives here so every caller (batch query,
+    * table read, HTTP request parameters) gets the same loud rejection:
+    * with `bands` equal bit-bands, a pair within `maxHamming` is
+    * GUARANTEED to collide on some band only while maxHamming < bands
+    * (pigeonhole) — a request past that bound would silently drop true
+    * pairs, so it is a 400, never a weaker answer. */
+  def mediaNearDupOn(sigs: DataFrame, maxHamming: Int = 3,
       bands: Int = 4): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    require(bands >= 1 && bands <= DhashBits,
+      s"bands must be in 1..$DhashBits")
+    require(maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) — the " +
+        "banded join is only lossless under the pigeonhole bound")
     // cache: the dup-cluster report and both band-join sides read it
-    val clusters = graft.Caches.register(dhashSignatures(spark, dir)
+    val clusters = graft.Caches.register(sigs
       .groupBy("media_type", "dhash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
       .cache())

@@ -567,11 +567,23 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       graft.operators.BloomSkip.vacuumServedLineage(spark, dataDir,
         p.getOrElse("keepLast", "1").toInt)
     })
-    server.createContext("/mediaNearDup", handler { _ =>
+    server.createContext("/mediaNearDup", handler { p =>
       // q154: perceptual-hash duplicate report over the media table —
-      // exact-dup clusters (hamming 0) + banded near-pairs, per
-      // media type
-      graft.operators.Multimodal.mediaNearDup(spark, dataDir)
+      // exact-dup clusters (hamming 0) + banded near-pairs, per media
+      // type. maxHamming/bands are request parameters; the lossless-
+      // band guard (maxHamming < bands) lives in the operator → 400.
+      // source=sketch answers from the stream-maintained signature
+      // TABLE (payload bytes never re-read)
+      val maxHamming = p.getOrElse("maxHamming", "3").toInt
+      val bands = p.getOrElse("bands", "4").toInt
+      p.getOrElse("source", "scan") match {
+        case "sketch" => graft.streaming.MediaStream
+          .mediaNearDupFromTable(spark, sketchDirOr400, maxHamming, bands)
+        case "scan" => graft.operators.Multimodal
+          .mediaNearDup(spark, dataDir, maxHamming, bands)
+        case other =>
+          throw new IllegalArgumentException(s"unknown source '$other'")
+      }
     })
     server.createContext("/priceQuantiles", handler { _ =>
       // q150: auto-ranged histogram quantiles of o_totalprice per

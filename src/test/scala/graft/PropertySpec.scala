@@ -588,6 +588,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("vacuum invariants on random lineage DAGs: retained reads stay " +
+    "byte-identical, shared files survive by reference counting, a " +
+    "second pass is a no-op, expired reads fail typed") {
+    import operators.{BloomSkip, Layouts}
+    val rowGen = for {
+      ok <- Gen.chooseNum(0L, 4000L)
+      ck <- Gen.chooseNum(1L, 40L)
+      tp <- Gen.chooseNum(1, 999999).map(_ / 100.0)
+    } yield (ok, ck, tp)
+    val caseGen = for {
+      rows <- Gen.listOfN(250, rowGen)
+      nSteps <- Gen.chooseNum(2, 4)
+      batches <- Gen.listOfN(nSteps,
+        Gen.nonEmptyListOf(Gen.chooseNum(1L, 45L)).map(_.distinct.take(4)))
+      parents <- Gen.listOfN(nSteps, Gen.chooseNum(0, 100))
+      keepLast <- Gen.chooseNum(1, 3)
+    } yield (rows.distinctBy(_._1), batches, parents, keepLast)
+    samples(caseGen, 3).zipWithIndex.foreach {
+      case ((rows, batches, parents, keepLast), i) =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"vacprop$i").toString
+        val base = s"$root/v1"
+        BloomSkip.bloomWrite(rows.toDF("o_orderkey", "o_custkey",
+          "o_totalprice"), "o_custkey", "o_orderkey", base)
+        val log = s"$root/log"
+        Layouts.commitVersion(log, base)
+        // a random DAG: each erasure builds from a RANDOM existing
+        // version, so files are shared across arbitrary chains (a
+        // no-hit batch even shares EVERYTHING with its parent)
+        var paths = Vector(base)
+        batches.zip(parents).zipWithIndex.foreach { case ((ks, pi), j) =>
+          val parent = paths(pi % paths.size)
+          val out = s"$root/f${j + 2}"
+          BloomSkip.deleteKeysFrom(spark, parent, out, ks)
+          Layouts.commitVersion(log, out)
+          paths :+= out
+        }
+        val before = Layouts.versions(log)
+        val retained = before.takeRight(keepLast)
+        def snap(p: String) = Layouts.readFiles(spark, p)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .collect().map(_.toSeq).toSet
+        val snapshots = retained.map { case (id, p) => (id, snap(p)) }
+        Layouts.vacuum(spark, log, keepLast)
+        // every retained version reads byte-identical after the pass,
+        // and every dir its manifest references is still on disk
+        snapshots.foreach { case (id, s) =>
+          assert(Layouts.readAsOf(spark, log, id)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .collect().map(_.toSeq).toSet == s,
+            s"case $i: retained v$id changed under vacuum")
+        }
+        retained.foreach { case (id, p) =>
+          Layouts.manifestOf(spark, p).values.foreach { d =>
+            assert(new java.io.File(d).exists(),
+              s"case $i: v$id references deleted dir $d")
+          }
+        }
+        // idempotent: a second pass expires and deletes nothing
+        val r2 = Layouts.vacuum(spark, log, keepLast)
+        assert(r2.versionsExpired == 0L && r2.filesDeleted == 0L,
+          s"case $i: vacuum not idempotent: $r2")
+        // expired versions fail with the typed error
+        before.dropRight(keepLast).foreach { case (id, _) =>
+          intercept[Layouts.VersionExpired] {
+            Layouts.readAsOf(spark, log, id)
+          }
+        }
+    }
+  }
+
   test("cms estimate dominates the true count on random skewed streams " +
     "(one-sided error, any duplication profile)") {
     val caseGen = Gen.listOfN(500,

@@ -338,6 +338,15 @@ class HttpServerSpec extends SparkSpec {
       assert(c97 == 200 && ph0.contains("\"doc_id\":10,"), ph0.take(200))
       val (c98, ph1) = get(s"$base/phraseSearch?takedown=10")
       assert(c98 == 200 && !ph1.contains("\"doc_id\":10,"), ph1.take(200))
+      // perceptual media near-dup (q154): parameterized banding; the
+      // lossless-band guard (maxHamming < bands) answers 400, never a
+      // silently lossy join
+      val (c99, mnd) = get(s"$base/mediaNearDup?maxHamming=1&bands=8")
+      assert(c99 == 200 && mnd.contains("\"media_type\""), mnd.take(200))
+      val (c100, mndBad) = get(s"$base/mediaNearDup?maxHamming=4&bands=4")
+      assert(c100 == 400 && mndBad.contains("lossless"), mndBad.take(200))
+      val (c101, _) = get(s"$base/mediaNearDup?source=sketch")
+      assert(c101 == 400) // no sketch dir configured on this server
       // auto-ranged money quantiles (q150)
       val (c79, pqm) = get(s"$base/priceQuantiles")
       assert(c79 == 200 && pqm.contains("\"p99_est_cents\"") &&
