@@ -269,5 +269,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     })
     registerTvf(ext, "takedown_report")((s, d, a) =>
       DocForget.takedownReport(s, d, a.map(longArg(_, "takedown_report"))))
+    registerTvf(ext, "cluster_takedown")((s, d, a) => {
+      val v = a.map(longArg(_, "cluster_takedown"))
+      val sep = v.indexOf(-1L)
+      require(sep > 0 && sep < v.size - 1,
+        "cluster_takedown(seedId..., -1, probe...)")
+      DocForget.clusterTakedownScan(s, d, v.take(sep), v.drop(sep + 1))
+    })
+    registerTvf(ext, "cluster_expansion")((s, d, a) =>
+      DocForget.clusterExpansion(s, d,
+        a.map(longArg(_, "cluster_expansion"))))
   }
 }

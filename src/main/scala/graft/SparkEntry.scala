@@ -569,6 +569,20 @@ object SparkEntry {
     // a leftover row somewhere, too many = a lost survivor)
     "q165_takedown_report" ->
       ((s, d) => DocForget.takedownReport(s, d, Seq(45L, 48L, 262L))),
+    // q166: CLUSTER takedown — the realistic request ("remove this
+    // content", not "this copy"): seed 45 expands through its q60
+    // near-dup cluster ({45,267,413} at sf0.01) and the whole cluster
+    // runs the four-artifact takedown; the probe list includes known
+    // cluster mates at several SFs, and the oracle re-derives the
+    // cascade (NOT IN over the replayed MinHash-LSH component chain),
+    // so both the deletions and the cascade's exact reach ride the hash
+    "q166_cluster_takedown" ->
+      ((s, d) => DocForget.clusterTakedownScan(s, d, Seq(45L),
+        Seq(7L, 100L, 267L, 413L, 487L))),
+    // q167: the cascade accounting — every (doc_id, cluster) the seed
+    // expands to, i.e. exactly what q166 deletes
+    "q167_cluster_expansion" ->
+      ((s, d) => DocForget.clusterExpansion(s, d, Seq(45L))),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -586,7 +600,7 @@ object SparkEntry {
     "q157_composed_lookup", "q158_zorder_forget_batch",
     "q159_composed_forget", "q160_vacuumed_forget",
     "q161_doc_takedown", "q162_takedown_pack", "q163_takedown_phrase",
-    "q164_takedown_ann", "q165_takedown_report")
+    "q164_takedown_ann", "q165_takedown_report", "q166_cluster_takedown")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -3753,6 +3767,53 @@ object SparkEntry {
     "q164_takedown_ann" ->
       ivfSearchSql(cells = 8, iters = 2, nprobe = 3, k = 10,
         queryId = 0L, excludeIds = Seq(45L, 48L, 262L)),
+    // q166: the engine expands the seed through its near-dup cluster
+    // and deletes the whole cluster; the oracle re-derives the cascade
+    // with the q60 component chain and excludes it dynamically — an
+    // over-reaching cascade loses probe rows, an under-reaching one
+    // leaves a cluster mate behind, both fail the hash
+    "q166_cluster_takedown" ->
+      raw"""WITH RECURSIVE $minhashLshCtes,
+         pairs AS (SELECT id1, id2 FROM sc WHERE est_sim >= 0.5),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL
+                 SELECT id2 AS src, id1 AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM sym),
+         reach(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON r.id = s.src),
+         cmp AS (SELECT id AS doc_id, min(comp) AS comp
+                 FROM reach GROUP BY id),
+         allc AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+                  FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id),
+         seedc AS (SELECT DISTINCT comp FROM allc WHERE doc_id IN (45)),
+         del AS (SELECT a.doc_id FROM allc a
+                 JOIN seedc s ON a.comp = s.comp)
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id IN (45, 7, 100, 267, 413, 487)
+           AND doc_id NOT IN (SELECT doc_id FROM del)
+         ORDER BY doc_id""",
+    // q167: the cascade itself, oracle-derived from the same chain
+    "q167_cluster_expansion" ->
+      raw"""WITH RECURSIVE $minhashLshCtes,
+         pairs AS (SELECT id1, id2 FROM sc WHERE est_sim >= 0.5),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL
+                 SELECT id2 AS src, id1 AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM sym),
+         reach(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON r.id = s.src),
+         cmp AS (SELECT id AS doc_id, min(comp) AS comp
+                 FROM reach GROUP BY id),
+         allc AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+                  FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id),
+         seedc AS (SELECT DISTINCT comp FROM allc WHERE doc_id IN (45))
+         SELECT a.doc_id, a.comp FROM allc a
+         JOIN seedc s ON a.comp = s.comp
+         ORDER BY a.doc_id""",
     // q165: exact per-artifact deletion accounting — the engine
     // reports its rewrite jobs' Observation counts; the oracle
     // recomputes each from the source tables

@@ -78,7 +78,9 @@ object DocForget {
 
   private val gen = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def clearMemos(): Unit = { bundleMemo.clear(); takedownMemo.clear() }
+  def clearMemos(): Unit = {
+    bundleMemo.clear(); takedownMemo.clear(); expansionMemo.clear()
+  }
 
   /** Write one layout + manifest + schema sidecar. `df` must carry a
     * `file_id` column. */
@@ -408,6 +410,79 @@ object DocForget {
       ("postings", t.report.postings.rowsDeleted))
       .toDF("artifact", "rows_deleted")
       .orderBy("artifact")
+  }
+
+  // ——— cluster-cascade takedown (q166/q167) —————————————————————————
+
+  private val expansionMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[Long], Long), Seq[Long]]
+
+  /** Expand takedown seeds through their q60 near-dup clusters: the
+    * REALISTIC takedown request — remove the infringing content, not
+    * one copy of it. Cluster assignment is exactly [[Curation
+    * .canonicalDocs]]'s (MinHash-LSH pairs → connected components,
+    * singleton docs their own cluster), so the cascade is oracle-
+    * replayable. Driver footprint: the seeds' component ids (≤ seeds)
+    * and the expanded member list (cluster-sized) — the component
+    * relation itself stays distributed. */
+  def expandCluster(spark: SparkSession, dir: String,
+      seedIds: Seq[Long]): Seq[Long] = {
+    val seeds = seedIds.distinct.sorted
+    require(seeds.nonEmpty && seeds.size <= BloomSkip.MaxForgetKeys,
+      s"takedown seeds must be 1..${BloomSkip.MaxForgetKeys}")
+    expansionMemo.getOrElseUpdate((dir, seeds, fingerprintOf(dir)), {
+      import spark.implicits._
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(spark, dir, ordered = false))
+      val all = graft.Tables.documents(spark, dir).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      val seedComps = all.where(col("doc_id").isin(seeds: _*))
+        .select("comp").distinct().as[Long].collect()
+      val expanded = all
+        .where(col("comp").isin(seedComps.toIndexedSeq: _*))
+        .select("doc_id").as[Long].collect().toSeq
+      graft.Caches.releaseAll()
+      val out = (seeds ++ expanded).distinct.sorted
+      require(out.size <= BloomSkip.MaxForgetKeys,
+        s"cluster cascade expanded to ${out.size} docs — beyond the " +
+          s"${BloomSkip.MaxForgetKeys} batch cap; split the request")
+      out
+    })
+  }
+
+  /** q167: the cascade accounting — every (doc_id, cluster) the seeds
+    * expand to, i.e. exactly what [[clusterTakedownScan]] will delete.
+    * The oracle replays the full MinHash-LSH → components chain, so a
+    * cascade that over- or under-reaches fails on ids. */
+  def clusterExpansion(spark: SparkSession, dir: String,
+      seedIds: Seq[Long]): DataFrame = {
+    val seeds = seedIds.distinct.sorted
+    import spark.implicits._
+    val comps = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(spark, dir, ordered = false))
+    val all = graft.Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+    val seedComps = all.where(col("doc_id").isin(seeds: _*))
+      .select("comp").distinct().as[Long].collect()
+    val out = all.where(col("comp").isin(seedComps.toIndexedSeq: _*))
+      .select(col("doc_id"), col("comp"))
+      .orderBy("doc_id")
+    out
+  }
+
+  /** q166: CLUSTER takedown — expand the seeds through their near-dup
+    * clusters, then run the full q161 four-artifact takedown of the
+    * expanded batch; the probe answers through the patched corpus.
+    * The oracle excludes the cascade by re-deriving it (a NOT IN over
+    * the replayed component chain), so both the deletion AND the
+    * cascade's exact reach ride the hash. */
+  def clusterTakedownScan(spark: SparkSession, dir: String,
+      seedIds: Seq[Long], probeIds: Seq[Long]): DataFrame = {
+    val expanded = expandCluster(spark, dir, seedIds)
+    takedownScan(spark, dir, expanded,
+      probeIds.filterNot(expanded.contains))
   }
 
   // ——— GDPR completion: private lineage + vacuum (the q160 shape) ———

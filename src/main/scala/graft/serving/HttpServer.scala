@@ -730,25 +730,42 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       // view=scan probes deleted ids + survivors through the patched
       // corpus index, view=pack returns the repacked shard manifest,
       // view=report the exact per-artifact deletion accounting
-      val ids = longsParam(p, "ids")
-      if (ids.isEmpty)
+      val seeds = longsParam(p, "ids")
+      if (seeds.isEmpty)
         throw new IllegalArgumentException("ids is required")
-      gatedBuild(graft.operators.DocForget
-          .isTakedownMemoized(spark, dataDir, ids)) {
-        p.getOrElse("view", "scan") match {
-          case "scan" =>
-            val probes = longsParam(p, "probe")
-            if (probes.isEmpty)
-              throw new IllegalArgumentException(
-                "probe list is required for view=scan")
-            graft.operators.DocForget.takedownScan(spark, dataDir, ids,
-              probes)
-          case "pack" =>
-            graft.operators.DocForget.takedownPack(spark, dataDir, ids)
-          case "report" =>
-            graft.operators.DocForget.takedownReport(spark, dataDir, ids)
-          case other =>
-            throw new IllegalArgumentException(s"unknown view '$other'")
+      // cascade=1 (q166): expand the seeds through their q60 near-dup
+      // clusters first — remove the content, not one copy of it;
+      // view=expansion (q167) returns the cascade without deleting
+      val cascade = p.getOrElse("cascade", "0") match {
+        case "1" => true
+        case "0" => false
+        case other => throw new IllegalArgumentException(
+          s"cascade must be 0|1, got '$other'")
+      }
+      if (p.get("view").contains("expansion"))
+        graft.operators.DocForget.clusterExpansion(spark, dataDir, seeds)
+      else {
+        val ids =
+          if (cascade)
+            graft.operators.DocForget.expandCluster(spark, dataDir, seeds)
+          else seeds
+        gatedBuild(graft.operators.DocForget
+            .isTakedownMemoized(spark, dataDir, ids)) {
+          p.getOrElse("view", "scan") match {
+            case "scan" =>
+              val probes = longsParam(p, "probe")
+              if (probes.isEmpty)
+                throw new IllegalArgumentException(
+                  "probe list is required for view=scan")
+              graft.operators.DocForget.takedownScan(spark, dataDir, ids,
+                probes.filterNot(ids.contains))
+            case "pack" =>
+              graft.operators.DocForget.takedownPack(spark, dataDir, ids)
+            case "report" =>
+              graft.operators.DocForget.takedownReport(spark, dataDir, ids)
+            case other =>
+              throw new IllegalArgumentException(s"unknown view '$other'")
+          }
         }
       }
     })

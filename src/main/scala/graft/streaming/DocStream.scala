@@ -649,6 +649,67 @@ object DocStream {
     } finally rows.unpersist(blocking = false)
   }
 
+  /** What a [[takedownAccumulated]] pass did. */
+  case class TakedownReport(epochsTotal: Long, epochsRewritten: Long,
+      rowsDeleted: Long)
+
+  /** Right-to-erasure for the ACCUMULATED streaming corpus — the one
+    * derived store the q161 bundle takedown does not cover: the
+    * epoch-partitioned output of [[incrementalDedupSinkEachBatch]] /
+    * [[qualityGateSinkEachBatch]]. Deletes every row of `ids` from the
+    * corpus under `outDir` by rewriting ONLY the epoch partitions that
+    * hold them (one pushed-filter scan names the touched epochs; each
+    * rewrite is an atomic per-partition swap via [[PartitionedUpsert]],
+    * untouched epochs never read again), then REBUILDS the rolling
+    * corpus Bloom from the survivors — the fingerprints of taken-down
+    * documents are derived data too, and with the sketch rebuilt a
+    * re-submission of the same content is ADMITTED again (dedup state
+    * must not remember what compliance erased; the exact confirm join
+    * would admit it anyway — the rebuild also restores fp-rate
+    * hygiene). Idempotent: a second pass finds no epochs to touch.
+    * Same single-writer contract as the sinks (loud rejection while an
+    * ACTIVE streaming query owns the directory). */
+  def takedownAccumulated(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, ids: Seq[Long],
+      expectedCorpusDocs: Long = 1000000L,
+      fpp: Double = 0.01): TakedownReport = {
+    require(ids.nonEmpty, "takedown needs at least one doc id")
+    assertSingleWriter(spark, outDir)
+    graft.operators.Compact.recoverAccumulated(outDir)
+    PartitionedUpsert.recoverAll(outDir)
+    val epochDirs = Option(new java.io.File(outDir).listFiles())
+      .toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    if (epochDirs.isEmpty) return TakedownReport(0L, 0L, 0L)
+    // ONE pushed-filter read names the touched epochs AND counts the
+    // deleted rows (row-group stats skip the untouched bulk)
+    val corpus = spark.read.parquet(outDir)
+    val hits = corpus.where(col("doc_id").isin(ids: _*))
+      .groupBy(col("epoch")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    if (hits.isEmpty)
+      return TakedownReport(epochDirs.size.toLong, 0L, 0L)
+    val touched = hits.keySet
+    // survivors of the touched epochs only, swapped back atomically;
+    // an epoch whose every row was deleted keeps an EMPTY partition
+    // (the upsert's wholesale replace) — the corpus read tolerates it
+    val survivors = corpus
+      .where(col("epoch").isin(touched.toSeq: _*))
+      .where(!coalesce(col("doc_id").isin(ids: _*), lit(false)))
+    PartitionedUpsert.upsert(survivors, outDir, "epoch", Seq.empty)
+    // rebuilt sketch from what remains (see scaladoc)
+    val rest = spark.read.parquet(outDir)
+    val bloom =
+      if (rest.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter
+          .create(expectedCorpusDocs, fpp)
+      else rest.select(fingerprint(col("text")).as("fp"))
+        .stat.bloomFilter("fp", expectedCorpusDocs, fpp)
+    publishBloom(bloom, outDir)
+    TakedownReport(epochDirs.size.toLong, touched.size.toLong,
+      hits.values.sum)
+  }
+
   /** What a [[readmitQuarantine]] pass did. */
   case class ReadmitReport(examined: Long, readmitted: Long, kept: Long)
 

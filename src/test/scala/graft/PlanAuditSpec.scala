@@ -488,7 +488,14 @@ class PlanAuditSpec extends SparkSpec {
     // top-k (TakeOrdered, no exchange)
     "q164_takedown_ann" -> 0,
     // q165: a four-row driver-local report + its sort
-    "q165_takedown_report" -> 1)
+    "q165_takedown_report" -> 1,
+    // q166: q161's pruned-scan + sort shape (the cascade expansion and
+    // the four-artifact takedown are memoized builds; the expansion's
+    // component chain runs driver-dispatched like q53/q60)
+    "q166_cluster_takedown" -> 1,
+    // q167: the component carrier joins resolve map-side against the
+    // driver-dispatched components; one sort for the presentation order
+    "q167_cluster_expansion" -> 1)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -126,7 +126,12 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM takedown_ann(0, 45, 48)" ->
         operators.DocForget.takedownAnn(spark, sf, Seq(45L, 48L)),
       "SELECT * FROM takedown_report(45, 48)" ->
-        operators.DocForget.takedownReport(spark, sf, Seq(45L, 48L)))
+        operators.DocForget.takedownReport(spark, sf, Seq(45L, 48L)),
+      "SELECT * FROM cluster_takedown(45, -1, 7, 100, 487)" ->
+        operators.DocForget.clusterTakedownScan(spark, sf, Seq(45L),
+          Seq(7L, 100L, 487L)),
+      "SELECT * FROM cluster_expansion(45)" ->
+        operators.DocForget.clusterExpansion(spark, sf, Seq(45L)))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

@@ -160,6 +160,30 @@ class DocForgetSpec extends SparkSpec {
     assert(after == before.filterNot(_ == target))
   }
 
+  test("cluster cascade: the seed's q60 near-dup mates are taken down " +
+      "with it, the expansion matches canonicalDocs' components, and " +
+      "the cascade is capped") {
+    // doc 45's cluster at sf0.001 is {45, 487} (q60's LSH components)
+    val expanded = DocForget.expandCluster(spark, sf, Seq(45L))
+    val comps = Curation.canonicalDocs(spark, sf)
+      .select("doc_id", "comp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.releaseAll()
+    val want = comps.filter(_._2 == comps(45L)).keys.toSeq.sorted
+    assert(expanded == want && expanded.size > 1,
+      s"cascade $expanded != component members $want")
+    // the expansion relation reports exactly the same members
+    val rel = DocForget.clusterExpansion(spark, sf, Seq(45L))
+      .select("doc_id").as[Long].collect().toSeq
+    graft.Caches.releaseAll()
+    assert(rel == want)
+    // and the scan through the patched corpus dropped every member
+    val got = DocForget.clusterTakedownScan(spark, sf, Seq(45L),
+      Seq(7L, 100L) ++ expanded)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(7L, 100L).filterNot(expanded.contains).sorted)
+  }
+
   test("vacuumed takedown: the deleted docs' bytes are PHYSICALLY gone " +
       "from every parquet file in every artifact lineage") {
     // tiny private corpus so the full bundle+vacuum stays fast and the

@@ -322,6 +322,16 @@ class HttpServerSpec extends SparkSpec {
       assert(c93 == 400)
       val (c94, _) = get(s"$base/docTakedown?ids=45&view=scan")
       assert(c94 == 400) // probe required for view=scan
+      // cluster cascade (q166/q167): doc 45's near-dup mate at
+      // sf0.001 is 487 — the cascade takes BOTH down, and the
+      // expansion view reports the cluster without deleting
+      val (c94a, exp) = get(s"$base/docTakedown?ids=45&view=expansion")
+      assert(c94a == 200 && exp.contains("\"doc_id\":487,"), exp.take(200))
+      val (c94b, casc) =
+        get(s"$base/docTakedown?ids=45&cascade=1&probe=7,487")
+      assert(c94b == 200 && casc.contains("\"doc_id\":7,") &&
+        !casc.contains("\"doc_id\":487,") &&
+        !casc.contains("\"doc_id\":45,"), casc.take(200))
       // ANN through the patched inverted file (q164): the deleted
       // vectors never come back (memo hit — same batch as above)
       val (c95, annTd) = get(s"$base/annSearch?vecId=0&k=10&takedown=45,48")

@@ -53,4 +53,51 @@ class ForgetStreamSpec extends SparkSpec {
       Seq[Option[Long]](None).toDF("key"), 100L)
     assert(ForgetStream.accumulatedKeys(stateDir) == Seq(7L, 13L, 29L))
   }
+
+  test("accumulated-corpus takedown: only touched epochs rewrite, the " +
+      "Bloom forgets the fingerprints, re-submission is admitted, and " +
+      "a second pass is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val outDir = Files.createTempDirectory("dstd").toString
+    def sink(rows: Seq[(Long, String)], epoch: Long) =
+      DocStream.incrementalDedupSinkEachBatch(outDir)(
+        rows.toDF("doc_id", "text"), epoch)
+    sink(Seq(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta"), 0L)
+    sink(Seq(3L -> "eta theta iota", 4L -> "kappa lambda mu"), 1L)
+    sink(Seq(5L -> "nu xi omicron"), 2L)
+    def filesOf(e: Long) =
+      Option(new java.io.File(s"$outDir/epoch=$e").listFiles()).toSeq
+        .flatten.filter(_.isFile).map(f => (f.getName, f.length())).toSet
+    val untouched0 = filesOf(0L)
+    val report = DocStream.takedownAccumulated(spark, outDir, Seq(3L))
+    assert(report == DocStream.TakedownReport(3L, 1L, 1L), s"$report")
+    val left = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(left == Set(1L, 2L, 4L, 5L))
+    assert(filesOf(0L) == untouched0,
+      "an untouched epoch's files were rewritten")
+    // the rolling Bloom was rebuilt from the survivors
+    val in = new java.io.FileInputStream(s"$outDir/_bloom.bf")
+    val bloom =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    val fpOf = Seq("eta theta iota", "alpha beta gamma")
+      .map(t => t -> Seq(t).toDF("text").select(fp).head.getString(0))
+      .toMap
+    assert(!bloom.mightContainString(fpOf("eta theta iota")))
+    assert(bloom.mightContainString(fpOf("alpha beta gamma")))
+    // a re-submission of the erased CONTENT is admitted again — dedup
+    // state must not remember what compliance removed
+    sink(Seq(30L -> "eta theta iota"), 3L)
+    assert(spark.read.parquet(outDir).where(col("doc_id") === 30L)
+      .count() == 1L, "re-submitted content was wrongly deduped away")
+    // …while still-present content stays deduped
+    sink(Seq(31L -> "alpha beta gamma"), 4L)
+    assert(spark.read.parquet(outDir).where(col("doc_id") === 31L)
+      .count() == 0L)
+    // idempotent
+    val report2 = DocStream.takedownAccumulated(spark, outDir, Seq(3L))
+    assert(report2.epochsRewritten == 0L && report2.rowsDeleted == 0L)
+  }
 }
