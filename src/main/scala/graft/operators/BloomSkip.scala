@@ -139,6 +139,17 @@ object BloomSkip {
     * lists, and [[lookupAsOf]] serves time travel over it. */
   def lineageLogOf(versionPath: String): String = s"$versionPath.lineage"
 
+  /** Every path the served lineage of an evicted BASE still owns: all
+    * versions in its log with their sidecars, plus the log itself. A
+    * fingerprint refresh retires the old base THROUGH this list —
+    * otherwise the old lineage's forget versions (tmpdir siblings
+    * named nowhere else) would be orphaned forever once their log was
+    * reaped. */
+  private[operators] def lineagePathsOf(base: String): Seq[String] =
+    Layouts.versions(lineageLogOf(base)).map(_._2).flatMap(p =>
+      Seq(p, s"$p.bloomidx", s"$p.minmax", Layouts.manifestPath(p),
+        Layouts.schemaPath(p))) :+ lineageLogOf(base)
+
   /** The materialized bloom-indexed layout of the `orders` table for
     * `dir`: built on first request, fingerprint-keyed for the JVM
     * lifetime (the [[Warehouse.zlayoutCached]] discipline — a refresh
@@ -160,7 +171,7 @@ object BloomSkip {
       .filter(k => k._1 == dir && k != key)
       .flatMap(layoutMemo.remove).flatMap(_.peek).flatMap(x =>
         Seq(x._1, s"${x._1}.bloomidx", manifestPath(x._1),
-          Layouts.schemaPath(x._1), lineageLogOf(x._1))).toSeq
+          Layouts.schemaPath(x._1)) ++ lineagePathsOf(x._1)).toSeq
     graft.IndexGc.retire(s"bloomlayout:$dir", stale)
     v
   }
@@ -293,7 +304,7 @@ object BloomSkip {
       .filter(k => k._1 == dir && k != key)
       .flatMap(dateLayoutMemo.remove).flatMap(_.peek).flatMap(p =>
         Seq(p, s"$p.bloomidx", s"$p.minmax", Layouts.manifestPath(p),
-          Layouts.schemaPath(p), lineageLogOf(p))).toSeq
+          Layouts.schemaPath(p)) ++ lineagePathsOf(p)).toSeq
     graft.IndexGc.retire(s"datebloom:$dir", stale)
     v
   }
@@ -383,7 +394,7 @@ object BloomSkip {
     val ks = keys.distinct.sorted
     val fp = IvfIndex.dataFingerprint(dir, table = "orders")
     val memoKey = (dir, ks, fp)
-    val v = datedForgetMemo.getOrElseUpdate(memoKey, new Layouts.Once(
+    datedForgetMemo.getOrElseUpdate(memoKey, new Layouts.Once(
       Layouts.withBuildGate {
         val src = dateLayoutCached(spark, dir)
         val tag =
@@ -394,14 +405,14 @@ object BloomSkip {
           s"-g${forgetGen.incrementAndGet()}"
         val report = deleteKeysFromDated(spark, src, p, ks)
         Layouts.commitVersion(lineageLogOf(src), p)
+        // eviction + retention only under the build gate (see
+        // forgottenLayoutCached) — a memo hit never runs retention
+        datedForgetMemo.keys.filter(k => k._1 == dir && k != memoKey)
+          .foreach(datedForgetMemo.remove)
+        Layouts.vacuumRetain(spark, lineageLogOf(src),
+          retainPaths = Set(src, p), inlineDelete = false)
         (p, report)
       })).value
-    datedForgetMemo.keys.filter(k => k._1 == dir && k != memoKey)
-      .foreach(datedForgetMemo.remove)
-    val base = dateLayoutCached(spark, dir)
-    Layouts.vacuumRetain(spark, lineageLogOf(base),
-      retainPaths = Set(base, v._1), inlineDelete = false)
-    v
   }
 
   /** Whether the post-erasure date-layout version for (dir, keys) is
@@ -556,7 +567,7 @@ object BloomSkip {
     val ks = keys.distinct.sorted
     val fp = IvfIndex.dataFingerprint(dir, table = "orders")
     val memoKey = (dir, ks, fp)
-    val v = forgetMemo.getOrElseUpdate(memoKey, new Layouts.Once(
+    forgetMemo.getOrElseUpdate(memoKey, new Layouts.Once(
       Layouts.withBuildGate {
         val (src, _) = layoutCached(spark, dir)
         val tag =
@@ -567,14 +578,16 @@ object BloomSkip {
           s"-g${forgetGen.incrementAndGet()}"
         val report = deleteKeysFrom(spark, src, p, ks)
         Layouts.commitVersion(lineageLogOf(src), p)
+        // eviction + retention run ONLY here, serialized under the
+        // build gate with the commit they pair with: a memo HIT must
+        // never run retention (it would race a concurrent build and
+        // expire the freshly committed head out of the lineage)
+        forgetMemo.keys.filter(k => k._1 == dir && k != memoKey)
+          .foreach(forgetMemo.remove)
+        Layouts.vacuumRetain(spark, lineageLogOf(src),
+          retainPaths = Set(src, p), inlineDelete = false)
         (p, report)
       })).value
-    forgetMemo.keys.filter(k => k._1 == dir && k != memoKey)
-      .foreach(forgetMemo.remove)
-    val (base, _) = layoutCached(spark, dir)
-    Layouts.vacuumRetain(spark, lineageLogOf(base),
-      retainPaths = Set(base, v._1), inlineDelete = false)
-    v
   }
 
   /** Time travel over the SERVED lineage: the q148 point lookup as of
@@ -591,11 +604,20 @@ object BloomSkip {
     val vs = Layouts.versions(lineageLogOf(base))
     vs.find(_._1 == version) match {
       case Some((_, path)) => lookupIn(spark, path, keys)
+      // classify on the SAME listing (re-listing would race a
+      // concurrent commit of exactly this id into a dead-end throw):
+      // monotone ids ⇒ a missing id below the head was committed once
+      // and has been expired by retention
+      case None if vs.nonEmpty && version >= 1 && version < vs.last._1 =>
+        throw new Layouts.VersionExpired(
+          s"version $version expired from the served lineage (live: " +
+            s"${vs.map(_._1).mkString(", ")}) — reclaimed by " +
+            "retention; raise keepLast if time travel this far back " +
+            "is needed")
       case None =>
-        // delegate the expired-vs-never-committed distinction (and its
-        // typed error) to readAsOf's rule
-        Layouts.readAsOf(spark, lineageLogOf(base), version)
-        throw new IllegalStateException("unreachable")
+        throw new IllegalArgumentException(
+          s"version $version is not in the served lineage (live: " +
+            s"${vs.map(_._1).mkString(", ")}) — never committed")
     }
   }
 

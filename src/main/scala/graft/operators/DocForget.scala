@@ -415,35 +415,24 @@ object DocForget {
   // ——— cluster-cascade takedown (q166/q167) —————————————————————————
 
   private val expansionMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Seq[Long], Long), Seq[Long]]
+    .empty[(String, Seq[Long], Long), Seq[(Long, Long)]]
 
-  /** Expand takedown seeds through their q60 near-dup clusters: the
-    * REALISTIC takedown request — remove the infringing content, not
-    * one copy of it. Cluster assignment is exactly [[Curation
-    * .canonicalDocs]]'s (MinHash-LSH pairs → connected components,
-    * singleton docs their own cluster), so the cascade is oracle-
-    * replayable. Driver footprint: the seeds' component ids (≤ seeds)
-    * and the expanded member list (cluster-sized) — the component
-    * relation itself stays distributed. */
-  def expandCluster(spark: SparkSession, dir: String,
-      seedIds: Seq[Long]): Seq[Long] = {
+  /** The (doc_id, comp) rows the seeds expand to — the shared core of
+    * [[expandCluster]]/[[clusterExpansionCached]], memoized per
+    * (dir, seeds, fingerprint): the component chain is a corpus-scale
+    * job and a serving JVM must not re-run it per request. Driver
+    * footprint: the seeds' component ids (≤ seeds) and the expanded
+    * member list (cluster-sized, capped) — the component relation
+    * itself stays distributed. NOTE: registers cached carriers; the
+    * HOST releases them (the [[graft.Caches]] contract). */
+  private def expansionRows(spark: SparkSession, dir: String,
+      seedIds: Seq[Long]): Seq[(Long, Long)] = {
     val seeds = seedIds.distinct.sorted
     require(seeds.nonEmpty && seeds.size <= BloomSkip.MaxForgetKeys,
       s"takedown seeds must be 1..${BloomSkip.MaxForgetKeys}")
     expansionMemo.getOrElseUpdate((dir, seeds, fingerprintOf(dir)), {
-      import spark.implicits._
-      val comps = Dedup.connectedComponents(
-        Dedup.minhashLshPairs(spark, dir, ordered = false))
-      val all = graft.Tables.documents(spark, dir).select(col("doc_id"))
-        .join(comps, Seq("doc_id"), "left")
-        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
-      val seedComps = all.where(col("doc_id").isin(seeds: _*))
-        .select("comp").distinct().as[Long].collect()
-      val expanded = all
-        .where(col("comp").isin(seedComps.toIndexedSeq: _*))
-        .select("doc_id").as[Long].collect().toSeq
-      graft.Caches.releaseAll()
-      val out = (seeds ++ expanded).distinct.sorted
+      val out = clusterExpansion(spark, dir, seeds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       require(out.size <= BloomSkip.MaxForgetKeys,
         s"cluster cascade expanded to ${out.size} docs — beyond the " +
           s"${BloomSkip.MaxForgetKeys} batch cap; split the request")
@@ -451,10 +440,32 @@ object DocForget {
     })
   }
 
+  /** Expand takedown seeds through their q60 near-dup clusters: the
+    * REALISTIC takedown request — remove the infringing content, not
+    * one copy of it. Cluster assignment is exactly [[Curation
+    * .canonicalDocs]]'s (MinHash-LSH pairs → connected components,
+    * singleton docs their own cluster), so the cascade is oracle-
+    * replayable. */
+  def expandCluster(spark: SparkSession, dir: String,
+      seedIds: Seq[Long]): Seq[Long] = {
+    val seeds = seedIds.distinct.sorted
+    (seeds ++ expansionRows(spark, dir, seeds).map(_._1))
+      .distinct.sorted
+  }
+
+  /** Whether the cascade for (dir, seeds) is already computed — the
+    * serving layer's gate check. */
+  def isExpansionMemoized(spark: SparkSession, dir: String,
+      seedIds: Seq[Long]): Boolean =
+    expansionMemo.contains(
+      (dir, seedIds.distinct.sorted, fingerprintOf(dir)))
+
   /** q167: the cascade accounting — every (doc_id, cluster) the seeds
     * expand to, i.e. exactly what [[clusterTakedownScan]] will delete.
-    * The oracle replays the full MinHash-LSH → components chain, so a
-    * cascade that over- or under-reaches fails on ids. */
+    * Deliberately RECOMPUTES the MinHash-LSH → components chain (the
+    * q60 corpus-analytic cost class): an audit must re-prove the
+    * cascade from the corpus. The serving route uses
+    * [[clusterExpansionCached]] instead. */
   def clusterExpansion(spark: SparkSession, dir: String,
       seedIds: Seq[Long]): DataFrame = {
     val seeds = seedIds.distinct.sorted
@@ -466,10 +477,19 @@ object DocForget {
       .withColumn("comp", coalesce(col("comp"), col("doc_id")))
     val seedComps = all.where(col("doc_id").isin(seeds: _*))
       .select("comp").distinct().as[Long].collect()
-    val out = all.where(col("comp").isin(seedComps.toIndexedSeq: _*))
+    all.where(col("comp").isin(seedComps.toIndexedSeq: _*))
       .select(col("doc_id"), col("comp"))
       .orderBy("doc_id")
-    out
+  }
+
+  /** [[clusterExpansion]] served from the memo — what `/docTakedown
+    * ?view=expansion` answers with (spec-pinned row-equal to the
+    * recompute). */
+  def clusterExpansionCached(spark: SparkSession, dir: String,
+      seedIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    expansionRows(spark, dir, seedIds)
+      .toDF("doc_id", "comp").orderBy("doc_id")
   }
 
   /** q166: CLUSTER takedown — expand the seeds through their near-dup

@@ -361,7 +361,11 @@ object Layouts {
   private def vacuumImpl(spark: SparkSession, logDir: String,
       expired: Seq[(Long, String)], retained: Seq[(Long, String)],
       inlineDelete: Boolean): VacuumReport = {
-    val keep = retained.flatMap(v => manifestOf(spark, v._2).values).toSet
+    // nothing expires → nothing to reference-count: do NOT touch the
+    // retained manifests (materializing them here would re-create the
+    // driver blow-up the measured dispatch exists to avoid), and the
+    // retention a memoized serving path runs per build stays O(1)
+    if (expired.isEmpty) return VacuumReport(0L, 0L, 0L)
     var deleted = 0L
     var shared = 0L
     val deferred = scala.collection.mutable.ListBuffer.empty[String]
@@ -370,30 +374,71 @@ object Layouts {
         val f = new java.io.File(path)
         if (f.exists()) graft.AtomicSwap.deleteRecursively(f)
       } else deferred += path
-    expired.foreach { case (id, p) =>
-      manifestOf(spark, p).values.toSeq.distinct.foreach { dir =>
-        if (keep(dir)) shared += 1
-        else if (new java.io.File(dir).exists()) {
+    val small = (expired ++ retained)
+      .forall(v => manifestFileCount(spark, v._2) <= MaxDriverManifestFiles)
+    if (small) {
+      // driver-map arm: per-version dir walk with a set-membership
+      // reference count + the husk cleanup
+      val keep =
+        retained.flatMap(v => manifestOf(spark, v._2).values).toSet
+      expired.foreach { case (_, p) =>
+        manifestOf(spark, p).values.toSeq.distinct.foreach { dir =>
+          if (keep(dir)) shared += 1
+          else if (new java.io.File(dir).exists()) {
+            remove(dir)
+            deleted += 1
+          }
+        }
+        // the version root may be a husk of only-its-own files now —
+        // clear it (inline) or hand it WHOLE to the reaper (deferred;
+        // covers the contained dirs too), but only if no retained
+        // file still lives inside
+        val root = new java.io.File(p)
+        if (root.exists() &&
+          Option(root.listFiles()).toSeq.flatten
+            .forall(f => !keep(f.getAbsolutePath))) {
+          if (inlineDelete) graft.AtomicSwap.deleteRecursively(root)
+          else deferred += p
+        }
+      }
+    } else {
+      // RELATIONAL arm (manifests past the driver threshold): the
+      // deletable set is `expired paths EXCEPT retained paths` — a
+      // distributed anti-join whose collect is bounded by the files
+      // UNIQUE to the expired versions (the deletion workload itself,
+      // e.g. a forget version's few rewritten dirs), never the corpus
+      // file count. Husk roots are left standing (checking them needs
+      // the full map); the deferred reaper removes their contents.
+      import spark.implicits._
+      def pathsOf(vs: Seq[(Long, String)]) = vs.map { v =>
+        val mf = new java.io.File(manifestPath(v._2))
+        if (mf.exists())
+          spark.read.parquet(mf.getAbsolutePath).select(col("path"))
+        else listFileDirs(new java.io.File(v._2)).values.toSeq
+          .toDF("path")
+      }.reduce(_ unionByName _).distinct()
+      val expPaths = pathsOf(expired).cache()
+      val deletable =
+        try expPaths.join(pathsOf(retained), Seq("path"), "left_anti")
+          .as[String].collect()
+        finally ()
+      val expTotal = expPaths.count()
+      expPaths.unpersist(blocking = false)
+      shared = expTotal - deletable.length
+      deletable.foreach { dir =>
+        if (new java.io.File(dir).exists()) {
           remove(dir)
           deleted += 1
         }
       }
+    }
+    expired.foreach { case (id, p) =>
       Seq(s"$p.bloomidx", s"$p.minmax", schemaPath(p), manifestPath(p))
         .foreach { side =>
           if (new java.io.File(side).exists()) remove(side)
         }
       manifestMemo.remove(manifestPath(p))
-      // the version root may be a husk of only-its-own files now —
-      // clear it (inline) or hand it WHOLE to the reaper (deferred;
-      // covers the contained dirs too), but only if no retained file
-      // still lives inside
-      val root = new java.io.File(p)
-      if (root.exists() &&
-        Option(root.listFiles()).toSeq.flatten
-          .forall(f => !keep(f.getAbsolutePath))) {
-        if (inlineDelete) graft.AtomicSwap.deleteRecursively(root)
-        else deferred += p
-      }
+      manifestCountMemo.remove(manifestPath(p))
       java.nio.file.Files.deleteIfExists(
         new java.io.File(logDir, f"v$id%06d.txt").toPath)
     }
@@ -461,8 +506,11 @@ object Layouts {
     }
     // schema sidecar: an erasure can empty the manifest entirely (every
     // candidate file's every row deleted, nothing shared) — the sidecar
-    // keeps the empty version readable (see [[emptyLike]])
-    writeSchemaSidecar(emptyLike(spark, versionPath), outPath)
+    // keeps the empty version readable (see [[emptyLike]]). Derived
+    // from the TRANSFORMED plan: the transform hook may reshape columns
+    // (the doc-takedown repack does), and a sidecar carrying the
+    // parent's schema would misdescribe the version
+    writeSchemaSidecar(transform(emptyLike(spark, versionPath)), outPath)
     (rewritten, deleted)
   }
 }

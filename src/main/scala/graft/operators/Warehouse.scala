@@ -231,7 +231,7 @@ object Warehouse {
       .filter(k => (k._1, k._2) == ((dir, shift)) && k != key)
       .flatMap(zlayoutMemo.remove).flatMap(_.peek)
       .flatMap(p => Seq(p, Layouts.manifestPath(p),
-        Layouts.schemaPath(p), BloomSkip.lineageLogOf(p))).toSeq
+        Layouts.schemaPath(p)) ++ BloomSkip.lineagePathsOf(p)).toSeq
     graft.IndexGc.retire(s"zlayout:$dir:$shift", stale)
     v
   }
@@ -383,7 +383,7 @@ object Warehouse {
     val us = users.distinct.sorted
     val fp = IvfIndex.dataFingerprint(dir, table = "events")
     val memoKey = (dir, us, shift, fp)
-    val v = zforgetMemo.getOrElseUpdate(memoKey, new Layouts.Once(
+    zforgetMemo.getOrElseUpdate(memoKey, new Layouts.Once(
       Layouts.withBuildGate {
         val src = zlayoutCached(spark, dir, shift)
         val tag =
@@ -394,14 +394,14 @@ object Warehouse {
           s"-g${zforgetGen.incrementAndGet()}"
         val report = zorderDeleteUsers(spark, src, p, us, shift)
         Layouts.commitVersion(BloomSkip.lineageLogOf(src), p)
+        // eviction + retention only under the build gate (see
+        // BloomSkip.forgottenLayoutCached) — memo hits never vacuum
+        zforgetMemo.keys.filter(k => k._1 == dir && k != memoKey)
+          .foreach(zforgetMemo.remove)
+        Layouts.vacuumRetain(spark, BloomSkip.lineageLogOf(src),
+          retainPaths = Set(src, p), inlineDelete = false)
         (p, report)
       })).value
-    zforgetMemo.keys.filter(k => k._1 == dir && k != memoKey)
-      .foreach(zforgetMemo.remove)
-    val base = zlayoutCached(spark, dir, shift)
-    Layouts.vacuumRetain(spark, BloomSkip.lineageLogOf(base),
-      retainPaths = Set(base, v._1), inlineDelete = false)
-    v
   }
 
   /** Whether the post-erasure version for (dir, users) is already

@@ -709,6 +709,10 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       // layout — the deleted docs' term buckets patched, builds gated
       val takedown = longsParam(p, "takedown")
       (p.getOrElse("mode", "scan"), takedown) match {
+        // a bad mode must 400 even when takedown is present — never a
+        // silently different serving path for a typo
+        case (m, _) if m != "scan" && m != "indexed" =>
+          throw new IllegalArgumentException(s"unknown mode '$m'")
         case (_, ids) if ids.nonEmpty =>
           gatedBuild(graft.operators.DocForget
               .isTakedownMemoized(spark, dataDir, ids)) {
@@ -717,10 +721,8 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
           }
         case ("indexed", _) =>
           graft.operators.Ranking.phraseSearchIndexed(spark, dataDir, phrase)
-        case ("scan", _) =>
+        case _ =>
           graft.operators.Ranking.phraseSearch(spark, dataDir, phrase)
-        case (other, _) =>
-          throw new IllegalArgumentException(s"unknown mode '$other'")
       }
     })
     server.createContext("/docTakedown", handler { p =>
@@ -742,15 +744,30 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         case other => throw new IllegalArgumentException(
           s"cascade must be 0|1, got '$other'")
       }
+      // the cascade expansion is itself a corpus-scale build (MinHash-
+      // LSH + components) — it must run INSIDE the load-shed gate, and
+      // repeats serve from the expansion memo
       if (p.get("view").contains("expansion"))
-        graft.operators.DocForget.clusterExpansion(spark, dataDir, seeds)
-      else {
-        val ids =
-          if (cascade)
-            graft.operators.DocForget.expandCluster(spark, dataDir, seeds)
-          else seeds
         gatedBuild(graft.operators.DocForget
-            .isTakedownMemoized(spark, dataDir, ids)) {
+            .isExpansionMemoized(spark, dataDir, seeds)) {
+          graft.operators.DocForget
+            .clusterExpansionCached(spark, dataDir, seeds)
+        }
+      else {
+        val memoized = (!cascade || graft.operators.DocForget
+            .isExpansionMemoized(spark, dataDir, seeds)) && {
+          val ids =
+            if (cascade) graft.operators.DocForget
+              .expandCluster(spark, dataDir, seeds)
+            else seeds
+          graft.operators.DocForget
+            .isTakedownMemoized(spark, dataDir, ids)
+        }
+        gatedBuild(memoized) {
+          val ids =
+            if (cascade) graft.operators.DocForget
+              .expandCluster(spark, dataDir, seeds)
+            else seeds
           p.getOrElse("view", "scan") match {
             case "scan" =>
               val probes = longsParam(p, "probe")

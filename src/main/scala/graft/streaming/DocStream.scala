@@ -681,33 +681,56 @@ object DocStream {
       .toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
     if (epochDirs.isEmpty) return TakedownReport(0L, 0L, 0L)
-    // ONE pushed-filter read names the touched epochs AND counts the
-    // deleted rows (row-group stats skip the untouched bulk)
+    // ONE read names the touched epochs, the deleted counts, AND the
+    // epochs a takedown empties entirely — all decided BEFORE any swap
+    // moves files under the lazy plan
     val corpus = spark.read.parquet(outDir)
-    val hits = corpus.where(col("doc_id").isin(ids: _*))
-      .groupBy(col("epoch")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
-    if (hits.isEmpty)
+    val perEpoch = corpus.groupBy(col("epoch"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(coalesce(col("doc_id").isin(ids: _*), lit(false)), 1L)
+          .otherwise(0L)).as("del"))
+      .where(col("del") > 0)
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+    if (perEpoch.isEmpty)
       return TakedownReport(epochDirs.size.toLong, 0L, 0L)
-    val touched = hits.keySet
-    // survivors of the touched epochs only, swapped back atomically;
-    // an epoch whose every row was deleted keeps an EMPTY partition
-    // (the upsert's wholesale replace) — the corpus read tolerates it
-    val survivors = corpus
-      .where(col("epoch").isin(touched.toSeq: _*))
-      .where(!coalesce(col("doc_id").isin(ids: _*), lit(false)))
-    PartitionedUpsert.upsert(survivors, outDir, "epoch", Seq.empty)
-    // rebuilt sketch from what remains (see scaladoc)
-    val rest = spark.read.parquet(outDir)
+    val touched = perEpoch.map(_._1).toSet
+    val emptied = perEpoch.filter(e => e._2 == e._3).map(_._1).toSet
+    // survivors of the PARTIALLY touched epochs swap back atomically;
+    // an epoch whose EVERY row was deleted never appears in the upsert
+    // (it derives its partition list from the incoming rows), so its
+    // directory goes explicitly — otherwise the taken-down bytes would
+    // silently survive on disk while the report claimed them deleted
+    if (touched.size > emptied.size) {
+      val survivors = corpus
+        .where(col("epoch").isin((touched -- emptied).toSeq: _*))
+        .where(!coalesce(col("doc_id").isin(ids: _*), lit(false)))
+      PartitionedUpsert.upsert(survivors, outDir, "epoch", Seq.empty)
+    }
+    emptied.foreach { e =>
+      graft.AtomicSwap.deleteRecursively(
+        new java.io.File(s"$outDir/epoch=$e"))
+    }
+    // rebuilt sketch from what remains (see scaladoc); a takedown that
+    // emptied the whole corpus leaves nothing to read
+    val remaining = Option(new java.io.File(outDir).listFiles())
+      .toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
     val bloom =
-      if (rest.isEmpty)
+      if (remaining.isEmpty)
         org.apache.spark.util.sketch.BloomFilter
           .create(expectedCorpusDocs, fpp)
-      else rest.select(fingerprint(col("text")).as("fp"))
-        .stat.bloomFilter("fp", expectedCorpusDocs, fpp)
+      else {
+        val rest = spark.read.parquet(remaining.map(_.getAbsolutePath): _*)
+        if (rest.isEmpty)
+          org.apache.spark.util.sketch.BloomFilter
+            .create(expectedCorpusDocs, fpp)
+        else rest.select(fingerprint(col("text")).as("fp"))
+          .stat.bloomFilter("fp", expectedCorpusDocs, fpp)
+      }
     publishBloom(bloom, outDir)
     TakedownReport(epochDirs.size.toLong, touched.size.toLong,
-      hits.values.sum)
+      perEpoch.map(_._3).sum)
   }
 
   /** What a [[readmitQuarantine]] pass did. */

@@ -64,6 +64,50 @@ class ManifestDispatchSpec extends SparkSpec {
     }
   }
 
+  test("vacuum reference counting is identical across the driver-map " +
+      "and relational arms") {
+    import graft.operators.Layouts
+    // two identical lineages; one vacuums through each arm
+    def buildLineage(tag: String): (String, String) = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"vdisp$tag").toString
+      val v1 = s"$root/v1"
+      BloomSkip.bloomWrite(
+        (0 until 400).map(i => (i.toLong, (i % 40).toLong, i * 1.0))
+          .toDF("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey", "o_orderkey", v1)
+      val log = s"$root/log"
+      Layouts.commitVersion(log, v1)
+      BloomSkip.deleteKeysFrom(spark, v1, s"$root/v2", Seq(7L))
+      Layouts.commitVersion(log, s"$root/v2")
+      (root, log)
+    }
+    def survivingFiles(root: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(walk) :+ f
+        else Seq(f)
+      walk(new java.io.File(root))
+        .map(_.getAbsolutePath.stripPrefix(root)).toSet
+    }
+    val (rootA, logA) = buildLineage("A")
+    val repA = Layouts.vacuum(spark, logA, keepLast = 1)
+    val (rootB, logB) = buildLineage("B")
+    val repB = withThreshold(1L) {
+      Layouts.clearManifestMemo()
+      Layouts.vacuum(spark, logB, keepLast = 1)
+    }
+    assert(repB == repA, s"reports diverge: $repB vs $repA")
+    // the same relative file set survives under both roots (crc names
+    // can differ; compare directory-level structure + parquet names)
+    def shape(s: Set[String]) =
+      s.filterNot(_.endsWith(".crc")).map(_.replaceAll("part-[^/]*", "part"))
+    assert(shape(survivingFiles(rootB)) == shape(survivingFiles(rootA)))
+    // both retained heads still read
+    assert(Layouts.readAsOf(spark, logA, 2L).count() ==
+      Layouts.readAsOf(spark, logB, 2L).count())
+  }
+
   test("manifestEntriesFor returns exactly the requested live entries " +
       "in both arms; the relational arm never materializes the map") {
     val (layout, _) = BloomSkip.layoutCached(spark, dir)

@@ -99,5 +99,15 @@ class ForgetStreamSpec extends SparkSpec {
     // idempotent
     val report2 = DocStream.takedownAccumulated(spark, outDir, Seq(3L))
     assert(report2.epochsRewritten == 0L && report2.rowsDeleted == 0L)
+    // an epoch whose EVERY row is deleted is physically REMOVED — the
+    // partition upsert never sees it (no surviving rows name it), so
+    // the takedown must delete the directory itself or the erased
+    // bytes silently survive
+    val r3 = DocStream.takedownAccumulated(spark, outDir, Seq(5L))
+    assert(r3.epochsRewritten == 1L && r3.rowsDeleted == 1L, s"$r3")
+    assert(!new java.io.File(s"$outDir/epoch=2").exists(),
+      "a fully-deleted epoch's directory survives on disk")
+    assert(spark.read.parquet(outDir)
+      .where(col("doc_id") === 5L).count() == 0L)
   }
 }
