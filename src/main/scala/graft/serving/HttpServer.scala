@@ -26,6 +26,8 @@ import graft.operators.Api
   *       (q161/q162/q165: document-corpus right-to-erasure)
   *   GET /timeTravel?version=1&keys=7,42   (lineage as-of lookup; 410
   *       when the version expired)  /lineage  /vacuumLayouts?keepLast=1
+  *   GET /rebuildUserSketches   (erasure completion for the sketch
+  *       warehouse: user-keyed register tables rebuilt from events)
   *   GET /funnel?steps=view,click,purchase        (q105)
   *   GET /anomalies?windowHours=24&minWindow=12&k=3&dense=0|1 (q120/q123)
   *   GET /paths?len=3&topN=50                     (q122)
@@ -559,6 +561,21 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
       // the served lineage's live versions — the audit surface behind
       // /timeTravel (log only, no data read)
       graft.operators.BloomSkip.lineageVersions(spark, dataDir)
+    })
+    server.createContext("/rebuildUserSketches", handler { _ =>
+      // complete an upstream user erasure inside the sketch warehouse:
+      // registers can't unmerge, so the user-keyed register tables
+      // REBUILD from the retained events (always a build → gated)
+      gatedBuild(memoized = false) {
+        val rebuilt = graft.streaming.SketchStream.rebuildUserSketches(
+          spark, sketchDirOr400,
+          graft.Tables.events(spark, dataDir)
+            .select(org.apache.spark.sql.functions.col("event_type"),
+              org.apache.spark.sql.functions.col("ts"),
+              org.apache.spark.sql.functions.col("user_id")))
+        import spark.implicits._
+        rebuilt.toDF("rebuilt_table")
+      }
     })
     server.createContext("/vacuumLayouts", handler { p =>
       // admin retention: expire all but the newest keepLast versions

@@ -280,6 +280,67 @@ object SketchStream {
       .orderBy("type_a", "type_b")
   }
 
+  // ——— erasure completion for the sketch warehouse ————————————————
+
+  /** The USER-KEYED register families and their rebuild projections —
+    * the sub-tables that embed user identity (hashed user ids inside
+    * HLL registers / KMV minima). The item/value-keyed families
+    * (hhcounts, cmsregs, hist) carry no user identity and need no
+    * erasure pass. */
+  private def userSketchBuilders(k: Int)
+      : Seq[(String, DataFrame => DataFrame)] = Seq(
+    "hllregs" -> (ev => Sketches.hllRegisters(
+      ev.select(col("event_type"),
+        col("user_id").cast("string").as("uid")),
+      Seq("event_type"), col("uid"))),
+    "hllregsdaily" -> (ev => Sketches.hllRegisters(
+      ev.select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        col("user_id").cast("string").as("uid")),
+      Seq("event_type", "dt"), col("uid"))),
+    "kmvregs" -> (ev => Sketches.kmvRegisters(
+      ev.select(col("event_type"),
+        col("user_id").cast("string").as("uid")),
+      "event_type", col("uid"), k)),
+    "kmvregsdaily" -> (ev => Sketches.kmvRegistersDaily(
+      ev.select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        col("user_id").cast("string").as("uid")), k)))
+
+  /** Complete an upstream user erasure INSIDE the sketch warehouse:
+    * registers cannot unmerge (max/min-k folds are lossy one-way —
+    * no algebra can subtract one user from an HLL register), so the
+    * compliance answer is the standard one: REBUILD the user-keyed
+    * register tables from the retained upstream (`events` = the
+    * post-erasure event relation) and atomically swap each accumulated
+    * table's epochs for one fresh base. Rebuilds every user-keyed
+    * sub-table present under `outDir`; the item/value-keyed families
+    * hold no user identity and are left alone (see
+    * [[userSketchBuilders]]). Idempotent (a rebuild from the same
+    * upstream lands bit-equal); crash-safe per table (AtomicSwap keeps
+    * a committed copy at every instant); the estimate surfaces are
+    * spec-pinned equal to batch sketches over the retained events.
+    * Cost: one distributed register build per table over the retained
+    * upstream — the price of erasure from a lossy aggregate, paid per
+    * compliance window, not per query. */
+  def rebuildUserSketches(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, events: DataFrame,
+      k: Int = Sketches.DefaultKmvK): Seq[String] = {
+    userSketchBuilders(k).flatMap { case (sub, build) =>
+      val dir = new java.io.File(outDir, sub)
+      if (!dir.exists()) None
+      else {
+        graft.operators.Compact.recoverAccumulated(dir.getPath)
+        graft.AtomicSwap.recover(dir.getPath,
+          Seq(s"$outDir/.$sub.rebuild.tmp"), s"$outDir/.$sub.old")
+        val tmp = s"$outDir/.$sub.rebuild.tmp"
+        build(events).write.mode("overwrite").parquet(s"$tmp/epoch=-1")
+        graft.AtomicSwap.publish(tmp, dir.getPath, s"$outDir/.$sub.old")
+        Some(sub)
+      }
+    }
+  }
+
   // ——— heavy-hitter twin (exact counts → epoch partials) ———
 
   /** foreachBatch sink for the heavy-hitter family (q139): each epoch

@@ -473,6 +473,16 @@ class HttpServerSpec extends SparkSpec {
         .cmsTableEstimates(spark, dir, Seq(3L, 5L, 99L))
         .toJSON.collect().mkString("[", ",", "]")
       assert(cfK == wantC, "sketch-served frequencies diverged")
+      // erasure completion for the sketch warehouse: the admin rebuild
+      // recomputes every user-keyed register table from the (here:
+      // unchanged) events upstream — served estimates stay bit-equal,
+      // and the route reports exactly the user-keyed tables
+      val (c8, rb) = get(s"$base/rebuildUserSketches")
+      assert(c8 == 200 && rb.contains("\"rebuilt_table\":\"hllregs\"") &&
+        rb.contains("kmvregs") && !rb.contains("cmsregs"), rb.take(300))
+      val (c9, du2) = get(s"$base/distinctUsers?source=sketch")
+      assert(c9 == 200 && du2 == du,
+        "rebuild from the same upstream moved the served estimates")
     } finally { srv.stop(); graft.Caches.releaseAll() }
   }
 }

@@ -486,4 +486,64 @@ class SketchStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == want)
   }
+  test("rebuildUserSketches: after an upstream user erasure, every " +
+    "user-keyed register table equals a warehouse fed only the " +
+    "retained events; item-keyed tables are untouched") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val outDir = Files.createTempDirectory("sk_rebuild").toString
+    val golden = Files.createTempDirectory("sk_golden").toString
+    val rows: Seq[(String, String, Long)] =
+      (0L until 200L).map(u => ("view", "2024-01-01 09:00:00", u)) ++
+      (100L until 300L).map(u => ("view", "2024-01-02 09:00:00", u)) ++
+      (0L until 150L).map(u => ("click", "2024-01-02 12:00:00", u * 3))
+    def df3(c: Seq[(String, String, Long)]) =
+      c.toDF("event_type", "tss", "user_id")
+        .select(col("event_type"), to_timestamp(col("tss")).as("ts"),
+          col("user_id"))
+    def feed(dir: String, data: Seq[(String, String, Long)]): Unit =
+      data.grouped(130).zipWithIndex.foreach { case (c, i) =>
+        SketchStream.hllSinkEachBatch(dir)(df3(c), i.toLong)
+        SketchStream.hllDailySinkEachBatch(dir)(df3(c), i.toLong)
+        SketchStream.kmvSinkEachBatch(dir)(df3(c), i.toLong)
+        SketchStream.kmvDailySinkEachBatch(dir)(df3(c), i.toLong)
+      }
+    feed(outDir, rows)
+    // an item-keyed table beside the user-keyed ones — must not move
+    SketchStream.cmsSinkEachBatch(outDir)(
+      Seq(1L, 2L, 2L, 3L).toDF("item"), 0L)
+    def cmsFiles() = Option(new java.io.File(s"$outDir/cmsregs")
+      .listFiles()).toSeq.flatten.flatMap(d =>
+        Option(d.listFiles()).toSeq.flatten)
+      .map(f => (f.getName, f.length())).toSet
+    val cmsBefore = cmsFiles()
+    // upstream erasure: users 0..49 are gone; the golden warehouse is
+    // fed ONLY the retained events
+    val retained = rows.filterNot(r => r._3 < 50L)
+    feed(golden, retained)
+    val rebuilt = SketchStream.rebuildUserSketches(spark, outDir,
+      df3(retained))
+    assert(rebuilt.toSet == Set("hllregs", "hllregsdaily", "kmvregs",
+      "kmvregsdaily"))
+    def rowsOf(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rowsOf(SketchStream.hllTableEstimates(spark, outDir)) ==
+      rowsOf(SketchStream.hllTableEstimates(spark, golden)))
+    assert(rowsOf(SketchStream.hllRangeEstimates(spark, outDir,
+        "2024-01-01", "2024-01-02")) ==
+      rowsOf(SketchStream.hllRangeEstimates(spark, golden,
+        "2024-01-01", "2024-01-02")))
+    assert(rowsOf(SketchStream.kmvTableEstimates(spark, outDir)) ==
+      rowsOf(SketchStream.kmvTableEstimates(spark, golden)))
+    assert(rowsOf(SketchStream.kmvTableRangeOverlap(spark, outDir,
+        "2024-01-01", "2024-01-02")) ==
+      rowsOf(SketchStream.kmvTableRangeOverlap(spark, golden,
+        "2024-01-01", "2024-01-02")))
+    assert(cmsFiles() == cmsBefore,
+      "the item-keyed table moved under a USER erasure rebuild")
+    // idempotent: a second rebuild from the same upstream is bit-equal
+    val again = SketchStream.rebuildUserSketches(spark, outDir,
+      df3(retained))
+    assert(again == rebuilt)
+    assert(rowsOf(SketchStream.hllTableEstimates(spark, outDir)) ==
+      rowsOf(SketchStream.hllTableEstimates(spark, golden)))
+  }
 }
