@@ -108,6 +108,34 @@ class ManifestDispatchSpec extends SparkSpec {
       Layouts.readAsOf(spark, logB, 2L).count())
   }
 
+  test("a manifest past the REAL threshold resolves candidates " +
+      "relationally: 200k file entries, 3-id probe, no driver map") {
+    import graft.operators.Layouts
+    // a synthetic 200k-row manifest (2× the production threshold):
+    // only three file_ids point at real dirs — entriesFor must return
+    // exactly those without ever materializing the 200k-row map
+    val root = java.nio.file.Files.createTempDirectory("bigmf").toString
+    val vp = s"$root/layout"
+    val real = Seq(1L, 77L, 199999L).map { id =>
+      val d = new java.io.File(s"$vp/file_id=$id"); d.mkdirs()
+      id -> d.getAbsolutePath
+    }.toMap
+    val entries = (0L until 200000L).map(id =>
+      (id, real.getOrElse(id, s"$vp/file_id=$id")))
+    entries.toDF("file_id", "path").repartition(1)
+      .write.mode("overwrite").parquet(Layouts.manifestPath(vp))
+    Layouts.clearManifestMemo()
+    assert(Layouts.manifestFileCount(spark, vp) == 200000L)
+    val t0 = System.nanoTime()
+    val got = Layouts.manifestEntriesFor(spark, vp,
+      Set(1L, 77L, 199999L, 999999999L))
+    val ms = (System.nanoTime() - t0) / 1000000L
+    assert(got == real, s"wrong entries: $got")
+    // the probe is a pushed-filter scan of one small parquet — if this
+    // ever regresses to seconds, the driver map came back
+    assert(ms < 5000L, s"relational candidate resolution took ${ms}ms")
+  }
+
   test("manifestEntriesFor returns exactly the requested live entries " +
       "in both arms; the relational arm never materializes the map") {
     val (layout, _) = BloomSkip.layoutCached(spark, dir)
