@@ -359,12 +359,16 @@ object BloomSkip {
   def deleteKeysFromDated(spark: SparkSession, versionPath: String,
       outPath: String, keys: Seq[Long],
       bits: Int = BloomBits): DeleteReport = {
-    val oldMf = Layouts.manifestOf(spark, versionPath).keySet
     val report = deleteKeysFrom(spark, versionPath, outPath, keys, bits)
-    val newMf = Layouts.manifestOf(spark, outPath)
     val rewritten = Layouts.listFileDirs(new java.io.File(outPath)).keySet
-    // gone or rewritten: either way the old stats row must not survive
-    val touched = ((oldMf -- newMf.keySet) ++ rewritten).toSeq
+    // the touched set IS the candidate set (every candidate either
+    // rewrote or vanished): re-derive it through the index probe +
+    // measured dispatch instead of materializing two full manifest
+    // maps (the round-15 #1 discipline — the probe is bounded by the
+    // keys' file spread, never the layout's file count)
+    val touched = Layouts.manifestEntriesFor(spark, versionPath,
+      candidateFiles(spark, s"$versionPath.bloomidx", keys.distinct,
+        bits).toSet).keySet.toSeq
     val oldStats = spark.read.parquet(s"$versionPath.minmax")
     val untouched =
       if (touched.isEmpty) oldStats
