@@ -277,24 +277,32 @@ object DocForget {
       s"takedown ids must be 1..${BloomSkip.MaxForgetKeys}")
     val fp = fingerprintOf(dir)
     val memoKey = (dir, ks, fp)
-    val v = takedownMemo.getOrElseUpdate(memoKey, new Layouts.Once(
+    takedownMemo.getOrElseUpdate(memoKey, new Layouts.Once(
       Layouts.withBuildGate {
         val bundle = bundleCached(spark, dir)
         val tag =
           if (ks.size == 1) ks.head.toString
           else "b" + java.lang.Long.toHexString(
             md5LongScala(ks.mkString(",")))
-        applyTakedown(spark, bundle, ks, tag)
+        val td = applyTakedown(spark, bundle, ks, tag)
+        // every artifact's version commits to its served lineage, and
+        // superseded takedowns expire by retain-set reference counting
+        // — the BloomSkip.forgottenLayoutCached discipline, applied
+        // symmetrically to the doc-bundle family; eviction + retention
+        // run ONLY here, serialized under the build gate
+        takedownMemo.keys.filter(k => k._1 == dir && k != memoKey)
+          .foreach(takedownMemo.remove)
+        Seq(bundle.corpus -> td.corpus, bundle.pack -> td.pack,
+          bundle.postings -> td.postings, bundle.ivf -> td.ivf)
+          .foreach { case (base, head) =>
+            Layouts.commitVersionIfAbsent(
+              BloomSkip.lineageLogOf(base), base)
+            Layouts.commitVersion(BloomSkip.lineageLogOf(base), head)
+            Layouts.vacuumRetain(spark, BloomSkip.lineageLogOf(base),
+              retainPaths = Set(base, head), inlineDelete = false)
+          }
+        td
       })).value
-    val stale = takedownMemo.keys
-      .filter(k => k._1 == dir && k != memoKey)
-      .flatMap(takedownMemo.remove).flatMap(_.peek).flatMap(t =>
-        Seq(t.corpus, t.pack, t.postings, t.ivf, t.bloom,
-          s"${t.corpus}.bloomidx", s"${t.ivf}.bloomidx") ++
-          Seq(t.corpus, t.pack, t.postings, t.ivf).flatMap(p =>
-            Seq(Layouts.manifestPath(p), Layouts.schemaPath(p)))).toSeq
-    graft.IndexGc.retire(s"doctakedown:$dir", stale)
-    v
   }
 
   /** Whether the takedown for (dir, ids) is already built — the

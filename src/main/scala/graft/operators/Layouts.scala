@@ -433,7 +433,11 @@ object Layouts {
       }
     }
     expired.foreach { case (id, p) =>
-      Seq(s"$p.bloomidx", s"$p.minmax", schemaPath(p), manifestPath(p))
+      // .bloom.bf: the doc-takedown corpus versions carry a rebuilt
+      // fingerprint sketch as a sibling file — derived data that must
+      // expire with its version
+      Seq(s"$p.bloomidx", s"$p.minmax", s"$p.bloom.bf", schemaPath(p),
+        manifestPath(p))
         .foreach { side =>
           if (new java.io.File(side).exists()) remove(side)
         }

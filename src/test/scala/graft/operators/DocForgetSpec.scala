@@ -242,4 +242,22 @@ class DocForgetSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == (0L until n.toLong).toSet -- ids)
   }
+  test("doc-bundle artifacts ride the served lineage: every takedown " +
+      "commits its four versions, and a superseded takedown expires by " +
+      "retain-set reference counting") {
+    DocForget.takedownCached(spark, sf, Seq(200L))
+    val b = DocForget.bundleCached(spark, sf)
+    val t2 = DocForget.takedownCached(spark, sf, Seq(201L))
+    Seq(b.corpus, b.pack, b.postings, b.ivf).foreach { base =>
+      val vs = Layouts.versions(BloomSkip.lineageLogOf(base))
+      assert(vs.headOption.exists(_._2 == base),
+        s"base $base missing from its own lineage")
+      assert(vs.size == 2,
+        s"lineage of $base retains ${vs.size} versions (want base+head)")
+    }
+    assert(Layouts.versions(BloomSkip.lineageLogOf(b.corpus))
+      .last._2 == t2.corpus)
+    assert(Layouts.versions(BloomSkip.lineageLogOf(b.ivf))
+      .last._2 == t2.ivf)
+  }
 }
