@@ -343,21 +343,49 @@ object Warehouse {
     * K users cost one job, not K; untouched quadrants are manifest-
     * shared; no index patch is needed — the manifest IS the quadrant
     * index, and surviving rows keep their quadrants. */
+  /** The x-coordinate extraction as a SQL arithmetic string — the
+    * inverse of [[zorderTermsSql]]'s odd-bit interleave, over a zkey
+    * expression (the quadrant base `shiftleft(file_id, shift)` in the
+    * relational stripe probe). */
+  private[operators] def deinterleaveXSql(z: String,
+      bits: Int = ZBits): String =
+    (0 until bits).map(i => s"((($z >> ${2 * i + 1}) & 1) << $i)")
+      .mkString(" + ")
+
   def zorderDeleteUsers(spark: SparkSession, versionPath: String,
       outPath: String, users: Seq[Long],
       shift: Int = ZShift): Layouts.DeleteReport = {
     require(users.nonEmpty && users.size <= BloomSkip.MaxForgetKeys,
       s"forget users must be 1..${BloomSkip.MaxForgetKeys}")
     val us = users.distinct
-    val mf = Layouts.manifestOf(spark, versionPath)
-    val cands = us.flatMap(u => zorderUserCandidates(mf.keySet, u, shift))
-      .toSet
+    // measured dispatch (the Layouts.manifestEntriesFor discipline):
+    // the stripe test needs every live file id, so past the driver
+    // threshold it runs as a RELATIONAL filter over the manifest —
+    // x0 extracted by the interleave's SQL inverse, collect bounded
+    // by the users' stripe candidates, never the file count
+    val total = Layouts.manifestFileCount(spark, versionPath)
+    val cands =
+      if (total <= Layouts.MaxDriverManifestFiles)
+        us.flatMap(u => zorderUserCandidates(
+          Layouts.manifestOf(spark, versionPath).keySet, u, shift)).toSet
+      else {
+        import spark.implicits._
+        val cell = 1L << (shift / 2)
+        val pred = us.map(u => s"(x0 <= $u AND $u < x0 + $cell)")
+          .mkString(" OR ")
+        spark.read.parquet(Layouts.manifestPath(versionPath))
+          .select(col("file_id").cast("long").as("file_id"))
+          .withColumn("x0",
+            expr(deinterleaveXSql(s"shiftleft(file_id, $shift)")))
+          .where(expr(pred))
+          .select("file_id").as[Long].collect().toSet
+      }
     // NULL-safe: isin is NULL for NULL users; coalesce keeps them
     val isDel = coalesce(col("user_id").isin(us: _*), lit(false))
     val (_, deleted) = Layouts.rewriteWithout(spark, versionPath,
       outPath, cands, isDel)
-    Layouts.DeleteReport(mf.size.toLong, cands.size.toLong,
-      (mf.size - cands.size).toLong, deleted)
+    Layouts.DeleteReport(total, cands.size.toLong,
+      total - cands.size, deleted)
   }
 
   /** Single-user erasure — [[zorderDeleteUsers]] with a batch of one. */

@@ -64,6 +64,27 @@ class ManifestDispatchSpec extends SparkSpec {
     }
   }
 
+  test("z-order stripe candidates are identical across the driver-map " +
+      "and relational arms (SQL deinterleave inverse)") {
+    val zlayout = Warehouse.zlayoutCached(spark, sf)
+    val users = Seq(7L, 13L)
+    def erase(tag: String): (Layouts.DeleteReport, Seq[Seq[Any]]) = {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"zdisp$tag").toString + "/v2"
+      val rep = Warehouse.zorderDeleteUsers(spark, zlayout, out, users)
+      val rows = Warehouse.zorderScanIn(spark, out, 0L, 40L, 10L, 19L)
+        .collect().map(_.toSeq).toSeq
+      (rep, rows)
+    }
+    val (repA, rowsA) = erase("A")
+    val (repB, rowsB) = withThreshold(1L) {
+      Layouts.clearManifestMemo()
+      erase("B")
+    }
+    assert(repB == repA, s"reports diverge: $repB vs $repA")
+    assert(rowsB == rowsA && rowsA.nonEmpty)
+  }
+
   test("vacuum reference counting is identical across the driver-map " +
       "and relational arms") {
     import graft.operators.Layouts
