@@ -106,23 +106,48 @@ object DocForget {
     *    recompute (exact — no float-tie risk);
     *  - `_bloom.bf`: the corpus fingerprint sketch (the
     *    [[graft.streaming.DocStream]] incremental-dedup convention). */
+  /** A COMPLETE bundle root: all four artifact manifests plus the
+    * corpus sketch exist — the completion proof [[buildBundle]] leaves
+    * behind (the sketch is written last). */
+  private def bundleValid(root: String): Boolean =
+    Seq(s"$root/corpus", s"$root/pack", s"$root/postings", s"$root/ivf")
+      .forall(p => new java.io.File(Layouts.manifestPath(p)).exists()) &&
+      new java.io.File(s"$root/_bloom.bf").exists()
+
+  private def bundleAt(root: String,
+      cents: IvfIndex.Centroids): Bundle =
+    Bundle(root, s"$root/corpus", s"$root/pack", s"$root/postings",
+      s"$root/ivf", cents)
+
   private def buildBundle(spark: SparkSession, dir: String,
       root: String): Bundle = {
-    val rootF = new java.io.File(root)
-    if (rootF.exists()) graft.AtomicSwap.deleteRecursively(rootF)
-    rootF.mkdirs()
-    val corpus = s"$root/corpus"
+    val cents = IvfIndex.trainCached(spark, dir, IvfCells, IvfIters)
+    // REUSE a complete root (round-16 advice): the build is
+    // deterministic per fingerprint, and an existing root may be
+    // another process's LIVE serving bundle — with its pid-suffixed
+    // takedown versions inside — so inline-deleting it would destroy
+    // served layouts mid-read, bypassing the deferred-reaper grace.
+    if (bundleValid(root)) return bundleAt(root, cents)
+    // Otherwise build into a pid-suffixed tmp root and publish by
+    // atomic rename; a torn old root (crashed build) retires through
+    // the deferred reaper, never inline.
+    val stamp =
+      s"p${ProcessHandle.current().pid()}-g${gen.incrementAndGet()}"
+    val tmp = s"$root.build-$stamp"
+    val tmpF = new java.io.File(tmp)
+    if (tmpF.exists()) graft.AtomicSwap.deleteRecursively(tmpF)
+    tmpF.mkdirs()
+    val corpus = s"$tmp/corpus"
     BloomSkip.bloomWrite(graft.Tables.documents(spark, dir),
       keyCol = "doc_id", fileKeyCol = "doc_id", outDir = corpus)
-    val pack = s"$root/pack"
+    val pack = s"$tmp/pack"
     writeLayout(Packing.packRelation(spark, dir, PackBudget, PackBlocks)
       .withColumn("file_id", col("block")), pack)
-    val postings = s"$root/postings"
+    val postings = s"$tmp/postings"
     writeLayout(Ranking.postingsPlan(graft.Tables.documents(spark, dir),
       Ranking.PostingsBuckets).withColumnRenamed("bkt", "file_id"),
       postings)
-    val ivf = s"$root/ivf"
-    val cents = IvfIndex.trainCached(spark, dir, IvfCells, IvfIters)
+    val ivf = s"$tmp/ivf"
     writeLayout(graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         IvfIndex.cellExpr(cents, col("embedding")).cast("long")
@@ -130,8 +155,31 @@ object DocForget {
     BloomSkip.bloomIndexOn(spark.read.parquet(ivf), "vec_id")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$ivf.bloomidx")
-    rebuildBloom(spark, Layouts.readFiles(spark, corpus), s"$root/_bloom.bf")
-    Bundle(root, corpus, pack, postings, ivf, cents)
+    rebuildBloom(spark, Layouts.readFiles(spark, corpus), s"$tmp/_bloom.bf")
+    // publish: a torn old root moves aside to the reaper; the rename is
+    // atomic, so no reader ever sees a half-built root
+    val rootF = new java.io.File(root)
+    if (rootF.exists()) {
+      val aside = s"$root.torn-$stamp"
+      require(rootF.renameTo(new java.io.File(aside)),
+        s"cannot move torn bundle root $root aside")
+      graft.IndexGc.retire(s"docbundle:$dir", Seq(aside))
+    }
+    if (!tmpF.renameTo(rootF)) {
+      // lost a cross-process publish race: if the winner's root is
+      // complete, serve it and retire our duplicate build
+      require(bundleValid(root),
+        s"cannot publish bundle $tmp as $root and no valid root exists")
+      graft.IndexGc.retire(s"docbundle:$dir", Seq(tmp))
+      return bundleAt(root, cents)
+    }
+    // the manifests were written under the tmp root and record absolute
+    // physical paths — re-point them at the published location (v1
+    // manifests are exactly the layout's own file dirs, so a relist is
+    // equivalent); the _bloom.bf completion proof is already in place
+    Seq(s"$root/corpus", s"$root/pack", s"$root/postings", s"$root/ivf")
+      .foreach(p => Layouts.writeOwnManifest(spark, p))
+    bundleAt(root, cents)
   }
 
   /** The memoized v1 bundle for `dir` (fingerprint-keyed; the

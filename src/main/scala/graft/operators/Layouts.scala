@@ -241,15 +241,33 @@ object Layouts {
 
   /** Append `versionPath` to the lineage log at `logDir` (one small
     * text file per version, atomic CREATE_NEW — the commit either
-    * exists whole or not at all). Returns the version id. */
+    * exists whole or not at all). Returns the version id.
+    *
+    * Cross-process safety (round-16 advice): two JVMs committing to
+    * the same on-disk lineage race to `last + 1`; CREATE_NEW makes the
+    * collision detectable, so the loser RETRIES with the next id
+    * instead of failing the request — optimistic concurrency, the
+    * Delta log's commit protocol in miniature. RETENTION still assumes
+    * a single serving process per lineage: one live process's
+    * `vacuumRetain` cannot know another live process's retain set and
+    * could expire its still-served head (documented, not guarded —
+    * the deferred-reaper grace is the cross-process safety net). */
   def commitVersion(logDir: String, versionPath: String): Long = {
     val d = new java.io.File(logDir)
     d.mkdirs()
-    val id = versions(logDir).lastOption.map(_._1).getOrElse(0L) + 1L
-    java.nio.file.Files.write(
-      new java.io.File(d, f"v$id%06d.txt").toPath,
-      versionPath.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    var id = versions(logDir).lastOption.map(_._1).getOrElse(0L) + 1L
+    var committed = false
+    while (!committed) {
+      try {
+        java.nio.file.Files.write(
+          new java.io.File(d, f"v$id%06d.txt").toPath,
+          versionPath.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => id += 1L
+      }
+    }
     id
   }
 

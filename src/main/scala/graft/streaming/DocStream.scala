@@ -165,35 +165,16 @@ object DocStream {
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
   }
 
-  /** outDir (canonical) → owner tag for [[incrementalDedupSinkEachBatch]]:
-    * `query:<streaming-query-id>` when invoked from a stream execution
-    * thread, `direct` for plain method calls (replay simulation). */
-  private val dirOwners =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Loud rejection of the second concurrent writer on one corpus dir:
     * ownership transfers freely when the recorded owner is not an ACTIVE
     * streaming query (restart, replay, sequential tests), but two live
     * writers would interleave the sketch read-modify-write — a
-    * correctness hole (lost fingerprints), not a race to tolerate. */
+    * correctness hole (lost fingerprints), not a race to tolerate.
+    * Registry shared with every other accumulated sink
+    * ([[SingleWriter]]). */
   private def assertSingleWriter(
-      sess: org.apache.spark.sql.SparkSession, outDir: String): Unit = {
-    val owner = "id = ([0-9a-fA-F-]+)".r
-      .findFirstMatchIn(Thread.currentThread().getName)
-      .map(m => s"query:${m.group(1)}").getOrElse("direct")
-    val key = new java.io.File(outDir).getCanonicalPath
-    val prev = dirOwners.putIfAbsent(key, owner)
-    if (prev != null && prev != owner) {
-      val prevActive = prev.startsWith("query:") &&
-        sess.streams.active.exists(q => s"query:${q.id}" == prev)
-      require(!prevActive,
-        s"incrementalDedupSink: $outDir is owned by active streaming " +
-          s"query $prev; a second concurrent writer would interleave " +
-          "rolling-Bloom updates (lost fingerprints = duplicates " +
-          "admitted). Run exactly one sink per corpus directory.")
-      dirOwners.put(key, owner)
-    }
-  }
+      sess: org.apache.spark.sql.SparkSession, outDir: String): Unit =
+    SingleWriter.assertOwner(sess, outDir, "incrementalDedupSink")
 
   /** Continuous-ingest incremental dedup sink (foreachBatch): each
     * micro-batch keeps only documents whose canonical fingerprint is
@@ -649,9 +630,13 @@ object DocStream {
     } finally rows.unpersist(blocking = false)
   }
 
-  /** What a [[takedownAccumulated]] pass did. */
+  /** What a [[takedownAccumulated]] pass did. `quarantineRowsDeleted`
+    * counts rows swept from the sibling `outDir.quarantine` store —
+    * held-back epochs hold the taken-down bytes too, and
+    * [[readmitQuarantine]] could otherwise reintroduce erased content
+    * into the corpus (round-16 advice). */
   case class TakedownReport(epochsTotal: Long, epochsRewritten: Long,
-      rowsDeleted: Long)
+      rowsDeleted: Long, quarantineRowsDeleted: Long = 0L)
 
   /** Right-to-erasure for the ACCUMULATED streaming corpus — the one
     * derived store the q161 bundle takedown does not cover: the
@@ -668,7 +653,14 @@ object DocStream {
     * would admit it anyway — the rebuild also restores fp-rate
     * hygiene). Idempotent: a second pass finds no epochs to touch.
     * Same single-writer contract as the sinks (loud rejection while an
-    * ACTIVE streaming query owns the directory). */
+    * ACTIVE streaming query owns the directory).
+    *
+    * Also sweeps the sibling `outDir.quarantine` store — a held-back
+    * epoch holds the taken-down bytes too, and [[readmitQuarantine]]
+    * could otherwise reintroduce erased content (round-16 advice).
+    * Crash-safe for the sketch: a `_bloom.pending` marker written
+    * before the first swap forces the Bloom rebuild on any later pass
+    * if this one dies between the rewrites and the publish. */
   def takedownAccumulated(spark: org.apache.spark.sql.SparkSession,
       outDir: String, ids: Seq[Long],
       expectedCorpusDocs: Long = 1000000L,
@@ -677,34 +669,85 @@ object DocStream {
     assertSingleWriter(spark, outDir)
     graft.operators.Compact.recoverAccumulated(outDir)
     PartitionedUpsert.recoverAll(outDir)
+    val isDel = coalesce(col("doc_id").isin(ids: _*), lit(false))
+    // the quarantine sweeps FIRST (round-16 advice): held-back epochs
+    // hold the taken-down bytes too, and readmitQuarantine could later
+    // reintroduce them — erasure covers both sides of the gate
+    val qDeleted = takedownQuarantine(spark, outDir, isDel)
+    // crash-safety marker (round-16 advice): a crash between the epoch
+    // rewrites and publishBloom would leave the erased fingerprints in
+    // the sketch PERMANENTLY — the re-run finds no touched epochs and
+    // returned early. The marker is written before the first rewrite
+    // and cleared only after the publish, so any later pass (re-run or
+    // a different batch) rebuilds the sketch when it is present.
+    val pending = new java.io.File(outDir, "_bloom.pending")
+    def rebuildAndPublish(): Unit = {
+      val remaining = Option(new java.io.File(outDir).listFiles())
+        .toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      val bloom =
+        if (remaining.isEmpty)
+          org.apache.spark.util.sketch.BloomFilter
+            .create(expectedCorpusDocs, fpp)
+        else {
+          val rest = spark.read.parquet(remaining.map(_.getAbsolutePath): _*)
+          if (rest.isEmpty)
+            org.apache.spark.util.sketch.BloomFilter
+              .create(expectedCorpusDocs, fpp)
+          else rest.select(fingerprint(col("text")).as("fp"))
+            .stat.bloomFilter("fp", expectedCorpusDocs, fpp)
+        }
+      publishBloom(bloom, outDir)
+      pending.delete()
+    }
     val epochDirs = Option(new java.io.File(outDir).listFiles())
       .toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-    if (epochDirs.isEmpty) return TakedownReport(0L, 0L, 0L)
-    // ONE read names the touched epochs, the deleted counts, AND the
-    // epochs a takedown empties entirely — all decided BEFORE any swap
-    // moves files under the lazy plan
+    if (epochDirs.isEmpty) {
+      if (pending.exists()) rebuildAndPublish()
+      return TakedownReport(0L, 0L, 0L, qDeleted)
+    }
+    // PRUNE-FIRST discovery (round-16 verdict #5): a pushed doc_id
+    // filter names the touched epochs — parquet row-group stats skip
+    // untouched epochs' data pages, so discovery costs O(candidates),
+    // not a full-corpus aggregate. Totals then read ONLY the touched
+    // epochs' directories by path: untouched epochs' files are never
+    // listed again, let alone scanned (spec asserts this).
+    // plain isin, NOT the null-safe coalesce wrapper: a WHERE drops
+    // NULL-valued predicates anyway, and only the bare In() translates
+    // to a parquet pushed filter (coalesce would disable the pushdown
+    // this pass exists for)
     val corpus = spark.read.parquet(outDir)
-    val perEpoch = corpus.groupBy(col("epoch"))
+    val touched = corpus.where(col("doc_id").isin(ids: _*))
+      .select(col("epoch").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) {
+      if (pending.exists()) rebuildAndPublish()
+      return TakedownReport(epochDirs.size.toLong, 0L, 0L, qDeleted)
+    }
+    // ONE pre-swap read over the touched epochs decides the deleted
+    // counts AND the epochs the takedown empties — all BEFORE any swap
+    // moves files under the lazy plan
+    val touchedRead = spark.read.option("basePath", outDir)
+      .parquet(touched.toSeq.sorted.map(e => s"$outDir/epoch=$e"): _*)
+    val perEpoch = touchedRead.groupBy(col("epoch"))
       .agg(count(lit(1)).as("total"),
-        sum(when(coalesce(col("doc_id").isin(ids: _*), lit(false)), 1L)
-          .otherwise(0L)).as("del"))
-      .where(col("del") > 0)
+        sum(when(isDel, 1L).otherwise(0L)).as("del"))
       .collect()
       .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
-    if (perEpoch.isEmpty)
-      return TakedownReport(epochDirs.size.toLong, 0L, 0L)
-    val touched = perEpoch.map(_._1).toSet
     val emptied = perEpoch.filter(e => e._2 == e._3).map(_._1).toSet
+    // sketch goes dirty before the first swap (see marker scaladoc)
+    java.nio.file.Files.write(pending.toPath,
+      ids.mkString(",").getBytes("UTF-8"))
     // survivors of the PARTIALLY touched epochs swap back atomically;
     // an epoch whose EVERY row was deleted never appears in the upsert
     // (it derives its partition list from the incoming rows), so its
     // directory goes explicitly — otherwise the taken-down bytes would
     // silently survive on disk while the report claimed them deleted
     if (touched.size > emptied.size) {
-      val survivors = corpus
+      val survivors = touchedRead
         .where(col("epoch").isin((touched -- emptied).toSeq: _*))
-        .where(!coalesce(col("doc_id").isin(ids: _*), lit(false)))
+        .where(!isDel)
       PartitionedUpsert.upsert(survivors, outDir, "epoch", Seq.empty)
     }
     emptied.foreach { e =>
@@ -713,22 +756,177 @@ object DocStream {
     }
     // rebuilt sketch from what remains (see scaladoc); a takedown that
     // emptied the whole corpus leaves nothing to read
-    val remaining = Option(new java.io.File(outDir).listFiles())
-      .toSeq.flatten
+    rebuildAndPublish()
+    TakedownReport(epochDirs.size.toLong, touched.size.toLong,
+      perEpoch.map(_._3).sum, qDeleted)
+  }
+
+  /** Sweep `ids` out of the sibling quarantine store (see
+    * [[qualityGateSinkEachBatch]]): per-epoch copy-on-write rewrite
+    * through a dot-prefixed tmp + atomic swap (never in place — a
+    * self-overwrite would read and clobber the same files), REASON
+    * sidecars kept for partially swept epochs, emptied epochs removed
+    * with their sidecar. The per-epoch loop is driver-side by design —
+    * quarantined epochs are the rare exception path. Returns the swept
+    * row count. */
+  private def takedownQuarantine(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, isDel: org.apache.spark.sql.Column): Long = {
+    val qRoot = new java.io.File(s"$outDir.quarantine")
+    val epochs = Option(qRoot.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-    val bloom =
-      if (remaining.isEmpty)
-        org.apache.spark.util.sketch.BloomFilter
-          .create(expectedCorpusDocs, fpp)
-      else {
-        val rest = spark.read.parquet(remaining.map(_.getAbsolutePath): _*)
-        if (rest.isEmpty)
+    // heal a crashed sweep swap before reading (tmp → discard;
+    // aside-but-unpublished → restore)
+    epochs.foreach { q =>
+      graft.AtomicSwap.recover(q.getPath,
+        Seq(s"${qRoot.getPath}/.${q.getName}.td.tmp"),
+        s"${qRoot.getPath}/.${q.getName}.td.old")
+    }
+    var deleted = 0L
+    epochs.foreach { q =>
+      val rows = spark.read.parquet(q.getPath).persist()
+      try {
+        val del = rows.where(isDel).count()
+        if (del > 0L) {
+          deleted += del
+          val kept = rows.where(!isDel)
+          if (kept.isEmpty) {
+            graft.AtomicSwap.deleteRecursively(q)
+            graft.AtomicSwap.deleteRecursively(
+              new java.io.File(s"${q.getPath}.REASON.txt"))
+          } else {
+            val tmp = s"${qRoot.getPath}/.${q.getName}.td.tmp"
+            kept.write.mode("overwrite").parquet(tmp)
+            graft.AtomicSwap.publish(tmp, q.getPath,
+              s"${qRoot.getPath}/.${q.getName}.td.old")
+          }
+        }
+      } finally rows.unpersist(blocking = false)
+    }
+    deleted
+  }
+
+  /** Right-to-erasure for the STREAMING PACKED SHARDS — the accumulated
+    * output of [[curatedPackedSinkEachBatch]], the one published store
+    * the round-16 erasure family did not cover: a taken-down document's
+    * token spans live INSIDE multi-doc training sequences, so deleting
+    * its rows is not enough — every later document in its pack blocks
+    * must shift down (`start_tok`/`bin` recomputed), exactly the batch
+    * q162 repack contract ([[graft.operators.DocForget.takedownPack]]).
+    *
+    * The prune chain, cheapest first (nothing here is O(corpus) except
+    * the survivors-Bloom rebuild, which is O(survivors) by definition):
+    *
+    *  1. ACTIVE BLOCKS — a pushed `doc_id isin` scan names the pack
+    *     blocks that actually hold deleted rows (the pack hash names
+    *     candidate blocks for free, but a hash-named block with no
+    *     deleted row must not rewrite);
+    *  2. TOUCHED EPOCHS — a pushed `block isin` scan names the epoch
+    *     partitions holding ANY active-block row (every such row's
+    *     offset may shift, so every such epoch rewrites);
+    *  3. ONE pre-swap read over only the touched epochs decides deleted
+    *     counts, emptied epochs, and feeds the rewrite: survivors of
+    *     active blocks REPACK (per-block prefix sums over
+    *     (epoch, doc_id) order — the sink's own arrival order, so under
+    *     id-ordered arrival the result is bitwise a fresh
+    *     `Packing.pack` over the post-takedown corpus, spec-pinned);
+    *     rows of other blocks ride through unchanged.
+    *
+    * Same crash/compliance discipline as [[takedownAccumulated]]: the
+    * `_bloom.pending` marker makes the rolling-sketch rebuild survive a
+    * crash between the swaps and the publish; the rebuilt sketch
+    * forgets the erased fingerprints so re-submission is admitted.
+    * `budget`/`blocks`/`salt` must match the sink's (frozen for the
+    * corpus lifetime — the sink's own contract). Idempotent; same
+    * single-writer rule. */
+  def takedownPacked(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, ids: Seq[Long], budget: Int = 2048,
+      blocks: Int = 8, salt: String = "pack",
+      expectedCorpusDocs: Long = 1000000L,
+      fpp: Double = 0.01): TakedownReport = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Packing
+    require(ids.nonEmpty, "takedown needs at least one doc id")
+    require(budget > 0 && blocks > 0, "budget and blocks must be positive")
+    assertSingleWriter(spark, outDir)
+    PartitionedUpsert.recoverAll(outDir)
+    val pending = new java.io.File(outDir, "_bloom.pending")
+    def rebuildAndPublish(): Unit = {
+      val remaining = Option(new java.io.File(outDir).listFiles())
+        .toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      val bloom =
+        if (remaining.isEmpty)
           org.apache.spark.util.sketch.BloomFilter
             .create(expectedCorpusDocs, fpp)
-        else rest.select(fingerprint(col("text")).as("fp"))
-          .stat.bloomFilter("fp", expectedCorpusDocs, fpp)
-      }
-    publishBloom(bloom, outDir)
+        else {
+          // the packed store carries the canonical fingerprint column —
+          // the rebuild is a column-pruned scan, text never read
+          val rest = spark.read
+            .parquet(remaining.map(_.getAbsolutePath): _*).select("fp")
+          if (rest.isEmpty)
+            org.apache.spark.util.sketch.BloomFilter
+              .create(expectedCorpusDocs, fpp)
+          else rest.stat.bloomFilter("fp", expectedCorpusDocs, fpp)
+        }
+      publishBloom(bloom, outDir)
+      pending.delete()
+    }
+    val epochDirs = Option(new java.io.File(outDir).listFiles())
+      .toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    if (epochDirs.isEmpty) {
+      if (pending.exists()) rebuildAndPublish()
+      return TakedownReport(0L, 0L, 0L)
+    }
+    val corpus = spark.read.parquet(outDir)
+    // 1. active blocks (pushed doc_id filter — row-group prune)
+    val activeBlocks = corpus.where(col("doc_id").isin(ids: _*))
+      .select(col("block")).distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
+    if (activeBlocks.isEmpty) {
+      if (pending.exists()) rebuildAndPublish()
+      return TakedownReport(epochDirs.size.toLong, 0L, 0L)
+    }
+    // 2. touched epochs (pushed block filter)
+    val touched = corpus.where(col("block").isin(activeBlocks: _*))
+      .select(col("epoch").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    // 3. ONE pre-swap read over the touched epochs
+    val isDel = coalesce(col("doc_id").isin(ids: _*), lit(false))
+    val touchedRead = spark.read.option("basePath", outDir)
+      .parquet(touched.toSeq.sorted.map(e => s"$outDir/epoch=$e"): _*)
+    val perEpoch = touchedRead.groupBy(col("epoch"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(isDel, 1L).otherwise(0L)).as("del"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+    val emptied = perEpoch.filter(e => e._2 == e._3).map(_._1).toSet
+    java.nio.file.Files.write(pending.toPath,
+      ids.mkString(",").getBytes("UTF-8"))
+    if (touched.size > emptied.size) {
+      // repack the active blocks' survivors across ALL their epochs in
+      // arrival order (epoch, then doc_id — the sink's own order);
+      // rows of untouched blocks inside touched epochs pass unchanged
+      val w = Window.partitionBy("block")
+        .orderBy(col("epoch").cast("long"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val active = col("block").isin(activeBlocks: _*)
+      val repackedStart = sum("n_tokens").over(w) - col("n_tokens")
+      val survivors = touchedRead
+        .where(!isDel)
+        .withColumn("start_tok",
+          when(active, repackedStart).otherwise(col("start_tok")))
+        .withColumn("bin",
+          when(active, col("block") * lit(Packing.BinStride) +
+            expr(s"start_tok div $budget")).otherwise(col("bin")))
+        .where(!col("epoch").isin(emptied.toSeq: _*))
+      PartitionedUpsert.upsert(survivors, outDir, "epoch", Seq.empty)
+    }
+    emptied.foreach { e =>
+      graft.AtomicSwap.deleteRecursively(
+        new java.io.File(s"$outDir/epoch=$e"))
+    }
+    rebuildAndPublish()
     TakedownReport(epochDirs.size.toLong, touched.size.toLong,
       perEpoch.map(_._3).sum)
   }

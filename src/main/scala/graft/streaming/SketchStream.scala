@@ -131,6 +131,8 @@ object SketchStream {
   private def hllRegSink(outDir: String, sub: String,
       scopeCols: Seq[String], projected: DataFrame, epochId: Long,
       compactEvery: Int): Unit = {
+    SingleWriter.assertOwner(projected.sparkSession, s"$outDir/$sub",
+      "sketch sink")
     Sketches.hllRegisters(projected, scopeCols, col("uid"))
       .write.mode("overwrite").parquet(s"$outDir/$sub/epoch=$epochId")
     if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
@@ -191,6 +193,8 @@ object SketchStream {
     * epoch is never folded. */
   def kmvSinkEachBatch(outDir: String, k: Int = Sketches.DefaultKmvK,
       compactEvery: Int = 0)(batch: DataFrame, epochId: Long): Unit = {
+    SingleWriter.assertOwner(batch.sparkSession, s"$outDir/kmvregs",
+      "sketch sink")
     Sketches
       .kmvRegisters(
         batch.select(col("event_type"),
@@ -244,6 +248,8 @@ object SketchStream {
   def kmvDailySinkEachBatch(outDir: String,
       k: Int = Sketches.DefaultKmvK, compactEvery: Int = 0)
       (batch: DataFrame, epochId: Long): Unit = {
+    SingleWriter.assertOwner(batch.sparkSession, s"$outDir/kmvregsdaily",
+      "sketch sink")
     Sketches
       .kmvRegistersDaily(
         batch.select(col("event_type"),
@@ -322,7 +328,13 @@ object SketchStream {
     * spec-pinned equal to batch sketches over the retained events.
     * Cost: one distributed register build per table over the retained
     * upstream — the price of erasure from a lossy aggregate, paid per
-    * compliance window, not per query. */
+    * compliance window, not per query.
+    *
+    * Single-writer guard (round-16 advice): the atomic swap would
+    * silently discard an in-flight epoch a LIVE sink is writing, so the
+    * rebuild claims each table's [[SingleWriter]] ownership first — a
+    * table owned by an active streaming query is a loud failure, not a
+    * lost epoch. Stop the sink's query before rebuilding. */
   def rebuildUserSketches(spark: org.apache.spark.sql.SparkSession,
       outDir: String, events: DataFrame,
       k: Int = Sketches.DefaultKmvK): Seq[String] = {
@@ -330,6 +342,7 @@ object SketchStream {
       val dir = new java.io.File(outDir, sub)
       if (!dir.exists()) None
       else {
+        SingleWriter.assertOwner(spark, dir.getPath, "rebuildUserSketches")
         graft.operators.Compact.recoverAccumulated(dir.getPath)
         graft.AtomicSwap.recover(dir.getPath,
           Seq(s"$outDir/.$sub.rebuild.tmp"), s"$outDir/.$sub.old")

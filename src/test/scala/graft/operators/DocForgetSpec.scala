@@ -260,4 +260,38 @@ class DocForgetSpec extends SparkSpec {
     assert(Layouts.versions(BloomSkip.lineageLogOf(b.ivf))
       .last._2 == t2.ivf)
   }
+
+  test("a complete bundle root is REUSED after memo loss (another " +
+      "JVM's live bundle is never inline-deleted); a torn root is " +
+      "retired and rebuilt") {
+    val b = DocForget.bundleCached(spark, sf)
+    def corpusFiles() =
+      Option(new java.io.File(b.corpus).listFiles()).toSeq.flatten
+        .filter(_.isDirectory)
+        .map(d => (d.getName, d.lastModified())).toSet
+    val before = corpusFiles()
+    assert(before.nonEmpty)
+    // memo loss (a fresh JVM): the deterministic root already exists
+    // and is complete — the rebuild must reuse it, byte-untouched
+    DocForget.clearMemos()
+    val b2 = DocForget.bundleCached(spark, sf)
+    assert(b2.root == b.root && corpusFiles() == before,
+      "a valid bundle root was rebuilt instead of reused")
+    // a TORN root (crashed build: completion proof missing) is rebuilt
+    // through a tmp + atomic publish; the torn root retires deferred
+    DocForget.clearMemos()
+    assert(new java.io.File(s"${b.root}/_bloom.bf").delete())
+    val b3 = DocForget.bundleCached(spark, sf)
+    assert(b3.root == b.root)
+    assert(new java.io.File(s"${b3.root}/_bloom.bf").exists(),
+      "rebuilt bundle lacks its completion proof")
+    // the rebuilt manifests must point INSIDE the published root, not
+    // at the tmp build dir
+    Layouts.manifestOf(spark, b3.corpus).values.foreach { p =>
+      assert(new java.io.File(p).exists() && p.contains("/corpus/"),
+        s"manifest entry $p does not resolve under the published root")
+    }
+    assert(graft.Tables.documents(spark, sf).count() ==
+      Layouts.readFiles(spark, b3.corpus).count())
+  }
 }

@@ -110,4 +110,117 @@ class ForgetStreamSpec extends SparkSpec {
     assert(spark.read.parquet(outDir)
       .where(col("doc_id") === 5L).count() == 0L)
   }
+
+  test("takedown sweeps the quarantine, recovers a crash before the " +
+      "Bloom publish, and its discovery never scans untouched epochs " +
+      "without a pushed filter") {
+    import org.apache.spark.sql.functions.col
+    val outDir = Files.createTempDirectory("dstd2").toString
+    def sink(rows: Seq[(Long, String)], epoch: Long) =
+      DocStream.incrementalDedupSinkEachBatch(outDir)(
+        rows.toDF("doc_id", "text"), epoch)
+    sink(Seq(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta"), 0L)
+    sink(Seq(3L -> "eta theta iota", 4L -> "kappa lambda mu"), 1L)
+    // a HELD-BACK epoch in the sibling quarantine store carries the
+    // taken-down doc too (the round-16 advice: readmitQuarantine could
+    // otherwise reintroduce erased content)
+    Seq(9L -> "held back erased bytes", 10L -> "held back survivor")
+      .toDF("doc_id", "text")
+      .write.parquet(s"$outDir.quarantine/epoch=7")
+    Files.write(new java.io.File(s"$outDir.quarantine/epoch=7.REASON.txt")
+      .toPath, "bounds breach\n".getBytes("UTF-8"))
+    // scan audit: capture every file scan the takedown runs — scans
+    // that cover the UNTOUCHED corpus epoch must either push the
+    // doc_id In-filter down (the prune-first discovery) or read text
+    // (the survivors-Bloom rebuild, O(survivors) by design); the old
+    // full-corpus groupBy had neither
+    val scans = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, String, String)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.executedPlan.foreach {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            scans.add((
+              s.relation.location.rootPaths.map(_.toString).mkString(","),
+              s.metadata.getOrElse("PushedFilters", ""),
+              s.requiredSchema.fieldNames.mkString(",")))
+          case _ => ()
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val report =
+      try {
+        val r = DocStream.takedownAccumulated(spark, outDir, Seq(3L, 9L))
+        // the listener bus is async — wait for the capture to settle
+        var last = -1
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(200)
+          if (scans.size == last) same += 1 else { same = 0; last = scans.size }
+        }
+        r
+      } finally spark.listenerManager.unregister(listener)
+    assert(report.rowsDeleted == 1L && report.quarantineRowsDeleted == 1L,
+      s"$report")
+    val corpusBase = new java.io.File(outDir).getName
+    import scala.jdk.CollectionConverters._
+    val offenders = scans.asScala.filter { case (roots, pushed, schema) =>
+      val coversUntouched = roots.split(",").exists { r =>
+        !r.contains(".quarantine") && (r.stripSuffix("/").endsWith(corpusBase)
+          || r.contains(s"$corpusBase/epoch=0"))
+      }
+      // schema-less scans are existence probes (isEmpty reads ≤ 1 row)
+      coversUntouched && schema.nonEmpty && !pushed.contains("doc_id") &&
+        !schema.split(",").contains("text")
+    }
+    assert(offenders.isEmpty,
+      s"scans over the untouched epoch without pushed filter: $offenders")
+    // quarantine: erased row gone, survivor + REASON kept
+    assert(spark.read.parquet(s"$outDir.quarantine/epoch=7")
+      .select("doc_id").as[Long].collect().toSet == Set(10L))
+    assert(new java.io.File(s"$outDir.quarantine/epoch=7.REASON.txt")
+      .exists())
+    // a fully-swept quarantine epoch disappears with its sidecar
+    Seq(11L -> "all of it erased").toDF("doc_id", "text")
+      .write.parquet(s"$outDir.quarantine/epoch=8")
+    Files.write(new java.io.File(s"$outDir.quarantine/epoch=8.REASON.txt")
+      .toPath, "bounds breach\n".getBytes("UTF-8"))
+    val r2 = DocStream.takedownAccumulated(spark, outDir, Seq(11L))
+    assert(r2.quarantineRowsDeleted == 1L && r2.rowsDeleted == 0L, s"$r2")
+    assert(!new java.io.File(s"$outDir.quarantine/epoch=8").exists())
+    assert(!new java.io.File(s"$outDir.quarantine/epoch=8.REASON.txt")
+      .exists())
+    // crash before publishBloom: simulate the exact on-disk state — the
+    // epoch rewrites landed (take 4 down cleanly), then the sketch is
+    // rolled BACK to one still holding the erased fingerprint and the
+    // pending marker is re-planted. A later pass that touches NOTHING
+    // must still rebuild the sketch and clear the marker.
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    def fpOf(t: String) =
+      Seq(t).toDF("text").select(fp).head.getString(0)
+    DocStream.takedownAccumulated(spark, outDir, Seq(4L))
+    val stale = org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.01)
+    Seq("alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+      "kappa lambda mu").foreach(t => stale.putString(fpOf(t)))
+    val out = new java.io.FileOutputStream(s"$outDir/_bloom.bf")
+    try stale.writeTo(out) finally out.close()
+    Files.write(new java.io.File(s"$outDir/_bloom.pending").toPath,
+      "4".getBytes("UTF-8"))
+    val r4 = DocStream.takedownAccumulated(spark, outDir, Seq(999L))
+    assert(r4.epochsRewritten == 0L && r4.rowsDeleted == 0L, s"$r4")
+    assert(!new java.io.File(s"$outDir/_bloom.pending").exists(),
+      "the pending marker survived the recovery pass")
+    val in2 = new java.io.FileInputStream(s"$outDir/_bloom.bf")
+    val healed =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in2)
+      finally in2.close()
+    assert(!healed.mightContainString(fpOf("kappa lambda mu")),
+      "the crashed takedown's erased fingerprint survived in the sketch")
+    assert(healed.mightContainString(fpOf("alpha beta gamma")))
+  }
 }
