@@ -28,6 +28,11 @@ import graft.operators.Api
   *       when the version expired)  /lineage  /vacuumLayouts?keepLast=1
   *   GET /rebuildUserSketches   (erasure completion for the sketch
   *       warehouse: user-keyed register tables rebuilt from events)
+  *   GET /rebuildBasket  /rebuildGraph   (erasure completion for the
+  *       behavioral stores: basket pairs / graph edges+nodes rebuilt
+  *       from the retained events)
+  *   GET /mediaTakedown?ids=1,2   (erasure for the stream-maintained
+  *       dHash signature table — derived personal data)
   *   GET /funnel?steps=view,click,purchase        (q105)
   *   GET /anomalies?windowHours=24&minWindow=12&k=3&dense=0|1 (q120/q123)
   *   GET /paths?len=3&topN=50                     (q122)
@@ -575,6 +580,51 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
               org.apache.spark.sql.functions.col("user_id")))
         import spark.implicits._
         rebuilt.toDF("rebuilt_table")
+      }
+    })
+    server.createContext("/rebuildBasket", handler { _ =>
+      // user erasure completion for the accumulated basket pairs: the
+      // stored (user, item) relation is user-keyed personal data —
+      // rebuild it from the retained events (always a build → gated)
+      gatedBuild(memoized = false) {
+        graft.streaming.BasketStream.rebuildRetained(
+          spark, sketchDirOr400, graft.Tables.events(spark, dataDir))
+        import spark.implicits._
+        Seq(("pairs",
+          spark.read.parquet(s"$sketchDirOr400/pairs").count()))
+          .toDF("rebuilt_table", "rows")
+      }
+    })
+    server.createContext("/rebuildGraph", handler { _ =>
+      // user erasure completion for the accumulated item graph: edge
+      // weights are aggregates of user transitions that cannot be
+      // subtracted per-user — rebuild edges + nodes from the retained
+      // events (always a build → gated)
+      gatedBuild(memoized = false) {
+        graft.streaming.GraphStream.rebuildRetained(
+          spark, sketchDirOr400, graft.Tables.events(spark, dataDir))
+        import spark.implicits._
+        Seq(("edges",
+            spark.read.parquet(s"$sketchDirOr400/edges").count()),
+          ("nodes",
+            spark.read.parquet(s"$sketchDirOr400/nodes").count()))
+          .toDF("rebuilt_table", "rows")
+      }
+    })
+    server.createContext("/mediaTakedown", handler { p =>
+      // right-to-erasure for the stream-maintained dHash table: the
+      // signatures are derived personal data (the q161 principle) —
+      // delete the ids' rows so /mediaNearDup?source=sketch can never
+      // answer with them again
+      val ids = longsParam(p, "ids")
+      if (ids.isEmpty)
+        throw new IllegalArgumentException("ids is required")
+      gatedBuild(memoized = false) {
+        val r = graft.streaming.MediaStream.takedownSignatures(
+          spark, sketchDirOr400, ids)
+        import spark.implicits._
+        Seq((r.epochsTotal, r.epochsRewritten, r.rowsDeleted))
+          .toDF("epochs_total", "epochs_rewritten", "rows_deleted")
       }
     })
     server.createContext("/vacuumLayouts", handler { p =>

@@ -104,6 +104,8 @@ object BasketStream {
     * and [[liftSnapshot]] converges (spec-pinned). */
   def basketSinkEachBatch(outDir: String, compactEvery: Int = 0)
       (batch: Dataset[BasketEvent], epochId: Long): Unit = {
+    SingleWriter.assertOwner(batch.sparkSession, s"$outDir/pairs",
+      "basket pair sink")
     batch.toDF()
       .write.mode("overwrite").parquet(s"$outDir/pairs/epoch=$epochId")
     if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L)
@@ -124,5 +126,57 @@ object BasketStream {
       spark.read.parquet(s"$outDir/pairs")
         .select(col("user_id"), col("k")),
       minCount, topK, maxBasket)
+  }
+
+  /** Complete an upstream USER ERASURE inside the accumulated basket
+    * store — the [[SketchStream.rebuildUserSketches]] rebuild-from-
+    * retained pattern applied to the behavioral family: the stored
+    * (user, item) pairs ARE user-keyed personal data, and the keyed
+    * state's emit-once dedup cannot "unsee" a user, so the compliance
+    * answer is to REBUILD the pair table from the retained upstream
+    * (`events` = the post-erasure raw event relation) and atomically
+    * swap it in as one fresh `epoch=-1` base.
+    *
+    * The rebuild replays the stream's own extraction rule batch-wise:
+    * first occurrence per (user, item) in (ts, event_id) order, at most
+    * `maxBasket + 1` items per user (the over-cap proof row the
+    * snapshot's cap filter needs) — so under the stream's per-user
+    * event-time-monotone arrival contract the rebuilt store equals a
+    * stream fed only the retained events (golden-twin spec), and
+    * [[liftSnapshot]] equals the batch lift over them.
+    *
+    * Single-writer guard: a live sink's in-flight epoch would be
+    * silently discarded by the swap → loud rejection while an active
+    * query owns the pair directory; stop the query first. The query's
+    * CHECKPOINTED keyed state still remembers the erased user's items —
+    * resume the stream from a FRESH checkpoint (the state rebuilds from
+    * new arrivals; with the old checkpoint the erased user's re-arrived
+    * items would be swallowed as already-seen). Idempotent; crash-safe
+    * (AtomicSwap keeps a committed copy at every instant). */
+  def rebuildRetained(spark: SparkSession, outDir: String,
+      events: DataFrame,
+      maxBasket: Int = graft.operators.Sessionize.MaxBasket): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxBasket >= 2, "rebuildRetained needs maxBasket >= 2")
+    val pairsDir = s"$outDir/pairs"
+    SingleWriter.assertOwner(spark, pairsDir, "rebuildBasketPairs")
+    graft.operators.Compact.recoverAccumulated(pairsDir)
+    graft.AtomicSwap.recover(pairsDir,
+      Seq(s"$outDir/.pairs.rebuild.tmp"), s"$outDir/.pairs.old")
+    val firsts = events
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("ts"), col("event_id"))
+      .where(col("k").isNotNull)
+      .groupBy("user_id", "k")
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+    val rebuilt = firsts
+      .withColumn("rk", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("first.ts"), col("first.event_id"))))
+      .where(col("rk") <= maxBasket + 1)
+      .select(col("user_id"), col("k"))
+    val tmp = s"$outDir/.pairs.rebuild.tmp"
+    rebuilt.write.mode("overwrite").parquet(s"$tmp/epoch=-1")
+    graft.AtomicSwap.publish(tmp, pairsDir, s"$outDir/.pairs.old")
   }
 }

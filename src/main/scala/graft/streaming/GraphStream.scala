@@ -132,6 +132,7 @@ object GraphStream {
     * set. */
   def edgeSinkEachBatch(outDir: String, compactEvery: Int = 0)
       (batch: Dataset[GraphDelta], epochId: Long): Unit = {
+    SingleWriter.assertOwner(batch.sparkSession, outDir, "graph edge sink")
     // one narrow dependency feeds both writes; persist so the batch's
     // state-store read-and-sort runs once, not twice
     val b = batch.toDF().persist()
@@ -223,5 +224,59 @@ object GraphStream {
       topK: Int = 3): DataFrame = {
     val (edges, _) = accumulatedGraph(spark, outDir)
     graft.operators.GraphRank.nextItemsOnGraph(edges, topK)
+  }
+
+  /** Complete an upstream USER ERASURE inside the accumulated graph
+    * store — the [[SketchStream.rebuildUserSketches]] rebuild-from-
+    * retained pattern for the edge family: stored transition counts
+    * are aggregates DERIVED FROM user events (an erased user's
+    * browsing contributed edge weight that cannot be subtracted
+    * per-user — the per-(src,dst) sums carry no user id), so the
+    * compliance answer is to REBUILD edges and nodes from the retained
+    * upstream and atomically swap each table in as one fresh
+    * `epoch=-1` base.
+    *
+    * The rebuild uses the batch derivation (per-user `lead` over
+    * (ts, event_id) — exactly [[graft.operators.GraphRank.pageRankOn]]'s
+    * transition rule), which equals the stream's incremental extraction
+    * under its per-user event-time-monotone arrival contract — so every
+    * `*Snapshot` over the rebuilt store is bit-equal to the batch
+    * operator over the retained events (spec-pinned).
+    *
+    * Single-writer guard as in [[BasketStream.rebuildRetained]]; the
+    * stream's checkpointed per-user tails still hold the erased user's
+    * last item — resume from a FRESH checkpoint. A crash between the
+    * two table swaps leaves edges rebuilt and nodes old; the pass is
+    * idempotent, so re-running converges. */
+  def rebuildRetained(spark: SparkSession, outDir: String,
+      events: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    SingleWriter.assertOwner(spark, outDir, "rebuildGraph")
+    graft.operators.Compact.recoverAccumulated(s"$outDir/edges")
+    graft.operators.Compact.recoverAccumulated(s"$outDir/nodes")
+    graft.AtomicSwap.recover(s"$outDir/edges",
+      Seq(s"$outDir/.edges.rebuild.tmp"), s"$outDir/.edges.old")
+    graft.AtomicSwap.recover(s"$outDir/nodes",
+      Seq(s"$outDir/.nodes.rebuild.tmp"), s"$outDir/.nodes.old")
+    val ev = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      // referenced by both writes — one state-free scan, cached blocks
+      .persist()
+    try {
+      val nxt = lead(col("k"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+      val edges = ev.select(col("k").as("src"), nxt.as("dst"))
+        .where(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val tmpE = s"$outDir/.edges.rebuild.tmp"
+      edges.write.mode("overwrite").parquet(s"$tmpE/epoch=-1")
+      graft.AtomicSwap.publish(tmpE, s"$outDir/edges", s"$outDir/.edges.old")
+      val nodes = ev.select(col("k").as("node")).distinct()
+      val tmpN = s"$outDir/.nodes.rebuild.tmp"
+      nodes.write.mode("overwrite").parquet(s"$tmpN/epoch=-1")
+      graft.AtomicSwap.publish(tmpN, s"$outDir/nodes", s"$outDir/.nodes.old")
+    } finally ev.unpersist(blocking = false)
   }
 }

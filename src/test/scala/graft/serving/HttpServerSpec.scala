@@ -394,6 +394,52 @@ class HttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("erasure-completion routes: /mediaTakedown deletes signature " +
+      "rows, /rebuildBasket and /rebuildGraph rebuild the behavioral " +
+      "stores from the retained events") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srv_erase").toString
+    // seed the three accumulated stores through their real sinks —
+    // plus one poisoned row each, standing in for an erased user's data
+    val media = graft.operators.Multimodal.mediaTable(spark, sf)
+      .select("doc_id", "media_type", "content")
+    graft.streaming.MediaStream.dhashSinkEachBatch(dir)(media, 0L)
+    val delMedia = media.select("doc_id").as[Long].head()
+    graft.streaming.BasketStream.basketSinkEachBatch(dir)(
+      Seq(graft.streaming.BasketEvent(999999L, 1L)).toDS(), 0L)
+    graft.streaming.GraphStream.edgeSinkEachBatch(dir)(
+      Seq(graft.streaming.GraphDelta(999999L, Some(888888L), 888889L))
+        .toDS(), 0L)
+    val srv = new HttpServer(spark, sf, sketchDir = Some(dir)).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      // media: the id's signature row leaves the table
+      val (c1, td) = get(s"$base/mediaTakedown?ids=$delMedia")
+      assert(c1 == 200 && td.contains("\"rows_deleted\":1"), td.take(200))
+      assert(graft.streaming.MediaStream.signatureTable(spark, dir)
+        .where(col("doc_id") === delMedia).count() == 0L)
+      assert(get(s"$base/mediaTakedown?")._1 == 400) // ids required
+      // basket: rebuilt from the (retained) events — the seeded
+      // stand-in user vanishes, real pairs appear
+      val (c2, rb) = get(s"$base/rebuildBasket")
+      assert(c2 == 200 && rb.contains("\"rebuilt_table\":\"pairs\""),
+        rb.take(200))
+      val pairs = spark.read.parquet(s"$dir/pairs")
+      assert(pairs.where(col("user_id") === 999999L).count() == 0L)
+      assert(pairs.count() > 0L)
+      // graph: rebuilt edges + nodes — the seeded edge vanishes
+      val (c3, rg) = get(s"$base/rebuildGraph")
+      assert(c3 == 200 && rg.contains("\"rebuilt_table\":\"edges\""),
+        rg.take(200))
+      val (edges, nodes) =
+        graft.streaming.GraphStream.accumulatedGraph(spark, dir)
+      assert(edges.where(col("src") === 888888L).count() == 0L)
+      assert(nodes.where(col("node") === 888889L).count() == 0L)
+      assert(edges.count() > 0L && nodes.count() > 0L)
+    } finally srv.stop()
+  }
+
   test("sketch-table serving: /distinctUsers and /quantiles answer from " +
     "the persisted register sinks, bit-equal to the batch estimates") {
     import org.apache.spark.sql.functions.col

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.operators.Sessionize
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 /** The streaming twin of the market-basket family (q132): per-user
@@ -104,6 +105,61 @@ class BasketStreamSpec extends SparkSpec {
     val twice = rows(BasketStream.liftSnapshot(spark, outDir,
       minCount = 1L, topK = 1000, maxBasket = Cap))
     assert(once == twice, "replay across a compaction changed the lift")
+  }
+
+  test("user erasure: rebuildRetained rebuilds the pair store from the " +
+      "retained events — the lift equals batch over retained, the " +
+      "erased user leaves no row, a golden stream agrees, idempotent") {
+    val outDir = Files.createTempDirectory("basket_rebuild").toString
+    val golden = Files.createTempDirectory("basket_golden").toString
+    // raw-event wrapper: the rebuild consumes the raw relation (ts /
+    // event_id order is its determinism contract)
+    def rawDf(evs: Seq[BasketEvent]): DataFrame =
+      evs.zipWithIndex.map { case (e, i) =>
+        (e.user_id, 1704067200000000L + i * 60000000L, i.toLong,
+          s"""{"k":${e.k}}""")
+      }.toDF("user_id", "ts_us", "event_id", "props")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("event_id"), col("props"))
+    def stream(dir: String, evs: Seq[BasketEvent]): Unit = {
+      val mem = MemoryStream[BasketEvent]
+      val q = mem.toDS()
+        .transform(BasketStream.basketDeltaStream(_, maxBasket = Cap))
+        .writeStream
+        .foreachBatch(BasketStream.basketSinkEachBatch(dir) _)
+        .outputMode("append").start()
+      evs.grouped(17).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    stream(outDir, fixture)
+    // erase the power user (99): their pairs are user-keyed personal data
+    val retained = fixture.filterNot(_.user_id == 99L)
+    BasketStream.rebuildRetained(spark, outDir, rawDf(retained),
+      maxBasket = Cap)
+    // on-disk sweep: no erased-user row anywhere in the store
+    assert(spark.read.parquet(s"$outDir/pairs")
+      .where($"user_id" === 99L).count() == 0L)
+    // the lift equals the batch operator over the retained events
+    assert(rows(BasketStream.liftSnapshot(spark, outDir,
+        minCount = 1L, topK = 1000, maxBasket = Cap)) ==
+      rows(Sessionize.basketLiftOn(retained.toDF("user_id", "k"),
+        minCount = 1L, topK = 1000, maxBasket = Cap)))
+    // golden twin: a stream that never saw the user agrees — on the
+    // lift AND on per-user pair counts (the cap discipline)
+    stream(golden, retained)
+    def countsOf(dir: String) =
+      spark.read.parquet(s"$dir/pairs").groupBy("user_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(BasketStream.liftSnapshot(spark, outDir,
+        minCount = 1L, topK = 1000, maxBasket = Cap)) ==
+      rows(BasketStream.liftSnapshot(spark, golden,
+        minCount = 1L, topK = 1000, maxBasket = Cap)))
+    assert(countsOf(outDir) == countsOf(golden),
+      "per-user pair counts diverge from the never-saw-the-user stream")
+    // idempotent
+    BasketStream.rebuildRetained(spark, outDir, rawDf(retained),
+      maxBasket = Cap)
+    assert(countsOf(outDir) == countsOf(golden))
   }
 
   test("cross-batch dedup: a pair seen in an earlier batch is not re-emitted") {

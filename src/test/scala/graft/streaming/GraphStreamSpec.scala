@@ -88,6 +88,66 @@ class GraphStreamSpec extends SparkSpec {
       "next-items mismatch")
   }
 
+  test("user erasure: rebuildRetained rebuilds edges+nodes from the " +
+      "retained events — snapshots equal batch over retained, equal a " +
+      "golden stream fed retained only, idempotent, live sink rejected") {
+    val outDir = Files.createTempDirectory("graph_rebuild").toString
+    val golden = Files.createTempDirectory("graph_golden").toString
+    def stream(dir: String, rows: Seq[(Long, Long, Long, String)]) = {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val q = GraphStream.transitionStream(
+          GraphStream.projectEvents(
+            mem.toDF().toDF("user_id", "ts_us", "event_id", "props")
+              .select(col("user_id"),
+                timestamp_micros(col("ts_us")).as("ts"),
+                col("event_id"), col("props"))))
+        .writeStream
+        .foreachBatch(GraphStream.edgeSinkEachBatch(dir) _)
+        .outputMode("append").start()
+      rows.sortBy(_._2).grouped(90).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+      q
+    }
+    stream(outDir, fixtureRows).stop()
+    // the erasure: user 3's browsing leaves the graph
+    val retained = fixtureRows.filterNot(_._1 == 3L)
+    GraphStream.rebuildRetained(spark, outDir, eventsDf(retained))
+    // serving surfaces equal the batch operators over the RETAINED set
+    assert(rankRows(GraphStream.rankSnapshot(spark, outDir)) ==
+      rankRows(GraphRank.pageRankOn(batchProjection(retained))))
+    assert(rankRows(GraphStream.communitiesSnapshot(spark, outDir)) ==
+      rankRows(GraphRank.labelPropagationOn(batchProjection(retained))))
+    // golden twin: bit-equal to a stream that never saw the user
+    stream(golden, retained).stop()
+    def graphOf(dir: String) = {
+      val (e, n) = GraphStream.accumulatedGraph(spark, dir)
+      (e.collect().map(_.toSeq).toSet, n.collect().map(_.toSeq).toSet)
+    }
+    assert(graphOf(outDir) == graphOf(golden),
+      "rebuilt graph diverges from the never-saw-the-user stream")
+    // idempotent
+    GraphStream.rebuildRetained(spark, outDir, eventsDf(retained))
+    assert(graphOf(outDir) == graphOf(golden))
+    // a LIVE sink owning the directory rejects the rebuild loudly
+    val mem2 = MemoryStream[(Long, Long, Long, String)]
+    val q2 = GraphStream.transitionStream(
+        GraphStream.projectEvents(
+          mem2.toDF().toDF("user_id", "ts_us", "event_id", "props")
+            .select(col("user_id"),
+              timestamp_micros(col("ts_us")).as("ts"),
+              col("event_id"), col("props"))))
+      .writeStream
+      .foreachBatch(GraphStream.edgeSinkEachBatch(outDir) _)
+      .outputMode("append").start()
+    mem2.addData(fixtureRows.head); q2.processAllAvailable()
+    val ex = intercept[IllegalArgumentException] {
+      GraphStream.rebuildRetained(spark, outDir, eventsDf(retained))
+    }
+    assert(ex.getMessage.contains("owned by active streaming query"))
+    q2.stop()
+  }
+
   test("graph accumulation survives a checkpoint restart (state from the state store)") {
     val base = Files.createTempDirectory("graph_cp").toString
     val srcDir = s"$base/src"; val outDir = s"$base/out"

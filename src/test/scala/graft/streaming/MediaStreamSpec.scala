@@ -63,6 +63,63 @@ class MediaStreamSpec extends SparkSpec {
     assert(!cols.contains("content") && !cols.contains("content_resized"))
   }
 
+  test("signature takedown: the ids' rows leave the table, the table " +
+      "equals batch signatures over the retained media, near-dup can " +
+      "never answer with them, and the pass is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val outDir = Files.createTempDirectory("msig_td").toString
+    val media = graft.operators.Multimodal.mediaTable(spark, sf)
+      .select("doc_id", "media_type", "content")
+    val fixture = media.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+      .toSeq
+    fixture.grouped(120).zipWithIndex.foreach { case (c, i) =>
+      MediaStream.dhashSinkEachBatch(outDir)(
+        c.toDF("doc_id", "media_type", "content"), i.toLong)
+    }
+    val del = fixture.map(_._1).sorted.take(2)
+    def filesOf(e: Long) =
+      Option(new java.io.File(s"$outDir/mediasigs/epoch=$e").listFiles())
+        .toSeq.flatten.filter(_.isFile)
+        .map(f => (f.getName, f.length())).toSet
+    val epochs = fixture.grouped(120).size.toLong
+    val delEpochs = spark.read.parquet(s"$outDir/mediasigs")
+      .where(col("doc_id").isin(del: _*))
+      .select(col("epoch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val untouchedEpoch = (0L until epochs)
+      .find(e => !delEpochs.contains(e)).get
+    val untouchedBefore = filesOf(untouchedEpoch)
+    val r = MediaStream.takedownSignatures(spark, outDir, del)
+    assert(r.rowsDeleted == 2L && r.epochsRewritten >= 1L, s"$r")
+    assert(filesOf(untouchedEpoch) == untouchedBefore,
+      "an untouched epoch's files were rewritten")
+    // the table equals batch signatures over the RETAINED media
+    val got = MediaStream.signatureTable(spark, outDir)
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.Multimodal
+      .dhashSignaturesOn(media.where(!col("doc_id").isin(del: _*)))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && want.nonEmpty)
+    // near-dup from the table can never answer with an erased id
+    val nd = MediaStream.mediaNearDupFromTable(spark, outDir).collect()
+    graft.Caches.releaseAll()
+    assert(nd.forall(row => !del.contains(row.getAs[Long]("id1")) &&
+      !del.contains(row.getAs[Long]("id2"))),
+      "an erased media id still answers /mediaNearDup")
+    // idempotent
+    val r2 = MediaStream.takedownSignatures(spark, outDir, del)
+    assert(r2.rowsDeleted == 0L && r2.epochsRewritten == 0L, s"$r2")
+    // an epoch the takedown empties is physically removed
+    val only = spark.read.parquet(s"$outDir/mediasigs")
+      .where(col("epoch").cast("long") === 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val r3 = MediaStream.takedownSignatures(spark, outDir, only)
+    assert(r3.rowsDeleted == only.size.toLong, s"$r3")
+    assert(!new java.io.File(s"$outDir/mediasigs/epoch=0").exists(),
+      "a fully-erased epoch's directory survives on disk")
+  }
+
   test("the lossless-band guard rejects maxHamming >= bands for every " +
       "caller") {
     intercept[IllegalArgumentException] {

@@ -135,6 +135,104 @@ class PipelineSpec extends SparkSpec {
     assert(epochs.size > 1, s"expected multiple epoch partitions: $epochs")
   } }
 
+  test("streaming packed-shard takedown: survivors of the deleted " +
+      "docs' blocks repack, the store equals a fresh pack over the " +
+      "post-takedown corpus, no deleted span survives on disk, " +
+      "re-submission is admitted, and the sink continues packing " +
+      "across a checkpoint restart") {
+    val base = Files.createTempDirectory("packtd").toString
+    val out = s"$base/shards"
+    val cp = s"$base/_cp"
+    val (budget, blocks) = (16, 4)
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def doc(n: Int) =
+      s"the story number $n of the sea and the wind is told again here"
+    def start(mem: MemoryStream[(Long, String, java.sql.Timestamp)]) =
+      DocStream.curate(mem.toDF().toDF("doc_id", "text", "ts"),
+          minQuality = 0.5, watermark = "10 minutes")
+        .writeStream
+        .foreachBatch(DocStream.curatedPackedSinkEachBatch(
+          out, budget = budget, blocks = blocks) _)
+        .option("checkpointLocation", cp)
+        .outputMode("append").start()
+    val b1 = (1 to 4).map(n => (n.toLong, doc(n), t(n)))
+    val b2 = (5 to 8).map(n => (n.toLong, doc(n), t(n)))
+    val b3 = (9 to 12).map(n => (n.toLong, doc(n), t(n)))
+    val mem1 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q1 = start(mem1)
+    Seq(b1, b2, b3).foreach { b =>
+      mem1.addData(b: _*); q1.processAllAvailable()
+    }
+    q1.stop()
+    // the takedown (stream quiesced — the single-writer contract)
+    val del = Seq(2L, 7L)
+    val activeBlocks = del
+      .map(id => java.lang.Math.floorMod(md5LongScala(s"pack:$id"),
+        blocks.toLong)).toSet
+    // an epoch holding NO active-block row must keep its files
+    val preByEpoch = spark.read.parquet(out)
+      .select(col("epoch").cast("long").as("e"), col("block"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val untouchedEpochs = preByEpoch.collect {
+      case (e, bs) if bs.intersect(activeBlocks).isEmpty => e
+    }.toSet
+    def filesOf(e: Long) =
+      Option(new java.io.File(s"$out/epoch=$e").listFiles()).toSeq
+        .flatten.filter(_.isFile).map(f => (f.getName, f.length())).toSet
+    val untouchedBefore = untouchedEpochs.map(e => e -> filesOf(e)).toMap
+    val r = DocStream.takedownPacked(spark, out, del, budget, blocks)
+    assert(r.rowsDeleted == 2L, s"$r")
+    untouchedEpochs.foreach { e =>
+      assert(filesOf(e) == untouchedBefore(e),
+        s"epoch $e holds no active-block row but was rewritten")
+    }
+    // bitwise a fresh Packing.pack over the post-takedown corpus
+    def shardTuples() = spark.read.parquet(out)
+      .select("doc_id", "block", "n_tokens", "start_tok", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    def freshPack(docs: Seq[(Long, String)], tag: String) = {
+      val d = s"$base/$tag"
+      docs.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+      graft.operators.Packing.pack(spark, d, budget, blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    }
+    val retained = (1 to 12).filterNot(n => del.contains(n.toLong))
+      .map(n => (n.toLong, doc(n)))
+    assert(shardTuples() == freshPack(retained, "batch1"),
+      "post-takedown store is not a fresh pack of the retained corpus")
+    // on-disk sweep: no surviving row anywhere references a deleted doc
+    assert(spark.read.parquet(out)
+      .where(col("doc_id").isin(del: _*)).count() == 0L)
+    // idempotent
+    val r2 = DocStream.takedownPacked(spark, out, del, budget, blocks)
+    assert(r2.rowsDeleted == 0L && r2.epochsRewritten == 0L, s"$r2")
+    // the sink RESUMES from its checkpoint: new docs pack where the
+    // post-takedown corpus ends; erased content re-submitted under a
+    // new id is ADMITTED (the rebuilt sketch forgot it), still-present
+    // content stays deduped. The first resumed batch jumps event time
+    // 3 h so the watermark evicts the old fingerprints from the dedup
+    // STATE — the corpus sketch, not the state, must decide both
+    // re-submissions (ids stay arrival-ordered: the pack contract).
+    def T(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val b4 = Seq((19L, doc(19), T("13:00")))
+    val b5 = Seq((20L, doc(2), T("13:30")), (21L, doc(1), T("13:31")))
+    val mem2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    mem2.addData(b1: _*); mem2.addData(b2: _*); mem2.addData(b3: _*)
+    val q2 = start(mem2)
+    mem2.addData(b4: _*); q2.processAllAvailable()
+    mem2.addData(b5: _*); q2.processAllAvailable()
+    q2.stop()
+    val ids = shardTuples().map(_._1)
+    assert(ids.contains(20L), "re-submitted erased content was deduped")
+    assert(!ids.contains(21L), "still-present content was re-admitted")
+    assert(shardTuples() ==
+      freshPack(retained ++ Seq(19L -> doc(19), 20L -> doc(2)), "batch2"),
+      "post-restart store diverged from the batch pack")
+  }
+
   test("curate(ppxModel): LM gate drops surprising text, equals the " +
       "batch filter") {
     import graft.operators.LangModel
