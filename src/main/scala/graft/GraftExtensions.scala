@@ -279,5 +279,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerTvf(ext, "cluster_expansion")((s, d, a) =>
       DocForget.clusterExpansion(s, d,
         a.map(longArg(_, "cluster_expansion"))))
+    // incremental near-dup cluster table (q168/q169): the assignment
+    // maintained by the streaming fold, and the same table after an
+    // in-place cluster takedown of the given ids
+    registerTvf(ext, "cluster_assign")((s, d, a) => {
+      require(a.isEmpty, "cluster_assign()")
+      graft.streaming.ClusterStream.assignmentFor(s, d)
+    })
+    registerTvf(ext, "cluster_forget")((s, d, a) => {
+      require(a.nonEmpty, "cluster_forget(delId...)")
+      graft.streaming.ClusterStream.forgottenAssignmentFor(s, d,
+        a.map(longArg(_, "cluster_forget")))
+    })
   }
 }

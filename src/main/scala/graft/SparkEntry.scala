@@ -583,6 +583,24 @@ object SparkEntry {
     // expands to, i.e. exactly what q166 deletes
     "q167_cluster_expansion" ->
       ((s, d) => DocForget.clusterExpansion(s, d, Seq(45L))),
+    // q168: the stream-maintained near-dup CLUSTER TABLE (round-16
+    // verdict #4 — kills q167's per-call corpus recompute): the corpus
+    // ingested in three deterministic batches through the incremental
+    // fold (within-batch LSH components + a batch-vs-corpus merge
+    // log), served as ONE map-side-relabeled scan of the base
+    // relation; oracle = the one-shot recursive-CTE component chain
+    // (q167's `allc` over every doc), so the incremental fixpoint must
+    // equal the batch recompute EXACTLY — every band key, est_sim and
+    // label min rides the hash
+    "q168_cluster_table" ->
+      ((s, d) => graft.streaming.ClusterStream.assignmentFor(s, d)),
+    // q169: near-dup clustering under DELETES — the erasure twin:
+    // doc 45's takedown removes its rows and re-derives its cluster's
+    // survivors in place (cluster-local recompute, O(affected
+    // cluster)); oracle = the same chain over the RETAINED documents
+    "q169_cluster_forget" ->
+      ((s, d) => graft.streaming.ClusterStream
+        .forgottenAssignmentFor(s, d, Seq(45L))),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -600,7 +618,8 @@ object SparkEntry {
     "q157_composed_lookup", "q158_zorder_forget_batch",
     "q159_composed_forget", "q160_vacuumed_forget",
     "q161_doc_takedown", "q162_takedown_pack", "q163_takedown_phrase",
-    "q164_takedown_ann", "q165_takedown_report", "q166_cluster_takedown")
+    "q164_takedown_ann", "q165_takedown_report", "q166_cluster_takedown",
+    "q168_cluster_table", "q169_cluster_forget")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -613,6 +632,7 @@ object SparkEntry {
     Warehouse.clearMemos()
     BloomSkip.clearMemos()
     DocForget.clearMemos()
+    graft.streaming.ClusterStream.clearMemos()
   }
 
   /** Driver-dispatch queries re-run with the dispatch budget zeroed,
@@ -711,12 +731,16 @@ object SparkEntry {
 
   // Shared CTE chain for the MinHash-LSH pipeline (q24 pairs, q53
   // components): shingle → minhash → banded buckets → candidate pairs →
-  // est_sim scoring. `sc` is the scored-pairs relation.
-  private def minhashLshCtes: String =
+  // est_sim scoring. `sc` is the scored-pairs relation. The `docsFrom`
+  // variant runs the chain over a filtered corpus (q169: the retained
+  // documents after a cluster-table takedown).
+  private def minhashLshCtes: String = minhashLshCtesOver("documents")
+
+  private def minhashLshCtesOver(docsFrom: String): String =
     raw"""t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
                                       s -> len(s) > 0) AS toks
-           FROM documents),
+           FROM $docsFrom),
          sh AS (
            SELECT doc_id, list_distinct(
              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -3814,6 +3838,45 @@ object SparkEntry {
          SELECT a.doc_id, a.comp FROM allc a
          JOIN seedc s ON a.comp = s.comp
          ORDER BY a.doc_id""",
+    // q168: the incrementally maintained cluster table must equal the
+    // one-shot batch component chain over EVERY document (q167's allc)
+    "q168_cluster_table" ->
+      raw"""WITH RECURSIVE $minhashLshCtes,
+         pairs AS (SELECT id1, id2 FROM sc WHERE est_sim >= 0.5),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL
+                 SELECT id2 AS src, id1 AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM sym),
+         reach(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON r.id = s.src),
+         cmp AS (SELECT id AS doc_id, min(comp) AS comp
+                 FROM reach GROUP BY id)
+         SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+         FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id
+         ORDER BY d.doc_id""",
+    // q169: after the in-place takedown of doc 45 the table must equal
+    // the batch chain over the RETAINED corpus — survivor relabeling
+    // (and any component split) rides the hash
+    "q169_cluster_forget" ->
+      raw"""WITH RECURSIVE ${minhashLshCtesOver(
+             "(SELECT * FROM documents WHERE doc_id NOT IN (45))")},
+         pairs AS (SELECT id1, id2 FROM sc WHERE est_sim >= 0.5),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL
+                 SELECT id2 AS src, id1 AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM sym),
+         reach(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON r.id = s.src),
+         cmp AS (SELECT id AS doc_id, min(comp) AS comp
+                 FROM reach GROUP BY id)
+         SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+         FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id
+         WHERE d.doc_id NOT IN (45)
+         ORDER BY d.doc_id""",
     // q165: exact per-artifact deletion accounting — the engine
     // reports its rewrite jobs' Observation counts; the oracle
     // recomputes each from the source tables

@@ -773,7 +773,7 @@ object Dedup {
       shingleK: Int, numHashes: Int): DataFrame =
     signatureArraysOn(Tables.documents(spark, dir), shingleK, numHashes)
 
-  private def signatureArraysOn(docs: DataFrame, shingleK: Int,
+  private[graft] def signatureArraysOn(docs: DataFrame, shingleK: Int,
       numHashes: Int): DataFrame =
     docs
       .select(col("doc_id"),
@@ -818,17 +818,40 @@ object Dedup {
     * already-computed `(doc_id, sig)` relation — the corpus-build
     * composition computes signatures in its shared scan projection
     * (text never survives past the scan) and feeds them here. */
-  private[operators] def minhashPairsFromSigs(sigs: DataFrame,
-      numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5, ordered: Boolean = true): DataFrame = {
+  /** Explode a `(…, sig)` relation into one row per (row, band) with
+    * the band's bucket key appended as `(band, band_key)` — THE band
+    * definition (md5 of the band's ordered hash values), shared by the
+    * one-shot LSH join here and the incremental cluster table's
+    * batch-vs-corpus candidate join
+    * ([[graft.streaming.ClusterStream]]), so both discover identical
+    * candidate sets by construction. Map-side only (a projection +
+    * generator); all other columns ride along. */
+  private[graft] def withBandKeys(df: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // band key = md5 of the ordered hash values inside the band
-    val bandKeys = sigs.select(col("doc_id"),
+    df.select(col("*"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           md5(concat_ws(",",
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               v => v.cast("string")))))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+  }
+
+  /** Matching-minhash fraction of two signature arrays — the LSH
+    * verification score, shared with the incremental cluster table. */
+  private[graft] def estSimCol(sig1: Column, sig2: Column,
+      numHashes: Int): Column =
+    size(filter(zip_with(sig1, sig2, (x, y) => x === y),
+      b => b)).cast("double") / numHashes
+
+  private[graft] def minhashPairsFromSigs(sigs: DataFrame,
+      numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, ordered: Boolean = true): DataFrame = {
+    // band key = md5 of the ordered hash values inside the band
+    val bandKeys = withBandKeys(sigs.select(col("doc_id"), col("sig")),
+        numHashes, bands)
+      .select(col("doc_id"), col("band"), col("band_key"))
     val cand = bandKeys.as("x").join(bandKeys.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
@@ -840,9 +863,7 @@ object Dedup {
     val scored = cand
       .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
-      .withColumn("est_sim",
-        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes)
+      .withColumn("est_sim", estSimCol(col("sig1"), col("sig2"), numHashes))
       .where(col("est_sim") >= threshold)
       .select(col("id1"), col("id2"), roundStable(col("est_sim"), 4).as("est_sim"))
     // `ordered = false` for consumers that discard ordering (the

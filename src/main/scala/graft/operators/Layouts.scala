@@ -35,7 +35,7 @@ object Layouts {
     * (lazy-val failure semantics) — the copy-on-write writers
     * delete-then-rebuild their target, so a retry over a torn
     * directory is safe. */
-  private[operators] final class Once[V](builder: => V) {
+  private[graft] final class Once[V](builder: => V) {
     @volatile private var done = false
     lazy val value: V = { val v = builder; done = true; v }
     def peek: Option[V] = if (done) Some(value) else None

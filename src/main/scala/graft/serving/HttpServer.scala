@@ -23,7 +23,11 @@ import graft.operators.Api
   *   GET /fuzzySearch?q=goldenrod+lavender+spring&dist=2&topN=20
   *       (extension: typo-tolerant item lookup — ES match+fuzziness)
   *   GET /docTakedown?ids=45,48&probe=7&view=scan|pack|report
-  *       (q161/q162/q165: document-corpus right-to-erasure)
+  *       (q161/q162/q165: document-corpus right-to-erasure;
+  *       cascade=1 expands the seeds through their near-dup clusters,
+  *       view=expansion reports the cascade, and source=table answers
+  *       the expansion from the stream-maintained cluster table —
+  *       q168's point read — instead of the per-call recompute)
   *   GET /timeTravel?version=1&keys=7,42   (lineage as-of lookup; 410
   *       when the version expired)  /lineage  /vacuumLayouts?keepLast=1
   *   GET /rebuildUserSketches   (erasure completion for the sketch
@@ -811,30 +815,53 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         case other => throw new IllegalArgumentException(
           s"cascade must be 0|1, got '$other'")
       }
+      // source=table (round-16 verdict #4): expansion reads the
+      // stream-maintained cluster table (a point read once the table
+      // store is built) instead of re-deriving MinHash-LSH +
+      // components per corpus fingerprint
+      val fromTable = p.getOrElse("source", "recompute") match {
+        case "table" => true
+        case "recompute" => false
+        case other => throw new IllegalArgumentException(
+          s"source must be recompute|table, got '$other'")
+      }
       // the cascade expansion is itself a corpus-scale build (MinHash-
-      // LSH + components) — it must run INSIDE the load-shed gate, and
-      // repeats serve from the expansion memo
-      if (p.get("view").contains("expansion"))
-        gatedBuild(graft.operators.DocForget
-            .isExpansionMemoized(spark, dataDir, seeds)) {
-          graft.operators.DocForget
-            .clusterExpansionCached(spark, dataDir, seeds)
-        }
-      else {
-        val memoized = (!cascade || graft.operators.DocForget
-            .isExpansionMemoized(spark, dataDir, seeds)) && {
-          val ids =
-            if (cascade) graft.operators.DocForget
-              .expandCluster(spark, dataDir, seeds)
-            else seeds
+      // LSH + components; table source: the one-time store build) — it
+      // must run INSIDE the load-shed gate, and repeats serve from the
+      // expansion memo / the built table
+      if (p.get("view").contains("expansion")) {
+        if (fromTable)
+          gatedBuild(graft.streaming.ClusterStream
+              .isTableMemoized(spark, dataDir)) {
+            graft.streaming.ClusterStream.clusterExpansionFromTable(
+              spark, graft.streaming.ClusterStream.tableFor(spark, dataDir),
+              seeds)
+          }
+        else
+          gatedBuild(graft.operators.DocForget
+              .isExpansionMemoized(spark, dataDir, seeds)) {
+            graft.operators.DocForget
+              .clusterExpansionCached(spark, dataDir, seeds)
+          }
+      } else {
+        def expandSeeds(): Seq[Long] =
+          if (!cascade) seeds
+          else if (fromTable) graft.streaming.ClusterStream.expandFromTable(
+            spark, graft.streaming.ClusterStream.tableFor(spark, dataDir),
+            seeds)
+          else graft.operators.DocForget.expandCluster(spark, dataDir, seeds)
+        val expansionReady = !cascade ||
+          (if (fromTable)
+            graft.streaming.ClusterStream.isTableMemoized(spark, dataDir)
+          else graft.operators.DocForget
+            .isExpansionMemoized(spark, dataDir, seeds))
+        val memoized = expansionReady && {
+          val ids = expandSeeds()
           graft.operators.DocForget
             .isTakedownMemoized(spark, dataDir, ids)
         }
         gatedBuild(memoized) {
-          val ids =
-            if (cascade) graft.operators.DocForget
-              .expandCluster(spark, dataDir, seeds)
-            else seeds
+          val ids = expandSeeds()
           p.getOrElse("view", "scan") match {
             case "scan" =>
               val probes = longsParam(p, "probe")

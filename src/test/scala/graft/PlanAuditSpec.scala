@@ -495,7 +495,13 @@ class PlanAuditSpec extends SparkSpec {
     "q166_cluster_takedown" -> 1,
     // q167: the component carrier joins resolve map-side against the
     // driver-dispatched components; one sort for the presentation order
-    "q167_cluster_expansion" -> 1)
+    "q167_cluster_expansion" -> 1,
+    // q168/q169: the table fold — one scan of the two-column base
+    // relation relabeled through the broadcast merge roots (driver-
+    // dispatched like q53), one distinct exchange + the presentation
+    // sort (the store build itself is a memoized one-time job)
+    "q168_cluster_table" -> 2,
+    "q169_cluster_forget" -> 2)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -131,7 +131,12 @@ class SqlSurfaceSpec extends SparkSpec {
         operators.DocForget.clusterTakedownScan(spark, sf, Seq(45L),
           Seq(7L, 100L, 487L)),
       "SELECT * FROM cluster_expansion(45)" ->
-        operators.DocForget.clusterExpansion(spark, sf, Seq(45L)))
+        operators.DocForget.clusterExpansion(spark, sf, Seq(45L)),
+      "SELECT * FROM cluster_assign()" ->
+        streaming.ClusterStream.assignmentFor(spark, sf),
+      "SELECT * FROM cluster_forget(45)" ->
+        streaming.ClusterStream.forgottenAssignmentFor(spark, sf,
+          Seq(45L)))
     for ((sql, scala) <- pins) {
       val got = rows(spark.sql(sql))
       val want = rows(scala)

@@ -332,6 +332,16 @@ class HttpServerSpec extends SparkSpec {
       assert(c94b == 200 && casc.contains("\"doc_id\":7,") &&
         !casc.contains("\"doc_id\":487,") &&
         !casc.contains("\"doc_id\":45,"), casc.take(200))
+      // source=table (q168): the expansion answered from the stream-
+      // maintained cluster table is row-equal to the recompute; a
+      // bogus source is a 400, never a silently different path
+      val (c94c, expT) =
+        get(s"$base/docTakedown?ids=45&view=expansion&source=table")
+      assert(c94c == 200 && expT.contains("\"doc_id\":487,") &&
+        expT.contains("\"doc_id\":45,"), expT.take(200))
+      val (c94d, _) =
+        get(s"$base/docTakedown?ids=45&view=expansion&source=nope")
+      assert(c94d == 400)
       // ANN through the patched inverted file (q164): the deleted
       // vectors never come back (memo hit — same batch as above)
       val (c95, annTd) = get(s"$base/annSearch?vecId=0&k=10&takedown=45,48")
