@@ -18,13 +18,24 @@ import graft.streaming.{BasketEvent, BasketStream, GraphEvent, GraphStream}
   * are recorded in SCALING.md. */
 object TwinScaleGate {
 
+  private val AllSections =
+    Set("graph", "basket", "sketch", "interval", "bloom", "cluster")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf1"
     val nChunks = if (args.length > 1) args(1).toInt else 20
     val compactEvery = if (args.length > 2) args(2).toInt else 5
+    // optional 4th arg: run only these sections (e.g. "cluster" for the
+    // sf10 spot gate, where the full multi-twin sweep is priced out)
+    val sections =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else AllSections
+    val unknown = sections -- AllSections
+    require(unknown.isEmpty, s"unknown twin sections: $unknown")
     val spark = GraftSession
       .builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, get_json_object}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     def partDirs(dir: String): Int =
@@ -35,6 +46,7 @@ object TwinScaleGate {
     // per-user event-time-monotone arrival across batches is the
     // twin's parity contract: chunk the stream in global (ts,
     // event_id) order
+    if (sections("graph")) {
     val graphEvents = GraphStream
       .projectEvents(Tables.events(spark, sfDir))
       .orderBy("ts", "event_id").collect().toSeq
@@ -64,8 +76,10 @@ object TwinScaleGate {
       s"$gEpochs each) rank=${if (gotRank == wantRank) "MATCH"
         else "MISMATCH"} nodes=${wantRank.size}")
     require(gotRank == wantRank, "graph twin diverged from batch q104")
+    }
 
     // ---- BasketStream vs batch q132 -------------------------------
+    if (sections("basket")) {
     val basketEvents = Tables.events(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("user_id"),
         org.apache.spark.sql.functions
@@ -99,11 +113,12 @@ object TwinScaleGate {
       s"$bEpochs) lift=${if (gotLift == wantLift) "MATCH"
         else "MISMATCH"} rows=${wantLift.size}")
     require(gotLift == wantLift, "basket twin diverged from batch q132")
+    }
 
     // ---- sketch sinks vs batch q137 / q142 / q139 -------------------
     // (round-14 twins: persisted register/count tables, compacted,
     // served without rescanning events)
-    import org.apache.spark.sql.functions.{col, get_json_object}
+    if (sections("sketch")) {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("user_id"), col("value"),
         get_json_object(col("props"), "$.k").cast("long").as("item"),
@@ -214,8 +229,10 @@ object TwinScaleGate {
       s"kmvRangeOverlap=${pin("kmvRangeOverlap", kRangeGot, kRangeWant)} " +
       s"(${hllWant.size}/${histWant.size}/${hhWant.size}/" +
       s"${kmvWant.size}/${rangeWant.size}/${kRangeWant.size} rows)")
+    }
 
     // ---- interval-join stream vs batch q141 -------------------------
+    if (sections("interval")) {
     val ow = operators.IntervalJoin.orderWindows(spark, sfDir)
       .collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -253,10 +270,12 @@ object TwinScaleGate {
     println(s"[twin-scale] interval: windows=${ow.size} " +
       s"epochs=$iEpochs streamSecs=${f"$iStreamSecs%.1f"} " +
       s"maxLenDays=$maxLen pairs=$nWant join=MATCH")
+    }
 
     // ---- stream-maintained bloom index vs the plain filter ----------
     // (round-14 twin: epoch-scoped files + union-folded index; the
     // lookup contract is the q148 oracle — the plain o_custkey filter)
+    if (sections("bloom")) {
     val ords = Tables(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .collect().toSeq
@@ -295,6 +314,52 @@ object TwinScaleGate {
       s"idxDirs=${partDirs(s"$bmOut/bloomidx")} " +
       s"candidates=${bmCands.size}/$bmFiles rows=${bmWant.size} " +
       s"lookup=MATCH")
+    }
+
+    // ---- incremental cluster table vs batch q168 --------------------
+    // (round-17 twin: the streaming fold with compaction at corpus
+    // scale; the serving read is the q167-killer point-read path, so
+    // its seconds are the headline next to the batch recompute's)
+    if (sections("cluster")) {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val docRows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val cOut = java.nio.file.Files
+      .createTempDirectory("twin_scale_cluster").toString
+    val cMem = MemoryStream[(Long, String)]
+    val cq = cMem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(streaming.ClusterStream.clusterSinkEachBatch(cOut,
+        compactEvery) _)
+      .outputMode("append").start()
+    val cChunk = math.max(1, (docRows.size + nChunks - 1) / nChunks)
+    var cEpochs = 0
+    val t5 = System.nanoTime()
+    docRows.grouped(cChunk).foreach { c =>
+      cMem.addData(c: _*); cq.processAllAvailable(); cEpochs += 1
+    }
+    cq.stop()
+    val cStreamSecs = (System.nanoTime() - t5) / 1e9
+    val t6 = System.nanoTime()
+    val gotAsg = streaming.ClusterStream.assignmentTable(spark, cOut)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val cReadSecs = (System.nanoTime() - t6) / 1e9
+    val t7 = System.nanoTime()
+    val wantAsg = streaming.ClusterStream.batchAssignmentOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val cBatchSecs = (System.nanoTime() - t7) / 1e9
+    Caches.releaseAll()
+    require(gotAsg == wantAsg && wantAsg.nonEmpty,
+      "cluster twin diverged from the batch assignment")
+    println(s"[twin-scale] cluster: docs=${docRows.size} " +
+      s"epochs=$cEpochs streamSecs=${f"$cStreamSecs%.1f"} " +
+      s"sigDirs=${partDirs(s"$cOut/clusters/sigs")} " +
+      s"mergeDirs=${partDirs(s"$cOut/clusters/merges")} (uncompacted " +
+      s"would be $cEpochs each) " +
+      s"tableReadSecs=${f"$cReadSecs%.2f"} vs " +
+      s"batchRecomputeSecs=${f"$cBatchSecs%.1f"} " +
+      s"assignment=MATCH rows=${wantAsg.size}")
+    }
     spark.stop()
   }
 }

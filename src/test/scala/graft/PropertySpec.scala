@@ -675,4 +675,62 @@ class PropertySpec extends SparkSpec {
       graft.Caches.releaseAll()
     }
   }
+
+  test("incremental cluster table equals the batch assignment under " +
+    "random corpora, random epoch splits, and a mid-stream takedown") {
+    // small word pool + short docs → frequent shingle overlap, so the
+    // generated corpora have real multi-doc clusters and chains whose
+    // merges cross epoch boundaries in arbitrary ways
+    val pool = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val docGen = Gen.listOfN(8, Gen.oneOf(pool)).map(_.mkString(" "))
+    val caseGen = Gen.zip(
+      Gen.listOfN(20, docGen),                    // texts (doc_id = idx)
+      Gen.listOfN(20, Gen.chooseNum(0, 3)),       // epoch of each doc
+      Gen.someOf(0L until 12L))                   // takedown candidates
+    samples(caseGen, 5).zipWithIndex.foreach {
+      case ((texts, epochs, delCand), i) =>
+        val outDir = java.nio.file.Files
+          .createTempDirectory(s"clus_prop_$i").toString
+        val docs = texts.zipWithIndex
+          .map { case (t, d) => (d.toLong, t, epochs(d)) }
+        def batch(e: Int) = docs.filter(_._3 == e)
+          .map(d => (d._1, d._2)).toDF("doc_id", "text")
+        // ingest epochs 0..1, take down mid-stream, ingest 2..3
+        (0 to 1).foreach(e =>
+          streaming.ClusterStream.ingestBatch(batch(e), outDir, e.toLong))
+        val ingested = docs.filter(_._3 <= 1).map(_._1).toSet
+        val dels = delCand.filter(ingested).toSeq.sorted
+        if (dels.nonEmpty)
+          streaming.ClusterStream.takedownClusters(spark, outDir, dels)
+        (2 to 3).foreach(e =>
+          streaming.ClusterStream.ingestBatch(batch(e), outDir, e.toLong))
+        // the takedown expanded through whole clusters: erased = the
+        // dels' components among the docs ingested before the takedown
+        val preDocs = docs.filter(_._3 <= 1).map(d => (d._1, d._2))
+          .toDF("doc_id", "text")
+        val preAsg = streaming.ClusterStream.batchAssignmentOn(preDocs)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        graft.Caches.releaseAll()
+        val delComps = dels.map(preAsg).toSet
+        val erased = preAsg.collect {
+          case (d, c) if delComps(c) && dels.contains(d) => d
+        }.toSet
+        // dels are whole components' SEEDS only when requested ids are
+        // the full membership; takedownClusters erases exactly the ids
+        // (survivors relabel) — golden = batch over everything except
+        // the requested ids
+        val retained = docs.map(d => (d._1, d._2))
+          .filterNot(d => dels.contains(d._1))
+          .toDF("doc_id", "text")
+        val want = streaming.ClusterStream.batchAssignmentOn(retained)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        graft.Caches.releaseAll()
+        val got = streaming.ClusterStream.assignmentTable(spark, outDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        graft.Caches.releaseAll()
+        assert(got == want,
+          s"case $i (dels=$dels erased=$erased): got $got want $want")
+    }
+  }
 }
