@@ -139,6 +139,10 @@ object ClusterStream {
     val sDir = sigsDir(outDir); val mDir = mergesDir(outDir)
     new java.io.File(sDir).mkdirs(); new java.io.File(mDir).mkdirs()
     Compact.recoverAccumulated(sDir); Compact.recoverAccumulated(mDir)
+    // complete any takedown a crash left half-done BEFORE matching
+    // against the store (stale merge rows must not relink a dissolved
+    // component through this batch's labels)
+    healPendingForget(sess, outDir)
     val sigs = batch.where(col("text").isNotNull)
       .select(col("doc_id"),
         TextExpressions.minHashSig(col("text"), ShingleK, NumHashes)
@@ -339,13 +343,28 @@ object ClusterStream {
     * affected labels' merge rows dropped. Post-state invariant
     * (golden-twin spec): the table ≡ a fresh batch assignment over the
     * retained ingested docs. Idempotent: a second call finds no seed
-    * bases and rewrites nothing. Single-writer discipline as the sink. */
+    * bases and rewrites nothing. Single-writer discipline as the sink.
+    *
+    * CRASH-SAFE via a pending marker (the `_bloom.pending` discipline):
+    * a crash between the signature rewrite and the merge-log hygiene
+    * would otherwise strand stale merge rows FOREVER — the re-issued
+    * takedown finds the ids gone and no-ops, and a stale row chaining
+    * a survivor's kept base to a dissolved component's smaller label
+    * mislabels the survivor from then on. `_forget.pending` records
+    * (ids, members, labels) before the first mutation; the next
+    * takedown or ingest replays the apply step from the recorded sets
+    * (every sub-step is idempotent: the survivor relabel recomputes
+    * from current signatures, the deletes and drops are filters), then
+    * clears the marker. `afterSigRewrite` is the crash-injection test
+    * seam. */
   def takedownClusters(spark: SparkSession, outDir: String,
-      ids: Seq[Long]): TakedownReport = {
+      ids: Seq[Long],
+      afterSigRewrite: () => Unit = () => ()): TakedownReport = {
     val del = ids.distinct.sorted
     require(del.nonEmpty && del.size <= BloomSkip.MaxForgetKeys,
       s"takedown ids must be 1..${BloomSkip.MaxForgetKeys}")
     SingleWriter.assertOwner(spark, outDir, "cluster table takedown")
+    healPendingForget(spark, outDir)
     import spark.implicits._
     if (!hasEpochs(sigsDir(outDir)))
       return TakedownReport(0L, 0L, 0L, 0L, 0L)
@@ -356,8 +375,8 @@ object ClusterStream {
     require(members.size <= BloomSkip.MaxForgetKeys,
       s"takedown touches ${members.size} cluster members — beyond the " +
         s"${BloomSkip.MaxForgetKeys} batch cap; split the request")
-    val sDir = sigsDir(outDir); val mDir = mergesDir(outDir)
-    val sigs = spark.read.option("basePath", sDir).parquet(sDir)
+    val sigs = spark.read.option("basePath", sigsDir(outDir))
+      .parquet(sigsDir(outDir))
     val memberRows = sigs.where(col("doc_id").isin(members: _*))
     val affectedBases = memberRows.select(col("base")).distinct()
       .as[Long].collect().toIndexedSeq
@@ -372,6 +391,66 @@ object ClusterStream {
         ccAll.where(col("comp").isin(affectedRoots: _*))
           .select(col("base")).as[Long].collect())
       .distinct.sorted
+    writePending(outDir, del, members, affectedLabels)
+    val report = applyTakedown(spark, outDir, del, members,
+      affectedLabels, afterSigRewrite)
+    clearPending(outDir)
+    report
+  }
+
+  private def pendingPath(outDir: String) =
+    s"$outDir/clusters/_forget.pending"
+
+  /** Atomic (tmp+rename) marker: three comma-separated long lines —
+    * ids, members, affected labels. */
+  private def writePending(outDir: String, del: Seq[Long],
+      members: Seq[Long], labels: Seq[Long]): Unit = {
+    val f = new java.io.File(pendingPath(outDir))
+    f.getParentFile.mkdirs()
+    val tmp = new java.io.File(f.getParent, "._forget.pending.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      (Seq(del, members, labels).map(_.mkString(","))
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    if (!tmp.renameTo(f)) {
+      f.delete()
+      require(tmp.renameTo(f), s"cannot publish $f")
+    }
+  }
+
+  private def clearPending(outDir: String): Unit = {
+    val f = new java.io.File(pendingPath(outDir))
+    if (f.exists()) f.delete()
+  }
+
+  /** Re-apply a takedown a crash left half-done, from the marker's
+    * recorded sets — called on entry by every WRITER (the next
+    * takedown or the sink's next batch; reads between the crash and
+    * the heal see the documented transient). */
+  private def healPendingForget(spark: SparkSession,
+      outDir: String): Unit = {
+    val f = new java.io.File(pendingPath(outDir))
+    if (!f.exists()) return
+    val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8").split("\n", -1)
+    def longs(s: String): Seq[Long] =
+      s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    val (del, members, labels) =
+      (longs(lines(0)), longs(lines(1)), longs(lines(2)))
+    if (del.nonEmpty && hasEpochs(sigsDir(outDir)))
+      applyTakedown(spark, outDir, del, members, labels, () => ())
+    clearPending(outDir)
+  }
+
+  /** The mutation half of [[takedownClusters]] — idempotent per
+    * sub-step so [[healPendingForget]] can replay it from any crash
+    * point. */
+  private def applyTakedown(spark: SparkSession, outDir: String,
+      del: Seq[Long], members: Seq[Long], affectedLabels: Seq[Long],
+      afterSigRewrite: () => Unit): TakedownReport = {
+    import spark.implicits._
+    val sDir = sigsDir(outDir); val mDir = mergesDir(outDir)
+    val sigs = spark.read.option("basePath", sDir).parquet(sDir)
+    val memberRows = sigs.where(col("doc_id").isin(members: _*))
     // 2. survivor recompute, cluster-local: retained members' pairs →
     //    fresh base labels (component splits fall out naturally).
     val survivors = members.filterNot(del.contains)
@@ -390,6 +469,8 @@ object ClusterStream {
       }
     // 3. ONE pre-swap scan decides touched/emptied sig epochs (the
     //    lazy-plan/swap hazard), then rewrite survivors in place.
+    //    (During a heal replay, already-rewritten epochs re-rewrite to
+    //    the same bytes and already-deleted rows are simply absent.)
     val isDel = col("doc_id").isin(del: _*)
     val perEpoch = memberRows
       .groupBy(col("epoch"))
@@ -397,10 +478,12 @@ object ClusterStream {
         sum(when(isDel, 1L).otherwise(0L)).as("dd"))
       .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
     val touched = perEpoch.map(_._1)
-    val epochTotals = spark.read.option("basePath", sDir)
-      .parquet(touched.sorted.map(e => s"$sDir/epoch=$e"): _*)
-      .groupBy(col("epoch")).agg(count(lit(1)).as("total"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    val epochTotals =
+      if (touched.isEmpty) Map.empty[String, Long]
+      else spark.read.option("basePath", sDir)
+        .parquet(touched.sorted.map(e => s"$sDir/epoch=$e"): _*)
+        .groupBy(col("epoch")).agg(count(lit(1)).as("total"))
+        .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
     val emptied = perEpoch
       .filter(e => epochTotals(e._1) == e._3).map(_._1).toSet
     val rowsDeleted = perEpoch.map(_._3).sum
@@ -418,6 +501,7 @@ object ClusterStream {
     emptied.foreach { e =>
       graft.AtomicSwap.deleteRecursively(new java.io.File(s"$sDir/epoch=$e"))
     }
+    afterSigRewrite()
     // 4. merge-log hygiene: drop every row touching an affected label
     //    (survivor bases are final — recomputed globally within their
     //    clusters — so no replacement rows are needed).

@@ -134,6 +134,47 @@ class ClusterStreamSpec extends SparkSpec {
     assert(asg(ClusterStream.assignmentTable(spark, outDir)) == want)
   }
 
+  test("a crash between the signature rewrite and the merge-log " +
+      "hygiene heals from the pending marker — including the triangle " +
+      "where two retained near-dups must stay joined") {
+    val outDir = Files.createTempDirectory("clus_crash").toString
+    // a triangle: all three pairwise near-dups (identical text), so
+    // after deleting doc 2 the retained pair {1, 3} must STAY one
+    // component — a heal that only dropped merge rows would split them
+    val text = "the same document text repeated across the triangle"
+    Seq(Seq((1L, text)), Seq((2L, text)), Seq((3L, text)))
+      .zipWithIndex.foreach { case (c, i) =>
+        ClusterStream.ingestBatch(c.toDF("doc_id", "text"), outDir,
+          i.toLong)
+      }
+    val boom = new RuntimeException("injected crash")
+    val thrown = intercept[RuntimeException] {
+      ClusterStream.takedownClusters(spark, outDir, Seq(2L),
+        afterSigRewrite = () => throw boom)
+    }
+    assert(thrown eq boom)
+    assert(new java.io.File(s"$outDir/clusters/_forget.pending").exists(),
+      "the crash did not leave the pending marker")
+    // next writer entry heals: the ingest completes the takedown first
+    ClusterStream.ingestBatch(
+      Seq((9L, "an unrelated new arrival about other things"))
+        .toDF("doc_id", "text"), outDir, 3L)
+    assert(!new java.io.File(s"$outDir/clusters/_forget.pending").exists(),
+      "the heal did not clear the marker")
+    val got = asg(ClusterStream.assignmentTable(spark, outDir))
+    assert(got == Set(1L -> 1L, 3L -> 1L, 9L -> 9L), s"$got")
+    // a re-issued takedown also heals (the compliance retry path)
+    val thrown2 = intercept[RuntimeException] {
+      ClusterStream.takedownClusters(spark, outDir, Seq(3L),
+        afterSigRewrite = () => throw boom)
+    }
+    assert(thrown2 eq boom)
+    val r = ClusterStream.takedownClusters(spark, outDir, Seq(3L))
+    assert(r.rowsDeleted == 0L, s"heal should have finished the work: $r")
+    assert(asg(ClusterStream.assignmentTable(spark, outDir))
+      == Set(1L -> 1L, 9L -> 9L))
+  }
+
   test("takedown of a whole epoch's docs removes the epoch directory " +
       "and ingest continues correctly afterwards") {
     val outDir = Files.createTempDirectory("clus_ep").toString
