@@ -848,8 +848,14 @@ object Dedup {
   private[graft] def minhashPairsFromSigs(sigs: DataFrame,
       numHashes: Int = 16, bands: Int = 8,
       threshold: Double = 0.5, ordered: Boolean = true): DataFrame = {
-    // band key = md5 of the ordered hash values inside the band
-    val bandKeys = withBandKeys(sigs.select(col("doc_id"), col("sig")),
+    // band key = md5 of the ordered hash values inside the band. A
+    // NULL signature (null-text doc) is excluded up front: its band
+    // keys would all collapse to md5 of the empty string — an
+    // all-null-docs bucket whose candidates can never pass est_sim
+    // (null zip → -1 size), i.e. pure candidate blowup for zero pairs
+    val bandKeys = withBandKeys(
+        sigs.where(col("sig").isNotNull)
+          .select(col("doc_id"), col("sig")),
         numHashes, bands)
       .select(col("doc_id"), col("band"), col("band_key"))
     val cand = bandKeys.as("x").join(bandKeys.as("y"),
@@ -988,16 +994,17 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
   }
 
-  /** Driver union-find over a materialized symmetric edge list: path
-    * compression + union-by-min (the smaller root always wins, so each
-    * final root is its component's minimum id — the exact fixpoint the
-    * distributed loop converges to). Output is a LocalRelation, which
-    * downstream joins broadcast for free. `src <= dst` keeps exactly one
-    * direction of each symmetrized pair WITHOUT dropping self-loop
-    * nodes, should a caller ever emit (a, a). */
-  private def driverComponents(sym: DataFrame): DataFrame = {
-    val spark = sym.sparkSession
-    import spark.implicits._
+  /** Driver union-find with path compression + union-by-min (the
+    * smaller root always wins, so each final root is its component's
+    * minimum id — the exact fixpoint the distributed loop converges
+    * to). THE single definition shared by [[driverComponents]] and the
+    * incremental cluster table's batch-local/survivor passes
+    * ([[graft.streaming.ClusterStream]]): a tweak here moves both
+    * sides together, keeping the "same fixpoint" claim true by
+    * construction. Returns every endpoint's root (singetons from
+    * self-loops included). */
+  private[graft] def unionFindRoots(pairs: Iterable[(Long, Long)])
+      : scala.collection.mutable.LongMap[Long] = {
     val parent = new scala.collection.mutable.LongMap[Long]()
     def find(x0: Long): Long = {
       var x = x0
@@ -1006,16 +1013,28 @@ object Dedup {
       while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
       x
     }
-    val nodes = new scala.collection.mutable.LongMap[Unit]()
-    sym.where(col("src") <= col("dst")).select("src", "dst")
-      .collect().foreach { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
-        nodes(a) = (); nodes(b) = ()
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-    nodes.keysIterator.map(id => (id, find(id))).toSeq.sorted
-      .toDF("doc_id", "comp")
+    val out = new scala.collection.mutable.LongMap[Long]()
+    pairs.foreach { case (a, b) =>
+      out(a) = a; out(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    out.keysIterator.toArray.foreach(k => out(k) = find(k))
+    out
+  }
+
+  /** [[unionFindRoots]] over a materialized symmetric edge list.
+    * Output is a LocalRelation, which downstream joins broadcast for
+    * free. `src <= dst` keeps exactly one direction of each symmetrized
+    * pair WITHOUT dropping self-loop nodes, should a caller ever emit
+    * (a, a). */
+  private def driverComponents(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val roots = unionFindRoots(
+      sym.where(col("src") <= col("dst")).select("src", "dst")
+        .collect().iterator.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    roots.toSeq.sorted.toDF("doc_id", "comp")
   }
 
   /** Identical-signature clusters: one row per distinct `bits`-bit

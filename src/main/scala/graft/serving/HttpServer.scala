@@ -855,13 +855,14 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
             graft.streaming.ClusterStream.isTableMemoized(spark, dataDir)
           else graft.operators.DocForget
             .isExpansionMemoized(spark, dataDir, seeds))
-        val memoized = expansionReady && {
-          val ids = expandSeeds()
-          graft.operators.DocForget
-            .isTakedownMemoized(spark, dataDir, ids)
-        }
+        // expand ONCE when the expansion source is ready (the
+        // recompute path would memo-hit, but the table path re-reads
+        // per call) and reuse the ids inside the gate
+        val preIds = if (expansionReady) Some(expandSeeds()) else None
+        val memoized = preIds.exists(ids =>
+          graft.operators.DocForget.isTakedownMemoized(spark, dataDir, ids))
         gatedBuild(memoized) {
-          val ids = expandSeeds()
+          val ids = preIds.getOrElse(expandSeeds())
           p.getOrElse("view", "scan") match {
             case "scan" =>
               val probes = longsParam(p, "probe")

@@ -104,49 +104,30 @@ object ClusterStream {
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .exists(f => f.isDirectory && f.getName.startsWith("epoch="))
 
-  /** Driver union-find with union-by-min + path compression — the
-    * same fixpoint as [[Dedup.connectedComponents]] (each root is its
-    * component's minimum), used for the BATCH-LOCAL component pass
-    * (micro-batch-sized by the fp-collect contract) and the
-    * cluster-local survivor recompute. */
-  private def unionFindRoots(pairs: Iterable[(Long, Long)])
-      : scala.collection.mutable.LongMap[Long] = {
-    val parent = new scala.collection.mutable.LongMap[Long]()
-    def find(x0: Long): Long = {
-      var x = x0
-      while (parent.getOrElse(x, x) != x) x = parent(x)
-      var y = x0
-      while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
-      x
-    }
-    pairs.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
-    val out = new scala.collection.mutable.LongMap[Long]()
-    parent.keysIterator.foreach(k => out(k) = find(k))
-    out
-  }
-
   // ——— ingest ———————————————————————————————————————————————————————
 
   /** One micro-batch's fold into the cluster table — the shared core
     * of the streaming sink and the q168 batch-driver build. The batch
-    * must carry (doc_id, text); null-text rows are dropped (a cluster
-    * of nothing is undefined). */
+    * must carry (doc_id, text). A null-text doc keeps its assignment
+    * row (comp = its own id, like the batch chain and the q168 oracle,
+    * where it never produces signature rows): its stored `sig` is NULL
+    * and the band-key generator drops NULL sigs, so it can never match
+    * anything — a permanent singleton, not a dropped row. */
   def ingestBatch(batch: DataFrame, outDir: String, epochId: Long): Unit = {
     val sess = batch.sparkSession
     val sDir = sigsDir(outDir); val mDir = mergesDir(outDir)
     new java.io.File(sDir).mkdirs(); new java.io.File(mDir).mkdirs()
     Compact.recoverAccumulated(sDir); Compact.recoverAccumulated(mDir)
+    PartitionedUpsert.recoverAll(sDir); PartitionedUpsert.recoverAll(mDir)
     // complete any takedown a crash left half-done BEFORE matching
     // against the store (stale merge rows must not relink a dissolved
     // component through this batch's labels)
     healPendingForget(sess, outDir)
-    val sigs = batch.where(col("text").isNotNull)
-      .select(col("doc_id"),
-        TextExpressions.minHashSig(col("text"), ShingleK, NumHashes)
-          .as("sig"))
+    // the SAME signature projection as the batch LSH chain
+    // (Dedup.signatureArraysOn — single source of truth, like the band
+    // key and est_sim definitions)
+    val sigs = Dedup.signatureArraysOn(
+        batch.select(col("doc_id"), col("text")), ShingleK, NumHashes)
       .dropDuplicates("doc_id")
       .persist()
     try {
@@ -157,7 +138,7 @@ object ClusterStream {
           Threshold, ordered = false)
         .select("id1", "id2").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      val roots = unionFindRoots(localPairs.toIndexedSeq)
+      val roots = Dedup.unionFindRoots(localPairs.toIndexedSeq)
       import sess.implicits._
       val withBase =
         if (roots.isEmpty)
@@ -178,8 +159,12 @@ object ClusterStream {
         else {
           val old = sess.read.parquet(oldDirs: _*)
             .select(col("doc_id"), col("sig"), col("base"))
-          val oldKeys = Dedup.withBandKeys(old, NumHashes, Bands)
-          val newKeys = Dedup.withBandKeys(withBase, NumHashes, Bands)
+          // NULL sigs excluded from banding on both sides — the
+          // minhashPairsFromSigs rule (they can never pass est_sim)
+          val oldKeys = Dedup.withBandKeys(
+            old.where(col("sig").isNotNull), NumHashes, Bands)
+          val newKeys = Dedup.withBandKeys(
+            withBase.where(col("sig").isNotNull), NumHashes, Bands)
             .select(col("doc_id").as("n_id"), col("sig").as("n_sig"),
               col("base").as("n_base"), col("band"), col("band_key"))
           oldKeys.join(broadcast(newKeys),
@@ -281,12 +266,20 @@ object ClusterStream {
     import spark.implicits._
     if (!hasEpochs(sigsDir(outDir)))
       return Seq.empty[(Long, Long)].toDF("doc_id", "comp")
+    expansionWithRoots(spark, outDir, seeds, mergeRoots(spark, outDir))
+  }
+
+  /** [[clusterExpansionFromTable]]'s body with the merge-log fold
+    * threaded in, so a caller that needs the fold for other steps too
+    * (the takedown) pays it ONCE per call. */
+  private def expansionWithRoots(spark: SparkSession, outDir: String,
+      seeds: Seq[Long], roots: DataFrame): DataFrame = {
+    import spark.implicits._
     val sigs = readSigs(spark, outDir)
     val seedBases = sigs.where(col("doc_id").isin(seeds: _*))
       .select(col("base")).distinct().as[Long].collect().toIndexedSeq
     if (seedBases.isEmpty)
       return Seq.empty[(Long, Long)].toDF("doc_id", "comp")
-    val roots = mergeRoots(spark, outDir)
     // a seed base that WAS merged is not its own root — membership is
     // by folded root, so resolve every seed base through the log first
     val resolved = roots.where(col("base").isin(seedBases: _*))
@@ -368,8 +361,11 @@ object ClusterStream {
     import spark.implicits._
     if (!hasEpochs(sigsDir(outDir)))
       return TakedownReport(0L, 0L, 0L, 0L, 0L)
+    // the merge-log fold, computed ONCE and threaded through the
+    // expansion and the label-closure steps below
+    val roots = mergeRoots(spark, outDir)
     // 1. expansion (point read): every member of the ids' components.
-    val members = clusterExpansionFromTable(spark, outDir, del)
+    val members = expansionWithRoots(spark, outDir, del, roots)
       .select("doc_id").as[Long].collect().toIndexedSeq
     if (members.isEmpty) return TakedownReport(0L, 0L, 0L, 0L, 0L)
     require(members.size <= BloomSkip.MaxForgetKeys,
@@ -382,13 +378,12 @@ object ClusterStream {
       .as[Long].collect().toIndexedSeq
     // the affected components' FULL label set: every log label whose
     // root is an affected root (historical labels included)
-    val ccAll = mergeRoots(spark, outDir)
     val affectedRoots = (affectedBases ++
-        ccAll.where(col("base").isin(affectedBases: _*))
+        roots.where(col("base").isin(affectedBases: _*))
           .select(col("comp")).as[Long].collect())
       .distinct
     val affectedLabels = (affectedBases ++
-        ccAll.where(col("comp").isin(affectedRoots: _*))
+        roots.where(col("comp").isin(affectedRoots: _*))
           .select(col("base")).as[Long].collect())
       .distinct.sorted
     writePending(outDir, del, members, affectedLabels)
@@ -436,35 +431,43 @@ object ClusterStream {
       s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
     val (del, members, labels) =
       (longs(lines(0)), longs(lines(1)), longs(lines(2)))
-    if (del.nonEmpty && hasEpochs(sigsDir(outDir)))
+    // replay even when the crashed takedown emptied the whole sig
+    // store — the merge-log hygiene is exactly the step a crash at
+    // that point still owes (a stale row would relink a re-ingested id
+    // to the dissolved component's label)
+    if (del.nonEmpty)
       applyTakedown(spark, outDir, del, members, labels, () => ())
     clearPending(outDir)
   }
 
   /** The mutation half of [[takedownClusters]] — idempotent per
     * sub-step so [[healPendingForget]] can replay it from any crash
-    * point. */
+    * point, including a crash inside a per-partition swap (hence the
+    * recoverAll FIRST: the touched/emptied decisions must see the
+    * healed store, not a torn one). */
   private def applyTakedown(spark: SparkSession, outDir: String,
       del: Seq[Long], members: Seq[Long], affectedLabels: Seq[Long],
       afterSigRewrite: () => Unit): TakedownReport = {
     import spark.implicits._
     val sDir = sigsDir(outDir); val mDir = mergesDir(outDir)
-    val sigs = spark.read.option("basePath", sDir).parquet(sDir)
-    val memberRows = sigs.where(col("doc_id").isin(members: _*))
+    Compact.recoverAccumulated(sDir); Compact.recoverAccumulated(mDir)
+    PartitionedUpsert.recoverAll(sDir); PartitionedUpsert.recoverAll(mDir)
+    val haveSigs = hasEpochs(sDir)
+    def sigsRead = spark.read.option("basePath", sDir).parquet(sDir)
     // 2. survivor recompute, cluster-local: retained members' pairs →
     //    fresh base labels (component splits fall out naturally).
     val survivors = members.filterNot(del.contains)
     val newBase: Map[Long, Long] =
-      if (survivors.isEmpty) Map.empty
+      if (survivors.isEmpty || !haveSigs) Map.empty
       else {
-        val survSigs = sigs
+        val survSigs = sigsRead
           .where(col("doc_id").isin(survivors: _*))
           .select(col("doc_id"), col("sig")).distinct()
         val pairs = Dedup.minhashPairsFromSigs(survSigs, NumHashes, Bands,
             Threshold, ordered = false)
           .select("id1", "id2").collect()
           .map(r => (r.getLong(0), r.getLong(1)))
-        val roots = unionFindRoots(pairs.toIndexedSeq)
+        val roots = Dedup.unionFindRoots(pairs.toIndexedSeq)
         survivors.map(d => d -> roots.getOrElse(d, d)).toMap
       }
     // 3. ONE pre-swap scan decides touched/emptied sig epochs (the
@@ -472,11 +475,13 @@ object ClusterStream {
     //    (During a heal replay, already-rewritten epochs re-rewrite to
     //    the same bytes and already-deleted rows are simply absent.)
     val isDel = col("doc_id").isin(del: _*)
-    val perEpoch = memberRows
-      .groupBy(col("epoch"))
-      .agg(count(lit(1)).as("mem"),
-        sum(when(isDel, 1L).otherwise(0L)).as("dd"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+    val perEpoch =
+      if (!haveSigs) Array.empty[(String, Long, Long)]
+      else sigsRead.where(col("doc_id").isin(members: _*))
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).as("mem"),
+          sum(when(isDel, 1L).otherwise(0L)).as("dd"))
+        .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
     val touched = perEpoch.map(_._1)
     val epochTotals =
       if (touched.isEmpty) Map.empty[String, Long]

@@ -175,6 +175,36 @@ class ClusterStreamSpec extends SparkSpec {
       == Set(1L -> 1L, 9L -> 9L))
   }
 
+  test("a crash after a takedown emptied the WHOLE store still heals " +
+      "the merge log — a re-ingested id must not inherit the dissolved " +
+      "component's label") {
+    val outDir = Files.createTempDirectory("clus_crash_all").toString
+    val text = "the same document text repeated across the triangle"
+    Seq(Seq((1L, text)), Seq((2L, text)), Seq((3L, text)))
+      .zipWithIndex.foreach { case (c, i) =>
+        ClusterStream.ingestBatch(c.toDF("doc_id", "text"), outDir,
+          i.toLong)
+      }
+    val boom = new RuntimeException("injected crash")
+    intercept[RuntimeException] {
+      ClusterStream.takedownClusters(spark, outDir, Seq(1L, 2L, 3L),
+        afterSigRewrite = () => throw boom)
+    }
+    // every sig epoch is gone but the merge rows (1,2),(1,3),(2,3)
+    // and the marker remain — exactly the state the heal must finish
+    assert(!new java.io.File(s"$outDir/clusters/sigs/epoch=0").exists())
+    assert(new java.io.File(s"$outDir/clusters/_forget.pending").exists())
+    // the next ingest heals the log first, then admits doc 2's id with
+    // UNRELATED content — without the heal, stale row (1,2) would
+    // relabel it with the dissolved component's label 1
+    ClusterStream.ingestBatch(
+      Seq((2L, "completely unrelated fresh arrival"))
+        .toDF("doc_id", "text"), outDir, 3L)
+    assert(!new java.io.File(s"$outDir/clusters/_forget.pending").exists())
+    assert(asg(ClusterStream.assignmentTable(spark, outDir))
+      == Set(2L -> 2L))
+  }
+
   test("takedown of a whole epoch's docs removes the epoch directory " +
       "and ingest continues correctly afterwards") {
     val outDir = Files.createTempDirectory("clus_ep").toString
