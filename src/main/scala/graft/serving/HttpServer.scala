@@ -37,6 +37,10 @@ import graft.operators.Api
   *       from the retained events)
   *   GET /mediaTakedown?ids=1,2   (erasure for the stream-maintained
   *       dHash signature table — derived personal data)
+  *   GET /clusterTakedown?ids=1,2  /clusterAssignment[?ids=1]
+  *       (erasure + serving for the stream-maintained near-dup
+  *       cluster table: q169's in-place survivor re-derivation and
+  *       q168's assignment / cascade-expansion point read)
   *   GET /funnel?steps=view,click,purchase        (q105)
   *   GET /anomalies?windowHours=24&minWindow=12&k=3&dense=0|1 (q120/q123)
   *   GET /paths?len=3&topN=50                     (q122)
@@ -630,6 +634,36 @@ class HttpServer(spark: SparkSession, dataDir: String, port: Int = 0,
         Seq((r.epochsTotal, r.epochsRewritten, r.rowsDeleted))
           .toDF("epochs_total", "epochs_rewritten", "rows_deleted")
       }
+    })
+    server.createContext("/clusterTakedown", handler { p =>
+      // right-to-erasure for the stream-maintained near-dup cluster
+      // table (the q169 machinery over the server's accumulated
+      // store): delete the ids' signature rows and re-derive their
+      // components' survivors in place — bridge-doc splits included
+      val ids = longsParam(p, "ids")
+      if (ids.isEmpty)
+        throw new IllegalArgumentException("ids is required")
+      gatedBuild(memoized = false) {
+        val r = graft.streaming.ClusterStream.takedownClusters(
+          spark, sketchDirOr400, ids)
+        import spark.implicits._
+        Seq((r.membersExpanded, r.rowsDeleted, r.survivorsRelabeled,
+          r.sigEpochsRewritten, r.mergeEpochsRewritten))
+          .toDF("members_expanded", "rows_deleted",
+            "survivors_relabeled", "sig_epochs_rewritten",
+            "merge_epochs_rewritten")
+      }
+    })
+    server.createContext("/clusterAssignment", handler { p =>
+      // the stream-maintained q168 assignment over the server's
+      // accumulated cluster store; ids= narrows to the ids'
+      // components — the cascade-expansion point read
+      val ids = longsParam(p, "ids")
+      if (ids.isEmpty)
+        graft.streaming.ClusterStream
+          .assignmentTable(spark, sketchDirOr400).orderBy("doc_id")
+      else graft.streaming.ClusterStream.clusterExpansionFromTable(
+        spark, sketchDirOr400, ids)
     })
     server.createContext("/vacuumLayouts", handler { p =>
       // admin retention: expire all but the newest keepLast versions

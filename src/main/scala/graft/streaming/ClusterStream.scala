@@ -195,7 +195,13 @@ object ClusterStream {
     ingestBatch(batch, outDir, epochId)
     if (compactEvery > 0 && epochId > 0L && epochId % compactEvery == 0L) {
       val sess = batch.sparkSession
-      Compact.compactAccumulated(sess, sigsDir(outDir), epochId, identity)
+      // re-cluster the folded sig base by doc_id (the BloomStream
+      // sortWithin rule): the expansion-seed and takedown-member reads
+      // are pushed `doc_id isin` scans that skip on row-group stats —
+      // an unsorted fold would smear every row group's min/max across
+      // the whole id domain and disable exactly that skipping
+      Compact.compactAccumulated(sess, sigsDir(outDir), epochId, identity,
+        sortWithin = Seq("doc_id"))
       Compact.compactAccumulated(sess, mergesDir(outDir), epochId, df =>
         foldMergeLog(df))
     }

@@ -421,6 +421,14 @@ class HttpServerSpec extends SparkSpec {
     graft.streaming.GraphStream.edgeSinkEachBatch(dir)(
       Seq(graft.streaming.GraphDelta(999999L, Some(888888L), 888889L))
         .toDS(), 0L)
+    // a near-dup pair + a singleton through the cluster-table sink
+    graft.streaming.ClusterStream.ingestBatch(
+      Seq((5001L, "shared near duplicate cluster text body"),
+        (5003L, "a very different singleton document"))
+        .toDF("doc_id", "text"), dir, 0L)
+    graft.streaming.ClusterStream.ingestBatch(
+      Seq((5002L, "shared near duplicate cluster text body"))
+        .toDF("doc_id", "text"), dir, 1L)
     val srv = new HttpServer(spark, sf, sketchDir = Some(dir)).start()
     val base = s"http://127.0.0.1:${srv.boundPort}"
     try {
@@ -447,6 +455,20 @@ class HttpServerSpec extends SparkSpec {
       assert(edges.where(col("src") === 888888L).count() == 0L)
       assert(nodes.where(col("node") === 888889L).count() == 0L)
       assert(edges.count() > 0L && nodes.count() > 0L)
+      // cluster table: assignment + expansion point read + takedown
+      val (c4, asg) = get(s"$base/clusterAssignment")
+      assert(c4 == 200 && asg.contains("\"doc_id\":5002,\"comp\":5001") &&
+        asg.contains("\"doc_id\":5003,\"comp\":5003"), asg.take(300))
+      val (c5, exp) = get(s"$base/clusterAssignment?ids=5001")
+      assert(c5 == 200 && exp.contains("\"doc_id\":5002,") &&
+        !exp.contains("\"doc_id\":5003,"), exp.take(300))
+      val (c6, ctd) = get(s"$base/clusterTakedown?ids=5001")
+      assert(c6 == 200 && ctd.contains("\"rows_deleted\":1") &&
+        ctd.contains("\"members_expanded\":2"), ctd.take(300))
+      val (c7, asg2) = get(s"$base/clusterAssignment")
+      assert(c7 == 200 && asg2.contains("\"doc_id\":5002,\"comp\":5002") &&
+        !asg2.contains("\"doc_id\":5001,"), asg2.take(300))
+      assert(get(s"$base/clusterTakedown?")._1 == 400) // ids required
     } finally srv.stop()
   }
 

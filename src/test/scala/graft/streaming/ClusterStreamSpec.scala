@@ -66,6 +66,22 @@ class ClusterStreamSpec extends SparkSpec {
     // the document body never lands in the table
     val cols = spark.read.parquet(s"$outDir/clusters/sigs").columns.toSet
     assert(cols == Set("doc_id", "sig", "base", "epoch"), s"$cols")
+    // the compacted sig base stays CLUSTERED by doc_id inside each
+    // written file — the row-group stats the pushed expansion-seed /
+    // takedown-member scans skip on
+    import org.apache.spark.sql.functions.{input_file_name,
+      monotonically_increasing_id}
+    val byFile = spark.read.parquet(s"$outDir/clusters/sigs/epoch=-1")
+      .select(input_file_name().as("f"), col("doc_id"),
+        monotonically_increasing_id().as("rid"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(byFile.nonEmpty, "compaction never folded a base partition")
+    byFile.foreach { case (f, rows) =>
+      val inOrder = rows.sortBy(_._3).map(_._2).toSeq
+      assert(inOrder == inOrder.sorted,
+        s"compacted sig base $f is not clustered by doc_id")
+    }
     // cascade expansion from the table is row-equal to the recompute
     val seed = want.groupBy(_._2).values.find(_.size > 1).get
       .map(_._1).min
