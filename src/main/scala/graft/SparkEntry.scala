@@ -601,6 +601,15 @@ object SparkEntry {
     "q169_cluster_forget" ->
       ((s, d) => graft.streaming.ClusterStream
         .forgottenAssignmentFor(s, d, Seq(45L))),
+    // q170: canonical selection (q60's keeper rule) served FROM the
+    // incremental cluster table instead of re-deriving LSH +
+    // components per call — the q167→q168 move applied to q60; the
+    // oracle is exactly q60's (same keeper, same arithmetic), so the
+    // two formulations must agree bit-for-bit
+    "q170_canonical_table" ->
+      ((s, d) => Curation.canonicalWithComps(
+        graft.Tables.documents(s, d),
+        graft.streaming.ClusterStream.assignmentForUnordered(s, d))),
   )
 
   /** Queries whose headline bench time can be a per-JVM memo read
@@ -619,7 +628,7 @@ object SparkEntry {
     "q159_composed_forget", "q160_vacuumed_forget",
     "q161_doc_takedown", "q162_takedown_pack", "q163_takedown_phrase",
     "q164_takedown_ann", "q165_takedown_report", "q166_cluster_takedown",
-    "q168_cluster_table", "q169_cluster_forget")
+    "q168_cluster_table", "q169_cluster_forget", "q170_canonical_table")
 
   /** Drop every per-JVM train/build memo (cold-path benching; also
     * what a corpus-rewrite simulation wants). */
@@ -3877,6 +3886,36 @@ object SparkEntry {
          FROM documents d LEFT JOIN cmp c ON d.doc_id = c.doc_id
          WHERE d.doc_id NOT IN (45)
          ORDER BY d.doc_id""",
+    // q170: exactly q60's oracle — the table-served formulation must
+    // reproduce the recompute's canonical selection bit-for-bit
+    "q170_canonical_table" ->
+      raw"""WITH RECURSIVE $minhashLshCtes,
+         pairs AS (SELECT id1, id2 FROM sc WHERE est_sim >= 0.5),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL
+                 SELECT id2 AS src, id1 AS dst FROM pairs),
+         nodes AS (SELECT DISTINCT src AS id FROM sym),
+         reach(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON r.id = s.src),
+         cmp AS (SELECT id AS doc_id, min(comp) AS comp
+                 FROM reach GROUP BY id),
+         mq AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              s -> len(s) > 0) AS toks
+           FROM documents),
+         qual AS (
+           SELECT doc_id, $qualityCaseSql AS quality
+           FROM mq),
+         j AS (SELECT q.doc_id, COALESCE(c.comp, q.doc_id) AS comp, q.quality
+               FROM qual q LEFT JOIN cmp c ON q.doc_id = c.doc_id)
+         SELECT doc_id, comp, quality,
+                CASE WHEN row_number() OVER (PARTITION BY comp
+                       ORDER BY quality DESC, doc_id) = 1
+                     THEN 1 ELSE 0 END AS keep
+         FROM j ORDER BY doc_id""",
     // q165: exact per-artifact deletion accounting — the engine
     // reports its rewrite jobs' Observation counts; the oracle
     // recomputes each from the source tables

@@ -554,10 +554,21 @@ object Curation {
     * corpus); the corpus side joins and windows on (doc_id, quality) —
     * the text never leaves the scan stage. Cluster groups are near-dup
     * sets, so the keep-window partitions are small by construction. */
-  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
-    val comps = Dedup.connectedComponents(
-      Dedup.minhashLshPairs(spark, dir, ordered = false))
-    val q = Tables.documents(spark, dir)
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame =
+    canonicalWithComps(Tables.documents(spark, dir),
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(spark, dir, ordered = false)))
+
+  /** [[canonicalDocs]]'s keeper-selection tail over an explicit
+    * component relation — the q170 composition feeds it the
+    * STREAM-MAINTAINED cluster assignment
+    * ([[graft.streaming.ClusterStream.assignmentTable]]) instead of
+    * re-deriving MinHash-LSH + components per call, so canonical
+    * selection inherits the table's point-read economics (the q167→
+    * q168 move applied to q60). `comps` may label a subset (missing
+    * docs default to their own id) or every doc. */
+  def canonicalWithComps(docs: DataFrame, comps: DataFrame): DataFrame = {
+    val q = docs
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
     q.join(comps, Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("doc_id")))

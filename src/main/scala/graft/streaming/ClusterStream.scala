@@ -601,7 +601,14 @@ object ClusterStream {
     * ingested in [[BuildEpochs]] deterministic batches — oracle-equal
     * to the one-shot recursive-CTE component chain (q167's `allc`). */
   def assignmentFor(spark: SparkSession, dir: String): DataFrame =
-    assignmentTable(spark, storeFor(spark, dir)).orderBy("doc_id")
+    assignmentForUnordered(spark, dir).orderBy("doc_id")
+
+  /** [[assignmentFor]] without the presentation sort — for
+    * compositions (q170's canonical selection) that re-partition
+    * downstream anyway; the sort would be a pure extra range
+    * exchange. */
+  def assignmentForUnordered(spark: SparkSession, dir: String): DataFrame =
+    assignmentTable(spark, storeFor(spark, dir))
 
   /** q169: the assignment AFTER an in-place cluster takedown of `ids`
     * — oracle-equal to the batch component chain over the RETAINED

@@ -501,7 +501,15 @@ class PlanAuditSpec extends SparkSpec {
     // dispatched like q53), one distinct exchange + the presentation
     // sort (the store build itself is a memoized one-time job)
     "q168_cluster_table" -> 2,
-    "q169_cluster_forget" -> 2)
+    "q169_cluster_forget" -> 2,
+    // q170: the table-served q60 — the corpus-sized (doc_id, comp)
+    // relation is NOT broadcastable at scale, so the quality join is
+    // an SMJ (2 exchanges) over the assignment's distinct (1), plus
+    // the per-comp keeper window (1) and the presentation sort (1).
+    // q60's own 2-exchange shape relies on the driver-dispatched
+    // component LocalRelation broadcasting — exactly what a 100 TB
+    // corpus cannot assume; this is the honest at-scale plan
+    "q170_canonical_table" -> 5)
 
   // Audited shapes must not depend on which specs ran before this one
   // in the JVM: a cache entry left by another spec (same carrier,

@@ -82,6 +82,16 @@ class ClusterStreamSpec extends SparkSpec {
       assert(inOrder == inOrder.sorted,
         s"compacted sig base $f is not clustered by doc_id")
     }
+    // canonical selection composed over the table equals the q60
+    // recompute bit-for-bit (the q170 contract)
+    val canonGot = graft.operators.Curation.canonicalWithComps(
+        docs, ClusterStream.assignmentTable(spark, outDir))
+      .collect().map(_.toSeq).toSeq
+    graft.Caches.releaseAll()
+    val canonWant = graft.operators.Curation.canonicalDocs(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    graft.Caches.releaseAll()
+    assert(canonGot == canonWant && canonWant.nonEmpty)
     // cascade expansion from the table is row-equal to the recompute
     val seed = want.groupBy(_._2).values.find(_.size > 1).get
       .map(_._1).min
