@@ -23,6 +23,33 @@ object GraftSession {
       // otherwise type-infer to DATE and diverge from the written column)
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+      // isnotnull(e)` from every explode/posexplode and pushes it toward
+      // the scan. When `e` is a computed pipeline (tokenize → chunk →
+      // array_join — this engine's hottest map shapes), the pushed
+      // filter RE-EVALUATES that whole pipeline twice more per row
+      // (Catalyst does no CSE across the filter/project boundary), and
+      // it lands below any parallelizing exchange — measured 3× the map
+      // work on q84's chunk pass. The rule only prunes rows the
+      // Generate would drop anyway (empty arrays — rare in a text
+      // corpus at any scale), so excluding it trades a no-op prune for
+      // whole-stage triplication. Results are bit-identical (it is an
+      // optimization rule, not a semantic one).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // AQE coalesces post-shuffle partitions by BYTES
+      // (parallelismFirst floors each partition at
+      // coalescePartitions.minPartitionSize, default 1 MB). This
+      // engine's hot stages are compute-per-row heavy on narrow rows
+      // (shingle/bigram/window kernels over 8 B hashes), so byte-based
+      // coalescing serializes stages whose shuffle input is small but
+      // whose CPU cost is not (measured: q87's model build ran 1.0 s on
+      // ONE task after AQE coalesced a 0.3 MB exchange). A 16 KB floor
+      // only binds when a shuffle stage carries a few MB total — i.e.
+      // it is self-deactivating at scale, where partitions dwarf any
+      // floor — and restores the cores the scheduler already has.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "16kb")
       .config("spark.ui.enabled", "false")
 
   /** Session-conf key naming the scale-factor directory the SQL

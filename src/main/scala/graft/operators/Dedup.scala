@@ -198,8 +198,11 @@ object Dedup {
     * predicate. Intersections are counted by the groupBy itself, so no
     * verify stage exists — the right shape when the prefix would cover
     * most of every set (low thresholds). */
-  def ngramJaccardPairsCounting(docs: DataFrame, threshold: Double,
+  def ngramJaccardPairsCounting(docs0: DataFrame, threshold: Double,
       shingleK: Int, maxDf: Int): DataFrame = {
+    // the shingle passes below are the expensive map work — spread a
+    // single-split scan so they use every core (no-op at scale)
+    val docs = ScanPar.spread(docs0)
     // df-cap side: one hashed-shingle pass feeding the hot aggregation
     // only (single consumer — no cache), collected to a 1-row broadcast
     // of 8 B keys. The hot set is tiny by construction: few shingles
@@ -479,9 +482,11 @@ object Dedup {
       maxDf)
 
   /** [[containmentPairs]] over an explicit `documents` relation. */
-  def containmentPairsOn(docs: DataFrame, threshold: Double = 0.8,
+  def containmentPairsOn(docs0: DataFrame, threshold: Double = 0.8,
       shingleK: Int = 3, maxDf: Int = AutoMaxDf): DataFrame = {
-    val cap = resolveMaxDf(maxDf, docs.count())
+    val cap = resolveMaxDf(maxDf, docs0.count())
+    // shingle map work below must not serialize behind one scan split
+    val docs = ScanPar.spread(docs0)
     val hotArr = shingleHashIndex(docs, shingleK)
       .groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") > cap)
@@ -541,8 +546,10 @@ object Dedup {
     *     computes the EXACT Jaccard. No approximation anywhere: the
     *     prefix only prunes, the verdict is the set arithmetic.
     */
-  def ngramJaccardPairsPrefix(docs: DataFrame, threshold: Double,
+  def ngramJaccardPairsPrefix(docs0: DataFrame, threshold: Double,
       shingleK: Int, maxDf: Int): DataFrame = {
+    // shingle map work below must not serialize behind one scan split
+    val docs = ScanPar.spread(docs0)
     // margin 5e-5: the FINAL predicate tests round(jaccard, 4), which a
     // raw J as low as threshold − 0.00005 still satisfies — pruning
     // (prefix length AND size-ratio) at the raw threshold would drop
@@ -1341,7 +1348,7 @@ object Dedup {
 
   /** Per-doc aligned chunk relation: (doc_id, idx, chunk). */
   private def chunkRelation(docs: DataFrame, chunkTokens: Int): DataFrame =
-    docs
+    ScanPar.spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), chunksOf(col("toks"), chunkTokens).as("chunks"))
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "chunk")))
@@ -1399,7 +1406,7 @@ object Dedup {
       .map(_.getLong(0))
     if (dict.length <= maxDict) {
       val sorted = dict.sorted.toIndexedSeq
-      docs
+      ScanPar.spread(docs)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           chunksOf(col("toks"), chunkTokens).as("chunks"))

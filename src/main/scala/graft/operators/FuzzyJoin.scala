@@ -232,7 +232,9 @@ object FuzzyJoin {
   def fuzzyLink(spark: SparkSession, dir: String,
       maxDist: Int = 2): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val toks = Tables.documents(spark, dir)
+    // spread the RAW scan: the tokenize+bigram mention derivation is
+    // the probe side's heavy map pass (no-op on a multi-split scan)
+    val toks = ScanPar.spread(Tables.documents(spark, dir))
       .select(tokens(col("text")).as("l"))
     // consecutive-token bigram mentions, counted on the quotient —
     // the SAME bigram derivation as q127 (shared with its streaming

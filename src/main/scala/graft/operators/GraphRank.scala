@@ -57,7 +57,10 @@ object GraphRank {
   def pageRank(spark: SparkSession, dir: String, iters: Int = 10,
       edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
     pageRankOn(
-      Tables.events(spark, dir)
+      // spread the RAW scan: the JSON parse sits above the inserted
+      // exchange, so a single-split file parses on every core (no-op
+      // on an already-parallel scan — ScanPar.spread)
+      ScanPar.spread(Tables.events(spark, dir))
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")),
       iters, edgeBudget)
@@ -107,7 +110,10 @@ object GraphRank {
       iters: Int = 10,
       edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
     personalizedRankOn(
-      Tables.events(spark, dir)
+      // spread the RAW scan: the JSON parse sits above the inserted
+      // exchange, so a single-split file parses on every core (no-op
+      // on an already-parallel scan — ScanPar.spread)
+      ScanPar.spread(Tables.events(spark, dir))
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")),
       seed, iters, edgeBudget)
@@ -249,7 +255,10 @@ object GraphRank {
       iters: Int = 10,
       edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
     pageRankConvergenceOn(
-      Tables.events(spark, dir)
+      // spread the RAW scan: the JSON parse sits above the inserted
+      // exchange, so a single-split file parses on every core (no-op
+      // on an already-parallel scan — ScanPar.spread)
+      ScanPar.spread(Tables.events(spark, dir))
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")),
       iters, edgeBudget)
@@ -320,7 +329,10 @@ object GraphRank {
       iters: Int = 5,
       edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
     labelPropagationConvergenceOn(
-      Tables.events(spark, dir)
+      // spread the RAW scan: the JSON parse sits above the inserted
+      // exchange, so a single-split file parses on every core (no-op
+      // on an already-parallel scan — ScanPar.spread)
+      ScanPar.spread(Tables.events(spark, dir))
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")),
       iters, edgeBudget)
@@ -464,7 +476,10 @@ object GraphRank {
     * Longs. */
   def triangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOn(
-      Tables.events(spark, dir)
+      // spread the RAW scan: the JSON parse sits above the inserted
+      // exchange, so a single-split file parses on every core (no-op
+      // on an already-parallel scan — ScanPar.spread)
+      ScanPar.spread(Tables.events(spark, dir))
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")))
 
@@ -562,7 +577,10 @@ object GraphRank {
       iters: Int = 5,
       edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
     labelPropagationOn(
-      Tables.events(spark, dir)
+      // spread the RAW scan: the JSON parse sits above the inserted
+      // exchange, so a single-split file parses on every core (no-op
+      // on an already-parallel scan — ScanPar.spread)
+      ScanPar.spread(Tables.events(spark, dir))
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")),
       iters, edgeBudget)
@@ -749,7 +767,10 @@ object GraphRank {
       maxDepth: Int = 6,
       edgeBudget: Long = DriverRankEdgeBudget): DataFrame =
     bfsHopsOn(
-      Tables.events(spark, dir)
+      // spread the RAW scan: the JSON parse sits above the inserted
+      // exchange, so a single-split file parses on every core (no-op
+      // on an already-parallel scan — ScanPar.spread)
+      ScanPar.spread(Tables.events(spark, dir))
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")),
       seed, maxDepth, edgeBudget)
@@ -851,7 +872,10 @@ object GraphRank {
   def nextItems(spark: SparkSession, dir: String,
       topK: Int = 3): DataFrame =
     nextItemsOn(
-      Tables.events(spark, dir)
+      // spread the RAW scan: the JSON parse sits above the inserted
+      // exchange, so a single-split file parses on every core (no-op
+      // on an already-parallel scan — ScanPar.spread)
+      ScanPar.spread(Tables.events(spark, dir))
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")),
       topK)

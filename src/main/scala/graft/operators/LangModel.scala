@@ -267,14 +267,15 @@ object LangModel {
     * caps, [[scoreColumn]] is the map-only equivalent, bit-identical. */
   def perplexityScoreAgainst(corpus: DataFrame, reference: DataFrame)
       : DataFrame = {
-    val docs = corpus
+    // tokenize+bigram map passes must not serialize behind one scan split
+    val docs = ScanPar.spread(corpus)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
 
     // Model tables from the trusted slice. `c1` counts every occurrence
     // of the token in the reference (plain unigram frequency, documented
     // choice — not just context positions); V is the distinct vocab.
     val (uni, bi) = modelTables(
-      reference.select(tokens(col("text")).as("toks")))
+      ScanPar.spread(reference).select(tokens(col("text")).as("toks")))
     val vdf = uni.agg(count(lit(1)).as("v")) // 1 row — broadcast scalar
 
     // Scored side: per-doc distinct bigrams with tf (map-side combine
@@ -343,7 +344,7 @@ object LangModel {
       posLang: String = "en",
       maxBroadcastVocab: Long = MaxBroadcastOddsVocab): DataFrame = {
     val carrier = graft.Caches.register(
-      Tables.documents(spark, dir)
+      ScanPar.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), col("lang"),
           explode(tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "lang", "tok")

@@ -449,7 +449,8 @@ object Ranking {
     require(m > 0, "moreLikeThis needs a positive m")
     require(topN > 0, "moreLikeThis needs a positive topN")
     val tf = graft.Caches.register(
-      docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      ScanPar.spread(docs)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .cache())
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))

@@ -410,7 +410,9 @@ object Sessionize {
   def basketLift(spark: SparkSession, dir: String, minCount: Long = 5L,
       topK: Int = 100, maxBasket: Int = MaxBasket): DataFrame =
     basketLiftOn(
-      Tables.events(spark, dir)
+      // spread the RAW scan so the JSON parse sits ABOVE the inserted
+      // exchange and runs on every core (no-op on a multi-split scan)
+      ScanPar.spread(Tables.events(spark, dir))
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")),
       minCount, topK, maxBasket)
@@ -452,9 +454,13 @@ object Sessionize {
         .where(size(col("items")) <= maxBasket)
         .cache())
     val nu = baskets.agg(count(lit(1)).as("u")) // 1 row — broadcast
-    val ic = baskets
+    // cached: vocab-sized, and joined twice by both consumers (lift's
+    // na/nb, rules' na/nc) — uncached each join re-runs the basket
+    // explode + aggregation
+    val ic = graft.Caches.register(baskets
       .select(explode(col("items")).as("k"))
       .groupBy("k").agg(count(lit(1)).as("n"))
+      .cache())
     // in-array combination expansion: map-only, |basket|²-bounded by
     // the cap — the event log never self-joins
     val pairs = baskets
@@ -484,7 +490,8 @@ object Sessionize {
   def basketRules(spark: SparkSession, dir: String, minCount: Long = 5L,
       topK: Int = 100, maxBasket: Int = MaxBasket): DataFrame =
     basketRulesOn(
-      Tables.events(spark, dir)
+      // spread the RAW scan: JSON parse above the exchange (see basketLift)
+      ScanPar.spread(Tables.events(spark, dir))
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k")),
       minCount, topK, maxBasket)
@@ -493,7 +500,12 @@ object Sessionize {
   def basketRulesOn(ev0: DataFrame, minCount: Long = 5L, topK: Int = 100,
       maxBasket: Int = MaxBasket): DataFrame = {
     require(topK > 0, "basketRules needs a positive topK")
-    val (_, nu, ic, pairs) = basketCore(ev0, minCount, maxBasket)
+    val (_, nu, ic, pairs0) = basketCore(ev0, minCount, maxBasket)
+    // cache the SUPPORTED pairs (minCount-filtered — output-bounded,
+    // tiny): the two directed union branches below are separate plan
+    // subtrees, so without this the basket pair expansion + groupBy
+    // runs TWICE (measured: 2 × ~1.5 s stages at sf0.1)
+    val pairs = graft.Caches.register(pairs0.cache())
     val directed = pairs
       .select(col("item_a").as("antecedent"),
         col("item_b").as("consequent"), col("n_ab"))
